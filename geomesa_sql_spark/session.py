@@ -1,0 +1,55 @@
+"""SparkSession factory with engine defaults.
+
+Mirrors the reference's connection bootstrap (jdbc/Driver.scala:37-64:
+connect string → Calcite model → fun=spatial enabled) as a Python
+session builder: UTC timezone pinned (the reference's local-timezone
+shift hack at AttributeConverter.scala:66-84 is deliberately NOT
+replicated — see SURVEY.md §1.2), Arrow on, AQE on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "geomesa_sql_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults are sized for local mode but every knob is the one that
+    matters on a real cluster too: AQE (runtime re-plan + skew-join
+    splitting for equi joins), Arrow for pandas-UDF transfer, UTC
+    session timezone, shuffle partitions matched to parallelism.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # match parallelism, not the 200 default — at cluster scale this
+        # would come from cluster size / AQE target sizes instead
+        n = master[len("local[") : -1] if master.startswith("local[") else cpus
+        shuffle_partitions = 2 * int(32 if n == "*" else n)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,176 @@
+"""Geometry kernel tests, mirroring the reference's fixture shapes
+(F4/F5 in FIXTURES.md; SpatialJoinTest.scala / FilterTest.scala cases).
+"""
+
+import numpy as np
+import pytest
+
+from geomesa_sql_spark.geom import (
+    geom_from_wkb,
+    geom_from_wkt,
+    geom_to_wkt,
+    points_in_polygon,
+    points_to_geom_dist,
+    relate,
+    relate_many,
+)
+from geomesa_sql_spark.geom.kernel import distance, dwithin
+from geomesa_sql_spark.geom.wkb import geom_to_wkb
+
+SQ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+F4_POLY = "POLYGON ((20 10, 30 0, 40 10, 30 20, 20 10))"
+F4_LINE = "LINESTRING (0 2, 2 0, 8 6)"
+F4_MPOLY = (
+    "MULTIPOLYGON (((-1 0, 0 1, 1 0, 0 -1, -1 0)), ((-2 6, 1 6, 1 3, -2 3, -2 6)), "
+    "((-1 5, 2 5, 2 2, -1 2, -1 5)))"
+)
+
+
+def W(s):
+    return geom_from_wkt(s)
+
+
+def test_wkt_roundtrip():
+    for s in [SQ, F4_POLY, F4_LINE, F4_MPOLY, "POINT (3 4)",
+              "MULTIPOINT (0 0, 2 2)",
+              "MULTILINESTRING ((0 2, 2 0, 8 6), (0 2, 2 0, 8 6))",
+              "GEOMETRYCOLLECTION (POINT (45 49), POINT (45.1 49.1))"]:
+        g = W(s)
+        assert geom_to_wkt(W(geom_to_wkt(g))) == geom_to_wkt(g)
+
+
+def test_wkb_roundtrip():
+    for s in [SQ, F4_POLY, F4_LINE, F4_MPOLY, "POINT (3 4)",
+              "GEOMETRYCOLLECTION (POINT (45 49), POINT (45.1 49.1))"]:
+        g = W(s)
+        assert geom_to_wkt(geom_from_wkb(geom_to_wkb(g))) == geom_to_wkt(g)
+
+
+def test_pip_basic():
+    poly = W(SQ)
+    x = np.array([5.0, -1.0, 0.0, 10.0, 5.0])
+    y = np.array([5.0, 5.0, 0.0, 10.0, 10.0])
+    inc = points_in_polygon(x, y, poly, boundary="include")
+    exc = points_in_polygon(x, y, poly, boundary="exclude")
+    assert inc.tolist() == [True, False, True, True, True]
+    assert exc.tolist() == [True, False, False, False, False]
+
+
+def test_pip_diamond():
+    # F4 poly is a diamond centered (30,10)
+    poly = W(F4_POLY)
+    assert points_in_polygon(np.array([30.0]), np.array([10.0]), poly)[0]
+    assert not points_in_polygon(np.array([20.5]), np.array([19.5]), poly)[0]
+    # vertex on boundary
+    assert points_in_polygon(np.array([20.0]), np.array([10.0]), poly)[0]
+
+
+def test_pip_hole():
+    holed = W("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    x = np.array([5.0, 2.0, 4.0])
+    y = np.array([5.0, 2.0, 4.0])
+    inc = points_in_polygon(x, y, holed, boundary="include")
+    assert inc.tolist() == [False, True, True]  # hole boundary belongs to poly
+
+
+def test_relate_fixture_pairs():
+    # F5 row i: poly_i = square around (i, i) +-0.2; pt_i = (i+0.2, i+0.2)
+    def f5_poly(i):
+        lo, hi = i - 0.2, i + 0.2
+        return W(f"POLYGON (({lo} {lo}, {lo} {hi}, {hi} {hi}, {hi} {lo}, {lo} {lo}))")
+
+    # F4 points grid: POINT(i j); poly_5 contains points with i=j=5
+    assert relate(W("POINT (5 5)"), f5_poly(5), "within")
+    assert relate(f5_poly(5), W("POINT (5 5)"), "contains")
+    assert not relate(W("POINT (5 6)"), f5_poly(5), "within")
+    # pt on corner: intersects yes, within no (boundary)
+    assert relate(W("POINT (5.2 5.2)"), f5_poly(5), "intersects")
+    assert not relate(W("POINT (5.2 5.2)"), f5_poly(5), "within")
+
+
+def test_line_poly_relates():
+    line = W(F4_LINE)  # (0 2, 2 0, 8 6)
+    big = W(SQ)
+    assert relate(line, big, "within")
+    assert relate(big, line, "contains")
+    crossing = W("LINESTRING (-5 5, 15 5)")
+    assert relate(crossing, big, "crosses")
+    assert relate(crossing, big, "intersects")
+    assert not relate(crossing, big, "within")
+    outside = W("LINESTRING (20 20, 30 30)")
+    assert not relate(outside, big, "intersects")
+
+
+def test_poly_poly_relates():
+    a = W(SQ)
+    b = W("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+    c = W("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")  # shares edge x=10
+    d = W("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")  # inside a
+    assert relate(a, b, "overlaps") and relate(b, a, "overlaps")
+    assert relate(a, b, "intersects")
+    assert not relate(a, b, "contains")
+    assert relate(a, c, "touches")
+    assert not relate(a, c, "overlaps")
+    assert relate(a, d, "contains")
+    assert relate(d, a, "within")
+    assert not relate(a, d, "touches")
+    assert relate(a, W(SQ), "equals")
+    assert not relate(a, b, "equals")
+
+
+def test_line_line_relates():
+    a = W("LINESTRING (0 0, 10 10)")
+    b = W("LINESTRING (0 10, 10 0)")
+    c = W("LINESTRING (10 10, 20 20)")  # touches a at endpoint
+    d = W("LINESTRING (2 2, 8 8)")  # collinear inside a
+    assert relate(a, b, "crosses")
+    assert relate(a, b, "intersects")
+    assert relate(a, c, "touches")
+    assert not relate(a, c, "crosses")
+    assert relate(a, d, "contains")
+    assert relate(a, W("LINESTRING (10 10, 0 0)"), "equals")
+
+
+def test_distance_dwithin():
+    p = W("POINT (0 0)")
+    q = W("POINT (3 4)")
+    assert distance(p, q) == 5.0
+    assert dwithin(p, q, 5.0)
+    assert not dwithin(p, q, 4.999)
+    sq = W(SQ)
+    assert distance(W("POINT (15 10)"), sq) == 5.0
+    assert distance(W("POINT (5 5)"), sq) == 0.0
+    line = W("LINESTRING (20 0, 20 10)")
+    assert distance(sq, line) == 10.0
+
+
+def test_points_to_geom_dist_vectorized():
+    sq = W(SQ)
+    x = np.array([5.0, 15.0, -3.0])
+    y = np.array([5.0, 10.0, 0.0])
+    d = points_to_geom_dist(x, y, sq)
+    assert d.tolist() == [0.0, 5.0, 3.0]
+
+
+def test_relate_many_nulls():
+    a = geom_to_wkb(W("POINT (5 5)"))
+    b = geom_to_wkb(W(SQ))
+    out = relate_many([a, None, a], [b, b, None], "within")
+    assert out.tolist() == [True, False, False]
+
+
+def test_multipolygon_pip():
+    mp = W(F4_MPOLY)
+    # (0,0) center of first diamond
+    assert points_in_polygon(np.array([0.0]), np.array([0.0]), mp)[0]
+    # (-1.5, 4) inside second square only
+    assert points_in_polygon(np.array([-1.5]), np.array([4.0]), mp)[0]
+    # (50,50) outside all
+    assert not points_in_polygon(np.array([50.0]), np.array([50.0]), mp)[0]
+
+
+def test_geometrycollection():
+    gc = W("GEOMETRYCOLLECTION (POINT (45 49), POINT (45.1 49.1))")
+    sq = W("POLYGON ((44 48, 46 48, 46 50, 44 50, 44 48))")
+    assert relate(gc, sq, "within")
+    assert relate(sq, gc, "contains")
