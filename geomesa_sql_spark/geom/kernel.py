@@ -535,3 +535,43 @@ def relate_many(wkb_a: list, wkb_b: list, pred: str, d: float | None = None) -> 
             continue
         out[i] = relate(ga, gb, pred, d)
     return out
+
+
+def relate_points_to_wkb(
+    x: np.ndarray, y: np.ndarray, wkb_list: list, pred: str, d: float | None = None
+) -> np.ndarray:
+    """Predicate between point[i] and geometry wkb_list[i], grouped.
+
+    The spatial-join refine fast path when the probe side is points:
+    candidate lists repeat the same few geometries many times per batch,
+    so we group rows by geometry and run the vectorized point kernels
+    once per distinct geometry instead of per pair.
+    """
+    from geomesa_sql_spark.geom.wkb import geom_from_wkb
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    out = np.zeros(len(x), dtype=bool)
+    pred = pred.lower()
+    groups: dict[bytes, list] = {}
+    for i, b in enumerate(wkb_list):
+        if b is None:
+            continue
+        groups.setdefault(bytes(b), []).append(i)
+    for buf, idxs in groups.items():
+        g = geom_from_wkb(buf)
+        ii = np.asarray(idxs, dtype=np.int64)
+        px, py = x[ii], y[ii]
+        if pred == "dwithin":
+            out[ii] = points_to_geom_dist(px, py, g) <= float(d)
+        elif pred == "within" and g.dimension() == 2:
+            out[ii] = points_in_polygon(px, py, g, boundary="exclude")
+        elif pred == "intersects":
+            out[ii] = points_intersect_geom(px, py, g)
+        elif pred in ("contains", "equals", "touches", "crosses", "overlaps", "within"):
+            # point-vs-geom general: fall back to pairwise relate on the group
+            pt_geoms = [Geom(model.POINT, np.array([a, b_])) for a, b_ in zip(px, py)]
+            out[ii] = np.array([relate(p, g, pred, d) for p in pt_geoms], dtype=bool)
+        else:
+            raise ValueError(f"unknown predicate {pred!r}")
+    return out

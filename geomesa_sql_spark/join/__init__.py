@@ -1,0 +1,2 @@
+from geomesa_sql_spark.join.spatial import spatial_join  # noqa: F401
+from geomesa_sql_spark.join.knn import knn_join  # noqa: F401

@@ -1,0 +1,346 @@
+"""Distributed cell-partitioned spatial join.
+
+Re-expresses the reference's ``EnumerableSpatialJoin``
+(nodes/EnumerableSpatialJoin.scala:41-160 + EnumerableSpatialJoinEnumerator.scala:28-123),
+which builds an in-memory JTS STRtree over the whole right side and
+streams the left side through it single-threaded, as a Spark plan that
+scales horizontally:
+
+    encode both sides to space-filling-curve cells (vectorized UDF)
+      → explode to (cell, row)
+      → broadcast hash join if the right side is small,
+        else repartition both sides by cell (AQE skew-join aware),
+        with optional explicit salting for hot cells
+      → vectorized refine with the full predicate (grouped point
+        kernels / pairwise WKB kernels)
+      → reference-point dedup (no distinct shuffle) for multi-cell rows
+
+Semantics parity with the reference:
+- INNER and LEFT joins only (EnumerableSpatialJoinRule.scala:43-44;
+  RIGHT/FULL fall back to Spark's own join on the raw predicate).
+- DWithin = envelope expansion by ``distance`` before cell encoding,
+  then full re-check (EnumerableSpatialJoinEnumerator.scala:80-84,106-109).
+- **Null-geometry quirk**: a left row whose geometry is NULL emits
+  nothing, even in a LEFT join (enumerator:80-91 — the null check
+  encloses the null-padding branch). Same for right rows (null geoms
+  are never indexed, :95-104).
+- The refine step re-checks the *full* predicate on each candidate
+  (enumerator:84), so cell-cover false positives never leak.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_sql_spark.cells import cover_envelopes, lonlat_to_cell
+from geomesa_sql_spark.cells.curve import res_for_extent
+from geomesa_sql_spark.functions.st import st_envelope_wkb
+from geomesa_sql_spark.geom import kernel
+
+_CELL = "__gsj_cell"
+_SALT = "__gsj_salt"
+
+
+@dataclass
+class GeomSide:
+    """How one join side carries geometry.
+
+    point side: ``x``/``y`` lon-lat double columns (no WKB anywhere —
+    the hot layout for the image+caption table whose points derive from
+    phash/EXIF, FIXTURES.md F0).
+    wkb side: ``wkb`` BinaryType column.
+    """
+
+    x: str | None = None
+    y: str | None = None
+    wkb: str | None = None
+
+    @property
+    def is_point(self) -> bool:
+        return self.wkb is None
+
+    def not_null(self) -> Column:
+        if self.is_point:
+            return F.col(self.x).isNotNull() & F.col(self.y).isNotNull()
+        return F.col(self.wkb).isNotNull()
+
+
+def point_side(x: str, y: str) -> GeomSide:
+    return GeomSide(x=x, y=y)
+
+
+def wkb_side(wkb: str) -> GeomSide:
+    return GeomSide(wkb=wkb)
+
+
+def _cells_for_side(
+    df: DataFrame, side: GeomSide, res: int, expand: float, max_cells: int
+) -> DataFrame:
+    """Attach exploded cell column (+ envelope min corner for dedup)."""
+    if side.is_point and expand == 0.0:
+
+        @F.pandas_udf(T.LongType())
+        def _cell(px: pd.Series, py: pd.Series) -> pd.Series:
+            return pd.Series(
+                lonlat_to_cell(px.to_numpy(np.float64), py.to_numpy(np.float64), res)
+            )
+
+        return df.withColumn(_CELL, _cell(side.x, side.y)).withColumn(
+            "__gsj_minx", F.col(side.x)
+        ).withColumn("__gsj_miny", F.col(side.y))
+
+    if side.is_point:
+        env = df.withColumn("__gsj_minx", F.col(side.x) - expand).withColumn(
+            "__gsj_miny", F.col(side.y) - expand
+        ).withColumn("__gsj_maxx", F.col(side.x) + expand).withColumn(
+            "__gsj_maxy", F.col(side.y) + expand
+        )
+    else:
+        env = df.withColumn("__gsj_env", st_envelope_wkb(side.wkb))
+        env = (
+            env.withColumn("__gsj_minx", F.col("__gsj_env.minx") - expand)
+            .withColumn("__gsj_miny", F.col("__gsj_env.miny") - expand)
+            .withColumn("__gsj_maxx", F.col("__gsj_env.maxx") + expand)
+            .withColumn("__gsj_maxy", F.col("__gsj_env.maxy") + expand)
+            .drop("__gsj_env")
+        )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+    ) -> pd.Series:
+        rows, cells = cover_envelopes(
+            minx.to_numpy(np.float64),
+            miny.to_numpy(np.float64),
+            maxx.to_numpy(np.float64),
+            maxy.to_numpy(np.float64),
+            res,
+            max_cells_per_row=max_cells,
+        )
+        out: list[list[int]] = [[] for _ in range(len(minx))]
+        for r, c in zip(rows.tolist(), cells.tolist()):
+            out[r].append(c)
+        return pd.Series(out)
+
+    env = env.withColumn(
+        _CELL,
+        F.explode(_cover("__gsj_minx", "__gsj_miny", "__gsj_maxx", "__gsj_maxy")),
+    )
+    return env.drop("__gsj_maxx", "__gsj_maxy")
+
+
+def _refine_predicate(
+    joined: DataFrame,
+    left: GeomSide,
+    right: GeomSide,
+    predicate: str,
+    distance: float | None,
+) -> Column:
+    pred = predicate.lower()
+    if left.is_point and right.is_point:
+        if pred == "dwithin":
+            dx = F.col(left.x) - F.col(right.x)
+            dy = F.col(left.y) - F.col(right.y)
+            return dx * dx + dy * dy <= float(distance) ** 2
+        if pred in ("equals", "intersects", "contains", "within", "touches"):
+            eq = (F.col(left.x) == F.col(right.x)) & (F.col(left.y) == F.col(right.y))
+            return eq if pred != "touches" else F.lit(False)
+        return F.lit(False)
+    if left.is_point or right.is_point:
+        pt, other = (left, right) if left.is_point else (right, left)
+        # reorient predicate: pred(left, right) with point on one side
+        if left.is_point:
+            eff = pred
+        else:
+            flip = {"contains": "within", "within": "contains"}
+            eff = flip.get(pred, pred)
+
+        @F.pandas_udf(T.BooleanType())
+        def _ref(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
+            return pd.Series(
+                kernel.relate_points_to_wkb(
+                    px.to_numpy(np.float64), py.to_numpy(np.float64), list(wkb), eff, distance
+                )
+            )
+
+        return _ref(F.col(pt.x), F.col(pt.y), F.col(other.wkb))
+
+    @F.pandas_udf(T.BooleanType())
+    def _rel(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        return pd.Series(kernel.relate_many(list(wa), list(wb), pred, distance))
+
+    return _rel(F.col(left.wkb), F.col(right.wkb))
+
+
+def spatial_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    left: GeomSide,
+    right: GeomSide,
+    predicate: str = "intersects",
+    distance: float | None = None,
+    how: str = "inner",
+    res: int | None = None,
+    broadcast: bool | None = None,
+    broadcast_rows: int = 2_000_000,
+    left_key: str | None = None,
+    salt: int = 0,
+    hot_cell_threshold: int = 5_000_000,
+    max_cells_per_row: int = 256,
+) -> DataFrame:
+    """Spatial join of two DataFrames on a relate predicate.
+
+    Parameters mirror the planner decisions the reference bakes into its
+    rule/cost model (EnumerableSpatialJoinRule: INNER/LEFT only, literal
+    DWithin distance) plus the distribution knobs a 1000-executor run
+    needs: ``broadcast`` (small right side → broadcast hash join, no
+    shuffle of the big side), ``salt`` (explicit hot-cell salting; AQE
+    skew join already splits oversized partitions for the repartition
+    path), ``res`` (cell resolution; default derived from a right-side
+    envelope sample).
+
+    ``how='left'`` requires ``left_key`` (a unique left column) and
+    replicates the reference's null-geometry drop quirk.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("spatial_join supports how='inner'|'left' (reference parity: "
+                         "EnumerableSpatialJoinRule.scala:43-44)")
+    pred = predicate.lower()
+    if pred == "dwithin":
+        if distance is None:
+            raise ValueError("dwithin needs literal distance "
+                             "(EnumerableSpatialJoinRule.scala:117-125)")
+    expand = float(distance) if pred == "dwithin" else 0.0
+
+    # null-geom drop (both sides, both join types — reference quirk)
+    left_nn = left_df.filter(left.not_null())
+    right_nn = right_df.filter(right.not_null())
+
+    if res is None:
+        res = _estimate_res(right_nn, right, expand)
+
+    lc = _cells_for_side(left_nn, left, res, expand, max_cells_per_row)
+    rc = _cells_for_side(
+        right_nn.withColumnRenamed(_CELL, _CELL), right, res, 0.0, max_cells_per_row
+    )
+    rc = (
+        rc.withColumnRenamed(_CELL, _CELL + "_r")
+        .withColumnRenamed("__gsj_minx", "__gsj_rminx")
+        .withColumnRenamed("__gsj_miny", "__gsj_rminy")
+    )
+
+    left_multi = (not left.is_point) or expand > 0.0
+    right_multi = not right.is_point
+
+    if broadcast is None:
+        broadcast = _cheap_count_at_most(right_df, broadcast_rows)
+
+    join_cond = F.col(_CELL) == F.col(_CELL + "_r")
+    if broadcast:
+        joined = lc.join(F.broadcast(rc), join_cond)
+    elif salt > 1:
+        hot = _hot_cells(lc, hot_cell_threshold)
+        if hot:
+            lc = lc.withColumn(
+                _SALT,
+                F.when(
+                    F.col(_CELL).isin(list(hot)),
+                    F.pmod(F.xxhash64(*[F.col(c) for c in lc.columns[:1]]), F.lit(salt)),
+                ).otherwise(F.lit(0)),
+            )
+            rc = rc.withColumn(
+                "__gsj_nsalt",
+                F.when(F.col(_CELL + "_r").isin(list(hot)), F.lit(salt)).otherwise(F.lit(1)),
+            ).withColumn(
+                _SALT, F.explode(F.sequence(F.lit(0), F.col("__gsj_nsalt") - 1))
+            ).drop("__gsj_nsalt")
+            joined = lc.repartition(_CELL, _SALT).join(
+                rc.repartition(_CELL + "_r", _SALT),
+                join_cond & (lc[_SALT] == rc[_SALT]),
+            ).drop(_SALT)
+        else:
+            joined = lc.repartition(F.col(_CELL)).join(
+                rc.repartition(F.col(_CELL + "_r")), join_cond
+            )
+    else:
+        joined = lc.join(rc, join_cond)
+
+    refined = joined.filter(_refine_predicate(joined, left, right, pred, distance))
+
+    if left_multi and right_multi:
+        refined = refined.filter(_refpoint_keep(res))
+    elif left_multi or right_multi:
+        # single-cell side × multi-cell side: pair appears once per
+        # shared cell; the single-cell side has exactly one cell, so at
+        # most one shared cell exists → already duplicate-free.
+        pass
+
+    drop_cols = [c for c in refined.columns if c.startswith("__gsj_")]
+    inner = refined.drop(*drop_cols)
+
+    if how == "inner":
+        return inner
+
+    if left_key is None:
+        raise ValueError("how='left' requires left_key")
+    right_cols = [c for c in right_df.columns]
+    matched_keys = inner.select(left_key).distinct()
+    unmatched = left_nn.join(matched_keys, on=left_key, how="left_anti")
+    for c in right_cols:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(inner.schema[c].dataType))
+    return inner.unionByName(unmatched.select(inner.columns))
+
+
+def _refpoint_keep(res: int) -> Column:
+    """Reference-point dedup: emit a candidate pair only in the cell
+    containing the min corner of the two envelopes' intersection — each
+    pair survives in exactly one cell, so no distinct() shuffle is
+    needed (standard PBSM/GridJoin de-dup technique)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _keep(
+        cell: pd.Series, lminx: pd.Series, lminy: pd.Series, rminx: pd.Series, rminy: pd.Series
+    ) -> pd.Series:
+        refx = np.maximum(lminx.to_numpy(np.float64), rminx.to_numpy(np.float64))
+        refy = np.maximum(lminy.to_numpy(np.float64), rminy.to_numpy(np.float64))
+        ref_cell = lonlat_to_cell(refx, refy, res)
+        return pd.Series(cell.to_numpy(np.int64) == ref_cell)
+
+    return _keep(
+        F.col(_CELL), F.col("__gsj_minx"), F.col("__gsj_miny"),
+        F.col("__gsj_rminx"), F.col("__gsj_rminy"),
+    )
+
+
+def _estimate_res(right: DataFrame, side: GeomSide, expand: float) -> int:
+    """Pick cell resolution from a sample of right-side envelope extents."""
+    if side.is_point:
+        # points have zero extent: resolution bounded by DWithin radius
+        # (or a dense default for pure point-point joins)
+        span = max(2 * expand, 0.01)
+        return res_for_extent(span, span)
+    sample = right.select(st_envelope_wkb(side.wkb).alias("e")).limit(1000).collect()
+    if not sample:
+        return 8
+    w = float(np.mean([r.e.maxx - r.e.minx for r in sample])) + 2 * expand
+    h = float(np.mean([r.e.maxy - r.e.miny for r in sample])) + 2 * expand
+    return res_for_extent(w, h)
+
+
+def _cheap_count_at_most(df: DataFrame, n: int) -> bool:
+    """True if df has ≤ n rows, scanning at most n+1 of them."""
+    return df.limit(n + 1).count() <= n
+
+
+def _hot_cells(lc: DataFrame, threshold: int) -> set[int]:
+    """Cells whose left-side row count exceeds the skew threshold."""
+    rows = (
+        lc.groupBy(_CELL).count().filter(F.col("count") > threshold).select(_CELL).collect()
+    )
+    return {r[_CELL] for r in rows}

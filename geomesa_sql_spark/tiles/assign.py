@@ -1,0 +1,62 @@
+"""Z-order/Hilbert tile assignment — the raster↔vector handoff.
+
+North-rule component (BASELINE.json:14: "Z-order/Hilbert tile
+assignment for raster<->vector handoff"); no analog exists in the
+reference (it has no raster path), so semantics are defined here:
+
+- grid: equirectangular XYZ-style tiling of lon∈[-180,180),
+  lat∈[-90,90) into 2^z × 2^z tiles; ``tile_x`` grows east,
+  ``tile_y`` grows north→south (row 0 at lat=+90, like slippy tiles).
+- ``tile_x``/``tile_y`` are pure Column arithmetic (JVM codegen,
+  oracle-expressible in ANSI SQL as FLOOR expressions).
+- ``tile_id`` is the Hilbert index of (tile_x, tile_y) at zoom z —
+  adjacent tiles get adjacent ids, so range-partitioning by tile_id
+  co-locates spatially-adjacent imagery (the property that matters
+  when a 1000-executor job hands tiles to a raster stage).
+
+Image payload discipline: assignment needs only lon/lat, so callers
+should project ``bytes`` out before a shuffle and re-join by image_id
+after, or rely on this module's ``assign_tiles`` being a narrow
+transformation (no shuffle of its own).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_sql_spark.cells import hilbert_xy2d
+
+
+def assign_tiles(
+    df: DataFrame,
+    zoom: int,
+    x: str = "lon",
+    y: str = "lat",
+    with_hilbert: bool = True,
+) -> DataFrame:
+    """Add tile_x, tile_y (+ tile_id: Hilbert index) at ``zoom``."""
+    n = 1 << zoom
+    tx = F.floor((F.col(x) + F.lit(180.0)) / F.lit(360.0) * n).cast("long")
+    ty = F.floor((F.lit(90.0) - F.col(y)) / F.lit(180.0) * n).cast("long")
+    out = df.withColumn(
+        "tile_x", F.least(F.greatest(tx, F.lit(0)), F.lit(n - 1))
+    ).withColumn("tile_y", F.least(F.greatest(ty, F.lit(0)), F.lit(n - 1)))
+    if with_hilbert:
+
+        @F.pandas_udf(T.LongType())
+        def _hilbert(txs: pd.Series, tys: pd.Series) -> pd.Series:
+            return pd.Series(
+                hilbert_xy2d(txs.to_numpy(np.int64), tys.to_numpy(np.int64), zoom)
+            )
+
+        out = out.withColumn("tile_id", _hilbert("tile_x", "tile_y"))
+    return out
+
+
+def tile_stats(df: DataFrame) -> DataFrame:
+    """Per-tile row counts — skew diagnostics for the bench report."""
+    return df.groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -1,0 +1,196 @@
+"""Differential tests for spatial filter / join / kNN / tiles.
+
+Model: the reference's verifyResult (GeoMesaCalciteTestUtils.scala:34-39)
+— run the optimized path and a brute-force oracle, compare row sets.
+Oracles here are plain Column arithmetic (range predicates), which is
+exactly what the driver's DuckDB gate does at sf0.01.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_sql_spark.io.fixtures import nation_squares, orders_points, supplier_points
+from geomesa_sql_spark.join import knn_join, spatial_join
+from geomesa_sql_spark.join.spatial import point_side, wkb_side
+from geomesa_sql_spark.plan import spatial_filter
+from geomesa_sql_spark.tiles import assign_tiles
+
+PENTA = "POLYGON ((-40.0037 -20.0013, 30.0041 -45.0029, 80.0017 10.0023, 20.0031 60.0019, -55.0043 25.0037))"
+
+
+def rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_spatial_filter_bbox_vs_oracle(spark, sf_dir):
+    pts = orders_points(spark, sf_dir)
+    got = spatial_filter(
+        pts, "intersects", "POLYGON ((-10.005 -10.005, 50.005 -10.005, 50.005 40.005, -10.005 40.005, -10.005 -10.005))",
+        x="lon", y="lat",
+    )
+    want = pts.filter(
+        (F.col("lon") >= -10.005) & (F.col("lon") <= 50.005)
+        & (F.col("lat") >= -10.005) & (F.col("lat") <= 40.005)
+    )
+    assert rows(got, ["o_orderkey"]) == rows(want, ["o_orderkey"])
+    assert got.count() > 0
+
+
+def test_spatial_filter_pentagon_vs_halfplane_oracle(spark, sf_dir):
+    from geomesa_sql_spark.geom import geom_from_wkt
+
+    pts = orders_points(spark, sf_dir)
+    got = spatial_filter(pts, "intersects", PENTA, x="lon", y="lat")
+    g = geom_from_wkt(PENTA)
+    ring = g.coords[0]
+    cond = F.lit(True)
+    for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+        # CCW ring → inside = left of every edge
+        cond = cond & (
+            (F.lit(float(bx - ax)) * (F.col("lat") - float(ay))
+             - F.lit(float(by - ay)) * (F.col("lon") - float(ax))) >= 0
+        )
+    want = pts.filter(cond)
+    assert rows(got, ["o_orderkey"]) == rows(want, ["o_orderkey"])
+    assert got.count() > 0
+
+
+def test_spatial_filter_cell_prune_consistency(spark, sf_dir):
+    """Pushdown path (cell column present) == no-pushdown oracle path."""
+    from geomesa_sql_spark.io.layout import add_cell
+
+    pts = add_cell(orders_points(spark, sf_dir))
+    poly = "POLYGON ((-10.005 -10.005, 50.005 -10.005, 50.005 40.005, -10.005 40.005, -10.005 -10.005))"
+    pruned = spatial_filter(pts, "intersects", poly, x="lon", y="lat",
+                            cell_col="cell", data_res=12)
+    brute = spatial_filter(pts, "intersects", poly, x="lon", y="lat", cell_col=None)
+    assert rows(pruned, ["o_orderkey"]) == rows(brute, ["o_orderkey"])
+
+
+def test_dwithin_filter(spark, sf_dir):
+    pts = orders_points(spark, sf_dir)
+    got = spatial_filter(pts, "dwithin", "POINT (10.005 10.005)", x="lon", y="lat",
+                         distance=20.0)
+    want = pts.filter(
+        (F.col("lon") - 10.005) ** 2 + (F.col("lat") - 10.005) ** 2 <= 400.0
+    )
+    assert rows(got, ["o_orderkey"]) == rows(want, ["o_orderkey"])
+    assert got.count() > 0
+
+
+def _join_oracle(pts, polys):
+    return pts.crossJoin(
+        polys.select("n_nationkey", "pminx", "pminy", "pmaxx", "pmaxy")
+    ).filter(
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_spatial_join_points_polys(spark, sf_dir, broadcast):
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    polys = nation_squares(spark, sf_dir)
+    got = spatial_join(
+        pts, polys.select("n_nationkey", "poly"),
+        point_side("lon", "lat"), wkb_side("poly"),
+        predicate="intersects", res=6, broadcast=broadcast,
+    )
+    want = _join_oracle(pts, polys)
+    assert rows(got, ["o_orderkey", "n_nationkey"]) == rows(want, ["o_orderkey", "n_nationkey"])
+    assert got.count() > 0
+
+
+def test_spatial_join_left_with_null_geom_quirk(spark, sf_dir):
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    # poison some rows with null geometry
+    pts = pts.withColumn(
+        "lon", F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("lon"))
+    )
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+    got = spatial_join(
+        pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+        predicate="intersects", res=6, broadcast=True, how="left", left_key="o_orderkey",
+    )
+    # quirk parity: null-geom left rows vanish even in LEFT join
+    assert got.filter(F.col("lon").isNull()).count() == 0
+    # matched + unmatched = all non-null-geom left rows
+    n_left = pts.filter(F.col("lon").isNotNull()).count()
+    assert got.select("o_orderkey").distinct().count() == n_left
+    # unmatched rows have null right side
+    assert got.filter(F.col("n_nationkey").isNull()).count() > 0
+
+
+def test_spatial_join_wkb_wkb_dedup(spark, sf_dir):
+    """Polygon×polygon: multi-cell covers must not duplicate pairs."""
+    polys = nation_squares(spark, sf_dir)
+    a = polys.select(F.col("n_nationkey").alias("ka"), F.col("poly").alias("pa"))
+    b = polys.select(F.col("n_nationkey").alias("kb"), F.col("poly").alias("pb"))
+    got = spatial_join(a, b, wkb_side("pa"), wkb_side("pb"),
+                       predicate="intersects", res=5, broadcast=True)
+    pairs = got.select("ka", "kb").collect()
+    assert len(pairs) == len(set((r.ka, r.kb) for r in pairs)), "duplicate pairs emitted"
+    # reflexive: every polygon intersects itself
+    ref = {(r.ka, r.kb) for r in pairs}
+    nk = [r.n_nationkey for r in polys.select("n_nationkey").collect()]
+    assert all((k, k) in ref for k in nk)
+    # oracle: envelope overlap (squares are their own envelopes)
+    env = polys.select("n_nationkey", "pminx", "pminy", "pmaxx", "pmaxy")
+    ea = env.toPandas().set_index("n_nationkey")
+    want = set()
+    for i in ea.index:
+        for j in ea.index:
+            if (ea.pminx[i] <= ea.pmaxx[j] and ea.pminx[j] <= ea.pmaxx[i]
+                    and ea.pminy[i] <= ea.pmaxy[j] and ea.pminy[j] <= ea.pmaxy[i]):
+                want.add((i, j))
+    assert ref == want
+
+
+def test_spatial_join_dwithin_points(spark, sf_dir):
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    sup = supplier_points(spark, sf_dir).select("s_suppkey", "slon", "slat")
+    got = spatial_join(
+        pts, sup, point_side("lon", "lat"), point_side("slon", "slat"),
+        predicate="dwithin", distance=5.0, res=5, broadcast=True,
+    )
+    want = pts.crossJoin(sup).filter(
+        (F.col("lon") - F.col("slon")) ** 2 + (F.col("lat") - F.col("slat")) ** 2 <= 25.0
+    )
+    assert rows(got, ["o_orderkey", "s_suppkey"]) == rows(want, ["o_orderkey", "s_suppkey"])
+    assert got.count() > 0
+
+
+def test_knn_vs_bruteforce(spark, sf_dir):
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    queries = [(1, 0.0, 0.0), (2, 100.0, 50.0)]
+    got = knn_join(pts, queries, k=5, x="lon", y="lat")
+    pdf = pts.toPandas()
+    for qid, qx, qy in queries:
+        d = np.hypot(pdf.lon - qx, pdf.lat - qy)
+        order = sorted(zip(d, pdf.o_orderkey))[:5]
+        want = [k for _, k in order]
+        g = (got.filter(F.col("query_id") == qid).orderBy("rank")
+             .select("o_orderkey").toPandas().o_orderkey.tolist())
+        assert g == want, qid
+
+
+def test_tiles_vs_floor_oracle(spark, sf_dir):
+    pts = orders_points(spark, sf_dir)
+    z = 6
+    got = assign_tiles(pts, z)
+    want = pts.withColumn(
+        "ex", F.floor((F.col("lon") + 180.0) / 360.0 * (1 << z))
+    ).withColumn("ey", F.floor((90.0 - F.col("lat")) / 180.0 * (1 << z)))
+    g = rows(got, ["o_orderkey", "tile_x", "tile_y"])
+    w = [
+        (k, max(0, min((1 << z) - 1, ex)), max(0, min((1 << z) - 1, ey)))
+        for k, ex, ey in rows(want, ["o_orderkey", "ex", "ey"])
+    ]
+    assert g == sorted(w)
+    # hilbert tile_id bijective with (tile_x, tile_y)
+    n_pairs = got.select("tile_x", "tile_y").distinct().count()
+    n_ids = got.select("tile_id").distinct().count()
+    assert n_pairs == n_ids
