@@ -1,0 +1,22 @@
+from geomesa_sql_spark.ops.dedup import (  # noqa: F401
+    exact_dedup,
+    lsh_near_dup_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from geomesa_sql_spark.ops.text import (  # noqa: F401
+    lang_id,
+    quality_score,
+    token_count,
+)
+from geomesa_sql_spark.ops.ann import (  # noqa: F401
+    cosine_similarity_col,
+    cosine_topk,
+    lsh_bucket_ann,
+    near_dup_embeddings,
+)
+from geomesa_sql_spark.ops.multimodal import (  # noqa: F401
+    image_stats,
+    phash_images,
+    resize_images,
+)

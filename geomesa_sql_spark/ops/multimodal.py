@@ -1,0 +1,135 @@
+"""Multimodal (image) operators over opaque binary columns.
+
+The graft table carries images as ``bytes`` + typed metadata
+(image_id, w, h, fmt — BASELINE.json input_hint). Operators run as
+``mapInPandas`` over Arrow batches; decode uses the stdlib codecs in
+``io.images`` (raw + real PNG). JPEG/WebP/audio/video decode would
+need PIL/cv2/ffmpeg (absent in this container) — those branches raise
+NotImplementedError behind the same batch plumbing, which is real and
+tested.
+
+Payload discipline at scale: each operator projects only the columns
+it needs, so Catalyst prunes ``bytes`` out of any plan that doesn't
+decode (the reference's analogous concern is projection pushdown
+keeping unselected attributes out of GeoMesa scans,
+GeoMesaProjectRule.scala:25-55).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_sql_spark.io.images import decode_image, encode_raw
+
+
+def image_stats(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Decode and compute per-channel means + a luma histogram bucket.
+
+    (id, mean_r, mean_g, mean_b, luma_bucket) — the feature-extraction
+    template: decode in Arrow batches, reduce with numpy.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("luma_bucket", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {id_col: [], "mean_r": [], "mean_g": [], "mean_b": [], "luma_bucket": []}
+            for iid, data, fmt, w, h in zip(
+                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                px = decode_image(bytes(data), fmt, int(w), int(h)).astype(np.float64)
+                means = px.mean(axis=(0, 1))
+                luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+                out[id_col].append(iid)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["luma_bucket"].append(int(luma // 32))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
+
+
+def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """(id, ahash bigint): 64-bit average-hash of the decoded image.
+
+    8×8 block-mean downsample of the luma plane; bit i set where
+    block i ≥ global mean. Deterministic, pure numpy.
+    """
+    schema = T.StructType(
+        [T.StructField(id_col, T.StringType()), T.StructField("ahash", T.LongType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for iid, data, fmt, w, h in zip(
+                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                px = decode_image(bytes(data), fmt, int(w), int(h)).astype(np.float64)
+                luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                hh, ww = luma.shape
+                by, bx = max(hh // 8, 1), max(ww // 8, 1)
+                blocks = luma[: by * 8, : bx * 8].reshape(8, by, 8, bx).mean(axis=(1, 3))
+                bits = (blocks >= blocks.mean()).ravel()
+                val = np.uint64(0)
+                for i, bit in enumerate(bits):
+                    if bit:
+                        val |= np.uint64(1) << np.uint64(i)
+                ids.append(iid)
+                hashes.append(int(val.astype(np.int64)))
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.select(id_col, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
+
+
+def resize_images(df: DataFrame, out_size: int, id_col: str = "image_id") -> DataFrame:
+    """Nearest-neighbour resize → raw re-encode.
+
+    (id, bytes raw, w, h) — the resize/transcode template. Lossy
+    formats would re-encode here (PSNR ≥ 40 dB invariant); with
+    stdlib-only codecs the output is raw (lossless).
+    """
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, outs = [], []
+            for iid, data, fmt, w, h in zip(
+                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                px = decode_image(bytes(data), fmt, int(w), int(h))
+                yi = (np.arange(out_size) * px.shape[0] // out_size).astype(np.int64)
+                xi = (np.arange(out_size) * px.shape[1] // out_size).astype(np.int64)
+                ids.append(iid)
+                outs.append(encode_raw(px[yi][:, xi]))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "bytes": outs,
+                    "w": np.full(len(ids), out_size, dtype=np.int32),
+                    "h": np.full(len(ids), out_size, dtype=np.int32),
+                    "fmt": ["raw"] * len(ids),
+                }
+            )
+
+    return df.select(id_col, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)

@@ -1,0 +1,107 @@
+"""Images table, codecs (PSNR invariant), multimodal ops, checkpoint."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.ckpt import CheckpointedRun
+from geomesa_sql_spark.io.fixtures import image_pixels, images_table
+from geomesa_sql_spark.io.images import (
+    decode_image,
+    decode_png,
+    encode_png,
+    encode_raw,
+    psnr,
+)
+from geomesa_sql_spark.ops import image_stats, phash_images, resize_images
+
+
+def test_png_roundtrip_exact():
+    px = image_pixels(7, 16)
+    assert (decode_png(encode_png(px)) == px).all()
+    assert psnr(px, decode_png(encode_png(px))) == float("inf")
+
+
+def test_psnr_sensitivity():
+    px = image_pixels(3, 16)
+    noisy = px.copy()
+    noisy[0, 0, 0] ^= 255
+    assert 20 < psnr(px, noisy) < 45
+
+
+def test_images_table_deterministic_and_decodable(spark):
+    df = images_table(spark, 50, size=16)
+    rows = {r.image_id: r for r in df.collect()}
+    assert len(rows) == 50
+    for i in [0, 1, 13, 49]:
+        r = rows[f"#{i}"]
+        px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        expect = image_pixels(i, 16)
+        # payload invariant: decoded pixels exact (PSNR = inf), caption present
+        assert (px == expect).all(), i
+        assert r.caption.startswith(f"caption {i:06d} ")
+        assert r.fmt == ("raw" if i % 2 == 0 else "png")
+    # EXIF-style override rows
+    assert rows["#10"].lon == 10.0 and rows["#10"].lat == 11.0
+    # regeneration is identical (no RNG state)
+    again = {r.image_id: r for r in images_table(spark, 50, size=16).collect()}
+    assert all(bytes(again[k].bytes) == bytes(rows[k].bytes) for k in rows)
+
+
+def test_image_stats_matches_numpy(spark):
+    df = images_table(spark, 20, size=16)
+    got = {r.image_id: r for r in image_stats(df).collect()}
+    for i in [0, 5, 19]:
+        px = image_pixels(i, 16).astype(np.float64)
+        r = got[f"#{i}"]
+        assert abs(r.mean_r - px[:, :, 0].mean()) < 1e-9
+        assert abs(r.mean_b - px[:, :, 2].mean()) < 1e-9
+
+
+def test_phash_and_resize(spark):
+    df = images_table(spark, 10, size=16)
+    ph = phash_images(df).collect()
+    assert len(ph) == 10 and all(isinstance(r.ahash, int) for r in ph)
+    rs = {r.image_id: r for r in resize_images(df, 8).collect()}
+    for i in [0, 3]:
+        r = rs[f"#{i}"]
+        assert r.w == 8 and r.h == 8 and r.fmt == "raw"
+        px = decode_image(bytes(r.bytes), "raw", 8, 8)
+        full = image_pixels(i, 16)
+        yi = (np.arange(8) * 16 // 8)
+        assert (px == full[yi][:, yi]).all()
+
+
+def test_unsupported_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", "jpeg", 4, 4)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "run1")
+
+    def unit(key):
+        return (
+            spark.range(100)
+            .withColumn("k", F.lit(key))
+            .withColumn("v", F.col("id") * 2)
+        )
+
+    keys = [f"c{i}" for i in range(6)]
+    run = CheckpointedRun(out, plan_hash="planA", input_id="inputX")
+    with pytest.raises(RuntimeError):
+        run.run(keys, unit, fail_after=3)  # simulated kill mid-job
+    assert len(run.completed_keys()) == 3
+
+    run2 = CheckpointedRun(out, plan_hash="planA", input_id="inputX")
+    results = run2.run(keys, unit)
+    assert sum(1 for r in results if r.skipped) == 3  # no recompute
+    assert sum(1 for r in results if not r.skipped) == 3
+    total = spark.read.parquet(f"{out}/part=*").count()
+    assert total == 600
+    m = run2.metrics()
+    assert m["units"] == 6 and m["rows"] == 600
+
+    # plan change invalidates lineage → everything recomputes
+    run3 = CheckpointedRun(out, plan_hash="planB", input_id="inputX")
+    assert run3.completed_keys() == set()

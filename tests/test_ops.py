@@ -1,0 +1,147 @@
+"""Pipeline-op tests: dedup / text / ANN over the driver tables."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.ops import (
+    cosine_topk,
+    exact_dedup,
+    lang_id,
+    lsh_bucket_ann,
+    lsh_near_dup_pairs,
+    minhash_signatures,
+    near_dup_embeddings,
+    quality_score,
+    simhash64,
+    token_count,
+)
+
+
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    # duplicate every doc with a shifted id; dedup must keep the originals
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = d.unionByName(dup)
+    out = exact_dedup(both, ["text"], "doc_id")
+    assert out.count() == d.count()
+    assert out.agg(F.max("doc_id")).first()[0] < 1_000_000
+
+
+def test_minhash_lsh_near_dup(spark, sf_dir):
+    d = docs(spark, sf_dir).limit(100)
+    # make near-dups: copy with the last word changed
+    mod = d.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzz"))
+    )
+    both = d.unionByName(mod)
+    pairs = lsh_near_dup_pairs(both, "text", "doc_id", jaccard_threshold=0.6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(r.doc_id, r.doc_id + 1_000_000) for r in d.select("doc_id").collect()}
+    # LSH is probabilistic per-pair but at jaccard≈0.95 recall should be total
+    assert want <= got
+    # no false positives below threshold
+    for r in pairs.collect():
+        assert r.jaccard >= 0.6
+
+
+def test_minhash_signature_deterministic(spark, sf_dir):
+    d = docs(spark, sf_dir).limit(10)
+    s1 = {r.doc_id: r.sig for r in minhash_signatures(d, "text", "doc_id").collect()}
+    s2 = {r.doc_id: r.sig for r in minhash_signatures(d, "text", "doc_id").collect()}
+    assert s1 == s2
+
+
+def test_simhash_similar_texts_close(spark, sf_dir):
+    d = docs(spark, sf_dir).limit(20)
+    mod = d.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzz"))
+    )
+    sh = simhash64(d.unionByName(mod), "text", "doc_id").toPandas().set_index("doc_id")
+    for i in sh.index:
+        if i >= 1_000_000:
+            continue
+        a, b = np.uint64(sh.simhash[i]), np.uint64(sh.simhash[i + 1_000_000])
+        ham = bin(int(a ^ b)).count("1")
+        assert ham <= 12, (i, ham)
+
+
+def test_token_count_and_quality(spark, sf_dir):
+    d = quality_score(docs(spark, sf_dir))
+    pdf = d.select("text", "n_tokens", "quality").limit(50).toPandas()
+    for _, row in pdf.iterrows():
+        assert row.n_tokens == len(row.text.split()), row.text[:40]
+        assert 0.0 <= row.quality <= 1.0
+
+
+def test_lang_id_runs(spark, sf_dir):
+    out = lang_id(docs(spark, sf_dir).limit(50))
+    assert out.filter(F.col("lang_pred").isNull()).count() == 0
+    assert set(r.lang_pred for r in out.collect()) <= {"de", "en", "es", "fr", "zh"}
+
+
+def test_cosine_topk_vs_numpy(spark, sf_dir):
+    e = embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = cosine_topk(e, q, k=10).orderBy("rank").toPandas()
+    pdf = e.toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    qv = m[pdf.vec_id.tolist().index(0)]
+    sims = m @ qv / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(-sims, pdf.vec_id))[:10]
+    want = [int(v) for _, v in order]
+    assert got.vec_id.tolist() == want
+    assert got["rank"].tolist() == list(range(1, 11))
+
+
+def test_lsh_ann_finds_near_neighbours(spark, sf_dir):
+    """Sign-LSH guarantees collisions for genuinely close vectors
+    (p = (1 - θ/π)^bits per probe), so plant near-duplicate queries:
+    the planted source must be retrieved at rank 1 for most queries.
+    (On *random* data the true top-k sits at ~70° where LSH buckets
+    are uninformative — that path is covered by exact cosine_topk.)"""
+    e = embs(spark, sf_dir)
+    pdf = e.limit(20).toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(0)
+    noisy = m + 0.01 * rng.standard_normal(m.shape)
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": pdf.vec_id.astype(int),
+                "q_embedding": [row.astype(np.float32).tolist() for row in noisy],
+            }
+        )
+    )
+    approx = lsh_bucket_ann(e, q, k=1, bits=8, multiprobe=8).toPandas()
+    found = {int(r.q_id): int(r.vec_id) for _, r in approx.iterrows()}
+    hits = sum(1 for qid, vid in found.items() if qid == vid)
+    assert hits >= 16, f"planted-neighbour recall too low: {hits}/20"
+
+
+def test_near_dup_embeddings_exact(spark, sf_dir):
+    e = embs(spark, sf_dir).limit(100)
+    out = near_dup_embeddings(e, threshold=0.8, exact=True).toPandas()
+    pdf = e.toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ids = pdf.vec_id.to_numpy()
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.8
+    }
+    got = {(r.id_a, r.id_b) for _, r in out.iterrows()}
+    assert got == want
