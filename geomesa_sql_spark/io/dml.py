@@ -1,0 +1,172 @@
+"""DML over the TableIO seam: INSERT / UPDATE / DELETE as snapshot commits.
+
+Reference semantics re-expressed (SURVEY.md §2.9):
+- ``GeoMesaPhysicalTableModify`` returns a single affected-row count and
+  forbids updating ``__FID__`` (nodes/GeoMesaPhysicalTableModify.scala:93-95)
+  → ``SnapshotTable.update`` raises on the FID column and all three verbs
+  return exact affected counts.
+- Insert honors user-provided FIDs, missing columns become nulls
+  (modifier/GeoMesaSimpleFeatureInsert.scala:24-49, ModificationTest.scala:36-141)
+  → ``insert`` aligns partial-column frames by name, null-filling.
+- Update/delete buffer by FID then rewrite matching features
+  (modifier/GeoMesaSimpleFeatureUpdate.scala:27-65, *Delete.scala:27-57)
+  → copy-on-write snapshot rewrite keyed by the FID column.
+
+Mechanics are deliberately Iceberg-shaped so the code is a drop-in for a
+real Iceberg catalog at 100 TB (SURVEY.md §1: same DataFrame code either
+way): a table directory holds immutable parquet data dirs plus numbered
+JSON manifests; ``_CURRENT`` names the live manifest.
+
+- INSERT = write ONE new data dir, commit manifest = old dirs + new dir.
+  No old data is read or rewritten — O(new rows), like an Iceberg append.
+- UPDATE/DELETE = copy-on-write: rewrite into a fresh data dir, commit a
+  manifest pointing only at it (Iceberg CoW ``MERGE INTO``/``DELETE``).
+  A real deployment would rewrite only affected files; at the parquet
+  seam we rewrite the table, which preserves semantics exactly.
+- Readers resolve ``_CURRENT`` once at ``read()``; a concurrent commit
+  never mutates files a reader holds (snapshot isolation). Old snapshots
+  remain readable via ``read(version=...)`` — time travel for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class FidUpdateError(ValueError):
+    """Parity with the reference: the row-identity column is immutable
+    (nodes/GeoMesaPhysicalTableModify.scala:93-95)."""
+
+
+class SnapshotTable:
+    """A parquet table with manifest-tracked snapshot commits."""
+
+    def __init__(self, spark: SparkSession, path: str, fid_col: str = "image_id"):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.fid_col = fid_col
+
+    # ------------------------------------------------------------ internals
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.path}/manifest-v{version}.json"
+
+    def _current_version(self) -> int:
+        with open(f"{self.path}/_CURRENT") as f:
+            return int(f.read().strip())
+
+    def _load_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, dirs: list[str], schema_names: list[str]) -> int:
+        """Write manifest N+1 and flip _CURRENT. Local-FS rename stands in
+        for the catalog's atomic swap; on object storage this is the
+        Iceberg catalog commit."""
+        try:
+            version = self._current_version() + 1
+        except FileNotFoundError:
+            version = 0
+        manifest = {"version": version, "dirs": dirs, "columns": schema_names}
+        with open(self._manifest_path(version), "w") as f:
+            json.dump(manifest, f)
+        tmp = f"{self.path}/_CURRENT.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, f"{self.path}/_CURRENT")
+        return version
+
+    def _write_data_dir(self, df: DataFrame) -> str:
+        d = f"{self.path}/data/{uuid.uuid4().hex}"
+        df.write.mode("errorifexists").parquet(d)
+        return d
+
+    # -------------------------------------------------------------- surface
+
+    def create(self, df: DataFrame) -> "SnapshotTable":
+        os.makedirs(f"{self.path}/data", exist_ok=True)
+        d = self._write_data_dir(df)
+        self._commit([d], df.columns)
+        return self
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self._load_manifest(
+            self._current_version() if version is None else version
+        )
+        return self.spark.read.parquet(*m["dirs"]).select(*m["columns"])
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self._load_manifest(self._current_version())["columns"])
+
+    def insert(self, rows: DataFrame) -> int:
+        """Append; missing columns null-filled, extra columns rejected.
+        Returns affected-row count (ModificationTest.scala:36-141)."""
+        cols = self.columns
+        extra = set(rows.columns) - set(cols)
+        if extra:
+            raise ValueError(f"unknown columns in INSERT: {sorted(extra)}")
+        current = self.read()
+        aligned = rows.select(
+            *[
+                F.col(c) if c in rows.columns
+                else F.lit(None).cast(current.schema[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+        d = self._write_data_dir(aligned)
+        # count from the written files: exact, and never recomputes the
+        # (possibly non-deterministic) input plan
+        n = int(self.spark.read.parquet(d).count())
+        m = self._load_manifest(self._current_version())
+        self._commit(m["dirs"] + [d], cols)
+        return n
+
+    def update(self, set_exprs: dict[str, Column | str], where: Column | None = None) -> int:
+        """Copy-on-write UPDATE. ``set_exprs`` maps column → new value
+        (Column or SQL string); ``where=None`` touches every row."""
+        if self.fid_col in set_exprs:
+            raise FidUpdateError(
+                f"cannot update row-identity column {self.fid_col!r}"
+            )
+        cols = self.columns
+        unknown = set(set_exprs) - set(cols)
+        if unknown:
+            raise ValueError(f"unknown columns in UPDATE: {sorted(unknown)}")
+        current = self.read()
+        cond = F.lit(True) if where is None else where
+        exprs = {
+            k: (F.expr(v) if isinstance(v, str) else v) for k, v in set_exprs.items()
+        }
+        updated = current.select(
+            *[
+                (
+                    F.when(cond, exprs[c].cast(current.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in exprs
+                    else F.col(c)
+                )
+                for c in cols
+            ]
+        )
+        n = int(current.filter(cond).count())
+        d = self._write_data_dir(updated)
+        self._commit([d], cols)
+        return n
+
+    def delete(self, where: Column | None = None) -> int:
+        """Copy-on-write DELETE; ``where=None`` empties the table."""
+        cols = self.columns
+        current = self.read()
+        cond = F.lit(True) if where is None else where
+        n = int(current.filter(cond).count())
+        remaining = current.filter(~cond | cond.isNull())
+        d = self._write_data_dir(remaining)
+        self._commit([d], cols)
+        return n

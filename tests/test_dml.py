@@ -1,0 +1,102 @@
+"""DML round-trips re-expressing the reference's ModificationTest
+(test/.../ModificationTest.scala:36-175): insert incl. nulls / partial
+columns / INSERT-SELECT, update with FID prohibition, delete, and exact
+affected-row counts — plus snapshot isolation (our Iceberg-shaped
+extension)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.io.dml import FidUpdateError, SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    base = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(
+            F.col("n_nationkey").cast("long").alias("fid"),
+            "n_name",
+            "n_regionkey",
+        )
+    )
+    return SnapshotTable(spark, str(tmp_path / "t"), fid_col="fid").create(base)
+
+
+def test_insert_full_and_count(spark, table):
+    n0 = table.read().count()
+    rows = spark.createDataFrame(
+        [(1000, "ATLANTIS", 0), (1001, "LEMURIA", 1)],
+        "fid long, n_name string, n_regionkey long",
+    )
+    assert table.insert(rows) == 2
+    got = table.read()
+    assert got.count() == n0 + 2
+    assert got.filter(F.col("fid") == 1000).select("n_name").first()[0] == "ATLANTIS"
+
+
+def test_insert_partial_columns_null_filled(spark, table):
+    rows = spark.createDataFrame([(2000,)], "fid long")
+    assert table.insert(rows) == 1
+    r = table.read().filter(F.col("fid") == 2000).first()
+    assert r["n_name"] is None and r["n_regionkey"] is None
+
+
+def test_insert_unknown_column_rejected(spark, table):
+    rows = spark.createDataFrame([(1, "x")], "fid long, bogus string")
+    with pytest.raises(ValueError, match="bogus"):
+        table.insert(rows)
+
+
+def test_insert_select_1000(spark, sf_dir, table):
+    # ModificationTest.scala: INSERT ... SELECT of 1000 generated rows
+    src = spark.range(10_000, 11_000).select(
+        F.col("id").alias("fid"),
+        F.concat(F.lit("N"), F.col("id")).alias("n_name"),
+        (F.col("id") % 5).alias("n_regionkey"),
+    )
+    assert table.insert(src) == 1000
+    assert table.read().filter(F.col("fid") >= 10_000).count() == 1000
+
+
+def test_update_with_where_and_count(spark, table):
+    n_hit = table.read().filter(F.col("n_regionkey") == 2).count()
+    affected = table.update(
+        {"n_name": F.lower("n_name")}, where=F.col("n_regionkey") == 2
+    )
+    assert affected == n_hit
+    got = table.read()
+    assert got.filter((F.col("n_regionkey") == 2) & (F.col("n_name") != F.lower("n_name"))).count() == 0
+    assert got.filter((F.col("n_regionkey") != 2) & (F.col("n_name") == F.lower("n_name"))).count() == 0
+
+
+def test_update_all_rows_sql_expr(spark, table):
+    n = table.read().count()
+    assert table.update({"n_regionkey": "n_regionkey + 100"}) == n
+    assert table.read().filter(F.col("n_regionkey") < 100).count() == 0
+
+
+def test_update_fid_forbidden(table):
+    with pytest.raises(FidUpdateError):
+        table.update({"fid": F.lit(0)})
+
+
+def test_delete_with_count_and_null_cond(spark, table):
+    table.insert(spark.createDataFrame([(3000,)], "fid long"))  # null n_regionkey
+    n_hit = table.read().filter(F.col("n_regionkey") == 0).count()
+    assert table.delete(F.col("n_regionkey") == 0) == n_hit
+    got = table.read()
+    assert got.filter(F.col("n_regionkey") == 0).count() == 0
+    # NULL condition row survives a DELETE (SQL three-valued logic)
+    assert got.filter(F.col("fid") == 3000).count() == 1
+
+
+def test_snapshot_isolation_time_travel(spark, table):
+    v0 = table.read()
+    n0 = v0.count()
+    table.delete(None)
+    assert table.read().count() == 0
+    # old snapshot still fully readable
+    assert table.read(version=0).count() == n0
+    # and the handle captured before the commit still resolves
+    assert v0.count() == n0
