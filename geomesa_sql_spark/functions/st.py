@@ -184,7 +184,15 @@ def st_distance_point_cols(x1: Column, y1: Column, x2: Column, y2: Column) -> Co
 
 
 def st_cell(x: Column, y: Column, res: int, curve: str = "hilbert") -> Column:
-    """Space-filling-curve cell id of lon/lat columns (pandas UDF)."""
+    """Space-filling-curve cell id of lon/lat columns.
+
+    Z-order compiles to a JVM Column expression (cells/column.py);
+    Hilbert needs the data-dependent rotation loop → pandas UDF.
+    """
+    if curve == "zorder":
+        from geomesa_sql_spark.cells.column import zorder_cell_col
+
+        return zorder_cell_col(x, y, res)
 
     @F.pandas_udf(T.LongType())
     def _cell(px: pd.Series, py: pd.Series) -> pd.Series:

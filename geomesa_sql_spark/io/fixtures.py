@@ -213,5 +213,9 @@ def images_table(
                 }
             )
 
-    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    if partitions is None:
+        # don't over-partition tiny tables: each Python-UDF partition
+        # costs a worker round-trip, so give every task ≥256 rows
+        partitions = max(1, min(spark.sparkContext.defaultParallelism, n // 256))
+    rng = spark.range(0, n, 1, partitions)
     return rng.mapInPandas(gen, schema)

@@ -17,13 +17,10 @@ is present).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from geomesa_sql_spark.cells import lonlat_to_cell
+from geomesa_sql_spark.cells.column import zorder_cell_col
 
 DEFAULT_DATA_RES = 12
 
@@ -32,15 +29,9 @@ def add_cell(
     df: DataFrame, x: str = "lon", y: str = "lat", res: int = DEFAULT_DATA_RES,
     col: str = "cell",
 ) -> DataFrame:
-    """Add the Z-order ``cell`` column from lon/lat columns."""
-
-    @F.pandas_udf(T.LongType())
-    def _cell(px: pd.Series, py: pd.Series) -> pd.Series:
-        return pd.Series(
-            lonlat_to_cell(px.to_numpy(np.float64), py.to_numpy(np.float64), res)
-        )
-
-    return df.withColumn(col, _cell(x, y))
+    """Add the Z-order ``cell`` column from lon/lat columns (JVM-side,
+    whole-stage codegen — cells/column.py)."""
+    return df.withColumn(col, zorder_cell_col(F.col(x), F.col(y), res))
 
 
 def write_geo_table(

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from geomesa_sql_spark.cells import cover_envelopes, lonlat_to_cell
+from geomesa_sql_spark.cells.column import zorder_cell_col
 from geomesa_sql_spark.cells.curve import res_for_extent
 from geomesa_sql_spark.functions.st import st_envelope_wkb
 from geomesa_sql_spark.geom import kernel
@@ -84,55 +85,74 @@ def _cells_for_side(
 ) -> DataFrame:
     """Attach exploded cell column (+ envelope min corner for dedup)."""
     if side.is_point and expand == 0.0:
-
-        @F.pandas_udf(T.LongType())
-        def _cell(px: pd.Series, py: pd.Series) -> pd.Series:
-            return pd.Series(
-                lonlat_to_cell(px.to_numpy(np.float64), py.to_numpy(np.float64), res)
-            )
-
-        return df.withColumn(_CELL, _cell(side.x, side.y)).withColumn(
-            "__gsj_minx", F.col(side.x)
-        ).withColumn("__gsj_miny", F.col(side.y))
-
-    if side.is_point:
-        env = df.withColumn("__gsj_minx", F.col(side.x) - expand).withColumn(
-            "__gsj_miny", F.col(side.y) - expand
-        ).withColumn("__gsj_maxx", F.col(side.x) + expand).withColumn(
-            "__gsj_maxy", F.col(side.y) + expand
-        )
-    else:
-        env = df.withColumn("__gsj_env", st_envelope_wkb(side.wkb))
-        env = (
-            env.withColumn("__gsj_minx", F.col("__gsj_env.minx") - expand)
-            .withColumn("__gsj_miny", F.col("__gsj_env.miny") - expand)
-            .withColumn("__gsj_maxx", F.col("__gsj_env.maxx") + expand)
-            .withColumn("__gsj_maxy", F.col("__gsj_env.maxy") + expand)
-            .drop("__gsj_env")
+        # JVM-side encode: the point side is the 10^12-row side; a
+        # Column expression keeps it in whole-stage codegen (and avoids
+        # Catalyst double-evaluating a UDF join key via its inferred
+        # not-null constraint) — see cells/column.py
+        return df.withColumn(
+            _CELL, zorder_cell_col(F.col(side.x), F.col(side.y), res)
+        ).withColumn("__gsj_minx", F.col(side.x)).withColumn(
+            "__gsj_miny", F.col(side.y)
         )
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _cover(
-        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
-    ) -> pd.Series:
+    def _group_covers(
+        minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray
+    ) -> list[list[int]]:
         rows, cells = cover_envelopes(
-            minx.to_numpy(np.float64),
-            miny.to_numpy(np.float64),
-            maxx.to_numpy(np.float64),
-            maxy.to_numpy(np.float64),
-            res,
-            max_cells_per_row=max_cells,
+            minx, miny, maxx, maxy, res, max_cells_per_row=max_cells
         )
         out: list[list[int]] = [[] for _ in range(len(minx))]
         for r, c in zip(rows.tolist(), cells.tolist()):
             out[r].append(c)
-        return pd.Series(out)
+        return out
 
-    env = env.withColumn(
-        _CELL,
-        F.explode(_cover("__gsj_minx", "__gsj_miny", "__gsj_maxx", "__gsj_maxy")),
+    if side.is_point:
+        env = df.withColumn("__gsj_minx", F.col(side.x) - expand).withColumn(
+            "__gsj_miny", F.col(side.y) - expand
+        )
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _cover_pts(px: pd.Series, py: pd.Series) -> pd.Series:
+            x = px.to_numpy(np.float64)
+            y = py.to_numpy(np.float64)
+            return pd.Series(_group_covers(x - expand, y - expand, x + expand, y + expand))
+
+        return env.withColumn(_CELL, F.explode(_cover_pts(side.x, side.y)))
+
+    # WKB side: ONE fused pandas UDF (decode → envelope → cover) instead
+    # of chained envelope/cover UDFs — each ArrowEvalPython stage costs a
+    # Python round-trip per batch, which dominates on broadcast builds
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cells", T.ArrayType(T.LongType())),
+                T.StructField("minx", T.DoubleType()),
+                T.StructField("miny", T.DoubleType()),
+            ]
+        )
     )
-    return env.drop("__gsj_maxx", "__gsj_maxy")
+    def _env_cover(wkb: pd.Series) -> pd.DataFrame:
+        from geomesa_sql_spark.geom.wkb import geom_from_wkb
+
+        n = len(wkb)
+        minx = np.full(n, np.nan)
+        miny = np.full(n, np.nan)
+        maxx = np.full(n, np.nan)
+        maxy = np.full(n, np.nan)
+        for i, b in enumerate(wkb):
+            if b is None:
+                continue
+            minx[i], miny[i], maxx[i], maxy[i] = geom_from_wkb(bytes(b)).envelope()
+        covers = _group_covers(minx - expand, miny - expand, maxx + expand, maxy + expand)
+        return pd.DataFrame({"cells": covers, "minx": minx - expand, "miny": miny - expand})
+
+    env = df.withColumn("__gsj_ec", _env_cover(side.wkb))
+    return (
+        env.withColumn("__gsj_minx", F.col("__gsj_ec.minx"))
+        .withColumn("__gsj_miny", F.col("__gsj_ec.miny"))
+        .withColumn(_CELL, F.explode(F.col("__gsj_ec.cells")))
+        .drop("__gsj_ec")
+    )
 
 
 def _refine_predicate(

@@ -78,3 +78,38 @@ def test_res_for_extent():
     assert res_for_extent(360.0, 180.0) == 1
     assert 5 <= res_for_extent(10.0, 10.0) <= 6
     assert res_for_extent(1e-9, 1e-9) == 16
+
+
+def test_zorder_col_matches_numpy():
+    """JVM Column encode (cells/column.py) is bit-identical to numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark import get_spark
+    from geomesa_sql_spark.cells import lonlat_to_cell
+    from geomesa_sql_spark.cells.column import zorder_cell_col
+
+    s = get_spark("cells-col", master="local[4]", shuffle_partitions=8)
+    n = 20000
+    df = s.range(n).selectExpr(
+        "cast((id * 7919) % 36000 as double) / 100.0 - 180.0 as lon",
+        "cast((id * 104729) % 18000 as double) / 100.0 - 90.0 as lat",
+    )
+    for res in (1, 6, 12, 29):
+        got = (
+            df.withColumn("c", zorder_cell_col(F.col("lon"), F.col("lat"), res))
+            .orderBy("lon", "lat")
+            .toPandas()
+        )
+        want = lonlat_to_cell(
+            got["lon"].to_numpy(np.float64), got["lat"].to_numpy(np.float64), res
+        )
+        assert (got["c"].to_numpy(np.int64) == want).all(), res
+    # world edges incl. the +180/+90 clamp
+    edge = s.createDataFrame(
+        [(-180.0, -90.0), (180.0, 90.0), (0.0, 0.0), (179.999999, 89.999999)],
+        "lon double, lat double",
+    )
+    got = edge.withColumn("c", zorder_cell_col(F.col("lon"), F.col("lat"), 12)).toPandas()
+    want = lonlat_to_cell(got["lon"].to_numpy(), got["lat"].to_numpy(), 12)
+    assert (got["c"].to_numpy(np.int64) == want).all()
