@@ -180,6 +180,22 @@ def q_join_theta_computed(spark, sf_dir):
     )
 
 
+def q_lookup_join(spark, sf_dir):
+    """J3/J4 parity: index-lookup equijoin — small filtered left side's
+    keys pushed into the right scan as an IN filter (parquet row-group
+    pruning), then hash join + residual re-check."""
+    from geomesa_sql_spark.join import index_lookup_join
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500.0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = _t(spark, sf_dir, "orders")
+    return index_lookup_join(
+        c, o, ("c_custkey", "o_custkey"),
+        residual=F.col("o_totalprice") > 100000.0,
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
 def q_join_semi(spark, sf_dir):
     """Inherited semi join: customers having orders > 300k."""
     c = _t(spark, sf_dir, "customer")
@@ -337,6 +353,55 @@ def q_tile_assign(spark, sf_dir):
         assign_tiles(pts, zoom=6, with_hilbert=False)
         .groupBy("tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ------------------------------------------------------------- SQL surface
+# The reference's user-facing surface is SQL with Calcite's fun=spatial
+# operator table (jdbc/Driver.scala:51-56). functions.register_all
+# exposes the same ST_* names to spark.sql; these queries drive the
+# engine purely through SQL text, like a sqlline user would.
+
+
+def _sql_points_view(spark, sf_dir) -> str:
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    orders_points(spark, sf_dir).createOrReplaceTempView("orders_pts")
+    return "orders_pts"
+
+
+def q_sql_st_intersects(spark, sf_dir):
+    """SQL text → registered ST_* UDFs: polygon containment filter."""
+    v = _sql_points_view(spark, sf_dir)
+    return spark.sql(
+        f"""SELECT o_orderkey FROM {v}
+            WHERE ST_Intersects(ST_MakePoint(lon, lat), ST_GeomFromText('{PENTA}'))"""
+    )
+
+
+def q_sql_st_xy(spark, sf_dir):
+    """ST_X/ST_Y(ST_MakePoint(...)) round-trip through WKB."""
+    v = _sql_points_view(spark, sf_dir)
+    return spark.sql(
+        f"""SELECT o_orderkey,
+                   ST_X(ST_MakePoint(lon, lat)) AS px,
+                   ST_Y(ST_MakePoint(lon, lat)) AS py
+            FROM {v} WHERE o_orderkey <= 2000"""
+    )
+
+
+def q_sql_st_dwithin(spark, sf_dir):
+    """ST_DWithin + ST_Distance via SQL (distance rounded: np.hypot and
+    sqrt(dx²+dy²) differ at ulp level)."""
+    v = _sql_points_view(spark, sf_dir)
+    return spark.sql(
+        f"""SELECT o_orderkey,
+                   ROUND(ST_Distance(ST_MakePoint(lon, lat),
+                                     ST_GeomFromText('POINT (10.005 10.005)')), 6) AS d_r
+            FROM {v}
+            WHERE ST_DWithin(ST_MakePoint(lon, lat),
+                             ST_GeomFromText('POINT (10.005 10.005)'), 20.0)"""
     )
 
 
@@ -498,6 +563,11 @@ def _oracles() -> dict[str, str]:
             FROM orders JOIN supplier ON (o_orderkey % 100) = (s_suppkey % 100)
             GROUP BY s_suppkey
         """,
+        "lookup_join": """
+            SELECT c_custkey, o_orderkey, o_totalprice
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            WHERE c_acctbal > 9500.0 AND o_totalprice > 100000.0
+        """,
         "join_semi": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders
@@ -574,6 +644,20 @@ def _oracles() -> dict[str, str]:
                    GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - lat) / 180.0 * 64) AS BIGINT))) AS tile_y,
                    COUNT(*) AS n_rows
             FROM ({opts}) GROUP BY 1, 2
+        """,
+        "sql_st_intersects": f"""
+            SELECT o_orderkey FROM ({opts}) WHERE {_penta_halfplane_sql()}
+        """,
+        "sql_st_xy": f"""
+            SELECT o_orderkey, lon AS px, lat AS py FROM ({opts})
+            WHERE o_orderkey <= 2000
+        """,
+        "sql_st_dwithin": f"""
+            SELECT o_orderkey,
+                   ROUND(sqrt((lon - 10.005) * (lon - 10.005)
+                            + (lat - 10.005) * (lat - 10.005)), 6) AS d_r
+            FROM ({opts})
+            WHERE (lon - 10.005) * (lon - 10.005) + (lat - 10.005) * (lat - 10.005) <= 400.0
         """,
         "dedup_exact": """
             SELECT doc_id, lang, n_chars FROM documents
@@ -666,11 +750,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fid_in": q_fid_in,
         "join_equi": q_join_equi,
         "join_theta_computed": q_join_theta_computed,
+        "lookup_join": q_lookup_join,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
         "window_topn": q_window_topn,
         "events_hourly": q_events_hourly,
+        "sql_st_intersects": q_sql_st_intersects,
+        "sql_st_xy": q_sql_st_xy,
+        "sql_st_dwithin": q_sql_st_dwithin,
         "st_within_rect": q_st_within_rect,
         "st_within_pentagon": q_st_within_pentagon,
         "st_dwithin": q_st_dwithin,

@@ -33,14 +33,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 IMAGES_CACHE = "/tmp/spark_graft_bench"
 
 
-def _bench_images_path(spark, n_images: int, size: int) -> str:
+def _bench_images_path(spark, n_images: int, size: int, fmt: str = "mixed") -> str:
     """Generate-once parquet of the synthetic image table (deterministic,
     so safe to share between the local[8] and local[32] runs)."""
     from geomesa_sql_spark.io.fixtures import images_table
 
-    path = f"{IMAGES_CACHE}/images_n{n_images}_s{size}"
+    suffix = "" if fmt == "mixed" else f"_{fmt}"
+    path = f"{IMAGES_CACHE}/images_n{n_images}_s{size}{suffix}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        images_table(spark, n_images, size=size).write.mode("overwrite").parquet(path)
+        images_table(spark, n_images, size=size, fmt=fmt).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
@@ -116,11 +119,12 @@ def main() -> None:
         all_q[name](spark, sf_dir).count()
         results[name] = round(time.time() - q0, 3)
 
-    # image-pipeline throughput at a size where work dominates overhead:
-    # decode + per-channel stats over 50k stored images
+    # image-pipeline throughput: decode + per-channel stats over the full
+    # stored table (NO .limit() — a GlobalLimit would funnel every binary
+    # payload through one partition)
     t0 = time.time()
-    n_dec = image_stats(spark.read.parquet(img_path).limit(50000)).count()
-    results["image_stats_50k"] = round(time.time() - t0, 3)
+    n_dec = image_stats(spark.read.parquet(img_path)).count()
+    results["image_stats_full"] = round(time.time() - t0, 3)
 
     print(
         json.dumps(
@@ -135,7 +139,7 @@ def main() -> None:
                 "n_images": n_images,
                 "headline_rows_per_sec": round(n_images / headline_sec, 1),
                 "headline_runs": [round(r, 3) for r in runs],
-                "image_decode_rows_per_sec": round(n_dec / results["image_stats_50k"], 1),
+                "image_decode_rows_per_sec": round(n_dec / results["image_stats_full"], 1),
             }
         )
     )

@@ -158,7 +158,11 @@ def image_pixels(i: int, size: int) -> np.ndarray:
 
 
 def images_table(
-    spark: SparkSession, n: int, size: int = 16, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    size: int = 16,
+    partitions: int | None = None,
+    fmt: str = "mixed",
 ) -> DataFrame:
     """Synthesize the canonical image+caption table, geo-anchored.
 
@@ -193,12 +197,13 @@ def images_table(
             fmts = []
             for i in idx.tolist():
                 px = image_pixels(i, size)
-                if i % 2 == 0:
-                    payloads.append(encode_raw(px))
-                    fmts.append("raw")
-                else:
+                use_png = fmt == "png" or (fmt == "mixed" and i % 2 == 1)
+                if use_png:
                     payloads.append(encode_png(px))
                     fmts.append("png")
+                else:
+                    payloads.append(encode_raw(px))
+                    fmts.append("raw")
             yield pd.DataFrame(
                 {
                     "image_id": [f"#{i}" for i in idx.tolist()],

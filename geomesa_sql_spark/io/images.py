@@ -75,6 +75,15 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
+    # vectorized fast paths — filter 0 (all our encoder emits) and the
+    # Up filter (a column-wise cumulative sum); the general per-row
+    # loop below only runs for Sub/Average/Paeth scanlines
+    if not filters.any():
+        return raw[:, 1:].reshape(h, w, 3).copy()
+    if (filters == 2).all():
+        return (
+            np.cumsum(raw[:, 1:].astype(np.int64), axis=0) & 0xFF
+        ).astype(np.uint8).reshape(h, w, 3)
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for row in range(h):

@@ -26,15 +26,21 @@ from pyspark.sql import types as T
 from geomesa_sql_spark.io.images import decode_image, encode_raw
 
 
-def image_stats(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+def image_stats(
+    df: DataFrame, id_col: str = "image_id", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Decode and compute per-channel means + a luma histogram bucket.
 
-    (id, mean_r, mean_g, mean_b, luma_bucket) — the feature-extraction
-    template: decode in Arrow batches, reduce with numpy.
+    (id, *carry, mean_r, mean_g, mean_b, luma_bucket) — the
+    feature-extraction template: decode in Arrow batches, reduce with
+    numpy. ``carry`` columns pass through untouched so downstream
+    stages (geo-join, tiling) don't need a re-join by id.
     """
+    carry = tuple(c for c in carry if c != id_col)
     schema = T.StructType(
-        [
-            T.StructField(id_col, T.StringType()),
+        [T.StructField(id_col, T.StringType())]
+        + [df.schema[c] for c in carry]
+        + [
             T.StructField("mean_r", T.DoubleType()),
             T.StructField("mean_g", T.DoubleType()),
             T.StructField("mean_b", T.DoubleType()),
@@ -44,21 +50,47 @@ def image_stats(df: DataFrame, id_col: str = "image_id") -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            out = {id_col: [], "mean_r": [], "mean_g": [], "mean_b": [], "luma_bucket": []}
-            for iid, data, fmt, w, h in zip(
-                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
-            ):
-                px = decode_image(bytes(data), fmt, int(w), int(h)).astype(np.float64)
-                means = px.mean(axis=(0, 1))
-                luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
-                out[id_col].append(iid)
-                out["mean_r"].append(float(means[0]))
-                out["mean_g"].append(float(means[1]))
-                out["mean_b"].append(float(means[2]))
-                out["luma_bucket"].append(int(luma // 32))
+            n = len(pdf)
+            mr = np.empty(n)
+            mg = np.empty(n)
+            mb = np.empty(n)
+            fmts = pdf["fmt"].to_numpy()
+            ws = pdf["w"].to_numpy(np.int64)
+            hs = pdf["h"].to_numpy(np.int64)
+            blobs = pdf["bytes"].to_numpy()
+            # group by (fmt, w, h): decode into ONE stacked uint8 matrix
+            # per group, then a single integer-accumulator sum over it —
+            # the per-image numpy-call overhead (and any float64 temp)
+            # is what turns a 32-core run memory-bound
+            import pandas as _pd
+
+            codes, uniq = _pd.factorize(
+                _pd.Series(list(zip(fmts, ws, hs))), sort=False
+            )
+            for gi, (fmt, w, h) in enumerate(uniq):
+                idxs = np.nonzero(codes == gi)[0]
+                w, h = int(w), int(h)
+                stack = np.empty((len(idxs), h * w * 3), dtype=np.uint8)
+                for j, i in enumerate(idxs):
+                    stack[j] = decode_image(
+                        bytes(blobs[i]), fmt, w, h
+                    ).reshape(-1)
+                sums = stack.reshape(len(idxs), -1, 3).sum(axis=1, dtype=np.int64)
+                npx = float(w * h)
+                mr[idxs] = sums[:, 0] / npx
+                mg[idxs] = sums[:, 1] / npx
+                mb[idxs] = sums[:, 2] / npx
+            luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            out = {id_col: pdf[id_col]}
+            for c in carry:
+                out[c] = pdf[c]
+            out.update(
+                mean_r=mr, mean_g=mg, mean_b=mb,
+                luma_bucket=(luma // 32).astype(np.int32),
+            )
             yield pd.DataFrame(out)
 
-    return df.select(id_col, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
+    return df.select(id_col, *carry, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
 
 
 def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:

@@ -1,0 +1,80 @@
+"""GeoTable/ScanSpec — the pushdown-accumulating scan handle (S1/S2
+analog) vs its 'scannable' no-pushdown twin (S3: the reference's
+correctness oracle, GeoMesaScannableTable.scala:29-44), plus the
+rule-firing guards (no pushdown onto limited scans) and the cell-prune
+plan assertion."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.io.fixtures import orders_points
+from geomesa_sql_spark.io.layout import write_geo_table
+from geomesa_sql_spark.plan.scan import GeoTable
+
+RECT = "POLYGON ((-10.005 -10.005, 50.005 -10.005, 50.005 40.005, -10.005 40.005, -10.005 -10.005))"
+
+
+@pytest.fixture(scope="module")
+def geo_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("geo") / "orders_geo")
+    write_geo_table(
+        orders_points(spark, sf_dir).select("o_orderkey", "o_totalprice", "lon", "lat"),
+        path,
+    )
+    return path
+
+
+def test_pushdown_vs_scannable_oracle(spark, geo_path):
+    q = lambda pushdown: (
+        GeoTable(spark, geo_path, pushdown=pushdown)
+        .where_spatial("intersects", RECT, x="lon", y="lat")
+        .where(F.col("o_totalprice") > 50000.0)
+        .select("o_orderkey")
+        .df()
+    )
+    fast = {r[0] for r in q(True).collect()}
+    oracle = {r[0] for r in q(False).collect()}
+    assert fast == oracle and len(fast) > 0
+
+
+def test_cell_prune_reaches_scan(spark, geo_path):
+    df = (
+        GeoTable(spark, geo_path)
+        .where_spatial("intersects", RECT, x="lon", y="lat")
+        .select("o_orderkey")
+        .df()
+    )
+    def pushed(frame):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters:" in plan, plan[:2000]
+        # Spark truncates long metadata fields, so the closing bracket
+        # may be cut off — slice up to the next field instead
+        return plan.split("PushedFilters: [")[1].split("ReadSchema")[0]
+
+    # the cell BETWEEN ranges must be pushed into the parquet scan
+    assert "cell" in pushed(df)
+    # scannable twin must NOT emit cell predicates
+    plan_o = (
+        GeoTable(spark, geo_path, pushdown=False)
+        .where_spatial("intersects", RECT, x="lon", y="lat")
+        .df()
+    )
+    assert "cell" not in pushed(plan_o)
+
+
+def test_projection_cascade_and_guards(spark, geo_path):
+    t = GeoTable(spark, geo_path).select("o_orderkey", "lon")
+    t2 = t.select("o_orderkey")  # narrowing an existing projection is fine
+    assert t2.df().columns == ["o_orderkey"]
+    with pytest.raises(ValueError, match="not in projected set"):
+        t2.select("lat")  # cascade parity: can't resurrect a pruned column
+    limited = t.limit(10)
+    with pytest.raises(ValueError, match="limited scan"):
+        limited.where(F.col("o_orderkey") > 0)
+    with pytest.raises(ValueError, match="already set"):
+        limited.limit(5)
+
+
+def test_offset_fetch(spark, geo_path):
+    rows = GeoTable(spark, geo_path).select("o_orderkey").offset(5).limit(10).df()
+    assert rows.count() == 10

@@ -1,0 +1,96 @@
+"""Index-lookup join (J3/J4 analog) — result parity vs a plain join,
+LEFT null padding, residual re-check, first-key-only pushdown, and the
+plan-shape assertion that the key set actually reaches the parquet scan
+(the analog of the reference's EXPLAIN regex tests,
+GeoMesaCalciteTestUtils.scala:41-52)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.join.lookup import index_lookup_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark, sf_dir):
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust, orders
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_inner_matches_plain_join(spark, sides):
+    cust, orders = sides
+    got = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"))
+    want = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    assert _sorted_rows(got.select("c_custkey", "o_orderkey")) == _sorted_rows(
+        want.select("c_custkey", "o_orderkey")
+    )
+
+
+def test_keys_pushed_into_scan(spark, sides):
+    cust, orders = sides
+    got = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(o_custkey" in plan, plan[:2000]
+
+
+def test_above_threshold_no_pushdown(spark, sides):
+    cust, orders = sides
+    got = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"), max_push_keys=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(o_custkey" not in plan
+    want = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    assert got.count() == want.count()
+
+
+def test_left_null_padding(spark, sides):
+    cust, orders = sides
+    big = orders.filter(F.col("o_totalprice") > 400000.0)
+    got = index_lookup_join(cust, big, ("c_custkey", "o_custkey"), how="left")
+    want = cust.join(big, cust.c_custkey == big.o_custkey, "left")
+    assert _sorted_rows(got.select("c_custkey", "o_orderkey")) == _sorted_rows(
+        want.select("c_custkey", "o_orderkey")
+    )
+    assert got.filter(F.col("o_orderkey").isNull()).count() > 0
+
+
+def test_residual_inner_and_left(spark, sides):
+    cust, orders = sides
+    residual = F.col("o_totalprice") > F.col("c_acctbal") * 20
+    got = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"), residual=residual)
+    want = cust.join(orders, cust.c_custkey == orders.o_custkey).filter(residual)
+    assert got.count() == want.count()
+
+    got_l = index_lookup_join(
+        cust, orders, ("c_custkey", "o_custkey"), how="left", residual=residual
+    )
+    # every left row appears; rows with no surviving match are null-padded
+    assert got_l.select("c_custkey").distinct().count() == cust.count()
+    matched_keys = {r[0] for r in want.select("c_custkey").distinct().collect()}
+    nulls = {r[0] for r in got_l.filter(F.col("o_orderkey").isNull())
+             .select("c_custkey").collect()}
+    assert nulls.isdisjoint(matched_keys)
+
+
+def test_compound_key_first_only_pushed(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = o.filter(F.col("o_orderkey") <= 50).select(
+        F.col("o_custkey").alias("lk"), F.col("o_orderstatus").alias("ls")
+    )
+    got2 = index_lookup_join(
+        left, o, [("lk", "o_custkey"), ("ls", "o_orderstatus")]
+    )
+    plan = got2._jdf.queryExecution().executedPlan().toString()
+    assert "In(o_custkey" in plan
+    assert "In(o_orderstatus" not in plan  # first key only, reference parity
+    want = left.join(
+        o, (left.lk == o.o_custkey) & (left.ls == o.o_orderstatus)
+    )
+    assert got2.count() == want.count()

@@ -1,0 +1,84 @@
+"""The scaling-evidence job: the full image pipeline at a compute-bound
+size, run via spark-submit at two parallelism levels by
+tools/bench_scaling.py.
+
+Pipeline (one job, no driver loops):
+    read image table (bytes stay out of every shuffle)
+      → decode + featurize (mean RGB / luma, Arrow-batched mapInPandas)
+      → broadcast spatial hash join vs the polygon set (JVM cell
+        encode, vectorized PIP refine)
+      → Hilbert tile assignment at zoom 8
+      → per-(polygon, tile) rollup: count + mean luma
+
+Why a heavier job than bench.py's headline: scaling efficiency is only
+measurable when compute dominates fixed overhead (task scheduling, AQE
+stage commits, Python worker spin-up). At 600k rows the headline join
+finishes in ~1 s of compute and local[32] measures overhead, not
+scaling. This job decodes every image — the shape of a real 100 TB
+pass — so a 4× core increase has actual work to parallelize.
+
+Prints ONE JSON line: {"n": ..., "sec": ..., "rows_per_sec": ..., "cpus": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "1000000"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+
+    from bench import _bench_images_path
+    from geomesa_sql_spark import get_spark
+    from geomesa_sql_spark.io.fixtures import nation_squares
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+    from geomesa_sql_spark.ops import image_stats
+    from geomesa_sql_spark.tiles import assign_tiles
+
+    spark = get_spark("scale_job", master=f"local[{cpus}]")
+    # 64×64 all-PNG: ~235 µs of zlib+unfilter decode per image, so the
+    # job is CPU-bound (the regime where scaling is measurable), while
+    # the synthetic gradient compresses to ~1.2 KB stored per image
+    img_path = _bench_images_path(spark, n, size=64, fmt="png")
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+
+    def job():
+        imgs = spark.read.parquet(img_path)
+        feats = image_stats(imgs, carry=("lon", "lat"))
+        joined = spatial_join(
+            feats, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=True,
+        )
+        return (
+            assign_tiles(joined, zoom=8)
+            .groupBy("n_nationkey", "tile_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("mean_r").alias("avg_r"))
+        )
+
+    job().count()  # warm: codegen, broadcast, Python workers
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        job().count()
+        runs.append(time.time() - t0)
+    sec = statistics.median(runs)
+    print(json.dumps({
+        "n": n, "sec": round(sec, 2), "runs": [round(r, 2) for r in runs],
+        "rows_per_sec": round(n / sec, 1), "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()
