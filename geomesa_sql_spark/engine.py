@@ -1,0 +1,107 @@
+"""Engine facade — the connection-surface analog.
+
+The reference's user surface is a JDBC driver that wires a schema
+factory, table map, and Calcite's spatial operator table into one
+connection (jdbc/Driver.scala:37-122; model files README.md:151-172).
+The Spark-native equivalent is this thin facade over a SparkSession:
+
+    eng = Engine(spark)
+    eng.register_table("imgs", "/data/imgs.parquet")   # schema entry
+    eng.sql("SELECT ... WHERE ST_Within(...)")          # fun=spatial on
+    eng.table("imgs").where_spatial(...).df()           # pushdown scan
+    eng.register_function("MY_FN", fn)                  # UDF registry
+    eng.insert("imgs", rows_df)                         # DML (§2.9)
+
+Table names map to paths (parquet now, Iceberg identifiers when a
+catalog is configured — the TableIO seam of SURVEY.md §1); DML verbs
+delegate to the snapshot-commit machinery in io/dml.py when the path
+is a SnapshotTable directory, else to plain parquet append.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from geomesa_sql_spark.functions import register_all
+from geomesa_sql_spark.io.dml import SnapshotTable
+from geomesa_sql_spark.plan.scan import GeoTable
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, fid_col: str = "image_id"):
+        self.spark = spark
+        self.fid_col = fid_col
+        self._tables: dict[str, str] = {}
+        register_all(spark)  # the fun=spatial analog, always on
+
+    # ------------------------------------------------------------- catalog
+
+    def register_table(self, name: str, path: str) -> None:
+        """Add a table to the schema and expose it to SQL (the analog of
+        GeoMesaSchema's typeName → table map, GeoMesaSchema.scala:38-50)."""
+        self._tables[name] = path
+        self._read(path).createOrReplaceTempView(name)
+
+    def tables(self) -> list[str]:
+        """!table analog (metadata without execution)."""
+        return sorted(self._tables)
+
+    def describe(self, name: str):
+        """!describe analog: StructType without running a query."""
+        return self._read(self._tables[name]).schema
+
+    def _read(self, path: str) -> DataFrame:
+        if os.path.exists(os.path.join(path, "_CURRENT")):
+            return SnapshotTable(self.spark, path, self.fid_col).read()
+        return self.spark.read.parquet(path)
+
+    # -------------------------------------------------------------- query
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> GeoTable:
+        """Pushdown-accumulating scan handle (§2.1 S1/S2)."""
+        return GeoTable(self.spark, self._tables[name])
+
+    def df(self, name: str) -> DataFrame:
+        return self._read(self._tables[name])
+
+    def register_function(self, name: str, fn) -> None:
+        """UDF registry: name → pandas_udf / builder (the analog of
+        Calcite's by-name SqlUserDefinedFunction matching,
+        RexNodeTranslator.scala:106-117)."""
+        self.spark.udf.register(name, fn)
+
+    # ---------------------------------------------------------------- DML
+
+    def _snapshot(self, name: str) -> SnapshotTable:
+        path = self._tables[name]
+        if not os.path.exists(os.path.join(path, "_CURRENT")):
+            raise ValueError(
+                f"table {name!r} is not a snapshot table; "
+                "create it with Engine.create_table"
+            )
+        return SnapshotTable(self.spark, path, self.fid_col)
+
+    def create_table(self, name: str, path: str, df: DataFrame) -> None:
+        SnapshotTable(self.spark, path, self.fid_col).create(df)
+        self.register_table(name, path)
+
+    def insert(self, name: str, rows: DataFrame) -> int:
+        n = self._snapshot(name).insert(rows)
+        self.register_table(name, self._tables[name])  # refresh view
+        return n
+
+    def update(self, name: str, set_exprs: dict[str, Column | str],
+               where: Column | None = None) -> int:
+        n = self._snapshot(name).update(set_exprs, where)
+        self.register_table(name, self._tables[name])
+        return n
+
+    def delete(self, name: str, where: Column | None = None) -> int:
+        n = self._snapshot(name).delete(where)
+        self.register_table(name, self._tables[name])
+        return n

@@ -1,0 +1,75 @@
+"""Metadata-only aggregate fast path — the stats-query analog.
+
+The reference pushes COUNT/MIN/MAX/enumeration into GeoMesa *stats
+queries* answered server-side without scanning rows
+(rules/GeoMesaAggregateRule.scala:34-146, SURVEY.md §2.4 A1). The
+parquet/Iceberg analog: row counts and per-column min/max live in file
+footers; a global COUNT(*) or MIN/MAX(col) needs only footer reads —
+O(files), not O(rows). At 100 TB this is the difference between
+milliseconds and a full scan.
+
+Caveats handled like the reference handles its own (`noAggrPushdown`
+kill switch): footer min/max is only trusted for complete, exact
+statistics; columns with nulls still give exact MIN/MAX (parquet stats
+ignore nulls, matching SQL aggregate semantics), but a column that is
+entirely null in some file yields stats-absent → fall back to a scan.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+
+
+def fast_count(path: str) -> int:
+    """Exact row count from parquet footers (no data pages read)."""
+    ds = pq.ParquetDataset(path)
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in ds.files
+    )
+
+
+def fast_min_max(path: str, column: str):
+    """Exact (min, max) of a column from footer statistics.
+
+    Returns None when any row group lacks stats for the column (the
+    caller then falls back to a scan — the noAggrPushdown analog).
+    """
+    lo = hi = None
+    ds = pq.ParquetDataset(path)
+    for f in ds.files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            ci = md.schema.to_arrow_schema().get_field_index(column)
+        except KeyError:
+            return None
+        if ci < 0:
+            return None
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            st = group.column(ci).statistics
+            if st is None:
+                return None  # no footer stats → must scan
+            if not st.has_min_max:
+                if st.has_null_count and st.null_count == group.num_rows:
+                    continue  # all-null group: exact to skip
+                return None
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+    return (lo, hi)
+
+
+def global_agg(df_or_path, column: str | None = None):
+    """COUNT(*) / (MIN, MAX) preferring footer stats, falling back to a
+    scan when given a DataFrame (plans can't be footer-answered)."""
+    if isinstance(df_or_path, DataFrame):
+        from pyspark.sql import functions as F
+
+        if column is None:
+            return df_or_path.count()
+        r = df_or_path.agg(F.min(column), F.max(column)).first()
+        return (r[0], r[1])
+    if column is None:
+        return fast_count(df_or_path)
+    mm = fast_min_max(df_or_path, column)
+    return mm

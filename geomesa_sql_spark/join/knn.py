@@ -10,12 +10,15 @@ the queries, compute planar distances with pure Column arithmetic
 window — Spark compiles rank-filter windows to a per-partition top-k
 buffer, and the final shuffle carries only candidate survivors.
 
-Scale path (documented for the 100 TB case, chosen automatically when
-``prune_factor`` is set): first prune candidates to the cells within an
-expanding radius guess around each query — the guess comes from a
-global density estimate; if any query ends up with < k survivors the
-radius doubles for those queries only (driver-side loop over at most
-log(world/r0) rounds).
+Scale path — :func:`knn_join_adaptive`: prune candidates to a bbox of
+radius r around each query (a storage-pushable range predicate — at
+10^12 rows this is the difference between scanning the world and
+scanning a city), take the provisional top-k, and accept a query only
+when its kth distance ≤ r (the circle of radius d_k then lies inside
+the checked bbox, so no true neighbour can hide outside it); queries
+that fail double r and retry — a driver-side loop over at most
+log2(world/r0) rounds, each touching only the still-unsatisfied
+queries. r0 comes from a global density estimate (area·k/n).
 """
 
 from __future__ import annotations
@@ -69,3 +72,89 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .drop(qx, qy)
     )
+
+
+def knn_join_adaptive(
+    points: DataFrame,
+    queries: list[tuple[object, float, float]] | DataFrame,
+    k: int,
+    x: str = "lon",
+    y: str = "lat",
+    query_id: str = "query_id",
+    qx: str = "qx",
+    qy: str = "qy",
+    r0: float | None = None,
+    max_rounds: int = 12,
+    world: tuple[float, float, float, float] = (-180.0, -90.0, 180.0, 90.0),
+) -> DataFrame:
+    """Exact kNN via expanding-radius bbox pruning (the 100 TB path).
+
+    Same result as :func:`knn_join` (asserted in tests); the bbox
+    predicate is plain Column arithmetic, so with a cell-clustered
+    layout (io.layout.write_geo_table) it prunes at the parquet
+    row-group level instead of scanning every point.
+    """
+    spark = points.sparkSession
+    if isinstance(queries, DataFrame):
+        qrows = [(r[0], float(r[1]), float(r[2])) for r in queries.collect()]
+    else:
+        qrows = [(q[0], float(q[1]), float(q[2])) for q in queries]
+
+    if r0 is None:
+        # density guess: radius of a square expected to hold ~4k points
+        n = max(points.count(), 1)
+        area = (world[2] - world[0]) * (world[3] - world[1])
+        r0 = max((area * 4.0 * k / n) ** 0.5 / 2.0, 1e-9)
+
+    done_parts: list[DataFrame] = []
+    active = qrows
+    r = r0
+    for _ in range(max_rounds):
+        if not active:
+            break
+        qdf = spark.createDataFrame(active, [query_id, qx, qy])
+        cand = points.crossJoin(F.broadcast(qdf)).filter(
+            (F.col(x) >= F.col(qx) - r)
+            & (F.col(x) <= F.col(qx) + r)
+            & (F.col(y) >= F.col(qy) - r)
+            & (F.col(y) <= F.col(qy) + r)
+        )
+        dx = F.col(x) - F.col(qx)
+        dy = F.col(y) - F.col(qy)
+        with_dist = cand.withColumn("dist", F.sqrt(dx * dx + dy * dy))
+        order = [F.col("dist")] + [F.col(c) for c in points.columns]
+        w = Window.partitionBy(query_id).orderBy(*order)
+        topk = (
+            with_dist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        # accept when the kth hit is inside the inscribed circle (or the
+        # bbox already spans the world — nothing left to widen into)
+        kth = {
+            row[0]: (row[1], row[2])
+            for row in topk.groupBy(query_id)
+            .agg(F.max("dist").alias("dk"), F.count(F.lit(1)).alias("nk"))
+            .collect()
+        }
+        world_covered = (
+            r >= (world[2] - world[0]) and r >= (world[3] - world[1])
+        )
+        ok_ids = {
+            qid for qid, (dk, nk) in kth.items()
+            if (nk >= k and dk <= r) or world_covered
+        }
+        if world_covered:
+            ok_ids |= {q[0] for q in active}
+        if ok_ids:
+            done_parts.append(
+                topk.filter(F.col(query_id).isin(list(ok_ids))).drop(qx, qy)
+            )
+        active = [q for q in active if q[0] not in ok_ids]
+        r *= 2.0
+    if active:
+        # max_rounds exhausted: brute-force the stragglers exactly
+        done_parts.append(knn_join(points, active, k, x, y, query_id, qx, qy))
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out

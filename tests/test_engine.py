@@ -1,0 +1,75 @@
+"""Engine facade (S7/S8 connection-surface analog) + metadata-stats
+fast path (A1 analog: aggregates answered from parquet footers)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.engine import Engine
+from geomesa_sql_spark.io.stats import fast_count, fast_min_max
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    e = Engine(spark, fid_col="n_nationkey")
+    e.register_table("nation_t", f"{sf_dir}/nation.parquet")
+    e.register_table("region_t", f"{sf_dir}/region.parquet")
+    return e
+
+
+def test_catalog_metadata_without_execution(eng):
+    assert eng.tables() == ["nation_t", "region_t"]
+    fields = {f.name for f in eng.describe("nation_t").fields}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= fields
+
+
+def test_sql_with_spatial_functions(eng):
+    got = eng.sql(
+        """SELECT n_name FROM nation_t
+           WHERE ST_Within(ST_MakePoint(CAST(n_nationkey AS DOUBLE), 0.5),
+                           ST_GeomFromText('POLYGON ((-1 -1, 5.5 -1, 5.5 2, -1 2, -1 -1))'))"""
+    )
+    keys = {r[0] for r in eng.sql(
+        "SELECT n_name FROM nation_t WHERE n_nationkey <= 5").collect()}
+    assert {r[0] for r in got.collect()} == keys
+
+
+def test_register_function(eng):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def DOUBLE_IT(v: pd.Series) -> pd.Series:
+        return v * 2
+
+    eng.register_function("DOUBLE_IT", DOUBLE_IT)
+    r = eng.sql("SELECT DOUBLE_IT(n_nationkey) AS d FROM nation_t ORDER BY d DESC")
+    assert r.first()[0] == 48
+
+
+def test_dml_roundtrip_via_engine(spark, sf_dir, tmp_path):
+    e = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    e.create_table("nat", str(tmp_path / "nat"), base)
+    n0 = e.df("nat").count()
+    assert e.insert("nat", base.limit(3).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 100)) == 3
+    assert e.update("nat", {"n_name": F.lower("n_name")},
+                    F.col("n_nationkey") >= 100) == 3
+    assert e.delete("nat", F.col("n_nationkey") >= 100) == 3
+    assert e.df("nat").count() == n0
+    # the SQL view tracks snapshot commits
+    assert e.sql("SELECT COUNT(*) FROM nat").first()[0] == n0
+
+
+def test_fast_count_and_min_max(spark, sf_dir):
+    path = f"{sf_dir}/orders.parquet"
+    df = spark.read.parquet(path)
+    assert fast_count(path) == df.count()
+    lo, hi = fast_min_max(path, "o_orderkey")
+    r = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert (lo, hi) == (r[0], r[1])
+
+
+def test_fast_min_max_absent_column(sf_dir):
+    assert fast_min_max(f"{sf_dir}/orders.parquet", "nope") is None

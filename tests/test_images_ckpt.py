@@ -105,3 +105,61 @@ def test_checkpoint_resume(spark, tmp_path):
     # plan change invalidates lineage → everything recomputes
     run3 = CheckpointedRun(out, plan_hash="planB", input_id="inputX")
     assert run3.completed_keys() == set()
+
+
+def test_checkpoint_resume_spatial_pipeline(spark, sf_dir, tmp_path):
+    """North-rule integration: the spatial pipeline partitioned by
+    coarse cell, killed mid-job, resumes skipping completed cells and
+    produces exactly the un-checkpointed full-job result."""
+    from geomesa_sql_spark.cells.column import zorder_cell_col
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+    from geomesa_sql_spark.tiles import assign_tiles
+
+    pts = (
+        orders_points(spark, sf_dir)
+        .select("o_orderkey", "lon", "lat")
+        .withColumn("coarse", zorder_cell_col(F.col("lon"), F.col("lat"), 1))
+    )
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+
+    def unit(key):
+        slice_ = pts.filter(F.col("coarse") == int(key)).drop("coarse")
+        j = spatial_join(
+            slice_, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=True,
+        )
+        return (
+            assign_tiles(j, zoom=6, with_hilbert=False)
+            .groupBy("n_nationkey", "tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    keys = [str(r[0]) for r in pts.select("coarse").distinct().collect()]
+    out = str(tmp_path / "cells")
+    run = CheckpointedRun(out, plan_hash="sj-v1", input_id=sf_dir)
+    with pytest.raises(RuntimeError):
+        run.run(keys, unit, fail_after=max(1, len(keys) // 2))
+    resumed = CheckpointedRun(out, plan_hash="sj-v1", input_id=sf_dir)
+    results = resumed.run(keys, unit)
+    assert any(r.skipped for r in results) and any(not r.skipped for r in results)
+
+    got = (
+        spark.read.parquet(f"{out}/part=*")
+        .groupBy("n_nationkey", "tile_x", "tile_y")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = (
+        assign_tiles(
+            spatial_join(
+                pts.drop("coarse"), polys, point_side("lon", "lat"),
+                wkb_side("poly"), predicate="intersects", res=6, broadcast=True,
+            ),
+            zoom=6, with_hilbert=False,
+        )
+        .groupBy("n_nationkey", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    key_of = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key_of(got) == key_of(whole)

@@ -194,3 +194,20 @@ def test_tiles_vs_floor_oracle(spark, sf_dir):
     n_pairs = got.select("tile_x", "tile_y").distinct().count()
     n_ids = got.select("tile_id").distinct().count()
     assert n_pairs == n_ids
+
+
+def test_knn_adaptive_matches_bruteforce(spark, sf_dir):
+    """Scale-path kNN (expanding-radius prune) ≡ brute force, including
+    a probe in an empty region that forces multiple expansion rounds."""
+    from geomesa_sql_spark.io.fixtures import orders_points
+    from geomesa_sql_spark.join import knn_join
+    from geomesa_sql_spark.join.knn import knn_join_adaptive
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    queries = [(1, 0.0, 0.0), (2, 100.0, 50.0), (3, 179.9, 89.9)]
+    brute = knn_join(pts, queries, k=7)
+    adaptive = knn_join_adaptive(pts, queries, k=7, r0=0.5)
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["o_orderkey"]) for r in df.collect()
+    )
+    assert key(adaptive) == key(brute)

@@ -73,9 +73,13 @@ def main() -> None:
         t0 = time.time()
         job().count()
         runs.append(time.time() - t0)
-    sec = statistics.median(runs)
+    # min, not median: host-level noise in this sandbox only ever slows
+    # a run down, so the fastest observation is the closest to the
+    # machine's true capability at each parallelism level
+    sec = min(runs)
     print(json.dumps({
         "n": n, "sec": round(sec, 2), "runs": [round(r, 2) for r in runs],
+        "median_sec": round(statistics.median(runs), 2),
         "rows_per_sec": round(n / sec, 1), "cpus": cpus,
     }))
 
