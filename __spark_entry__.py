@@ -483,6 +483,51 @@ def q_simhash(spark, sf_dir):
     return simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (brute-force twin / recall
+    oracle of the MinHash+LSH path)."""
+    from geomesa_sql_spark.ops import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").limit(150)
+    mod = d.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" qqq"))
+    )
+    return ngram_jaccard_pairs(
+        d.unionByName(mod), "text", "doc_id", threshold=0.6
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-word language ID over documents (vectorized)."""
+    from geomesa_sql_spark.ops.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_phash(spark, sf_dir):
+    """64-bit average-hash of decoded images (multimodal fingerprint)."""
+    from geomesa_sql_spark.io.fixtures import images_table
+    from geomesa_sql_spark.ops import phash_images
+
+    return phash_images(images_table(spark, 400, size=16))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN (the 10^12-row path; recall vs brute force
+    asserted in tests/test_ops.py)."""
+    from geomesa_sql_spark.ops.ann import lsh_bucket_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    # bits sized to the corpus: 2^6 buckets over ~500 vectors ≈ 8/bucket,
+    # ×4 probed buckets ≈ 30 candidates/query (at 10^12 rows: bits≈30)
+    return lsh_bucket_ann(e, q, k=10, bits=6, multiprobe=2).select(
+        "q_id", "vec_id", "rank"
+    )
+
+
 def q_image_stats(spark, sf_dir):
     """Multimodal decode/feature-extract over the synthesized images table."""
     from geomesa_sql_spark.io.fixtures import images_table
@@ -775,6 +820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL-expressible oracle)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "phash": q_phash,
+        "ann_lsh": q_ann_lsh,
         "image_stats": q_image_stats,
         "tile_hilbert": q_tile_hilbert,
     }

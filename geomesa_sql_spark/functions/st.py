@@ -301,3 +301,49 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series(kernel.relate_many(list(wa), list(wb), "dwithin", dv))
 
     spark.udf.register("ST_DWithin", _dwithin)
+
+    @F.pandas_udf(T.BinaryType())
+    def _buffer(wkb: pd.Series, d: pd.Series) -> pd.Series:
+        out = []
+        for b, dist in zip(wkb, d):
+            if b is None or dist is None:
+                out.append(None)
+            else:
+                out.append(
+                    geom_to_wkb(kernel.buffer_geom(geom_from_wkb(bytes(b)), float(dist)))
+                )
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_Buffer", _buffer)
+
+    @F.pandas_udf(T.BinaryType())
+    def _union(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(wa, wb):
+            if a is None or b is None:
+                out.append(None)
+            else:
+                out.append(
+                    geom_to_wkb(
+                        kernel.union_geom(geom_from_wkb(bytes(a)), geom_from_wkb(bytes(b)))
+                    )
+                )
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_Union", _union)
+
+    @F.pandas_udf(T.BinaryType())
+    def _makeenv(
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+    ) -> pd.Series:
+        from geomesa_sql_spark.geom.model import box
+
+        return pd.Series(
+            [
+                geom_to_wkb(box(float(a), float(b), float(c), float(e)))
+                for a, b, c, e in zip(minx, miny, maxx, maxy)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("ST_MakeEnvelope", _makeenv)

@@ -575,3 +575,66 @@ def relate_points_to_wkb(
         else:
             raise ValueError(f"unknown predicate {pred!r}")
     return out
+
+
+# ----------------------------------------------------------- constructive ops
+
+
+def buffer_geom(g: Geom, d: float, quad_segs: int = 16) -> Geom:
+    """Planar buffer as a non-dissolved MULTIPOLYGON.
+
+    Exact buffer region up to circle discretization (4·quad_segs-gon
+    per vertex, inscribed — so the region is a subset of the true
+    buffer by at most d·(1−cos(π/(4·quad_segs))) ≈ d·1.9e-3):
+    per simple part, the Minkowski sum decomposes into vertex circles ∪
+    segment capsule rectangles ∪ (for polygons) the part itself. The
+    pieces overlap instead of being dissolved into one ring — exactly
+    equivalent for the predicate uses the reference exercises
+    (ST_Intersects(ST_Buffer(...)) joins, SpatialJoinTest.scala:46;
+    DWithin≡buffer-intersects, RexNodeTranslator.scala:184-196), and
+    under this kernel's union semantics for multi-geometries.
+    """
+    if d <= 0:
+        raise ValueError("buffer distance must be positive")
+    k = 4 * quad_segs
+    ang = np.linspace(0.0, 2 * np.pi, k, endpoint=False)
+    circ = np.column_stack([np.cos(ang), np.sin(ang)]) * d
+
+    pieces: list[Geom] = []
+    for part in g.flatten():
+        verts = part.all_coords()
+        for vx, vy in verts:
+            ring = circ + (vx, vy)
+            pieces.append(model.polygon(ring))
+        segs = part.segments()
+        for x1, y1, x2, y2 in segs:
+            dx, dy = x2 - x1, y2 - y1
+            ln = float(np.hypot(dx, dy))
+            if ln == 0.0:
+                continue
+            nx, ny = -dy / ln * d, dx / ln * d
+            pieces.append(
+                model.polygon(
+                    [
+                        [x1 + nx, y1 + ny],
+                        [x2 + nx, y2 + ny],
+                        [x2 - nx, y2 - ny],
+                        [x1 - nx, y1 - ny],
+                    ]
+                )
+            )
+        if part.type == model.POLYGON:
+            pieces.append(part)
+    return Geom(model.MULTIPOLYGON, pieces)
+
+
+def union_geom(a: Geom, b: Geom) -> Geom:
+    """Non-dissolutive union: GEOMETRYCOLLECTION(a, b).
+
+    Predicate-equivalent to the dissolved union under this kernel —
+    relate(x, union(a,b)) ≡ relate(x,a) OR relate(x,b) for the
+    intersects-family predicates, which is the only way the reference's
+    SQL surface exercises ST_Union (SpatialJoinTest.scala:59). Not a
+    polygon-dissolve; documented as such.
+    """
+    return Geom(model.GEOMETRYCOLLECTION, [a, b])

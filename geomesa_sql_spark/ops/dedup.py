@@ -208,3 +208,34 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             yield pd.DataFrame({id_col: pdf[id_col].to_list(), "simhash": out})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs — the brute-force twin of
+    :func:`lsh_near_dup_pairs` (its recall oracle in tests; quadratic,
+    verification-scale only — the LSH path is the 100 TB plan)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa = set(_shingles(x or "", shingle_k).tolist())
+            sb = set(_shingles(y or "", shingle_k).tolist())
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 1.0)
+        return pd.Series(out)
+
+    return (
+        pairs.withColumn("jaccard", _jac("text_a", "text_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

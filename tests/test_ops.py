@@ -145,3 +145,49 @@ def test_near_dup_embeddings_exact(spark, sf_dir):
     }
     got = {(r.id_a, r.id_b) for _, r in out.iterrows()}
     assert got == want
+
+
+def test_ngram_jaccard_exact_vs_python(spark, sf_dir):
+    """Exact n-gram Jaccard op vs a pure-python computation."""
+    from geomesa_sql_spark.ops import ngram_jaccard_pairs
+    from geomesa_sql_spark.ops.dedup import _shingles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    rows = {r["doc_id"]: r["text"] for r in d.collect()}
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.0).collect()
+    }
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa = set(_shingles(rows[a], 3).tolist())
+            sb = set(_shingles(rows[b], 3).tolist())
+            want = round(len(sa & sb) / len(sa | sb), 9) if (sa | sb) else 1.0
+            assert got[(a, b)] == want
+
+
+def test_lsh_recall_vs_exact_ngram(spark, sf_dir):
+    """MinHash+LSH finds every pair the exact op finds at a threshold
+    comfortably above the LSH s-curve knee."""
+    from geomesa_sql_spark.ops import lsh_near_dup_pairs, ngram_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 500000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" x"))
+    )
+    corpus = d.unionByName(dup)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            corpus, "text", "doc_id", jaccard_threshold=0.8
+        ).collect()
+    }
+    assert exact, "fixture must produce near-dup pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, recall

@@ -53,3 +53,64 @@ def test_st_distance_envelope_sql(spark):
     ).first()
     assert abs(df.d - 5.0) < 1e-12
     assert (df.env.minx, df.env.miny, df.env.maxx, df.env.maxy) == (1.0, 2.0, 5.0, 9.0)
+
+
+def test_st_buffer_dwithin_equivalence(spark):
+    """ST_Intersects(x, ST_Buffer(g, d)) ≡ ST_DWithin(x, g, d) up to the
+    circle discretization — the reference's DWithin rewrite
+    (RexNodeTranslator.scala:184-196)."""
+    import math
+
+    register_all(spark)
+    d = 2.0
+    # probes at distances straddling d from a point and from a polygon edge
+    rows = [
+        (0.0, 0.0, "POINT (0 0)"),
+        (1.9, 0.0, "POINT (0 0)"),
+        (0.0, 2.1, "POINT (0 0)"),
+        (1.4, 1.4, "POINT (0 0)"),   # dist ~1.98, inside (within chord margin)
+        (6.5, 0.5, "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),   # 1.5 from edge
+        (7.5, 0.5, "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),   # 2.5 from edge
+        (2.5, 2.5, "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),   # interior
+    ]
+    df = spark.createDataFrame(rows, "px double, py double, g string")
+    df.createOrReplaceTempView("buf_probe")
+    got = spark.sql(
+        f"""SELECT px, py,
+                   ST_Intersects(ST_MakePoint(px, py),
+                                 ST_Buffer(ST_GeomFromText(g), {d})) AS via_buffer,
+                   ST_DWithin(ST_MakePoint(px, py), ST_GeomFromText(g), {d}) AS via_dwithin
+            FROM buf_probe"""
+    ).collect()
+    for r in got:
+        assert r.via_buffer == r.via_dwithin, (r.px, r.py)
+
+
+def test_st_union_predicate_semantics(spark):
+    """ST_Intersects(x, ST_Union(a, b)) ≡ intersects(x,a) OR intersects(x,b)
+    — the only way the reference exercises ST_Union
+    (SpatialJoinTest.scala:59)."""
+    register_all(spark)
+    got = spark.sql(
+        """SELECT
+             ST_Intersects(ST_MakePoint(1.0, 1.0),
+                 ST_Union(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                          ST_GeomFromText('POINT (9 9)'))) AS in_a,
+             ST_Intersects(ST_MakePoint(9.0, 9.0),
+                 ST_Union(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                          ST_GeomFromText('POINT (9 9)'))) AS in_b,
+             ST_Intersects(ST_MakePoint(5.0, 5.0),
+                 ST_Union(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                          ST_GeomFromText('POINT (9 9)'))) AS in_neither"""
+    ).first()
+    assert got.in_a and got.in_b and not got.in_neither
+
+
+def test_st_makeenvelope(spark):
+    register_all(spark)
+    r = spark.sql(
+        """SELECT ST_AsText(ST_MakeEnvelope(1.0, 2.0, 3.0, 4.0)) AS wkt,
+                  ST_Within(ST_MakePoint(2.0, 3.0),
+                            ST_MakeEnvelope(1.0, 2.0, 3.0, 4.0)) AS inside"""
+    ).first()
+    assert r.wkt.startswith("POLYGON") and r.inside

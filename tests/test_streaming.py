@@ -1,0 +1,61 @@
+"""Structured Streaming extension: watermarked windowed aggregation and
+a custom stateful operator, oracled against batch groupBy on the same
+data (available-now trigger = deterministic drain)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.streaming import (
+    run_available_now,
+    stateful_running_totals,
+    stream_events,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # re-write the driver's events table as a 4-file directory so the
+    # file source has multiple units to drain
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.parquet(d)
+    return d
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    stream = windowed_counts(
+        stream_events(spark, events_dir), window="6 hours", watermark="1 hour"
+    )
+    got = run_available_now(stream, mode="complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    key = lambda df: sorted(
+        (str(r.win.start), str(r.win.end), r.event_type, r.n, round(r.sum_value, 6))
+        for r in df.collect()
+    )
+    # available-now drain sees all files before the watermark closes
+    # anything, so stream == batch exactly
+    assert key(got) == key(batch)
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = stateful_running_totals(stream_events(spark, events_dir))
+    got = run_available_now(stream, mode="update")
+    # update mode appends one row per key per microbatch; totals are
+    # monotone, so the max per key is the final running total == batch
+    last = {}
+    for r in got.orderBy("total_n").collect():
+        last[r.event_type] = (r.total_n, round(r.total_value, 6))
+    batch = {
+        r.event_type: (r.n, round(r.v, 6))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert last == batch
