@@ -47,6 +47,29 @@ def _bench_images_path(spark, n_images: int, size: int, fmt: str = "mixed") -> s
     return path
 
 
+def _row_group_prune_stats(geo_path: str, env: tuple) -> tuple[int, int]:
+    """(total, read) parquet row groups for a cell-range prune over a
+    cell-clustered layout — footer-only, the same stats the reader uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geomesa_sql_spark.io.layout import DEFAULT_DATA_RES
+    from geomesa_sql_spark.plan.filter import cell_prune_ranges
+
+    ranges = cell_prune_ranges(*env, DEFAULT_DATA_RES)
+    total = read = 0
+    for f in glob.glob(f"{geo_path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ci = md.schema.to_arrow_schema().get_field_index("cell")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            total += 1
+            if any(st.min <= hi and st.max >= lo for lo, hi in ranges):
+                read += 1
+    return total, read
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -125,6 +148,49 @@ def main() -> None:
     t0 = time.time()
     n_dec = image_stats(spark.read.parquet(img_path)).count()
     results["image_stats_full"] = round(time.time() - t0, 3)
+
+    # storage-level spatial pruning: the same ST_Within over a
+    # cell-clustered layout (row-group pruning) vs the scannable twin
+    from geomesa_sql_spark.io.layout import write_geo_table
+    from geomesa_sql_spark.plan.scan import GeoTable
+
+    geo_path = f"{IMAGES_CACHE}/images_geo_n{n_images}"
+    if not os.path.exists(f"{geo_path}/_SUCCESS"):
+        write_geo_table(
+            spark.read.parquet(img_path).select("image_id", "lon", "lat"), geo_path
+        )
+    rect = ("POLYGON ((-10.005 -10.005, 50.005 -10.005, 50.005 40.005, "
+            "-10.005 40.005, -10.005 -10.005))")
+    for label, push in (("st_filter_pruned", True), ("st_filter_scannable", False)):
+        t0 = time.time()
+        (
+            GeoTable(spark, geo_path, pushdown=push)
+            .where_spatial("intersects", rect, x="lon", y="lat")
+            .select("image_id")
+            .df()
+            .count()
+        )
+        results[label] = round(time.time() - t0, 3)
+    # pruning effectiveness (what the wall clock can't show at a
+    # page-cached toy scale): row groups whose footer cell-range misses
+    # every prune range are skipped by the reader — at 100 TB that is
+    # the scan cost. Computed from the same footer stats parquet uses.
+    prune_stats = _row_group_prune_stats(
+        geo_path, (-10.005, -10.005, 50.005, 40.005)
+    )
+    results["prune_row_groups_total"] = prune_stats[0]
+    results["prune_row_groups_read"] = prune_stats[1]
+
+    # big×big path: repartition-by-cell spatial join with salting (the
+    # plan shape a 1000-executor two-large-sides join uses; no broadcast)
+    t0 = time.time()
+    big_pts = spark.read.parquet(img_path).select("image_id", "lon", "lat")
+    spatial_join(
+        big_pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+        predicate="intersects", res=6, broadcast=False, salt=8,
+        hot_cell_threshold=50_000,
+    ).count()
+    results["spatial_join_repartition_salted"] = round(time.time() - t0, 3)
 
     print(
         json.dumps(
