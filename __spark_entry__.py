@@ -334,6 +334,43 @@ def q_spatial_join_dwithin(spark, sf_dir):
     )
 
 
+def q_spatial_join_dwithin_poly(spark, sf_dir):
+    """J2 DWithin with a polygon side: distance from point to rectangle
+    (oracle: closed-form point-to-axis-aligned-rect distance)."""
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+    return (
+        spatial_join(
+            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="dwithin", distance=3.0, res=6, broadcast=True,
+        )
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+
+
+def q_spatial_join_left(spark, sf_dir):
+    """J2 LEFT join: every left point appears; non-matching rows
+    null-padded (EnumerableSpatialJoinEnumerator.scala:88-90)."""
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+
+    pts = (
+        orders_points(spark, sf_dir)
+        .filter(F.col("o_orderkey") <= 20000)
+        .select("o_orderkey", "lon", "lat")
+    )
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+    return spatial_join(
+        pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+        predicate="intersects", res=6, broadcast=True,
+        how="left", left_key="o_orderkey",
+    ).select("o_orderkey", "n_nationkey")
+
+
 def q_knn(spark, sf_dir):
     """kNN (north-star operator): 10 nearest order-points per query."""
     from geomesa_sql_spark.join import knn_join
@@ -671,6 +708,20 @@ def _oracles() -> dict[str, str]:
                + (p.lat - s.slat) * (p.lat - s.slat) <= 25.0
             GROUP BY s_suppkey
         """,
+        "spatial_join_dwithin_poly": f"""
+            SELECT n_nationkey, COUNT(*) AS n_near
+            FROM ({opts}) p JOIN ({nsq}) s
+              ON power(GREATEST(s.pminx - p.lon, 0.0, p.lon - s.pmaxx), 2)
+               + power(GREATEST(s.pminy - p.lat, 0.0, p.lat - s.pmaxy), 2) <= 9.0
+            GROUP BY n_nationkey
+        """,
+        "spatial_join_left": f"""
+            SELECT p.o_orderkey, s.n_nationkey
+            FROM (SELECT * FROM ({opts}) WHERE o_orderkey <= 20000) p
+            LEFT JOIN ({nsq}) s
+              ON p.lon >= s.pminx AND p.lon <= s.pmaxx
+             AND p.lat >= s.pminy AND p.lat <= s.pmaxy
+        """,
         "knn": f"""
             SELECT query_id, o_orderkey, rank FROM (
                 SELECT q.query_id, p.o_orderkey,
@@ -810,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_pairs": q_spatial_join_pairs,
         "spatial_join_agg": q_spatial_join_agg,
         "spatial_join_dwithin": q_spatial_join_dwithin,
+        "spatial_join_dwithin_poly": q_spatial_join_dwithin_poly,
+        "spatial_join_left": q_spatial_join_left,
         "knn": q_knn,
         "tile_assign": q_tile_assign,
         "dedup_exact": q_dedup_exact,

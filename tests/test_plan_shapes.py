@@ -1,0 +1,120 @@
+"""Physical-plan shape assertions — the analog of the reference's
+EXPLAIN regex tests (GeoMesaCalciteTestUtils.scala:41-52, used ~100×):
+required/forbidden operators in the executed plan, re-expressed for
+Catalyst (SURVEY.md §5.3: "plan assertions become physical-plan
+assertions")."""
+
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+from geomesa_sql_spark.join import knn_join, spatial_join
+from geomesa_sql_spark.join.spatial import point_side, wkb_side
+from geomesa_sql_spark.plan import spatial_filter
+
+RECT = "POLYGON ((-10.005 -10.005, 50.005 -10.005, 50.005 40.005, -10.005 40.005, -10.005 -10.005))"
+PENTA = "POLYGON ((-40.0037 -20.0013, 30.0041 -45.0029, 80.0017 10.0023, 20.0031 60.0019, -55.0043 25.0037))"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rectangle_filter_has_no_python_refine(spark, sf_dir):
+    """Rectangle predicate ≡ bbox — no refine UDF may appear (the
+    analog of 'no EnumerableCalc above the scan',
+    FilterTest.scala:249-262 inverted)."""
+    pts = orders_points(spark, sf_dir)
+    plan = _plan(spatial_filter(pts, "intersects", RECT, x="lon", y="lat"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pentagon_filter_has_exactly_one_refine(spark, sf_dir):
+    pts = orders_points(spark, sf_dir)
+    plan = _plan(spatial_filter(pts, "intersects", PENTA, x="lon", y="lat"))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_point_cell_encode_stays_jvm(spark, sf_dir):
+    """The billion-row side's cell encode must not be a Python stage —
+    and the whole point×rect broadcast join plan needs at most the one
+    refine UDF."""
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+    j = spatial_join(
+        pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+        predicate="intersects", res=6, broadcast=True,
+    )
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
+    # Python stages: the fused right-side env+cover and the refine —
+    # never an encode stage on the big (left/point) side of the BHJ
+    left_side = plan.split("BroadcastExchange")[0]
+    assert "ArrowEvalPython" not in left_side.split("BroadcastHashJoin")[-1]
+
+
+def test_spatial_join_repartition_shuffles_on_cell(spark, sf_dir):
+    """Two-large-sides plan: with auto-broadcast off (as it would be for
+    a genuinely big right side), both sides shuffle on the cell key."""
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spatial_join(
+            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=False,
+        )
+        plan = _plan(j)
+        assert "BroadcastHashJoin" not in plan
+        assert "hashpartitioning(__gsj_cell" in plan
+        # result parity with the broadcast path on the same input
+        jb = spatial_join(
+            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=True,
+        )
+        assert j.count() == jb.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = (
+        orders_points(spark, sf_dir)
+        .orderBy(F.desc("o_totalprice"))
+        .select("o_orderkey")
+        .limit(10)
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_knn_has_partial_window_group_limit(spark, sf_dir):
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    plan = _plan(knn_join(pts, [(1, 0.0, 0.0)], k=5))
+    assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+
+
+def test_ann_dot_product_stays_jvm(spark, sf_dir):
+    from geomesa_sql_spark.ops import cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.limit(1).select(
+        F.lit(0).alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    plan = _plan(cosine_topk(e, q, k=5))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_projection_prunes_bytes_from_scan(spark):
+    """Payload discipline: a query not touching `bytes` must not read
+    it (ReadSchema excludes the binary column)."""
+    from geomesa_sql_spark.io.fixtures import images_table
+
+    path = "/tmp/spark_graft_plan_imgs"
+    import os
+
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        images_table(spark, 200, size=8).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).select("image_id", "lon", "lat")
+    plan = _plan(df)
+    rs = plan.split("ReadSchema:")[1]
+    assert "bytes" not in rs and "caption" not in rs
