@@ -574,6 +574,15 @@ def q_image_stats(spark, sf_dir):
     return image_stats(imgs)
 
 
+def q_resize(spark, sf_dir):
+    """Multimodal resize/transcode template: decode → nearest-neighbour
+    resample → raw re-encode (deterministic bytes → stable value hash)."""
+    from geomesa_sql_spark.io.fixtures import images_table
+    from geomesa_sql_spark.ops import resize_images
+
+    return resize_images(images_table(spark, 300, size=16), out_size=8)
+
+
 def q_tile_hilbert(spark, sf_dir):
     """Hilbert tile ids (curve not SQL-expressible → rows-only)."""
     from geomesa_sql_spark.tiles import assign_tiles
@@ -878,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash": q_phash,
         "ann_lsh": q_ann_lsh,
         "image_stats": q_image_stats,
+        "resize": q_resize,
         "tile_hilbert": q_tile_hilbert,
     }
 

@@ -25,4 +25,13 @@ pure numpy/stdlib (no shapely/h3/sedona in the environment).
 
 from geomesa_sql_spark.session import get_spark  # noqa: F401
 
+
+def engine(spark=None, **kw):
+    """Convenience: build an Engine (lazy import keeps bare
+    ``import geomesa_sql_spark`` cheap)."""
+    from geomesa_sql_spark.engine import Engine
+
+    return Engine(spark or get_spark(), **kw)
+
+
 __version__ = "0.1.0"

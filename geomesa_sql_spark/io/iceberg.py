@@ -1,0 +1,60 @@
+"""Iceberg seam — same DataFrame code over an Iceberg catalog.
+
+The graft input is specified as Iceberg tables (BASELINE.json
+input_hint); this container has no Iceberg runtime jar, so the engine
+runs on parquet paths locally and switches to catalog identifiers when
+the jar is present — the ``TableIO`` seam of SURVEY.md §1/§7. Nothing
+else in the engine changes: `GeoTable`, DML, layout and the joins all
+operate on DataFrames.
+
+Production configuration (documented, import-try gated here):
+
+    get_spark(extra_conf={
+        "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.lake.type": "rest",         # or hive/hadoop
+        "spark.sql.catalog.lake.uri": "...",
+        "spark.jars.packages":
+            "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>",
+    })
+
+Mapping of engine concepts onto Iceberg when active:
+- ``write_geo_table`` layout  → ``ALTER TABLE ... WRITE ORDERED BY cell``
+  (+ ``PARTITIONED BY truncate(cell, 1<<2k)``): identical row-group
+  pruning semantics, plus manifest-level file pruning.
+- ``SnapshotTable``           → native Iceberg snapshots: ``append()``,
+  ``MERGE INTO``/``DELETE FROM`` (copy-on-write or merge-on-read),
+  ``VERSION AS OF`` time travel.
+- ``io.stats`` footer fast path → Iceberg manifests carry the same
+  per-file column bounds; ``snapshot.summary['total-records']``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg SparkCatalog is reachable on this session."""
+    try:
+        # py4j resolves packages lazily, so touching the attribute is
+        # not enough — force real classloading
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+    """Catalog identifier (``cat.db.tbl``) when Iceberg is active and
+    the name is not a filesystem path; parquet path otherwise."""
+    looks_like_path = "/" in name_or_path
+    if not looks_like_path and iceberg_available(spark):
+        return spark.read.table(name_or_path)
+    return spark.read.parquet(name_or_path)
+
+
+def append(df: DataFrame, name_or_path: str) -> None:
+    if "/" not in name_or_path and iceberg_available(df.sparkSession):
+        df.writeTo(name_or_path).append()
+        return
+    df.write.mode("append").parquet(name_or_path)
