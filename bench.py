@@ -192,6 +192,39 @@ def main() -> None:
     ).count()
     results["spatial_join_repartition_salted"] = round(time.time() - t0, 3)
 
+    # pure-join throughput probe at 10M points (no payload): JVM-only
+    # generation, cell encode, broadcast join, PIP refine, tile rollup —
+    # the join scale path isolated from decode costs
+    n_big = int(os.environ.get("SPARK_GRAFT_BIGJOIN_ROWS", "10000000"))
+    big_path = f"{IMAGES_CACHE}/points_n{n_big}"
+    if not os.path.exists(f"{big_path}/_SUCCESS"):
+        (
+            spark.range(n_big)
+            .selectExpr(
+                "cast(id as string) as image_id",
+                "cast(pmod(hash(id, 1) , 3600000) as double) / 10000.0 - 180.0 as lon",
+                "cast(pmod(hash(id, 2), 1800000) as double) / 10000.0 - 90.0 as lat",
+            )
+            .write.mode("overwrite")
+            .parquet(big_path)
+        )
+    def big_join():
+        pts = spark.read.parquet(big_path)
+        joined = spatial_join(
+            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=True,
+        )
+        return (
+            assign_tiles(joined, zoom=8)
+            .groupBy("n_nationkey", "tile_x", "tile_y")
+            .count()
+        )
+    big_join().count()
+    t0 = time.time()
+    big_join().count()
+    big_sec = time.time() - t0
+    results["big_join_10m"] = round(big_sec, 3)
+
     print(
         json.dumps(
             {
@@ -206,6 +239,7 @@ def main() -> None:
                 "headline_rows_per_sec": round(n_images / headline_sec, 1),
                 "headline_runs": [round(r, 3) for r in runs],
                 "image_decode_rows_per_sec": round(n_dec / results["image_stats_full"], 1),
+                "big_join_rows_per_sec": round(n_big / big_sec, 1),
             }
         )
     )

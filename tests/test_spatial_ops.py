@@ -211,3 +211,66 @@ def test_knn_adaptive_matches_bruteforce(spark, sf_dir):
         (r["query_id"], r["rank"], r["o_orderkey"]) for r in df.collect()
     )
     assert key(adaptive) == key(brute)
+
+
+def test_salted_join_under_adversarial_clustering(spark, sf_dir):
+    """SURVEY §7.3.2 hard part: every point lands in ONE res-6 cell
+    (city-center hotspot). The salted repartition path must (a) return
+    exactly the broadcast path's result and (b) actually split the hot
+    cell across salt shards."""
+    import pyspark.sql.functions as F
+
+    from geomesa_sql_spark.io.fixtures import nation_squares
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import (
+        _CELL,
+        _SALT,
+        _cells_for_side,
+        point_side,
+        wkb_side,
+    )
+
+    n = 30_000
+    # all points inside a ~0.2° blob → one res-6 cell (cell ≈ 5.6°)
+    pts = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("pid"),
+            (F.lit(10.0) + (F.col("id") % 100) / 500.0).alias("lon"),
+            (F.lit(10.0) + ((F.col("id") * 7) % 100) / 500.0).alias("lat"),
+        )
+    )
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = spatial_join(
+            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=False,
+            salt=8, hot_cell_threshold=1_000,
+        )
+        ref = spatial_join(
+            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=True,
+        )
+        key = lambda df: sorted(
+            (r["pid"], r["n_nationkey"]) for r in df.collect()
+        )
+        assert key(salted) == key(ref)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # the hot cell really is one cell, and salting spreads it 8 ways
+    cells = _cells_for_side(pts, point_side("lon", "lat"), 6, 0.0, 256)
+    assert cells.select(_CELL).distinct().count() == 1
+    hot = int(cells.first()[_CELL])
+    shards = (
+        cells.withColumn(
+            _SALT, F.pmod(F.xxhash64("pid"), F.lit(8))
+        )
+        .groupBy(_CELL, _SALT)
+        .count()
+    )
+    counts = [r["count"] for r in shards.collect()]
+    assert len(counts) == 8 and max(counts) < n  # spread, not one shard
