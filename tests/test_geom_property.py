@@ -1,0 +1,103 @@
+"""Property-based kernel tests (hypothesis) — pure numpy, no Spark.
+
+The reference has no randomized tests (SURVEY.md §5.1); these harden
+the from-scratch geometry kernel where differential oracles are
+thinnest: codec round-trips, predicate symmetry, and PIP consistency
+between the vectorized batch kernel and the pairwise relate path.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geomesa_sql_spark.geom import geom_from_wkb, geom_from_wkt, geom_to_wkt
+from geomesa_sql_spark.geom import kernel
+from geomesa_sql_spark.geom.model import Geom, box, linestring, point, polygon
+from geomesa_sql_spark.geom.wkb import geom_to_wkb
+
+coord = st.floats(-180.0, 180.0, allow_nan=False, width=64).map(
+    lambda v: round(v, 6)
+)
+
+
+@st.composite
+def points(draw):
+    return point(draw(coord), draw(coord))
+
+
+@st.composite
+def lines(draw):
+    n = draw(st.integers(2, 6))
+    return linestring([[draw(coord), draw(coord)] for _ in range(n)])
+
+
+@st.composite
+def boxes(draw):
+    x0, x1 = sorted((draw(coord), draw(coord)))
+    y0, y1 = sorted((draw(coord), draw(coord)))
+    return box(x0, y0, x1 + 1e-6, y1 + 1e-6)
+
+
+geoms = st.one_of(points(), lines(), boxes())
+
+
+@settings(max_examples=80, deadline=None)
+@given(geoms)
+def test_wkb_roundtrip_property(g):
+    g2 = geom_from_wkb(geom_to_wkb(g))
+    assert g2.type == g.type
+    assert np.allclose(g2.all_coords(), g.all_coords())
+
+
+@settings(max_examples=80, deadline=None)
+@given(geoms)
+def test_wkt_roundtrip_property(g):
+    g2 = geom_from_wkt(geom_to_wkt(g))
+    assert g2.type == g.type
+    assert np.allclose(g2.all_coords(), g.all_coords(), atol=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(geoms, geoms)
+def test_intersects_symmetric(a, b):
+    assert kernel.relate(a, b, "intersects") == kernel.relate(b, a, "intersects")
+
+
+@settings(max_examples=60, deadline=None)
+@given(geoms, geoms)
+def test_dwithin_symmetric_and_contains_distance_zero(a, b):
+    d = 5.0
+    assert kernel.relate(a, b, "dwithin", d) == kernel.relate(b, a, "dwithin", d)
+    # intersecting geometries are within any positive distance
+    if kernel.relate(a, b, "intersects"):
+        assert kernel.relate(a, b, "dwithin", 1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes(), st.lists(st.tuples(coord, coord), min_size=1, max_size=30))
+def test_batch_pip_matches_pairwise(b, pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    batch = kernel.points_intersect_geom(xs, ys, b)
+    for i, (x, y) in enumerate(pts):
+        pairwise = kernel.relate(point(x, y), b, "intersects")
+        assert bool(batch[i]) == pairwise, (x, y, b.envelope())
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes(), st.tuples(coord, coord))
+def test_pip_agrees_with_envelope_for_boxes(b, p):
+    """For an axis-aligned box, point-intersects ≡ envelope test."""
+    x, y = p
+    minx, miny, maxx, maxy = b.envelope()
+    want = (minx <= x <= maxx) and (miny <= y <= maxy)
+    got = kernel.relate(point(x, y), b, "intersects")
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(points(), geoms, st.floats(0.01, 30.0, allow_nan=False))
+def test_dwithin_matches_distance(pt, g, d):
+    dist = kernel.points_to_geom_dist(
+        np.array([pt.coords[0]]), np.array([pt.coords[1]]), g
+    )[0]
+    assert kernel.relate(pt, g, "dwithin", d) == (dist <= d)
