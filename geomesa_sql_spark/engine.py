@@ -63,8 +63,14 @@ class Engine:
         return self.spark.sql(query)
 
     def table(self, name: str) -> GeoTable:
-        """Pushdown-accumulating scan handle (§2.1 S1/S2)."""
-        return GeoTable(self.spark, self._tables[name])
+        """Pushdown-accumulating scan handle (§2.1 S1/S2); snapshot
+        tables resolve to their current manifest's data dirs."""
+        path = self._tables[name]
+        if os.path.exists(os.path.join(path, "_CURRENT")):
+            st = SnapshotTable(self.spark, path, self.fid_col)
+            m = st._load_manifest(st._current_version())
+            return GeoTable(self.spark, tuple(m["dirs"]))
+        return GeoTable(self.spark, path)
 
     def df(self, name: str) -> DataFrame:
         return self._read(self._tables[name])

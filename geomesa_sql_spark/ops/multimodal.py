@@ -64,11 +64,17 @@ def image_stats(
             # is what turns a 32-core run memory-bound
             import pandas as _pd
 
+            mr.fill(np.nan)
+            mg.fill(np.nan)
+            mb.fill(np.nan)
+            valid = np.array([b is not None for b in blobs])
             codes, uniq = _pd.factorize(
                 _pd.Series(list(zip(fmts, ws, hs))), sort=False
             )
             for gi, (fmt, w, h) in enumerate(uniq):
-                idxs = np.nonzero(codes == gi)[0]
+                idxs = np.nonzero((codes == gi) & valid)[0]
+                if not len(idxs):
+                    continue
                 w, h = int(w), int(h)
                 stack = np.empty((len(idxs), h * w * 3), dtype=np.uint8)
                 for j, i in enumerate(idxs):
@@ -84,10 +90,14 @@ def image_stats(
             out = {id_col: pdf[id_col]}
             for c in carry:
                 out[c] = pdf[c]
-            out.update(
-                mean_r=mr, mean_g=mg, mean_b=mb,
-                luma_bucket=(luma // 32).astype(np.int32),
+            # null payload → null stats (nullable Int32 keeps the row:
+            # a corrupt image must not kill a 100 TB pass)
+            bucket = pd.array(
+                np.where(np.isnan(luma), 0, luma // 32).astype(np.int32),
+                dtype="Int32",
             )
+            bucket[np.isnan(luma)] = pd.NA
+            out.update(mean_r=mr, mean_g=mg, mean_b=mb, luma_bucket=bucket)
             yield pd.DataFrame(out)
 
     return df.select(id_col, *carry, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
@@ -109,6 +119,10 @@ def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
             for iid, data, fmt, w, h in zip(
                 pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
             ):
+                if data is None:
+                    ids.append(iid)
+                    hashes.append(None)
+                    continue
                 px = decode_image(bytes(data), fmt, int(w), int(h)).astype(np.float64)
                 luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
                 hh, ww = luma.shape
@@ -149,6 +163,10 @@ def resize_images(df: DataFrame, out_size: int, id_col: str = "image_id") -> Dat
             for iid, data, fmt, w, h in zip(
                 pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
             ):
+                if data is None:
+                    ids.append(iid)
+                    outs.append(None)
+                    continue
                 px = decode_image(bytes(data), fmt, int(w), int(h))
                 yi = (np.arange(out_size) * px.shape[0] // out_size).astype(np.int64)
                 xi = (np.arange(out_size) * px.shape[1] // out_size).astype(np.int64)

@@ -44,7 +44,7 @@ class SpatialPred:
 
 @dataclass(frozen=True)
 class ScanSpec:
-    path: str
+    path: str | tuple[str, ...]
     filters: tuple[Any, ...] = ()          # Column (relational) | SpatialPred
     columns: tuple[str, ...] | None = None  # None = all
     offset: int = 0
@@ -111,7 +111,8 @@ class GeoTable:
     def df(self) -> DataFrame:
         """Compile the accumulated spec to a DataFrame."""
         s = self.spec
-        out = self.spark.read.parquet(s.path)
+        paths = [s.path] if isinstance(s.path, str) else list(s.path)
+        out = self.spark.read.parquet(*paths)
         for f in s.filters:
             if isinstance(f, SpatialPred):
                 out = spatial_filter(

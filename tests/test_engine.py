@@ -73,3 +73,15 @@ def test_fast_count_and_min_max(spark, sf_dir):
 
 def test_fast_min_max_absent_column(sf_dir):
     assert fast_min_max(f"{sf_dir}/orders.parquet", "nope") is None
+
+
+def test_geotable_over_snapshot_table(spark, sf_dir, tmp_path):
+    """Engine.table() resolves a snapshot table to its current data
+    dirs; the pushdown handle sees post-DML state."""
+    e = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    e.create_table("natg", str(tmp_path / "natg"), base)
+    e.delete("natg", F.col("n_regionkey") == 0)
+    t = e.table("natg").where(F.col("n_nationkey") >= 0).select("n_nationkey")
+    remaining = e.df("natg").count()
+    assert t.df().count() == remaining < base.count()

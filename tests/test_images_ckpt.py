@@ -163,3 +163,25 @@ def test_checkpoint_resume_spatial_pipeline(spark, sf_dir, tmp_path):
     )
     key_of = lambda df: sorted(tuple(r) for r in df.collect())
     assert key_of(got) == key_of(whole)
+
+
+def test_null_payload_rows_survive(spark):
+    """test_null_data parity (PrepareTestDataStore.scala:62-80) for the
+    multimodal ops: a null bytes row yields null features, not a crash."""
+    from pyspark.sql import types as T
+
+    rows = [("ok", None, 8, 8, "raw", "c", 1, 0.0, 0.0)]
+    good = images_table(spark, 4, size=8)
+    schema = good.schema
+    nulled = spark.createDataFrame(
+        [("#null", None, 8, 8, "raw", "cap", 0, 0.0, 0.0)], schema
+    )
+    df = good.unionByName(nulled)
+    stats = image_stats(df).collect()
+    assert len(stats) == 5
+    nr = [r for r in stats if r["image_id"] == "#null"][0]
+    assert nr["mean_r"] is None and nr["luma_bucket"] is None
+    ph = {r["image_id"]: r["ahash"] for r in phash_images(df).collect()}
+    assert ph["#null"] is None and ph["#0"] is not None
+    rz = {r["image_id"]: r["bytes"] for r in resize_images(df, 4).collect()}
+    assert rz["#null"] is None and rz["#0"] is not None
