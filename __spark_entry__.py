@@ -238,6 +238,32 @@ def q_window_topn(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured column: JSON field extraction + rollup (Spark
+    get_json_object ≡ DuckDB json_extract_string)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def q_filter_null_forms(spark, sf_dir):
+    """P3 parity: IS NULL / IS NOT NULL pushdown forms over a derived
+    nullable column (driver tables carry no physical nulls)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("prio_null", F.nullif("o_orderpriority", F.lit("1-URGENT")))
+        .filter(F.col("prio_null").isNull() & F.col("o_orderstatus").isNotNull())
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Time-bucketed aggregation over the events table (UTC strings)."""
     e = _t(spark, sf_dir, "events")
@@ -680,6 +706,18 @@ def _oracles() -> dict[str, str]:
                                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
                 FROM orders) WHERE rn <= 2
         """,
+        "json_extract": """
+            SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            WHERE k >= 50 GROUP BY event_type
+        """,
+        "filter_null_forms": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE NULLIF(o_orderpriority, '1-URGENT') IS NULL
+              AND o_orderstatus IS NOT NULL
+        """,
         "events_hourly": """
             SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
                    COUNT(*) AS n,
@@ -860,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": q_join_anti,
         "set_ops": q_set_ops,
         "window_topn": q_window_topn,
+        "json_extract": q_json_extract,
+        "filter_null_forms": q_filter_null_forms,
         "events_hourly": q_events_hourly,
         "sql_st_intersects": q_sql_st_intersects,
         "sql_st_xy": q_sql_st_xy,
