@@ -312,6 +312,19 @@ def q_st_dwithin(spark, sf_dir):
     ).select("o_orderkey")
 
 
+def q_st_filter_wkb_rows(spark, sf_dir):
+    """Spatial filter over WKB geometry rows (not point columns): the
+    reference's geometry-attribute predicate path. Oracle is exact
+    because the fixture polygons are axis-aligned rectangles, where
+    intersects ≡ envelope overlap."""
+    from geomesa_sql_spark.plan import spatial_filter
+
+    polys = nation_squares(spark, sf_dir)
+    return spatial_filter(
+        polys, "intersects", RECT, wkb="poly", cell_col=None
+    ).select("n_nationkey")
+
+
 def q_spatial_join_pairs(spark, sf_dir):
     """J2 parity: spatial join row output (point-in-polygon pairs)."""
     from geomesa_sql_spark.join import spatial_join
@@ -735,6 +748,11 @@ def _oracles() -> dict[str, str]:
             SELECT o_orderkey FROM ({opts})
             WHERE (lon - 10.005) * (lon - 10.005) + (lat - 10.005) * (lat - 10.005) <= 400.0
         """,
+        "st_filter_wkb_rows": f"""
+            SELECT n_nationkey FROM ({nsq})
+            WHERE pminx <= 50.005 AND pmaxx >= -10.005
+              AND pminy <= 40.005 AND pmaxy >= -10.005
+        """,
         "spatial_join_pairs": f"""
             SELECT o_orderkey, n_nationkey
             FROM ({opts}) p JOIN ({nsq}) s
@@ -907,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_within_rect": q_st_within_rect,
         "st_within_pentagon": q_st_within_pentagon,
         "st_dwithin": q_st_dwithin,
+        "st_filter_wkb_rows": q_st_filter_wkb_rows,
         "spatial_join_pairs": q_spatial_join_pairs,
         "spatial_join_agg": q_spatial_join_agg,
         "spatial_join_dwithin": q_spatial_join_dwithin,

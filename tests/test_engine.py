@@ -85,3 +85,14 @@ def test_geotable_over_snapshot_table(spark, sf_dir, tmp_path):
     t = e.table("natg").where(F.col("n_nationkey") >= 0).select("n_nationkey")
     remaining = e.df("natg").count()
     assert t.df().count() == remaining < base.count()
+
+
+def test_multi_table_sql_join(eng):
+    """DriverTest.scala:89-149 parity shape: joining two registered
+    tables purely through SQL."""
+    got = eng.sql(
+        """SELECT r.r_name, COUNT(*) AS n
+           FROM nation_t n JOIN region_t r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r.r_name ORDER BY r.r_name"""
+    ).collect()
+    assert len(got) == 5 and sum(r.n for r in got) == 25
