@@ -123,6 +123,22 @@ def q_distinct_enum(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
 
 
+def q_rollup(spark, sf_dir):
+    """Inherited GROUPING SETS surface (SURVEY.md §2.4 A4 note: Calcite
+    offers ROLLUP/CUBE, the reference never pushes them — Spark serves
+    them natively via df.rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("prio"),
+            "n",
+        )
+    )
+
+
 def q_topk(spark, sf_dir):
     """L2 parity: ORDER BY + LIMIT → TakeOrderedAndProject."""
     return (
@@ -668,6 +684,12 @@ def _oracles() -> dict[str, str]:
             FROM orders
         """,
         "distinct_enum": "SELECT DISTINCT o_orderpriority FROM orders",
+        "rollup": """
+            SELECT COALESCE(o_orderstatus, '<all>') AS status,
+                   COALESCE(o_orderpriority, '<all>') AS prio,
+                   COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
         "topk": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -906,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_group": q_agg_group,
         "agg_global": q_agg_global,
         "distinct_enum": q_distinct_enum,
+        "rollup": q_rollup,
         "topk": q_topk,
         "limit_offset": q_limit_offset,
         "fid_in": q_fid_in,

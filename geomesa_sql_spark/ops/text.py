@@ -8,7 +8,6 @@ ANSI SQL so the DuckDB oracle can replay them exactly.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -3,7 +3,6 @@
 """
 
 import numpy as np
-import pytest
 
 from geomesa_sql_spark.geom import (
     geom_from_wkb,

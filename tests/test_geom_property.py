@@ -11,7 +11,7 @@ from hypothesis import given, settings, strategies as st
 
 from geomesa_sql_spark.geom import geom_from_wkb, geom_from_wkt, geom_to_wkt
 from geomesa_sql_spark.geom import kernel
-from geomesa_sql_spark.geom.model import Geom, box, linestring, point, polygon
+from geomesa_sql_spark.geom.model import box, linestring, point
 from geomesa_sql_spark.geom.wkb import geom_to_wkb
 
 coord = st.floats(-180.0, 180.0, allow_nan=False, width=64).map(

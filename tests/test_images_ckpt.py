@@ -10,7 +10,6 @@ from geomesa_sql_spark.io.images import (
     decode_image,
     decode_png,
     encode_png,
-    encode_raw,
     psnr,
 )
 from geomesa_sql_spark.ops import image_stats, phash_images, resize_images

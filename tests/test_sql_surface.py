@@ -59,8 +59,6 @@ def test_st_buffer_dwithin_equivalence(spark):
     """ST_Intersects(x, ST_Buffer(g, d)) ≡ ST_DWithin(x, g, d) up to the
     circle discretization — the reference's DWithin rewrite
     (RexNodeTranslator.scala:184-196)."""
-    import math
-
     register_all(spark)
     d = 2.0
     # probes at distances straddling d from a point and from a polygon edge

@@ -2,8 +2,6 @@
 a custom stateful operator, oracled against batch groupBy on the same
 data (available-now trigger = deterministic drain)."""
 
-import shutil
-
 import pytest
 from pyspark.sql import functions as F
 
