@@ -23,10 +23,71 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from geomesa_sql_spark.functions import register_all
 from geomesa_sql_spark.io.dml import SnapshotTable
 from geomesa_sql_spark.plan.scan import GeoTable
+
+
+import re as _re
+
+
+def _parse_dml(query: str):
+    """Minimal DML statement recognizer. Returns None for SELECT-like
+    text; otherwise (verb, table, body):
+    - INSERT INTO t VALUES (...),(...) / INSERT INTO t SELECT ...
+    - UPDATE t SET a = e1, b = e2 [WHERE cond]
+    - DELETE FROM t [WHERE cond]
+    Expressions inside SET/WHERE pass verbatim to Spark's expression
+    parser (F.expr) — the same surface as the reference's Calcite SQL.
+    """
+    q = query.strip().rstrip(";")
+    m = _re.match(
+        r"(?is)^INSERT\s+INTO\s+(\w+)\s*(\([^)]*\))?\s*(VALUES\s+.*|SELECT\s+.*)$", q
+    )
+    if m:
+        cols = None
+        if m.group(2):
+            cols = [c.strip() for c in m.group(2)[1:-1].split(",")]
+        body = m.group(3)
+        if body.upper().startswith("VALUES"):
+            body = body[len("VALUES"):].strip()
+        return ("insert", m.group(1), (cols, body))
+    m = _re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", q)
+    if m:
+        return ("update", m.group(1), (m.group(2), m.group(3)))
+    m = _re.match(r"(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", q)
+    if m:
+        return ("delete", m.group(1), m.group(2))
+    return None
+
+
+def _split_assignments(set_part: str):
+    """Split 'a = e1, b = e2' on top-level commas (not inside parens
+    or quotes)."""
+    depth = 0
+    quote = None
+    start = 0
+    parts = []
+    for i, ch in enumerate(set_part):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(set_part[start:i])
+            start = i + 1
+    parts.append(set_part[start:])
+    for p in parts:
+        col, expr = p.split("=", 1)
+        yield col.strip(), expr.strip()
 
 
 class Engine:
@@ -60,7 +121,34 @@ class Engine:
     # -------------------------------------------------------------- query
 
     def sql(self, query: str) -> DataFrame:
-        return self.spark.sql(query)
+        """SELECT → Spark SQL; INSERT/UPDATE/DELETE on a registered
+        snapshot table → snapshot commit returning a single-row
+        affected-count frame, like the reference's executeUpdate
+        (nodes/GeoMesaPhysicalTableModify.scala:129-143 returns the
+        count as a 1-row result)."""
+        dml = _parse_dml(query)
+        if dml is None:
+            return self.spark.sql(query)
+        verb, table, body = dml
+        if table not in self._tables:
+            raise ValueError(f"unknown table {table!r} in DML")
+        if verb == "insert":
+            cols, src = body
+            names = cols or self.describe(table).names
+            if src.upper().startswith("SELECT"):
+                rows = self.spark.sql(src).toDF(*names)
+            else:
+                rows = self.spark.sql(
+                    f"SELECT * FROM (VALUES {src}) AS t({', '.join(names)})"
+                )
+            n = self.insert(table, rows)
+        elif verb == "update":
+            set_part, where = body
+            exprs = dict(_split_assignments(set_part))
+            n = self.update(table, exprs, F.expr(where) if where else None)
+        else:
+            n = self.delete(table, F.expr(body) if body else None)
+        return self.spark.createDataFrame([(n,)], "affected bigint")
 
     def table(self, name: str) -> GeoTable:
         """Pushdown-accumulating scan handle (§2.1 S1/S2); snapshot

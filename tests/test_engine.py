@@ -96,3 +96,44 @@ def test_multi_table_sql_join(eng):
            GROUP BY r.r_name ORDER BY r.r_name"""
     ).collect()
     assert len(got) == 5 and sum(r.n for r in got) == 25
+
+
+def test_sql_dml_statements(spark, sf_dir, tmp_path):
+    """SQL-text DML parity (ModificationTest.scala:36-175 shapes):
+    INSERT VALUES / partial columns / INSERT-SELECT, UPDATE SET..WHERE,
+    DELETE WHERE — each returning a 1-row affected count."""
+    e = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    e.create_table("natsql", str(tmp_path / "natsql"), base)
+    n0 = base.count()
+
+    r = e.sql("INSERT INTO natsql VALUES (900, 'ATLANTIS', 0)")
+    assert r.first().affected == 1
+    r = e.sql("INSERT INTO natsql (n_nationkey) VALUES (901)")
+    assert r.first().affected == 1
+    assert e.sql(
+        "SELECT n_name FROM natsql WHERE n_nationkey = 901"
+    ).first().n_name is None
+    r = e.sql(
+        "INSERT INTO natsql SELECT n_nationkey + 1000, n_name, n_regionkey "
+        "FROM natsql WHERE n_nationkey < 5"
+    )
+    assert r.first().affected == 5
+
+    r = e.sql("UPDATE natsql SET n_name = lower(n_name) WHERE n_regionkey = 1")
+    hit = r.first().affected
+    assert hit > 0
+    assert e.sql(
+        "SELECT COUNT(*) AS c FROM natsql WHERE n_regionkey = 1 AND n_name <> lower(n_name)"
+    ).first().c == 0
+
+    r = e.sql("DELETE FROM natsql WHERE n_nationkey >= 900")
+    assert r.first().affected == 7
+    assert e.sql("SELECT COUNT(*) AS c FROM natsql").first().c == n0
+
+    # UPDATE of the FID column through SQL is rejected too
+    import pytest as _pytest
+    from geomesa_sql_spark.io.dml import FidUpdateError
+
+    with _pytest.raises(FidUpdateError):
+        e.sql("UPDATE natsql SET n_nationkey = 0")
