@@ -274,3 +274,47 @@ def test_salted_join_under_adversarial_clustering(spark, sf_dir):
     )
     counts = [r["count"] for r in shards.collect()]
     assert len(counts) == 8 and max(counts) < n  # spread, not one shard
+
+
+def test_right_full_join_fallback(spark, sf_dir):
+    """RIGHT/FULL are never handled by the spatial-join operator
+    (EnumerableSpatialJoinRule.scala:43-44; SpatialJoinTest.scala:54-57
+    expects the planner to fall back) — the fallback surface here is a
+    plain Spark join on the raw relate-predicate UDF."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+
+    pts = (
+        orders_points(spark, sf_dir)
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "lon", "lat")
+    )
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly", "pminx",
+                                                 "pminy", "pmaxx", "pmaxy")
+    with _pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        spatial_join(pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+                     predicate="intersects", how="right")
+
+    # fallback: RIGHT ≡ mirrored LEFT with sides swapped (Spark itself
+    # forbids Python UDFs in outer-join ON clauses, so the raw-predicate
+    # route the reference's enumerable join takes is not available;
+    # the mirrored LEFT is the engine-native expression of the query)
+    got = spatial_join(
+        polys, pts, wkb_side("poly"), point_side("lon", "lat"),
+        predicate="intersects", res=6, broadcast=True,
+        how="left", left_key="n_nationkey",
+    ).filter(F.col("o_orderkey").isNull())
+    # oracle: polygons containing no point, via the JVM bbox condition
+    bbox_hits = pts.join(
+        polys,
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy")),
+        "right",
+    ).filter(F.col("o_orderkey").isNull())
+    assert {r.n_nationkey for r in got.collect()} == {
+        r.n_nationkey for r in bbox_hits.collect()
+    }
