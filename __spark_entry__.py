@@ -497,6 +497,21 @@ def q_sql_st_dwithin(spark, sf_dir):
     )
 
 
+def q_sql_st_measures(spark, sf_dir):
+    """ST_Area / ST_Centroid over WKB rows; oracle is closed-form for
+    axis-aligned squares (area = (2·hs)², centroid = center)."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    nation_squares(spark, sf_dir).createOrReplaceTempView("nsq_v")
+    return spark.sql(
+        """SELECT n_nationkey, ST_Area(poly) AS area,
+                  ROUND(ST_X(ST_Centroid(poly)), 6) AS cx_r,
+                  ROUND(ST_Y(ST_Centroid(poly)), 6) AS cy_r
+           FROM nsq_v"""
+    )
+
+
 # ------------------------------------------------------- pipeline operators
 
 
@@ -842,6 +857,11 @@ def _oracles() -> dict[str, str]:
             FROM ({opts})
             WHERE (lon - 10.005) * (lon - 10.005) + (lat - 10.005) * (lat - 10.005) <= 400.0
         """,
+        "sql_st_measures": f"""
+            SELECT n_nationkey, 4.0 * hs * hs AS area,
+                   ROUND(cx, 6) AS cx_r, ROUND(cy, 6) AS cy_r
+            FROM ({nsq})
+        """,
         "dedup_exact": """
             SELECT doc_id, lang, n_chars FROM documents
         """,
@@ -945,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_st_intersects": q_sql_st_intersects,
         "sql_st_xy": q_sql_st_xy,
         "sql_st_dwithin": q_sql_st_dwithin,
+        "sql_st_measures": q_sql_st_measures,
         "st_within_rect": q_st_within_rect,
         "st_within_pentagon": q_st_within_pentagon,
         "st_dwithin": q_st_dwithin,

@@ -347,3 +347,37 @@ def register_all(spark: SparkSession) -> None:
         )
 
     spark.udf.register("ST_MakeEnvelope", _makeenv)
+
+    def _measure(fn, dtype=T.DoubleType()):
+        @F.pandas_udf(dtype)
+        def _udf(wkb: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if g is None else fn(g) for g in _decode_series(wkb)]
+            )
+
+        return _udf
+
+    spark.udf.register("ST_Area", _measure(kernel.area))
+    spark.udf.register("ST_Length", _measure(kernel.length))
+    spark.udf.register("ST_NumPoints", _measure(lambda g: len(g.all_coords()), T.IntegerType()))
+    spark.udf.register("ST_GeometryType", _measure(lambda g: g.type, T.StringType()))
+    spark.udf.register(
+        "ST_IsEmpty", _measure(lambda g: g.all_coords().size == 0, T.BooleanType())
+    )
+    spark.udf.register("ST_XMin", _measure(lambda g: g.envelope()[0]))
+    spark.udf.register("ST_YMin", _measure(lambda g: g.envelope()[1]))
+    spark.udf.register("ST_XMax", _measure(lambda g: g.envelope()[2]))
+    spark.udf.register("ST_YMax", _measure(lambda g: g.envelope()[3]))
+
+    @F.pandas_udf(T.BinaryType())
+    def _centroid(wkb: pd.Series) -> pd.Series:
+        out = []
+        for g in _decode_series(wkb):
+            if g is None:
+                out.append(None)
+            else:
+                cx, cy = kernel.centroid(g)
+                out.append(geom_to_wkb(Geom("Point", np.array([cx, cy]))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_Centroid", _centroid)

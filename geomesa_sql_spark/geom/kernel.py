@@ -638,3 +638,66 @@ def union_geom(a: Geom, b: Geom) -> Geom:
     polygon-dissolve; documented as such.
     """
     return Geom(model.GEOMETRYCOLLECTION, [a, b])
+
+
+# ------------------------------------------------------------ measures
+
+
+def area(g: Geom) -> float:
+    """Planar area (shoelace; holes subtract; JTS getArea semantics —
+    0 for points/lines)."""
+    total = 0.0
+    for part in g.flatten():
+        if part.type != model.POLYGON:
+            continue
+        for k, ring in enumerate(part.coords):
+            x, y = ring[:, 0], ring[:, 1]
+            a = 0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
+            total += a if k == 0 else -a
+    return total
+
+
+def length(g: Geom) -> float:
+    """JTS getLength semantics: line length; polygon perimeter; 0 for
+    points."""
+    segs = g.segments()
+    if not len(segs):
+        return 0.0
+    return float(np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1]).sum())
+
+
+def centroid(g: Geom) -> tuple[float, float]:
+    """Centroid of the highest-dimension component set (JTS rule):
+    area-weighted for polygons, length-weighted for lines, mean for
+    points."""
+    d = g.dimension()
+    if d == 2:
+        sx = sy = sa = 0.0
+        for part in g.flatten():
+            if part.type != model.POLYGON:
+                continue
+            for k, ring in enumerate(part.coords):
+                x, y = ring[:, 0], ring[:, 1]
+                cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+                a = float(cross.sum()) / 2.0
+                if a == 0.0:
+                    continue
+                cx = float(((x[:-1] + x[1:]) * cross).sum()) / (6.0 * a)
+                cy = float(((y[:-1] + y[1:]) * cross).sum()) / (6.0 * a)
+                w = abs(a) * (1.0 if k == 0 else -1.0)
+                sx += cx * w
+                sy += cy * w
+                sa += w
+        if sa != 0.0:
+            return sx / sa, sy / sa
+    if d >= 1:
+        segs = g.segments()
+        if len(segs):
+            ln = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+            tot = float(ln.sum())
+            if tot > 0:
+                mx = (segs[:, 0] + segs[:, 2]) / 2
+                my = (segs[:, 1] + segs[:, 3]) / 2
+                return float((mx * ln).sum() / tot), float((my * ln).sum() / tot)
+    pts = g.all_coords()
+    return float(pts[:, 0].mean()), float(pts[:, 1].mean())

@@ -112,3 +112,25 @@ def test_st_makeenvelope(spark):
                             ST_MakeEnvelope(1.0, 2.0, 3.0, 4.0)) AS inside"""
     ).first()
     assert r.wkt.startswith("POLYGON") and r.inside
+
+
+def test_st_measures(spark):
+    register_all(spark)
+    r = spark.sql(
+        """SELECT ST_Area(g) AS a, ST_Length(g) AS l, ST_NumPoints(g) AS np,
+                  ST_GeometryType(g) AS t, ST_IsEmpty(g) AS e,
+                  ST_XMin(g) AS x0, ST_YMax(g) AS y1,
+                  ST_X(ST_Centroid(g)) AS cx, ST_Y(ST_Centroid(g)) AS cy
+           FROM (SELECT ST_GeomFromText(
+                 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS g)"""
+    ).first()
+    assert (r.a, r.l, r.np, r.t, r.e) == (16.0, 16.0, 5, "Polygon", False)
+    assert (r.x0, r.y1) == (0.0, 4.0)
+    assert (r.cx, r.cy) == (2.0, 2.0)
+    # line: zero area, length-weighted centroid
+    r2 = spark.sql(
+        """SELECT ST_Area(g) AS a, ST_Length(g) AS l,
+                  ST_X(ST_Centroid(g)) AS cx
+           FROM (SELECT ST_GeomFromText('LINESTRING (0 0, 3 4)') AS g)"""
+    ).first()
+    assert (r2.a, r2.l, r2.cx) == (0.0, 5.0, 1.5)
