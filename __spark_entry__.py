@@ -536,6 +536,27 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_token_stats(spark, sf_dir):
+    """Token counting both ways: whitespace + BPE-ish regex (JVM
+    regexp_count ≡ DuckDB regexp_extract_all length)."""
+    from geomesa_sql_spark.ops.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Rolling-hash CDC fingerprints (chunk walk not SQL-expressible →
+    rows-only; CDC stability property asserted in tests)."""
+    from geomesa_sql_spark.ops import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def q_lang_counts(spark, sf_dir):
     """Language distribution roll-up."""
     d = _t(spark, sf_dir, "documents")
@@ -878,6 +899,12 @@ def _oracles() -> dict[str, str]:
                        AS quality
             FROM documents
         """,
+        "token_stats": """
+            SELECT doc_id,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+            FROM documents
+        """,
         "lang_counts": """
             SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
             FROM documents GROUP BY lang
@@ -979,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
+        "token_stats": q_token_stats,
+        "doc_fingerprints": q_doc_fingerprints,
         "lang_counts": q_lang_counts,
         "ann_topk": q_ann_topk,
         "embed_near_dup": q_embed_near_dup,

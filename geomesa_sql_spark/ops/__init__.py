@@ -2,6 +2,7 @@ from geomesa_sql_spark.ops.dedup import (  # noqa: F401
     exact_dedup,
     lsh_near_dup_pairs,
     ngram_jaccard_pairs,
+    doc_fingerprints,
     minhash_signatures,
     simhash64,
 )

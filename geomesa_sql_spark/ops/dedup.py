@@ -239,3 +239,70 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    mask_bits: int = 6,
+    min_chunk: int = 24,
+) -> DataFrame:
+    """Content-defined-chunking fingerprints (Rabin-style rolling hash).
+
+    Output: (id, chunk_idx, chunk_hash) — one row per chunk. Boundaries
+    fall where the rolling hash of the trailing ``window`` bytes has
+    ``mask_bits`` low zero bits (expected chunk ≈ 2^mask_bits + window
+    bytes, floored at ``min_chunk``); chunk_hash is FNV-1a of the chunk
+    bytes. The CDC property — an edit only disturbs the chunks it
+    touches, unlike fixed-stride blocks — is what makes these
+    fingerprints usable for containment/near-dup at corpus scale.
+    Vectorized: the rolling hash is a sliding-window dot product with
+    wraparound uint64 powers; only the boundary walk is per-chunk.
+    """
+    P = np.uint64(1099511628211)
+
+    powers = P ** np.arange(window, dtype=np.uint64)[::-1]
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_hash", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for key, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode()
+                n = len(data)
+                if n == 0:
+                    continue
+                if n <= window:
+                    bounds = [n]
+                else:
+                    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+                    win = np.lib.stride_tricks.sliding_window_view(arr, window)
+                    roll = (win * powers).sum(axis=1)  # uint64 wraps
+                    mask = (np.uint64(1) << np.uint64(mask_bits)) - np.uint64(1)
+                    cut_pos = np.nonzero((roll & mask) == 0)[0] + window
+                    bounds = []
+                    prev = 0
+                    for c in cut_pos.tolist():
+                        if c - prev >= min_chunk:
+                            bounds.append(c)
+                            prev = c
+                    if prev != n:
+                        bounds.append(n)
+                start = 0
+                for k, end in enumerate(bounds):
+                    ids.append(key)
+                    idxs.append(k)
+                    hashes.append(_fnv1a(data[start:end].decode("latin1")))
+                    start = end
+            yield pd.DataFrame({id_col: ids, "chunk_idx": idxs, "chunk_hash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)

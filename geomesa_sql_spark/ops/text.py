@@ -92,3 +92,16 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
         return pd.Series(out, dtype=object)
 
     return df.withColumn(out_col, _lid(text_col))
+
+
+# BPE-ish token pattern: letter runs | digit runs | single punctuation.
+# ASCII form so Spark (Java regex) and DuckDB (RE2) count identically
+# on the synthetic corpus; swap for \p{L}/\p{N} classes on unicode data.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-style token count (JVM regexp, no Python): letter runs,
+    digit runs and punctuation as separate tokens — the cheap stand-in
+    for a real BPE vocab when sizing pretraining corpora."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))

@@ -191,3 +191,49 @@ def test_lsh_recall_vs_exact_ngram(spark, sf_dir):
     assert exact, "fixture must produce near-dup pairs"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.95, recall
+
+
+def test_bpe_token_count_vs_python_re(spark, sf_dir):
+    import re
+
+    from geomesa_sql_spark.ops.text import TOKEN_REGEX, bpe_ish_token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    got = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    }
+    pat = re.compile(TOKEN_REGEX)
+    for r in d.collect():
+        assert got[r.doc_id] == len(pat.findall(r.text)), r.doc_id
+
+
+def test_doc_fingerprints_cdc_property(spark, sf_dir):
+    """Content-defined chunking: a prefix edit disturbs only the first
+    chunk(s); fixed-stride blocking would shift every boundary."""
+    from geomesa_sql_spark.ops import doc_fingerprints
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    edited = d.withColumn("text", F.concat(F.lit("edited prefix xyz "), F.col("text"))) \
+              .withColumn("doc_id", F.col("doc_id") + 10_000)
+    fp = doc_fingerprints(d.unionByName(edited), "text", "doc_id")
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_hash)
+    shared_total = orig_total = 0
+    for r in d.select("doc_id").collect():
+        a = by_doc.get(r.doc_id, [])
+        b = by_doc.get(r.doc_id + 10_000, [])
+        if len(a) < 3:
+            continue  # doc too short to have stable tail chunks
+        shared_total += len(set(a) & set(b))
+        orig_total += len(set(a))
+    assert orig_total > 0
+    # the tail chunks survive the prefix edit
+    assert shared_total / orig_total > 0.6, (shared_total, orig_total)
+    # determinism
+    fp2 = doc_fingerprints(d, "text", "doc_id").collect()
+    assert sorted((r.doc_id, r.chunk_idx, r.chunk_hash) for r in fp2) == sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_hash) for r in rows if r.doc_id < 10_000
+    )
