@@ -118,3 +118,38 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_spatial_join(
+    stream_points: DataFrame,
+    static_polys: DataFrame,
+    x: str,
+    y: str,
+    wkb: str,
+    predicate: str = "intersects",
+    res: int = 6,
+    distance: float | None = None,
+) -> DataFrame:
+    """Stream-static spatial join: a stream of points against a static
+    polygon set.
+
+    Stateless on the stream side — JVM cell encode per micro-batch,
+    broadcast hash join against the static side's exploded cell cover,
+    vectorized refine — so it runs in append mode with no state store.
+    (A stream-stream spatial join would need watermarked symmetric
+    state; the geo-enrichment shape — events × zones — is stream-static
+    in practice.)
+    """
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+
+    return spatial_join(
+        stream_points,
+        static_polys,
+        point_side(x, y),
+        wkb_side(wkb),
+        predicate=predicate,
+        distance=distance,
+        res=res,           # required: no sampling jobs on a stream
+        broadcast=True,    # required: no count() probe on a stream
+    )

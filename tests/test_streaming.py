@@ -57,3 +57,38 @@ def test_stateful_running_totals(spark, events_dir):
         .collect()
     }
     assert last == batch
+
+
+def test_stream_spatial_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static geo-enrichment: streaming points × broadcast
+    polygons equals the batch spatial join on the same files."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+    from geomesa_sql_spark.streaming import stream_spatial_join
+
+    src = str(tmp_path / "pts")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat") \
+        .repartition(3).write.parquet(src)
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    joined = stream_spatial_join(stream, polys, "lon", "lat", "poly", res=6)
+    name = "geo_sink"
+    q = (
+        joined.select("o_orderkey", "n_nationkey")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.o_orderkey, r.n_nationkey) for r in spark.table(name).collect()}
+    want = {
+        (r.o_orderkey, r.n_nationkey)
+        for r in spatial_join(
+            spark.read.parquet(src), polys, point_side("lon", "lat"),
+            wkb_side("poly"), predicate="intersects", res=6, broadcast=True,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
