@@ -579,6 +579,18 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer → probe nprobe lists → exact
+    rerank; recall vs brute force asserted in tests)."""
+    from geomesa_sql_spark.ops.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_topk(e, q, k=10, n_lists=8, nprobe=3).select("q_id", "vec_id", "rank")
+
+
 def q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact path; LSH path in ops.ann)."""
     from geomesa_sql_spark.ops import near_dup_embeddings
@@ -1018,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "phash": q_phash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "image_stats": q_image_stats,
         "resize": q_resize,
         "tile_hilbert": q_tile_hilbert,

@@ -159,3 +159,84 @@ def near_dup_embeddings(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, k: int, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (splitmix
+    init — no RNG state). The sample is small (≤ ~10k vectors); the
+    expensive assignment of the full corpus happens distributed."""
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
+    n = len(sample)
+    idx = (_splitmix64(np.arange(seed, seed + k, dtype=np.int64)) % np.uint64(n)).astype(
+        np.int64
+    )
+    cents = sample[np.unique(idx)]
+    while len(cents) < k:  # de-duplicated init collisions: fill greedily
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1).min(1)
+        cents = np.vstack([cents, sample[int(d.argmax())]])
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(0)
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "q_embedding",
+    q_id_col: str = "q_id",
+    train_sample: int = 10_000,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer → inverted lists
+    → probe the ``nprobe`` nearest lists per query → exact rerank.
+
+    The 10^12-row shape: centroids train on a driver-side sample and
+    broadcast; corpus assignment is one vectorized pandas-UDF pass; the
+    candidate join touches ~nprobe/n_lists of the data. Recall vs brute
+    force is asserted in tests (like the LSH path).
+    """
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).limit(train_sample).collect()
+        ]
+    )
+    cents = _kmeans_centroids(sample, n_lists)
+    cn = (cents * cents).sum(1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = (m * m).sum(1)[:, None] - 2.0 * (m @ cents.T) + cn[None, :]
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = (m * m).sum(1)[:, None] - 2.0 * (m @ cents.T) + cn[None, :]
+        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    data_l = df.withColumn("__list", _assign(vec_col))
+    q_l = query_df.withColumn("__list", F.explode(_probes(q_vec_col)))
+    joined = data_l.join(F.broadcast(q_l), on="__list")
+    sim = cosine_similarity_col(F.col(vec_col), F.col(q_vec_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "sim", "rank")
+    )

@@ -237,3 +237,26 @@ def test_doc_fingerprints_cdc_property(spark, sf_dir):
     assert sorted((r.doc_id, r.chunk_idx, r.chunk_hash) for r in fp2) == sorted(
         (r.doc_id, r.chunk_idx, r.chunk_hash) for r in rows if r.doc_id < 10_000
     )
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from geomesa_sql_spark.ops import cosine_topk
+    from geomesa_sql_spark.ops.ann import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = cosine_topk(e, q, k=10)
+    approx = ivf_topk(e, q, k=10, n_lists=8, nprobe=3)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.q_id, set()).add(r.vec_id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = [len(ex[q_] & ap.get(q_, set())) / len(ex[q_]) for q_ in ex]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    # the probed query always finds itself (sim 1.0 at rank 1)
+    top1 = {r.q_id: r.vec_id for r in approx.filter(F.col("rank") == 1).collect()}
+    assert all(top1[q_] == q_ for q_ in top1)
