@@ -448,6 +448,16 @@ def q_tile_assign(spark, sf_dir):
     )
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Raster-side pyramid: per-tile counts at zoom 6 rolled up two
+    levels to zoom 4 (pure integer-shift shuffles)."""
+    from geomesa_sql_spark.tiles import assign_tiles, pyramid_rollup, tile_stats
+
+    pts = orders_points(spark, sf_dir)
+    stats = tile_stats(assign_tiles(pts, zoom=6, with_hilbert=False))
+    return pyramid_rollup(stats, levels=2)
+
+
 # ------------------------------------------------------------- SQL surface
 # The reference's user-facing surface is SQL with Calcite's fun=spatial
 # operator table (jdbc/Driver.scala:51-56). functions.register_all
@@ -870,6 +880,16 @@ def _oracles() -> dict[str, str]:
                                    (3, -120.0, -30.0)) q(query_id, qx, qy)
             ) WHERE rank <= 10
         """,
+        "tile_pyramid": f"""
+            SELECT tile_x // 4 AS tile_x, tile_y // 4 AS tile_y,
+                   SUM(n_rows) AS n_rows
+            FROM (
+                SELECT GREATEST(0, LEAST(63, CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT))) AS tile_x,
+                       GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - lat) / 180.0 * 64) AS BIGINT))) AS tile_y,
+                       COUNT(*) AS n_rows
+                FROM ({opts}) GROUP BY 1, 2
+            ) GROUP BY 1, 2
+        """,
         "tile_assign": f"""
             SELECT GREATEST(0, LEAST(63, CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT))) AS tile_x,
                    GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - lat) / 180.0 * 64) AS BIGINT))) AS tile_y,
@@ -1016,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_left": q_spatial_join_left,
         "knn": q_knn,
         "tile_assign": q_tile_assign,
+        "tile_pyramid": q_tile_pyramid,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,

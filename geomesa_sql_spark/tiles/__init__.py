@@ -1,1 +1,1 @@
-from geomesa_sql_spark.tiles.assign import assign_tiles, tile_stats  # noqa: F401
+from geomesa_sql_spark.tiles.assign import assign_tiles, pyramid_rollup, tile_stats  # noqa: F401

@@ -60,3 +60,32 @@ def assign_tiles(
 def tile_stats(df: DataFrame) -> DataFrame:
     """Per-tile row counts — skew diagnostics for the bench report."""
     return df.groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def pyramid_rollup(
+    tile_stats_df: DataFrame,
+    levels: int = 1,
+    agg_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Roll per-tile stats up one or more zoom levels (tile pyramid).
+
+    Input: (tile_x, tile_y, <measures>) at zoom z. Each level halves
+    the grid: parent = (tile_x >> 1, tile_y >> 1), measures summed (or
+    per-column agg from ``agg_cols``: col → 'sum'|'min'|'max'). This is
+    the raster-side reduction of the raster↔vector handoff — the
+    z, z-1, ..., z-levels pyramid a tile server consumes, built with
+    plain shuffles on integer keys (no UDF anywhere).
+    """
+    out = tile_stats_df
+    measures = [
+        c for c in out.columns if c not in ("tile_x", "tile_y")
+    ]
+    aggs = agg_cols or {c: "sum" for c in measures}
+    for _ in range(levels):
+        out = (
+            out.withColumn("tile_x", F.shiftright("tile_x", 1))
+            .withColumn("tile_y", F.shiftright("tile_y", 1))
+            .groupBy("tile_x", "tile_y")
+            .agg(*[getattr(F, aggs[c])(c).alias(c) for c in measures])
+        )
+    return out
