@@ -225,6 +225,32 @@ def main() -> None:
     big_sec = time.time() - t0
     results["big_join_10m"] = round(big_sec, 3)
 
+    # big×big: 2M-point DWithin self-join through the repartition path
+    # (auto-broadcast off — the plan shape of a two-large-sides join on
+    # a 1000-executor cluster: both sides shuffle on the cell key)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_self = 2_000_000
+        pts2 = (
+            spark.range(n_self)
+            .selectExpr(
+                "id",
+                "cast(pmod(hash(id, 1), 3600000) as double) / 10000.0 - 180.0 as lon",
+                "cast(pmod(hash(id, 2), 1800000) as double) / 10000.0 - 90.0 as lat",
+            )
+        )
+        other = pts2.selectExpr("id as id_b", "lon as lon_b", "lat as lat_b")
+        sj = spatial_join(
+            pts2, other, point_side("lon", "lat"), point_side("lon_b", "lat_b"),
+            predicate="dwithin", distance=0.02, res=12, broadcast=False,
+        )
+        sj.count()  # warm
+        t0 = time.time()
+        sj.count()
+        results["big_selfjoin_2m"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     print(
         json.dumps(
             {
