@@ -427,11 +427,18 @@ def q_spatial_join_left(spark, sf_dir):
 
 
 def q_knn(spark, sf_dir):
-    """kNN (north-star operator): 10 nearest order-points per query."""
-    from geomesa_sql_spark.join import knn_join
+    """kNN (north-star operator): 10 nearest order-points per query.
+
+    Uses the scale path — expanding-radius bbox pruning
+    (join/knn.py::knn_join_adaptive), which at 10^12 rows touches a
+    city instead of the world; the brute-force knn_join stays as its
+    differential oracle (test_spatial_ops.py::
+    test_knn_adaptive_matches_bruteforce) and this DuckDB oracle is the
+    brute-force formulation."""
+    from geomesa_sql_spark.join import knn_join_adaptive
 
     pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
-    return knn_join(pts, KNN_QUERIES, k=10, x="lon", y="lat").select(
+    return knn_join_adaptive(pts, KNN_QUERIES, k=10, x="lon", y="lat").select(
         "query_id", "o_orderkey", "rank"
     )
 
@@ -800,7 +807,9 @@ def _oracles() -> dict[str, str]:
                 FROM orders) WHERE rn <= 2
         """,
         "json_extract": """
-            SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k
+            -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; Spark yields BIGINT —
+            -- the driver's value hash is type-sensitive (VERDICT r01 §wrong.1)
+            SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
             FROM (SELECT event_type,
                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)
@@ -882,7 +891,7 @@ def _oracles() -> dict[str, str]:
         """,
         "tile_pyramid": f"""
             SELECT tile_x // 4 AS tile_x, tile_y // 4 AS tile_y,
-                   SUM(n_rows) AS n_rows
+                   CAST(SUM(n_rows) AS BIGINT) AS n_rows
             FROM (
                 SELECT GREATEST(0, LEAST(63, CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT))) AS tile_x,
                        GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - lat) / 180.0 * 64) AS BIGINT))) AS tile_y,
@@ -938,7 +947,7 @@ def _oracles() -> dict[str, str]:
             FROM documents
         """,
         "lang_counts": """
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "ann_topk": """

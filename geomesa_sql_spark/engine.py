@@ -54,13 +54,50 @@ def _parse_dml(query: str):
         if body.upper().startswith("VALUES"):
             body = body[len("VALUES"):].strip()
         return ("insert", m.group(1), (cols, body))
-    m = _re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", q)
+    m = _re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*)$", q)
     if m:
-        return ("update", m.group(1), (m.group(2), m.group(3)))
-    m = _re.match(r"(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", q)
+        set_part, where = _split_top_level_where(m.group(2))
+        return ("update", m.group(1), (set_part, where))
+    m = _re.match(r"(?is)^DELETE\s+FROM\s+(\w+)(?:\s+(.*))?$", q)
     if m:
-        return ("delete", m.group(1), m.group(2))
+        rest = m.group(2)
+        if rest is None:
+            return ("delete", m.group(1), None)
+        head, where = _split_top_level_where("__ " + rest)
+        if head.strip() != "__" or where is None:
+            return None  # junk between table name and WHERE
+        return ("delete", m.group(1), where)
     return None
+
+
+def _split_top_level_where(s: str) -> tuple[str, str | None]:
+    """Split on the first WHERE at paren depth 0 outside quotes — a SET
+    expression or string literal containing the word WHERE must not be
+    cut (the lazy-regex version mis-split on the first ' WHERE ' text
+    anywhere; ADVICE r01). Returns (head, where_clause | None)."""
+    depth = 0
+    quote = None
+    i = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch in "wW" and s[i : i + 5].upper() == "WHERE":
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            after = s[i + 5 : i + 6]
+            after_ok = after == "" or not (after.isalnum() or after == "_")
+            if before_ok and after_ok:
+                return s[:i].rstrip(), s[i + 5 :].strip() or None
+        i += 1
+    return s, None
 
 
 def _split_assignments(set_part: str):

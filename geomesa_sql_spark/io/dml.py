@@ -112,13 +112,25 @@ class SnapshotTable:
         if extra:
             raise ValueError(f"unknown columns in INSERT: {sorted(extra)}")
         current = self.read()
-        aligned = rows.select(
-            *[
-                F.col(c) if c in rows.columns
-                else F.lit(None).cast(current.schema[c].dataType).alias(c)
-                for c in cols
-            ]
-        )
+        # Cast EVERY column to the table schema, not just null fills:
+        # Calcite coerces INSERT rows to the table row type
+        # (reference parity); without the cast a type-mismatched INSERT
+        # (int literal into a double column) commits parquet files with
+        # a different physical type and poisons every later read().
+        try:
+            aligned = rows.select(
+                *[
+                    (F.col(c) if c in rows.columns else F.lit(None))
+                    .cast(current.schema[c].dataType)
+                    .alias(c)
+                    for c in cols
+                ]
+            )
+            aligned.schema  # force analysis: reject non-castable types
+        except Exception as ex:
+            raise ValueError(
+                f"INSERT rows not coercible to table schema: {ex}"
+            ) from ex
         d = self._write_data_dir(aligned)
         # count from the written files: exact, and never recomputes the
         # (possibly non-deterministic) input plan

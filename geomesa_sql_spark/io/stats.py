@@ -29,10 +29,21 @@ def fast_count(path: str) -> int:
     )
 
 
+# Physical types whose footer min/max are always exact. BYTE_ARRAY /
+# FIXED_LEN_BYTE_ARRAY are excluded: parquet writers may TRUNCATE
+# string/binary statistics (parquet-format allows it and pyarrow does
+# not expose the is_{min,max}_value_exact flags), so a long-string MAX
+# from the footer can be wrong — those columns fall back to a scan.
+_EXACT_STAT_TYPES = frozenset(
+    {"BOOLEAN", "INT32", "INT64", "INT96", "FLOAT", "DOUBLE"}
+)
+
+
 def fast_min_max(path: str, column: str):
     """Exact (min, max) of a column from footer statistics.
 
-    Returns None when any row group lacks stats for the column (the
+    Returns None when any row group lacks stats for the column or the
+    column's physical type doesn't guarantee exact footer stats (the
     caller then falls back to a scan — the noAggrPushdown analog).
     """
     lo = hi = None
@@ -47,7 +58,10 @@ def fast_min_max(path: str, column: str):
             return None
         for rg in range(md.num_row_groups):
             group = md.row_group(rg)
-            st = group.column(ci).statistics
+            col = group.column(ci)
+            if col.physical_type not in _EXACT_STAT_TYPES:
+                return None  # possibly-truncated stats → must scan
+            st = col.statistics
             if st is None:
                 return None  # no footer stats → must scan
             if not st.has_min_max:

@@ -100,6 +100,11 @@ def knn_join_adaptive(
     else:
         qrows = [(q[0], float(q[1]), float(q[2])) for q in queries]
 
+    if not qrows:
+        # empty query set: empty result with the exact output schema
+        # (ADVICE r01: done_parts[0] would IndexError otherwise)
+        return knn_join(points.limit(0), [(0, 0.0, 0.0)], k, x, y, query_id, qx, qy)
+
     if r0 is None:
         # density guess: radius of a square expected to hold ~4k points
         n = max(points.count(), 1)

@@ -22,7 +22,10 @@ plain shuffled join — the analog of the rule not firing.
 This is a static sibling of Spark's own Dynamic Partition Pruning /
 runtime row-filter pushdown: those need partitioned/bucketed layouts,
 while this works on any parquet via footer stats, at the cost of one
-driver-side distinct().
+driver-side distinct() — guarded by a cheap limit-probe so a large
+left side never pays a distinct shuffle + 100k-row collect just to
+learn pushdown won't fire (ADVICE r01; the reference batches 100 keys
+and simply stops qualifying above that).
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_MAX_PUSH_KEYS = 100_000
+DEFAULT_MAX_PUSH_KEYS = 10_000
 
 
 def index_lookup_join(
@@ -40,6 +43,7 @@ def index_lookup_join(
     how: str = "inner",
     residual: Column | None = None,
     max_push_keys: int = DEFAULT_MAX_PUSH_KEYS,
+    push: bool | None = None,
 ) -> DataFrame:
     """Equijoin with left-key pushdown into the right scan.
 
@@ -49,6 +53,10 @@ def index_lookup_join(
     pairs join. ``how``: 'inner' | 'left' (reference parity:
     GeoMesaIndexLookupJoinRule.scala:30-36). ``residual``: non-equi
     predicate applied after the join (LEFT: unmatched rows keep nulls).
+    ``push``: caller hint — True forces the distinct+collect probe,
+    False skips pushdown entirely; None (default) probes the left's raw
+    row count first (limit-scan, no shuffle) and only runs the distinct
+    when that bound already fits.
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -58,14 +66,23 @@ def index_lookup_join(
     pairs = [on] if isinstance(on, tuple) else list(on)
     lk0, rk0 = pairs[0]
 
-    keys = [
-        r[0]
-        for r in left.select(lk0).distinct().limit(max_push_keys + 1).collect()
-    ]
+    if push is None:
+        # raw-rowcount probe: scans ≤ max_push_keys+1 rows, no shuffle,
+        # nothing collected. distinct(keys) ≤ rows, so fitting here
+        # guarantees the collect below is bounded; exceeding it means
+        # the rule doesn't fire (matching the reference's ≤100-key gate).
+        push = (
+            left.select(lk0).limit(max_push_keys + 1).count() <= max_push_keys
+        )
     pushed = right
-    if len(keys) <= max_push_keys:
-        non_null = [k for k in keys if k is not None]
-        pushed = right.filter(F.col(rk0).isin(non_null))
+    if push:
+        keys = [
+            r[0]
+            for r in left.select(lk0).distinct().limit(max_push_keys + 1).collect()
+        ]
+        if len(keys) <= max_push_keys:
+            non_null = [k for k in keys if k is not None]
+            pushed = right.filter(F.col(rk0).isin(non_null))
 
     cond = None
     for lk, rk in pairs:

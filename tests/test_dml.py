@@ -100,3 +100,27 @@ def test_snapshot_isolation_time_travel(spark, table):
     assert table.read(version=0).count() == n0
     # and the handle captured before the commit still resolves
     assert v0.count() == n0
+
+
+def test_insert_coerces_types_to_table_schema(spark, table):
+    """ADVICE r01 (high): an INSERT whose column types differ from the
+    table schema must be coerced before the data dir is written —
+    otherwise the commit succeeds and every later read() dies on
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. Calcite coerces inserts to the
+    table row type, so this is also reference parity."""
+    # table columns: fid long, n_name string, n_regionkey int32
+    rows = spark.createDataFrame(
+        [(3000, "TYPED", 7.0)], "fid int, n_name string, n_regionkey double"
+    )
+    assert table.insert(rows) == 1
+    got = table.read()  # would raise without the insert-side cast
+    assert got.count() > 0
+    r = got.filter(F.col("fid") == 3000).first()
+    assert r["n_regionkey"] == 7
+    assert dict(got.dtypes)["n_regionkey"] == "int"
+
+
+def test_insert_non_castable_rejected(spark, table):
+    rows = spark.createDataFrame([(1, [2, 3])], "fid long, n_regionkey array<int>")
+    with pytest.raises(ValueError, match="not coercible"):
+        table.insert(rows)

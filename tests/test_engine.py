@@ -137,3 +137,31 @@ def test_sql_dml_statements(spark, sf_dir, tmp_path):
 
     with _pytest.raises(FidUpdateError):
         e.sql("UPDATE natsql SET n_nationkey = 0")
+
+
+def test_sql_update_where_inside_string_literal(spark, sf_dir, tmp_path):
+    """ADVICE r01: the DML recognizer must split on the TOP-LEVEL WHERE
+    only — a SET string literal containing the word WHERE used to bind
+    the lazy regex early and produce a broken expression."""
+    eng = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    eng.create_table("nw", str(tmp_path / "nw"), base)
+    out = eng.sql(
+        "UPDATE nw SET n_name = 'SOMEWHERE ELSE' WHERE n_nationkey = 3"
+    )
+    assert out.first()["affected"] == 1
+    got = eng.df("nw").filter(F.col("n_nationkey") == 3).first()
+    assert got["n_name"] == "SOMEWHERE ELSE"
+    # subquery parens + WHERE-bearing literals in the WHERE clause itself
+    out = eng.sql("DELETE FROM nw WHERE n_name = 'SOMEWHERE ELSE'")
+    assert out.first()["affected"] == 1
+
+
+def test_fast_min_max_string_column_falls_back(sf_dir):
+    """Parquet writers may truncate string/binary footer statistics
+    (no exactness flag exposed) — fast_min_max must decline those
+    columns so the caller scans instead (ADVICE r01)."""
+    assert fast_min_max(f"{sf_dir}/nation.parquet", "n_name") is None
+    # numeric columns still take the footer fast path
+    lo, hi = fast_min_max(f"{sf_dir}/nation.parquet", "n_nationkey")
+    assert lo == 0 and hi == 24

@@ -94,3 +94,20 @@ def test_compound_key_first_only_pushed(spark, sf_dir):
         o, (left.lk == o.o_custkey) & (left.ls == o.o_orderstatus)
     )
     assert got2.count() == want.count()
+
+
+def test_large_left_skips_probe_collect(spark, sides):
+    """ADVICE r01: a left side clearly above max_push_keys must not pay
+    a distinct shuffle + driver collect just to learn pushdown won't
+    fire; the limit-probe answers that from ≤ cap+1 scanned rows."""
+    cust, orders = sides
+    out = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"), max_push_keys=2)
+    plain = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "inner")
+    assert _sorted_rows(out) == _sorted_rows(plain)
+
+
+def test_push_hint_forced(spark, sides):
+    cust, orders = sides
+    forced = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"), push=True)
+    skipped = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"), push=False)
+    assert _sorted_rows(forced) == _sorted_rows(skipped)

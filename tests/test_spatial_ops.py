@@ -318,3 +318,14 @@ def test_right_full_join_fallback(spark, sf_dir):
     assert {r.n_nationkey for r in got.collect()} == {
         r.n_nationkey for r in bbox_hits.collect()
     }
+
+
+def test_knn_adaptive_empty_queries(spark, sf_dir):
+    """ADVICE r01: empty query set returns an empty frame with the
+    output schema instead of IndexError."""
+    from geomesa_sql_spark.join import knn_join_adaptive
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    out = knn_join_adaptive(pts, [], k=3)
+    assert out.count() == 0
+    assert {"query_id", "dist", "rank"} <= set(out.columns)
