@@ -16,8 +16,10 @@ scales horizontally:
       → reference-point dedup (no distinct shuffle) for multi-cell rows
 
 Semantics parity with the reference:
-- INNER and LEFT joins only (EnumerableSpatialJoinRule.scala:43-44;
-  RIGHT/FULL fall back to Spark's own join on the raw predicate).
+- INNER and LEFT optimized (EnumerableSpatialJoinRule.scala:43-44);
+  RIGHT/FULL answered via the optimized INNER plan + key anti-join
+  null-padding — the reference's enumerable-fallback semantics
+  (SpatialJoinTest.scala:54-60) without its nested loop.
 - DWithin = envelope expansion by ``distance`` before cell encoding,
   then full re-check (EnumerableSpatialJoinEnumerator.scala:80-84,106-109).
 - **Null-geometry quirk**: a left row whose geometry is NULL emits
@@ -56,11 +58,18 @@ class GeomSide:
     the hot layout for the image+caption table whose points derive from
     phash/EXIF, FIXTURES.md F0).
     wkb side: ``wkb`` BinaryType column.
+
+    Each slot takes a column NAME or an arbitrary ``Column`` expression
+    (reference parity: spatial-join operands may be one-side expressions
+    like ``ST_INTERSECTS(ST_Buffer(a.pt, 2), b.geom)`` —
+    EnumerableSpatialJoinRule.scala:89-115, SpatialJoinTest.scala:45-47).
+    Expressions are materialized to hidden columns before the join and
+    dropped from the output.
     """
 
-    x: str | None = None
-    y: str | None = None
-    wkb: str | None = None
+    x: str | Column | None = None
+    y: str | Column | None = None
+    wkb: str | Column | None = None
 
     @property
     def is_point(self) -> bool:
@@ -72,12 +81,35 @@ class GeomSide:
         return F.col(self.wkb).isNotNull()
 
 
-def point_side(x: str, y: str) -> GeomSide:
+def point_side(x: str | Column, y: str | Column) -> GeomSide:
     return GeomSide(x=x, y=y)
 
 
-def wkb_side(wkb: str) -> GeomSide:
+def wkb_side(wkb: str | Column) -> GeomSide:
     return GeomSide(wkb=wkb)
+
+
+def _materialize_side(
+    df: DataFrame, side: GeomSide, prefix: str
+) -> tuple[DataFrame, GeomSide]:
+    """Project Column-expression operands to hidden (``__gsj_``) columns
+    so the rest of the pipeline sees plain names; the output drop of
+    ``__gsj_*`` removes them again."""
+    if side.is_point:
+        if isinstance(side.x, Column) or isinstance(side.y, Column):
+            xn, yn = f"__gsj_{prefix}ex", f"__gsj_{prefix}ey"
+            df = df.withColumn(
+                xn, side.x if isinstance(side.x, Column) else F.col(side.x)
+            ).withColumn(
+                yn, side.y if isinstance(side.y, Column) else F.col(side.y)
+            )
+            side = GeomSide(x=xn, y=yn)
+        return df, side
+    if isinstance(side.wkb, Column):
+        wn = f"__gsj_{prefix}ewkb"
+        df = df.withColumn(wn, side.wkb)
+        side = GeomSide(wkb=wn)
+    return df, side
 
 
 def _cells_for_side(
@@ -210,6 +242,7 @@ def spatial_join(
     broadcast: bool | None = None,
     broadcast_rows: int = 2_000_000,
     left_key: str | None = None,
+    right_key: str | None = None,
     salt: int = 0,
     hot_cell_threshold: int = 5_000_000,
     max_cells_per_row: int = 256,
@@ -227,16 +260,55 @@ def spatial_join(
 
     ``how='left'`` requires ``left_key`` (a unique left column) and
     replicates the reference's null-geometry drop quirk.
+
+    ``how='right'|'full'``: the reference never *optimizes* these —
+    its rule fires for INNER/LEFT only (EnumerableSpatialJoinRule
+    .scala:43-44) — but still *answers* them through the enumerable
+    nested-loop fallback (SpatialJoinTest.scala:54-60) with plain SQL
+    null semantics (no null-geometry drop quirk: unmatched rows
+    null-pad per the join type). Here they reuse the optimized INNER
+    plan and null-pad unmatched rows via key anti-joins — same answers
+    as the reference's fallback without its O(n·m) nested loop.
+    ``right_key`` (unique right column) is required for 'right'/'full';
+    ``left_key`` additionally for 'full'.
     """
-    if how not in ("inner", "left"):
-        raise ValueError("spatial_join supports how='inner'|'left' (reference parity: "
-                         "EnumerableSpatialJoinRule.scala:43-44)")
     pred = predicate.lower()
     if pred == "dwithin":
         if distance is None:
             raise ValueError("dwithin needs literal distance "
                              "(EnumerableSpatialJoinRule.scala:117-125)")
     expand = float(distance) if pred == "dwithin" else 0.0
+
+    left_df, left = _materialize_side(left_df, left, "l")
+    right_df, right = _materialize_side(right_df, right, "r")
+
+    if how in ("right", "full", "outer", "full_outer"):
+        eff = "full" if how != "right" else "right"
+        if right_key is None or (eff == "full" and left_key is None):
+            raise ValueError(
+                "how='right' requires right_key; how='full' requires "
+                "left_key and right_key (used to null-pad unmatched rows)"
+            )
+        inner = spatial_join(
+            left_df, right_df, left, right, predicate=pred,
+            distance=distance, how="inner", res=res, broadcast=broadcast,
+            broadcast_rows=broadcast_rows, salt=salt,
+            hot_cell_threshold=hot_cell_threshold,
+            max_cells_per_row=max_cells_per_row,
+        )
+        out = inner
+        if eff in ("right", "full"):
+            out = _pad_unmatched(out, right_df, right_key, inner)
+        if eff == "full":
+            out = _pad_unmatched(out, left_df, left_key, inner)
+        return out
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "spatial_join supports how='inner'|'left'|'right'|'full' "
+            "(INNER/LEFT optimized per EnumerableSpatialJoinRule"
+            ".scala:43-44; RIGHT/FULL answered like the reference's "
+            "enumerable fallback, SpatialJoinTest.scala:54-60)"
+        )
 
     # null-geom drop (both sides, both join types — reference quirk)
     left_nn = left_df.filter(left.not_null())
@@ -309,12 +381,29 @@ def spatial_join(
 
     if left_key is None:
         raise ValueError("how='left' requires left_key")
-    right_cols = [c for c in right_df.columns]
+    right_cols = [c for c in right_df.columns if not c.startswith("__gsj_")]
     matched_keys = inner.select(left_key).distinct()
     unmatched = left_nn.join(matched_keys, on=left_key, how="left_anti")
     for c in right_cols:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(inner.schema[c].dataType))
     return inner.unionByName(unmatched.select(inner.columns))
+
+
+def _pad_unmatched(
+    out: DataFrame, side_df: DataFrame, key: str, inner: DataFrame
+) -> DataFrame:
+    """Append ``side_df`` rows whose ``key`` never matched, null-padding
+    every column the side doesn't carry (the outer-join half of the
+    RIGHT/FULL fallback; plain SQL semantics, no null-geom quirk)."""
+    side_cols = [c for c in side_df.columns if not c.startswith("__gsj_")]
+    matched = inner.select(key).distinct()
+    unmatched = side_df.select(*side_cols).join(matched, on=key, how="left_anti")
+    for c in inner.columns:
+        if c not in side_cols:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(inner.schema[c].dataType)
+            )
+    return out.unionByName(unmatched.select(inner.columns))
 
 
 def _refpoint_keep(res: int) -> Column:

@@ -277,17 +277,11 @@ def test_salted_join_under_adversarial_clustering(spark, sf_dir):
 
 
 def test_right_full_join_fallback(spark, sf_dir):
-    """RIGHT/FULL are never handled by the spatial-join operator
-    (EnumerableSpatialJoinRule.scala:43-44; SpatialJoinTest.scala:54-57
-    expects the planner to fall back) — the fallback surface here is a
-    plain Spark join on the raw relate-predicate UDF."""
-    import pyspark.sql.functions as F
-    import pytest as _pytest
-
-    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
-    from geomesa_sql_spark.join import spatial_join
-    from geomesa_sql_spark.join.spatial import point_side, wkb_side
-
+    """RIGHT/FULL are never *optimized* by the spatial-join rule
+    (EnumerableSpatialJoinRule.scala:43-44) but the reference still
+    answers them through the enumerable fallback (SpatialJoinTest
+    .scala:54-60) — assert our anti-join-padded answers match a plain
+    Spark bbox join (exact for axis-aligned squares)."""
     pts = (
         orders_points(spark, sf_dir)
         .filter(F.col("o_orderkey") <= 2000)
@@ -295,29 +289,51 @@ def test_right_full_join_fallback(spark, sf_dir):
     )
     polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly", "pminx",
                                                  "pminy", "pmaxx", "pmaxy")
-    with _pytest.raises(ValueError, match="inner.*left|left.*inner"):
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    for how in ("right", "full"):
+        got = spatial_join(
+            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", how=how,
+            left_key="o_orderkey", right_key="n_nationkey",
+        ).select("o_orderkey", "n_nationkey")
+        want = pts.join(polys, bbox, how).select("o_orderkey", "n_nationkey")
+        nkey = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        assert sorted(map(tuple, got.collect()), key=nkey) == sorted(
+            map(tuple, want.collect()), key=nkey
+        )
+    with pytest.raises(ValueError, match="right_key"):
         spatial_join(pts, polys, point_side("lon", "lat"), wkb_side("poly"),
                      predicate="intersects", how="right")
 
-    # fallback: RIGHT ≡ mirrored LEFT with sides swapped (Spark itself
-    # forbids Python UDFs in outer-join ON clauses, so the raw-predicate
-    # route the reference's enumerable join takes is not available;
-    # the mirrored LEFT is the engine-native expression of the query)
+
+def test_spatial_join_expression_operands(spark, sf_dir):
+    """Reference parity: join operands may be one-side *expressions*
+    (SpatialJoinTest.scala:45-47 joins on ST_INTERSECTS(ST_Buffer(
+    a.pt, 2), b.geom)). Here the left operand is a Column expression —
+    a point shifted east by 1° — and the oracle is the same join with
+    the shift materialized by hand."""
+    pts = (
+        orders_points(spark, sf_dir)
+        .filter(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "lon", "lat")
+    )
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
     got = spatial_join(
-        polys, pts, wkb_side("poly"), point_side("lon", "lat"),
+        pts, polys,
+        point_side(F.col("lon") + F.lit(1.0), "lat"),
+        wkb_side("poly"),
         predicate="intersects", res=6, broadcast=True,
-        how="left", left_key="n_nationkey",
-    ).filter(F.col("o_orderkey").isNull())
-    # oracle: polygons containing no point, via the JVM bbox condition
-    bbox_hits = pts.join(
-        polys,
-        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
-        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy")),
-        "right",
-    ).filter(F.col("o_orderkey").isNull())
-    assert {r.n_nationkey for r in got.collect()} == {
-        r.n_nationkey for r in bbox_hits.collect()
-    }
+    ).select("o_orderkey", "n_nationkey")
+    want = spatial_join(
+        pts.withColumn("lon2", F.col("lon") + F.lit(1.0)), polys,
+        point_side("lon2", "lat"), wkb_side("poly"),
+        predicate="intersects", res=6, broadcast=True,
+    ).select("o_orderkey", "n_nationkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert not any(c.startswith("__gsj_") for c in got.columns)
 
 
 def test_knn_adaptive_empty_queries(spark, sf_dir):
