@@ -426,6 +426,50 @@ def q_spatial_join_left(spark, sf_dir):
     ).select("o_orderkey", "n_nationkey")
 
 
+def q_spatial_join_buffered(spark, sf_dir):
+    """Expression operand parity (EnumerableSpatialJoinRule.scala:89-115;
+    SpatialJoinTest.scala:45-47 joins on ST_INTERSECTS(ST_Buffer(a.pt,
+    2), b.geom)): the left operand here is a Column expression — the
+    envelope of the ±2° buffered point, built by an ST_* expression, not
+    a materialized column. The envelope (vs the round buffer) keeps the
+    oracle exact: box ∩ axis-aligned square ≡ interval overlap with ±2
+    slack."""
+    from geomesa_sql_spark.functions import register_all
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import wkb_side
+
+    register_all(spark)
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+    buffered_env = F.expr(
+        "ST_MakeEnvelope(lon - 2.0D, lat - 2.0D, lon + 2.0D, lat + 2.0D)"
+    )
+    return spatial_join(
+        pts, polys, wkb_side(buffered_env), wkb_side("poly"),
+        predicate="intersects", res=6, broadcast=True,
+    ).select("o_orderkey", "n_nationkey")
+
+
+def q_spatial_join_right(spark, sf_dir):
+    """RIGHT spatial join (reference answers RIGHT/FULL via the
+    enumerable fallback, SpatialJoinTest.scala:54-60; here the optimized
+    INNER plan + anti-join null padding — join/spatial.py)."""
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+
+    pts = (
+        orders_points(spark, sf_dir)
+        .filter(F.col("o_orderkey") <= 20000)
+        .select("o_orderkey", "lon", "lat")
+    )
+    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+    return spatial_join(
+        pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+        predicate="intersects", res=6, broadcast=True,
+        how="right", right_key="n_nationkey",
+    ).select("o_orderkey", "n_nationkey")
+
+
 def q_knn(spark, sf_dir):
     """kNN (north-star operator): 10 nearest order-points per query.
 
@@ -489,28 +533,48 @@ def q_sql_st_intersects(spark, sf_dir):
     )
 
 
-def q_sql_st_xy(spark, sf_dir):
-    """ST_X/ST_Y(ST_MakePoint(...)) round-trip through WKB."""
-    v = _sql_points_view(spark, sf_dir)
-    return spark.sql(
-        f"""SELECT o_orderkey,
-                   ST_X(ST_MakePoint(lon, lat)) AS px,
-                   ST_Y(ST_MakePoint(lon, lat)) AS py
-            FROM {v} WHERE o_orderkey <= 2000"""
-    )
-
-
-def q_sql_st_dwithin(spark, sf_dir):
-    """ST_DWithin + ST_Distance via SQL (distance rounded: np.hypot and
+def q_sql_st_xy_dist(spark, sf_dir):
+    """ST_X/ST_Y/ST_MakePoint WKB round-trip + ST_Distance + ST_DWithin
+    in one SQL-surface query (merged from round-1's sql_st_xy and
+    sql_st_dwithin — the driver records at most 50 contract queries, so
+    redundant pairs are folded; distance rounded: np.hypot and
     sqrt(dx²+dy²) differ at ulp level)."""
     v = _sql_points_view(spark, sf_dir)
     return spark.sql(
         f"""SELECT o_orderkey,
+                   ST_X(ST_MakePoint(lon, lat)) AS px,
+                   ST_Y(ST_MakePoint(lon, lat)) AS py,
                    ROUND(ST_Distance(ST_MakePoint(lon, lat),
                                      ST_GeomFromText('POINT (10.005 10.005)')), 6) AS d_r
             FROM {v}
             WHERE ST_DWithin(ST_MakePoint(lon, lat),
                              ST_GeomFromText('POINT (10.005 10.005)'), 20.0)"""
+    )
+
+
+def q_st_simplify_hull(spark, sf_dir):
+    """ST_Simplify (Douglas-Peucker) + ST_ConvexHull + ST_NumPoints over
+    SQL-built WKT (surface extensions; Calcite's fun=spatial table has
+    neither — semantics follow the PostGIS/JTS contract). Exact oracle:
+    a 3-point zigzag per nation collapses to its endpoints iff the peak
+    deviation (n_nationkey%5)/1000 ≤ tol 0.0025, and the hull of the
+    square's 4 corners + center is the square itself (area 4·hs²)."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    nation_squares(spark, sf_dir).createOrReplaceTempView("nsq_sh")
+    return spark.sql(
+        """SELECT n_nationkey,
+                  ST_NumPoints(ST_Simplify(ST_GeomFromText(
+                      concat('LINESTRING (', cx - 1.0D, ' ', cy, ', ',
+                             cx, ' ', cy + (n_nationkey % 5) / 1000.0D, ', ',
+                             cx + 1.0D, ' ', cy, ')')), 0.0025)) AS simp_n,
+                  ROUND(ST_Area(ST_ConvexHull(ST_GeomFromText(
+                      concat('MULTIPOINT (', pminx, ' ', pminy, ', ',
+                             pmaxx, ' ', pminy, ', ', pmaxx, ' ', pmaxy, ', ',
+                             pminx, ' ', pmaxy, ', ', cx, ' ', cy, ')')))), 6)
+                      AS hull_area
+           FROM nsq_sh"""
     )
 
 
@@ -621,90 +685,89 @@ def q_embed_near_dup(spark, sf_dir):
 # ------------------------------------------ non-SQL-expressible (rows-only)
 
 
-def q_minhash_near_dup(spark, sf_dir):
-    """MinHash+LSH near-dup (banding not SQL-expressible → rows-only)."""
-    from geomesa_sql_spark.ops import lsh_near_dup_pairs
+def q_near_dup_text(spark, sf_dir):
+    """Near-dup text pairs both ways over the same corpus: MinHash+LSH
+    (the 10^12-row band-bucket path) ∪ exact n-gram Jaccard (its
+    brute-force recall twin), tagged by method. Banding/shingling not
+    SQL-expressible → rows-only; LSH recall ≥0.95 vs the exact twin is
+    asserted in tests/test_ops.py."""
+    from geomesa_sql_spark.ops import lsh_near_dup_pairs, ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").limit(200)
-    mod = d.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
-        "text", F.concat(F.col("text"), F.lit(" zzz"))
-    )
-    return lsh_near_dup_pairs(
-        d.unionByName(mod), "text", "doc_id", jaccard_threshold=0.6
-    ).select("id_a", "id_b")
-
-
-def q_simhash(spark, sf_dir):
-    from geomesa_sql_spark.ops import simhash64
-
-    return simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (brute-force twin / recall
-    oracle of the MinHash+LSH path)."""
-    from geomesa_sql_spark.ops import ngram_jaccard_pairs
-
-    d = _t(spark, sf_dir, "documents").limit(150)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     mod = d.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
         "text", F.concat(F.col("text"), F.lit(" qqq"))
     )
-    return ngram_jaccard_pairs(
-        d.unionByName(mod), "text", "doc_id", threshold=0.6
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+    u = d.unionByName(mod)
+    lsh = lsh_near_dup_pairs(u, "text", "doc_id", jaccard_threshold=0.6).select(
+        F.lit("minhash_lsh").alias("method"), "id_a", "id_b"
+    )
+    exact = ngram_jaccard_pairs(u, "text", "doc_id", threshold=0.6).select(
+        F.lit("ngram_exact").alias("method"), "id_a", "id_b"
+    )
+    return lsh.unionByName(exact)
 
 
-def q_lang_id(spark, sf_dir):
-    """Marker-word language ID over documents (vectorized)."""
+def q_text_signals(spark, sf_dir):
+    """Per-document signals: 64-bit SimHash + marker-word language ID
+    (merged rows-only pair; bit-vote loop not SQL-expressible)."""
+    from geomesa_sql_spark.ops import simhash64
     from geomesa_sql_spark.ops.text import lang_id
 
-    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+    d = _t(spark, sf_dir, "documents")
+    sh = simhash64(d, "text", "doc_id")
+    li = lang_id(d).select("doc_id", "lang_pred")
+    return sh.join(li, "doc_id")
 
 
-def q_phash(spark, sf_dir):
-    """64-bit average-hash of decoded images (multimodal fingerprint)."""
-    from geomesa_sql_spark.io.fixtures import images_table
-    from geomesa_sql_spark.ops import phash_images
-
-    return phash_images(images_table(spark, 400, size=16))
-
-
-def q_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN (the 10^12-row path; recall vs brute force
-    asserted in tests/test_ops.py)."""
-    from geomesa_sql_spark.ops.ann import lsh_bucket_ann
+def q_ann_approx(spark, sf_dir):
+    """Approximate ANN both ways, tagged by method: sign-LSH bucket join
+    (bits sized so 2^6 buckets over ~500 vectors ≈ 8/bucket; at 10^12
+    rows bits≈30) ∪ IVF (coarse k-means quantizer, nprobe lists, exact
+    rerank). Recall vs brute force asserted in tests/test_ops.py."""
+    from geomesa_sql_spark.ops.ann import ivf_topk, lsh_bucket_ann
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
-    # bits sized to the corpus: 2^6 buckets over ~500 vectors ≈ 8/bucket,
-    # ×4 probed buckets ≈ 30 candidates/query (at 10^12 rows: bits≈30)
-    return lsh_bucket_ann(e, q, k=10, bits=6, multiprobe=2).select(
-        "q_id", "vec_id", "rank"
+    lsh = lsh_bucket_ann(e, q, k=10, bits=6, multiprobe=2).select(
+        F.lit("sign_lsh").alias("method"), "q_id", "vec_id", "rank"
     )
+    ivf = ivf_topk(e, q, k=10, n_lists=8, nprobe=3).select(
+        F.lit("ivf").alias("method"), "q_id", "vec_id", "rank"
+    )
+    return lsh.unionByName(ivf)
 
 
 def q_image_stats(spark, sf_dir):
-    """Multimodal decode/feature-extract over the synthesized images table."""
+    """Multimodal decode/feature-extract + 64-bit average-hash
+    fingerprint over the synthesized images table (merged with round-1's
+    separate phash query; both mapInPandas over Arrow batches)."""
     from geomesa_sql_spark.io.fixtures import images_table
-    from geomesa_sql_spark.ops import image_stats
+    from geomesa_sql_spark.ops import image_stats, phash_images
 
     imgs = images_table(spark, 500, size=16)
-    return image_stats(imgs)
+    return image_stats(imgs).join(phash_images(imgs), "image_id")
 
 
 def q_resize(spark, sf_dir):
     """Multimodal resize/transcode template: decode → nearest-neighbour
-    resample → raw re-encode (deterministic bytes → stable value hash)."""
+    resample → raw re-encode. Oracle-gated via the px_sum payload
+    checksum: the fixture pixel (i·31 + x·7 + y·13 + c·97) mod 256 is
+    closed-form, so DuckDB reproduces the resized sum exactly from
+    range() cross-products (FIXTURES.md F0; io/fixtures.py:image_pixels)."""
     from geomesa_sql_spark.io.fixtures import images_table
     from geomesa_sql_spark.ops import resize_images
 
-    return resize_images(images_table(spark, 300, size=16), out_size=8)
+    return resize_images(images_table(spark, 300, size=16), out_size=8).select(
+        "image_id", "w", "h", "px_sum"
+    )
 
 
 def q_tile_hilbert(spark, sf_dir):
-    """Hilbert tile ids (curve not SQL-expressible → rows-only)."""
+    """Hilbert tile ids. Oracle-gated since round 2: the xy2d rotate
+    loop is unrolled into chained CTEs of integer CASE/bitwise SQL
+    (_hilbert_xy2d_sql), so the curve itself is relationally verified."""
     from geomesa_sql_spark.tiles import assign_tiles
 
     pts = orders_points(spark, sf_dir)
@@ -908,17 +971,43 @@ def _oracles() -> dict[str, str]:
         "sql_st_intersects": f"""
             SELECT o_orderkey FROM ({opts}) WHERE {_penta_halfplane_sql()}
         """,
-        "sql_st_xy": f"""
-            SELECT o_orderkey, lon AS px, lat AS py FROM ({opts})
-            WHERE o_orderkey <= 2000
-        """,
-        "sql_st_dwithin": f"""
-            SELECT o_orderkey,
+        "sql_st_xy_dist": f"""
+            SELECT o_orderkey, lon AS px, lat AS py,
                    ROUND(sqrt((lon - 10.005) * (lon - 10.005)
                             + (lat - 10.005) * (lat - 10.005)), 6) AS d_r
             FROM ({opts})
             WHERE (lon - 10.005) * (lon - 10.005) + (lat - 10.005) * (lat - 10.005) <= 400.0
         """,
+        "st_simplify_hull": f"""
+            SELECT n_nationkey,
+                   CASE WHEN (n_nationkey % 5) <= 2 THEN 2 ELSE 3 END AS simp_n,
+                   ROUND(4.0 * hs * hs, 6) AS hull_area
+            FROM ({nsq})
+        """,
+        "spatial_join_buffered": f"""
+            SELECT o_orderkey, n_nationkey
+            FROM ({opts}) p JOIN ({nsq}) s
+              ON p.lon - 2.0 <= s.pmaxx AND p.lon + 2.0 >= s.pminx
+             AND p.lat - 2.0 <= s.pmaxy AND p.lat + 2.0 >= s.pminy
+        """,
+        "spatial_join_right": f"""
+            SELECT p.o_orderkey, s.n_nationkey
+            FROM (SELECT * FROM ({opts}) WHERE o_orderkey <= 20000) p
+            RIGHT JOIN ({nsq}) s
+              ON p.lon >= s.pminx AND p.lon <= s.pmaxx
+             AND p.lat >= s.pminy AND p.lat <= s.pmaxy
+        """,
+        "resize": """
+            -- closed-form checksum of the nearest-neighbour 16->8 resize of
+            -- FIXTURES.md F0 pixels: sampled grid is (2x', 2y'), channels 0..2
+            SELECT image_id, w, h, CAST(SUM(v) AS BIGINT) AS px_sum FROM (
+                SELECT '#' || CAST(i AS VARCHAR) AS image_id,
+                       CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+                       (i * 31 + 2 * x * 7 + 2 * y * 13 + c * 97) % 256 AS v
+                FROM range(300) t(i), range(8) tx(x), range(8) ty(y), range(3) tc(c)
+            ) GROUP BY 1, 2, 3
+        """,
+        "tile_hilbert": _hilbert_xy2d_sql(6, opts),
         "sql_st_measures": f"""
             SELECT n_nationkey, 4.0 * hs * hs AS area,
                    ROUND(cx, 6) AS cx_r, ROUND(cy, 6) AS cy_r
@@ -974,6 +1063,47 @@ def _oracles() -> dict[str, str]:
     }
 
 
+def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
+    """Exact relational oracle for the Hilbert tile ids: the standard
+    rotate-and-accumulate xy2d loop (cells/curve.py:89-116) UNROLLED
+    into ``zoom`` chained CTE steps of pure integer CASE/bitwise SQL.
+    Each step uses fresh column names (x0,y0,d0 → x1,y1,d1 → ...) so
+    DuckDB's lateral column aliasing can never bind to the new value."""
+    n = 1 << zoom
+    base = (
+        f"h0 AS (SELECT "
+        f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT))) AS x0, "
+        f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((90.0 - lat) / 180.0 * {n}) AS BIGINT))) AS y0, "
+        f"CAST(0 AS BIGINT) AS d0 FROM ({opts}))"
+    )
+    steps = [base]
+    for k in range(zoom):
+        s = 1 << (zoom - 1 - k)
+        i, j = k, k + 1
+        rx = f"((x{i} & {s}) > 0)"
+        ry = f"((y{i} & {s}) > 0)"
+        term = (
+            f"CASE WHEN {rx} THEN CASE WHEN {ry} THEN 2 ELSE 3 END "
+            f"ELSE CASE WHEN {ry} THEN 1 ELSE 0 END END"
+        )
+        new_x = (
+            f"CASE WHEN {ry} THEN x{i} "
+            f"WHEN {rx} THEN {s - 1} - y{i} ELSE y{i} END"
+        )
+        new_y = (
+            f"CASE WHEN {ry} THEN y{i} "
+            f"WHEN {rx} THEN {s - 1} - x{i} ELSE x{i} END"
+        )
+        steps.append(
+            f"h{j} AS (SELECT d{i} + {s * s} * ({term}) AS d{j}, "
+            f"{new_x} AS x{j}, {new_y} AS y{j} FROM h{i})"
+        )
+    return (
+        "WITH " + ", ".join(steps)
+        + f" SELECT d{zoom} AS tile_id, COUNT(*) AS n_rows FROM h{zoom} GROUP BY 1"
+    )
+
+
 def _stop_hits_sql() -> str:
     from geomesa_sql_spark.ops.text import _STOPWORDS
 
@@ -1010,6 +1140,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries: the driver records at most 50 contract
+    queries (CORRECTNESS_r01 silently dropped entries 51-52), so
+    round-1's redundant pairs are merged (sql_st_xy+sql_st_dwithin →
+    sql_st_xy_dist; phash → image_stats; simhash+lang_id →
+    text_signals; ann_lsh+ann_ivf → ann_approx; minhash_near_dup+
+    ngram_jaccard → near_dup_text) and the freed slots carry the new
+    round-2 operators (buffered-expression join, RIGHT join,
+    simplify/hull) — 45 oracle-gated, 5 rows-only."""
     return {
         "filter_range_like": q_filter_range_like,
         "project_prune": q_project_prune,
@@ -1031,9 +1169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_null_forms": q_filter_null_forms,
         "events_hourly": q_events_hourly,
         "sql_st_intersects": q_sql_st_intersects,
-        "sql_st_xy": q_sql_st_xy,
-        "sql_st_dwithin": q_sql_st_dwithin,
+        "sql_st_xy_dist": q_sql_st_xy_dist,
         "sql_st_measures": q_sql_st_measures,
+        "st_simplify_hull": q_st_simplify_hull,
         "st_within_rect": q_st_within_rect,
         "st_within_pentagon": q_st_within_pentagon,
         "st_dwithin": q_st_dwithin,
@@ -1043,27 +1181,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_dwithin": q_spatial_join_dwithin,
         "spatial_join_dwithin_poly": q_spatial_join_dwithin_poly,
         "spatial_join_left": q_spatial_join_left,
+        "spatial_join_buffered": q_spatial_join_buffered,
+        "spatial_join_right": q_spatial_join_right,
         "knn": q_knn,
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
+        "tile_hilbert": q_tile_hilbert,
+        "resize": q_resize,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
-        "doc_fingerprints": q_doc_fingerprints,
         "lang_counts": q_lang_counts,
         "ann_topk": q_ann_topk,
         "embed_near_dup": q_embed_near_dup,
         # rows-only (no SQL-expressible oracle)
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lang_id": q_lang_id,
-        "phash": q_phash,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "doc_fingerprints": q_doc_fingerprints,
+        "near_dup_text": q_near_dup_text,
+        "text_signals": q_text_signals,
+        "ann_approx": q_ann_approx,
         "image_stats": q_image_stats,
-        "resize": q_resize,
-        "tile_hilbert": q_tile_hilbert,
     }
 
 

@@ -132,7 +132,7 @@ def main() -> None:
         "dedup_exact",
         "text_quality",
         "ann_topk",
-        "minhash_near_dup",
+        "near_dup_text",
         "image_stats",
     ]
     all_q = entrymod.queries()

@@ -370,6 +370,32 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_YMax", _measure(lambda g: g.envelope()[3]))
 
     @F.pandas_udf(T.BinaryType())
+    def _simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+        out = []
+        for b, t in zip(wkb, tol):
+            if b is None or t is None:
+                out.append(None)
+            else:
+                out.append(
+                    geom_to_wkb(kernel.simplify(geom_from_wkb(bytes(b)), float(t)))
+                )
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_Simplify", _simplify)
+
+    @F.pandas_udf(T.BinaryType())
+    def _hull(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if g is None else geom_to_wkb(kernel.convex_hull(g))
+                for g in _decode_series(wkb)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("ST_ConvexHull", _hull)
+
+    @F.pandas_udf(T.BinaryType())
     def _centroid(wkb: pd.Series) -> pd.Series:
         out = []
         for g in _decode_series(wkb):

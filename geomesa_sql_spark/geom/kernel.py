@@ -701,3 +701,89 @@ def centroid(g: Geom) -> tuple[float, float]:
                 return float((mx * ln).sum() / tot), float((my * ln).sum() / tot)
     pts = g.all_coords()
     return float(pts[:, 0].mean()), float(pts[:, 1].mean())
+
+
+def _pts_seg_dist(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distance from each point in (n,2) ``pts`` to segment a-b."""
+    ab = b - a
+    denom = float(ab @ ab)
+    if denom == 0.0:
+        return np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+    t = np.clip(((pts - a) @ ab) / denom, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    return np.hypot(pts[:, 0] - proj[:, 0], pts[:, 1] - proj[:, 1])
+
+
+def _dp_keep(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep mask over an open vertex chain."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        d = _pts_seg_dist(pts[i + 1 : j], pts[i], pts[j])
+        k = int(np.argmax(d))
+        if float(d[k]) > tol:
+            ki = i + 1 + k
+            keep[ki] = True
+            stack.append((i, ki))
+            stack.append((ki, j))
+    return keep
+
+
+def simplify(g: Geom, tol: float) -> Geom:
+    """Douglas-Peucker simplification (ST_Simplify semantics: endpoints
+    kept; polygon rings that would collapse below a triangle keep their
+    original vertices). Surface extension beyond the reference — its
+    Calcite fun=spatial table has no simplifier; semantics follow the
+    de-facto PostGIS/JTS contract."""
+    if g.type == model.POINT:
+        return g
+    if g.type == model.LINESTRING:
+        if len(g.coords) <= 2:
+            return g
+        return Geom(model.LINESTRING, g.coords[_dp_keep(g.coords, tol)])
+    if g.type == model.POLYGON:
+        rings = []
+        for ring in g.coords:
+            if len(ring) <= 4:
+                rings.append(ring)
+                continue
+            kept = ring[_dp_keep(ring, tol)]
+            rings.append(kept if len(kept) >= 4 else ring)
+        return Geom(model.POLYGON, rings)
+    if g.type in (model.MULTIPOINT,):
+        return g
+    return Geom(g.type, [simplify(p, tol) for p in g.coords])
+
+
+def convex_hull(g: Geom) -> Geom:
+    """Convex hull via Andrew's monotone chain. Degenerate inputs follow
+    JTS: 1 unique point -> Point, collinear -> LineString of the two
+    extremes, else CCW Polygon."""
+    pts = np.unique(g.all_coords(), axis=0)
+    if len(pts) == 0:
+        return Geom(model.GEOMETRYCOLLECTION, [])
+    if len(pts) == 1:
+        return Geom(model.POINT, pts[0].copy())
+    # pts sorted lexicographically by np.unique already
+    def half(chain_pts):
+        out: list[np.ndarray] = []
+        for p in chain_pts:
+            while len(out) >= 2 and _orient(
+                out[-2][0], out[-2][1], out[-1][0], out[-1][1], p[0], p[1]
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 3:
+        return Geom(model.LINESTRING, np.array([pts[0], pts[-1]]))
+    ring = np.vstack([hull, hull[:1]])
+    return Geom(model.POLYGON, [ring])

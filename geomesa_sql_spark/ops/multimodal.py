@@ -143,9 +143,14 @@ def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
 def resize_images(df: DataFrame, out_size: int, id_col: str = "image_id") -> DataFrame:
     """Nearest-neighbour resize → raw re-encode.
 
-    (id, bytes raw, w, h) — the resize/transcode template. Lossy
-    formats would re-encode here (PSNR ≥ 40 dB invariant); with
-    stdlib-only codecs the output is raw (lossless).
+    (id, bytes raw, w, h, fmt, px_sum) — the resize/transcode template.
+    Lossy formats would re-encode here (PSNR ≥ 40 dB invariant); with
+    stdlib-only codecs the output is raw (lossless). ``px_sum`` is the
+    integer sum of the resized pixel values — a per-row checksum of the
+    output payload: deterministic, closed-form for the synthetic
+    fixture, so the resize path is exactly oracle-checkable (and at
+    scale it is the per-partition lineage metric a resumable transcode
+    job records per the north rule).
     """
     schema = T.StructType(
         [
@@ -154,24 +159,28 @@ def resize_images(df: DataFrame, out_size: int, id_col: str = "image_id") -> Dat
             T.StructField("w", T.IntegerType()),
             T.StructField("h", T.IntegerType()),
             T.StructField("fmt", T.StringType()),
+            T.StructField("px_sum", T.LongType()),
         ]
     )
 
     def gen(batches):
         for pdf in batches:
-            ids, outs = [], []
+            ids, outs, sums = [], [], []
             for iid, data, fmt, w, h in zip(
                 pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
             ):
                 if data is None:
                     ids.append(iid)
                     outs.append(None)
+                    sums.append(None)
                     continue
                 px = decode_image(bytes(data), fmt, int(w), int(h))
                 yi = (np.arange(out_size) * px.shape[0] // out_size).astype(np.int64)
                 xi = (np.arange(out_size) * px.shape[1] // out_size).astype(np.int64)
+                rs = px[yi][:, xi]
                 ids.append(iid)
-                outs.append(encode_raw(px[yi][:, xi]))
+                outs.append(encode_raw(rs))
+                sums.append(int(rs.sum(dtype=np.int64)))
             yield pd.DataFrame(
                 {
                     id_col: ids,
@@ -179,6 +188,7 @@ def resize_images(df: DataFrame, out_size: int, id_col: str = "image_id") -> Dat
                     "w": np.full(len(ids), out_size, dtype=np.int32),
                     "h": np.full(len(ids), out_size, dtype=np.int32),
                     "fmt": ["raw"] * len(ids),
+                    "px_sum": pd.array(sums, dtype="Int64"),
                 }
             )
 

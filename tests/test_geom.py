@@ -173,3 +173,32 @@ def test_geometrycollection():
     sq = W("POLYGON ((44 48, 46 48, 46 50, 44 50, 44 48))")
     assert relate(gc, sq, "within")
     assert relate(sq, gc, "contains")
+
+
+def test_simplify_douglas_peucker():
+    from geomesa_sql_spark.geom import geom_from_wkt, geom_to_wkt
+    from geomesa_sql_spark.geom import kernel
+
+    zig = geom_from_wkt("LINESTRING (0 0, 1 0.001, 2 0)")
+    assert geom_to_wkt(kernel.simplify(zig, 0.0025)) == "LINESTRING (0 0, 2 0)"
+    assert geom_to_wkt(kernel.simplify(zig, 0.0001)) == "LINESTRING (0 0, 1 0.001, 2 0)"
+    # polygon ring that would collapse keeps its original vertices
+    sq = geom_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert kernel.area(kernel.simplify(sq, 100.0)) == 16.0
+    # redundant mid-edge vertex removed
+    sq5 = geom_from_wkt("POLYGON ((0 0, 2 0.0001, 4 0, 4 4, 0 4, 0 0))")
+    assert len(kernel.simplify(sq5, 0.01).coords[0]) == 5
+
+
+def test_convex_hull():
+    from geomesa_sql_spark.geom import geom_from_wkt, geom_to_wkt
+    from geomesa_sql_spark.geom import kernel
+
+    mp = geom_from_wkt("MULTIPOINT (0 0, 2 0, 2 2, 0 2, 1 1, 0.5 1.5)")
+    h = kernel.convex_hull(mp)
+    assert h.type == "Polygon" and kernel.area(h) == 4.0
+    assert len(h.coords[0]) == 5  # 4 corners + closure, interiors dropped
+    # degenerate: collinear -> LineString of the extremes; single -> Point
+    assert geom_to_wkt(kernel.convex_hull(
+        geom_from_wkt("MULTIPOINT (0 0, 1 1, 2 2)"))) == "LINESTRING (0 0, 2 2)"
+    assert kernel.convex_hull(geom_from_wkt("POINT (3 4)")).type == "Point"
