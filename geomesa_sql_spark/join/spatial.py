@@ -331,7 +331,7 @@ def spatial_join(
     right_multi = not right.is_point
 
     if broadcast is None:
-        broadcast = _cheap_count_at_most(right_df, broadcast_rows)
+        broadcast = _should_broadcast(right_df, broadcast_rows)
 
     join_cond = F.col(_CELL) == F.col(_CELL + "_r")
     if broadcast:
@@ -442,14 +442,41 @@ def _estimate_res(right: DataFrame, side: GeomSide, expand: float) -> int:
     return res_for_extent(w, h)
 
 
-def _cheap_count_at_most(df: DataFrame, n: int) -> bool:
-    """True if df has ≤ n rows, scanning at most n+1 of them."""
-    return df.limit(n + 1).count() <= n
+def _should_broadcast(df: DataFrame, max_rows: int) -> bool:
+    """Broadcast decision WITHOUT running a job: Catalyst's own plan
+    statistics (sizeInBytes propagates from parquet file sizes through
+    filters/projections — the same signal autoBroadcastJoinThreshold
+    uses). The previous limit(n+1).count() probe was a scan-shaped job
+    per join call (VERDICT r01 §wrong/next.8); at 100 TB an eager probe
+    of the right side costs more than the decision is worth. Budget:
+    ~100 bytes/row against ``max_rows``, capped at 1 GiB of broadcast
+    build (executor-memory bound, matching Spark's own guidance)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        # stats unavailable (e.g. foreign plan): bounded row probe
+        return df.limit(max_rows + 1).count() <= max_rows
+    return size <= min(max_rows * 100, 1 << 30)
 
 
 def _hot_cells(lc: DataFrame, threshold: int) -> set[int]:
-    """Cells whose left-side row count exceeds the skew threshold."""
+    """Cells whose left-side row count exceeds the skew threshold,
+    detected from a seeded SAMPLE of the cell column instead of a full
+    extra pass (VERDICT r01 next.8): fraction sized so a truly-hot cell
+    shows ≥ ~200 sampled rows (±~7% binomial noise — a borderline cell
+    flipping is harmless, salting is an optimization not a correctness
+    gate). The sampled scan is column-pruned to the cell key only."""
+    fraction = min(1.0, 200.0 / max(threshold, 1))
+    sampled = lc.select(_CELL)
+    if fraction < 1.0:
+        sampled = sampled.sample(fraction=fraction, seed=42)
     rows = (
-        lc.groupBy(_CELL).count().filter(F.col("count") > threshold).select(_CELL).collect()
+        sampled.groupBy(_CELL)
+        .count()
+        .filter(F.col("count") > threshold * fraction)
+        .select(_CELL)
+        .collect()
     )
     return {r[_CELL] for r in rows}

@@ -58,19 +58,49 @@ def _fnv1a(s: str) -> int:
         acc = ((acc ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return acc & 0x7FFFFFFFFFFFFFFF
 
+_TOKEN_P = np.uint64(1099511628211)
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hash per token, vectorized across tokens.
+
+    Tokens go into one fixed-width codepoint matrix (numpy 'U' dtype,
+    zero-padded); the hash is the polynomial Σ c_j·P^j (mod 2^64) mixed
+    with the length. Padding columns contribute 0·P^j, so the value is
+    independent of the batch's max token length — the same token hashes
+    identically in every doc/batch (required for cross-doc Jaccard).
+    Replaces the per-token per-byte Python FNV loop that was the MinHash
+    pipeline's throughput ceiling (VERDICT r01 §wrong.3)."""
+    arr = np.asarray(toks, dtype="U")
+    width = arr.dtype.itemsize // 4
+    if arr.size == 0 or width == 0:
+        return np.zeros(arr.size, dtype=np.uint64)
+    mat = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+    powers = _TOKEN_P ** np.arange(width, dtype=np.uint64)
+    poly = (mat * powers).sum(axis=1)  # uint64 wraps
+    lens = (mat != 0).sum(axis=1).astype(np.uint64)
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
+    return _splitmix64((poly ^ (lens * _SHINGLE_P)).view(np.int64))
+
 
 def _shingles(text: str, k: int) -> np.ndarray:
+    """Hashes of the k-token shingles of ``text`` — fully vectorized:
+    one token-hash pass, then a sliding-window polynomial combine
+    (stride view × power vector, uint64 wraparound) and a splitmix64
+    finalizer. Short docs (< k tokens) hash the whole token sequence."""
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
     toks = text.split()
-    if len(toks) < k:
-        return np.array([_fnv1a(" ".join(toks))], dtype=np.uint64)
-    out = np.empty(len(toks) - k + 1, dtype=np.uint64)
-    for i in range(len(toks) - k + 1):
-        # FNV-1a over the shingle string: deterministic across processes
-        acc = np.uint64(0xCBF29CE484222325)
-        for ch in " ".join(toks[i : i + k]).encode():
-            acc = np.uint64((int(acc) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = acc
-    return out
+    if not toks:
+        return np.array([0xCBF29CE484222325], dtype=np.uint64)
+    h = _token_hashes(toks)
+    kk = min(k, len(h))
+    win = np.lib.stride_tricks.sliding_window_view(h, kk)
+    powers = _SHINGLE_P ** np.arange(kk, dtype=np.uint64)[::-1]
+    combined = (win * powers).sum(axis=1)  # uint64 wraps
+    return _splitmix64(combined.view(np.int64))
 
 
 def minhash_signatures(

@@ -118,3 +118,21 @@ def test_projection_prunes_bytes_from_scan(spark):
     plan = _plan(df)
     rs = plan.split("ReadSchema:")[1]
     assert "bytes" not in rs and "caption" not in rs
+
+
+def test_broadcast_decision_runs_no_job(spark, sf_dir):
+    """VERDICT r01 next.8: broadcast=None must decide from Catalyst plan
+    statistics (file-size-derived sizeInBytes), not an eager scan-shaped
+    probe job — at 100 TB a limit+count of the right side is a real scan."""
+    from geomesa_sql_spark.join.spatial import _should_broadcast
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("bcast_probe", "probe")
+    try:
+        small = _should_broadcast(df, 2_000_000)
+        big = _should_broadcast(df, 1)
+    finally:
+        sc.setJobGroup(None, None)
+    assert small is True and big is False
+    assert list(sc.statusTracker().getJobIdsForGroup("bcast_probe")) == []
