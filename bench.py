@@ -132,7 +132,6 @@ def main() -> None:
         "dedup_exact",
         "text_quality",
         "ann_topk",
-        "near_dup_text",
         "image_stats",
     ]
     all_q = entrymod.queries()
@@ -141,6 +140,22 @@ def main() -> None:
         q0 = time.time()
         all_q[name](spark, sf_dir).count()
         results[name] = round(time.time() - q0, 3)
+
+    # MinHash+LSH near-dup: time the SCALE path only (band-bucket join).
+    # The contract query near_dup_text also runs the exact n-gram twin,
+    # which is quadratic BY DESIGN (verification oracle) — timing it
+    # would report the oracle's cost, not the engine's.
+    from geomesa_sql_spark.ops import lsh_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzz"))
+    )
+    t0 = time.time()
+    lsh_near_dup_pairs(
+        docs.unionByName(dup), "text", "doc_id", jaccard_threshold=0.6
+    ).count()
+    results["minhash_near_dup"] = round(time.time() - t0, 3)
 
     # image-pipeline throughput: decode + per-channel stats over the full
     # stored table (NO .limit() — a GlobalLimit would funnel every binary

@@ -57,3 +57,60 @@ def write_geo_table(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_tiled(
+    df: DataFrame,
+    path: str,
+    zoom: int = 4,
+    x: str = "lon",
+    y: str = "lat",
+    mode: str = "overwrite",
+) -> None:
+    """Write a table PARTITIONED BY coarse tile (hive-style directories)
+    — the raster↔vector handoff layout: a tile server (or a downstream
+    raster stage) reads exactly the tile directories it touches, and a
+    bbox query prunes at the PARTITION level before parquet footers are
+    even opened (Spark partition pruning: `PartitionFilters` in explain).
+
+    ``tile_p`` is tile_y·2^zoom + tile_x at the coarse ``zoom`` (default
+    4 → ≤256 directories; at 100 TB pick zoom so a partition is
+    ~10-100 GB). Within each partition, rows cluster by the fine Z-order
+    ``cell`` (row-group pruning inside a tile, same as write_geo_table).
+    """
+    from geomesa_sql_spark.tiles import assign_tiles
+
+    n = 1 << zoom
+    out = df if "cell" in df.columns else add_cell(df, x, y)
+    out = (
+        assign_tiles(out, zoom=zoom, x=x, y=y, with_hilbert=False)
+        .withColumn("tile_p", F.col("tile_y") * n + F.col("tile_x"))
+        .drop("tile_x", "tile_y")
+    )
+    (
+        out.repartition(F.col("tile_p"))
+        .sortWithinPartitions("cell")
+        .write.mode(mode)
+        .partitionBy("tile_p")
+        .parquet(path)
+    )
+
+
+def tile_partition_filter(
+    minx: float, miny: float, maxx: float, maxy: float, zoom: int = 4
+):
+    """Partition-pruning predicate for a bbox over a write_tiled table:
+    ``tile_p IN (covered coarse tiles)`` — a pure partition-column
+    filter, so Spark prunes directories at planning time."""
+    import numpy as np
+
+    n = 1 << zoom
+    tx0 = int(max(0, min(n - 1, np.floor((minx + 180.0) / 360.0 * n))))
+    tx1 = int(max(0, min(n - 1, np.floor((maxx + 180.0) / 360.0 * n))))
+    # tile_y grows north→south (slippy): maxy → smallest row
+    ty0 = int(max(0, min(n - 1, np.floor((90.0 - maxy) / 180.0 * n))))
+    ty1 = int(max(0, min(n - 1, np.floor((90.0 - miny) / 180.0 * n))))
+    tiles = [
+        ty * n + tx for ty in range(ty0, ty1 + 1) for tx in range(tx0, tx1 + 1)
+    ]
+    return F.col("tile_p").isin(tiles)

@@ -2,6 +2,7 @@ from geomesa_sql_spark.streaming.windowed import (  # noqa: F401
     run_available_now,
     stateful_running_totals,
     stream_spatial_join,
+    stream_stream_dwithin_join,
     stream_events,
     windowed_counts,
 )

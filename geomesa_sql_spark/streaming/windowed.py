@@ -153,3 +153,84 @@ def stream_spatial_join(
         res=res,           # required: no sampling jobs on a stream
         broadcast=True,    # required: no count() probe on a stream
     )
+
+
+def stream_stream_dwithin_join(
+    left: DataFrame,
+    right: DataFrame,
+    distance: float,
+    time_bound: str = "1 hour",
+    x1: str = "lon",
+    y1: str = "lat",
+    x2: str = "lon2",
+    y2: str = "lat2",
+    ts1: str = "ts",
+    ts2: str = "ts2",
+    watermark: str = "2 hours",
+    res: int | None = None,
+) -> DataFrame:
+    """Stream-STREAM DWithin join: pairs of points from two live streams
+    within ``distance`` of each other and within ``time_bound`` of each
+    other's event time.
+
+    Plan shape (everything JVM-side — a Python UDF anywhere near the
+    symmetric state store would break codegen and double-evaluate):
+
+    - pick ``res`` so one grid cell is at least ``distance`` tall/wide,
+      then any qualifying pair is in the same or an adjacent cell;
+    - LEFT explodes to its 3×3 neighbor cells via pure Column
+      arithmetic (array+explode of shifted zorder encodes), RIGHT keeps
+      its single home cell → the join key is cell equality, which gives
+      Spark's symmetric hash state a proper partitioning key;
+    - the refine (planar distance ≤ d) and the event-time bound ride
+      the same join condition; watermarks on both sides let the state
+      store evict (the standard stream-stream retention contract);
+    - a pair shares at most ONE (left-neighbor = right-home) cell, so
+      no post-join dedup is needed.
+
+    The reference is strictly batch (SURVEY.md §2.8) — this is the
+    engine-extension shape for live geo-correlation (e.g. two image
+    streams matched by location+time).
+    """
+    from geomesa_sql_spark.cells.column import zorder_cell_col
+
+    if res is None:
+        res = 0
+        while (180.0 / (1 << (res + 1))) >= distance and res < 16:
+            res += 1
+    cell_h = 180.0 / (1 << res)
+    if cell_h < distance:
+        raise ValueError(
+            f"res={res} gives {cell_h}° cells < distance={distance}; "
+            "adjacent-cell cover would miss pairs"
+        )
+    step_x = 360.0 / (1 << res)
+    step_y = cell_h
+
+    lf = left.withColumn(ts1, F.col(ts1).cast("timestamp")).withWatermark(
+        ts1, watermark
+    )
+    rt = right.withColumn(ts2, F.col(ts2).cast("timestamp")).withWatermark(
+        ts2, watermark
+    )
+    neighbors = F.array(
+        *[
+            zorder_cell_col(
+                F.col(x1) + F.lit(dx * step_x), F.col(y1) + F.lit(dy * step_y), res
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    lf = lf.withColumn("__ss_cell", F.explode(F.array_distinct(neighbors)))
+    rt = rt.withColumn("__ss_cell_r", zorder_cell_col(F.col(x2), F.col(y2), res))
+
+    ddx = F.col(x1) - F.col(x2)
+    ddy = F.col(y1) - F.col(y2)
+    cond = (
+        (F.col("__ss_cell") == F.col("__ss_cell_r"))
+        & (ddx * ddx + ddy * ddy <= F.lit(float(distance) ** 2))
+        & (F.col(ts2) >= F.col(ts1) - F.expr(f"INTERVAL {time_bound}"))
+        & (F.col(ts2) <= F.col(ts1) + F.expr(f"INTERVAL {time_bound}"))
+    )
+    return lf.join(rt, cond, "inner").drop("__ss_cell", "__ss_cell_r")

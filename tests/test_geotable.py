@@ -103,3 +103,40 @@ def test_fid_range_not_pushed_quirk(spark, geo_path):
     # evaluated as a residual (present in the plan as a Filter)
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "o_orderkey" in plan
+
+
+def test_write_tiled_partition_pruning(spark, sf_dir, tmp_path):
+    """write_tiled lays the table out PARTITIONED BY coarse tile; a bbox
+    query through tile_partition_filter must (a) return exactly the
+    rows a plain bbox filter returns and (b) prune at the PARTITION
+    level (PartitionFilters in the scan, fewer files read)."""
+    from geomesa_sql_spark.io.layout import tile_partition_filter, write_tiled
+
+    path = str(tmp_path / "tiled")
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    write_tiled(pts, path, zoom=3)
+
+    bbox = (-10.005, -10.005, 50.005, 40.005)
+    t = spark.read.parquet(path)
+    pruned = t.filter(tile_partition_filter(*bbox, zoom=3)).filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+    )
+    want = pts.filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+    )
+    assert sorted(r[0] for r in pruned.select("o_orderkey").collect()) == sorted(
+        r[0] for r in want.select("o_orderkey").collect()
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "tile_p" in plan
+    # the bbox covers a fraction of the world: the pruned scan must read
+    # strictly fewer partition directories than exist
+    import glob
+
+    all_parts = len(glob.glob(f"{path}/tile_p=*"))
+    hit_parts = {
+        r.tile_p for r in pruned.select("tile_p").distinct().collect()
+    }
+    assert 0 < len(hit_parts) < all_parts

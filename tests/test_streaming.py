@@ -92,3 +92,50 @@ def test_stream_spatial_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_dwithin_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-STREAM DWithin join ≡ the batch theta join on the same
+    data (available-now drain, append mode). Also asserts the plan keeps
+    everything JVM-side: no Python/Arrow eval anywhere (a UDF near the
+    symmetric state store would break it)."""
+    from geomesa_sql_spark.io.fixtures import orders_points, supplier_points
+    from geomesa_sql_spark.streaming import stream_stream_dwithin_join
+    from geomesa_sql_spark.streaming.windowed import run_available_now, stream_events
+
+    dl = str(tmp_path / "l")
+    dr = str(tmp_path / "r")
+    pts = orders_points(spark, sf_dir).select(
+        "o_orderkey", "lon", "lat", F.col("o_orderdate").cast("timestamp").alias("ts")
+    )
+    sup = supplier_points(spark, sf_dir).select(
+        "s_suppkey",
+        F.col("slon").alias("lon2"),
+        F.col("slat").alias("lat2"),
+        F.lit("1996-06-01").cast("timestamp").alias("ts2"),
+    )
+    pts.repartition(3).write.parquet(dl)
+    sup.repartition(2).write.parquet(dr)
+
+    joined = stream_stream_dwithin_join(
+        stream_events(spark, dl), stream_events(spark, dr),
+        distance=5.0, time_bound="365 days", watermark="0 seconds",
+    )
+    got = run_available_now(joined.select("o_orderkey", "s_suppkey"), mode="append")
+
+    bl = spark.read.parquet(dl)
+    br = spark.read.parquet(dr)
+    # same builder on the batch twins: the physical plan must be pure
+    # JVM (no ArrowEvalPython stage anywhere near the join)
+    twin = stream_stream_dwithin_join(bl, br, distance=5.0, time_bound="365 days")
+    assert "ArrowEvalPython" not in twin._jdf.queryExecution().executedPlan().toString()
+    dx = F.col("lon") - F.col("lon2")
+    dy = F.col("lat") - F.col("lat2")
+    batch = bl.join(
+        br,
+        (dx * dx + dy * dy <= 25.0)
+        & (F.col("ts2") >= F.col("ts") - F.expr("INTERVAL 365 days"))
+        & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 365 days")),
+    ).select("o_orderkey", "s_suppkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    assert got.count() > 0
