@@ -579,8 +579,12 @@ def q_st_simplify_hull(spark, sf_dir):
 
 
 def q_sql_st_measures(spark, sf_dir):
-    """ST_Area / ST_Centroid over WKB rows; oracle is closed-form for
-    axis-aligned squares (area = (2·hs)², centroid = center)."""
+    """ST_Area / ST_Centroid / ST_Transform(4326→3857) over WKB rows;
+    oracle is closed-form for axis-aligned squares (area = (2·hs)²,
+    centroid = center; a lat-lon rectangle maps to a mercator rectangle
+    since x depends only on lon and y only on lat, so the transformed
+    envelope corners are the per-corner spherical-mercator formulas —
+    rounded to 4 decimals of a meter to absorb libm ulp differences)."""
     from geomesa_sql_spark.functions import register_all
 
     register_all(spark)
@@ -588,7 +592,11 @@ def q_sql_st_measures(spark, sf_dir):
     return spark.sql(
         """SELECT n_nationkey, ST_Area(poly) AS area,
                   ROUND(ST_X(ST_Centroid(poly)), 6) AS cx_r,
-                  ROUND(ST_Y(ST_Centroid(poly)), 6) AS cy_r
+                  ROUND(ST_Y(ST_Centroid(poly)), 6) AS cy_r,
+                  ROUND(ST_XMin(ST_Transform(poly, 'EPSG:4326', 'EPSG:3857')), 4)
+                      AS mminx_r,
+                  ROUND(ST_YMax(ST_Transform(poly, 'EPSG:4326', 'EPSG:3857')), 4)
+                      AS mmaxy_r
            FROM nsq_v"""
     )
 
@@ -1010,7 +1018,10 @@ def _oracles() -> dict[str, str]:
         "tile_hilbert": _hilbert_xy2d_sql(6, opts),
         "sql_st_measures": f"""
             SELECT n_nationkey, 4.0 * hs * hs AS area,
-                   ROUND(cx, 6) AS cx_r, ROUND(cy, 6) AS cy_r
+                   ROUND(cx, 6) AS cx_r, ROUND(cy, 6) AS cy_r,
+                   ROUND((cx - hs) * (6378137.0 * pi() / 180.0), 4) AS mminx_r,
+                   ROUND(ln(tan(pi() / 4.0 + radians(cy + hs) / 2.0)) * 6378137.0, 4)
+                       AS mmaxy_r
             FROM ({nsq})
         """,
         "dedup_exact": """

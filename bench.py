@@ -136,10 +136,17 @@ def main() -> None:
     ]
     all_q = entrymod.queries()
     results: dict[str, float] = {"headline_spatial_join_tiles": round(headline_sec, 3)}
+    # min of 2 runs per query: the first run pays plan-specific codegen/
+    # broadcast-build costs and is exposed to host drift; steady-state is
+    # the honest unit of comparison (same rationale as the warmed
+    # headline; host throughput here drifts 20-50% between minutes)
     for name in bench_queries:
-        q0 = time.time()
-        all_q[name](spark, sf_dir).count()
-        results[name] = round(time.time() - q0, 3)
+        best = float("inf")
+        for _ in range(2):
+            q0 = time.time()
+            all_q[name](spark, sf_dir).count()
+            best = min(best, time.time() - q0)
+        results[name] = round(best, 3)
 
     # MinHash+LSH near-dup: time the SCALE path only (band-bucket join).
     # The contract query near_dup_text also runs the exact n-gram twin,
@@ -151,18 +158,25 @@ def main() -> None:
     dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000).withColumn(
         "text", F.concat(F.col("text"), F.lit(" zzz"))
     )
-    t0 = time.time()
-    lsh_near_dup_pairs(
-        docs.unionByName(dup), "text", "doc_id", jaccard_threshold=0.6
-    ).count()
-    results["minhash_near_dup"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        lsh_near_dup_pairs(
+            docs.unionByName(dup), "text", "doc_id", jaccard_threshold=0.6
+        ).count()
+        best = min(best, time.time() - t0)
+    results["minhash_near_dup"] = round(best, 3)
 
     # image-pipeline throughput: decode + per-channel stats over the full
     # stored table (NO .limit() — a GlobalLimit would funnel every binary
     # payload through one partition)
-    t0 = time.time()
-    n_dec = image_stats(spark.read.parquet(img_path)).count()
-    results["image_stats_full"] = round(time.time() - t0, 3)
+    n_dec = image_stats(spark.read.parquet(img_path)).count()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        image_stats(spark.read.parquet(img_path)).count()
+        best = min(best, time.time() - t0)
+    results["image_stats_full"] = round(best, 3)
 
     # storage-level spatial pruning: the same ST_Within over a
     # cell-clustered layout (row-group pruning) vs the scannable twin
@@ -177,15 +191,18 @@ def main() -> None:
     rect = ("POLYGON ((-10.005 -10.005, 50.005 -10.005, 50.005 40.005, "
             "-10.005 40.005, -10.005 -10.005))")
     for label, push in (("st_filter_pruned", True), ("st_filter_scannable", False)):
-        t0 = time.time()
-        (
-            GeoTable(spark, geo_path, pushdown=push)
-            .where_spatial("intersects", rect, x="lon", y="lat")
-            .select("image_id")
-            .df()
-            .count()
-        )
-        results[label] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            (
+                GeoTable(spark, geo_path, pushdown=push)
+                .where_spatial("intersects", rect, x="lon", y="lat")
+                .select("image_id")
+                .df()
+                .count()
+            )
+            best = min(best, time.time() - t0)
+        results[label] = round(best, 3)
     # pruning effectiveness (what the wall clock can't show at a
     # page-cached toy scale): row groups whose footer cell-range misses
     # every prune range are skipped by the reader — at 100 TB that is
@@ -198,14 +215,17 @@ def main() -> None:
 
     # big×big path: repartition-by-cell spatial join with salting (the
     # plan shape a 1000-executor two-large-sides join uses; no broadcast)
-    t0 = time.time()
     big_pts = spark.read.parquet(img_path).select("image_id", "lon", "lat")
-    spatial_join(
-        big_pts, polys, point_side("lon", "lat"), wkb_side("poly"),
-        predicate="intersects", res=6, broadcast=False, salt=8,
-        hot_cell_threshold=50_000,
-    ).count()
-    results["spatial_join_repartition_salted"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spatial_join(
+            big_pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=False, salt=8,
+            hot_cell_threshold=50_000,
+        ).count()
+        best = min(best, time.time() - t0)
+    results["spatial_join_repartition_salted"] = round(best, 3)
 
     # pure-join throughput probe at 10M points (no payload): JVM-only
     # generation, cell encode, broadcast join, PIP refine, tile rollup —
@@ -234,10 +254,12 @@ def main() -> None:
             .groupBy("n_nationkey", "tile_x", "tile_y")
             .count()
         )
-    big_join().count()
-    t0 = time.time()
-    big_join().count()
-    big_sec = time.time() - t0
+    big_join().count()  # warm
+    big_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        big_join().count()
+        big_sec = min(big_sec, time.time() - t0)
     results["big_join_10m"] = round(big_sec, 3)
 
     # big×big: 2M-point DWithin self-join through the repartition path
@@ -260,9 +282,12 @@ def main() -> None:
             predicate="dwithin", distance=0.02, res=12, broadcast=False,
         )
         sj.count()  # warm
-        t0 = time.time()
-        sj.count()
-        results["big_selfjoin_2m"] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            sj.count()
+            best = min(best, time.time() - t0)
+        results["big_selfjoin_2m"] = round(best, 3)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 

@@ -183,6 +183,31 @@ def st_distance_point_cols(x1: Column, y1: Column, x2: Column, y2: Column) -> Co
     return F.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
 
 
+_MERC_R = 6378137.0  # WGS84 spherical-mercator radius (EPSG:3857)
+
+
+def mercator_cols(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """EPSG:4326 → EPSG:3857 (web mercator) as pure Column arithmetic —
+    the CRS hop every slippy-tile pipeline makes; JVM codegen, no UDF.
+    Spherical formulas (the 3857 contract): x = R·λ, y = R·ln(tan(π/4+φ/2))."""
+    import math
+
+    x = lon * F.lit(_MERC_R * math.pi / 180.0)
+    y = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / F.lit(2.0))) * F.lit(_MERC_R)
+    return x, y
+
+
+def inverse_mercator_cols(x: Column, y: Column) -> tuple[Column, Column]:
+    """EPSG:3857 → EPSG:4326 (inverse web mercator), Column arithmetic."""
+    import math
+
+    lon = x / F.lit(_MERC_R * math.pi / 180.0)
+    lat = (F.atan(F.exp(y / F.lit(_MERC_R))) - F.lit(math.pi / 4.0)) * F.lit(
+        360.0 / math.pi
+    )
+    return lon, lat
+
+
 def st_cell(x: Column, y: Column, res: int, curve: str = "hilbert") -> Column:
     """Space-filling-curve cell id of lon/lat columns.
 
@@ -394,6 +419,51 @@ def register_all(spark: SparkSession) -> None:
         )
 
     spark.udf.register("ST_ConvexHull", _hull)
+
+    def _map_coords(g: Geom, fn) -> Geom:
+        if g.type == "Point":
+            return Geom("Point", fn(g.coords.reshape(1, 2))[0])
+        if g.type == "LineString":
+            return Geom("LineString", fn(g.coords))
+        if g.type == "Polygon":
+            return Geom("Polygon", [fn(r) for r in g.coords])
+        return Geom(g.type, [_map_coords(p, fn) for p in g.coords])
+
+    def _merc_fwd(c: np.ndarray) -> np.ndarray:
+        out = np.empty_like(c)
+        out[:, 0] = c[:, 0] * (6378137.0 * np.pi / 180.0)
+        out[:, 1] = np.log(np.tan(np.pi / 4.0 + np.radians(c[:, 1]) / 2.0)) * 6378137.0
+        return out
+
+    def _merc_inv(c: np.ndarray) -> np.ndarray:
+        out = np.empty_like(c)
+        out[:, 0] = c[:, 0] / (6378137.0 * np.pi / 180.0)
+        out[:, 1] = (np.arctan(np.exp(c[:, 1] / 6378137.0)) - np.pi / 4.0) * (360.0 / np.pi)
+        return out
+
+    _CRS_FNS = {("EPSG:4326", "EPSG:3857"): _merc_fwd,
+                ("EPSG:3857", "EPSG:4326"): _merc_inv}
+
+    @F.pandas_udf(T.BinaryType())
+    def _transform(wkb: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+        """ST_Transform between EPSG:4326 and EPSG:3857 (web mercator) —
+        the only CRS hop a slippy-tile engine needs; other codes would
+        require a full proj database (not in this container)."""
+        out = []
+        for b, s, d in zip(wkb, src, dst):
+            if b is None:
+                out.append(None)
+                continue
+            if s == d:
+                out.append(bytes(b))
+                continue
+            fn = _CRS_FNS.get((s, d))
+            if fn is None:
+                raise NotImplementedError(f"ST_Transform {s}->{d} (only 4326<->3857)")
+            out.append(geom_to_wkb(_map_coords(geom_from_wkb(bytes(b)), fn)))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_Transform", _transform)
 
     @F.pandas_udf(T.BinaryType())
     def _centroid(wkb: pd.Series) -> pd.Series:

@@ -111,7 +111,14 @@ def knn_join_adaptive(
         area = (world[2] - world[0]) * (world[3] - world[1])
         r0 = max((area * 4.0 * k / n) ** 0.5 / 2.0, 1e-9)
 
-    done_parts: list[DataFrame] = []
+    # The output is bounded by k·|queries| rows, so each round's top-k is
+    # COLLECTED once (acceptance stats computed driver-side from the same
+    # rows) and the result returns as a local relation. One Spark job per
+    # round instead of three — the per-round agg job, and the re-execution
+    # of every round's window plan at the caller's first action, both
+    # disappear (the old shape cost ~3× the brute join cold at local[32]).
+    done_rows: list = []
+    out_schema = None
     active = qrows
     r = r0
     for _ in range(max_rounds):
@@ -132,34 +139,30 @@ def knn_join_adaptive(
         topk = (
             with_dist.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+            .drop(qx, qy)
         )
-        # accept when the kth hit is inside the inscribed circle (or the
-        # bbox already spans the world — nothing left to widen into)
-        kth = {
-            row[0]: (row[1], row[2])
-            for row in topk.groupBy(query_id)
-            .agg(F.max("dist").alias("dk"), F.count(F.lit(1)).alias("nk"))
-            .collect()
-        }
+        out_schema = topk.schema
+        rows = topk.collect()  # ≤ k × |active| rows
+        by_q: dict = {}
+        for row in rows:
+            by_q.setdefault(row[query_id], []).append(row)
         world_covered = (
             r >= (world[2] - world[0]) and r >= (world[3] - world[1])
         )
-        ok_ids = {
-            qid for qid, (dk, nk) in kth.items()
-            if (nk >= k and dk <= r) or world_covered
-        }
+        ok_ids = set()
+        for qid, qhits in by_q.items():
+            dk = max(h["dist"] for h in qhits)
+            if (len(qhits) >= k and dk <= r) or world_covered:
+                ok_ids.add(qid)
         if world_covered:
             ok_ids |= {q[0] for q in active}
-        if ok_ids:
-            done_parts.append(
-                topk.filter(F.col(query_id).isin(list(ok_ids))).drop(qx, qy)
-            )
+        for qid in ok_ids:
+            done_rows.extend(by_q.get(qid, []))
         active = [q for q in active if q[0] not in ok_ids]
         r *= 2.0
     if active:
         # max_rounds exhausted: brute-force the stragglers exactly
-        done_parts.append(knn_join(points, active, k, x, y, query_id, qx, qy))
-    out = done_parts[0]
-    for part in done_parts[1:]:
-        out = out.unionByName(part)
-    return out
+        straggler = knn_join(points, active, k, x, y, query_id, qx, qy)
+        out_schema = straggler.schema
+        done_rows.extend(straggler.collect())
+    return spark.createDataFrame(done_rows, out_schema)

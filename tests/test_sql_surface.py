@@ -134,3 +134,46 @@ def test_st_measures(spark):
            FROM (SELECT ST_GeomFromText('LINESTRING (0 0, 3 4)') AS g)"""
     ).first()
     assert (r2.a, r2.l, r2.cx) == (0.0, 5.0, 1.5)
+
+
+def test_st_transform_roundtrip_and_column_fastpath(spark, sf_dir):
+    """ST_Transform 4326<->3857: round-trip identity (to fp tolerance),
+    agreement between the WKB UDF and the pure-Column fast path, and a
+    known anchor (lon=180 -> x=20037508.342789244)."""
+    from geomesa_sql_spark.functions import register_all
+    from geomesa_sql_spark.functions.st import inverse_mercator_cols, mercator_cols
+    from geomesa_sql_spark.io.fixtures import orders_points
+    import pyspark.sql.functions as F
+
+    register_all(spark)
+    pts = orders_points(spark, sf_dir).filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey", "lon", "lat"
+    )
+    mx, my = mercator_cols(F.col("lon"), F.col("lat"))
+    ilon, ilat = inverse_mercator_cols(mx, my)
+    rt = pts.select(
+        "lon", "lat", mx.alias("mx"), my.alias("my"),
+        ilon.alias("rlon"), ilat.alias("rlat"),
+    )
+    for r in rt.collect():
+        assert abs(r.rlon - r.lon) < 1e-9 and abs(r.rlat - r.lat) < 1e-9
+    # WKB UDF path agrees with the Column fast path
+    pts.createOrReplaceTempView("merc_pts")
+    both = spark.sql(
+        """SELECT ST_X(ST_Transform(ST_MakePoint(lon, lat),
+                                    'EPSG:4326', 'EPSG:3857')) AS ux,
+                  ST_Y(ST_Transform(ST_MakePoint(lon, lat),
+                                    'EPSG:4326', 'EPSG:3857')) AS uy,
+                  lon, lat FROM merc_pts"""
+    )
+    fast = {
+        (round(r.lon, 9), round(r.lat, 9)): (r.mx, r.my) for r in rt.collect()
+    }
+    for r in both.collect():
+        cx, cy = fast[(round(r.lon, 9), round(r.lat, 9))]
+        assert abs(r.ux - cx) < 1e-6 and abs(r.uy - cy) < 1e-6
+    anchor = spark.sql(
+        """SELECT ST_X(ST_Transform(ST_MakePoint(180.0D, 0.0D),
+                                    'EPSG:4326', 'EPSG:3857')) AS x"""
+    ).first()
+    assert abs(anchor.x - 20037508.342789244) < 1e-6
