@@ -111,3 +111,39 @@ def test_push_hint_forced(spark, sides):
     forced = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"), push=True)
     skipped = index_lookup_join(cust, orders, ("c_custkey", "o_custkey"), push=False)
     assert _sorted_rows(forced) == _sorted_rows(skipped)
+
+
+def test_bloom_prefilter_join_exact_and_selective(spark, sf_dir):
+    """Bloom pre-filter join: exact results (the join re-checks
+    equality) and a genuinely selective pre-filter (most non-matching
+    probe rows shed before the shuffle at the documented ~1% fpp)."""
+    from geomesa_sql_spark.join.bloom import (
+        bloom_filter_col,
+        bloom_prefilter_join,
+        build_bloom,
+    )
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey", "c_name")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    got = bloom_prefilter_join(cust, orders, ("c_custkey", "o_custkey"))
+    want = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "inner")
+    assert _sorted_rows(got.select("c_custkey", "o_orderkey")) == _sorted_rows(
+        want.select("c_custkey", "o_orderkey")
+    )
+
+    bm = build_bloom(cust, "c_custkey", m_bits=1 << 20, k=7)
+    kept = orders.filter(
+        bloom_filter_col(bm, "o_custkey", m_bits=1 << 20, k=7)
+    ).count()
+    matching = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_semi"
+    ).count()
+    total = orders.count()
+    # kept = matches + false positives; fp rate must be small
+    assert matching <= kept
+    assert (kept - matching) <= max(0.02 * (total - matching), 5)
