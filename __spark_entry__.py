@@ -525,12 +525,17 @@ def _sql_points_view(spark, sf_dir) -> str:
 
 
 def q_sql_st_intersects(spark, sf_dir):
-    """SQL text → registered ST_* UDFs: polygon containment filter."""
+    """SQL text → registered ST_* UDFs: polygon containment filter,
+    through the engine's SQL-text spatial rewrite (SpatialFilterRule
+    analog: sargable bbox conjunction injected ahead of the exact UDF
+    residual — engine.py::_rewrite_spatial_predicates)."""
+    from geomesa_sql_spark.engine import _rewrite_spatial_predicates
+
     v = _sql_points_view(spark, sf_dir)
-    return spark.sql(
+    return spark.sql(_rewrite_spatial_predicates(
         f"""SELECT o_orderkey FROM {v}
             WHERE ST_Intersects(ST_MakePoint(lon, lat), ST_GeomFromText('{PENTA}'))"""
-    )
+    ))
 
 
 def q_sql_st_xy_dist(spark, sf_dir):

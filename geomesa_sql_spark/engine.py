@@ -127,6 +127,57 @@ def _split_assignments(set_part: str):
         yield col.strip(), expr.strip()
 
 
+_SPATIAL_PRED_RE = _re.compile(
+    r"(?is)ST_(Within|Intersects|Contains|DWithin)\s*\(\s*"
+    r"ST_MakePoint\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_][\w.]*)\s*\)\s*,\s*"
+    r"ST_GeomFromText\s*\(\s*'([^']+)'\s*\)\s*"
+    r"(?:,\s*([0-9.eE+-]+)\s*)?\)"
+)
+
+
+def _rewrite_spatial_predicates(query: str) -> str:
+    """The SpatialFilterRule analog for SQL TEXT (reference:
+    rules/GeoMesaSpatialFilterRule.scala translates RexNode ST_* calls
+    into pushed GeoMesa filters). Spark's Catalyst cannot push a Python
+    UDF predicate into a parquet scan, so each
+    ``ST_Pred(ST_MakePoint(x, y), ST_GeomFromText('...'))`` call is
+    rewritten to ``(bbox-range conjunction AND original-call)``:
+
+    - the bbox ranges are plain column comparisons — sargable, so they
+      reach the scan as PushedFilters (row-group/file pruning, and
+      cell-range pruning on a write_geo_table layout);
+    - the original UDF call stays as the exact residual (cover false
+      positives never leak — same contract as plan/filter.py).
+
+    DWithin expands the envelope by the literal distance. Geometries
+    whose WKT fails to parse are left untouched (the bare UDF still
+    answers exactly).
+    """
+
+    def _sub(m: _re.Match) -> str:
+        from geomesa_sql_spark.geom import geom_from_wkt
+
+        whole = m.group(0)
+        pred, x, y, wkt, dist = m.groups()
+        try:
+            g = geom_from_wkt(wkt)
+        except Exception:
+            return whole
+        if pred.lower() == "contains":
+            # contains(point, geom): a point contains nothing but itself
+            # — no useful envelope shrink; leave the exact call
+            return whole
+        minx, miny, maxx, maxy = g.envelope()
+        pad = float(dist) if (dist and pred.lower() == "dwithin") else 0.0
+        bbox = (
+            f"{x} >= {minx - pad!r} AND {x} <= {maxx + pad!r} AND "
+            f"{y} >= {miny - pad!r} AND {y} <= {maxy + pad!r}"
+        )
+        return f"({bbox} AND {whole})"
+
+    return _SPATIAL_PRED_RE.sub(_sub, query)
+
+
 class Engine:
     def __init__(self, spark: SparkSession, fid_col: str = "image_id"):
         self.spark = spark
@@ -165,7 +216,7 @@ class Engine:
         count as a 1-row result)."""
         dml = _parse_dml(query)
         if dml is None:
-            return self.spark.sql(query)
+            return self.spark.sql(_rewrite_spatial_predicates(query))
         verb, table, body = dml
         if table not in self._tables:
             raise ValueError(f"unknown table {table!r} in DML")

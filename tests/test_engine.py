@@ -165,3 +165,42 @@ def test_fast_min_max_string_column_falls_back(sf_dir):
     # numeric columns still take the footer fast path
     lo, hi = fast_min_max(f"{sf_dir}/nation.parquet", "n_nationkey")
     assert lo == 0 and hi == 24
+
+
+def test_sql_spatial_predicate_pushdown(spark, sf_dir, tmp_path):
+    """SQL-TEXT spatial pushdown (the SpatialFilterRule analog): an
+    Engine.sql query with ST_Within(ST_MakePoint(lon,lat), <literal>)
+    must (a) match the bare-UDF answer exactly and (b) reach the
+    parquet scan as sargable range PushedFilters — Catalyst can never
+    push the UDF itself."""
+    from geomesa_sql_spark.engine import _rewrite_spatial_predicates
+    from geomesa_sql_spark.io.fixtures import orders_points
+
+    eng = Engine(spark)
+    path = str(tmp_path / "pts")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(path)
+    eng.register_table("pts", path)
+
+    q = ("SELECT o_orderkey FROM pts WHERE ST_Within(ST_MakePoint(lon, lat), "
+         "ST_GeomFromText('POLYGON ((0.0025 0.0025, 40.0025 0.0025, "
+         "40.0025 30.0025, 0.0025 30.0025, 0.0025 0.0025))'))")
+    got = eng.sql(q)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(lon" in plan, plan[:1500]
+    bare = spark.sql(q)  # un-rewritten: bare UDF evaluation
+    assert sorted(r[0] for r in got.collect()) == sorted(r[0] for r in bare.collect())
+
+    # DWithin expands the envelope by the distance literal
+    qd = ("SELECT o_orderkey FROM pts WHERE ST_DWithin(ST_MakePoint(lon, lat), "
+          "ST_GeomFromText('POINT (10.005 10.005)'), 20.0)")
+    gotd = eng.sql(qd)
+    pland = gotd._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(lon,-9.995" in pland, pland[:1500]
+    assert sorted(r[0] for r in gotd.collect()) == sorted(
+        r[0] for r in spark.sql(qd).collect()
+    )
+
+    # rewrite is a no-op for non-literal/malformed geometry
+    assert _rewrite_spatial_predicates(
+        "SELECT 1 WHERE ST_Within(ST_MakePoint(a, b), ST_GeomFromText('NOPE'))"
+    ) == "SELECT 1 WHERE ST_Within(ST_MakePoint(a, b), ST_GeomFromText('NOPE'))"
