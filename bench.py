@@ -154,7 +154,15 @@ def main() -> None:
     # would report the oracle's cost, not the engine's.
     from geomesa_sql_spark.ops import lsh_near_dup_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # stage a multi-file copy: the driver table is ONE parquet file, so
+    # every stage would run with 1-2 input splits regardless of cores —
+    # a real corpus table has many files (at 100 TB, thousands)
+    docs_path = f"{IMAGES_CACHE}/docs_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(f"{docs_path}/_SUCCESS"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            cpus
+        ).write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
     dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000).withColumn(
         "text", F.concat(F.col("text"), F.lit(" zzz"))
     )

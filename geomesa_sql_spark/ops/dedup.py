@@ -191,10 +191,19 @@ def lsh_near_dup_pairs(
 
     @F.pandas_udf(T.DoubleType())
     def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # a doc appears in many candidate pairs → memoize its shingle
+        # set per batch (keyed by the text itself)
+        cache: dict[str, set] = {}
+
+        def sh(t: str) -> set:
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = set(_shingles(t, shingle_k).tolist())
+            return s
+
         out = []
         for x, y in zip(ta, tb):
-            sa = set(_shingles(x or "", shingle_k).tolist())
-            sb = set(_shingles(y or "", shingle_k).tolist())
+            sa, sb = sh(x or ""), sh(y or "")
             u = len(sa | sb)
             out.append(len(sa & sb) / u if u else 1.0)
         return pd.Series(out)
@@ -256,10 +265,17 @@ def ngram_jaccard_pairs(
 
     @F.pandas_udf(T.DoubleType())
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        cache: dict[str, set] = {}
+
+        def sh(t: str) -> set:
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = set(_shingles(t, shingle_k).tolist())
+            return s
+
         out = []
         for x, y in zip(ta, tb):
-            sa = set(_shingles(x or "", shingle_k).tolist())
-            sb = set(_shingles(y or "", shingle_k).tolist())
+            sa, sb = sh(x or ""), sh(y or "")
             u = len(sa | sb)
             out.append(len(sa & sb) / u if u else 1.0)
         return pd.Series(out)
