@@ -433,7 +433,13 @@ def q_spatial_join_buffered(spark, sf_dir):
     envelope of the ±2° buffered point, built by an ST_* expression, not
     a materialized column. The envelope (vs the round buffer) keeps the
     oracle exact: box ∩ axis-aligned square ≡ interval overlap with ±2
-    slack."""
+    slack.
+
+    Scale note: this deliberately exercises the wkb-expression cover
+    path on the left (parity demo). When the left is the 10^12-row
+    point table, the hot plan for buffered-point joins is point_side +
+    predicate='dwithin' (JVM cell encode with envelope expansion,
+    join/spatial.py::_cells_for_side fast path), not a per-row cover."""
     from geomesa_sql_spark.functions import register_all
     from geomesa_sql_spark.join import spatial_join
     from geomesa_sql_spark.join.spatial import wkb_side

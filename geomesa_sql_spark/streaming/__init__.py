@@ -3,6 +3,7 @@ from geomesa_sql_spark.streaming.windowed import (  # noqa: F401
     stateful_running_totals,
     stream_spatial_join,
     stream_stream_dwithin_join,
+    streaming_exact_dedup,
     stream_events,
     windowed_counts,
 )

@@ -234,3 +234,37 @@ def stream_stream_dwithin_join(
         & (F.col(ts2) <= F.col(ts1) + F.expr(f"INTERVAL {time_bound}"))
     )
     return lf.join(rt, cond, "inner").drop("__ss_cell", "__ss_cell_r")
+
+
+def streaming_exact_dedup(
+    events: DataFrame,
+    content_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the stream form of ops.dedup.exact_dedup.
+
+    Spark-first: hash the content columns (JVM md5, same hash as the
+    batch operator) and use the engine's own watermark-evicted
+    deduplication state (``dropDuplicatesWithinWatermark``) rather than
+    a hand-rolled stateful op — the state store holds one entry per
+    distinct content hash seen within the watermark horizon, which is
+    the standard bounded-state contract for streaming dedup (a
+    duplicate arriving later than the watermark is the same late-data
+    tradeoff every watermarked operator makes). Emits the FIRST arrival
+    of each distinct content (batch exact_dedup keeps min-key instead —
+    both keep exactly one representative per content group).
+    """
+    h = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+    )
+    out = (
+        events.withColumn("__h", h)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+    )
+    if hasattr(out, "dropDuplicatesWithinWatermark"):
+        out = out.dropDuplicatesWithinWatermark(["__h"])
+    else:  # older Spark: unbounded dedup state
+        out = out.dropDuplicates(["__h"])
+    return out.drop("__h")

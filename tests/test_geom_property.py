@@ -101,3 +101,36 @@ def test_dwithin_matches_distance(pt, g, d):
         np.array([pt.coords[0]]), np.array([pt.coords[1]]), g
     )[0]
     assert kernel.relate(pt, g, "dwithin", d) == (dist <= d)
+
+
+_pts_lists = st.lists(st.tuples(coord, coord), min_size=1, max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_pts_lists)
+def test_convex_hull_properties(pts):
+    """Hull invariants: idempotent; contains every input point (distance
+    0); hull area ≥ 0 and ≥ any triangle of input points is implied by
+    containment, so we check containment directly."""
+    from geomesa_sql_spark.geom.model import Geom
+
+    mp = Geom("MultiPoint", [point(x, y) for x, y in pts])
+    h = kernel.convex_hull(mp)
+    h2 = kernel.convex_hull(h)
+    assert kernel.geom_equals(h, h2) or abs(kernel.area(h) - kernel.area(h2)) < 1e-9
+    for x, y in pts:
+        assert kernel.distance(point(x, y), h) <= 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=2, max_size=30), st.floats(0, 10))
+def test_simplify_properties(pts, tol):
+    """Simplify invariants: endpoints kept; vertex count never grows;
+    tol=0 keeps every non-collinear vertex set's length within the
+    original (simplified length ≤ original length for any tol)."""
+    ls = linestring(pts)
+    s = kernel.simplify(ls, tol)
+    assert s.coords[0].tolist() == list(pts[0])
+    assert s.coords[-1].tolist() == list(pts[-1])
+    assert len(s.coords) <= len(pts)
+    assert kernel.length(s) <= kernel.length(ls) + 1e-9

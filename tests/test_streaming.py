@@ -139,3 +139,38 @@ def test_stream_stream_dwithin_join_matches_batch(spark, sf_dir, tmp_path):
     ).select("o_orderkey", "s_suppkey")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     assert got.count() > 0
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming dedup ≡ batch exact_dedup in GROUP structure: one
+    representative per distinct content, same distinct-content count."""
+    from geomesa_sql_spark.ops import exact_dedup
+    from geomesa_sql_spark.streaming import streaming_exact_dedup
+    from geomesa_sql_spark.streaming.windowed import run_available_now, stream_events
+
+    d = str(tmp_path / "ev")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    # inject exact duplicates (same content, new ids)
+    dup = ev.limit(0).unionByName(ev).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    ev.unionByName(dup).repartition(4).write.parquet(d)
+
+    got = run_available_now(
+        streaming_exact_dedup(
+            stream_events(spark, d), ["event_type", "value"], watermark="0 seconds"
+        ),
+        mode="append",
+    )
+    batch = exact_dedup(
+        spark.read.parquet(d), ["event_type", "value"], "event_id"
+    )
+    assert got.count() == batch.count()
+    k = lambda df: sorted(
+        (r.event_type, round(r.value, 9)) for r in df.collect()
+    )
+    assert k(got.select("event_type", "value")) == k(
+        batch.select("event_type", "value")
+    )
