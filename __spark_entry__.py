@@ -761,7 +761,14 @@ def q_ann_approx(spark, sf_dir):
 def q_image_stats(spark, sf_dir):
     """Multimodal decode/feature-extract + 64-bit average-hash
     fingerprint over the synthesized images table (merged with round-1's
-    separate phash query; both mapInPandas over Arrow batches)."""
+    separate phash query; both mapInPandas over Arrow batches).
+
+    ORACLE-GATED since round 2: per-channel means are integer sums over
+    the closed-form fixture pixels divided by 2^8 (exact in binary), the
+    luma bucket is the same double expression in both engines, and the
+    average hash compares integer luma block sums (ops/multimodal.py
+    phash_images — order-independent integer arithmetic), so DuckDB
+    recomputes every column bit-for-bit from range() cross-products."""
     from geomesa_sql_spark.io.fixtures import images_table
     from geomesa_sql_spark.ops import image_stats, phash_images
 
@@ -1027,6 +1034,42 @@ def _oracles() -> dict[str, str]:
             ) GROUP BY 1, 2, 3
         """,
         "tile_hilbert": _hilbert_xy2d_sql(6, opts),
+        "image_stats": """
+            -- closed-form FIXTURES.md F0 pixels: channel means are integer
+            -- sums / 2^8 (exact), ahash compares integer luma block sums
+            WITH px AS (
+                SELECT i, x, y,
+                       (i*31 + x*7 + y*13) % 256 AS r,
+                       (i*31 + x*7 + y*13 + 97) % 256 AS g,
+                       (i*31 + x*7 + y*13 + 194) % 256 AS b
+                FROM range(500) t(i), range(16) tx(x), range(16) ty(y)
+            ), img AS (
+                SELECT i,
+                       CAST(SUM(r) AS DOUBLE) / 256.0 AS mean_r,
+                       CAST(SUM(g) AS DOUBLE) / 256.0 AS mean_g,
+                       CAST(SUM(b) AS DOUBLE) / 256.0 AS mean_b,
+                       CAST(SUM(299*r + 587*g + 114*b) AS HUGEINT) AS stot
+                FROM px GROUP BY i
+            ), blk AS (
+                SELECT i, y // 2 AS yb, x // 2 AS xb,
+                       CAST(SUM(299*r + 587*g + 114*b) AS HUGEINT) AS bsum
+                FROM px GROUP BY 1, 2, 3
+            ), ah AS (
+                SELECT b.i,
+                       SUM(CASE WHEN b.bsum * 64 >= m.stot
+                                THEN CAST(1 AS HUGEINT) << CAST(b.yb * 8 + b.xb AS INTEGER)
+                                ELSE CAST(0 AS HUGEINT) END) AS a
+                FROM blk b JOIN img m ON b.i = m.i GROUP BY 1
+            )
+            SELECT '#' || CAST(m.i AS VARCHAR) AS image_id,
+                   m.mean_r, m.mean_g, m.mean_b,
+                   CAST(FLOOR((0.299 * m.mean_r + 0.587 * m.mean_g
+                               + 0.114 * m.mean_b) / 32) AS INTEGER) AS luma_bucket,
+                   CAST(CASE WHEN a.a >= CAST('9223372036854775808' AS HUGEINT)
+                             THEN a.a - CAST('18446744073709551616' AS HUGEINT)
+                             ELSE a.a END AS BIGINT) AS ahash
+            FROM img m JOIN ah a ON m.i = a.i
+        """,
         "sql_st_measures": f"""
             SELECT n_nationkey, 4.0 * hs * hs AS area,
                    ROUND(cx, 6) AS cx_r, ROUND(cy, 6) AS cy_r,
@@ -1169,7 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_signals; ann_lsh+ann_ivf → ann_approx; minhash_near_dup+
     ngram_jaccard → near_dup_text) and the freed slots carry the new
     round-2 operators (buffered-expression join, RIGHT join,
-    simplify/hull) — 45 oracle-gated, 5 rows-only."""
+    simplify/hull) — 46 oracle-gated, 4 rows-only."""
     return {
         "filter_range_like": q_filter_range_like,
         "project_prune": q_project_prune,

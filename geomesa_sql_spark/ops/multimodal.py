@@ -106,8 +106,13 @@ def image_stats(
 def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """(id, ahash bigint): 64-bit average-hash of the decoded image.
 
-    8×8 block-mean downsample of the luma plane; bit i set where
-    block i ≥ global mean. Deterministic, pure numpy.
+    8×8 block downsample of the INTEGER luma plane (299·R + 587·G +
+    114·B — the BT.601 weights ×1000); bit (yb·8+xb) set where the
+    block's luma sum × 64 ≥ the image's total luma sum (i.e. block mean
+    ≥ global mean, compared in exact integer arithmetic, so the hash is
+    independent of summation order — which also makes it reproducible
+    in ANSI SQL; the image_stats oracle recomputes it in DuckDB).
+    Vectorized per (fmt, w, h) group like image_stats.
     """
     schema = T.StructType(
         [T.StructField(id_col, T.StringType()), T.StructField("ahash", T.LongType())]
@@ -115,27 +120,39 @@ def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            ids, hashes = [], []
-            for iid, data, fmt, w, h in zip(
-                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
-            ):
-                if data is None:
-                    ids.append(iid)
-                    hashes.append(None)
+            n = len(pdf)
+            out = np.zeros(n, dtype=np.int64)
+            valid_any = np.zeros(n, dtype=bool)
+            blobs = pdf["bytes"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            ws = pdf["w"].to_numpy(np.int64)
+            hs = pdf["h"].to_numpy(np.int64)
+            valid = np.array([b is not None for b in blobs])
+            codes, uniq = pd.factorize(pd.Series(list(zip(fmts, ws, hs))), sort=False)
+            weights = np.array([299, 587, 114], dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for gi, (fmt, w, h) in enumerate(uniq):
+                idxs = np.nonzero((codes == gi) & valid)[0]
+                if not len(idxs):
                     continue
-                px = decode_image(bytes(data), fmt, int(w), int(h)).astype(np.float64)
-                luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-                hh, ww = luma.shape
-                by, bx = max(hh // 8, 1), max(ww // 8, 1)
-                blocks = luma[: by * 8, : bx * 8].reshape(8, by, 8, bx).mean(axis=(1, 3))
-                bits = (blocks >= blocks.mean()).ravel()
-                val = np.uint64(0)
-                for i, bit in enumerate(bits):
-                    if bit:
-                        val |= np.uint64(1) << np.uint64(i)
-                ids.append(iid)
-                hashes.append(int(val.astype(np.int64)))
-            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+                w, h = int(w), int(h)
+                by, bx = max(h // 8, 1), max(w // 8, 1)
+                stack = np.empty((len(idxs), h, w, 3), dtype=np.uint8)
+                for j, i in enumerate(idxs):
+                    stack[j] = decode_image(bytes(blobs[i]), fmt, w, h)
+                luma = (stack.astype(np.int64) * weights).sum(axis=3)
+                cropped = luma[:, : by * 8, : bx * 8]
+                bsum = cropped.reshape(len(idxs), 8, by, 8, bx).sum(axis=(2, 4))
+                total = bsum.sum(axis=(1, 2))
+                bits = (bsum.reshape(len(idxs), 64) * 64) >= total[:, None]
+                ah = (bits.astype(np.uint64) << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[idxs] = ah.view(np.int64)
+                valid_any[idxs] = True
+            hashes = pd.array(out, dtype="Int64")
+            hashes[~valid_any] = pd.NA
+            yield pd.DataFrame({id_col: pdf[id_col], "ahash": hashes})
 
     return df.select(id_col, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
 
