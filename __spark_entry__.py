@@ -342,16 +342,22 @@ def q_st_filter_wkb_rows(spark, sf_dir):
 
 
 def q_spatial_join_pairs(spark, sf_dir):
-    """J2 parity: spatial join row output (point-in-polygon pairs)."""
-    from geomesa_sql_spark.join import spatial_join
-    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+    """J2 parity: spatial join row output (point-in-polygon pairs),
+    driven through the SQL-TEXT surface like the reference's own test
+    queries (SpatialJoinTest.scala): Engine.sql routes the ST_Intersects
+    JOIN to the optimized cell join (engine.py::_route_spatial_join),
+    not a cartesian nested loop."""
+    from geomesa_sql_spark.engine import Engine
 
+    eng = Engine(spark)
     pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
     polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
-    return spatial_join(
-        pts, polys, point_side("lon", "lat"), wkb_side("poly"),
-        predicate="intersects", res=6, broadcast=True,
-    ).select("o_orderkey", "n_nationkey")
+    eng.register_view("sjp_pts", pts)
+    eng.register_view("sjp_polys", polys)
+    return eng.sql(
+        "SELECT p.o_orderkey, s.n_nationkey FROM sjp_pts p JOIN sjp_polys s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+    )
 
 
 def q_spatial_join_agg(spark, sf_dir):

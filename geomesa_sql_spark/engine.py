@@ -134,6 +134,15 @@ _SPATIAL_PRED_RE = _re.compile(
     r"(?:,\s*([0-9.eE+-]+)\s*)?\)"
 )
 
+# the flipped argument order — ST_Contains(<literal poly>, pt) is the
+# most common containment spelling (FilterTest.scala uses both orders)
+_SPATIAL_PRED_FLIP_RE = _re.compile(
+    r"(?is)ST_(Within|Intersects|Contains|DWithin)\s*\(\s*"
+    r"ST_GeomFromText\s*\(\s*'([^']+)'\s*\)\s*,\s*"
+    r"ST_MakePoint\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_][\w.]*)\s*\)\s*"
+    r"(?:,\s*([0-9.eE+-]+)\s*)?\)"
+)
+
 
 def _rewrite_spatial_predicates(query: str) -> str:
     """The SpatialFilterRule analog for SQL TEXT (reference:
@@ -154,28 +163,58 @@ def _rewrite_spatial_predicates(query: str) -> str:
     answers exactly).
     """
 
-    def _sub(m: _re.Match) -> str:
+    def _bbox_and(whole: str, pred: str, x: str, y: str, wkt: str,
+                  dist: str | None, point_first: bool) -> str:
         from geomesa_sql_spark.geom import geom_from_wkt
 
-        whole = m.group(0)
-        pred, x, y, wkt, dist = m.groups()
         try:
             g = geom_from_wkt(wkt)
         except Exception:
             return whole
-        if pred.lower() == "contains":
-            # contains(point, geom): a point contains nothing but itself
-            # — no useful envelope shrink; leave the exact call
+        p = pred.lower()
+        # the order where the POINT would have to contain/cover the
+        # other geometry gives no envelope shrink; leave the exact call
+        if (point_first and p == "contains") or (not point_first and p == "within"):
             return whole
         minx, miny, maxx, maxy = g.envelope()
-        pad = float(dist) if (dist and pred.lower() == "dwithin") else 0.0
+        pad = float(dist) if (dist and p == "dwithin") else 0.0
         bbox = (
             f"{x} >= {minx - pad!r} AND {x} <= {maxx + pad!r} AND "
             f"{y} >= {miny - pad!r} AND {y} <= {maxy + pad!r}"
         )
         return f"({bbox} AND {whole})"
 
-    return _SPATIAL_PRED_RE.sub(_sub, query)
+    def _sub(m: _re.Match) -> str:
+        pred, x, y, wkt, dist = m.groups()
+        return _bbox_and(m.group(0), pred, x, y, wkt, dist, point_first=True)
+
+    def _sub_flip(m: _re.Match) -> str:
+        pred, wkt, x, y, dist = m.groups()
+        return _bbox_and(m.group(0), pred, x, y, wkt, dist, point_first=False)
+
+    return _SPATIAL_PRED_FLIP_RE.sub(
+        _sub_flip, _SPATIAL_PRED_RE.sub(_sub, query)
+    )
+
+
+_SPATIAL_JOIN_RE = _re.compile(
+    r"(?is)^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
+    r"(?P<t1>\w+)(?:\s+(?:AS\s+)?(?!INNER\b|LEFT\b|JOIN\b)(?P<a1>\w+))?\s+"
+    r"(?:INNER\s+)?JOIN\s+"
+    r"(?P<t2>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?\s+"
+    r"ON\s+(?P<on>ST_\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$"
+)
+_GEOM_ARG_RE = _re.compile(
+    r"(?is)^ST_(?P<pred>Within|Intersects|Contains|DWithin)\s*\(\s*"
+    r"(?P<g1>ST_MakePoint\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*\)|[\w.]+)\s*,\s*"
+    r"(?P<g2>ST_MakePoint\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*\)|[\w.]+)\s*"
+    r"(?:,\s*(?P<dist>[0-9.eE+-]+)\s*)?\)\s*$"
+)
+
+
+def _strip_qual(name: str) -> str:
+    return name.rsplit(".", 1)[-1]
 
 
 class Engine:
@@ -183,6 +222,7 @@ class Engine:
         self.spark = spark
         self.fid_col = fid_col
         self._tables: dict[str, str] = {}
+        self._views: dict[str, DataFrame] = {}
         register_all(spark)  # the fun=spatial analog, always on
 
     # ------------------------------------------------------------- catalog
@@ -193,9 +233,16 @@ class Engine:
         self._tables[name] = path
         self._read(path).createOrReplaceTempView(name)
 
+    def register_view(self, name: str, df: DataFrame) -> None:
+        """Register a DataFrame (not a path) as a queryable table — the
+        analog of a Calcite view in the schema; visible to spark.sql and
+        to the engine's SQL-text spatial planner."""
+        self._views[name] = df
+        df.createOrReplaceTempView(name)
+
     def tables(self) -> list[str]:
         """!table analog (metadata without execution)."""
-        return sorted(self._tables)
+        return sorted(set(self._tables) | set(self._views))
 
     def describe(self, name: str):
         """!describe analog: StructType without running a query."""
@@ -216,6 +263,9 @@ class Engine:
         count as a 1-row result)."""
         dml = _parse_dml(query)
         if dml is None:
+            routed = self._route_spatial_join(query)
+            if routed is not None:
+                return routed
             return self.spark.sql(_rewrite_spatial_predicates(query))
         verb, table, body = dml
         if table not in self._tables:
@@ -238,6 +288,78 @@ class Engine:
             n = self.delete(table, F.expr(body) if body else None)
         return self.spark.createDataFrame([(n,)], "affected bigint")
 
+    def _route_spatial_join(self, query: str) -> DataFrame | None:
+        """The EnumerableSpatialJoinRule analog for SQL TEXT: a query of
+        the canonical shape
+
+            SELECT <cols> FROM t1 [a] JOIN t2 [b]
+            ON ST_Pred(<geom of one side>, <geom of other side>[, dist])
+            [WHERE <residual>]
+
+        is planned through :func:`join.spatial_join` (cell cover +
+        broadcast-or-repartition hash join + vectorized refine) instead
+        of the cartesian BroadcastNestedLoop + UDF plan Spark would
+        build for a Python-UDF ON clause. Geometry operands:
+        ``ST_MakePoint(x, y)`` or a bare WKB column; column references
+        may be alias-qualified but must be unambiguous unqualified (the
+        joined frame carries both tables' columns). Returns None when
+        the query doesn't match — the caller falls through to plain
+        ``spark.sql``.
+        """
+        m = _SPATIAL_JOIN_RE.match(query.strip())
+        if not m:
+            return None
+        g = _GEOM_ARG_RE.match(m.group("on"))
+        if not g:
+            return None
+        t1, t2 = m.group("t1"), m.group("t2")
+        known = set(self._tables) | set(self._views)
+        if t1 not in known or t2 not in known:
+            return None
+
+        from geomesa_sql_spark.join import spatial_join
+        from geomesa_sql_spark.join.spatial import GeomSide
+
+        df1, df2 = self.df(t1), self.df(t2)
+
+        def _side(arg: str) -> tuple[GeomSide, set[str]]:
+            pm = _re.match(
+                r"(?is)ST_MakePoint\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)", arg
+            )
+            if pm:
+                x, y = _strip_qual(pm.group(1)), _strip_qual(pm.group(2))
+                return GeomSide(x=x, y=y), {x, y}
+            col = _strip_qual(arg)
+            return GeomSide(wkb=col), {col}
+
+        side_a, cols_a = _side(g.group("g1"))
+        side_b, cols_b = _side(g.group("g2"))
+        pred = g.group("pred").lower()
+        dist = float(g.group("dist")) if g.group("dist") else None
+
+        # orient: spatial_join evaluates pred(left_df_geom, right_df_geom)
+        # with left_df = t1 as written in the FROM clause
+        if cols_a <= set(df1.columns) and cols_b <= set(df2.columns):
+            left_side, right_side = side_a, side_b
+        elif cols_b <= set(df1.columns) and cols_a <= set(df2.columns):
+            flip = {"contains": "within", "within": "contains"}
+            pred = flip.get(pred, pred)
+            left_side, right_side = side_b, side_a
+        else:
+            return None  # operand columns don't split across the tables
+
+        out = spatial_join(
+            df1, df2, left_side, right_side, predicate=pred, distance=dist
+        )
+        if m.group("where"):
+            out = out.filter(F.expr(m.group("where")))
+        sel = m.group("sel").strip()
+        if sel != "*":
+            out = out.selectExpr(
+                *[_strip_qual(c.strip()) for c in sel.split(",")]
+            )
+        return out
+
     def table(self, name: str) -> GeoTable:
         """Pushdown-accumulating scan handle (§2.1 S1/S2); snapshot
         tables resolve to their current manifest's data dirs."""
@@ -249,6 +371,8 @@ class Engine:
         return GeoTable(self.spark, path)
 
     def df(self, name: str) -> DataFrame:
+        if name in self._views:
+            return self._views[name]
         return self._read(self._tables[name])
 
     def register_function(self, name: str, fn) -> None:

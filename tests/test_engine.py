@@ -204,3 +204,86 @@ def test_sql_spatial_predicate_pushdown(spark, sf_dir, tmp_path):
     assert _rewrite_spatial_predicates(
         "SELECT 1 WHERE ST_Within(ST_MakePoint(a, b), ST_GeomFromText('NOPE'))"
     ) == "SELECT 1 WHERE ST_Within(ST_MakePoint(a, b), ST_GeomFromText('NOPE'))"
+
+
+def test_sql_spatial_join_routed_to_cell_join(spark, sf_dir, tmp_path):
+    """SQL-TEXT spatial join (the EnumerableSpatialJoinRule analog):
+    Engine.sql plans 'FROM a JOIN b ON ST_Pred(...)' through the cell
+    spatial join (BroadcastHashJoin on the cell key) instead of the
+    cartesian BroadcastNestedLoop Spark builds for a UDF ON clause —
+    and the answers match the exact bbox oracle."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1 = str(tmp_path / "p")
+    p2 = str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("pts_j", p1)
+    eng.register_table("nsq_j", p2)
+
+    got = eng.sql(
+        "SELECT p.o_orderkey, s.n_nationkey FROM pts_j p JOIN nsq_j s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:1500]
+
+    pts = spark.read.parquet(p1)
+    sq = spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = pts.join(sq, bbox).select("o_orderkey", "n_nationkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # flipped operand order: Contains(polygon, point) reorients to within
+    got2 = eng.sql(
+        "SELECT o_orderkey, n_nationkey FROM pts_j JOIN nsq_j "
+        "ON ST_Contains(poly, ST_MakePoint(lon, lat))"
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want.collect()))
+
+    # DWithin + residual WHERE
+    got3 = eng.sql(
+        "SELECT o_orderkey, n_nationkey FROM pts_j JOIN nsq_j "
+        "ON ST_DWithin(ST_MakePoint(lon, lat), poly, 3.0) "
+        "WHERE o_orderkey <= 5000"
+    )
+    d2 = (
+        F.pow(F.greatest(F.col("pminx") - F.col("lon"), F.lit(0.0),
+                         F.col("lon") - F.col("pmaxx")), 2)
+        + F.pow(F.greatest(F.col("pminy") - F.col("lat"), F.lit(0.0),
+                           F.col("lat") - F.col("pmaxy")), 2)
+    )
+    want3 = (
+        pts.filter(F.col("o_orderkey") <= 5000)
+        .join(sq, d2 <= 9.0)
+        .select("o_orderkey", "n_nationkey")
+    )
+    assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, want3.collect()))
+
+
+def test_sql_spatial_filter_flipped_args_pushdown(spark, sf_dir, tmp_path):
+    """ST_Contains(<literal poly>, ST_MakePoint(x,y)) — the flipped
+    argument order — also gains the sargable bbox conjunction."""
+    from geomesa_sql_spark.io.fixtures import orders_points
+
+    eng = Engine(spark)
+    path = str(tmp_path / "fp")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(path)
+    eng.register_table("fpts", path)
+    q = ("SELECT o_orderkey FROM fpts WHERE ST_Contains("
+         "ST_GeomFromText('POLYGON ((0.0025 0.0025, 40.0025 0.0025, "
+         "40.0025 30.0025, 0.0025 30.0025, 0.0025 0.0025))'), "
+         "ST_MakePoint(lon, lat))")
+    got = eng.sql(q)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(lon" in plan, plan[:1500]
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in spark.sql(q).collect()
+    )
