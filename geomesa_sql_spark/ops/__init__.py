@@ -18,6 +18,8 @@ from geomesa_sql_spark.ops.ann import (  # noqa: F401
     near_dup_embeddings,
 )
 from geomesa_sql_spark.ops.multimodal import (  # noqa: F401
+    audio_features,
+    frame_sample,
     image_stats,
     phash_images,
     resize_images,

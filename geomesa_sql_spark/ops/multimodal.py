@@ -210,3 +210,127 @@ def resize_images(df: DataFrame, out_size: int, id_col: str = "image_id") -> Dat
             )
 
     return df.select(id_col, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Video frame sampling template: explode every Nth frame of an
+    opaque video payload into (id, frame_idx, bytes raw, w, h).
+
+    Container support mirrors decode_image's honesty contract:
+    ``rawv`` (concatenated raw RGB frames — the deterministic fake this
+    container can actually build; frame count = len/(w·h·3)) decodes for
+    real; mp4/webm/mkv raise NotImplementedError behind the SAME
+    plumbing (schema, Arrow batching, null-payload row survival), so
+    swapping in an ffmpeg-backed decoder changes one function, not the
+    pipeline. One input row fans out to ceil(frames/every_n) rows —
+    run AFTER any filter so only surviving videos pay the explode.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, outs, ws, hs = [], [], [], [], []
+            for vid, data, fmt, w, h in zip(
+                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                if data is None:
+                    # corrupt payload survives as one null row (a bad
+                    # video must not kill a 100 TB pass)
+                    ids.append(vid)
+                    idxs.append(None)
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                if fmt != "rawv":
+                    raise NotImplementedError(
+                        f"fmt {fmt!r}: mp4/webm decode needs ffmpeg (absent); "
+                        "plumbing is container-agnostic"
+                    )
+                w, h = int(w), int(h)
+                fsize = w * h * 3
+                n_frames = len(data) // fsize
+                buf = np.frombuffer(data, dtype=np.uint8, count=n_frames * fsize)
+                frames = buf.reshape(n_frames, fsize)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(vid)
+                    idxs.append(fi)
+                    outs.append(frames[fi].tobytes())
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "bytes": outs,
+                    "w": pd.array(ws, dtype="Int32"),
+                    "h": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "audio_id", frame: int = 512
+) -> DataFrame:
+    """Audio feature-extraction template over opaque PCM payloads:
+    (id, n_samples, rms, zero_crossings, peak) from ``raws16le``
+    (16-bit little-endian mono PCM — the deterministic fake); real
+    codecs (mp3/ogg/flac) raise NotImplementedError behind the same
+    plumbing. All reductions are vectorized numpy over Arrow batches.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ns, rms, zc, pk = [], [], [], [], []
+            for aid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                ids.append(aid)
+                if data is None:
+                    ns.append(None)
+                    rms.append(None)
+                    zc.append(None)
+                    pk.append(None)
+                    continue
+                if fmt != "raws16le":
+                    raise NotImplementedError(
+                        f"fmt {fmt!r}: mp3/ogg decode needs codec libs (absent)"
+                    )
+                x = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                ns.append(len(x))
+                rms.append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
+                s = np.signbit(x)
+                zc.append(int((s[1:] != s[:-1]).sum()))
+                pk.append(int(np.abs(x).max()) if len(x) else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "zero_crossings": pd.array(zc, dtype="Int64"),
+                    "peak": pd.array(pk, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, "bytes", "fmt").mapInPandas(gen, schema)
