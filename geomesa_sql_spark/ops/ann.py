@@ -240,3 +240,124 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "sim", "rank")
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    m_sub: int = 8,
+    n_codes: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "q_embedding",
+    q_id_col: str = "q_id",
+    train_sample: int = 10_000,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al., PAMI 2011)
+    — the MEMORY path for 10^12-vector corpora: each vector compresses
+    to ``m_sub`` one-byte-ish codes (m_sub·log2(n_codes) bits), so the
+    scan touches codes instead of floats and the full corpus fits
+    orders of magnitude more rows per executor.
+
+    Shape: sub-codebooks train on a driver sample (deterministic
+    k-means, one per subspace) and broadcast inside the UDF closures;
+    encoding is one vectorized pass; a query scores the whole corpus by
+    asymmetric distance (ADC — per-subspace lookup tables, a numpy
+    take+sum, no float dot products); the top ``rerank`` (default 4k)
+    candidates per query rerank exactly. Recall vs brute force is
+    asserted in tests, like the LSH/IVF paths.
+    """
+    rerank = rerank or max(4 * k, 32)
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).limit(train_sample).collect()
+        ]
+    )
+    # normalize so L2 ADC order ≈ cosine order (exact rerank fixes ties)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1)[:, None], 1e-12)
+    dim = sample.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    books = np.stack(
+        [
+            _kmeans_centroids(sample[:, j * d_sub : (j + 1) * d_sub], n_codes, seed=11 + j)
+            for j in range(m_sub)
+        ]
+    )  # (m_sub, n_codes, d_sub)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1)[:, None], 1e-12)
+        codes = np.empty((len(m), m_sub), dtype=np.int32)
+        for j in range(m_sub):
+            sub = m[:, j * d_sub : (j + 1) * d_sub]
+            d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    encoded = df.select(id_col, vec_col).withColumn("__codes", _encode(vec_col))
+
+    qrows = [
+        (r[0], np.asarray(r[1], dtype=np.float64))
+        for r in query_df.select(q_id_col, q_vec_col).collect()
+    ]
+    # per-query ADC lookup tables: (m_sub, n_codes) squared distances
+    tables = {}
+    for qid, qv in qrows:
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        tables[qid] = np.stack(
+            [
+                ((books[j] - qv[j * d_sub : (j + 1) * d_sub][None, :]) ** 2).sum(-1)
+                for j in range(m_sub)
+            ]
+        )
+
+    adc_schema = T.StructType(
+        [
+            T.StructField(q_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def _adc_scan(batches):
+        """Score every (query, code-row) pair from the lookup tables —
+        pure integer takes + sums over the code matrix, no floats from
+        the corpus; emit only each partition's top ``rerank`` per query
+        (map-side pruning, the PQ analog of partial aggregation)."""
+        for pdf in batches:
+            codes = np.stack(pdf["__codes"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            sub_idx = np.arange(m_sub)
+            out_q, out_i, out_d = [], [], []
+            for qid, tab in tables.items():
+                dist = tab[sub_idx[None, :], codes].sum(axis=1)
+                keep = np.argsort(dist)[: min(rerank, len(dist))]
+                out_q.extend([qid] * len(keep))
+                out_i.extend(ids[keep].tolist())
+                out_d.extend(dist[keep].tolist())
+            yield pd.DataFrame({q_id_col: out_q, id_col: out_i, "adc": out_d})
+
+    cand = encoded.mapInPandas(_adc_scan, adc_schema)
+    w = Window.partitionBy(q_id_col).orderBy("adc", id_col)
+    cand = cand.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= rerank
+    ).drop("__r", "adc")
+
+    # exact cosine rerank of the surviving candidates
+    qdf = query_df.select(q_id_col, q_vec_col)
+    vecs = df.select(id_col, vec_col)
+    joined = cand.join(vecs, id_col).join(F.broadcast(qdf), q_id_col)
+    sim = cosine_similarity_col(F.col(vec_col), F.col(q_vec_col))
+    w2 = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "sim", "rank")
+    )

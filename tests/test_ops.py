@@ -260,3 +260,37 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # the probed query always finds itself (sim 1.0 at rank 1)
     top1 = {r.q_id: r.vec_id for r in approx.filter(F.col("rank") == 1).collect()}
     assert all(top1[q_] == q_ for q_ in top1)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Product-quantization ANN: recall@10 vs exact brute force ≥ 0.7
+    on the driver embeddings (same bar as the LSH/IVF paths); top-1
+    recall should be high because of the exact rerank."""
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.ops import cosine_topk
+    from geomesa_sql_spark.ops.ann import pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    approx = pq_topk(e, q, k=10, m_sub=8, n_codes=64, rerank=60)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = total = 0
+    top1 = 0
+    for qid in got:
+        qdf = q.filter(F.col("q_id") == qid)
+        exact = cosine_topk(e, qdf, k=10).collect()
+        want = {r.vec_id for r in exact}
+        best = min(exact, key=lambda r: r.rank).vec_id
+        hits += len(got[qid] & want)
+        total += len(want)
+        approx_best = min(
+            (r for r in approx.collect() if r.q_id == qid), key=lambda r: r.rank
+        ).vec_id
+        top1 += int(approx_best == best)
+    assert hits / total >= 0.7, f"recall {hits / total:.2f}"
+    assert top1 >= 4  # exact rerank recovers the true top-1 almost always
