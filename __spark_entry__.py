@@ -895,7 +895,7 @@ def _oracles() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
         """,
         "window_topn": """
-            SELECT o_custkey, o_orderkey, rn FROM (
+            SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
                 SELECT o_custkey, o_orderkey,
                        ROW_NUMBER() OVER (PARTITION BY o_custkey
                                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -972,7 +972,8 @@ def _oracles() -> dict[str, str]:
              AND p.lat >= s.pminy AND p.lat <= s.pmaxy
         """,
         "knn": f"""
-            SELECT query_id, o_orderkey, rank FROM (
+            SELECT CAST(query_id AS BIGINT) AS query_id, o_orderkey,
+                   CAST(rank AS INTEGER) AS rank FROM (
                 SELECT q.query_id, p.o_orderkey,
                        ROW_NUMBER() OVER (
                            PARTITION BY q.query_id
@@ -1089,7 +1090,7 @@ def _oracles() -> dict[str, str]:
         """,
         "text_quality": f"""
             SELECT doc_id,
-                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
                    (length(text) - (length(text) - length(replace(text, ' ', '')))) * 1.0
                        / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_token_len,
                    ({_stop_hits_sql()}) * 1.0
@@ -1102,8 +1103,8 @@ def _oracles() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT doc_id,
-                   length(text) - length(replace(text, ' ', '')) + 1 AS n_ws,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_ws,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe
             FROM documents
         """,
         "lang_counts": """
@@ -1111,7 +1112,7 @@ def _oracles() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "ann_topk": """
-            SELECT vec_id, rank, ROUND(sim, 6) AS sim_r FROM (
+            SELECT vec_id, CAST(rank AS INTEGER) AS rank, ROUND(sim, 6) AS sim_r FROM (
                 SELECT e.vec_id,
                        list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
                          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
