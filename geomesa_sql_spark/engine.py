@@ -312,6 +312,16 @@ class Engine:
         g = _GEOM_ARG_RE.match(m.group("on"))
         if not g:
             return None
+        # defensive bails — anything this restricted planner can't
+        # faithfully express falls through to plain spark.sql:
+        sel_items = [c.strip() for c in m.group("sel").split(",")]
+        if m.group("sel").strip() != "*" and not all(
+            _re.fullmatch(r"[\w.]+", c) for c in sel_items
+        ):
+            return None  # expressions/aggregates in the select list
+        tail = m.group("where") or ""
+        if _re.search(r"(?i)\b(GROUP|ORDER|LIMIT|HAVING|UNION|JOIN)\b", tail):
+            return None  # clauses beyond a plain residual predicate
         t1, t2 = m.group("t1"), m.group("t2")
         known = set(self._tables) | set(self._views)
         if t1 not in known or t2 not in known:

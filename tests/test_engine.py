@@ -287,3 +287,33 @@ def test_sql_spatial_filter_flipped_args_pushdown(spark, sf_dir, tmp_path):
     assert sorted(r[0] for r in got.collect()) == sorted(
         r[0] for r in spark.sql(q).collect()
     )
+
+
+def test_sql_spatial_join_router_bails_safely(spark, sf_dir, tmp_path):
+    """Queries the restricted spatial-join planner can't faithfully
+    express (aggregates in the select list, GROUP BY tails) must fall
+    through to plain spark.sql — wrong routing would silently change
+    semantics."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1 = str(tmp_path / "p")
+    p2 = str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select("n_nationkey", "poly").write.parquet(p2)
+    eng.register_table("bpts", p1)
+    eng.register_table("bnsq", p2)
+
+    # GROUP BY after the ON clause: router must not fire (regex tail);
+    # spark.sql runs it as a (cartesian) UDF join — correct, just slow
+    agg = eng.sql(
+        "SELECT n_nationkey, count(*) AS n FROM bpts JOIN bnsq "
+        "ON ST_Intersects(ST_MakePoint(lon, lat), poly) GROUP BY n_nationkey"
+    )
+    routed = eng.sql(
+        "SELECT o_orderkey, n_nationkey FROM bpts JOIN bnsq "
+        "ON ST_Intersects(ST_MakePoint(lon, lat), poly)"
+    )
+    want = routed.groupBy("n_nationkey").count()
+    got = {(r.n_nationkey, r.n) for r in agg.collect()}
+    assert got == {(r.n_nationkey, r["count"]) for r in want.collect()}
