@@ -45,8 +45,8 @@ def main() -> int:
         "Same job (decode → featurize → cell encode → broadcast spatial",
         "join → PIP refine → Hilbert tiles → rollup) at growing input",
         "sizes; interleaved rounds, per-size minima. rows/sec holding (or",
-        "improving, as per-job fixed costs amortize) means no stage is
-super-linear in the input — the",
+        "improving, as per-job fixed costs amortize) means no stage is",
+        "super-linear in the input — the",
         "property that lets the plan extrapolate to 100 TB (the N→4N",
         "core-scaling evidence is in BENCH/BASELINE.md).",
         "",
