@@ -317,3 +317,40 @@ def test_sql_spatial_join_router_bails_safely(spark, sf_dir, tmp_path):
     want = routed.groupBy("n_nationkey").count()
     got = {(r.n_nationkey, r.n) for r in agg.collect()}
     assert got == {(r.n_nationkey, r["count"]) for r in want.collect()}
+
+
+def test_sql_rewrite_differential_sweep(spark, sf_dir, tmp_path):
+    """Differential sweep of the SQL-text spatial rewrite: for a grid of
+    geometries × predicates × argument orders, the rewritten query must
+    return exactly the bare-UDF answer (the rewrite may only ADD a
+    superset bbox, never change semantics)."""
+    from geomesa_sql_spark.engine import _rewrite_spatial_predicates
+    from geomesa_sql_spark.io.fixtures import orders_points
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sw")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(path)
+    eng.register_table("swp", path)
+
+    geoms = [
+        "POLYGON ((0.0025 0.0025, 40.0025 0.0025, 40.0025 30.0025, "
+        "0.0025 30.0025, 0.0025 0.0025))",
+        "POLYGON ((-40.0037 -20.0013, 30.0041 -45.0029, 80.0017 10.0023, "
+        "20.0031 60.0019, -55.0043 25.0037))",
+        "POINT (10.005 10.005)",
+        "LINESTRING (-20.0025 -20.0025, 20.0025 20.0025)",
+    ]
+    cases = []
+    for g in geoms:
+        cases.append(f"ST_Intersects(ST_MakePoint(lon, lat), ST_GeomFromText('{g}'))")
+        cases.append(f"ST_Within(ST_MakePoint(lon, lat), ST_GeomFromText('{g}'))")
+        cases.append(f"ST_Contains(ST_GeomFromText('{g}'), ST_MakePoint(lon, lat))")
+        cases.append(
+            f"ST_DWithin(ST_MakePoint(lon, lat), ST_GeomFromText('{g}'), 12.5)"
+        )
+    for pred in cases:
+        q = f"SELECT o_orderkey FROM swp WHERE {pred}"
+        rewritten = _rewrite_spatial_predicates(q)
+        got = sorted(r[0] for r in eng.sql(q).collect())
+        bare = sorted(r[0] for r in spark.sql(q).collect())
+        assert got == bare, f"rewrite changed semantics for: {pred}\n{rewritten}"
