@@ -1,1 +1,6 @@
-from geomesa_sql_spark.tiles.assign import assign_tiles, pyramid_rollup, tile_stats  # noqa: F401
+from geomesa_sql_spark.tiles.assign import (  # noqa: F401
+    assign_tiles,
+    pyramid_rollup,
+    tile_mosaic,
+    tile_stats,
+)

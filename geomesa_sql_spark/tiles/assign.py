@@ -89,3 +89,42 @@ def pyramid_rollup(
             .agg(*[getattr(F, aggs[c])(c).alias(c) for c in measures])
         )
     return out
+
+
+def tile_mosaic(
+    df: DataFrame,
+    zoom: int,
+    thumb: int = 8,
+    id_col: str = "image_id",
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Per-tile representative thumbnail — the raster side of the
+    raster↔vector handoff made concrete: (tile_x, tile_y, image_id,
+    bytes raw thumb×thumb, w, h, px_sum).
+
+    Payload discipline is the whole point of the plan shape:
+    1. pick each tile's representative (min id) from a PROJECTED frame
+       (id + tile only) — the groupBy shuffle carries ~16 bytes/row,
+       never the image payload;
+    2. semi-join the representatives back to fetch ONLY their payloads
+       (at 10^12 rows: one fetch per tile, not per image);
+    3. decode + nearest-neighbour thumbnail via ops.resize_images.
+    """
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.ops.multimodal import resize_images
+
+    tiled = assign_tiles(df, zoom=zoom, x=x, y=y, with_hilbert=False)
+    rep = (
+        tiled.select("tile_x", "tile_y", id_col)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    payload = df.select(id_col, "bytes", "fmt", "w", "h").join(
+        rep.select(id_col), on=id_col, how="left_semi"
+    )
+    thumbs = resize_images(payload, out_size=thumb, id_col=id_col)
+    return rep.join(thumbs, on=id_col).select(
+        "tile_x", "tile_y", id_col, "bytes", "w", "h", "px_sum"
+    )

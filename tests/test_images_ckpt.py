@@ -247,3 +247,41 @@ def test_audio_features_template(spark):
     assert got["a0"].zero_crossings == int((s[1:] != s[:-1]).sum())
     assert got["a0"].peak == int(np.abs(x).max())
     assert got["anull"].rms is None
+
+
+def test_tile_mosaic_payload_discipline(spark):
+    """Per-tile mosaic: representative = min image_id per tile (pandas
+    oracle); and the groupBy shuffle never carries the binary payload
+    (no Exchange in the plan lists 'bytes')."""
+    from geomesa_sql_spark.io.fixtures import images_table
+    from geomesa_sql_spark.io.images import decode_raw
+    from geomesa_sql_spark.tiles import assign_tiles, tile_mosaic
+
+    imgs = images_table(spark, 300, size=16)
+    out = tile_mosaic(imgs, zoom=3, thumb=4)
+    rows = out.collect()
+    assert len(rows) > 0
+
+    # oracle: min image_id per tile from the assignment alone
+    want = {}
+    for r in assign_tiles(imgs, zoom=3, with_hilbert=False).select(
+        "tile_x", "tile_y", "image_id"
+    ).collect():
+        k = (r.tile_x, r.tile_y)
+        if k not in want or r.image_id < want[k]:
+            want[k] = r.image_id
+    got = {(r.tile_x, r.tile_y): r.image_id for r in rows}
+    assert got == want
+    # thumbnails decode to 4x4x3 and px_sum matches the payload
+    import numpy as np
+
+    for r in rows[:5]:
+        px = decode_raw(bytes(r.bytes), 4, 4)
+        assert px.shape == (4, 4, 3)
+        assert int(px.astype(np.int64).sum()) == r.px_sum
+
+    # payload discipline: no shuffle Exchange carries 'bytes'
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for chunk in plan.split("Exchange")[1:]:
+        header = chunk.split("\n", 1)[0]
+        assert "bytes" not in header, header
