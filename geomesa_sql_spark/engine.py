@@ -82,6 +82,9 @@ def _split_top_level_where(s: str) -> tuple[str, str | None]:
     while i < n:
         ch = s[i]
         if quote:
+            if ch == "\\":  # backslash escape inside a literal
+                i += 2
+                continue
             if ch == quote:
                 quote = None
         elif ch in "'\"":
@@ -107,9 +110,15 @@ def _split_assignments(set_part: str):
     quote = None
     start = 0
     parts = []
+    skip = False
     for i, ch in enumerate(set_part):
+        if skip:
+            skip = False
+            continue
         if quote:
-            if ch == quote:
+            if ch == "\\":
+                skip = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in "'\"":
@@ -197,9 +206,10 @@ def _rewrite_spatial_predicates(query: str) -> str:
     )
 
 
+_JOINWORDS = r"INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|OUTER\b|NATURAL\b|SEMI\b|ANTI\b|JOIN\b"
 _SPATIAL_JOIN_RE = _re.compile(
     r"(?is)^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
-    r"(?P<t1>\w+)(?:\s+(?:AS\s+)?(?!INNER\b|LEFT\b|JOIN\b)(?P<a1>\w+))?\s+"
+    r"(?P<t1>\w+)(?:\s+(?:AS\s+)?(?!" + _JOINWORDS + r")(?P<a1>\w+))?\s+"
     r"(?:INNER\s+)?JOIN\s+"
     r"(?P<t2>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?\s+"
     r"ON\s+(?P<on>ST_\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))"
@@ -246,6 +256,10 @@ class Engine:
 
     def describe(self, name: str):
         """!describe analog: StructType without running a query."""
+        if name in self._views:
+            return self._views[name].schema
+        if name not in self._tables:
+            raise ValueError(f"unknown table {name!r}")
         return self._read(self._tables[name]).schema
 
     def _read(self, path: str) -> DataFrame:
@@ -348,21 +362,36 @@ class Engine:
         dist = float(g.group("dist")) if g.group("dist") else None
 
         # orient: spatial_join evaluates pred(left_df_geom, right_df_geom)
-        # with left_df = t1 as written in the FROM clause
-        if cols_a <= set(df1.columns) and cols_b <= set(df2.columns):
+        # with left_df = t1 as written in the FROM clause. If BOTH
+        # orientations resolve (e.g. a self-join where both tables carry
+        # the operand columns), the unqualified references are ambiguous
+        # in the joined frame — bail to spark.sql rather than error.
+        fwd = cols_a <= set(df1.columns) and cols_b <= set(df2.columns)
+        rev = cols_b <= set(df1.columns) and cols_a <= set(df2.columns)
+        if fwd and rev:
+            return None
+        if fwd:
             left_side, right_side = side_a, side_b
-        elif cols_b <= set(df1.columns) and cols_a <= set(df2.columns):
+        elif rev:
             flip = {"contains": "within", "within": "contains"}
             pred = flip.get(pred, pred)
             left_side, right_side = side_b, side_a
         else:
             return None  # operand columns don't split across the tables
 
+        # residual/select references may be alias- or table-qualified;
+        # the joined frame is unqualified, so strip the known prefixes
+        quals = [q for q in (m.group("a1"), m.group("a2"), t1, t2) if q]
+        def _unqual(expr: str) -> str:
+            for q in quals:
+                expr = _re.sub(rf"(?i)\b{_re.escape(q)}\.", "", expr)
+            return expr
+
         out = spatial_join(
             df1, df2, left_side, right_side, predicate=pred, distance=dist
         )
         if m.group("where"):
-            out = out.filter(F.expr(m.group("where")))
+            out = out.filter(F.expr(_unqual(m.group("where"))))
         sel = m.group("sel").strip()
         if sel != "*":
             out = out.selectExpr(
@@ -373,6 +402,14 @@ class Engine:
     def table(self, name: str) -> GeoTable:
         """Pushdown-accumulating scan handle (§2.1 S1/S2); snapshot
         tables resolve to their current manifest's data dirs."""
+        if name in self._views:
+            raise ValueError(
+                f"{name!r} is a registered view (no storage path) — "
+                "pushdown scan handles need a parquet/snapshot table; "
+                "use Engine.df() for the DataFrame"
+            )
+        if name not in self._tables:
+            raise ValueError(f"unknown table {name!r}")
         path = self._tables[name]
         if os.path.exists(os.path.join(path, "_CURRENT")):
             st = SnapshotTable(self.spark, path, self.fid_col)

@@ -120,11 +120,22 @@ def bloom_prefilter_join(
 ) -> DataFrame:
     """Equijoin with a Bloom pre-filter on the right (probe) side.
 
-    EXACT results for ``how='inner'``/``'left_semi'`` — the join
-    re-checks equality, the filter only sheds non-matching probe rows
-    before the shuffle. Default 1 MiB bitmap ≈ 0.8% fpp at 1M distinct
-    keys (m/n=8.4, k=7); size m_bits ~10 bits/key for ~1% fpp.
+    EXACT results for ``how`` in inner/left/left_semi/left_anti — the
+    join re-checks equality and a right row outside the Bloom set can
+    never match, so shedding it changes nothing. RIGHT/FULL are
+    REJECTED: pre-filtering the probe side would drop unmatched right
+    rows those joins must null-pad (and keep only the fpp survivors —
+    hash-dependent output). Default 1 MiB bitmap ≈ 0.8% fpp at 1M
+    distinct keys (m/n=8.4, k=7); size m_bits ~10 bits/key for ~1% fpp.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"bloom_prefilter_join(how={how!r}): only inner/left/semi/anti "
+            "are exact — RIGHT/FULL would drop the unmatched right rows "
+            "the outer join must null-pad"
+        )
     lk, rk = on
     bm = build_bloom(left, lk, m_bits=m_bits, k=k)
     pruned = right.filter(bloom_filter_col(bm, rk, m_bits=m_bits, k=k))

@@ -101,9 +101,15 @@ def knn_join_adaptive(
         qrows = [(q[0], float(q[1]), float(q[2])) for q in queries]
 
     if not qrows:
-        # empty query set: empty result with the exact output schema
-        # (ADVICE r01: done_parts[0] would IndexError otherwise)
-        return knn_join(points.limit(0), [(0, 0.0, 0.0)], k, x, y, query_id, qx, qy)
+        # empty query set: empty result with the output schema — keep
+        # the caller's query_id TYPE when queries came as a DataFrame
+        # (a fabricated int row would pin it to bigint)
+        empty_q = (
+            queries.limit(0)
+            if isinstance(queries, DataFrame)
+            else [(0, 0.0, 0.0)]
+        )
+        return knn_join(points.limit(0), empty_q, k, x, y, query_id, qx, qy)
 
     if r0 is None:
         # density guess: radius of a square expected to hold ~4k points

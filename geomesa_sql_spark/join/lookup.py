@@ -67,13 +67,21 @@ def index_lookup_join(
     lk0, rk0 = pairs[0]
 
     if push is None:
-        # raw-rowcount probe: scans ≤ max_push_keys+1 rows, no shuffle,
-        # nothing collected. distinct(keys) ≤ rows, so fitting here
-        # guarantees the collect below is bounded; exceeding it means
-        # the rule doesn't fire (matching the reference's ≤100-key gate).
-        push = (
-            left.select(lk0).limit(max_push_keys + 1).count() <= max_push_keys
-        )
+        # two-step probe, cheapest first:
+        # 1. raw-rowcount limit scan (no shuffle, nothing collected):
+        #    rows ≤ cap guarantees distinct(keys) ≤ cap;
+        # 2. a many-rows/few-keys left (the workload the lookup join
+        #    exists for) falls through to approx_count_distinct — one
+        #    map-side-partial pass, a single scalar to the driver —
+        #    before committing to the bounded distinct+collect.
+        if left.select(lk0).limit(max_push_keys + 1).count() <= max_push_keys:
+            push = True
+        else:
+            approx = left.agg(
+                F.approx_count_distinct(lk0).alias("n")
+            ).first()["n"]
+            # approx_count_distinct err ~2-4%: leave headroom
+            push = approx <= int(max_push_keys * 0.8)
     pushed = right
     if push:
         keys = [

@@ -319,8 +319,8 @@ def pq_topk(
 
     adc_schema = T.StructType(
         [
-            T.StructField(q_id_col, T.LongType()),
-            T.StructField(id_col, T.LongType()),
+            T.StructField(q_id_col, query_df.schema[q_id_col].dataType),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("adc", T.DoubleType()),
         ]
     )

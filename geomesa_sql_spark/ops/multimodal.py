@@ -262,6 +262,16 @@ def frame_sample(
                 w, h = int(w), int(h)
                 fsize = w * h * 3
                 n_frames = len(data) // fsize
+                if n_frames == 0:
+                    # truncated payload (< one frame): same survival
+                    # contract as a None payload — one null row, never
+                    # a silent disappearance
+                    ids.append(vid)
+                    idxs.append(None)
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
                 buf = np.frombuffer(data, dtype=np.uint8, count=n_frames * fsize)
                 frames = buf.reshape(n_frames, fsize)
                 for fi in range(0, n_frames, every_n):

@@ -354,3 +354,99 @@ def test_sql_rewrite_differential_sweep(spark, sf_dir, tmp_path):
         got = sorted(r[0] for r in eng.sql(q).collect())
         bare = sorted(r[0] for r in spark.sql(q).collect())
         assert got == bare, f"rewrite changed semantics for: {pred}\n{rewritten}"
+
+
+def test_sql_right_join_not_silently_inner(spark, sf_dir, tmp_path):
+    """Review r2: 'RIGHT JOIN' must never be captured as a table alias
+    and planned as an INNER spatial join (silent row loss). The router
+    must not fire; Spark itself then rejects the UDF ON clause loudly."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select("n_nationkey", "poly").write.parquet(p2)
+    eng.register_table("rpts", p1)
+    eng.register_table("rnsq", p2)
+    q = ("SELECT o_orderkey, n_nationkey FROM rpts RIGHT JOIN rnsq "
+         "ON ST_Intersects(ST_MakePoint(lon, lat), poly)")
+    assert eng._route_spatial_join(q) is None
+    with pytest.raises(Exception, match="(?i)udf|outer"):
+        eng.sql(q).collect()
+
+
+def test_sql_self_join_ambiguity_falls_through(spark, sf_dir, tmp_path):
+    """Self-joins where both tables carry the operand columns are
+    ambiguous for the router — it must return None (spark.sql then
+    answers via BNLJ), not raise AMBIGUOUS_REFERENCE."""
+    from geomesa_sql_spark.io.fixtures import orders_points
+
+    eng = Engine(spark)
+    p1 = str(tmp_path / "p")
+    orders_points(spark, sf_dir).filter(F.col("o_orderkey") <= 300).select(
+        "o_orderkey", "lon", "lat"
+    ).write.parquet(p1)
+    eng.register_table("selfp", p1)
+    q = ("SELECT a.o_orderkey, b.o_orderkey FROM selfp a JOIN selfp b "
+         "ON ST_DWithin(ST_MakePoint(a.lon, a.lat), "
+         "ST_MakePoint(b.lon, b.lat), 20.0)")
+    assert eng._route_spatial_join(q) is None
+    got = eng.sql(q).count()
+    assert got > 0  # plain spark.sql answered it
+
+
+def test_sql_join_qualified_residual_where(spark, sf_dir, tmp_path):
+    """Alias-qualified residual WHERE references resolve (qualifiers
+    stripped like the select list)."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("qpts", p1)
+    eng.register_table("qnsq", p2)
+    got = eng.sql(
+        "SELECT p.o_orderkey, s.n_nationkey FROM qpts p JOIN qnsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "WHERE p.o_orderkey <= 5000 AND s.n_nationkey >= 2"
+    )
+    pts = spark.read.parquet(p1)
+    sq = spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = (
+        pts.join(sq, bbox)
+        .filter((F.col("o_orderkey") <= 5000) & (F.col("n_nationkey") >= 2))
+        .select("o_orderkey", "n_nationkey")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dml_backslash_escaped_quote(spark, sf_dir, tmp_path):
+    """Backslash-escaped quotes inside literals must not fool the
+    top-level-WHERE scanner."""
+    eng = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    eng.create_table("nesc", str(tmp_path / "nesc"), base)
+    out = eng.sql(
+        "UPDATE nesc SET n_name = 'IT\\'S WHERE IT HIDES' WHERE n_nationkey = 4"
+    )
+    assert out.first()["affected"] == 1
+    assert eng.df("nesc").filter(F.col("n_nationkey") == 4).first()["n_name"] \
+        == "IT'S WHERE IT HIDES"
+
+
+def test_describe_and_table_for_views(spark, sf_dir):
+    eng = Engine(spark)
+    eng.register_view("v_orders", spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    assert "o_orderkey" in eng.describe("v_orders").names
+    assert "v_orders" in eng.tables()
+    with pytest.raises(ValueError, match="view"):
+        eng.table("v_orders")
+    with pytest.raises(ValueError, match="unknown"):
+        eng.describe("nope")

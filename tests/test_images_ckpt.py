@@ -285,3 +285,16 @@ def test_tile_mosaic_payload_discipline(spark):
     for chunk in plan.split("Exchange")[1:]:
         header = chunk.split("\n", 1)[0]
         assert "bytes" not in header, header
+
+
+def test_frame_sample_truncated_payload_survives(spark):
+    """Review r2: a payload shorter than one frame must take the same
+    null-row survival path as a None payload, not silently vanish."""
+    from geomesa_sql_spark.ops import frame_sample
+
+    df = spark.createDataFrame(
+        [("short", b"\x01\x02\x03", 4, 4, "rawv")],
+        "video_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = frame_sample(df, every_n=1).collect()
+    assert len(rows) == 1 and rows[0].frame_idx is None and rows[0].bytes is None

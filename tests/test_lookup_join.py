@@ -147,3 +147,25 @@ def test_bloom_prefilter_join_exact_and_selective(spark, sf_dir):
     # kept = matches + false positives; fp rate must be small
     assert matching <= kept
     assert (kept - matching) <= max(0.02 * (total - matching), 5)
+
+
+def test_bloom_join_rejects_outer_modes(spark, sf_dir):
+    from geomesa_sql_spark.join.bloom import bloom_prefilter_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="RIGHT/FULL"):
+        bloom_prefilter_join(cust, orders, ("c_custkey", "o_custkey"), how="right")
+    with pytest.raises(ValueError, match="RIGHT/FULL"):
+        bloom_prefilter_join(cust, orders, ("c_custkey", "o_custkey"), how="full")
+
+
+def test_many_rows_few_keys_still_pushes(spark, sf_dir):
+    """Review r2: the pushdown gate must not conflate |rows| with
+    |distinct keys| — a large left with few keys is exactly the
+    workload the lookup join exists for."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = orders.select((F.col("o_custkey") % 3).alias("k3"))  # many rows, 3 keys
+    got = index_lookup_join(left, orders, ("k3", "o_custkey"), max_push_keys=50)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(o_custkey" in plan, plan[:1200]

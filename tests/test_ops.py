@@ -294,3 +294,21 @@ def test_pq_topk_recall_vs_bruteforce(spark, sf_dir):
         top1 += int(approx_best == best)
     assert hits / total >= 0.7, f"recall {hits / total:.2f}"
     assert top1 >= 4  # exact rerank recovers the true top-1 almost always
+
+
+def test_pq_topk_string_ids(spark, sf_dir):
+    """Review r2: pq_topk must carry the caller's id types (the engine's
+    own images fixture uses string ids), not hardcode bigint."""
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.ops.ann import pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "vec_id", F.concat(F.lit("#"), F.col("vec_id").cast("string"))
+    )
+    q = e.filter(F.col("vec_id") == "#0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = pq_topk(e, q, k=5, m_sub=8, n_codes=16, rerank=40)
+    rows = out.collect()
+    assert len(rows) == 5 and all(r.vec_id.startswith("#") for r in rows)

@@ -345,3 +345,13 @@ def test_knn_adaptive_empty_queries(spark, sf_dir):
     out = knn_join_adaptive(pts, [], k=3)
     assert out.count() == 0
     assert {"query_id", "dist", "rank"} <= set(out.columns)
+
+
+def test_knn_adaptive_empty_df_preserves_id_type(spark, sf_dir):
+    from geomesa_sql_spark.join import knn_join_adaptive
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    qdf = spark.createDataFrame([], "query_id string, qx double, qy double")
+    out = knn_join_adaptive(pts, qdf, k=3)
+    assert out.count() == 0
+    assert dict(out.dtypes)["query_id"] == "string"
