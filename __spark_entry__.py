@@ -713,8 +713,13 @@ def q_embed_near_dup(spark, sf_dir):
 def q_near_dup_text(spark, sf_dir):
     """Near-dup text pairs both ways over the same corpus: MinHash+LSH
     (the 10^12-row band-bucket path) ∪ exact n-gram Jaccard (its
-    brute-force recall twin), tagged by method. Banding/shingling not
-    SQL-expressible → rows-only; LSH recall ≥0.95 vs the exact twin is
+    brute-force recall twin), tagged by method. ORACLE-GATED since
+    round 2: DuckDB recomputes the exact 3-token-shingle Jaccard
+    relationally (tokenize → distinct shingles → equality self-join)
+    and expects the SAME pair set under both method tags — so the
+    driver gate asserts LSH recall == 1.0 on this corpus, not merely
+    twin parity. Deterministic (splitmix64-seeded hashing, fixed
+    corpus); LSH recall ≥0.95 on adversarial corpora is separately
     asserted in tests/test_ops.py."""
     from geomesa_sql_spark.ops import lsh_near_dup_pairs, ngram_jaccard_pairs
 
@@ -1122,6 +1127,49 @@ def _oracles() -> dict[str, str]:
                 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ) WHERE rank <= 20
         """,
+        # Exact 3-token-shingle Jaccard over the 150-orig + 150-modified
+        # corpus, fully relational: tokenize → distinct shingle strings →
+        # shingle-equality self-join counts the intersection; union =
+        # |A|+|B|-∩. The Spark query computes the SAME pair set twice
+        # (MinHash+LSH path and exact-verify path, tagged by method), so
+        # one CTE oracles both halves — which makes the driver gate an
+        # exact RECALL check on the LSH pipeline, not just a parity
+        # check on the brute-force twin. Deterministic: hashing is
+        # splitmix64-seeded (ops/dedup.py) and the corpus is fixed.
+        "near_dup_text": """
+            WITH corpus AS (
+                SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' qqq'
+                FROM documents WHERE doc_id < 150
+            ),
+            toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+            sh AS (
+                SELECT DISTINCT id, unnest(
+                    CASE WHEN len(t) <= 3 THEN [array_to_string(t, chr(31))]
+                         ELSE list_transform(
+                             range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], chr(31)))
+                    END) AS s
+                FROM toks
+            ),
+            sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.id = inter.id_a
+                JOIN sizes sb ON sb.id = inter.id_b
+                WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+            )
+            SELECT 'minhash_lsh' AS method, id_a, id_b FROM pairs
+            UNION ALL
+            SELECT 'ngram_exact' AS method, id_a, id_b FROM pairs
+        """,
         "embed_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -1219,7 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_signals; ann_lsh+ann_ivf → ann_approx; minhash_near_dup+
     ngram_jaccard → near_dup_text) and the freed slots carry the new
     round-2 operators (buffered-expression join, RIGHT join,
-    simplify/hull) — 46 oracle-gated, 4 rows-only."""
+    simplify/hull) — 47 oracle-gated, 3 rows-only."""
     return {
         "filter_range_like": q_filter_range_like,
         "project_prune": q_project_prune,
@@ -1266,9 +1314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_counts": q_lang_counts,
         "ann_topk": q_ann_topk,
         "embed_near_dup": q_embed_near_dup,
+        "near_dup_text": q_near_dup_text,
         # rows-only (no SQL-expressible oracle)
         "doc_fingerprints": q_doc_fingerprints,
-        "near_dup_text": q_near_dup_text,
         "text_signals": q_text_signals,
         "ann_approx": q_ann_approx,
         "image_stats": q_image_stats,
