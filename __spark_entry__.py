@@ -656,8 +656,11 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_doc_fingerprints(spark, sf_dir):
-    """Rolling-hash CDC fingerprints (chunk walk not SQL-expressible →
-    rows-only; CDC stability property asserted in tests)."""
+    """Rolling-hash CDC fingerprints. ORACLE-GATED since late round 2:
+    DuckDB re-derives every boundary and hash bit-for-bit — the greedy
+    (sequentially-dependent) boundary walk becomes a recursive CTE
+    stepping to the minimal eligible cut (see _doc_fingerprints_sql).
+    CDC prefix-edit stability is separately asserted in tests."""
     from geomesa_sql_spark.ops import doc_fingerprints
 
     return doc_fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id")
@@ -738,8 +741,11 @@ def q_near_dup_text(spark, sf_dir):
 
 
 def q_text_signals(spark, sf_dir):
-    """Per-document signals: 64-bit SimHash + marker-word language ID
-    (merged rows-only pair; bit-vote loop not SQL-expressible)."""
+    """Per-document signals: 64-bit SimHash + marker-word language ID.
+    ORACLE-GATED since late round 2: DuckDB replays FNV-1a via
+    list_reduce over token bytes, splitmix64 with 32-bit-split
+    multiplies mod 2^64, and all 64 Charikar bit votes — bit-for-bit
+    (see _text_signals_sql)."""
     from geomesa_sql_spark.ops import simhash64
     from geomesa_sql_spark.ops.text import lang_id
 
@@ -1127,6 +1133,8 @@ def _oracles() -> dict[str, str]:
                 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ) WHERE rank <= 20
         """,
+        "text_signals": _text_signals_sql(),
+        "doc_fingerprints": _doc_fingerprints_sql(),
         # Exact 3-token-shingle Jaccard over the 150-orig + 150-modified
         # corpus, fully relational: tokenize → distinct shingle strings →
         # shingle-equality self-join counts the intersection; union =
@@ -1224,6 +1232,174 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
     )
 
 
+def _text_signals_sql() -> str:
+    """Exact relational oracle for (simhash, lang_pred) — DuckDB
+    re-derives the 64-bit Charikar SimHash bit-for-bit:
+
+    - per-token FNV-1a (63-bit masked) via ``list_reduce`` over the
+      token's ASCII bytes (corpus is verified single-space ASCII);
+    - the splitmix64 finalizer with its two 64x64-bit multiplies done
+      as 32-bit-split products mod 2^64 in HUGEINT (a full 64x64
+      product can overflow int128, so ``mulmod64`` splits the constant
+      into hi/lo halves — same trick a portable C implementation uses);
+    - 64 per-bit ±1 vote sums, reassembled into a signed BIGINT
+      (bit 63 contributes -2^63).
+
+    lang_pred replays ops/text.lang_id's marker-word presence votes
+    with alphabetical tie-break as a CASE argmax. Parity holds on any
+    single-space ASCII corpus with ≥1 token per doc (the driver's
+    documents table is; empty docs would diverge on string_split('')).
+    """
+    M64 = "CAST('18446744073709551616' AS HUGEINT)"
+    M32 = 4294967296
+
+    def mulmod64(a: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"CAST((CAST({a} AS HUGEINT) * {lo} + "
+            f"((CAST({a} AS HUGEINT) % {M32}) * {hi}) % {M32} * {M32}) "
+            f"% {M64} AS UBIGINT)"
+        )
+
+    fnv = (
+        "CAST(list_reduce("
+        "list_prepend(CAST('14695981039346656037' AS UBIGINT), "
+        "list_transform(range(1, length(tok)+1), i -> CAST(ascii(tok[i]) AS UBIGINT))), "
+        f"(acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211) % {M64} AS UBIGINT)"
+        ") & CAST('9223372036854775807' AS UBIGINT) AS UBIGINT)"
+    )
+    z1 = (
+        f"CAST((CAST(x AS HUGEINT) + CAST('11400714819323198485' AS HUGEINT)) "
+        f"% {M64} AS UBIGINT)"
+    )
+    z2 = mulmod64("xor(z1, z1 >> 30)", 0xBF58476D1CE4E5B9)
+    z3 = mulmod64("xor(z2, z2 >> 27)", 0x94D049BB133111EB)
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(63)
+    ) + (
+        " + CASE WHEN v63 > 0 THEN CAST('-9223372036854775808' AS BIGINT) "
+        "ELSE 0 END"
+    )
+
+    from geomesa_sql_spark.ops.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    scores = ", ".join(
+        " + ".join(
+            f"CAST(' ' || text || ' ' LIKE '% {w} %' AS INTEGER)"
+            for w in _LANG_MARKERS[lg]
+        )
+        + f" AS s_{lg}"
+        for lg in langs
+    )
+    pick = "CASE "
+    for i, lg in enumerate(langs[:-1]):
+        rest = ", ".join(f"s_{other}" for other in langs[i + 1 :])
+        gt = f"GREATEST({rest})" if "," in rest else rest
+        pick += f"WHEN s_{lg} >= {gt} THEN '{lg}' "
+    pick += f"ELSE '{langs[-1]}' END"
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        f AS (SELECT doc_id, {fnv} AS x FROM toks),
+        s1 AS (SELECT doc_id, {z1} AS z1 FROM f),
+        s2 AS (SELECT doc_id, {z2} AS z2 FROM s1),
+        s3 AS (SELECT doc_id, {z3} AS z3 FROM s2),
+        s4 AS (SELECT doc_id, xor(z3, z3 >> 31) AS h FROM s3),
+        votes AS (SELECT doc_id, {votes} FROM s4 GROUP BY doc_id),
+        sim AS (SELECT doc_id, {recompose} AS simhash FROM votes),
+        lid AS (SELECT doc_id, {scores} FROM documents),
+        pred AS (SELECT doc_id, {pick} AS lang_pred FROM lid)
+        SELECT sim.doc_id, sim.simhash, pred.lang_pred
+        FROM sim JOIN pred ON sim.doc_id = pred.doc_id
+    """
+
+
+def _doc_fingerprints_sql() -> str:
+    """Exact relational oracle for the CDC fingerprints — DuckDB
+    re-derives every chunk boundary and hash bit-for-bit:
+
+    - the Rabin-style rolling hash over each 16-byte window is a
+      16-term dot product against precomputed P^k mod 2^64 constants
+      (byte * 2^64-constant fits HUGEINT; one mod at the end);
+    - the GREEDY boundary walk (accept a cut only ≥ min_chunk past the
+      last ACCEPTED cut — sequentially dependent, the reason this op
+      was rows-only in round 1) becomes a recursive CTE: each step
+      joins the frontier to the minimal eligible cut via NOT EXISTS;
+    - trailing bound n is added set-wise (DISTINCT over UNION ALL —
+      plain UNION fails to dedup across branches inside a recursive
+      WITH in DuckDB 1.0, observed directly);
+    - chunk_hash replays FNV-1a via list_reduce over the chunk's bytes.
+
+    Parity holds for ASCII corpora (byte == codepoint); the driver's
+    documents table is verified single-space ASCII.
+    """
+    P = 1099511628211
+    W, MIN = 16, 24
+    powers = [pow(P, W - 1 - j, 1 << 64) for j in range(W)]
+    M64 = "CAST('18446744073709551616' AS HUGEINT)"
+    terms = " + ".join(
+        f"CAST(b[i+{j}] AS HUGEINT) * CAST('{powers[j]}' AS HUGEINT)"
+        for j in range(W)
+    )
+    fnv_slice = (
+        "CAST(list_reduce("
+        "list_prepend(CAST('14695981039346656037' AS UBIGINT), "
+        "list_transform(range(lo+1, hi+1), i -> CAST(ascii(text[i]) AS UBIGINT))), "
+        f"(acc, byt) -> CAST((CAST(xor(acc, byt) AS HUGEINT) * {P}) % {M64} AS UBIGINT)"
+        ") & CAST('9223372036854775807' AS UBIGINT) AS BIGINT)"
+    )
+    return f"""
+        WITH RECURSIVE db AS (
+          SELECT doc_id, text, length(text) AS n,
+                 list_transform(range(1, length(text)+1), i -> ascii(text[i])) AS b
+          FROM documents
+        ),
+        pos AS (SELECT doc_id, b, unnest(range(1, n - {W} + 2)) AS i
+                FROM db WHERE n > {W}),
+        cuts AS (
+          SELECT doc_id, i + {W - 1} AS cut FROM pos
+          WHERE CAST(({terms}) % {M64} AS UBIGINT) & 63 = 0
+        ),
+        kept AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS cut, 0 AS k FROM db
+          UNION ALL
+          SELECT c.doc_id, c.cut, kept.k + 1
+          FROM kept JOIN cuts c
+            ON c.doc_id = kept.doc_id AND c.cut >= kept.cut + {MIN}
+          WHERE NOT EXISTS (SELECT 1 FROM cuts c2
+                            WHERE c2.doc_id = c.doc_id
+                              AND c2.cut >= kept.cut + {MIN}
+                              AND c2.cut < c.cut)
+        ),
+        bounds AS (
+          SELECT DISTINCT doc_id, cut FROM (
+            SELECT doc_id, cut FROM kept WHERE k >= 1
+            UNION ALL
+            SELECT doc_id, n FROM db
+          )
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cut) - 1
+                      AS INTEGER) AS chunk_idx,
+                 COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS lo,
+                 cut AS hi
+          FROM bounds
+        )
+        SELECT c.doc_id, c.chunk_idx, {fnv_slice} AS chunk_hash
+        FROM chunks c JOIN db USING (doc_id)
+    """
+
+
 def _stop_hits_sql() -> str:
     from geomesa_sql_spark.ops.text import _STOPWORDS
 
@@ -1267,7 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_signals; ann_lsh+ann_ivf → ann_approx; minhash_near_dup+
     ngram_jaccard → near_dup_text) and the freed slots carry the new
     round-2 operators (buffered-expression join, RIGHT join,
-    simplify/hull) — 47 oracle-gated, 3 rows-only."""
+    simplify/hull) — 49 oracle-gated, 1 rows-only (ann_approx, which
+    is approximate by definition)."""
     return {
         "filter_range_like": q_filter_range_like,
         "project_prune": q_project_prune,
@@ -1315,9 +1492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embed_near_dup": q_embed_near_dup,
         "near_dup_text": q_near_dup_text,
-        # rows-only (no SQL-expressible oracle)
-        "doc_fingerprints": q_doc_fingerprints,
         "text_signals": q_text_signals,
+        "doc_fingerprints": q_doc_fingerprints,
+        # rows-only (approximate by definition; recall gated in pytest)
         "ann_approx": q_ann_approx,
         "image_stats": q_image_stats,
     }
