@@ -512,13 +512,33 @@ def q_tile_assign(spark, sf_dir):
 
 
 def q_tile_pyramid(spark, sf_dir):
-    """Raster-side pyramid: per-tile counts at zoom 6 rolled up two
-    levels to zoom 4 (pure integer-shift shuffles)."""
-    from geomesa_sql_spark.tiles import assign_tiles, pyramid_rollup, tile_stats
+    """Raster-side pyramid (zooms 6→4) built INCREMENTALLY: ~2/3 of
+    the points build the base pyramid, the rest arrive as an append
+    delta whose (tiny) pyramid is merged additively per (zoom, tile) —
+    tiles/assign.py merge_pyramids. The incremental result provably
+    equals a full recompute, which is exactly what the oracle asserts:
+    one flat SQL rollup per zoom over ALL rows. At 100 TB the delta
+    path shuffles only the delta's tile footprint, never the base
+    table."""
+    from geomesa_sql_spark.tiles import (
+        assign_tiles,
+        build_pyramid,
+        merge_pyramids,
+        tile_stats,
+    )
 
     pts = orders_points(spark, sf_dir)
-    stats = tile_stats(assign_tiles(pts, zoom=6, with_hilbert=False))
-    return pyramid_rollup(stats, levels=2)
+    base = pts.filter(F.col("o_orderkey") % 3 != 0)
+    delta = pts.filter(F.col("o_orderkey") % 3 == 0)
+
+    def pyr(df):
+        return build_pyramid(
+            tile_stats(assign_tiles(df, zoom=6, with_hilbert=False)),
+            zoom=6,
+            min_zoom=4,
+        )
+
+    return merge_pyramids(pyr(base), pyr(delta))
 
 
 # ------------------------------------------------------------- SQL surface
@@ -996,15 +1016,24 @@ def _oracles() -> dict[str, str]:
                                    (3, -120.0, -30.0)) q(query_id, qx, qy)
             ) WHERE rank <= 10
         """,
+        # full recompute per zoom — equality with the Spark side proves
+        # the incremental merge path (base pyramid + delta pyramid)
+        # is invisible in the result
         "tile_pyramid": f"""
-            SELECT tile_x // 4 AS tile_x, tile_y // 4 AS tile_y,
-                   CAST(SUM(n_rows) AS BIGINT) AS n_rows
-            FROM (
+            WITH t6 AS (
                 SELECT GREATEST(0, LEAST(63, CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT))) AS tile_x,
                        GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - lat) / 180.0 * 64) AS BIGINT))) AS tile_y,
-                       COUNT(*) AS n_rows
+                       COUNT(*) AS n
                 FROM ({opts}) GROUP BY 1, 2
-            ) GROUP BY 1, 2
+            )
+            SELECT CAST(6 AS INTEGER) AS zoom, tile_x, tile_y,
+                   CAST(SUM(n) AS BIGINT) AS n_rows FROM t6 GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(5 AS INTEGER), tile_x // 2, tile_y // 2,
+                   CAST(SUM(n) AS BIGINT) FROM t6 GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(4 AS INTEGER), tile_x // 4, tile_y // 4,
+                   CAST(SUM(n) AS BIGINT) FROM t6 GROUP BY 2, 3
         """,
         "tile_assign": f"""
             SELECT GREATEST(0, LEAST(63, CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT))) AS tile_x,

@@ -1,5 +1,7 @@
 from geomesa_sql_spark.tiles.assign import (  # noqa: F401
     assign_tiles,
+    build_pyramid,
+    merge_pyramids,
     pyramid_rollup,
     tile_mosaic,
     tile_stats,

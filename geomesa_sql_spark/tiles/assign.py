@@ -91,6 +91,65 @@ def pyramid_rollup(
     return out
 
 
+def build_pyramid(
+    tile_stats_df: DataFrame,
+    zoom: int,
+    min_zoom: int = 0,
+    agg_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Stacked multi-zoom pyramid: (zoom, tile_x, tile_y, <measures>)
+    for every level from ``zoom`` down to ``min_zoom``.
+
+    Input is per-tile stats at ``zoom`` (one row per tile). Each level
+    is one integer-shift rollup of the previous — zoom levels share
+    work instead of re-aggregating the base table per level. Total
+    shuffle volume is Σ_z |tiles at z| ≤ 4/3 · |tiles at max zoom|,
+    independent of input row count (the base aggregation already
+    happened in ``tile_stats``).
+    """
+    measures = [c for c in tile_stats_df.columns if c not in ("tile_x", "tile_y")]
+    frames = [tile_stats_df.withColumn("zoom", F.lit(zoom))]
+    cur = tile_stats_df
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        cur = pyramid_rollup(cur, levels=1, agg_cols=agg_cols)
+        frames.append(cur.withColumn("zoom", F.lit(z)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("zoom", "tile_x", "tile_y", *measures)
+
+
+def merge_pyramids(
+    existing: DataFrame,
+    delta: DataFrame,
+    agg_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incremental pyramid maintenance: merge a (small) delta pyramid
+    into an existing one per (zoom, tile_x, tile_y) key.
+
+    Valid for DECOMPOSABLE measures only — sum/count/min/max (carry avg
+    as sum+count; deletions as signed counts). The merged result is
+    provably equal to rebuilding the pyramid from scratch over
+    base ∪ delta, which is exactly what the driver oracle asserts.
+
+    100 TB shape: the expensive side of an append is aggregating the
+    DELTA (map-side partial agg over the new rows only); this merge
+    then shuffles |existing ∩ affected| + |delta| pyramid rows — NOT
+    the base table. When the pyramid is stored hive-partitioned by
+    zoom (io/layout.py style), pair this with dynamic partition
+    overwrite so only the delta's footprint is rewritten.
+    """
+    measures = [
+        c for c in existing.columns if c not in ("zoom", "tile_x", "tile_y")
+    ]
+    aggs = agg_cols or {c: "sum" for c in measures}
+    return (
+        existing.unionByName(delta)
+        .groupBy("zoom", "tile_x", "tile_y")
+        .agg(*[getattr(F, aggs[c])(c).alias(c) for c in measures])
+    )
+
+
 def tile_mosaic(
     df: DataFrame,
     zoom: int,

@@ -355,3 +355,38 @@ def test_knn_adaptive_empty_df_preserves_id_type(spark, sf_dir):
     out = knn_join_adaptive(pts, qdf, k=3)
     assert out.count() == 0
     assert dict(out.dtypes)["query_id"] == "string"
+
+
+def test_incremental_pyramid_equals_full_rebuild(spark, sf_dir):
+    """merge_pyramids(base, delta) must be indistinguishable from a
+    full build over base ∪ delta — for additive (sum) AND order-stat
+    (min/max) measures. This is the invariant that makes append-only
+    pyramid maintenance safe at scale."""
+    from geomesa_sql_spark.tiles import build_pyramid, merge_pyramids, tile_stats
+
+    pts = assign_tiles(orders_points(spark, sf_dir), zoom=6, with_hilbert=False)
+    aggs = {"n_rows": "sum", "min_key": "min", "max_key": "max"}
+
+    def stats(df):
+        return df.groupBy("tile_x", "tile_y").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    base = pts.filter(F.col("o_orderkey") % 4 != 0)
+    delta = pts.filter(F.col("o_orderkey") % 4 == 0)
+    inc = merge_pyramids(
+        build_pyramid(stats(base), zoom=6, min_zoom=3, agg_cols=aggs),
+        build_pyramid(stats(delta), zoom=6, min_zoom=3, agg_cols=aggs),
+        agg_cols=aggs,
+    )
+    full = build_pyramid(stats(pts), zoom=6, min_zoom=3, agg_cols=aggs)
+    cols = ["zoom", "tile_x", "tile_y", "n_rows", "min_key", "max_key"]
+    assert rows(inc, cols) == rows(full, cols)
+    # every zoom level present, each 1/4 the parent tile count or less
+    per_zoom = {r["zoom"]: r["n"] for r in
+                full.groupBy("zoom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sorted(per_zoom) == [3, 4, 5, 6]
+    for z in (4, 5, 6):
+        assert per_zoom[z - 1] <= per_zoom[z]
