@@ -477,3 +477,97 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series(out, dtype=object)
 
     spark.udf.register("ST_Centroid", _centroid)
+
+    # ---- remaining Calcite fun=spatial names (cheap surface parity) ----
+
+    @F.pandas_udf(T.BooleanType())
+    def _disjoint(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        # SQL three-valued: NULL geom → NULL (unlike the join-refine
+        # kernel, where null is simply never a candidate)
+        inter = kernel.relate_many(list(wa), list(wb), "intersects")
+        return pd.Series(
+            [
+                None if a is None or b is None else not bool(i)
+                for a, b, i in zip(wa, wb, inter)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("ST_Disjoint", _disjoint)
+
+    @F.pandas_udf(T.BooleanType())
+    def _env_intersect(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        out = []
+        for ga, gb in zip(_decode_series(wa), _decode_series(wb)):
+            if ga is None or gb is None:
+                out.append(None)
+                continue
+            a = ga.envelope()
+            b = gb.envelope()
+            out.append(
+                a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]
+            )
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_EnvelopesIntersect", _env_intersect)
+
+    @F.pandas_udf(T.BinaryType())
+    def _makeline(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        out = []
+        for ga, gb in zip(_decode_series(wa), _decode_series(wb)):
+            if ga is None or gb is None:
+                out.append(None)
+                continue
+            coords = np.concatenate([ga.all_coords(), gb.all_coords()])
+            out.append(geom_to_wkb(Geom("LineString", coords)))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_MakeLine", _makeline)
+
+    spark.udf.register(
+        "ST_NumGeometries",
+        _measure(lambda g: len(g.flatten()), T.IntegerType()),
+    )
+
+    def _nth_point(g: Geom, n: int):
+        """1-based nth vertex of a LineString (None otherwise) — the
+        PostGIS/Calcite ST_PointN contract."""
+        if g is None or g.type != "LineString":
+            return None
+        pts = g.all_coords()
+        if n < 1 or n > len(pts):
+            return None
+        return geom_to_wkb(Geom("Point", pts[n - 1]))
+
+    @F.pandas_udf(T.BinaryType())
+    def _pointn(wkb: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _nth_point(g, int(k)) if k is not None else None
+                for g, k in zip(_decode_series(wkb), n)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("ST_PointN", _pointn)
+
+    @F.pandas_udf(T.BinaryType())
+    def _startpoint(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_nth_point(g, 1) for g in _decode_series(wkb)], dtype=object
+        )
+
+    spark.udf.register("ST_StartPoint", _startpoint)
+
+    @F.pandas_udf(T.BinaryType())
+    def _endpoint(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if g is None or g.type != "LineString"
+                else _nth_point(g, len(g.all_coords()))
+                for g in _decode_series(wkb)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("ST_EndPoint", _endpoint)

@@ -177,3 +177,79 @@ def test_st_transform_roundtrip_and_column_fastpath(spark, sf_dir):
                                     'EPSG:4326', 'EPSG:3857')) AS x"""
     ).first()
     assert abs(anchor.x - 20037508.342789244) < 1e-6
+
+
+def test_st_disjoint_envelopes_intersect(spark, sf_dir):
+    """ST_Disjoint == NOT ST_Intersects (row-for-row, SQL three-valued
+    on NULL), and ST_EnvelopesIntersect is implied by ST_Intersects
+    but not conversely (bbox test is a superset)."""
+    from geomesa_sql_spark.functions import register_all
+    from geomesa_sql_spark.io.fixtures import orders_points
+    import pyspark.sql.functions as F
+
+    register_all(spark)
+    orders_points(spark, sf_dir).filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey", "lon", "lat"
+    ).createOrReplaceTempView("dj_pts")
+    penta = (
+        "POLYGON ((-40 -20, 30 -45, 80 10, 20 60, -55 25, -40 -20))"
+    )
+    rows = spark.sql(
+        f"""SELECT ST_Intersects(ST_MakePoint(lon, lat),
+                                 ST_GeomFromText('{penta}')) AS i,
+                   ST_Disjoint(ST_MakePoint(lon, lat),
+                               ST_GeomFromText('{penta}')) AS d,
+                   ST_EnvelopesIntersect(ST_MakePoint(lon, lat),
+                                         ST_GeomFromText('{penta}')) AS e
+            FROM dj_pts"""
+    ).collect()
+    assert len(rows) > 100
+    n_i = sum(r.i for r in rows)
+    n_e = sum(r.e for r in rows)
+    assert 0 < n_i < len(rows)
+    for r in rows:
+        assert r.d == (not r.i)
+        if r.i:
+            assert r.e  # intersects ⇒ envelopes intersect
+    assert n_e > n_i  # and strictly more bbox hits than exact hits
+
+
+def test_st_disjoint_null_is_null(spark):
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        """SELECT ST_Disjoint(CAST(NULL AS BINARY),
+                              ST_MakePoint(1.0D, 2.0D)) AS d"""
+    ).first()
+    assert r.d is None
+
+
+def test_st_makeline_points_linestring_surface(spark):
+    """ST_MakeLine + ST_PointN/StartPoint/EndPoint/NumGeometries over
+    constructed geometries, all through SQL text."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        """SELECT ST_AsText(ST_MakeLine(ST_MakePoint(0.0D, 1.0D),
+                                        ST_MakePoint(2.0D, 3.0D))) AS wkt,
+                  ST_X(ST_StartPoint(ST_MakeLine(ST_MakePoint(0.0D, 1.0D),
+                                                 ST_MakePoint(2.0D, 3.0D)))) AS sx,
+                  ST_Y(ST_EndPoint(ST_MakeLine(ST_MakePoint(0.0D, 1.0D),
+                                               ST_MakePoint(2.0D, 3.0D)))) AS ey,
+                  ST_X(ST_PointN(ST_MakeLine(ST_MakePoint(0.0D, 1.0D),
+                                             ST_MakePoint(2.0D, 3.0D)), 2)) AS p2x,
+                  ST_PointN(ST_MakeLine(ST_MakePoint(0.0D, 1.0D),
+                                        ST_MakePoint(2.0D, 3.0D)), 3) AS oob,
+                  ST_NumGeometries(ST_GeomFromText(
+                      'MULTIPOINT ((1 1), (2 2), (3 3))')) AS ng,
+                  ST_NumGeometries(ST_MakePoint(1.0D, 1.0D)) AS ng1,
+                  ST_StartPoint(ST_MakePoint(1.0D, 1.0D)) AS sp_pt
+        """
+    ).first()
+    assert r.wkt == "LINESTRING (0 1, 2 3)"
+    assert r.sx == 0.0 and r.ey == 3.0 and r.p2x == 2.0
+    assert r.oob is None           # PointN out of bounds -> NULL
+    assert r.ng == 3 and r.ng1 == 1
+    assert r.sp_pt is None         # StartPoint of non-linestring -> NULL
