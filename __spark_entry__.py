@@ -212,22 +212,37 @@ def q_lookup_join(spark, sf_dir):
     ).select("c_custkey", "o_orderkey", "o_totalprice")
 
 
-def q_join_semi(spark, sf_dir):
-    """Inherited semi join: customers having orders > 300k."""
+def q_join_semi_anti(spark, sf_dir):
+    """Inherited semi + anti joins, tagged and unioned (one contract
+    slot covers both J5 shapes): customers having orders > 300k
+    (tag='semi') and customers with no orders at all (tag='anti')."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-def q_join_anti(spark, sf_dir):
-    """Inherited anti join: customers with no orders."""
-    c = _t(spark, sf_dir, "customer")
+    o_big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_nationkey"
+    semi = (
+        c.join(o_big, c.c_custkey == o_big.o_custkey, "left_semi")
+        .select("c_custkey", F.lit("semi").alias("tag"))
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", F.lit("anti").alias("tag"))
+    )
+    return semi.unionByName(anti)
+
+
+def q_dbscan(spark, sf_dir):
+    """Distributed DBSCAN over the deterministic clustered-points
+    fixture (30 dense blobs + uniform scatter derived from orders by
+    pure arithmetic — io/fixtures.py CLUSTER_X/Y_SQL, same expression
+    text the DuckDB oracle evaluates). eps-grid cell join + pointer-
+    jumping connected components; labels are the min core id, border
+    ties break to the MIN core-neighbor label, so the output is fully
+    deterministic and oracle-hashable."""
+    from geomesa_sql_spark.io.fixtures import cluster_points
+    from geomesa_sql_spark.ops.cluster import dbscan
+
+    pts = cluster_points(spark, sf_dir)
+    return dbscan(pts, "o_orderkey", "x", "y", eps=0.5, min_pts=5)
 
 
 def q_set_ops(spark, sf_dir):
@@ -911,15 +926,15 @@ def _oracles() -> dict[str, str]:
             FROM customer JOIN orders ON c_custkey = o_custkey
             WHERE c_acctbal > 9500.0 AND o_totalprice > 100000.0
         """,
-        "join_semi": """
-            SELECT c_custkey, c_name FROM customer
+        "join_semi_anti": """
+            SELECT c_custkey, 'semi' AS tag FROM customer
             WHERE EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
-        """,
-        "join_anti": """
-            SELECT c_custkey, c_nationkey FROM customer
+            UNION ALL
+            SELECT c_custkey, 'anti' AS tag FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
+        "dbscan": _dbscan_sql(),
         "set_ops": """
             SELECT o_custkey AS custkey FROM orders
             INTERSECT
@@ -1261,6 +1276,63 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
     )
 
 
+def _dbscan_sql(eps: float = 0.5, min_pts: int = 5) -> str:
+    """DuckDB oracle for the dbscan contract query.
+
+    Replays the engine exactly, relationally: the same eps-grid 3×3
+    cell equi-join for neighbor pairs (so the oracle is O(n·density),
+    not O(n²)), degree count + self for core points, min-label
+    connected components over the core-core subgraph as a recursive
+    CTE (pruned to labels < node id — the component min always
+    qualifies, everything else is dead weight), and MIN-core-neighbor
+    border assignment. Point fixture = io/fixtures.py CLUSTER_*_SQL
+    verbatim."""
+    from geomesa_sql_spark.io.fixtures import (
+        CLUSTER_SUBSET_SQL,
+        CLUSTER_X_SQL,
+        CLUSTER_Y_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT o_orderkey AS id, {CLUSTER_X_SQL} AS x, {CLUSTER_Y_SQL} AS y
+  FROM orders WHERE {CLUSTER_SUBSET_SQL}),
+cells AS (
+  SELECT id, x, y,
+         CAST(FLOOR(x / {eps}) AS BIGINT) AS cx,
+         CAST(FLOOR(y / {eps}) AS BIGINT) AS cy
+  FROM pts),
+lhs AS (
+  SELECT c.id, c.x, c.y, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+  FROM cells c, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
+pairs AS (
+  SELECT a.id AS i, b.id AS j
+  FROM lhs a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+  WHERE a.id <> b.id
+    AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= {eps}*{eps}),
+deg AS (SELECT i AS id, COUNT(*) AS nnb FROM pairs GROUP BY i),
+core AS (SELECT p.id FROM pts p LEFT JOIN deg d USING(id)
+         WHERE COALESCE(d.nnb, 0) + 1 >= {min_pts}),
+edges AS (SELECT i, j FROM pairs
+          WHERE i IN (SELECT id FROM core) AND j IN (SELECT id FROM core)),
+reach(id, lab) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.i, r.lab FROM edges e JOIN reach r ON r.id = e.j AND r.lab < e.i),
+comp AS (SELECT id, MIN(lab) AS lab FROM reach GROUP BY id),
+border AS (
+  SELECT p.i AS id, MIN(c.lab) AS lab
+  FROM pairs p JOIN comp c ON p.j = c.id
+  WHERE p.i NOT IN (SELECT id FROM core)
+  GROUP BY p.i)
+SELECT CAST(p.id AS BIGINT) AS id,
+       CAST(COALESCE(c.lab, b.lab, -1) AS BIGINT) AS cluster,
+       CASE WHEN c.lab IS NOT NULL THEN 'core'
+            WHEN b.lab IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+FROM pts p LEFT JOIN comp c ON p.id = c.id LEFT JOIN border b ON p.id = b.id
+"""
+
+
 def _text_signals_sql() -> str:
     """Exact relational oracle for (simhash, lang_pred) — DuckDB
     re-derives the 64-bit Charikar SimHash bit-for-bit:
@@ -1487,8 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_equi": q_join_equi,
         "join_theta_computed": q_join_theta_computed,
         "lookup_join": q_lookup_join,
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
+        "join_semi_anti": q_join_semi_anti,
+        "dbscan": q_dbscan,
         "set_ops": q_set_ops,
         "window_topn": q_window_topn,
         "json_extract": q_json_extract,

@@ -66,6 +66,37 @@ def orders_points_sql(sf_dir: str | None = None) -> str:
     )
 
 
+# Clustered-points fixture for density clustering (ops/cluster.py):
+# 3/4 of the subset land in dense ±1-degree blobs around a 10×6 grid of
+# centers 7 degrees apart (only the orderkey residues TPC-H emits are
+# populated — ~30 blobs); the rest scatter uniformly over the same
+# window, giving core/border/noise structure at every SF. Pure
+# arithmetic, evaluated verbatim by Spark and DuckDB.
+CLUSTER_SUBSET_SQL = "o_orderkey % 3 <> 0"
+CLUSTER_X_SQL = (
+    "CASE WHEN o_orderkey % 2 = 0 "
+    "THEN CAST((o_orderkey * 7919) % 7200 AS DOUBLE) / 100.0 - 36.0 "
+    "ELSE CAST((o_orderkey % 60) % 10 AS DOUBLE) * 7.0 - 31.5 "
+    "+ CAST((o_orderkey * 7919) % 2000 AS DOUBLE) / 1000.0 - 1.0 END"
+)
+CLUSTER_Y_SQL = (
+    "CASE WHEN o_orderkey % 2 = 0 "
+    "THEN CAST((o_orderkey * 104729) % 3600 AS DOUBLE) / 100.0 - 18.0 "
+    "ELSE FLOOR(CAST(o_orderkey % 60 AS DOUBLE) / 10.0) * 7.0 - 17.5 "
+    "+ CAST((o_orderkey * 104729) % 2000 AS DOUBLE) / 1000.0 - 1.0 END"
+)
+
+
+def cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders subset + deterministic clustered (x, y) point columns."""
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.expr(CLUSTER_SUBSET_SQL))
+        .withColumn("x", F.expr(CLUSTER_X_SQL))
+        .withColumn("y", F.expr(CLUSTER_Y_SQL))
+    )
+
+
 def supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(f"{sf_dir}/supplier.parquet")

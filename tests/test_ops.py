@@ -312,3 +312,123 @@ def test_pq_topk_string_ids(spark, sf_dir):
     out = pq_topk(e, q, k=5, m_sub=8, n_codes=16, rerank=40)
     rows = out.collect()
     assert len(rows) == 5 and all(r.vec_id.startswith("#") for r in rows)
+
+
+# --------------------------------------------------------------- dbscan
+
+def _brute_dbscan(ids, xs, ys, eps, min_pts):
+    """O(n²) reference DBSCAN with the engine's deterministic label
+    semantics: cluster = min core id of the component; border points
+    take the MIN core-neighbor label."""
+    import numpy as np
+
+    n = len(ids)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    nb = d2 <= eps * eps
+    np.fill_diagonal(nb, False)
+    core = nb.sum(axis=1) + 1 >= min_pts
+
+    # components over the core-core subgraph (BFS)
+    lab = {}
+    order = np.argsort(np.asarray(ids))
+    for s in order:
+        if not core[s] or ids[s] in lab:
+            continue
+        stack, members = [s], []
+        seen = {s}
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for v in np.nonzero(nb[u] & core)[0]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(ids[u] for u in members)
+        for u in members:
+            lab[ids[u]] = m
+
+    out = {}
+    for u in range(n):
+        if core[u]:
+            out[ids[u]] = (lab[ids[u]], "core")
+        else:
+            cn = [lab[ids[v]] for v in np.nonzero(nb[u] & core)[0]]
+            out[ids[u]] = (min(cn), "border") if cn else (-1, "noise")
+    return out
+
+
+def _dbscan_fixture_pts(n=400, seed=7):
+    """Deterministic mixed layout: 4 dense blobs + uniform scatter."""
+    import numpy as np
+
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
+    idx = np.arange(n, dtype=np.int64)
+    h1 = _splitmix64(idx).astype(np.float64) / 2.0**64
+    h2 = _splitmix64(idx + seed * 1_000_003).astype(np.float64) / 2.0**64
+    blob = idx % 5
+    cxs = np.array([0.0, 10.0, 0.0, 10.0, 0.0])
+    cys = np.array([0.0, 0.0, 10.0, 10.0, 0.0])
+    xs = np.where(blob < 4, cxs[blob] + (h1 * 2 - 1), h1 * 40 - 10)
+    ys = np.where(blob < 4, cys[blob] + (h2 * 2 - 1), h2 * 40 - 10)
+    return list(range(1, n + 1)), xs, ys
+
+
+def test_dbscan_matches_bruteforce(spark):
+    from geomesa_sql_spark.ops.cluster import dbscan
+
+    ids, xs, ys = _dbscan_fixture_pts()
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, x, y in zip(ids, xs, ys)],
+        "id long, x double, y double",
+    )
+    got = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dbscan(df, "id", "x", "y", eps=0.8, min_pts=25).collect()
+    }
+    want = _brute_dbscan(ids, xs, ys, 0.8, 25)
+    assert got == want
+    roles = {v[1] for v in got.values()}
+    assert roles == {"core", "border", "noise"}  # fixture exercises all three
+
+
+def test_dbscan_edge_cases(spark):
+    from geomesa_sql_spark.ops.cluster import dbscan
+
+    # empty input
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    assert dbscan(empty, "id", "x", "y", eps=1.0, min_pts=2).count() == 0
+
+    # min_pts=1: every point is core; two far singletons = two clusters
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 100.0, 0.0)], "id long, x double, y double"
+    )
+    got = {r["id"]: (r["cluster"], r["role"])
+           for r in dbscan(df, "id", "x", "y", eps=1.0, min_pts=1).collect()}
+    assert got == {1: (1, "core"), 2: (2, "core")}
+
+    # all noise; null coordinates dropped
+    df2 = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 50.0, 0.0), (3, None, 1.0)],
+        "id long, x double, y double",
+    )
+    got2 = {r["id"]: (r["cluster"], r["role"])
+            for r in dbscan(df2, "id", "x", "y", eps=1.0, min_pts=3).collect()}
+    assert got2 == {1: (-1, "noise"), 2: (-1, "noise")}
+
+
+def test_dbscan_chain_component(spark):
+    """A 12-point chain at eps spacing: one component via transitive
+    connectivity (pointer jumping must close the whole chain)."""
+    from geomesa_sql_spark.ops.cluster import dbscan
+
+    rows = [(i, float(i) * 0.9, 0.0) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"]: (r["cluster"], r["role"])
+           for r in dbscan(df, "id", "x", "y", eps=1.0, min_pts=3).collect()}
+    # endpoints see only 2 points (|N|=2 < 3) -> border; min core id is 2
+    assert {c for c, _ in got.values()} == {2}
+    assert got[1][1] == "border" and got[12][1] == "border"
+    assert all(got[i][1] == "core" for i in range(2, 12))
