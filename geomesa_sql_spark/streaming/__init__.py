@@ -7,3 +7,7 @@ from geomesa_sql_spark.streaming.windowed import (  # noqa: F401
     stream_events,
     windowed_counts,
 )
+from geomesa_sql_spark.streaming.dedup import (  # noqa: F401
+    banded_signatures,
+    streaming_lsh_near_dup,
+)

@@ -174,3 +174,71 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert k(got.select("event_type", "value")) == k(
         batch.select("event_type", "value")
     )
+
+
+def test_streaming_lsh_near_dup_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed LSH near-dup probe finds exactly the pairs the batch
+    band-collision + signature-estimator twin finds (normalized to
+    unordered distinct pairs — the stream emits at-least-once with
+    arrival-order roles)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.streaming import (
+        banded_signatures,
+        run_available_now,
+        streaming_lsh_near_dup,
+    )
+
+    d = str(tmp_path / "docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # plant near-duplicates: copies with one appended token
+    dups = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    docs.unionByName(dups).repartition(4).write.parquet(d)
+
+    batch = spark.read.parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+
+    got = run_available_now(
+        streaming_lsh_near_dup(stream, "text", "doc_id", sim_threshold=0.7),
+        mode="update",
+    )
+    got_pairs = {
+        (min(r.id_new, r.id_seen), max(r.id_new, r.id_seen))
+        for r in got.collect()
+    }
+
+    # batch twin: band collision + the same estimator over signatures
+    banded = banded_signatures(batch, "text", "doc_id")
+    l = banded.select(
+        F.col("id").alias("id_a"), "band", "bh", F.col("sig").alias("sig_a")
+    )
+    r = banded.select(
+        F.col("id").alias("id_b"), "band", "bh", F.col("sig").alias("sig_b")
+    )
+    cand = (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    want_pairs = {
+        (r.id_a, r.id_b)
+        for r in cand.withColumn("est", est)
+        .filter(F.col("est") >= 0.7)
+        .select("id_a", "id_b")
+        .collect()
+    }
+
+    assert want_pairs, "fixture must contain near-duplicates"
+    assert got_pairs == want_pairs
