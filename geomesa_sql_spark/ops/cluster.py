@@ -3,33 +3,46 @@
 The reference has no clustering operator (it is a query adapter —
 SURVEY.md §2), but its user base expects one: PostGIS ships
 ``ST_ClusterDBSCAN`` as a window function and GeoMesa pipelines
-commonly densify / cluster before tiling. This is the engine-level
-equivalent, designed for the 100 TB shape rather than a window over a
-single partition:
+commonly cluster before tiling. This is the engine-level equivalent,
+built on the standard scale-out decomposition (MR-DBSCAN / RDD-DBSCAN
+lineage): **partition-local clustering with eps-halo replication, then
+a tiny global label-merge** — NOT a relational all-pairs pipeline. A
+naive eps-join materializes Θ(n·density) neighbor pairs, which at
+dense spots is quadratic: ~25k points in a 2°×2° blob with eps=0.5 is
+~400M pair rows for one blob. This design never materializes pairs:
 
-- **Neighbor pairs** come from an eps-grid cell equi-join (the same
-  3×3-neighbor trick as the stream-stream DWithin join,
-  ``streaming/windowed.py``): each point lands in cell
-  ``(floor(x/eps), floor(y/eps))``; the left side explodes to its 9
-  neighbor cells and equi-joins the right side's home cell, so every
-  ordered pair within ``eps`` appears exactly once and the only
-  shuffle is keyed by grid cell — uniformly distributed unless the
-  data is skewed, in which case AQE's skew-join split applies.
-- **Core points** are a map-side partial ``groupBy(id).count()`` over
-  the pair stream (|N_eps(p)| counts the point itself, matching the
-  textbook definition).
-- **Cluster labels** are connected components over the core-core
-  subgraph: iterative min-label propagation with pointer jumping
-  (label(p) ← label(label(p)) each round), which converges in
-  O(log diameter) rounds instead of O(diameter). Each round is one
-  keyed shuffle over the CORE subset only, with ``localCheckpoint``
-  truncating the lineage so the plan does not grow with iterations
-  (on a real cluster swap in ``checkpoint()`` against a reliable
-  store for fault tolerance across rounds).
-- **Border points** (non-core with ≥1 core neighbor) take the MIN
-  core-neighbor label — deterministic tie-break, matching the DuckDB
-  oracle; the classic DBSCAN "first scanner wins" assignment is
-  scan-order-dependent and therefore not reproducible.
+1. **Replicate** every point to its home coarse cell (side ``S``, a
+   multiple of eps) plus any neighbor coarse cell within ``eps`` of it
+   (≤ 4 cells when S ≥ 2·eps; replication overhead ≈ 4·eps/S). The
+   only shuffles in the whole operator are these keyed-by-cell
+   ``applyInPandas`` groupings — uniformly spread unless the data is
+   skewed, in which case shrink ``S`` (more, smaller partitions).
+2. **Pass 1 (core flags)** — per coarse cell, each partition holds the
+   full eps-ball of its OWN points, so core status (|N_eps| ≥ min_pts,
+   counting the point itself) is exact and local. Inside a partition a
+   fine grid of side eps/√2 makes every same-fine-cell pair ≤ eps, so
+   any fine cell with ≥ min_pts points is all-core with zero distance
+   computations (the dense-blob fast path); only points in sparse fine
+   cells compare against their ≤ 25 neighbor fine cells.
+3. **Pass 2 (local components)** — core flags joined back (by id),
+   same replication. Every true core-core edge (dist ≤ eps) has both
+   endpoints inside at least one partition (each endpoint is in the
+   other's halo), so per-partition union-find over fine cells —
+   same-cell cores unioned for free, nearby fine-cell pairs probed
+   with chunked numpy distance blocks — sees every edge somewhere.
+   Partitions emit (core id, local component label = min local core
+   id); a core point replicated into k partitions emits k labels.
+4. **Global merge** — labels of the same physical point are
+   equivalent; the label-equivalence graph has one node per LOCAL
+   COMPONENT (≈ clusters × partitions touched — tiny, independent of
+   n), closed with the pointer-jumping min-label connected-components
+   used below (O(log diameter) rounds on a trivially small input).
+5. **Borders** — pass 2 also emits, for each OWN non-core point, the
+   local labels of its core neighbors (exact: all of them are in the
+   partition); after the merge the border takes the MIN resolved
+   label — deterministic, matching the DuckDB oracle (the classic
+   "first scanner wins" assignment is scan-order-dependent and
+   therefore not reproducible).
 
 Labels are deterministic: a cluster's label is the minimum point id
 among its core members. Noise rows get cluster = -1, role = 'noise'.
@@ -37,48 +50,13 @@ among its core members. Noise rows get cluster = -1, role = 'noise'.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _neighbor_pairs(pts: DataFrame, eps: float) -> DataFrame:
-    """All ordered pairs (i, j), i != j, dist2(i, j) <= eps² — via the
-    eps-grid 3×3 cell equi-join. Input ``pts``: (id, x, y)."""
-    e = float(eps)
-    cx = F.floor(F.col("x") / e).cast("long")
-    cy = F.floor(F.col("y") / e).cast("long")
-
-    nb = F.array(
-        *[
-            F.struct((cx + F.lit(dx)).alias("cx"), (cy + F.lit(dy)).alias("cy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    lhs = (
-        pts.withColumn("__nb", F.explode(nb))
-        .select(
-            F.col("id").alias("i"),
-            F.col("x").alias("xi"),
-            F.col("y").alias("yi"),
-            F.col("__nb.cx").alias("cx"),
-            F.col("__nb.cy").alias("cy"),
-        )
-    )
-    rhs = pts.select(
-        F.col("id").alias("j"),
-        F.col("x").alias("xj"),
-        F.col("y").alias("yj"),
-        cx.alias("cx"),
-        cy.alias("cy"),
-    )
-    ddx = F.col("xi") - F.col("xj")
-    ddy = F.col("yi") - F.col("yj")
-    return (
-        lhs.join(rhs, ["cx", "cy"])
-        .filter((F.col("i") != F.col("j")) & (ddx * ddx + ddy * ddy <= F.lit(e * e)))
-        .select("i", "j")
-    )
+from pyspark.sql import types as T
 
 
 def _connected_components(
@@ -113,6 +91,217 @@ def _connected_components(
     return lab
 
 
+def _replicate_to_cells(pts: DataFrame, s: float, eps: float) -> DataFrame:
+    """Each point → its home coarse cell plus every neighbor coarse
+    cell whose region is within eps of it; ``own`` marks the home
+    copy. Covering [x-eps, x+eps] × [y-eps, y+eps] with cell floors is
+    exact: a cell can contain a point within eps of (x, y) only if its
+    index is between floor((x-eps)/S) and floor((x+eps)/S). The
+    eps-term is folded in by the caller passing the padded coords."""
+    cands = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.floor((F.col("x") + F.lit(dx)) / F.lit(s))
+                    .cast("long")
+                    .alias("ccx"),
+                    F.floor((F.col("y") + F.lit(dy)) / F.lit(s))
+                    .cast("long")
+                    .alias("ccy"),
+                )
+                for dx in (-eps, 0.0, eps)
+                for dy in (-eps, 0.0, eps)
+            ]
+        )
+    )
+    home_cx = F.floor(F.col("x") / F.lit(s)).cast("long")
+    home_cy = F.floor(F.col("y") / F.lit(s)).cast("long")
+    return (
+        pts.withColumn("__cand", F.explode(cands))
+        .select(
+            "*",
+            F.col("__cand.ccx").alias("ccx"),
+            F.col("__cand.ccy").alias("ccy"),
+        )
+        .withColumn("own", (F.col("ccx") == home_cx) & (F.col("ccy") == home_cy))
+        .drop("__cand")
+    )
+
+
+def _fine_buckets(xs: np.ndarray, ys: np.ndarray, g: float):
+    """Group local point indices by fine cell; returns (cell→indices
+    dict, per-point (fx, fy))."""
+    fx = np.floor(xs / g).astype(np.int64)
+    fy = np.floor(ys / g).astype(np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, (a, b) in enumerate(zip(fx, fy)):
+        buckets.setdefault((int(a), int(b)), []).append(i)
+    return {k: np.asarray(v) for k, v in buckets.items()}, fx, fy
+
+
+# fine-cell offsets whose box-to-box min distance can be <= eps when
+# the fine side is eps/sqrt(2): |dx|,|dy| <= 2 (corner (2,2) boxes
+# attain exactly eps at touching corners — inclusive predicate keeps
+# them).
+_FINE_OFFS = [(dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)]
+_FINE_FWD = [(dx, dy) for (dx, dy) in _FINE_OFFS if (dx, dy) > (0, 0)]
+
+
+def _core_flags(
+    xs: np.ndarray, ys: np.ndarray, eps: float, min_pts: int
+) -> np.ndarray:
+    """Exact |N_eps(p)| >= min_pts per local point (self counted).
+    Dense fine cells (>= min_pts points) shortcut to all-core."""
+    g = eps / math.sqrt(2.0)
+    buckets, _, _ = _fine_buckets(xs, ys, g)
+    core = np.zeros(len(xs), dtype=bool)
+    e2 = eps * eps
+    for (cx, cy), idx in buckets.items():
+        if len(idx) >= min_pts:
+            core[idx] = True
+            continue
+        cnt = np.full(len(idx), len(idx), dtype=np.int64)  # own cell + self
+        for dx, dy in _FINE_OFFS:
+            if dx == 0 and dy == 0:
+                continue
+            nb = buckets.get((cx + dx, cy + dy))
+            if nb is None:
+                continue
+            d2 = (xs[idx][:, None] - xs[nb][None, :]) ** 2 + (
+                ys[idx][:, None] - ys[nb][None, :]
+            ) ** 2
+            cnt += (d2 <= e2).sum(axis=1)
+        core[idx] = cnt >= min_pts
+    return core
+
+
+class _UF:
+    """Array union-find with path halving; roots resolve to min id via
+    a final pass keyed by component."""
+
+    def __init__(self, n: int):
+        self.p = list(range(n))
+
+    def find(self, a: int) -> int:
+        p = self.p
+        while p[a] != a:
+            p[a] = p[p[a]]
+            a = p[a]
+        return a
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
+    """Pass-2 kernel: one coarse cell's own+halo points with exact
+    core flags. Emits
+      kind='corelab': (id, lab, own) for every local core point;
+      kind='border' : (id, lab) per distinct core-neighbor label of an
+                      OWN non-core point;
+      kind='noise'  : (id, -1) for own points with no core neighbor.
+    lab = min local core id of the local component."""
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    xs = pdf["x"].to_numpy(dtype=np.float64)
+    ys = pdf["y"].to_numpy(dtype=np.float64)
+    own = pdf["own"].to_numpy(dtype=bool)
+    core = pdf["core"].to_numpy(dtype=bool)
+    n = len(ids)
+    e2 = eps * eps
+    g = eps / math.sqrt(2.0)
+    buckets, _, _ = _fine_buckets(xs, ys, g)
+
+    # ---- union-find over core points, per fine cell then cross-cell
+    uf = _UF(n)
+    core_buckets = {
+        k: idx[core[idx]] for k, idx in buckets.items() if core[idx].any()
+    }
+    for idx in core_buckets.values():
+        a0 = int(idx[0])
+        for b in idx[1:]:
+            uf.union(a0, int(b))  # same fine cell => pairwise <= eps
+    for (cx, cy), ia in core_buckets.items():
+        for dx, dy in _FINE_FWD:
+            ib = core_buckets.get((cx + dx, cy + dy))
+            if ib is None:
+                continue
+            if uf.find(int(ia[0])) == uf.find(int(ib[0])):
+                continue  # already one component
+            d2 = (xs[ia][:, None] - xs[ib][None, :]) ** 2 + (
+                ys[ia][:, None] - ys[ib][None, :]
+            ) ** 2
+            if (d2 <= e2).any():
+                uf.union(int(ia[0]), int(ib[0]))
+
+    # component label = min core id in local component
+    root_min: dict[int, int] = {}
+    core_idx = np.nonzero(core)[0]
+    for i in core_idx:
+        r = uf.find(int(i))
+        v = int(ids[i])
+        if r not in root_min or v < root_min[r]:
+            root_min[r] = v
+    lab = {int(i): root_min[uf.find(int(i))] for i in core_idx}
+
+    out_id, out_kind, out_lab, out_own = [], [], [], []
+    for i in core_idx:
+        out_id.append(int(ids[i]))
+        out_kind.append("corelab")
+        out_lab.append(lab[int(i)])
+        out_own.append(bool(own[i]))
+
+    # ---- own non-core points: border (labels of core neighbors) or noise
+    for (cx, cy), idx in buckets.items():
+        nc = idx[~core[idx] & own[idx]]
+        if len(nc) == 0:
+            continue
+        nb_parts = [
+            core_buckets[(cx + dx, cy + dy)]
+            for dx, dy in _FINE_OFFS
+            if (cx + dx, cy + dy) in core_buckets
+        ]
+        if nb_parts:
+            nb = np.concatenate(nb_parts)
+            d2 = (xs[nc][:, None] - xs[nb][None, :]) ** 2 + (
+                ys[nc][:, None] - ys[nb][None, :]
+            ) ** 2
+            hit = d2 <= e2
+        else:
+            nb = np.empty(0, dtype=np.int64)
+            hit = np.zeros((len(nc), 0), dtype=bool)
+        for r, i in enumerate(nc):
+            labs = {lab[int(j)] for j in nb[hit[r]]} if hit.shape[1] else set()
+            if labs:
+                for v in sorted(labs):
+                    out_id.append(int(ids[i]))
+                    out_kind.append("border")
+                    out_lab.append(v)
+                    out_own.append(True)
+            else:
+                out_id.append(int(ids[i]))
+                out_kind.append("noise")
+                out_lab.append(-1)
+                out_own.append(True)
+    return pd.DataFrame(
+        {"id": out_id, "kind": out_kind, "lab": out_lab, "own": out_own}
+    )
+
+
+_P1_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("core", T.BooleanType())]
+)
+_P2_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("lab", T.LongType()),
+        T.StructField("own", T.BooleanType()),
+    ]
+)
+
+
 def dbscan(
     df: DataFrame,
     key: str,
@@ -120,6 +309,7 @@ def dbscan(
     y: str,
     eps: float,
     min_pts: int,
+    coarse_cell: float | None = None,
     max_iter: int = 25,
 ) -> DataFrame:
     """DBSCAN over planar point columns.
@@ -127,7 +317,16 @@ def dbscan(
     Returns (id BIGINT, cluster BIGINT, role STRING) — one row per
     input row with non-null key/x/y; cluster = min core id of the
     component (−1 for noise), role ∈ {core, border, noise}.
-    """
+
+    ``coarse_cell`` is the partition granule (default 8·eps): large
+    enough that halo replication (≈ 4·eps/S) is cheap, small enough
+    that one cell's points fit an executor. Shrink it for very dense
+    data."""
+    eps = float(eps)
+    s = float(coarse_cell) if coarse_cell is not None else 8.0 * eps
+    if s < 2.0 * eps:
+        raise ValueError("coarse_cell must be >= 2*eps")
+
     pts = (
         df.select(
             F.col(key).cast("long").alias("id"),
@@ -138,44 +337,66 @@ def dbscan(
             F.col("id").isNotNull() & F.col("x").isNotNull() & F.col("y").isNotNull()
         )
     )
+    rep = _replicate_to_cells(pts, s, eps)
 
-    pairs = _neighbor_pairs(pts, eps).localCheckpoint(eager=True)
+    def p1(pdf: pd.DataFrame) -> pd.DataFrame:
+        o = pdf["own"].to_numpy(dtype=bool)
+        core = _core_flags(
+            pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64),
+            eps, int(min_pts),
+        )
+        return pd.DataFrame({"id": pdf["id"][o], "core": core[o]})
 
-    deg = pairs.groupBy(F.col("i").alias("id")).agg(F.count("*").alias("__nnb"))
-    core = (
-        pts.join(deg, "id", "left")
-        .filter(F.coalesce(F.col("__nnb"), F.lit(0)) + 1 >= F.lit(int(min_pts)))
-        .select("id")
+    flags = rep.groupBy("ccx", "ccy").applyInPandas(p1, _P1_SCHEMA)
+
+    rep2 = _replicate_to_cells(pts.join(flags, "id"), s, eps)
+
+    def p2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _local_cluster(pdf, eps)
+
+    local = (
+        rep2.groupBy("ccx", "ccy")
+        .applyInPandas(p2, _P2_SCHEMA)
+        .localCheckpoint(eager=True)
     )
 
+    corelab = local.filter(F.col("kind") == "corelab")
+    # label-equivalence graph: labels seen for the same physical point
+    per_id = corelab.groupBy("id").agg(
+        F.min("lab").alias("lo"), F.collect_set("lab").alias("labs")
+    )
     edges = (
-        pairs.join(core.withColumnRenamed("id", "i"), "i", "left_semi")
-        .join(core.withColumnRenamed("id", "j"), "j", "left_semi")
-        .select("i", "j")
+        per_id.select(F.col("lo").alias("i"), F.explode("labs").alias("j"))
+        .filter(F.col("i") != F.col("j"))
     )
-    comp = _connected_components(core, edges, max_iter)
-
-    # border = non-core point with >= 1 core neighbor; deterministic
-    # assignment to the MIN core-neighbor cluster label.
-    border = (
-        pairs.join(core.withColumnRenamed("id", "i"), "i", "left_anti")
-        .join(
-            comp.select(F.col("id").alias("j"), F.col("lab").alias("__blab")), "j"
-        )
-        .groupBy(F.col("i").alias("id"))
-        .agg(F.min("__blab").alias("__blab"))
+    edges = edges.unionByName(
+        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    )
+    seeds = corelab.select(F.col("lab").alias("id")).distinct()
+    resolved = _connected_components(seeds, edges, max_iter).select(
+        F.col("id").alias("lab"), F.col("lab").alias("cluster")
     )
 
-    return (
-        pts.select("id")
-        .join(comp.withColumnRenamed("lab", "__clab"), "id", "left")
-        .join(border, "id", "left")
-        .select(
-            "id",
-            F.coalesce("__clab", "__blab", F.lit(-1)).cast("long").alias("cluster"),
-            F.when(F.col("__clab").isNotNull(), F.lit("core"))
-            .when(F.col("__blab").isNotNull(), F.lit("border"))
-            .otherwise(F.lit("noise"))
-            .alias("role"),
-        )
+    core_rows = (
+        corelab.filter("own")
+        .select("id", "lab")
+        .distinct()
+        .join(resolved, "lab")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+        .withColumn("role", F.lit("core"))
     )
+    border_rows = (
+        local.filter(F.col("kind") == "border")
+        .select("id", "lab")
+        .join(resolved, "lab")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+        .withColumn("role", F.lit("border"))
+    )
+    noise_rows = (
+        local.filter(F.col("kind") == "noise")
+        .select("id", F.lit(-1).cast("long").alias("cluster"))
+        .withColumn("role", F.lit("noise"))
+    )
+    return core_rows.unionByName(border_rows).unionByName(noise_rows)

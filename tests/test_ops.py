@@ -432,3 +432,24 @@ def test_dbscan_chain_component(spark):
     assert {c for c, _ in got.values()} == {2}
     assert got[1][1] == "border" and got[12][1] == "border"
     assert all(got[i][1] == "core" for i in range(2, 12))
+
+
+def test_dbscan_cross_partition_merge(spark):
+    """Tiny coarse cells force every blob to span many partitions —
+    halo replication + the label-equivalence merge must reproduce the
+    single-partition answer exactly."""
+    from geomesa_sql_spark.ops.cluster import dbscan
+
+    ids, xs, ys = _dbscan_fixture_pts()
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, x, y in zip(ids, xs, ys)],
+        "id long, x double, y double",
+    )
+    got = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dbscan(
+            df, "id", "x", "y", eps=0.8, min_pts=25, coarse_cell=1.6
+        ).collect()
+    }
+    want = _brute_dbscan(ids, xs, ys, 0.8, 25)
+    assert got == want
