@@ -735,14 +735,18 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, k=10, n_lists=8, nprobe=3).select("q_id", "vec_id", "rank")
 
 
-def q_embed_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact path; LSH path in ops.ann)."""
-    from geomesa_sql_spark.ops import near_dup_embeddings
+def q_embed_clusters(spark, sf_dir):
+    """Semantic-dedup groups: near-dup pairs (exact cosine path; the
+    LSH path's recall is pytest-gated) closed into connected
+    components — (vec_id, cluster) for every vector, cluster = min
+    vec_id of the component. The DuckDB oracle recomputes the exact
+    pairs relationally and closes them with a label-pruned recursive
+    CTE, so the gate checks the whole group structure, not just the
+    pair list."""
+    from geomesa_sql_spark.ops import embedding_clusters
 
     e = _t(spark, sf_dir, "embeddings")
-    return near_dup_embeddings(e, threshold=0.45, exact=True).select(
-        "id_a", "id_b", F.round("sim", 6).alias("sim_r")
-    )
+    return embedding_clusters(e, threshold=0.45, exact=True)
 
 
 # ------------------------------------------ non-SQL-expressible (rows-only)
@@ -1222,15 +1226,22 @@ def _oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'ngram_exact' AS method, id_a, id_b FROM pairs
         """,
-        "embed_near_dup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim_r
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45
+        "embed_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS i, b.vec_id AS j
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45
+            ),
+            edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+            reach(id, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.i, r.lab FROM edges e JOIN reach r ON r.id = e.j AND r.lab < e.i
+            )
+            SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(lab) AS BIGINT) AS cluster
+            FROM reach GROUP BY id
         """,
     }
 
@@ -1591,7 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_counts": q_lang_counts,
         "ann_topk": q_ann_topk,
-        "embed_near_dup": q_embed_near_dup,
+        "embed_clusters": q_embed_clusters,
         "near_dup_text": q_near_dup_text,
         "text_signals": q_text_signals,
         "doc_fingerprints": q_doc_fingerprints,

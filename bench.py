@@ -128,6 +128,7 @@ def main() -> None:
         "spatial_join_pairs",
         "spatial_join_dwithin",
         "knn",
+        "dbscan",
         "tile_assign",
         "dedup_exact",
         "text_quality",

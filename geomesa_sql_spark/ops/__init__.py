@@ -15,6 +15,7 @@ from geomesa_sql_spark.ops.ann import (  # noqa: F401
     cosine_similarity_col,
     cosine_topk,
     lsh_bucket_ann,
+    embedding_clusters,
     near_dup_embeddings,
 )
 from geomesa_sql_spark.ops.multimodal import (  # noqa: F401

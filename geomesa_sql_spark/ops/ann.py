@@ -161,6 +161,43 @@ def near_dup_embeddings(
     )
 
 
+def embedding_clusters(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = True,
+    bits: int = 8,
+    dim: int = 64,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Semantic-dedup groups: connected components over the
+    embedding near-dup graph — (vec_id, cluster) for EVERY vector,
+    cluster = min vec_id of its component (singletons label
+    themselves). The standard "keep one per semantic group" shape for
+    training-data curation: downstream keeps ``vec_id == cluster``.
+
+    Pairs come from :func:`near_dup_embeddings` (``exact=False`` =
+    the sign-LSH bucketed 100 TB path); components close with the same
+    pointer-jumping min-label CC the spatial DBSCAN uses — the graph
+    has one node per vector but near-dup edges are sparse, so rounds
+    are cheap keyed shuffles."""
+    from geomesa_sql_spark.ops.cluster import _connected_components
+
+    pairs = near_dup_embeddings(
+        df, threshold, vec_col, id_col, exact, bits, dim
+    ).select("id_a", "id_b")
+    edges = pairs.select(F.col("id_a").alias("i"), F.col("id_b").alias("j"))
+    edges = edges.unionByName(
+        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    )
+    seeds = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    comp = _connected_components(seeds, edges, max_iter)
+    return comp.select(
+        F.col("id").alias(id_col), F.col("lab").alias("cluster")
+    )
+
+
 def _kmeans_centroids(
     sample: np.ndarray, k: int, iters: int = 10, seed: int = 11
 ) -> np.ndarray:

@@ -453,3 +453,41 @@ def test_dbscan_cross_partition_merge(spark):
     }
     want = _brute_dbscan(ids, xs, ys, 0.8, 25)
     assert got == want
+
+
+def test_embedding_clusters_vs_numpy(spark, sf_dir):
+    """Cluster labels = min-id connected components of the exact
+    cosine near-dup graph (numpy union-find twin)."""
+    from geomesa_sql_spark.ops import embedding_clusters
+
+    base = embs(spark, sf_dir).limit(120)
+    # plant exact duplicates (cos=1) so non-singleton groups exist
+    dup = base.filter(F.col("vec_id") % 9 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 700_000
+    )
+    e = base.unionByName(dup)
+    got = {r.vec_id: r.cluster for r in
+           embedding_clusters(e, threshold=0.45, exact=True).collect()}
+
+    pdf = e.toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ids = pdf.vec_id.to_numpy().astype(int)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.45:
+                ra, rb = find(int(ids[i])), find(int(ids[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {int(i): find(int(i)) for i in ids}
+    assert got == want
+    assert any(k != v for k, v in got.items())  # non-singleton groups exist
