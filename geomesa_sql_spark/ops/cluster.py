@@ -289,6 +289,11 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
     )
 
 
+# max label-equivalence edges resolved driver-side before falling back
+# to the distributed CC (each edge is 16 bytes of payload — the cap
+# bounds the collect at ~32 MB)
+_DRIVER_MERGE_MAX = 2_000_000
+
 _P1_SCHEMA = T.StructType(
     [T.StructField("id", T.LongType()), T.StructField("core", T.BooleanType())]
 )
@@ -361,39 +366,69 @@ def dbscan(
     )
 
     corelab = local.filter(F.col("kind") == "corelab")
-    # label-equivalence graph: labels seen for the same physical point
-    per_id = corelab.groupBy("id").agg(
-        F.min("lab").alias("lo"), F.collect_set("lab").alias("labs")
-    )
-    edges = (
-        per_id.select(F.col("lo").alias("i"), F.explode("labs").alias("j"))
+    # label-equivalence graph: labels seen for the same physical point.
+    # Only points replicated into >= 2 partitions (halo crossers) can
+    # carry an equivalence — filter before exploding.
+    eq_pairs = (
+        corelab.groupBy("id")
+        .agg(F.collect_set("lab").alias("labs"))
+        .filter(F.size("labs") > 1)
+        .select(F.array_min("labs").alias("i"), F.explode("labs").alias("j"))
         .filter(F.col("i") != F.col("j"))
-    )
-    edges = edges.unionByName(
-        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    )
-    seeds = corelab.select(F.col("lab").alias("id")).distinct()
-    resolved = _connected_components(seeds, edges, max_iter).select(
-        F.col("id").alias("lab"), F.col("lab").alias("cluster")
-    )
-
-    core_rows = (
-        corelab.filter("own")
-        .select("id", "lab")
         .distinct()
-        .join(resolved, "lab")
-        .groupBy("id")
-        .agg(F.min("cluster").alias("cluster"))
-        .withColumn("role", F.lit("core"))
     )
-    border_rows = (
-        local.filter(F.col("kind") == "border")
-        .select("id", "lab")
-        .join(resolved, "lab")
-        .groupBy("id")
-        .agg(F.min("cluster").alias("cluster"))
-        .withColumn("role", F.lit("border"))
-    )
+    # The merge graph is LABEL-level: one node per local component,
+    # independent of n (MR-DBSCAN's merge step). Resolve it at the
+    # driver when small — a bounded collect, like the documented driver
+    # samples elsewhere — and fall back to the distributed
+    # pointer-jumping CC when a pathological layout exceeds the cap.
+    rows = eq_pairs.limit(_DRIVER_MERGE_MAX + 1).collect()
+    if len(rows) <= _DRIVER_MERGE_MAX:
+        uf_parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            while uf_parent.setdefault(a, a) != a:
+                uf_parent[a] = uf_parent.setdefault(uf_parent[a], uf_parent[a])
+                a = uf_parent[a]
+            return a
+
+        for r in rows:
+            ra, rb = find(int(r["i"])), find(int(r["j"]))
+            if ra != rb:
+                uf_parent[max(ra, rb)] = min(ra, rb)
+        mapping = [(l, find(l)) for l in list(uf_parent)]
+        if mapping:
+            resolved = df.sparkSession.createDataFrame(
+                mapping, "lab long, cluster long"
+            )
+        else:
+            resolved = df.sparkSession.createDataFrame([], "lab long, cluster long")
+        resolved = F.broadcast(resolved)
+    else:
+        edges = eq_pairs.unionByName(
+            eq_pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
+        )
+        seeds = corelab.select(F.col("lab").alias("id")).distinct()
+        resolved = _connected_components(seeds, edges, max_iter).select(
+            F.col("id").alias("lab"), F.col("lab").alias("cluster")
+        )
+
+    def _resolve(labelled: DataFrame) -> DataFrame:
+        """(id, lab) -> (id, min resolved cluster); labels outside the
+        merge map are already global (cluster = the label itself)."""
+        return (
+            labelled.join(resolved, "lab", "left")
+            .withColumn("cluster", F.coalesce("cluster", "lab"))
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+
+    core_rows = _resolve(
+        corelab.filter("own").select("id", "lab").distinct()
+    ).withColumn("role", F.lit("core"))
+    border_rows = _resolve(
+        local.filter(F.col("kind") == "border").select("id", "lab")
+    ).withColumn("role", F.lit("border"))
     noise_rows = (
         local.filter(F.col("kind") == "noise")
         .select("id", F.lit(-1).cast("long").alias("cluster"))
