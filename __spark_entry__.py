@@ -701,13 +701,25 @@ def q_doc_fingerprints(spark, sf_dir):
     return doc_fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def q_lang_counts(spark, sf_dir):
-    """Language distribution roll-up."""
+def q_seq_pack(spark, sf_dir):
+    """Greedy sequence packing of documents into 64-token context
+    windows, sharded by doc_id % 8 (ops/pack.py). The whitespace token
+    count uses literally the oracle's SQL expression text; budget 64 <
+    max doc length so the oversize-doc-alone rule is exercised. The
+    DuckDB oracle replays the greedy walk as a recursive CTE stepping
+    from bin boundary to bin boundary (same pattern as the CDC cut
+    walk) and assigns docs to bins by prefix-sum range join."""
+    from geomesa_sql_spark.ops.pack import pack_sequences
+
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
+    out = pack_sequences(
+        d,
+        "doc_id",
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1"),
+        budget=64,
+        shard_col=F.expr("doc_id % 8"),
     )
+    return out.select(F.col("id").alias("doc_id"), "shard", "bin", "off")
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1166,9 +1178,40 @@ def _oracles() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe
             FROM documents
         """,
-        "lang_counts": """
-            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-            FROM documents GROUP BY lang
+        "seq_pack": """
+            WITH RECURSIVE o AS (
+              SELECT doc_id AS id, doc_id % 8 AS shard,
+                     CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS tok,
+                     CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                          OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS BIGINT) AS cum
+              FROM documents),
+            walk(shard, bin, start_cum) AS (
+              SELECT DISTINCT shard, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM o
+              UNION ALL
+              SELECT w.shard, w.bin + 1,
+                GREATEST(
+                  COALESCE((SELECT MAX(d.cum) FROM o d
+                            WHERE d.shard = w.shard AND d.cum <= w.start_cum + 64),
+                           w.start_cum),
+                  (SELECT MIN(d.cum) FROM o d
+                   WHERE d.shard = w.shard AND d.cum > w.start_cum)
+                )
+              FROM walk w
+              WHERE EXISTS (SELECT 1 FROM o d
+                            WHERE d.shard = w.shard AND d.cum > w.start_cum)
+            ),
+            ranges AS (
+              SELECT shard, bin, start_cum,
+                     LEAD(start_cum, 1, 9223372036854775807)
+                       OVER (PARTITION BY shard ORDER BY bin) AS end_cum
+              FROM walk)
+            SELECT CAST(d.id AS BIGINT) AS doc_id,
+                   CAST(d.shard AS BIGINT) AS shard,
+                   CAST(r.bin AS BIGINT) AS bin,
+                   CAST(d.cum - d.tok - r.start_cum AS BIGINT) AS off
+            FROM o d JOIN ranges r
+              ON d.shard = r.shard
+             AND d.cum - d.tok >= r.start_cum AND d.cum - d.tok < r.end_cum
         """,
         "ann_topk": """
             SELECT vec_id, CAST(rank AS INTEGER) AS rank, ROUND(sim, 6) AS sim_r FROM (
@@ -1600,7 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
-        "lang_counts": q_lang_counts,
+        "seq_pack": q_seq_pack,
         "ann_topk": q_ann_topk,
         "embed_clusters": q_embed_clusters,
         "near_dup_text": q_near_dup_text,

@@ -18,6 +18,9 @@ from geomesa_sql_spark.ops.ann import (  # noqa: F401
     embedding_clusters,
     near_dup_embeddings,
 )
+from geomesa_sql_spark.ops.pack import (  # noqa: F401
+    pack_sequences,
+)
 from geomesa_sql_spark.ops.multimodal import (  # noqa: F401
     audio_features,
     frame_sample,

@@ -491,3 +491,64 @@ def test_embedding_clusters_vs_numpy(spark, sf_dir):
     want = {int(i): find(int(i)) for i in ids}
     assert got == want
     assert any(k != v for k, v in got.items())  # non-singleton groups exist
+
+
+# ------------------------------------------------------------- seq_pack
+
+def _brute_pack(toks, budget):
+    bins, offs, b, cur = [], [], 0, 0
+    for t in toks:
+        if cur and cur + t > budget:
+            b += 1
+            cur = 0
+        bins.append(b)
+        offs.append(cur)
+        cur += t
+        if cur > budget:  # oversize doc occupied its own bin
+            b += 1
+            cur = 0
+    return bins, offs
+
+
+def test_pack_sequences_vs_python(spark):
+    from geomesa_sql_spark.ops.pack import pack_sequences
+
+    toks = [10, 20, 30, 99, 5, 5, 5, 64, 1, 63, 2, 40, 25]
+    rows = [(i + 1, int(t), int(i % 2)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "id long, tok long, shard long")
+    got = {
+        r.id: (r.shard, r.bin, r.off)
+        for r in pack_sequences(df, "id", "tok", budget=64, shard_col="shard").collect()
+    }
+    for s in (0, 1):
+        ids = [i + 1 for i in range(len(toks)) if i % 2 == s]
+        st = [toks[i - 1] for i in ids]
+        bins, offs = _brute_pack(st, 64)
+        for k, i in enumerate(ids):
+            assert got[i] == (s, bins[k], offs[k]), (i, got[i], (s, bins[k], offs[k]))
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Bin sums never exceed budget except single-oversize-doc bins;
+    offsets are the prefix sums within each bin."""
+    from geomesa_sql_spark.ops.pack import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = F.expr("length(text) - length(replace(text, ' ', '')) + 1")
+    out = pack_sequences(d, "doc_id", tok, budget=64,
+                         shard_col=F.expr("doc_id % 4"))
+    joined = out.join(
+        d.select(F.col("doc_id").alias("id"), tok.cast("long").alias("tok")), "id"
+    )
+    per_bin = joined.groupBy("shard", "bin").agg(
+        F.sum("tok").alias("total"), F.count("*").alias("n")
+    )
+    bad = per_bin.filter((F.col("total") > 64) & (F.col("n") > 1)).count()
+    assert bad == 0
+    # offset = running sum of predecessors within the bin
+    from pyspark.sql import Window
+    w = Window.partitionBy("shard", "bin").orderBy("id")
+    chk = joined.withColumn(
+        "want_off", F.coalesce(F.sum("tok").over(w) - F.col("tok"), F.lit(0))
+    )
+    assert chk.filter(F.col("off") != F.col("want_off")).count() == 0
