@@ -313,24 +313,39 @@ def q_events_hourly(spark, sf_dir):
 # ------------------------------------------------------------------ spatial
 
 
-def q_st_within_rect(spark, sf_dir):
-    """Spatial filter pushdown, rectangle → pure range predicates."""
+def q_st_within_shapes(spark, sf_dir):
+    """Spatial filter pushdown, both kernels in one slot: rectangle →
+    pure range predicates (tag='rect') and convex polygon →
+    ray-casting PIP refine (tag='penta')."""
     from geomesa_sql_spark.plan import spatial_filter
 
     pts = orders_points(spark, sf_dir)
-    return spatial_filter(pts, "intersects", RECT, x="lon", y="lat").select(
-        "o_orderkey", "lon", "lat"
+    rect = spatial_filter(pts, "intersects", RECT, x="lon", y="lat").select(
+        "o_orderkey", F.lit("rect").alias("tag")
     )
-
-
-def q_st_within_pentagon(spark, sf_dir):
-    """Spatial filter, convex polygon → ray-casting PIP refine."""
-    from geomesa_sql_spark.plan import spatial_filter
-
-    pts = orders_points(spark, sf_dir)
-    return spatial_filter(pts, "intersects", PENTA, x="lon", y="lat").select(
-        "o_orderkey"
+    penta = spatial_filter(pts, "intersects", PENTA, x="lon", y="lat").select(
+        "o_orderkey", F.lit("penta").alias("tag")
     )
+    return rect.unionByName(penta)
+
+
+def q_image_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs over the synthesized images table +
+    20 planted byte-identical copies: 64-bit average-hash → pigeonhole
+    band equi-join (EXACT, recall 1.0) → JVM bit_count verify. The
+    DuckDB oracle recomputes every average hash from the closed-form
+    fixture pixels (same CTEs as image_stats) and takes ALL pairs with
+    hamming ≤ 6 by brute force — so the gate proves the band join
+    misses nothing, planted or natural."""
+    from geomesa_sql_spark.io.fixtures import images_table
+    from geomesa_sql_spark.ops import near_dup_images
+
+    imgs = images_table(spark, 500, size=16)
+    dup = imgs.filter(
+        F.substring("image_id", 2, 10).cast("long") % 25 == 0
+    ).withColumn("image_id", F.concat(F.lit("d"), F.col("image_id")))
+    out = near_dup_images(imgs.unionByName(dup), max_hamming=6)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_st_dwithin(spark, sf_dir):
@@ -983,12 +998,49 @@ def _oracles() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        "st_within_rect": f"""
-            SELECT o_orderkey, lon, lat FROM ({opts})
+        "st_within_shapes": f"""
+            SELECT o_orderkey, 'rect' AS tag FROM ({opts})
             WHERE lon >= -10.005 AND lon <= 50.005 AND lat >= -10.005 AND lat <= 40.005
+            UNION ALL
+            SELECT o_orderkey, 'penta' AS tag FROM ({opts}) WHERE {_penta_halfplane_sql()}
         """,
-        "st_within_pentagon": f"""
-            SELECT o_orderkey FROM ({opts}) WHERE {_penta_halfplane_sql()}
+        "image_near_dup": """
+            WITH px AS (
+                SELECT i, x, y,
+                       (i*31 + x*7 + y*13) % 256 AS r,
+                       (i*31 + x*7 + y*13 + 97) % 256 AS g,
+                       (i*31 + x*7 + y*13 + 194) % 256 AS b
+                FROM range(500) t(i), range(16) tx(x), range(16) ty(y)
+            ), img AS (
+                SELECT i, CAST(SUM(299*r + 587*g + 114*b) AS HUGEINT) AS stot
+                FROM px GROUP BY i
+            ), blk AS (
+                SELECT i, y // 2 AS yb, x // 2 AS xb,
+                       CAST(SUM(299*r + 587*g + 114*b) AS HUGEINT) AS bsum
+                FROM px GROUP BY 1, 2, 3
+            ), ah AS (
+                SELECT b.i,
+                       CAST(SUM(CASE WHEN b.bsum * 64 >= m.stot
+                                THEN CAST(1 AS HUGEINT) << CAST(b.yb * 8 + b.xb AS INTEGER)
+                                ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS a
+                FROM blk b JOIN img m ON b.i = m.i GROUP BY 1
+            ), sigs AS (
+                SELECT '#' || CAST(i AS VARCHAR) AS id,
+                       CAST(CASE WHEN a >= CAST('9223372036854775808' AS HUGEINT)
+                                 THEN a - CAST('18446744073709551616' AS HUGEINT)
+                                 ELSE a END AS BIGINT) AS sig
+                FROM ah
+                UNION ALL
+                SELECT 'd#' || CAST(i AS VARCHAR),
+                       CAST(CASE WHEN a >= CAST('9223372036854775808' AS HUGEINT)
+                                 THEN a - CAST('18446744073709551616' AS HUGEINT)
+                                 ELSE a END AS BIGINT)
+                FROM ah WHERE i % 25 = 0
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM sigs a JOIN sigs b ON a.id < b.id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 6
         """,
         "st_dwithin": f"""
             SELECT o_orderkey FROM ({opts})
@@ -1624,8 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_st_xy_dist": q_sql_st_xy_dist,
         "sql_st_measures": q_sql_st_measures,
         "st_simplify_hull": q_st_simplify_hull,
-        "st_within_rect": q_st_within_rect,
-        "st_within_pentagon": q_st_within_pentagon,
+        "st_within_shapes": q_st_within_shapes,
+        "image_near_dup": q_image_near_dup,
         "st_dwithin": q_st_dwithin,
         "st_filter_wkb_rows": q_st_filter_wkb_rows,
         "spatial_join_pairs": q_spatial_join_pairs,

@@ -123,7 +123,7 @@ def main() -> None:
         "join_equi",
         "window_topn",
         "events_hourly",
-        "st_within_pentagon",
+        "st_within_shapes",
         "st_dwithin",
         "spatial_join_pairs",
         "spatial_join_dwithin",

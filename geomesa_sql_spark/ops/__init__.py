@@ -1,4 +1,5 @@
 from geomesa_sql_spark.ops.dedup import (  # noqa: F401
+    hamming_near_dup_pairs,
     exact_dedup,
     lsh_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -25,6 +26,7 @@ from geomesa_sql_spark.ops.multimodal import (  # noqa: F401
     audio_features,
     frame_sample,
     image_stats,
+    near_dup_images,
     phash_images,
     resize_images,
 )

@@ -249,6 +249,71 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    chunks: int | None = None,
+) -> DataFrame:
+    """EXACT near-dup pairs over 64-bit signatures: (id_a < id_b,
+    hamming ≤ max_hamming) — recall 1.0 by pigeonhole, not an
+    approximation.
+
+    Manku et al.'s chunk trick: split the signature into ``chunks``
+    bit-slices (default max_hamming + 2 > max_hamming, so any pair
+    within the radius agrees on ≥ 2 whole slices); equi-join on
+    (slice index, slice value) — uniformly keyed, the only shuffle —
+    then verify with JVM ``bit_count(a XOR b)``. Zero Python: slicing,
+    join and verify are all Catalyst Columns. Works on any 64-bit
+    signature column: SimHash (``simhash64``), image average-hash
+    (``ops.multimodal.phash_images``)."""
+    k = int(chunks) if chunks is not None else int(max_hamming) + 2
+    if k < max_hamming + 1:
+        raise ValueError("chunks must be >= max_hamming + 1 (pigeonhole)")
+    if not 1 <= k <= 64:
+        raise ValueError("chunks must be in [1, 64]")
+    w = 64 // k
+    sig = F.col(sig_col)
+
+    def _slice(i: int) -> F.Column:
+        lo = i * w
+        width = 64 - lo if i == k - 1 else w  # last slice takes the tail
+        return F.shiftrightunsigned(sig, lo).bitwiseAND(
+            F.lit((1 << width) - 1 if width < 64 else -1)
+        )
+
+    banded = df.select(
+        F.col(id_col),
+        sig.alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), _slice(i).alias("bv"))
+                    for i in range(k)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "__sig", "e.band", "e.bv")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"), "band", "bv"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -157,6 +157,23 @@ def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     return df.select(id_col, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
 
 
+def near_dup_images(
+    df: DataFrame, max_hamming: int = 6, id_col: str = "image_id"
+) -> DataFrame:
+    """Image near-duplicate pairs (id_a < id_b, hamming ≤ max_hamming
+    over the 64-bit average-hash) — the multimodal twin of the text
+    near-dup pipeline, and EXACT at the signature level (pigeonhole
+    band join, recall 1.0; see ``ops.dedup.hamming_near_dup_pairs``).
+
+    Payload discipline: only (id, ahash) leaves the decode stage —
+    ``bytes`` never rides the band-join shuffle. Null-payload rows
+    (undecodable images) are excluded, matching image_stats."""
+    from geomesa_sql_spark.ops.dedup import hamming_near_dup_pairs
+
+    sigs = phash_images(df, id_col).filter(F.col("ahash").isNotNull())
+    return hamming_near_dup_pairs(sigs, "ahash", id_col, max_hamming)
+
+
 def resize_images(df: DataFrame, out_size: int, id_col: str = "image_id") -> DataFrame:
     """Nearest-neighbour resize → raw re-encode.
 

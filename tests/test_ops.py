@@ -552,3 +552,62 @@ def test_pack_sequences_invariants(spark, sf_dir):
         "want_off", F.coalesce(F.sum("tok").over(w) - F.col("tok"), F.lit(0))
     )
     assert chk.filter(F.col("off") != F.col("want_off")).count() == 0
+
+
+# ------------------------------------------------- hamming / image near-dup
+
+def test_hamming_near_dup_exact_vs_bruteforce(spark):
+    """The pigeonhole band join is EXACT: pair set == O(n²) brute force
+    at every radius, including planted flips just inside/outside."""
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+    from geomesa_sql_spark.ops import hamming_near_dup_pairs
+
+    base = _splitmix64(np.arange(60, dtype=np.int64)).view(np.int64)
+    sigs = list(base)
+    # plant neighbours at hamming 1..8 of sig[k]
+    for k, d in enumerate(range(1, 9)):
+        v = np.uint64(base[k].view(np.uint64))
+        for bit in range(d):
+            v ^= np.uint64(1) << np.uint64(bit * 7)
+        sigs.append(np.int64(v.view(np.int64)))
+    rows = [(i, int(s)) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "id long, sig long")
+
+    for t in (2, 6):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_dup_pairs(df, "sig", "id", max_hamming=t).collect()
+        }
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                h = bin((int(sigs[i]) ^ int(sigs[j])) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if h <= t:
+                    want.add((i, j, h))
+        assert got == want, f"radius {t}"
+        assert want, "fixture must plant in-radius pairs"
+
+
+def test_near_dup_images_finds_planted_dups(spark):
+    """Exact byte-duplicates hash to hamming 0; the null-payload row is
+    excluded rather than crashing the decode stage."""
+    from geomesa_sql_spark.io.fixtures import images_table
+    from geomesa_sql_spark.ops import near_dup_images
+
+    imgs = images_table(spark, 40, size=16)
+    picked = F.substring(F.col("image_id"), 2, 10).cast("long") % 4 == 0
+    dup = imgs.filter(picked).withColumn(
+        "image_id", F.concat(F.lit("dup_"), F.col("image_id"))
+    )
+    nulls = imgs.limit(1).withColumn("bytes", F.lit(None).cast("binary"))
+    corpus = imgs.unionByName(dup).unionByName(
+        nulls.withColumn("image_id", F.lit("null_row"))
+    )
+    pairs = near_dup_images(corpus, max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    planted = {
+        tuple(sorted((str(r.image_id), f"dup_{r.image_id}")))
+        for r in imgs.filter(picked).select("image_id").collect()
+    }
+    assert planted <= got
+    assert all("null_row" not in p for p in got)
