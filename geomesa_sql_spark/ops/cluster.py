@@ -328,6 +328,10 @@ def dbscan(
     that one cell's points fit an executor. Shrink it for very dense
     data."""
     eps = float(eps)
+    if not eps > 0.0:
+        raise ValueError("eps must be > 0")
+    if int(min_pts) < 1:
+        raise ValueError("min_pts must be >= 1")
     s = float(coarse_cell) if coarse_cell is not None else 8.0 * eps
     if s < 2.0 * eps:
         raise ValueError("coarse_cell must be >= 2*eps")

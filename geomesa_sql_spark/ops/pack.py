@@ -73,6 +73,9 @@ def pack_sequences(
     token counter). With ``shard_col=None`` everything is one shard —
     only for small inputs; at scale always shard (the walk is
     sequential within a shard by definition)."""
+    budget_i = int(budget)
+    if budget_i < 1:
+        raise ValueError("budget must be >= 1 token")
     tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     shard = (
         F.lit(0).cast("long")
@@ -85,7 +88,6 @@ def pack_sequences(
         shard.cast("long").alias("shard"),
     )
 
-    budget_i = int(budget)
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
