@@ -153,7 +153,12 @@ def lsh_near_dup_pairs(
     on uniformly-distributed keys; no O(n²) stage anywhere.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # materialize the signature stage ONCE: the band self-join would
+    # otherwise re-run the Python MinHash mapInPandas on BOTH sides
+    # (measured ~40% of pipeline wall at sf0.1)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=True)
     banded = sigs.select(
         id_col,
         F.explode(
