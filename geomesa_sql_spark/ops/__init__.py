@@ -1,4 +1,5 @@
 from geomesa_sql_spark.ops.dedup import (  # noqa: F401
+    hamming_clusters,
     hamming_near_dup_pairs,
     exact_dedup,
     lsh_near_dup_pairs,

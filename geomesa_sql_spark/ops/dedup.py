@@ -319,6 +319,51 @@ def hamming_near_dup_pairs(
     )
 
 
+def hamming_clusters(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    chunks: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Signature dedup GROUPS without pair explosion: (id, cluster)
+    for every row, cluster = min id whose signature is in the same
+    hamming-≤-radius component.
+
+    Why not pairs: a corpus with a million byte-identical images (one
+    signature) would make :func:`hamming_near_dup_pairs` emit ~5·10¹¹
+    rows — the pair relation is inherently quadratic in exact-dup
+    group size. Here identical signatures collapse to ONE node (keyed
+    by their min id) before the band join; the component closure runs
+    on the distinct-signature graph; rows then inherit their
+    signature's component label with a plain equi-join. Every stage is
+    linear in the input + distinct-signature count."""
+    rows = df.select(
+        F.col(id_col).cast("long").alias("__hid"), F.col(sig_col).alias("__hsig")
+    ).filter(F.col("__hsig").isNotNull())
+    per_sig = (
+        rows.groupBy("__hsig").agg(F.min("__hid").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = hamming_near_dup_pairs(per_sig, "__hsig", "rep", max_hamming, chunks)
+    edges = pairs.select(F.col("id_a").alias("i"), F.col("id_b").alias("j"))
+    edges = edges.unionByName(
+        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    )
+    from geomesa_sql_spark.ops.cluster import _connected_components
+
+    seeds = per_sig.select(F.col("rep").alias("id"))
+    comp = _connected_components(seeds, edges, max_iter)
+    return (
+        rows.join(per_sig, "__hsig")
+        .join(comp.select(F.col("id").alias("rep"), "lab"), "rep")
+        .select(
+            F.col("__hid").alias(id_col), F.col("lab").alias("cluster")
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

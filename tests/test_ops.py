@@ -611,3 +611,44 @@ def test_near_dup_images_finds_planted_dups(spark):
     }
     assert planted <= got
     assert all("null_row" not in p for p in got)
+
+
+def test_hamming_clusters_vs_bruteforce(spark):
+    """Groups = CC over the hamming graph; identical signatures share
+    a node, so heavy exact-dup groups stay linear (the pair op would
+    be quadratic in them)."""
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+    from geomesa_sql_spark.ops import hamming_clusters
+
+    base = _splitmix64(np.arange(12, dtype=np.int64)).view(np.int64)
+    rows = []
+    rid = 0
+    for k, s in enumerate(base):
+        for _ in range(1 + (k % 4) * 5):  # exact-dup groups up to 16 rows
+            rows.append((rid, int(s)))
+            rid += 1
+    # one near pair: flip 2 bits of base[0]
+    near = int(np.int64(np.uint64(base[0].view(np.uint64)) ^ np.uint64(3)))
+    rows.append((rid, near))
+    df = spark.createDataFrame(rows, "id long, sig long")
+    got = {r.id: r.cluster for r in
+           hamming_clusters(df, "sig", "id", max_hamming=6).collect()}
+
+    # brute force: union-find over all row pairs with hamming <= 6
+    parent = {i: i for i, _ in rows}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, si in rows:
+        for j, sj in rows:
+            if i < j and bin((si ^ sj) & 0xFFFFFFFFFFFFFFFF).count("1") <= 6:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i, _ in rows}
+    assert got == want
+    assert len(set(got.values())) < len(rows)  # real groups formed
