@@ -234,10 +234,10 @@ def q_dbscan(spark, sf_dir):
     """Distributed DBSCAN over the deterministic clustered-points
     fixture (30 dense blobs + uniform scatter derived from orders by
     pure arithmetic — io/fixtures.py CLUSTER_X/Y_SQL, same expression
-    text the DuckDB oracle evaluates). eps-grid cell join + pointer-
-    jumping connected components; labels are the min core id, border
-    ties break to the MIN core-neighbor label, so the output is fully
-    deterministic and oracle-hashable."""
+    text the DuckDB oracle evaluates). Partition-local clustering with
+    eps-halo replication + label-level merge (ops/cluster.py); labels
+    are the min core id, border ties break to the MIN core-neighbor
+    label, so the output is fully deterministic and oracle-hashable."""
     from geomesa_sql_spark.io.fixtures import cluster_points
     from geomesa_sql_spark.ops.cluster import dbscan
 
@@ -1385,14 +1385,15 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
 def _dbscan_sql(eps: float = 0.5, min_pts: int = 5) -> str:
     """DuckDB oracle for the dbscan contract query.
 
-    Replays the engine exactly, relationally: the same eps-grid 3×3
-    cell equi-join for neighbor pairs (so the oracle is O(n·density),
-    not O(n²)), degree count + self for core points, min-label
-    connected components over the core-core subgraph as a recursive
-    CTE (pruned to labels < node id — the component min always
-    qualifies, everything else is dead weight), and MIN-core-neighbor
-    border assignment. Point fixture = io/fixtures.py CLUSTER_*_SQL
-    verbatim."""
+    Replays the engine's SEMANTICS relationally (the engine itself is
+    partition-local with halo replication — ops/cluster.py; the oracle
+    uses the simpler eps-grid 3×3 cell equi-join shape, fine at oracle
+    scale): neighbor pairs O(n·density), degree count + self for core
+    points, min-label connected components over the core-core subgraph
+    as a recursive CTE (pruned to labels < node id — the component min
+    always qualifies, everything else is dead weight), and
+    MIN-core-neighbor border assignment. Point fixture =
+    io/fixtures.py CLUSTER_*_SQL verbatim."""
     from geomesa_sql_spark.io.fixtures import (
         CLUSTER_SUBSET_SQL,
         CLUSTER_X_SQL,

@@ -147,6 +147,50 @@ _FINE_OFFS = [(dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)]
 _FINE_FWD = [(dx, dy) for (dx, dy) in _FINE_OFFS if (dx, dy) > (0, 0)]
 
 
+
+# cap on float64 elements per distance block (~16 MB): keeps any
+# cross-cell probe's peak allocation bounded no matter how dense a
+# fine cell gets (a skewed coarse cell can put thousands of points in
+# one fine cell; an unchunked |a|x|b| matrix would then be GBs)
+_DIST_BLOCK = 1 << 21
+
+
+def _d2_block_rows(n_b: int) -> int:
+    return max(1, _DIST_BLOCK // max(n_b, 1))
+
+
+def _count_within(xa, ya, xb, yb, e2) -> np.ndarray:
+    """Per-a count of b-points within sqrt(e2) — row-blocked."""
+    out = np.zeros(len(xa), dtype=np.int64)
+    if not len(xb):
+        return out
+    step = _d2_block_rows(len(xb))
+    for s0 in range(0, len(xa), step):
+        sl = slice(s0, s0 + step)
+        d2 = (xa[sl][:, None] - xb[None, :]) ** 2 + (
+            ya[sl][:, None] - yb[None, :]
+        ) ** 2
+        out[sl] = (d2 <= e2).sum(axis=1)
+    return out
+
+
+def _any_within(xa, ya, xb, yb, e2) -> bool:
+    """Does ANY (a, b) pair sit within sqrt(e2)? Row-blocked with
+    early exit — the common dense-adjacent-cell case hits in the
+    first block."""
+    if not len(xa) or not len(xb):
+        return False
+    step = _d2_block_rows(len(xb))
+    for s0 in range(0, len(xa), step):
+        sl = slice(s0, s0 + step)
+        d2 = (xa[sl][:, None] - xb[None, :]) ** 2 + (
+            ya[sl][:, None] - yb[None, :]
+        ) ** 2
+        if (d2 <= e2).any():
+            return True
+    return False
+
+
 def _core_flags(
     xs: np.ndarray, ys: np.ndarray, eps: float, min_pts: int
 ) -> np.ndarray:
@@ -167,10 +211,7 @@ def _core_flags(
             nb = buckets.get((cx + dx, cy + dy))
             if nb is None:
                 continue
-            d2 = (xs[idx][:, None] - xs[nb][None, :]) ** 2 + (
-                ys[idx][:, None] - ys[nb][None, :]
-            ) ** 2
-            cnt += (d2 <= e2).sum(axis=1)
+            cnt += _count_within(xs[idx], ys[idx], xs[nb], ys[nb], e2)
         core[idx] = cnt >= min_pts
     return core
 
@@ -229,10 +270,7 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
                 continue
             if uf.find(int(ia[0])) == uf.find(int(ib[0])):
                 continue  # already one component
-            d2 = (xs[ia][:, None] - xs[ib][None, :]) ** 2 + (
-                ys[ia][:, None] - ys[ib][None, :]
-            ) ** 2
-            if (d2 <= e2).any():
+            if _any_within(xs[ia], ys[ia], xs[ib], ys[ib], e2):
                 uf.union(int(ia[0]), int(ib[0]))
 
     # component label = min core id in local component
@@ -262,28 +300,32 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
             for dx, dy in _FINE_OFFS
             if (cx + dx, cy + dy) in core_buckets
         ]
-        if nb_parts:
-            nb = np.concatenate(nb_parts)
-            d2 = (xs[nc][:, None] - xs[nb][None, :]) ** 2 + (
-                ys[nc][:, None] - ys[nb][None, :]
-            ) ** 2
-            hit = d2 <= e2
-        else:
-            nb = np.empty(0, dtype=np.int64)
-            hit = np.zeros((len(nc), 0), dtype=bool)
-        for r, i in enumerate(nc):
-            labs = {lab[int(j)] for j in nb[hit[r]]} if hit.shape[1] else set()
-            if labs:
-                for v in sorted(labs):
-                    out_id.append(int(ids[i]))
-                    out_kind.append("border")
-                    out_lab.append(v)
-                    out_own.append(True)
+        nb = (
+            np.concatenate(nb_parts) if nb_parts else np.empty(0, dtype=np.int64)
+        )
+        step = _d2_block_rows(len(nb))
+        for r0 in range(0, len(nc), step):
+            blk = nc[r0 : r0 + step]
+            if len(nb):
+                d2 = (xs[blk][:, None] - xs[nb][None, :]) ** 2 + (
+                    ys[blk][:, None] - ys[nb][None, :]
+                ) ** 2
+                hit = d2 <= e2
             else:
-                out_id.append(int(ids[i]))
-                out_kind.append("noise")
-                out_lab.append(-1)
-                out_own.append(True)
+                hit = np.zeros((len(blk), 0), dtype=bool)
+            for r, i in enumerate(blk):
+                labs = {lab[int(j)] for j in nb[hit[r]]} if hit.shape[1] else set()
+                if labs:
+                    for v in sorted(labs):
+                        out_id.append(int(ids[i]))
+                        out_kind.append("border")
+                        out_lab.append(v)
+                        out_own.append(True)
+                else:
+                    out_id.append(int(ids[i]))
+                    out_kind.append("noise")
+                    out_lab.append(-1)
+                    out_own.append(True)
     return pd.DataFrame(
         {"id": out_id, "kind": out_kind, "lab": out_lab, "own": out_own}
     )
@@ -327,6 +369,15 @@ def dbscan(
     enough that halo replication (≈ 4·eps/S) is cheap, small enough
     that one cell's points fit an executor. Shrink it for very dense
     data."""
+    from pyspark.sql.types import NumericType
+
+    for c in (key, x, y):
+        if not isinstance(df.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"dbscan column {c!r} must be numeric, got "
+                f"{df.schema[c].dataType.simpleString()} (a string key would "
+                "cast to NULL and silently drop every row)"
+            )
     eps = float(eps)
     if not eps > 0.0:
         raise ValueError("eps must be > 0")

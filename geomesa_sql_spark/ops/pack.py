@@ -86,6 +86,15 @@ def pack_sequences(
         F.col(id_col).cast("long").alias("id"),
         tok.cast("long").alias("tok"),
         shard.cast("long").alias("shard"),
+    ).filter(
+        # a NULL token count (e.g. NULL text under a length() expression)
+        # would otherwise turn into INT64_MIN through the NaN->int64 cast
+        # and corrupt every bin/offset after it in the shard; negative
+        # counts would corrupt the cumsum the same way
+        F.col("id").isNotNull()
+        & F.col("shard").isNotNull()
+        & F.col("tok").isNotNull()
+        & (F.col("tok") >= 0)
     )
 
 

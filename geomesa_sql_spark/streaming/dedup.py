@@ -28,8 +28,9 @@ pair agreeing in several bands is emitted by each of them) as
 semantics dedupe downstream — exactly what the batch operator's
 ``.distinct()`` does, which streaming cannot afford globally.
 
-State bounding: ``max_bucket`` caps per-bucket state (oldest entry
-evicted first — FIFO, deterministic). Real near-dup buckets are tiny
+State bounding: ``max_bucket`` caps per-bucket state (oldest entries
+evicted first — FIFO, deterministic, applied at micro-batch
+boundaries). Real near-dup buckets are tiny
 (a band collision is already a strong signal); the cap only guards
 against degenerate data such as a constant column. For time-bounded
 retention swap the NoTimeout for ProcessingTimeTimeout — kept out of
@@ -122,27 +123,38 @@ def streaming_lsh_near_dup(
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         ids, sigs = state.get if state.exists else ([], [])
         ids, sigs = list(ids), list(sigs)
+        # one signature matrix per GROUP, grown in place — rebuilding
+        # it per row would copy the whole bucket state for every
+        # arrival (O(B·max_bucket) bytes for a hot bucket)
+        batches = [pdf.sort_values("id") for pdf in pdfs]
+        n_new = sum(len(p) for p in batches)
+        m = (
+            np.frombuffer(b"".join(sigs), dtype=np.int64).reshape(len(sigs), -1)
+            if sigs
+            else np.empty((0, num_hashes), dtype=np.int64)
+        )
+        buf = np.empty((len(ids) + n_new, m.shape[1]), dtype=np.int64)
+        buf[: len(ids)] = m
+        n = len(ids)
         out_new, out_seen, out_est = [], [], []
-        for pdf in pdfs:
-            # deterministic within-batch order (micro-batch rows have
-            # no inherent order)
-            pdf = pdf.sort_values("id")
+        for pdf in batches:
             for rid, sig in zip(pdf["id"], pdf["sig"]):
                 s = np.asarray(sig, dtype=np.int64)
-                if ids:
-                    m = np.frombuffer(
-                        b"".join(sigs), dtype=np.int64
-                    ).reshape(len(sigs), -1)
-                    est = (m == s[None, :]).mean(axis=1)
+                if n:
+                    est = (buf[:n] == s[None, :]).mean(axis=1)
                     for k in np.nonzero(est >= sim_threshold)[0]:
                         out_new.append(int(rid))
                         out_seen.append(int(ids[k]))
                         out_est.append(float(est[k]))
                 ids.append(int(rid))
-                sigs.append(s.tobytes())
-                if len(ids) > max_bucket:  # FIFO eviction
-                    ids.pop(0)
-                    sigs.pop(0)
+                buf[n] = s
+                n += 1
+        if n > max_bucket:  # FIFO eviction
+            drop = n - max_bucket
+            ids = ids[drop:]
+            buf = buf[drop:n]
+            n = max_bucket
+        sigs = [buf[i].tobytes() for i in range(n)]
         state.update((ids, sigs))
         yield pd.DataFrame(
             {"id_new": out_new, "id_seen": out_seen, "est_jaccard": out_est}

@@ -145,6 +145,12 @@ def test_near_dup_embeddings_exact(spark, sf_dir):
     }
     got = {(r.id_a, r.id_b) for _, r in out.iterrows()}
     assert got == want
+    # sim VALUES match numpy (guards cosine_similarity_col itself —
+    # the embed_clusters oracle only checks component structure)
+    for _, r in out.iterrows():
+        i = pdf.vec_id.tolist().index(r.id_a)
+        j = pdf.vec_id.tolist().index(r.id_b)
+        assert abs(r.sim - sims[i, j]) < 1e-9, (r.id_a, r.id_b)
 
 
 def test_ngram_jaccard_exact_vs_python(spark, sf_dir):
@@ -652,3 +658,25 @@ def test_hamming_clusters_vs_bruteforce(spark):
     want = {i: find(i) for i, _ in rows}
     assert got == want
     assert len(set(got.values())) < len(rows)  # real groups formed
+
+
+def test_pack_sequences_null_and_negative_tokens_dropped(spark):
+    """NULL/negative token counts are filtered, not allowed to corrupt
+    the shard's cumsum (NaN->int64 yields INT64_MIN)."""
+    from geomesa_sql_spark.ops.pack import pack_sequences
+
+    rows = [(1, 10), (2, 20), (3, None), (4, 30), (5, -7)]
+    df = spark.createDataFrame(rows, "id long, tok long")
+    got = {r.id: (r.bin, r.off) for r in
+           pack_sequences(df, "id", "tok", budget=64).collect()}
+    assert got == {1: (0, 0), 2: (0, 10), 4: (0, 30)}
+
+
+def test_dbscan_rejects_non_numeric_key(spark):
+    import pytest as _pytest
+
+    from geomesa_sql_spark.ops.cluster import dbscan
+
+    df = spark.createDataFrame([("#1", 0.0, 0.0)], "id string, x double, y double")
+    with _pytest.raises(TypeError, match="must be numeric"):
+        dbscan(df, "id", "x", "y", eps=1.0, min_pts=2)
