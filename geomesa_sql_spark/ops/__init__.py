@@ -20,6 +20,10 @@ from geomesa_sql_spark.ops.ann import (  # noqa: F401
     embedding_clusters,
     near_dup_embeddings,
 )
+from geomesa_sql_spark.ops.split import (  # noqa: F401
+    hash_split,
+    splitmix64_col,
+)
 from geomesa_sql_spark.ops.pack import (  # noqa: F401
     pack_sequences,
 )

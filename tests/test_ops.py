@@ -680,3 +680,53 @@ def test_dbscan_rejects_non_numeric_key(spark):
     df = spark.createDataFrame([("#1", 0.0, 0.0)], "id string, x double, y double")
     with _pytest.raises(TypeError, match="must be numeric"):
         dbscan(df, "id", "x", "y", eps=1.0, min_pts=2)
+
+
+# ------------------------------------------------------------ hash_split
+
+def test_splitmix64_col_matches_numpy(spark):
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+    from geomesa_sql_spark.ops import splitmix64_col
+
+    ids = list(range(-500, 500)) + [2**62, -(2**62), 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r.id: r.h for r in df.select("id", splitmix64_col(F.col("id")).alias("h")).collect()}
+    want = _splitmix64(np.array(ids, dtype=np.int64).view(np.uint64).astype(np.uint64))
+    want = dict(zip(ids, want.astype(np.int64).tolist()))
+    assert got == want
+
+
+def test_hash_split_deterministic_and_consistent(spark):
+    from geomesa_sql_spark.ops import hash_split
+
+    df = spark.range(6000).withColumnRenamed("id", "k")
+    fr = {"val": 0.01, "test": 0.02, "train": 0.97}
+    a = {r.k: r.split for r in hash_split(df, "k", fr).collect()}
+    b = {r.k: r.split for r in
+         hash_split(df.repartition(7), "k", fr).collect()}
+    assert a == b  # partitioning-order independent (unlike randomSplit)
+
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["val"] / 6000 - 0.01) < 0.007
+    assert abs(c["test"] / 6000 - 0.02) < 0.01
+    assert c["train"] / 6000 > 0.94
+
+    # consistent-split: growing the FIRST fraction keeps its members
+    grown = {r.k: r.split for r in
+             hash_split(df, "k", {"val": 0.03, "test": 0.02, "train": 0.95}).collect()}
+    assert all(grown[k] == "val" for k, v in a.items() if v == "val")
+
+    # different salt re-deals
+    s2 = {r.k: r.split for r in hash_split(df, "k", fr, salt=99).collect()}
+    assert s2 != a
+
+
+def test_hash_split_validates_fractions(spark):
+    import pytest as _pytest
+
+    from geomesa_sql_spark.ops import hash_split
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "id", {"a": 0.5, "b": 0.6})
