@@ -187,6 +187,27 @@ def main() -> None:
         best = min(best, time.time() - t0)
     results["image_stats_full"] = round(best, 3)
 
+    # image dedup at scale: phash every stored image, then cluster with
+    # the exact-dup-safe path (identical signatures collapse to one
+    # node BEFORE the band join — the fixture's structured pixels give
+    # huge identical-hash groups, exactly the case where a pair
+    # relation would be quadratic and clusters stay linear)
+    from geomesa_sql_spark.ops import hamming_clusters, phash_images
+
+    def image_clusters():
+        sigs = phash_images(spark.read.parquet(img_path)).filter(
+            F.col("ahash").isNotNull()
+        ).withColumn("iid", F.substring("image_id", 2, 12).cast("long"))
+        return hamming_clusters(sigs, "ahash", "iid", max_hamming=2)
+
+    image_clusters().count()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        image_clusters().count()
+        best = min(best, time.time() - t0)
+    results["image_dedup_clusters"] = round(best, 3)
+
     # storage-level spatial pruning: the same ST_Within over a
     # cell-clustered layout (row-group pruning) vs the scannable twin
     from geomesa_sql_spark.io.layout import write_geo_table

@@ -730,3 +730,20 @@ def test_hash_split_validates_fractions(spark):
     df = spark.range(5)
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "id", {"a": 0.5, "b": 0.6})
+
+
+def test_embedding_clusters_lsh_path_runs(spark, sf_dir):
+    """The sign-LSH clusters path (the 100 TB route) produces valid
+    labels: every planted exact duplicate lands in its source's
+    cluster (cos=1 pairs always share every LSH bucket)."""
+    from geomesa_sql_spark.ops import embedding_clusters
+
+    base = embs(spark, sf_dir).limit(60)
+    dup = base.filter(F.col("vec_id") % 6 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 900_000
+    )
+    got = {r.vec_id: r.cluster for r in embedding_clusters(
+        base.unionByName(dup), threshold=0.99, exact=False
+    ).collect()}
+    for r in base.filter(F.col("vec_id") % 6 == 0).select("vec_id").collect():
+        assert got[r.vec_id + 900_000] == got[r.vec_id]
