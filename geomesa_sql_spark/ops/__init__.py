@@ -22,7 +22,7 @@ from geomesa_sql_spark.ops.ann import (  # noqa: F401
 )
 from geomesa_sql_spark.ops.split import (  # noqa: F401
     hash_split,
-    splitmix64_col,
+    with_splitmix64,
 )
 from geomesa_sql_spark.ops.pack import (  # noqa: F401
     pack_sequences,

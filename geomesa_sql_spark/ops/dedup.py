@@ -467,3 +467,33 @@ def doc_fingerprints(
             yield pd.DataFrame({id_col: ids, "chunk_idx": idxs, "chunk_hash": hashes})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Keep the best-scoring row per dedup cluster (ties → min id,
+    deterministic). ``clusters``: (id_col, cluster) as produced by
+    hamming_clusters / embedding_clusters / dbscan-style labelers.
+    Rows absent from ``clusters`` are kept as-is (their own group).
+
+    The curation step after any near-dup pass: min-id keep (what
+    exact_dedup does) discards quality information; this keeps the
+    highest-``score_col`` representative instead. One shuffle keyed by
+    cluster (map-side partial max), then a semi-join back."""
+    labelled = df.join(clusters, id_col, "left").withColumn(
+        "__grp", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    best = (
+        labelled.groupBy("__grp")
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    return df.join(best, id_col, "left_semi")

@@ -7,11 +7,12 @@ optional salt), so that re-runs, appends, backfills and multi-team
 reads all agree without coordination — ``df.randomSplit`` gives none
 of that (it is partitioning-order dependent).
 
-Spark-first: the hash is splitmix64 built from pure JVM Column
-arithmetic (Java ``long`` multiplication/addition wrap mod 2⁶⁴ exactly
-like the numpy uint64 reference in ``io/fixtures._splitmix64`` — bit
-equality is asserted in tests), so assignment runs inside whole-stage
-codegen with no Python, no shuffle, and no RNG state.
+Spark-first: assignment hashes the key JVM-side (xxhash64 — one
+expression node inside whole-stage codegen; no Python, no shuffle, no
+RNG state). ``with_splitmix64`` additionally provides the fixture
+hash (``io/fixtures._splitmix64``) as staged JVM projections with
+asserted bit parity, for derivations that must match the synthetic
+tables.
 """
 
 from __future__ import annotations
@@ -27,62 +28,94 @@ _M16 = 0xFFFF
 _M32 = 0xFFFFFFFF
 
 
-def _wrap_add_const(z: Column, k: int) -> Column:
-    """(z + k) mod 2⁶⁴ without signed overflow (ANSI mode throws on
-    long overflow): 32-bit halves with an explicit carry, recombined
-    with pure bit ops."""
-    lo = z.bitwiseAND(F.lit(_M32)) + F.lit(k & _M32)
-    hi = F.shiftrightunsigned(z, 32) + F.lit(k >> 32) + F.shiftrightunsigned(lo, 32)
-    return F.shiftleft(hi.bitwiseAND(F.lit(_M32)), 32).bitwiseOR(
-        lo.bitwiseAND(F.lit(_M32))
-    )
-
-
-def _wrap_mul_const(z: Column, c: int) -> Column:
-    """(z · c) mod 2⁶⁴ without signed overflow: 16-bit limb schoolbook
-    multiply — every intermediate stays < 2⁴⁰, far from the signed-64
-    boundary, so ANSI arithmetic never trips; the final recombination
-    is shifts and ORs (bit ops, no overflow semantics)."""
+def _limb_products(x: Column, c: int) -> list[Column]:
+    """t_k = Σ_{i+j=k} limb_i(x)·limb_j(c) for the mod-2⁶⁴ product —
+    every term < 2³², every t_k < 2³⁴."""
     a = [
-        z.bitwiseAND(F.lit(_M16)),
-        F.shiftrightunsigned(z, 16).bitwiseAND(F.lit(_M16)),
-        F.shiftrightunsigned(z, 32).bitwiseAND(F.lit(_M16)),
-        F.shiftrightunsigned(z, 48),
+        x.bitwiseAND(F.lit(_M16)),
+        F.shiftrightunsigned(x, 16).bitwiseAND(F.lit(_M16)),
+        F.shiftrightunsigned(x, 32).bitwiseAND(F.lit(_M16)),
+        F.shiftrightunsigned(x, 48),
     ]
     cl = [(c >> (16 * j)) & _M16 for j in range(4)]
-    t = [
+    return [
         sum(
             (a[i] * F.lit(cl[k - i]) for i in range(k + 1) if cl[k - i]),
             start=F.lit(0).cast("long"),
         )
         for k in range(4)
     ]
-    r0 = t[0].bitwiseAND(F.lit(_M16))
-    carry = F.shiftrightunsigned(t[0], 16)
-    s1 = t[1] + carry
-    r1 = s1.bitwiseAND(F.lit(_M16))
-    carry = F.shiftrightunsigned(s1, 16)
-    s2 = t[2] + carry
-    r2 = s2.bitwiseAND(F.lit(_M16))
-    carry = F.shiftrightunsigned(s2, 16)
-    r3 = (t[3] + carry).bitwiseAND(F.lit(_M16))
-    return (
-        F.shiftleft(r3, 48)
-        .bitwiseOR(F.shiftleft(r2, 32))
-        .bitwiseOR(F.shiftleft(r1, 16))
-        .bitwiseOR(r0)
+
+
+def with_splitmix64(df: DataFrame, src: Column | str, out: str) -> DataFrame:
+    """Attach ``out`` = splitmix64(src) — bit-identical to
+    ``io/fixtures._splitmix64`` (asserted in tests), built from
+    overflow-free limb arithmetic because Spark 4 runs ANSI mode by
+    default (a plain wrapping multiply throws).
+
+    Implemented as STAGED named projections, not one Column tree: the
+    16-bit-limb carry chain references each intermediate 2-4 times,
+    and unresolved Column composition copies the subtree at every
+    reference — the closed expression explodes exponentially (measured:
+    driver heap OOM). Named columns stay attribute references;
+    Catalyst's CollapseProject keeps non-cheap aliases un-inlined, so
+    the plan stays linear and fully whole-stage-codegen'd."""
+    t = "__sm"
+    src = F.col(src) if isinstance(src, str) else src
+    # z += GOLDEN (mod 2^64): 32-bit halves + carry, bit-op recombine
+    df = df.withColumn(f"{t}_z", src.cast("long"))
+    z = F.col(f"{t}_z")
+    df = df.withColumn(f"{t}_lo", z.bitwiseAND(F.lit(_M32)) + F.lit(_GOLDEN & _M32))
+    lo = F.col(f"{t}_lo")
+    hi = F.shiftrightunsigned(z, 32) + F.lit(_GOLDEN >> 32) + F.shiftrightunsigned(lo, 32)
+    df = df.withColumn(
+        f"{t}_z",
+        F.shiftleft(hi.bitwiseAND(F.lit(_M32)), 32).bitwiseOR(
+            lo.bitwiseAND(F.lit(_M32))
+        ),
+    )
+    for shift, mult in ((30, _C1), (27, _C2)):
+        z = F.col(f"{t}_z")
+        df = df.withColumn(f"{t}_x", z.bitwiseXOR(F.shiftrightunsigned(z, shift)))
+        for k, tk in enumerate(_limb_products(F.col(f"{t}_x"), mult)):
+            df = df.withColumn(f"{t}_t{k}", tk)
+        df = df.withColumn(
+            f"{t}_s1",
+            F.col(f"{t}_t1") + F.shiftrightunsigned(F.col(f"{t}_t0"), 16),
+        )
+        df = df.withColumn(
+            f"{t}_s2",
+            F.col(f"{t}_t2") + F.shiftrightunsigned(F.col(f"{t}_s1"), 16),
+        )
+        df = df.withColumn(
+            f"{t}_s3",
+            F.col(f"{t}_t3") + F.shiftrightunsigned(F.col(f"{t}_s2"), 16),
+        )
+        df = df.withColumn(
+            f"{t}_z",
+            F.shiftleft(F.col(f"{t}_s3").bitwiseAND(F.lit(_M16)), 48)
+            .bitwiseOR(F.shiftleft(F.col(f"{t}_s2").bitwiseAND(F.lit(_M16)), 32))
+            .bitwiseOR(F.shiftleft(F.col(f"{t}_s1").bitwiseAND(F.lit(_M16)), 16))
+            .bitwiseOR(F.col(f"{t}_t0").bitwiseAND(F.lit(_M16))),
+        )
+    z = F.col(f"{t}_z")
+    df = df.withColumn(out, z.bitwiseXOR(F.shiftrightunsigned(z, 31)))
+    return df.drop(
+        *(f"{t}_{n}" for n in ("z", "lo", "x", "t0", "t1", "t2", "t3", "s1", "s2", "s3"))
     )
 
 
-def splitmix64_col(c: Column) -> Column:
-    """JVM-side splitmix64 of a BIGINT column — bit-identical to
-    ``io/fixtures._splitmix64`` (asserted in tests). Built from
-    overflow-free limb arithmetic because Spark 4 runs ANSI mode by
-    default, where a plain wrapping multiply would throw."""
-    z = _wrap_add_const(c.cast("long"), _GOLDEN)
-    z = _wrap_mul_const(z.bitwiseXOR(F.shiftrightunsigned(z, 30)), _C1)
-    z = _wrap_mul_const(z.bitwiseXOR(F.shiftrightunsigned(z, 27)), _C2)
-    return z.bitwiseXOR(F.shiftrightunsigned(z, 31))
+def _uniform_draw(k: Column, salt: int) -> Column:
+    """Deterministic uniform draw in [0, 1) from a key: xxhash64 —
+    ONE Catalyst expression node (the limb-built splitmix64 above is
+    projection-staged; letting a FILTER push down through its 12
+    projection layers re-inlines every alias and explodes the
+    predicate tree — measured: janino codegen OOM — so the
+    filter-heavy split/sample paths use the engine's native hash; the
+    staged form remains for fixture-parity derivations). The top 53
+    bits are exactly representable in a double."""
+    h = F.xxhash64(k.cast("long"), F.lit(int(np.int64(salt))))
+    return F.shiftrightunsigned(h, 11).cast("double") / F.lit(float(1 << 53))
 
 
 def hash_split(
@@ -108,10 +141,7 @@ def hash_split(
         raise ValueError("fractions must be non-empty")
 
     k = F.col(key) if isinstance(key, str) else key
-    h = splitmix64_col(k.cast("long").bitwiseXOR(F.lit(int(np.int64(salt)))))
-    # map signed long to [0, 1): (h >>> 11) has 53 uniform high bits,
-    # exactly representable in a double
-    u = F.shiftrightunsigned(h, 11).cast("double") / F.lit(float(1 << 53))
+    u = _uniform_draw(k, salt)
 
     expr = None
     acc = 0.0
@@ -123,3 +153,17 @@ def hash_split(
     last = F.lit(labels[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, key: str | Column, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Deterministic sample: keep rows whose splitmix64(key ⊕ salt)
+    draw falls below ``fraction``. Unlike ``df.sample`` this is stable
+    across runs/partitioning AND consistent: a 1% sample is a strict
+    subset of the 10% sample at the same salt (nested samples — the
+    property dataset-curation reruns rely on)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    k = F.col(key) if isinstance(key, str) else key
+    return df.filter(_uniform_draw(k, salt) < F.lit(float(fraction)))

@@ -686,11 +686,12 @@ def test_dbscan_rejects_non_numeric_key(spark):
 
 def test_splitmix64_col_matches_numpy(spark):
     from geomesa_sql_spark.io.fixtures import _splitmix64
-    from geomesa_sql_spark.ops import splitmix64_col
+    from geomesa_sql_spark.ops import with_splitmix64
 
     ids = list(range(-500, 500)) + [2**62, -(2**62), 2**63 - 1]
     df = spark.createDataFrame([(i,) for i in ids], "id long")
-    got = {r.id: r.h for r in df.select("id", splitmix64_col(F.col("id")).alias("h")).collect()}
+    got = {r.id: r.h for r in
+           with_splitmix64(df, "id", "h").select("id", "h").collect()}
     want = _splitmix64(np.array(ids, dtype=np.int64).view(np.uint64).astype(np.uint64))
     want = dict(zip(ids, want.astype(np.int64).tolist()))
     assert got == want
@@ -747,3 +748,29 @@ def test_embedding_clusters_lsh_path_runs(spark, sf_dir):
     ).collect()}
     for r in base.filter(F.col("vec_id") % 6 == 0).select("vec_id").collect():
         assert got[r.vec_id + 900_000] == got[r.vec_id]
+
+
+def test_hash_sample_nested_and_stable(spark):
+    from geomesa_sql_spark.ops.split import hash_sample
+
+    df = spark.range(8000).withColumnRenamed("id", "k")
+    s10 = {r.k for r in hash_sample(df, "k", 0.10).collect()}
+    s01 = {r.k for r in hash_sample(df, "k", 0.01).collect()}
+    assert s01 <= s10  # nested samples
+    assert abs(len(s10) / 8000 - 0.10) < 0.02
+    s10b = {r.k for r in hash_sample(df.repartition(5), "k", 0.10).collect()}
+    assert s10 == s10b  # stable under repartition
+
+
+def test_dedup_keep_best(spark):
+    from geomesa_sql_spark.ops.dedup import dedup_keep_best
+
+    rows = [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.1), (99, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "doc_id long, cluster long"
+    )
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_best(df, clusters, "doc_id", "q").collect())
+    # cluster 1: 2 and 3 tie at 0.9 -> min id 2; cluster 10: 10; 99 unlabelled
+    assert kept == [2, 10, 99]
