@@ -90,11 +90,14 @@ def pack_sequences(
         # a NULL token count (e.g. NULL text under a length() expression)
         # would otherwise turn into INT64_MIN through the NaN->int64 cast
         # and corrupt every bin/offset after it in the shard; negative
-        # counts would corrupt the cumsum the same way
+        # counts would corrupt the cumsum the same way. Zero-token docs
+        # are dropped too: their bin assignment at a boundary is
+        # ill-defined (greedy "empty bin" vs prefix-range views differ)
+        # and they occupy no window space by definition
         F.col("id").isNotNull()
         & F.col("shard").isNotNull()
         & F.col("tok").isNotNull()
-        & (F.col("tok") >= 0)
+        & (F.col("tok") > 0)
     )
 
 

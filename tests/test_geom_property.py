@@ -134,3 +134,67 @@ def test_simplify_properties(pts, tol):
     assert s.coords[-1].tolist() == list(pts[-1])
     assert len(s.coords) <= len(pts)
     assert kernel.length(s) <= kernel.length(ls) + 1e-9
+
+
+# ---------------------------------------------------- pipeline-op kernels
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), min_size=0, max_size=300),
+    st.integers(min_value=1, max_value=150),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_walk_matches_sequential_greedy(toks, budget):
+    """The searchsorted jump walk == the obvious per-doc greedy loop,
+    for any token sequence including zeros and oversize docs."""
+    from geomesa_sql_spark.ops.pack import _pack_walk
+
+    tok = np.array(toks, dtype=np.int64)
+    bins, offs = _pack_walk(tok, budget)
+
+    b, cur, want_bins, want_offs = 0, 0, [], []
+    for t in toks:
+        if cur and cur + t > budget:
+            b += 1
+            cur = 0
+        want_bins.append(b)
+        want_offs.append(cur)
+        cur += t
+        if cur > budget:
+            b += 1
+            cur = 0
+    assert bins.tolist() == want_bins
+    assert offs.tolist() == want_offs
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+@settings(max_examples=100, deadline=None)
+def test_hamming_pigeonhole_slices_complete(sigs, t):
+    """Pigeonhole guarantee behind hamming_near_dup_pairs: any pair
+    within radius t agrees on >= 1 of the t+2 bit slices (the band
+    join's candidate generation can therefore never miss one)."""
+    k = t + 2
+    w = 64 // k
+
+    def slices(v):
+        u = v & 0xFFFFFFFFFFFFFFFF
+        out = []
+        for i in range(k):
+            lo = i * w
+            width = 64 - lo if i == k - 1 else w
+            out.append((i, (u >> lo) & ((1 << width) - 1)))
+        return set(out)
+
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            ham = bin((sigs[i] ^ sigs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham <= t:
+                assert slices(sigs[i]) & slices(sigs[j]), (sigs[i], sigs[j], t)

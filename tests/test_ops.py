@@ -665,7 +665,7 @@ def test_pack_sequences_null_and_negative_tokens_dropped(spark):
     the shard's cumsum (NaN->int64 yields INT64_MIN)."""
     from geomesa_sql_spark.ops.pack import pack_sequences
 
-    rows = [(1, 10), (2, 20), (3, None), (4, 30), (5, -7)]
+    rows = [(1, 10), (2, 20), (3, None), (4, 30), (5, -7), (6, 0)]
     df = spark.createDataFrame(rows, "id long, tok long")
     got = {r.id: (r.bin, r.off) for r in
            pack_sequences(df, "id", "tok", budget=64).collect()}
