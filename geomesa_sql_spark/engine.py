@@ -21,6 +21,7 @@ is a SnapshotTable directory, else to plain parquet append.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -213,7 +214,14 @@ _SPATIAL_JOIN_RE = _re.compile(
     r"(?:INNER\s+)?JOIN\s+"
     r"(?P<t2>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?\s+"
     r"ON\s+(?P<on>ST_\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$"
+    r"(?P<rest>\s+.+?)?\s*;?\s*$"
+)
+_TAIL_RE = _re.compile(
+    r"(?is)^\s*(?:WHERE\s+(?P<where>.+?))?"
+    r"\s*(?:GROUP\s+BY\s+(?P<group>.+?))?"
+    r"\s*(?:HAVING\s+(?P<having>.+?))?"
+    r"\s*(?:ORDER\s+BY\s+(?P<order>.+?))?"
+    r"\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$"
 )
 _GEOM_ARG_RE = _re.compile(
     r"(?is)^ST_(?P<pred>Within|Intersects|Contains|DWithin)\s*\(\s*"
@@ -328,14 +336,13 @@ class Engine:
             return None
         # defensive bails — anything this restricted planner can't
         # faithfully express falls through to plain spark.sql:
-        sel_items = [c.strip() for c in m.group("sel").split(",")]
-        if m.group("sel").strip() != "*" and not all(
-            _re.fullmatch(r"[\w.]+", c) for c in sel_items
-        ):
-            return None  # expressions/aggregates in the select list
-        tail = m.group("where") or ""
-        if _re.search(r"(?i)\b(GROUP|ORDER|LIMIT|HAVING|UNION|JOIN)\b", tail):
-            return None  # clauses beyond a plain residual predicate
+        rest = m.group("rest") or ""
+        if _re.search(r"(?i)\b(UNION|JOIN|INTERSECT|EXCEPT)\b", rest) or "'" in rest:
+            return None  # multi-join/set-op tails; quoted literals could
+            # hide clause keywords from the tail splitter
+        tm = _TAIL_RE.match(rest)
+        if not tm or (tm.group("having") and not tm.group("group")):
+            return None
         t1, t2 = m.group("t1"), m.group("t2")
         known = set(self._tables) | set(self._views)
         if t1 not in known or t2 not in known:
@@ -390,14 +397,26 @@ class Engine:
         out = spatial_join(
             df1, df2, left_side, right_side, predicate=pred, distance=dist
         )
-        if m.group("where"):
-            out = out.filter(F.expr(_unqual(m.group("where"))))
-        sel = m.group("sel").strip()
-        if sel != "*":
-            out = out.selectExpr(
-                *[_strip_qual(c.strip()) for c in sel.split(",")]
-            )
-        return out
+        # arbitrary select lists (incl. aggregates) and GROUP BY /
+        # HAVING / ORDER BY / LIMIT tails: run the REMAINDER of the
+        # query as plain Spark SQL over a temp view of the optimized
+        # join — our plan for the join, Catalyst's planning for the
+        # tail (reference analog: the Calcite planner keeps the
+        # Aggregate/Sort above its EnumerableSpatialJoin node)
+        view = f"__gsj_routed_{uuid.uuid4().hex[:12]}"
+        out.createOrReplaceTempView(view)
+        sql = f"SELECT {_unqual(m.group('sel').strip())} FROM {view}"
+        if tm.group("where"):
+            sql += f" WHERE {_unqual(tm.group('where'))}"
+        if tm.group("group"):
+            sql += f" GROUP BY {_unqual(tm.group('group'))}"
+        if tm.group("having"):
+            sql += f" HAVING {_unqual(tm.group('having'))}"
+        if tm.group("order"):
+            sql += f" ORDER BY {_unqual(tm.group('order'))}"
+        if tm.group("limit"):
+            sql += f" LIMIT {tm.group('limit')}"
+        return self.spark.sql(sql)
 
     def table(self, name: str) -> GeoTable:
         """Pushdown-accumulating scan handle (§2.1 S1/S2); snapshot

@@ -289,11 +289,13 @@ def test_sql_spatial_filter_flipped_args_pushdown(spark, sf_dir, tmp_path):
     )
 
 
-def test_sql_spatial_join_router_bails_safely(spark, sf_dir, tmp_path):
-    """Queries the restricted spatial-join planner can't faithfully
-    express (aggregates in the select list, GROUP BY tails) must fall
-    through to plain spark.sql — wrong routing would silently change
-    semantics."""
+def test_sql_spatial_join_aggregate_tails_routed(spark, sf_dir, tmp_path):
+    """Aggregate select lists and GROUP BY / ORDER BY / LIMIT tails on
+    a SQL-text spatial join now run ON TOP of the routed cell join (no
+    BroadcastNestedLoopJoin anywhere in the plan), matching the answers
+    of the routed pair query aggregated via the DataFrame API; tails
+    the router still can't express (set ops, quoted literals) fall
+    through to plain spark.sql unchanged."""
     from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
 
     eng = Engine(spark)
@@ -304,19 +306,48 @@ def test_sql_spatial_join_router_bails_safely(spark, sf_dir, tmp_path):
     eng.register_table("bpts", p1)
     eng.register_table("bnsq", p2)
 
-    # GROUP BY after the ON clause: router must not fire (regex tail);
-    # spark.sql runs it as a (cartesian) UDF join — correct, just slow
     agg = eng.sql(
         "SELECT n_nationkey, count(*) AS n FROM bpts JOIN bnsq "
-        "ON ST_Intersects(ST_MakePoint(lon, lat), poly) GROUP BY n_nationkey"
+        "ON ST_Intersects(ST_MakePoint(lon, lat), poly) GROUP BY n_nationkey "
+        "ORDER BY n DESC, n_nationkey LIMIT 5"
     )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
     routed = eng.sql(
         "SELECT o_orderkey, n_nationkey FROM bpts JOIN bnsq "
         "ON ST_Intersects(ST_MakePoint(lon, lat), poly)"
     )
-    want = routed.groupBy("n_nationkey").count()
-    got = {(r.n_nationkey, r.n) for r in agg.collect()}
-    assert got == {(r.n_nationkey, r["count"]) for r in want.collect()}
+    want = (
+        routed.groupBy("n_nationkey").count()
+        .orderBy(F.col("count").desc(), "n_nationkey").limit(5)
+    )
+    assert [(r.n_nationkey, r.n) for r in agg.collect()] == [
+        (r.n_nationkey, r["count"]) for r in want.collect()
+    ]
+
+    # HAVING over the group
+    hav = eng.sql(
+        "SELECT n_nationkey, count(*) AS n FROM bpts JOIN bnsq "
+        "ON ST_Intersects(ST_MakePoint(lon, lat), poly) "
+        "GROUP BY n_nationkey HAVING count(*) > 3"
+    )
+    want_h = {(r.n_nationkey, r["count"])
+              for r in routed.groupBy("n_nationkey").count()
+              .filter("count > 3").collect()}
+    assert {(r.n_nationkey, r.n) for r in hav.collect()} == want_h
+
+    # quoted literal in the tail: router must bail (keyword could hide
+    # inside the string), plain spark.sql still answers correctly
+    lit = eng.sql(
+        "SELECT o_orderkey FROM bpts JOIN bnsq "
+        "ON ST_Intersects(ST_MakePoint(lon, lat), poly) "
+        "WHERE 'GROUP BY x' <> 'y' AND n_nationkey = 3"
+    )
+    want_l = routed.filter("n_nationkey = 3").select("o_orderkey")
+    assert sorted(r.o_orderkey for r in lit.collect()) == sorted(
+        r.o_orderkey for r in want_l.collect()
+    )
 
 
 def test_sql_rewrite_differential_sweep(spark, sf_dir, tmp_path):
