@@ -392,19 +392,22 @@ def q_spatial_join_pairs(spark, sf_dir):
 
 def q_spatial_join_agg(spark, sf_dir):
     """Smoke-query parity (build/smoke_test/queries.sql:1-10): spatial
-    join + GROUP BY count."""
-    from geomesa_sql_spark.join import spatial_join
-    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+    join + GROUP BY count — driven through the SQL-TEXT router since
+    late round 2: Engine.sql plans the ON ST_Intersects join via the
+    cell join and runs the aggregate tail as plain SQL on top, so the
+    driver gate also covers `_route_spatial_join`'s GROUP BY path."""
+    from geomesa_sql_spark.engine import Engine
 
-    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
-    polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
-    return (
-        spatial_join(
-            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
-            predicate="intersects", res=6, broadcast=True,
-        )
-        .groupBy("n_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_points"))
+    eng = Engine(spark)
+    eng.register_view(
+        "sja_pts", orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    )
+    eng.register_view(
+        "sja_polys", nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+    )
+    return eng.sql(
+        "SELECT n_nationkey, count(*) AS n_points FROM sja_pts JOIN sja_polys "
+        "ON ST_Intersects(ST_MakePoint(lon, lat), poly) GROUP BY n_nationkey"
     )
 
 
