@@ -326,8 +326,17 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
                     out_kind.append("noise")
                     out_lab.append(-1)
                     out_own.append(True)
+    ccx = int(pdf["ccx"].iloc[0]) if len(pdf) else 0
+    ccy = int(pdf["ccy"].iloc[0]) if len(pdf) else 0
     return pd.DataFrame(
-        {"id": out_id, "kind": out_kind, "lab": out_lab, "own": out_own}
+        {
+            "id": out_id,
+            "kind": out_kind,
+            "lab": out_lab,
+            "own": out_own,
+            "ccx": ccx,
+            "ccy": ccy,
+        }
     )
 
 
@@ -345,30 +354,14 @@ _P2_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("lab", T.LongType()),
         T.StructField("own", T.BooleanType()),
+        T.StructField("ccx", T.LongType()),
+        T.StructField("ccy", T.LongType()),
     ]
 )
 
 
-def dbscan(
-    df: DataFrame,
-    key: str,
-    x: str,
-    y: str,
-    eps: float,
-    min_pts: int,
-    coarse_cell: float | None = None,
-    max_iter: int = 25,
-) -> DataFrame:
-    """DBSCAN over planar point columns.
 
-    Returns (id BIGINT, cluster BIGINT, role STRING) — one row per
-    input row with non-null key/x/y; cluster = min core id of the
-    component (−1 for noise), role ∈ {core, border, noise}.
-
-    ``coarse_cell`` is the partition granule (default 8·eps): large
-    enough that halo replication (≈ 4·eps/S) is cheap, small enough
-    that one cell's points fit an executor. Shrink it for very dense
-    data."""
+def _validated_pts(df, key, x, y, eps, min_pts, coarse_cell):
     from pyspark.sql.types import NumericType
 
     for c in (key, x, y):
@@ -386,7 +379,6 @@ def dbscan(
     s = float(coarse_cell) if coarse_cell is not None else 8.0 * eps
     if s < 2.0 * eps:
         raise ValueError("coarse_cell must be >= 2*eps")
-
     pts = (
         df.select(
             F.col(key).cast("long").alias("id"),
@@ -397,7 +389,48 @@ def dbscan(
             F.col("id").isNotNull() & F.col("x").isNotNull() & F.col("y").isNotNull()
         )
     )
+    return pts, eps, s
+
+
+def _expand_cells(cells: DataFrame, r: int) -> DataFrame:
+    """Chebyshev-r dilation of a (ccx, ccy) cell set."""
+    if r == 0:
+        return cells.select("ccx", "ccy").distinct()
+    offs = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
+    return (
+        cells.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("ccx") + F.lit(dx)).alias("ccx"),
+                            (F.col("ccy") + F.lit(dy)).alias("ccy"),
+                        )
+                        for dx, dy in offs
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.ccx", "c.ccy")
+        .distinct()
+    )
+
+
+def _compute_local(
+    pts: DataFrame,
+    s: float,
+    eps: float,
+    min_pts: int,
+    p2_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Pass 1 (exact core flags) + pass 2 (local components) → the
+    per-cell `local` rows. With ``p2_cells`` set, pass 2 runs only for
+    those coarse cells; pass 1 runs for their 1-ring (a dirty cell's
+    halo points live in adjacent cells and their flags are needed)."""
     rep = _replicate_to_cells(pts, s, eps)
+    if p2_cells is not None:
+        p1_cells = F.broadcast(_expand_cells(p2_cells, 1))
+        rep = rep.join(p1_cells, ["ccx", "ccy"], "left_semi")
 
     def p1(pdf: pd.DataFrame) -> pd.DataFrame:
         o = pdf["own"].to_numpy(dtype=bool)
@@ -410,16 +443,22 @@ def dbscan(
     flags = rep.groupBy("ccx", "ccy").applyInPandas(p1, _P1_SCHEMA)
 
     rep2 = _replicate_to_cells(pts.join(flags, "id"), s, eps)
+    if p2_cells is not None:
+        rep2 = rep2.join(F.broadcast(p2_cells), ["ccx", "ccy"], "left_semi")
 
     def p2(pdf: pd.DataFrame) -> pd.DataFrame:
         return _local_cluster(pdf, eps)
 
-    local = (
+    return (
         rep2.groupBy("ccx", "ccy")
         .applyInPandas(p2, _P2_SCHEMA)
         .localCheckpoint(eager=True)
     )
 
+
+def _assemble(local: DataFrame, max_iter: int) -> DataFrame:
+    """Global label merge + per-point output from `local` rows."""
+    spark = local.sparkSession
     corelab = local.filter(F.col("kind") == "corelab")
     # label-equivalence graph: labels seen for the same physical point.
     # Only points replicated into >= 2 partitions (halo crossers) can
@@ -453,11 +492,9 @@ def dbscan(
                 uf_parent[max(ra, rb)] = min(ra, rb)
         mapping = [(l, find(l)) for l in list(uf_parent)]
         if mapping:
-            resolved = df.sparkSession.createDataFrame(
-                mapping, "lab long, cluster long"
-            )
+            resolved = spark.createDataFrame(mapping, "lab long, cluster long")
         else:
-            resolved = df.sparkSession.createDataFrame([], "lab long, cluster long")
+            resolved = spark.createDataFrame([], "lab long, cluster long")
         resolved = F.broadcast(resolved)
     else:
         edges = eq_pairs.unionByName(
@@ -469,8 +506,8 @@ def dbscan(
         )
 
     def _resolve(labelled: DataFrame) -> DataFrame:
-        """(id, lab) -> (id, min resolved cluster); labels outside the
-        merge map are already global (cluster = the label itself)."""
+        # (id, lab) -> (id, min resolved cluster); labels outside the
+        # merge map are already global (cluster = the label itself)
         return (
             labelled.join(resolved, "lab", "left")
             .withColumn("cluster", F.coalesce("cluster", "lab"))
@@ -490,3 +527,84 @@ def dbscan(
         .withColumn("role", F.lit("noise"))
     )
     return core_rows.unionByName(border_rows).unionByName(noise_rows)
+
+
+def dbscan(
+    df: DataFrame,
+    key: str,
+    x: str,
+    y: str,
+    eps: float,
+    min_pts: int,
+    coarse_cell: float | None = None,
+    max_iter: int = 25,
+    return_state: bool = False,
+):
+    """DBSCAN over planar point columns.
+
+    Returns (id BIGINT, cluster BIGINT, role STRING) — one row per
+    input row with non-null key/x/y; cluster = min core id of the
+    component (−1 for noise), role ∈ {core, border, noise}.
+
+    ``coarse_cell`` is the partition granule (default 8·eps): large
+    enough that halo replication (≈ 4·eps/S) is cheap, small enough
+    that one cell's points fit an executor. Shrink it for very dense
+    data.
+
+    ``return_state=True`` additionally returns the per-cell `local`
+    state for :func:`dbscan_incremental` (append-delta maintenance).
+    """
+    pts, eps, s = _validated_pts(df, key, x, y, eps, min_pts, coarse_cell)
+    local = _compute_local(pts, s, eps, int(min_pts))
+    result = _assemble(local, max_iter)
+    return (result, local) if return_state else result
+
+
+def dbscan_incremental(
+    df_all: DataFrame,
+    delta: DataFrame,
+    prev_state: DataFrame,
+    key: str,
+    x: str,
+    y: str,
+    eps: float,
+    min_pts: int,
+    coarse_cell: float | None = None,
+    max_iter: int = 25,
+):
+    """Append-delta DBSCAN maintenance: recluster ONLY the coarse
+    cells a new batch of points can affect, then re-merge labels
+    globally — provably equal to a full rebuild (asserted
+    differentially in tests), at delta-proportional cost.
+
+    ``df_all`` = the full table INCLUDING the delta rows; ``delta`` =
+    just the new rows; ``prev_state`` = the `local` state from
+    ``dbscan(..., return_state=True)`` (or a previous incremental
+    step) computed over ``df_all`` minus ``delta``. Appends only —
+    deletions would need tombstone handling this does not do.
+
+    Dirty radius: a new point changes core flags only within eps
+    (1 coarse ring at S ≥ 2·eps), and a cell's local clustering reads
+    flag-changed points up to one more halo ring away — so cells
+    within Chebyshev 2 of a delta home cell are recomputed (their
+    pass-1 support extends one further ring via ``_compute_local``).
+    Everything farther keeps byte-identical `local` rows, and the
+    global label merge re-links the two sets through their shared
+    halo points exactly as in the full run.
+
+    Returns (result, new_state)."""
+    pts_all, eps, s = _validated_pts(
+        df_all, key, x, y, eps, min_pts, coarse_cell
+    )
+    pts_delta, _, _ = _validated_pts(delta, key, x, y, eps, min_pts, coarse_cell)
+
+    home = pts_delta.select(
+        F.floor(F.col("x") / F.lit(s)).cast("long").alias("ccx"),
+        F.floor(F.col("y") / F.lit(s)).cast("long").alias("ccy"),
+    ).distinct()
+    dirty = _expand_cells(home, 2).localCheckpoint(eager=True)
+
+    fresh = _compute_local(pts_all, s, eps, int(min_pts), p2_cells=dirty)
+    kept = prev_state.join(F.broadcast(dirty), ["ccx", "ccy"], "left_anti")
+    new_state = kept.unionByName(fresh).localCheckpoint(eager=True)
+    return _assemble(new_state, max_iter), new_state

@@ -774,3 +774,50 @@ def test_dedup_keep_best(spark):
                   dedup_keep_best(df, clusters, "doc_id", "q").collect())
     # cluster 1: 2 and 3 tie at 0.9 -> min id 2; cluster 10: 10; 99 unlabelled
     assert kept == [2, 10, 99]
+
+
+def test_dbscan_incremental_equals_full_rebuild(spark):
+    """Append-delta maintenance ≡ full rebuild, including deltas that
+    BRIDGE two previously separate clusters (the global re-merge must
+    relabel untouched far-away cells through the label graph)."""
+    from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
+
+    ids, xs, ys = _dbscan_fixture_pts()
+    rows = [(int(i), float(x), float(y)) for i, x, y in zip(ids, xs, ys)]
+    # delta: a bridge of points connecting blob (0,0) to blob (10,0),
+    # plus a few new scatter points
+    bridge = [(10_000 + k, 1.0 + k * 0.7, 0.0) for k in range(13)]
+    scatter = [(20_000 + k, -8.0 + k, -8.0) for k in range(3)]
+    delta_rows = bridge + scatter
+
+    schema = "id long, x double, y double"
+    base = spark.createDataFrame(rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    full = base.unionByName(delta)
+
+    for cc, mp in ((None, 25), (1.6, 25), (1.6, 3)):
+        # mp=3 makes the bridge chain CORE: the two blobs merge into
+        # one component and every point of the far blob — in cells the
+        # delta never touched — must come back relabeled
+        _, state = dbscan(
+            base, "id", "x", "y", eps=0.8, min_pts=mp,
+            coarse_cell=cc, return_state=True,
+        )
+        inc, _ = dbscan_incremental(
+            full, delta, state, "id", "x", "y", eps=0.8, min_pts=mp,
+            coarse_cell=cc,
+        )
+        want_df = dbscan(full, "id", "x", "y", eps=0.8, min_pts=mp,
+                         coarse_cell=cc)
+        got = {r.id: (r.cluster, r.role) for r in inc.collect()}
+        want = {r.id: (r.cluster, r.role) for r in want_df.collect()}
+        assert got == want, f"coarse_cell={cc} min_pts={mp}"
+        if mp == 3:
+            # prove the merge actually happened: blob around (0,0) and
+            # blob around (10,0) share one label in the incremental run
+            base_pts = {i: (x, y) for i, x, y in rows}
+            lab_a = {got[i][0] for i, (x, y) in base_pts.items()
+                     if abs(x) <= 1 and abs(y) <= 1 and got[i][0] >= 0}
+            lab_b = {got[i][0] for i, (x, y) in base_pts.items()
+                     if abs(x - 10) <= 1 and abs(y) <= 1 and got[i][0] >= 0}
+            assert lab_a and lab_a == lab_b
