@@ -11,3 +11,7 @@ from geomesa_sql_spark.streaming.dedup import (  # noqa: F401
     banded_signatures,
     streaming_lsh_near_dup,
 )
+from geomesa_sql_spark.streaming.cluster import (  # noqa: F401
+    DbscanMaintainer,
+    streaming_dbscan,
+)

@@ -1,0 +1,92 @@
+"""Streaming density-cluster maintenance: DBSCAN labels kept current
+as points arrive.
+
+Spark-first composition, not a new algorithm: Structured Streaming's
+``foreachBatch`` hands each micro-batch to the batch engine's
+:func:`ops.cluster.dbscan_incremental`, which reclusters only the
+coarse cells the batch can affect and re-merges labels globally —
+the micro-batch IS the append delta. State is the operator's own
+per-cell `local` rows (driver-held DataFrame, lineage truncated by
+``localCheckpoint`` each step; swap for a reliable ``checkpoint`` on
+a real cluster), and the accumulated point table grows by each batch.
+
+This mirrors how the engine's other incremental structure (the tile
+pyramid) is maintained: batch operator + delta-merge law, driven by
+the stream — rather than a bespoke stateful operator whose
+correctness would be unprovable against the batch twin. The
+maintained labels equal a from-scratch ``dbscan`` over everything
+seen so far after every batch (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
+
+
+class DbscanMaintainer:
+    """foreachBatch callback object maintaining DBSCAN labels.
+
+    After each batch, ``labels`` holds (id, cluster, role) for every
+    point seen so far; ``on_update`` (if given) receives it (e.g. to
+    write a sink table)."""
+
+    def __init__(
+        self,
+        key: str,
+        x: str,
+        y: str,
+        eps: float,
+        min_pts: int,
+        coarse_cell: float | None = None,
+        on_update: Callable[[DataFrame], None] | None = None,
+    ):
+        self._args = (key, x, y)
+        self._kw = dict(eps=eps, min_pts=min_pts, coarse_cell=coarse_cell)
+        self._on_update = on_update
+        self._seen: DataFrame | None = None
+        self._state: DataFrame | None = None
+        self.labels: DataFrame | None = None
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        key, x, y = self._args
+        cols = [key, x, y]
+        batch = batch.select(*cols).localCheckpoint(eager=True)
+        if self._seen is None:
+            self._seen = batch
+            self.labels, self._state = dbscan(
+                batch, key, x, y, return_state=True, **self._kw
+            )
+        else:
+            self._seen = self._seen.unionByName(batch).localCheckpoint(
+                eager=True
+            )
+            self.labels, self._state = dbscan_incremental(
+                self._seen, batch, self._state, key, x, y, **self._kw
+            )
+        if self._on_update is not None:
+            self._on_update(self.labels)
+
+
+def streaming_dbscan(
+    stream_points: DataFrame,
+    key: str,
+    x: str,
+    y: str,
+    eps: float,
+    min_pts: int,
+    coarse_cell: float | None = None,
+    on_update: Callable[[DataFrame], None] | None = None,
+) -> tuple["DbscanMaintainer", "DataFrame"]:
+    """Wire a streaming point source into incremental DBSCAN
+    maintenance. Returns (maintainer, writer-ready stream): start it
+    with ``maintainer, q = streaming_dbscan(...);
+    q.writeStream.foreachBatch(maintainer)...start()`` — split so the
+    caller owns trigger/output options."""
+    return (
+        DbscanMaintainer(key, x, y, eps, min_pts, coarse_cell, on_update),
+        stream_points,
+    )

@@ -242,3 +242,47 @@ def test_streaming_lsh_near_dup_matches_batch(spark, sf_dir, tmp_path):
 
     assert want_pairs, "fixture must contain near-duplicates"
     assert got_pairs == want_pairs
+
+
+def test_streaming_dbscan_maintenance_matches_batch(spark, tmp_path):
+    """foreachBatch + dbscan_incremental: after draining a multi-file
+    stream, the maintained labels equal a from-scratch batch dbscan
+    over all points."""
+    import numpy as np
+
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+    from geomesa_sql_spark.ops.cluster import dbscan
+    from geomesa_sql_spark.streaming import DbscanMaintainer
+
+    n = 300
+    idx = np.arange(n, dtype=np.int64)
+    h1 = _splitmix64(idx).astype(np.float64) / 2.0**64
+    h2 = _splitmix64(idx + 777).astype(np.float64) / 2.0**64
+    blob = idx % 4
+    xs = np.where(blob < 3, (blob * 8.0) + (h1 * 2 - 1), h1 * 30 - 5)
+    ys = np.where(blob < 3, (h2 * 2 - 1), h2 * 30 - 5)
+    rows = [(int(i + 1), float(x), float(y)) for i, x, y in zip(idx, xs, ys)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    d = str(tmp_path / "pts_stream")
+    df.repartition(4).write.parquet(d)  # 4 files -> up to 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple batches
+        .parquet(d)
+    )
+    maint = DbscanMaintainer("id", "x", "y", eps=0.9, min_pts=6)
+    q = (
+        stream.writeStream.foreachBatch(maint)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.id: (r.cluster, r.role) for r in maint.labels.collect()}
+    want = {r.id: (r.cluster, r.role)
+            for r in dbscan(df, "id", "x", "y", eps=0.9, min_pts=6).collect()}
+    assert got == want
+    assert len(got) == n
