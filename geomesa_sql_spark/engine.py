@@ -477,3 +477,20 @@ class Engine:
         n = self._snapshot(name).delete(where)
         self.register_table(name, self._tables[name])
         return n
+
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        on: str | None = None,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> tuple[int, int]:
+        n = self._snapshot(name).merge(source, on, when_matched, when_not_matched)
+        self.register_table(name, self._tables[name])
+        return n
+
+    def compact(self, name: str, target_files: int | None = None) -> int:
+        n = self._snapshot(name).compact(target_files)
+        self.register_table(name, self._tables[name])
+        return n

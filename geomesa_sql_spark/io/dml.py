@@ -172,6 +172,129 @@ class SnapshotTable:
         self._commit([d], cols)
         return n
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str | None = None,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> tuple[int, int]:
+        """MERGE INTO (upsert) keyed by ``on`` (default: the FID
+        column). Matched target rows take the source's values for the
+        columns the SOURCE PROVIDES (unprovided columns keep their
+        target values — partial-row update, same alignment rule as
+        INSERT); unmatched source rows insert with nulls for missing
+        columns. ``when_matched``/``when_not_matched`` ∈
+        {'update'/'insert', 'ignore'}. One copy-on-write commit —
+        atomic, snapshot-isolated, time-travelable like every verb.
+        Returns (n_updated, n_inserted).
+
+        Beyond the reference (its Calcite surface has no MERGE) but
+        Iceberg-shaped like the rest of this module: at 100 TB the
+        same call maps onto a real catalog's ``MERGE INTO``.
+
+        The source must be key-unique — ANSI MERGE raises on a target
+        row matched by several source rows, and so does this."""
+        key = on or self.fid_col
+        if when_matched not in ("update", "ignore"):
+            raise ValueError("when_matched must be 'update' or 'ignore'")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError("when_not_matched must be 'insert' or 'ignore'")
+        cols = self.columns
+        if key not in source.columns:
+            raise ValueError(f"MERGE source lacks key column {key!r}")
+        extra = set(source.columns) - set(cols)
+        if extra:
+            raise ValueError(f"unknown columns in MERGE source: {sorted(extra)}")
+        current = self.read()
+
+        dup = (
+            source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE source has duplicate keys — a target row would be "
+                "updated by several source rows (ANSI MERGE cardinality "
+                "violation)"
+            )
+
+        src_cols = [c for c in cols if c in source.columns]
+        src = source.select(
+            *[
+                F.col(c).cast(current.schema[c].dataType).alias(f"__src_{c}")
+                for c in src_cols
+            ]
+        ).withColumn("__matched", F.lit(True))
+
+        joined = current.join(
+            src, current[key] == F.col(f"__src_{key}"), "left"
+        )
+        if when_matched == "update":
+            updated = joined.select(
+                *[
+                    (
+                        F.when(
+                            F.col("__matched").isNotNull(), F.col(f"__src_{c}")
+                        ).otherwise(F.col(c)).alias(c)
+                        if c in src_cols and c != key
+                        else F.col(c)
+                    )
+                    for c in cols
+                ]
+            )
+            n_upd = int(current.join(
+                source.select(F.col(key).alias("__k")),
+                current[key] == F.col("__k"), "left_semi",
+            ).count())
+        else:
+            updated = current
+            n_upd = 0
+
+        if when_not_matched == "insert":
+            new_rows = source.join(
+                current.select(F.col(key).alias("__k")),
+                source[key] == F.col("__k"), "left_anti",
+            )
+            inserts = new_rows.select(
+                *[
+                    (F.col(c) if c in source.columns else F.lit(None))
+                    .cast(current.schema[c].dataType)
+                    .alias(c)
+                    for c in cols
+                ]
+            )
+            n_ins = int(new_rows.count())
+            final = updated.unionByName(inserts)
+        else:
+            n_ins = 0
+            final = updated
+
+        d = self._write_data_dir(final)
+        self._commit([d], cols)
+        return n_upd, n_ins
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Rewrite the current snapshot into ONE fresh data dir with
+        ``target_files`` parquet files (default: ceil(table bytes /
+        128 MB) — the classic small-files compaction after many
+        appends). Data is unchanged (same rows, one commit); earlier
+        snapshots stay readable. Returns the file count written."""
+        import glob as _glob
+        import math as _math
+
+        m = self._load_manifest(self._current_version())
+        if target_files is None:
+            nbytes = sum(
+                os.path.getsize(f)
+                for dd in m["dirs"]
+                for f in _glob.glob(os.path.join(dd, "*.parquet"))
+            )
+            target_files = max(1, _math.ceil(nbytes / (128 << 20)))
+        current = self.read()
+        d = self._write_data_dir(current.repartition(int(target_files)))
+        self._commit([d], self.columns)
+        return len(_glob.glob(os.path.join(d, "*.parquet")))
+
     def delete(self, where: Column | None = None) -> int:
         """Copy-on-write DELETE; ``where=None`` empties the table."""
         cols = self.columns

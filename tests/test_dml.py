@@ -124,3 +124,63 @@ def test_insert_non_castable_rejected(spark, table):
     rows = spark.createDataFrame([(1, [2, 3])], "fid long, n_regionkey array<int>")
     with pytest.raises(ValueError, match="not coercible"):
         table.insert(rows)
+
+
+def test_merge_upsert_counts_and_values(spark, table):
+    """MERGE = partial-row update for matched keys + insert for new
+    keys, one atomic commit, exact counts, old snapshot intact."""
+    v0 = table._current_version()
+    n0 = table.read().count()
+    src = spark.createDataFrame(
+        [(0, "ZERO_PRIME"), (1, "ONE_PRIME"), (5000, "NEWLAND")],
+        "fid long, n_name string",  # n_regionkey NOT provided
+    )
+    n_upd, n_ins = table.merge(src)
+    assert (n_upd, n_ins) == (2, 1)
+    got = table.read()
+    assert got.count() == n0 + 1
+    row0 = got.filter(F.col("fid") == 0).first()
+    assert row0.n_name == "ZERO_PRIME"
+    assert row0.n_regionkey is not None  # unprovided column kept
+    new = got.filter(F.col("fid") == 5000).first()
+    assert new.n_name == "NEWLAND" and new.n_regionkey is None
+    # time travel: pre-merge snapshot unchanged
+    old = table.read(version=v0)
+    assert old.count() == n0
+    assert old.filter(F.col("fid") == 0).first().n_name != "ZERO_PRIME"
+
+
+def test_merge_modes_and_duplicate_keys(spark, table):
+    src = spark.createDataFrame(
+        [(0, "X"), (6000, "Y")], "fid long, n_name string"
+    )
+    assert table.merge(src, when_matched="ignore") == (0, 1)
+    assert table.read().filter(F.col("fid") == 0).first().n_name != "X"
+    assert table.merge(src, when_not_matched="ignore") == (2, 0)
+
+    dup = spark.createDataFrame(
+        [(7000, "A"), (7000, "B")], "fid long, n_name string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table.merge(dup)
+    with pytest.raises(ValueError, match="lacks key"):
+        table.merge(spark.createDataFrame([("Z",)], "n_name string"))
+
+
+def test_compact_small_files(spark, table):
+    """Many single-row appends -> compaction to one dir/few files with
+    identical data; the pre-compaction snapshot stays readable."""
+    for i in range(5):
+        table.insert(spark.createDataFrame(
+            [(9000 + i, f"N{i}", 0)], "fid long, n_name string, n_regionkey long"
+        ))
+    before = {tuple(r) for r in table.read().collect()}
+    v_before = table._current_version()
+    n_dirs_before = len(table._load_manifest(v_before)["dirs"])
+    assert n_dirs_before >= 6
+    n_files = table.compact(target_files=2)
+    assert n_files == 2
+    m = table._load_manifest(table._current_version())
+    assert len(m["dirs"]) == 1
+    assert {tuple(r) for r in table.read().collect()} == before
+    assert table.read(version=v_before).count() == len(before)
