@@ -571,3 +571,126 @@ def register_all(spark: SparkSession) -> None:
         )
 
     spark.udf.register("ST_EndPoint", _endpoint)
+
+    # ---- affine transforms + line referencing (PostGIS-parity names
+    # the reference's users reach for next; all vectorized per row via
+    # the same _map_coords machinery as ST_Transform)
+
+    def _affine(fn_builder):
+        @F.pandas_udf(T.BinaryType())
+        def _udf(wkb: pd.Series, *args: pd.Series) -> pd.Series:
+            out = []
+            for vals in zip(wkb, *args):
+                b, params = vals[0], vals[1:]
+                if b is None or any(p is None for p in params):
+                    out.append(None)
+                    continue
+                fn = fn_builder(*[float(p) for p in params])
+                out.append(geom_to_wkb(_map_coords(geom_from_wkb(bytes(b)), fn)))
+            return pd.Series(out, dtype=object)
+
+        return _udf
+
+    spark.udf.register(
+        "ST_Translate",
+        _affine(lambda dx, dy: (lambda c: c + np.array([dx, dy]))),
+    )
+    spark.udf.register(
+        "ST_Scale",
+        _affine(lambda sx, sy: (lambda c: c * np.array([sx, sy]))),
+    )
+
+    def _rot(theta: float):
+        ct, st_ = np.cos(theta), np.sin(theta)
+        m = np.array([[ct, -st_], [st_, ct]])
+        return lambda c: c @ m.T
+
+    # PostGIS ST_Rotate rotates about the origin, angle in radians CCW
+    spark.udf.register("ST_Rotate", _affine(_rot))
+
+    @F.pandas_udf(T.DoubleType())
+    def _azimuth(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        """North-based clockwise azimuth in radians between two points
+        (PostGIS ST_Azimuth); NULL for coincident points."""
+        out = []
+        for a, b in zip(_decode_series(wa), _decode_series(wb)):
+            if a is None or b is None or a.type != "Point" or b.type != "Point":
+                out.append(None)
+                continue
+            dx = float(b.coords[0] - a.coords[0])
+            dy = float(b.coords[1] - a.coords[1])
+            if dx == 0.0 and dy == 0.0:
+                out.append(None)
+                continue
+            out.append(float(np.arctan2(dx, dy) % (2.0 * np.pi)))
+        return pd.Series(out, dtype="float64")
+
+    spark.udf.register("ST_Azimuth", _azimuth)
+
+    @F.pandas_udf(T.BinaryType())
+    def _line_interpolate(wkb: pd.Series, frac: pd.Series) -> pd.Series:
+        """Point at ``frac`` ∈ [0,1] of a LineString's length
+        (PostGIS ST_LineInterpolatePoint)."""
+        out = []
+        for g, f in zip(_decode_series(wkb), frac):
+            if g is None or f is None or g.type != "LineString":
+                out.append(None)
+                continue
+            f = min(max(float(f), 0.0), 1.0)
+            pts = g.coords
+            seg = np.diff(pts, axis=0)
+            ln = np.hypot(seg[:, 0], seg[:, 1])
+            total = float(ln.sum())
+            if total == 0.0:
+                out.append(geom_to_wkb(Geom("Point", pts[0].copy())))
+                continue
+            target = f * total
+            cum = np.concatenate([[0.0], np.cumsum(ln)])
+            i = int(np.searchsorted(cum, target, side="right") - 1)
+            i = min(i, len(seg) - 1)
+            t = (target - cum[i]) / ln[i] if ln[i] > 0 else 0.0
+            out.append(geom_to_wkb(Geom("Point", pts[i] + t * seg[i])))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_LineInterpolatePoint", _line_interpolate)
+
+    @F.pandas_udf(T.BinaryType())
+    def _closest_point(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        """Point of geometry A nearest to geometry B (PostGIS
+        ST_ClosestPoint, A-side): exact over A's vertices and segment
+        projections onto B's vertices."""
+        out = []
+        for a, b in zip(_decode_series(wa), _decode_series(wb)):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            pa = a.all_coords()
+            pb = b.all_coords()
+            best, bd = None, np.inf
+            # A's vertices vs all of B's vertices
+            d2 = ((pa[:, None, :] - pb[None, :, :]) ** 2).sum(axis=2)
+            i, j = np.unravel_index(int(np.argmin(d2)), d2.shape)
+            best, bd = pa[i].copy(), float(d2[i, j])
+            # projections of B's vertices onto A's segments (A-side
+            # closest point may lie inside an edge of A)
+            segs = a.segments()
+            if len(segs):
+                sa, sb2 = segs[:, :2], segs[:, 2:]
+                d = sb2 - sa
+                L2 = (d * d).sum(axis=1)
+                for q in pb:
+                    t = np.clip(
+                        ((q - sa) * d).sum(axis=1) / np.where(L2 > 0, L2, 1.0),
+                        0.0,
+                        1.0,
+                    )
+                    proj = sa + t[:, None] * d
+                    dist2 = ((proj - q) ** 2).sum(axis=1)
+                    k = int(np.argmin(dist2))
+                    if float(dist2[k]) < bd:
+                        bd = float(dist2[k])
+                        best = proj[k].copy()
+            out.append(geom_to_wkb(Geom("Point", best)))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_ClosestPoint", _closest_point)

@@ -253,3 +253,37 @@ def test_st_makeline_points_linestring_surface(spark):
     assert r.oob is None           # PointN out of bounds -> NULL
     assert r.ng == 3 and r.ng1 == 1
     assert r.sp_pt is None         # StartPoint of non-linestring -> NULL
+
+
+def test_st_affine_and_line_referencing(spark):
+    """ST_Translate/Scale/Rotate, ST_Azimuth, ST_LineInterpolatePoint,
+    ST_ClosestPoint against closed-form answers."""
+    import math
+
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    rows = spark.sql("""
+      SELECT
+        ST_AsText(ST_Translate(ST_GeomFromText('POINT (1 2)'), 10.0, -1.0)) AS tr,
+        ST_AsText(ST_Scale(ST_GeomFromText('LINESTRING (0 0, 2 4)'), 2.0, 0.5)) AS sc,
+        ST_AsText(ST_Rotate(ST_GeomFromText('POINT (1 0)'), radians(90.0))) AS ro,
+        ST_Azimuth(ST_MakePoint(0.0D, 0.0D), ST_MakePoint(1.0D, 0.0D)) AS az_e,
+        ST_Azimuth(ST_MakePoint(0.0D, 0.0D), ST_MakePoint(0.0D, 5.0D)) AS az_n,
+        ST_Azimuth(ST_MakePoint(3.0D, 3.0D), ST_MakePoint(3.0D, 3.0D)) AS az_null,
+        ST_AsText(ST_LineInterpolatePoint(
+            ST_GeomFromText('LINESTRING (0 0, 10 0, 10 10)'), 0.75D)) AS li,
+        ST_AsText(ST_ClosestPoint(
+            ST_GeomFromText('LINESTRING (0 0, 10 0)'),
+            ST_GeomFromText('POINT (3 5)'))) AS cp
+    """).first()
+    assert rows.tr == "POINT (11 1)"
+    assert rows.sc == "LINESTRING (0 0, 4 2)"
+    # rotate (1,0) by 90° CCW -> (0,1); tolerate float noise in text
+    rx, ry = rows.ro.replace("POINT (", "").rstrip(")").split()
+    assert abs(float(rx)) < 1e-12 and abs(float(ry) - 1.0) < 1e-12
+    assert abs(rows.az_e - math.pi / 2) < 1e-12     # due east
+    assert abs(rows.az_n - 0.0) < 1e-12             # due north
+    assert rows.az_null is None
+    assert rows.li == "POINT (10 5)"                # 0.75 of length 20
+    assert rows.cp == "POINT (3 0)"                 # foot of perpendicular
