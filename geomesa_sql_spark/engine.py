@@ -40,6 +40,12 @@ def _parse_dml(query: str):
     - INSERT INTO t VALUES (...),(...) / INSERT INTO t SELECT ...
     - UPDATE t SET a = e1, b = e2 [WHERE cond]
     - DELETE FROM t [WHERE cond]
+    - MERGE INTO t USING s|(<subquery>) ON key
+      [WHEN MATCHED THEN UPDATE] [WHEN NOT MATCHED THEN INSERT]
+      (canonical key-equality upsert: matched rows take the source's
+      provided columns, unmatched insert; omitting both WHEN clauses
+      means both. SET lists / extra predicates are not parsed — use
+      Engine.merge for anything richer.)
     Expressions inside SET/WHERE pass verbatim to Spark's expression
     parser (F.expr) — the same surface as the reference's Calcite SQL.
     """
@@ -55,6 +61,18 @@ def _parse_dml(query: str):
         if body.upper().startswith("VALUES"):
             body = body[len("VALUES"):].strip()
         return ("insert", m.group(1), (cols, body))
+    m = _re.match(
+        r"(?is)^MERGE\s+INTO\s+(\w+)\s+USING\s+"
+        r"(\w+|\([^()]*(?:\([^()]*\)[^()]*)*\))\s+ON\s+(\w+)"
+        r"(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE)?"
+        r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT)?\s*$",
+        q,
+    )
+    if m:
+        has_upd, has_ins = bool(m.group(4)), bool(m.group(5))
+        if not has_upd and not has_ins:  # bare MERGE = full upsert
+            has_upd = has_ins = True
+        return ("merge", m.group(1), (m.group(2), m.group(3), has_upd, has_ins))
     m = _re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*)$", q)
     if m:
         set_part, where = _split_top_level_where(m.group(2))
@@ -302,6 +320,24 @@ class Engine:
                     f"SELECT * FROM (VALUES {src}) AS t({', '.join(names)})"
                 )
             n = self.insert(table, rows)
+        elif verb == "merge":
+            src_ref, key, do_upd, do_ins = body
+            if src_ref.startswith("("):
+                source = self.spark.sql(src_ref[1:-1])
+            elif src_ref in self._views:
+                source = self._views[src_ref]
+            elif src_ref in self._tables:
+                source = self.df(src_ref)
+            else:
+                raise ValueError(f"unknown MERGE source {src_ref!r}")
+            n_upd, n_ins = self.merge(
+                table,
+                source,
+                on=key,
+                when_matched="update" if do_upd else "ignore",
+                when_not_matched="insert" if do_ins else "ignore",
+            )
+            n = n_upd + n_ins
         elif verb == "update":
             set_part, where = body
             exprs = dict(_split_assignments(set_part))

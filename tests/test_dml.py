@@ -184,3 +184,52 @@ def test_compact_small_files(spark, table):
     assert len(m["dirs"]) == 1
     assert {tuple(r) for r in table.read().collect()} == before
     assert table.read(version=v_before).count() == len(before)
+
+
+def test_sql_text_merge(spark, sf_dir, tmp_path):
+    """Engine.sql MERGE INTO text form: canonical key upsert."""
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(F.col("n_nationkey").cast("long").alias("image_id"), "n_name")
+    )
+    d = str(tmp_path / "mt")
+    SnapshotTable(spark, d).create(base)
+    eng.register_table("mtab", d)
+    eng.register_view(
+        "msrc",
+        spark.createDataFrame(
+            [(0, "ZED"), (4242, "NEW")], "image_id long, n_name string"
+        ),
+    )
+    out = eng.sql("MERGE INTO mtab USING msrc ON image_id")
+    assert out.first().affected == 2
+    got = {r.image_id: r.n_name for r in eng.sql(
+        "SELECT image_id, n_name FROM mtab WHERE image_id IN (0, 4242)"
+    ).collect()}
+    assert got == {0: "ZED", 4242: "NEW"}
+
+    # WHEN NOT MATCHED only: existing row untouched, new row added
+    eng.register_view(
+        "msrc2",
+        spark.createDataFrame(
+            [(0, "IGNORED"), (5555, "ADDED")], "image_id long, n_name string"
+        ),
+    )
+    out2 = eng.sql(
+        "MERGE INTO mtab USING msrc2 ON image_id WHEN NOT MATCHED THEN INSERT"
+    )
+    assert out2.first().affected == 1
+    got2 = {r.image_id: r.n_name for r in eng.sql(
+        "SELECT image_id, n_name FROM mtab WHERE image_id IN (0, 5555)"
+    ).collect()}
+    assert got2 == {0: "ZED", 5555: "ADDED"}
+
+    # subquery source
+    out3 = eng.sql(
+        "MERGE INTO mtab USING "
+        "(SELECT 7777 AS image_id, 'SUBQ' AS n_name) ON image_id"
+    )
+    assert out3.first().affected == 1
