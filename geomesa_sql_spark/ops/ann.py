@@ -182,19 +182,20 @@ def embedding_clusters(
     pointer-jumping min-label CC the spatial DBSCAN uses — the graph
     has one node per vector but near-dup edges are sparse, so rounds
     are cheap keyed shuffles."""
-    from geomesa_sql_spark.ops.cluster import _connected_components
+    from geomesa_sql_spark.ops.cluster import min_label_components
 
     pairs = near_dup_embeddings(
         df, threshold, vec_col, id_col, exact, bits, dim
     ).select("id_a", "id_b")
     edges = pairs.select(F.col("id_a").alias("i"), F.col("id_b").alias("j"))
-    edges = edges.unionByName(
-        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    )
     seeds = df.select(F.col(id_col).cast("long").alias("id")).distinct()
-    comp = _connected_components(seeds, edges, max_iter)
-    return comp.select(
-        F.col("id").alias(id_col), F.col("lab").alias("cluster")
+    comp = min_label_components(seeds, edges, max_iter)
+    return (
+        seeds.join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lab", "id").alias("cluster"),
+        )
     )
 
 

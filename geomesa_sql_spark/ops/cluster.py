@@ -456,6 +456,44 @@ def _compute_local(
     )
 
 
+def min_label_components(
+    seeds: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Adaptive min-label connected components over (i, j) edges (any
+    direction). Returns an (id, lab) mapping covering at least every
+    edge-touched node — ids absent from the mapping are singletons, so
+    callers resolve with a left join + ``coalesce(lab, id)``. Small
+    graphs (≤ _DRIVER_MERGE_MAX edges) union-find at the driver — the
+    MR merge-step shape; larger ones run the distributed
+    pointer-jumping loop over ``seeds``."""
+    spark = seeds.sparkSession
+    uniq = edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
+    rows = uniq.limit(_DRIVER_MERGE_MAX + 1).collect()
+    if len(rows) <= _DRIVER_MERGE_MAX:
+        uf_parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            while uf_parent.setdefault(a, a) != a:
+                uf_parent[a] = uf_parent.setdefault(uf_parent[a], uf_parent[a])
+                a = uf_parent[a]
+            return a
+
+        for r in rows:
+            ra, rb = find(int(r["i"])), find(int(r["j"]))
+            if ra != rb:
+                uf_parent[max(ra, rb)] = min(ra, rb)
+        mapping = [(n, find(n)) for n in list(uf_parent)]
+        if mapping:
+            return F.broadcast(
+                spark.createDataFrame(mapping, "id long, lab long")
+            )
+        return F.broadcast(spark.createDataFrame([], "id long, lab long"))
+    sym = uniq.unionByName(
+        uniq.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    )
+    return _connected_components(seeds, sym, max_iter)
+
+
 def _assemble(local: DataFrame, max_iter: int) -> DataFrame:
     """Global label merge + per-point output from `local` rows."""
     spark = local.sparkSession
@@ -472,38 +510,12 @@ def _assemble(local: DataFrame, max_iter: int) -> DataFrame:
         .distinct()
     )
     # The merge graph is LABEL-level: one node per local component,
-    # independent of n (MR-DBSCAN's merge step). Resolve it at the
-    # driver when small — a bounded collect, like the documented driver
-    # samples elsewhere — and fall back to the distributed
-    # pointer-jumping CC when a pathological layout exceeds the cap.
-    rows = eq_pairs.limit(_DRIVER_MERGE_MAX + 1).collect()
-    if len(rows) <= _DRIVER_MERGE_MAX:
-        uf_parent: dict[int, int] = {}
-
-        def find(a: int) -> int:
-            while uf_parent.setdefault(a, a) != a:
-                uf_parent[a] = uf_parent.setdefault(uf_parent[a], uf_parent[a])
-                a = uf_parent[a]
-            return a
-
-        for r in rows:
-            ra, rb = find(int(r["i"])), find(int(r["j"]))
-            if ra != rb:
-                uf_parent[max(ra, rb)] = min(ra, rb)
-        mapping = [(l, find(l)) for l in list(uf_parent)]
-        if mapping:
-            resolved = spark.createDataFrame(mapping, "lab long, cluster long")
-        else:
-            resolved = spark.createDataFrame([], "lab long, cluster long")
-        resolved = F.broadcast(resolved)
-    else:
-        edges = eq_pairs.unionByName(
-            eq_pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
-        )
-        seeds = corelab.select(F.col("lab").alias("id")).distinct()
-        resolved = _connected_components(seeds, edges, max_iter).select(
-            F.col("id").alias("lab"), F.col("lab").alias("cluster")
-        )
+    # independent of n (MR-DBSCAN's merge step); resolved adaptively
+    # (driver union-find under the edge cap, distributed CC above it).
+    seeds = corelab.select(F.col("lab").alias("id")).distinct()
+    resolved = min_label_components(seeds, eq_pairs, max_iter).select(
+        F.col("id").alias("lab"), F.col("lab").alias("cluster")
+    )
 
     def _resolve(labelled: DataFrame) -> DataFrame:
         # (id, lab) -> (id, min resolved cluster); labels outside the

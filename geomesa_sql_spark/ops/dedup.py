@@ -348,18 +348,16 @@ def hamming_clusters(
     )
     pairs = hamming_near_dup_pairs(per_sig, "__hsig", "rep", max_hamming, chunks)
     edges = pairs.select(F.col("id_a").alias("i"), F.col("id_b").alias("j"))
-    edges = edges.unionByName(
-        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    )
-    from geomesa_sql_spark.ops.cluster import _connected_components
+    from geomesa_sql_spark.ops.cluster import min_label_components
 
     seeds = per_sig.select(F.col("rep").alias("id"))
-    comp = _connected_components(seeds, edges, max_iter)
+    comp = min_label_components(seeds, edges, max_iter)
     return (
         rows.join(per_sig, "__hsig")
-        .join(comp.select(F.col("id").alias("rep"), "lab"), "rep")
+        .join(comp.select(F.col("id").alias("rep"), "lab"), "rep", "left")
         .select(
-            F.col("__hid").alias(id_col), F.col("lab").alias("cluster")
+            F.col("__hid").alias(id_col),
+            F.coalesce("lab", "rep").alias("cluster"),
         )
     )
 
