@@ -339,9 +339,14 @@ def hamming_clusters(
     on the distinct-signature graph; rows then inherit their
     signature's component label with a plain equi-join. Every stage is
     linear in the input + distinct-signature count."""
+    # materialize (id, sig) ONCE: the upstream of sig_col is often an
+    # expensive stage (e.g. phash_images decodes every payload) and it
+    # is read here twice — for the per-signature collapse and for the
+    # final label join-back (16 bytes/row, same tradeoff as the
+    # minhash signature checkpoint)
     rows = df.select(
         F.col(id_col).cast("long").alias("__hid"), F.col(sig_col).alias("__hsig")
-    ).filter(F.col("__hsig").isNotNull())
+    ).filter(F.col("__hsig").isNotNull()).localCheckpoint(eager=True)
     per_sig = (
         rows.groupBy("__hsig").agg(F.min("__hid").alias("rep"))
         .localCheckpoint(eager=True)
