@@ -129,30 +129,48 @@ def near_dup_embeddings(
     exact: bool = True,
     bits: int = 8,
     dim: int = 64,
+    bands: int = 4,
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
     ``exact=True``: full pairwise (oracle-checkable; quadratic — small
-    inputs / verification only). ``exact=False``: sign-LSH bucketed
-    pre-join (the 100 TB path; misses pairs that differ in a bucket
-    bit, recall measured in tests).
-    """
+    inputs / verification only). ``exact=False``: multi-band sign-LSH
+    bucketed pre-join (the 100 TB path): ``bands`` independent
+    hyperplane sets, a pair is a candidate if it shares ANY band's
+    bucket — per-pair miss probability (1 − (1 − θ/π)^bits)^bands
+    instead of a single band's, the standard OR-construction; recall
+    measured in tests. Dedup happens on the verified pair, so a pair
+    colliding in several bands is emitted once."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        planes = _hyperplanes(dim, bits)
+        all_planes = [
+            _hyperplanes(dim, bits, seed=7 + band) for band in range(bands)
+        ]
 
-        @F.pandas_udf(T.LongType())
-        def _bucket(vecs: pd.Series) -> pd.Series:
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _buckets(vecs: pd.Series) -> pd.Series:
             m = np.stack(vecs.to_numpy())
-            signs = (m @ planes.T) > 0
-            return pd.Series(signs @ (1 << np.arange(bits, dtype=np.int64)))
+            w = 1 << np.arange(bits, dtype=np.int64)
+            out = []
+            per_band = [((m @ p.T) > 0) @ w for p in all_planes]
+            for i in range(len(m)):
+                out.append(
+                    [band * (1 << bits) + int(per_band[band][i])
+                     for band in range(len(all_planes))]
+                )
+            return pd.Series(out)
 
-        a = a.withColumn("__bucket", _bucket("va"))
-        b = b.withColumn("__bucket", _bucket("vb"))
-        pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
+        a = a.withColumn("__bucket", F.explode(_buckets("va")))
+        b = b.withColumn("__bucket", F.explode(_buckets("vb")))
+        pairs = (
+            a.join(b, on="__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("__bucket")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     sim = cosine_similarity_col(F.col("va"), F.col("vb"))
     return (
         pairs.withColumn("sim", sim)

@@ -821,3 +821,30 @@ def test_dbscan_incremental_equals_full_rebuild(spark):
             lab_b = {got[i][0] for i, (x, y) in base_pts.items()
                      if abs(x - 10) <= 1 and abs(y) <= 1 and got[i][0] >= 0}
             assert lab_a and lab_a == lab_b
+
+
+def test_near_dup_embeddings_lsh_multiband_recall(spark, sf_dir):
+    """Multi-band OR-construction recall on planted noisy duplicates:
+    a single 8-bit band misses ~30% of cos≈0.99 pairs; 4 bands get
+    (≈0.3)^4 ≈ 1% misses — assert ≥ 0.9 recall."""
+    from geomesa_sql_spark.ops import near_dup_embeddings
+
+    base = embs(spark, sf_dir).limit(80).toPandas()
+    m = np.stack(base.embedding.to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(3)
+    noisy = m + 0.01 * rng.standard_normal(m.shape)
+    rows = [
+        (int(v), e.astype(np.float32).tolist())
+        for v, e in zip(base.vec_id, m)
+    ] + [
+        (int(v) + 800_000, e.astype(np.float32).tolist())
+        for v, e in zip(base.vec_id, noisy)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in near_dup_embeddings(df, threshold=0.99, exact=False).collect()
+    }
+    want = {(int(v), int(v) + 800_000) for v in base.vec_id}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
