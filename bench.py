@@ -149,6 +149,42 @@ def main() -> None:
             best = min(best, time.time() - q0)
         results[name] = round(best, 3)
 
+    # incremental DBSCAN: a localized append delta reclusters only its
+    # dirty coarse cells. NOTE the honest bound: the label merge and
+    # per-point output assembly remain O(total state), so at this small
+    # scale the measured win is ~1.5x, not 10x — what the delta removes
+    # is the two applyInPandas clustering passes over clean cells,
+    # which dominate as density/scale grow (delta-diff OUTPUT
+    # maintenance would be the next step, not done)
+    from geomesa_sql_spark.io.fixtures import cluster_points
+    from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
+
+    # localized delta (new data lands in one region — the geo-append
+    # shape; a uniformly sprayed delta would dirty every coarse cell
+    # and cost like a full run, by design)
+    cl_all = cluster_points(spark, sf_dir).select("o_orderkey", "x", "y")
+    is_delta = F.col("o_orderkey") % 60 == 1  # one blob residue (~1.7%,
+    # all points within one +-1 degree blob)
+    cl_delta = cl_all.filter(is_delta)
+    cl_base = cl_all.filter(~is_delta)
+    _, cl_state = dbscan(
+        cl_base, "o_orderkey", "x", "y", eps=0.5, min_pts=5, return_state=True
+    )
+    dbscan_incremental(  # untimed warm apply (codegen + worker pools)
+        cl_all, cl_delta, cl_state, "o_orderkey", "x", "y", eps=0.5, min_pts=5
+    )[0].count()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        inc, _ = dbscan_incremental(
+            cl_all, cl_delta, cl_state, "o_orderkey", "x", "y",
+            eps=0.5, min_pts=5,
+        )
+        inc.count()
+        best = min(best, time.time() - t0)
+    results["dbscan_delta_localized"] = round(best, 3)
+
+
     # MinHash+LSH near-dup: time the SCALE path only (band-bucket join).
     # The contract query near_dup_text also runs the exact n-gram twin,
     # which is quadratic BY DESIGN (verification oracle) — timing it
@@ -208,37 +244,6 @@ def main() -> None:
         best = min(best, time.time() - t0)
     results["image_dedup_clusters"] = round(best, 3)
 
-    # incremental DBSCAN: a localized append delta reclusters only its
-    # dirty coarse cells. NOTE the honest bound: the label merge and
-    # per-point output assembly remain O(total state), so at this small
-    # scale the measured win is ~1.5x, not 10x — what the delta removes
-    # is the two applyInPandas clustering passes over clean cells,
-    # which dominate as density/scale grow (delta-diff OUTPUT
-    # maintenance would be the next step, not done)
-    from geomesa_sql_spark.io.fixtures import cluster_points
-    from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
-
-    # localized delta (new data lands in one region — the geo-append
-    # shape; a uniformly sprayed delta would dirty every coarse cell
-    # and cost like a full run, by design)
-    cl_all = cluster_points(spark, sf_dir).select("o_orderkey", "x", "y")
-    is_delta = F.col("o_orderkey") % 60 == 1  # one blob residue (~1.7%,
-    # all points within one +-1 degree blob)
-    cl_delta = cl_all.filter(is_delta)
-    cl_base = cl_all.filter(~is_delta)
-    _, cl_state = dbscan(
-        cl_base, "o_orderkey", "x", "y", eps=0.5, min_pts=5, return_state=True
-    )
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        inc, _ = dbscan_incremental(
-            cl_all, cl_delta, cl_state, "o_orderkey", "x", "y",
-            eps=0.5, min_pts=5,
-        )
-        inc.count()
-        best = min(best, time.time() - t0)
-    results["dbscan_delta_localized"] = round(best, 3)
 
     # storage-level spatial pruning: the same ST_Within over a
     # cell-clustered layout (row-group pruning) vs the scannable twin
