@@ -848,3 +848,38 @@ def test_near_dup_embeddings_lsh_multiband_recall(spark, sf_dir):
     want = {(int(v), int(v) + 800_000) for v in base.vec_id}
     recall = len(want & got) / len(want)
     assert recall >= 0.9, recall
+
+
+def test_distributed_cc_fallback_matches_unionfind(spark):
+    """_connected_components (the distributed pointer-jumping loop —
+    the >cap fallback of min_label_components, which small test graphs
+    never reach) against a union-find twin: chain, star, two
+    components, and singletons."""
+    from geomesa_sql_spark.ops.cluster import _connected_components
+
+    edges_py = (
+        [(i, i + 1) for i in range(1, 40)]          # long chain 1..40
+        + [(100, j) for j in range(101, 110)]        # star at 100
+        + [(200, 201), (201, 202), (203, 204)]       # two small comps
+    )
+    nodes = sorted({n for e in edges_py for n in e} | {999})  # + singleton
+    seeds = spark.createDataFrame([(n,) for n in nodes], "id long")
+    sym = edges_py + [(b, a) for a, b in edges_py]
+    edges = spark.createDataFrame(sym, "i long, j long")
+    got = {r.id: r.lab for r in
+           _connected_components(seeds, edges, max_iter=25).collect()}
+
+    parent = {n: n for n in nodes}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    assert got == want
