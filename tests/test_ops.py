@@ -883,3 +883,22 @@ def test_distributed_cc_fallback_matches_unionfind(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in nodes}
     assert got == want
+
+
+def test_min_label_components_cap_switch(spark, monkeypatch):
+    """Above the driver cap min_label_components must switch to the
+    distributed loop and produce identical labels."""
+    from geomesa_sql_spark.ops import cluster as C
+
+    edges_py = [(i, i + 1) for i in range(1, 20)] + [(50, 51)]
+    seeds = spark.createDataFrame(
+        [(n,) for n in sorted({x for e in edges_py for x in e})], "id long"
+    )
+    edges = spark.createDataFrame(edges_py, "i long, j long")
+    via_driver = {r.id: r.lab for r in
+                  C.min_label_components(seeds, edges).collect()}
+    monkeypatch.setattr(C, "_DRIVER_MERGE_MAX", 3)  # force fallback
+    via_dist = {r.id: r.lab for r in
+                C.min_label_components(seeds, edges).collect()}
+    assert via_driver == via_dist
+    assert via_driver[20] == 1 and via_driver[51] == 50
