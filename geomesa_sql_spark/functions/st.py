@@ -657,40 +657,14 @@ def register_all(spark: SparkSession) -> None:
     @F.pandas_udf(T.BinaryType())
     def _closest_point(wa: pd.Series, wb: pd.Series) -> pd.Series:
         """Point of geometry A nearest to geometry B (PostGIS
-        ST_ClosestPoint, A-side): exact over A's vertices and segment
-        projections onto B's vertices."""
+        ST_ClosestPoint, A-side): candidates on A scored by their TRUE
+        distance to B — see ``kernel.closest_point``."""
         out = []
         for a, b in zip(_decode_series(wa), _decode_series(wb)):
             if a is None or b is None:
                 out.append(None)
                 continue
-            pa = a.all_coords()
-            pb = b.all_coords()
-            best, bd = None, np.inf
-            # A's vertices vs all of B's vertices
-            d2 = ((pa[:, None, :] - pb[None, :, :]) ** 2).sum(axis=2)
-            i, j = np.unravel_index(int(np.argmin(d2)), d2.shape)
-            best, bd = pa[i].copy(), float(d2[i, j])
-            # projections of B's vertices onto A's segments (A-side
-            # closest point may lie inside an edge of A)
-            segs = a.segments()
-            if len(segs):
-                sa, sb2 = segs[:, :2], segs[:, 2:]
-                d = sb2 - sa
-                L2 = (d * d).sum(axis=1)
-                for q in pb:
-                    t = np.clip(
-                        ((q - sa) * d).sum(axis=1) / np.where(L2 > 0, L2, 1.0),
-                        0.0,
-                        1.0,
-                    )
-                    proj = sa + t[:, None] * d
-                    dist2 = ((proj - q) ** 2).sum(axis=1)
-                    k = int(np.argmin(dist2))
-                    if float(dist2[k]) < bd:
-                        bd = float(dist2[k])
-                        best = proj[k].copy()
-            out.append(geom_to_wkb(Geom("Point", best)))
+            out.append(geom_to_wkb(Geom("Point", kernel.closest_point(a, b))))
         return pd.Series(out, dtype=object)
 
     spark.udf.register("ST_ClosestPoint", _closest_point)

@@ -787,3 +787,54 @@ def convex_hull(g: Geom) -> Geom:
         return Geom(model.LINESTRING, np.array([pts[0], pts[-1]]))
     ring = np.vstack([hull, hull[:1]])
     return Geom(model.POLYGON, [ring])
+
+
+def closest_point(a: Geom, b: Geom) -> np.ndarray:
+    """Point of ``a`` nearest to ``b`` (PostGIS/JTS ``ST_ClosestPoint``
+    A-side semantics) as an ``(2,)`` coordinate array.
+
+    Candidate points on A: A's vertices, projections of B's vertices
+    onto A's segments, and proper A-segment x B-segment crossings (the
+    closest pair between two segment sets is always realised at one of
+    these). Each candidate is scored by its TRUE distance to B (min
+    point-to-segment distance over B's segments, plus B's bare
+    vertices for point components), not merely to B's nearest vertex.
+    """
+    pa = a.all_coords()
+    pb = b.all_coords()
+    asegs = a.segments()
+    bsegs = b.segments()
+    cands = [pa]
+    if len(asegs):
+        sa, d = asegs[:, :2], asegs[:, 2:] - asegs[:, :2]
+        L2 = (d * d).sum(axis=1)
+        safe = np.where(L2 > 0, L2, 1.0)
+        # (n_b, n_aseg) parametric feet of B vertices on A segments
+        t = np.clip(((pb[:, None, :] - sa[None]) * d[None]).sum(-1) / safe[None], 0.0, 1.0)
+        cands.append((sa[None] + t[..., None] * d[None]).reshape(-1, 2))
+        if len(bsegs):
+            # proper crossings: at a crossing the A-side point is interior
+            # to both segments, so neither candidate family above finds it
+            p = sa[:, None]
+            r = d[:, None]
+            q = bsegs[None, :, :2]
+            s = (bsegs[:, 2:] - bsegs[:, :2])[None]
+            denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+            qp = q - p
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tt = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / denom
+                uu = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / denom
+            ok = (denom != 0) & (tt >= 0) & (tt <= 1) & (uu >= 0) & (uu <= 1)
+            if ok.any():
+                pi = np.broadcast_to(p, tt.shape + (2,))[ok]
+                ri = np.broadcast_to(r, tt.shape + (2,))[ok]
+                cands.append(pi + tt[ok][:, None] * ri)
+    cand = np.concatenate(cands, axis=0)
+    if len(bsegs):
+        score = _point_seg_dist_matrix(cand[:, 0], cand[:, 1], bsegs).min(axis=1)
+    else:
+        score = np.full(len(cand), np.inf)
+    if len(pb):
+        dv = np.sqrt(((cand[:, None, :] - pb[None]) ** 2).sum(-1)).min(axis=1)
+        score = np.minimum(score, dv)
+    return cand[int(np.argmin(score))].copy()

@@ -287,3 +287,28 @@ def test_st_affine_and_line_referencing(spark):
     assert rows.az_null is None
     assert rows.li == "POINT (10 5)"                # 0.75 of length 20
     assert rows.cp == "POINT (3 0)"                 # foot of perpendicular
+
+
+def test_st_closest_point_segment_interior(spark):
+    """ST_ClosestPoint where the true nearest pair involves a segment
+    INTERIOR of B (ADVICE r2: old code scored candidates against B's
+    vertices only) plus a proper crossing (distance 0 at a point that
+    is neither an A vertex nor a B-vertex projection)."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql("""
+      SELECT
+        ST_AsText(ST_ClosestPoint(
+            ST_GeomFromText('LINESTRING (0 5, 5 1, 10 5)'),
+            ST_GeomFromText('LINESTRING (0 0, 10 0)'))) AS vee,
+        ST_AsText(ST_ClosestPoint(
+            ST_GeomFromText('LINESTRING (0 0, 10 10)'),
+            ST_GeomFromText('LINESTRING (0 10, 10 0)'))) AS crossing,
+        ST_AsText(ST_ClosestPoint(
+            ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+            ST_GeomFromText('POINT (10 2)'))) AS poly_edge
+    """).first()
+    assert r.vee == "POINT (5 1)"          # PostGIS/JTS answer, not (2.44 3.05)
+    assert r.crossing == "POINT (5 5)"     # intersection point
+    assert r.poly_edge == "POINT (4 2)"    # interior of polygon edge
