@@ -20,6 +20,7 @@ is a SnapshotTable directory, else to plain parquet append.
 
 from __future__ import annotations
 
+import logging
 import os
 import uuid
 
@@ -229,7 +230,7 @@ _JOINWORDS = r"INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|OUTER\b|NATURAL\b|SEMI\b|AN
 _SPATIAL_JOIN_RE = _re.compile(
     r"(?is)^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
     r"(?P<t1>\w+)(?:\s+(?:AS\s+)?(?!" + _JOINWORDS + r")(?P<a1>\w+))?\s+"
-    r"(?:INNER\s+)?JOIN\s+"
+    r"(?:(?P<jt>LEFT|RIGHT|FULL)(?:\s+OUTER)?\s+|INNER\s+)?JOIN\s+"
     r"(?P<t2>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?\s+"
     r"ON\s+(?P<on>ST_\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))"
     r"(?P<rest>\s+.+?)?\s*;?\s*$"
@@ -253,12 +254,24 @@ def _strip_qual(name: str) -> str:
     return name.rsplit(".", 1)[-1]
 
 
+def _qual_of(name: str) -> str | None:
+    """Alias/table qualifier of a column reference, if any."""
+    return name.rsplit(".", 1)[0] if "." in name else None
+
+
+_LOG = logging.getLogger(__name__)
+
+
 class Engine:
     def __init__(self, spark: SparkSession, fid_col: str = "image_id"):
         self.spark = spark
         self.fid_col = fid_col
         self._tables: dict[str, str] = {}
         self._views: dict[str, DataFrame] = {}
+        # one reusable temp-view slot for the SQL-text spatial-join
+        # router (unique per Engine so two engines on one session don't
+        # clobber each other's in-flight name)
+        self._routed_view = f"__gsj_routed_{uuid.uuid4().hex[:8]}"
         register_all(spark)  # the fun=spatial analog, always on
 
     # ------------------------------------------------------------- catalog
@@ -350,38 +363,67 @@ class Engine:
         """The EnumerableSpatialJoinRule analog for SQL TEXT: a query of
         the canonical shape
 
-            SELECT <cols> FROM t1 [a] JOIN t2 [b]
+            SELECT <cols> FROM t1 [a] [LEFT|RIGHT|FULL] JOIN t2 [b]
             ON ST_Pred(<geom of one side>, <geom of other side>[, dist])
             [WHERE <residual>]
 
         is planned through :func:`join.spatial_join` (cell cover +
         broadcast-or-repartition hash join + vectorized refine) instead
         of the cartesian BroadcastNestedLoop + UDF plan Spark would
-        build for a Python-UDF ON clause. Geometry operands:
-        ``ST_MakePoint(x, y)`` or a bare WKB column; column references
-        may be alias-qualified but must be unambiguous unqualified (the
-        joined frame carries both tables' columns). Returns None when
-        the query doesn't match — the caller falls through to plain
-        ``spark.sql``.
+        build for a Python-UDF ON clause (which Spark outright REJECTS
+        for outer joins). LEFT/RIGHT/FULL route when the preserved
+        side(s) carry the engine's ``fid_col`` as a unique key — the
+        reference optimizes LEFT the same way
+        (rules/EnumerableSpatialJoinRule.scala:43-44). Geometry
+        operands: ``ST_MakePoint(x, y)`` or a bare WKB column;
+        alias-qualified operands orient the join even when both tables
+        carry same-named columns. Returns None when the query doesn't
+        match; any bail after the query LOOKS spatial logs a warning
+        naming the cartesian fallback.
         """
         m = _SPATIAL_JOIN_RE.match(query.strip())
         if not m:
             return None
+
+        def _bail(why: str) -> None:
+            _LOG.warning(
+                "SQL-text spatial join NOT routed (%s) — falling back to "
+                "plain spark.sql, which plans a Python-UDF ON clause as a "
+                "cartesian BroadcastNestedLoopJoin (and rejects it for "
+                "outer joins): %.200s",
+                why,
+                query,
+            )
+
         g = _GEOM_ARG_RE.match(m.group("on"))
         if not g:
+            _bail("unsupported ST_ predicate or operand shape in ON")
             return None
         # defensive bails — anything this restricted planner can't
         # faithfully express falls through to plain spark.sql:
         rest = m.group("rest") or ""
-        if _re.search(r"(?i)\b(UNION|JOIN|INTERSECT|EXCEPT)\b", rest) or "'" in rest:
-            return None  # multi-join/set-op tails; quoted literals could
-            # hide clause keywords from the tail splitter
+        sel = m.group("sel").strip()
+        if _re.search(r"(?i)\b(UNION|JOIN|INTERSECT|EXCEPT)\b", rest):
+            _bail("multi-join or set-operation tail")
+            return None
+        if "'" in rest or '"' in rest or "'" in sel or '"' in sel:
+            # quoted literals could hide clause keywords from the tail
+            # splitter / alias stripper (ADVICE r2: the select list was
+            # previously unguarded)
+            _bail("quoted literal in select list or tail")
+            return None
         tm = _TAIL_RE.match(rest)
         if not tm or (tm.group("having") and not tm.group("group")):
+            _bail("unparseable tail clauses")
             return None
         t1, t2 = m.group("t1"), m.group("t2")
         known = set(self._tables) | set(self._views)
         if t1 not in known or t2 not in known:
+            _bail("table(s) not registered with this Engine")
+            return None
+        if t1 == t2:
+            # the routed joined frame would carry duplicate column names
+            _bail("self-join (joined frame would have duplicate columns)")
             return None
 
         from geomesa_sql_spark.join import spatial_join
@@ -389,38 +431,90 @@ class Engine:
 
         df1, df2 = self.df(t1), self.df(t2)
 
-        def _side(arg: str) -> tuple[GeomSide, set[str]]:
+        def _side(arg: str) -> tuple[GeomSide, set[str], set[str]]:
             pm = _re.match(
                 r"(?is)ST_MakePoint\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)", arg
             )
             if pm:
-                x, y = _strip_qual(pm.group(1)), _strip_qual(pm.group(2))
-                return GeomSide(x=x, y=y), {x, y}
+                rx, ry = pm.group(1), pm.group(2)
+                x, y = _strip_qual(rx), _strip_qual(ry)
+                quals = {q for q in (_qual_of(rx), _qual_of(ry)) if q}
+                return GeomSide(x=x, y=y), {x, y}, quals
             col = _strip_qual(arg)
-            return GeomSide(wkb=col), {col}
+            q = _qual_of(arg)
+            return GeomSide(wkb=col), {col}, ({q} if q else set())
 
-        side_a, cols_a = _side(g.group("g1"))
-        side_b, cols_b = _side(g.group("g2"))
+        side_a, cols_a, quals_a = _side(g.group("g1"))
+        side_b, cols_b, quals_b = _side(g.group("g2"))
         pred = g.group("pred").lower()
         dist = float(g.group("dist")) if g.group("dist") else None
 
         # orient: spatial_join evaluates pred(left_df_geom, right_df_geom)
-        # with left_df = t1 as written in the FROM clause. If BOTH
-        # orientations resolve (e.g. a self-join where both tables carry
-        # the operand columns), the unqualified references are ambiguous
-        # in the joined frame — bail to spark.sql rather than error.
-        fwd = cols_a <= set(df1.columns) and cols_b <= set(df2.columns)
-        rev = cols_b <= set(df1.columns) and cols_a <= set(df2.columns)
-        if fwd and rev:
+        # with left_df = t1 as written in the FROM clause. Qualified
+        # operands orient by their alias/table prefix; unqualified ones
+        # by column membership (bailing when both orientations resolve).
+        names1 = {t1, m.group("a1") or t1}
+        names2 = {t2, m.group("a2") or t2}
+
+        def _owner(quals: set[str]) -> int:
+            if quals and quals <= names1:
+                return 1
+            if quals and quals <= names2:
+                return 2
+            return 0
+
+        fa, fb = _owner(quals_a), _owner(quals_b)
+        if (quals_a or quals_b) and not (fa or fb):
+            _bail("geometry operand qualifier matches neither table")
             return None
+        if fa and fb and fa == fb:
+            _bail("both geometry operands qualify to the same table")
+            return None
+        if (fa, fb) in ((1, 2), (1, 0), (0, 2)):
+            fwd, rev = True, False
+        elif (fa, fb) in ((2, 1), (2, 0), (0, 1)):
+            fwd, rev = False, True
+        else:
+            fwd = cols_a <= set(df1.columns) and cols_b <= set(df2.columns)
+            rev = cols_b <= set(df1.columns) and cols_a <= set(df2.columns)
+            if fwd and rev:
+                _bail("ambiguous operand columns (both orientations resolve)")
+                return None
         if fwd:
             left_side, right_side = side_a, side_b
+            lcols, rcols = cols_a, cols_b
         elif rev:
             flip = {"contains": "within", "within": "contains"}
             pred = flip.get(pred, pred)
             left_side, right_side = side_b, side_a
+            lcols, rcols = cols_b, cols_a
         else:
-            return None  # operand columns don't split across the tables
+            _bail("operand columns don't split across the tables")
+            return None
+        if not (lcols <= set(df1.columns) and rcols <= set(df2.columns)):
+            _bail("geometry operand column(s) missing from the joined tables")
+            return None
+
+        # outer joins: spatial_join restores unmatched rows via an
+        # anti-join on a unique key of the preserved side(s)
+        how = (m.group("jt") or "inner").lower()
+        join_kw: dict = {}
+        if how in ("left", "full") :
+            if self.fid_col not in df1.columns:
+                _bail(
+                    f"{how.upper()} spatial join needs a unique key on "
+                    f"{t1} (Engine fid_col={self.fid_col!r} is not a column)"
+                )
+                return None
+            join_kw["left_key"] = self.fid_col
+        if how in ("right", "full"):
+            if self.fid_col not in df2.columns:
+                _bail(
+                    f"{how.upper()} spatial join needs a unique key on "
+                    f"{t2} (Engine fid_col={self.fid_col!r} is not a column)"
+                )
+                return None
+            join_kw["right_key"] = self.fid_col
 
         # residual/select references may be alias- or table-qualified;
         # the joined frame is unqualified, so strip the known prefixes
@@ -430,16 +524,51 @@ class Engine:
                 expr = _re.sub(rf"(?i)\b{_re.escape(q)}\.", "", expr)
             return expr
 
+        # overlapping column names: the join's refine stage and the tail
+        # SQL reference columns by bare name over the joined frame, so
+        # clashes are renamed out of the right side. Only the ON clause
+        # may touch a clashing name — a select/tail reference to one
+        # can't be rewritten faithfully, so it bails.
+        clash = set(df1.columns) & set(df2.columns)
+        if clash:
+            body = f"{sel} {rest}"
+            hit = [c for c in clash
+                   if _re.search(rf"(?i)\b{_re.escape(c)}\b", body)]
+            if hit:
+                _bail(
+                    f"select/tail references column(s) {hit} present in "
+                    "BOTH tables"
+                )
+                return None
+            ren = {c: f"__gsj_r_{c}" for c in clash}
+            for old, new in ren.items():
+                df2 = df2.withColumnRenamed(old, new)
+
+            def _ren_side(s: GeomSide) -> GeomSide:
+                if s.wkb:
+                    return GeomSide(wkb=ren.get(s.wkb, s.wkb))
+                return GeomSide(x=ren.get(s.x, s.x), y=ren.get(s.y, s.y))
+
+            right_side = _ren_side(right_side)
+            if "right_key" in join_kw:
+                join_kw["right_key"] = ren.get(
+                    join_kw["right_key"], join_kw["right_key"]
+                )
+
         out = spatial_join(
-            df1, df2, left_side, right_side, predicate=pred, distance=dist
+            df1, df2, left_side, right_side, predicate=pred, distance=dist,
+            how=how, **join_kw,
         )
         # arbitrary select lists (incl. aggregates) and GROUP BY /
         # HAVING / ORDER BY / LIMIT tails: run the REMAINDER of the
         # query as plain Spark SQL over a temp view of the optimized
         # join — our plan for the join, Catalyst's planning for the
         # tail (reference analog: the Calcite planner keeps the
-        # Aggregate/Sort above its EnumerableSpatialJoin node)
-        view = f"__gsj_routed_{uuid.uuid4().hex[:12]}"
+        # Aggregate/Sort above its EnumerableSpatialJoin node).
+        # Fixed per-Engine view name (ADVICE r2): createOrReplaceTempView
+        # makes reuse safe — each returned DataFrame captured its plan —
+        # and the catalog no longer accretes one entry per routed query.
+        view = self._routed_view
         out.createOrReplaceTempView(view)
         sql = f"SELECT {_unqual(m.group('sel').strip())} FROM {view}"
         if tm.group("where"):
@@ -452,7 +581,12 @@ class Engine:
             sql += f" ORDER BY {_unqual(tm.group('order'))}"
         if tm.group("limit"):
             sql += f" LIMIT {tm.group('limit')}"
-        return self.spark.sql(sql)
+        try:
+            return self.spark.sql(sql)
+        except Exception as exc:  # AnalysisException: e.g. a stripped
+            # reference is ambiguous because both tables carry the name
+            _bail(f"tail failed to resolve over the joined frame: {exc}")
+            return None
 
     def table(self, name: str) -> GeoTable:
         """Pushdown-accumulating scan handle (§2.1 S1/S2); snapshot

@@ -481,3 +481,109 @@ def test_describe_and_table_for_views(spark, sf_dir):
         eng.table("v_orders")
     with pytest.raises(ValueError, match="unknown"):
         eng.describe("nope")
+
+
+def test_sql_left_spatial_join_routed(spark, sf_dir, tmp_path):
+    """VERDICT r2 #1: a SQL-text LEFT spatial join routes through the
+    cell join (no BroadcastNestedLoopJoin — Spark would REJECT the
+    Python-UDF ON clause for an outer join outright) and matches the
+    bbox left-join oracle."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark, fid_col="o_orderkey")
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("lpts", p1)
+    eng.register_table("lnsq", p2)
+
+    got = eng.sql(
+        "SELECT p.o_orderkey, s.n_nationkey FROM lpts p LEFT JOIN lnsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+    pts = spark.read.parquet(p1)
+    sq = spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = pts.join(sq, bbox, "left").select("o_orderkey", "n_nationkey")
+    assert sorted(
+        map(tuple, got.collect()), key=lambda t: (t[0], t[1] is None, t[1])
+    ) == sorted(
+        map(tuple, want.collect()), key=lambda t: (t[0], t[1] is None, t[1])
+    )
+    # every left row preserved at least once
+    assert got.select("o_orderkey").distinct().count() == pts.count()
+
+
+def test_sql_left_spatial_join_needs_key_warns(spark, sf_dir, tmp_path, caplog):
+    """LEFT route without a usable unique key bails WITH a warning
+    naming the cartesian/rejection fallback (VERDICT r2 #1c)."""
+    import logging
+
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)  # fid_col='image_id' — not a column of either table
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select("n_nationkey", "poly").write.parquet(p2)
+    eng.register_table("wpts", p1)
+    eng.register_table("wnsq", p2)
+    q = ("SELECT o_orderkey, n_nationkey FROM wpts LEFT JOIN wnsq "
+         "ON ST_Intersects(ST_MakePoint(lon, lat), poly)")
+    with caplog.at_level(logging.WARNING, logger="geomesa_sql_spark.engine"):
+        assert eng._route_spatial_join(q) is None
+    assert any("NOT routed" in r.message and "unique key" in r.message
+               for r in caplog.records)
+
+    # the bail warning also fires for the quoted-literal select guard
+    caplog.clear()
+    q2 = ("SELECT o_orderkey, 'x' AS tag FROM wpts JOIN wnsq "
+          "ON ST_Intersects(ST_MakePoint(lon, lat), poly)")
+    with caplog.at_level(logging.WARNING, logger="geomesa_sql_spark.engine"):
+        assert eng._route_spatial_join(q2) is None
+    assert any("quoted literal" in r.message for r in caplog.records)
+
+
+def test_sql_alias_qualified_operands_orient(spark, sf_dir, tmp_path):
+    """Qualified geometry operands orient the join even when BOTH
+    tables carry the operand column names (previously an ambiguity
+    bail); answers match the bbox oracle."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    # both tables carry lon/lat; distinct key names for the select list
+    orders_points(spark, sf_dir).filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey", "lon", "lat"
+    ).write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey",
+        F.col("pminx").alias("lon"), F.col("pminy").alias("lat"),
+        "poly", "pminx", "pminy", "pmaxx", "pmaxy",
+    ).write.parquet(p2)
+    eng.register_table("apts", p1)
+    eng.register_table("ansq", p2)
+
+    got = eng.sql(
+        "SELECT a.o_orderkey, b.n_nationkey FROM apts a JOIN ansq b "
+        "ON ST_Intersects(ST_MakePoint(a.lon, a.lat), b.poly)"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    pts = spark.read.parquet(p1).select("o_orderkey", "lon", "lat")
+    sq = spark.read.parquet(p2).select(
+        "n_nationkey", "pminx", "pminy", "pmaxx", "pmaxy"
+    )
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = pts.join(sq, bbox).select("o_orderkey", "n_nationkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
