@@ -58,6 +58,69 @@ def _fnv1a(s: str) -> int:
         acc = ((acc ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return acc & 0x7FFFFFFFFFFFFFFF
 
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_MASK63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def _fnv1a_bytes_batch(items: list[bytes]) -> np.ndarray:
+    """FNV-1a per item, vectorized ACROSS items (bit-identical to
+    ``_fnv1a`` on each item's bytes). FNV is byte-sequential, so the
+    inner chain can't vectorize — but a batch of items can: pack all
+    bytes into one (n_items, max_len) matrix and run max_len numpy
+    column passes instead of Σ len(item) Python iterations
+    (VERDICT r2 §wrong.1 — same class as the round-1 _shingles fix)."""
+    n = len(items)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in items), count=n, dtype=np.int64)
+    width = int(lens.max())
+    acc = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if width == 0:
+        return acc & _FNV_MASK63
+    flat = np.frombuffer(b"".join(items), dtype=np.uint8)
+    mat = np.zeros((n, width), dtype=np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(len(flat)) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat[rows, cols] = flat
+    for j in range(width):
+        active = lens > j
+        nxt = (acc ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+        acc = np.where(active, nxt, acc)
+    return acc & _FNV_MASK63
+
+
+def _fnv1a_tokens(toks: list[str]) -> np.ndarray:
+    """FNV-1a over each token's UTF-8 bytes, batched across tokens.
+
+    ASCII fast path: one numpy 'U' codepoint matrix (no per-token
+    ``encode()`` — that Python call dominates for short tokens) and
+    max_len column passes; codepoints < 128 ARE the UTF-8 bytes, so the
+    result is bit-identical. Any non-ASCII or embedded-NUL token drops
+    the batch to the byte-matrix path."""
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    arr = np.asarray(toks, dtype="U")
+    width = arr.dtype.itemsize // 4
+    if width == 0:  # every token empty
+        return np.full(len(toks), _FNV_OFFSET & _FNV_MASK63, dtype=np.uint64)
+    mat = arr.view(np.uint32).reshape(len(arr), width)
+    # token length from the NUL padding: trustworthy only when the
+    # nonzero codepoints form an exact prefix (no embedded NULs)
+    nzmask = mat != 0
+    lens = nzmask.sum(axis=1).astype(np.int64)
+    last = width - np.argmax(nzmask[:, ::-1], axis=1).astype(np.int64)
+    last[lens == 0] = 0
+    if (mat >= 128).any() or (lens != last).any():
+        return _fnv1a_bytes_batch([t.encode() for t in toks])
+    acc = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(width):
+        active = lens > j
+        nxt = (acc ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+        acc = np.where(active, nxt, acc)
+    return acc & _FNV_MASK63
+
 _TOKEN_P = np.uint64(1099511628211)
 _SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)
 
@@ -232,22 +295,29 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
     def gen(batches):
+        shift = np.arange(64, dtype=np.uint64)
         for pdf in batches:
+            # hash every token of the batch in ONE vectorized FNV pass
+            # (bit-identical to the old per-token loop), then slice the
+            # flat hash array per doc for the vote fold
+            docs = [(t or "").split() for t in pdf[text_col]]
+            counts = np.fromiter(
+                (len(d) for d in docs), count=len(docs), dtype=np.int64
+            )
+            flat = [tok for toks in docs for tok in toks]
+            hs_all = _splitmix64(_fnv1a_tokens(flat).astype(np.int64))
+            offs = np.concatenate([[0], np.cumsum(counts)])
             out = []
-            for text in pdf[text_col]:
-                toks = (text or "").split()
-                if not toks:
+            for i in range(len(docs)):
+                if counts[i] == 0:
                     out.append(0)
                     continue
-                hs = _splitmix64(
-                    np.array([_fnv1a(t) for t in toks], dtype=np.int64)
-                )
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+                hs = hs_all[offs[i]:offs[i + 1]]
+                bits = (hs[:, None] >> shift[None, :]) & np.uint64(1)
                 votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sh = np.uint64(0)
-                for bit in range(64):
-                    if votes[bit] > 0:
-                        sh |= np.uint64(1) << np.uint64(bit)
+                sh = np.left_shift((votes > 0).astype(np.uint64), shift).sum(
+                    dtype=np.uint64
+                )
                 out.append(int(sh.astype(np.int64)))
             yield pd.DataFrame({id_col: pdf[id_col].to_list(), "simhash": out})
 
@@ -439,7 +509,7 @@ def doc_fingerprints(
 
     def gen(batches):
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
+            ids, idxs, chunks = [], [], []
             for key, text in zip(pdf[id_col], pdf[text_col]):
                 data = (text or "").encode()
                 n = len(data)
@@ -465,8 +535,12 @@ def doc_fingerprints(
                 for k, end in enumerate(bounds):
                     ids.append(key)
                     idxs.append(k)
-                    hashes.append(_fnv1a(data[start:end].decode("latin1")))
+                    # latin1-decode → UTF-8 re-encode preserved from the
+                    # scalar path (the oracle replays these exact bytes)
+                    chunks.append(data[start:end].decode("latin1").encode())
                     start = end
+            # one vectorized FNV pass over every chunk in the batch
+            hashes = _fnv1a_bytes_batch(chunks).astype(np.int64)
             yield pd.DataFrame({id_col: ids, "chunk_idx": idxs, "chunk_hash": hashes})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
