@@ -660,13 +660,17 @@ def q_sql_st_measures(spark, sf_dir):
     register_all(spark)
     nation_squares(spark, sf_dir).createOrReplaceTempView("nsq_v")
     return spark.sql(
-        """SELECT n_nationkey, ST_Area(poly) AS area,
+        """SELECT n_nationkey,
+                  ST_Area(ST_GeomFromWKB(ST_AsBinary(poly))) AS area,
                   ROUND(ST_X(ST_Centroid(poly)), 6) AS cx_r,
                   ROUND(ST_Y(ST_Centroid(poly)), 6) AS cy_r,
                   ROUND(ST_XMin(ST_Transform(poly, 'EPSG:4326', 'EPSG:3857')), 4)
                       AS mminx_r,
                   ROUND(ST_YMax(ST_Transform(poly, 'EPSG:4326', 'EPSG:3857')), 4)
-                      AS mmaxy_r
+                      AS mmaxy_r,
+                  ST_SRID(ST_SetSRID(poly, 4326)) AS srid_rt,
+                  ST_IsValid(poly) AS is_valid,
+                  ST_Dimension(poly) AS dim
            FROM nsq_v"""
     )
 
@@ -1208,7 +1212,10 @@ def _oracles() -> dict[str, str]:
                    ROUND(cx, 6) AS cx_r, ROUND(cy, 6) AS cy_r,
                    ROUND((cx - hs) * (6378137.0 * pi() / 180.0), 4) AS mminx_r,
                    ROUND(ln(tan(pi() / 4.0 + radians(cy + hs) / 2.0)) * 6378137.0, 4)
-                       AS mmaxy_r
+                       AS mmaxy_r,
+                   CAST(4326 AS INTEGER) AS srid_rt,
+                   TRUE AS is_valid,
+                   CAST(2 AS INTEGER) AS dim
             FROM ({nsq})
         """,
         "dedup_exact": """

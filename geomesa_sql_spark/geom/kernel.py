@@ -838,3 +838,101 @@ def closest_point(a: Geom, b: Geom) -> np.ndarray:
         dv = np.sqrt(((cand[:, None, :] - pb[None]) ** 2).sum(-1)).min(axis=1)
         score = np.minimum(score, dv)
     return cand[int(np.argmin(score))].copy()
+
+
+def boundary(g: Geom) -> Geom | None:
+    """JTS getBoundary: points → empty GEOMETRYCOLLECTION; open lines →
+    their endpoints (mod-2 rule for multilines); polygons → their rings
+    as (MULTI)LINESTRING. GeometryCollection boundary is undefined in
+    JTS (throws) — we surface NULL."""
+    t = g.type
+    if t in (model.POINT, model.MULTIPOINT):
+        return Geom(model.GEOMETRYCOLLECTION, [])
+    if t == model.LINESTRING:
+        pts = g.coords
+        if len(pts) == 0 or bool((pts[0] == pts[-1]).all()):
+            return Geom(model.MULTIPOINT, [])
+        return Geom(model.MULTIPOINT, [
+            Geom(model.POINT, pts[0].copy()),
+            Geom(model.POINT, pts[-1].copy()),
+        ])
+    if t == model.MULTILINESTRING:
+        counts: dict[tuple, int] = {}
+        for sub in g.coords:
+            pts = sub.coords
+            if len(pts) == 0 or bool((pts[0] == pts[-1]).all()):
+                continue
+            for p in (pts[0], pts[-1]):
+                key = (float(p[0]), float(p[1]))
+                counts[key] = counts.get(key, 0) + 1
+        odd = [k for k in sorted(counts) if counts[k] % 2 == 1]
+        return Geom(model.MULTIPOINT, [
+            Geom(model.POINT, np.array(k, dtype=np.float64)) for k in odd
+        ])
+    if t == model.POLYGON:
+        rings = [Geom(model.LINESTRING, r.copy()) for r in g.coords]
+        return rings[0] if len(rings) == 1 else Geom(model.MULTILINESTRING, rings)
+    if t == model.MULTIPOLYGON:
+        rings = [
+            Geom(model.LINESTRING, r.copy())
+            for poly in g.coords
+            for r in poly.coords
+        ]
+        return rings[0] if len(rings) == 1 else Geom(model.MULTILINESTRING, rings)
+    return None
+
+
+def _ring_segs(ring: np.ndarray) -> np.ndarray:
+    return np.concatenate([ring[:-1], ring[1:]], axis=1)
+
+
+def is_valid(g: Geom) -> bool:
+    """Structural OGC validity (the checks JTS IsValidOp performs that
+    matter for this engine's inputs): finite coordinates; lines with ≥2
+    points; polygon rings closed, ≥4 points, non-zero area, no proper
+    self-crossings, and no proper crossings between rings. Exotic
+    failure modes (hole outside shell, nested shells) are out of scope
+    and documented as such."""
+    t = g.type
+    if t == model.POINT:
+        return bool(np.isfinite(g.coords).all())
+    if t == model.LINESTRING:
+        return len(g.coords) >= 2 and bool(np.isfinite(g.coords).all())
+    if t == model.POLYGON:
+        ring_segs = []
+        for ring in g.coords:
+            if (
+                len(ring) < 4
+                or not bool((ring[0] == ring[-1]).all())
+                or not bool(np.isfinite(ring).all())
+            ):
+                return False
+            x, y = ring[:, 0], ring[:, 1]
+            if abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))) == 0.0:
+                return False  # collapsed ring
+            segs = _ring_segs(ring)
+            if _seg_seg_intersect_matrix(segs, segs, proper=True).any():
+                return False  # ring self-crossing
+            ring_segs.append(segs)
+        for i in range(len(ring_segs)):
+            for j in range(i + 1, len(ring_segs)):
+                if _seg_seg_intersect_matrix(
+                    ring_segs[i], ring_segs[j], proper=True
+                ).any():
+                    return False  # rings cross
+        return True
+    # multis / collections: every member valid
+    return all(is_valid(sub) for sub in g.coords)
+
+
+def dimension(g: Geom) -> int:
+    """Topological dimension (JTS getDimension): 0 points, 1 lines,
+    2 polygons; collections take the max over members (0 when empty)."""
+    t = g.type
+    if t in (model.POINT, model.MULTIPOINT):
+        return 0
+    if t in (model.LINESTRING, model.MULTILINESTRING):
+        return 1
+    if t in (model.POLYGON, model.MULTIPOLYGON):
+        return 2
+    return max((dimension(sub) for sub in g.coords), default=0)

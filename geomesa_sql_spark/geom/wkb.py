@@ -53,6 +53,36 @@ def _write(g: Geom, out: bytearray) -> None:
             _write(sub, out)
 
 
+_EWKB_SRID_FLAG = 0x20000000
+
+
+def geom_to_ewkb(g: Geom, srid: int) -> bytes:
+    """PostGIS-style EWKB: the top-level header carries the SRID flag +
+    a 4-byte SRID. srid=0 degenerates to plain WKB (matching PostGIS
+    ST_SetSRID(g, 0))."""
+    plain = geom_to_wkb(g)
+    if not srid:
+        return plain
+    return (
+        plain[:1]
+        + struct.pack("<I", struct.unpack_from("<I", plain, 1)[0] | _EWKB_SRID_FLAG)
+        + struct.pack("<i", srid)
+        + plain[5:]
+    )
+
+
+def wkb_srid(buf: bytes) -> int:
+    """SRID of an (E)WKB buffer — 0 when untagged (Calcite/PostGIS
+    ST_SRID default)."""
+    if len(buf) < 5:
+        return 0
+    fmt = "<" if buf[0] == 1 else ">"
+    code = struct.unpack_from(fmt + "I", buf, 1)[0]
+    if code & _EWKB_SRID_FLAG:
+        return struct.unpack_from(fmt + "i", buf, 5)[0]
+    return 0
+
+
 def geom_from_wkb(buf: bytes) -> Geom:
     g, _ = _read(memoryview(buf), 0)
     return g
@@ -61,8 +91,11 @@ def geom_from_wkb(buf: bytes) -> Geom:
 def _read(mv: memoryview, off: int) -> tuple[Geom, int]:
     little = mv[off] == 1
     fmt = "<" if little else ">"
-    code = struct.unpack_from(fmt + "I", mv, off + 1)[0] & 0xFF
+    raw = struct.unpack_from(fmt + "I", mv, off + 1)[0]
+    code = raw & 0xFF
     off += 5
+    if raw & _EWKB_SRID_FLAG:
+        off += 4  # EWKB: skip the embedded SRID
     t = _TYPE[code]
     if t == model.POINT:
         x, y = struct.unpack_from(fmt + "2d", mv, off)
