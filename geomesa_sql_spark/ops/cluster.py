@@ -392,6 +392,25 @@ def _validated_pts(df, key, x, y, eps, min_pts, coarse_cell):
     return pts, eps, s
 
 
+def _dilate_cells_np(cells: "pd.DataFrame", r: int) -> "pd.DataFrame":
+    """Driver-side Chebyshev-r dilation of a small (ccx, ccy) frame."""
+    cx = cells["ccx"].to_numpy(np.int64)
+    cy = cells["ccy"].to_numpy(np.int64)
+    offs = np.arange(-r, r + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs, indexing="ij")
+    ex = (cx[:, None] + dx.ravel()[None, :]).ravel()
+    ey = (cy[:, None] + dy.ravel()[None, :]).ravel()
+    uniq = np.unique(np.stack([ex, ey], axis=1), axis=0)
+    return pd.DataFrame({"ccx": uniq[:, 0], "ccy": uniq[:, 1]})
+
+
+# above this many distinct delta home cells, incremental maintenance
+# expands cell rings distributedly instead of on the driver (a spray
+# delta over a huge grid); below it, LocalRelation cell sets avoid
+# ~6 tiny shuffle jobs per batch — the dominant cost of a small delta
+_DRIVER_CELLS_MAX = 100_000
+
+
 def _expand_cells(cells: DataFrame, r: int) -> DataFrame:
     """Chebyshev-r dilation of a (ccx, ccy) cell set."""
     if r == 0:
@@ -422,15 +441,19 @@ def _compute_local(
     eps: float,
     min_pts: int,
     p2_cells: DataFrame | None = None,
+    p1_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Pass 1 (exact core flags) + pass 2 (local components) → the
     per-cell `local` rows. With ``p2_cells`` set, pass 2 runs only for
     those coarse cells; pass 1 runs for their 1-ring (a dirty cell's
-    halo points live in adjacent cells and their flags are needed)."""
+    halo points live in adjacent cells and their flags are needed) —
+    pass the precomputed ring as ``p1_cells`` to skip the distributed
+    dilation."""
     rep = _replicate_to_cells(pts, s, eps)
     if p2_cells is not None:
-        p1_cells = F.broadcast(_expand_cells(p2_cells, 1))
-        rep = rep.join(p1_cells, ["ccx", "ccy"], "left_semi")
+        if p1_cells is None:
+            p1_cells = _expand_cells(p2_cells, 1)
+        rep = rep.join(F.broadcast(p1_cells), ["ccx", "ccy"], "left_semi")
 
     def p1(pdf: pd.DataFrame) -> pd.DataFrame:
         o = pdf["own"].to_numpy(dtype=bool)
@@ -468,8 +491,11 @@ def min_label_components(
     pointer-jumping loop over ``seeds``."""
     spark = seeds.sparkSession
     uniq = edges.select("i", "j").filter(F.col("i") != F.col("j")).distinct()
-    rows = uniq.limit(_DRIVER_MERGE_MAX + 1).collect()
-    if len(rows) <= _DRIVER_MERGE_MAX:
+    # Arrow toPandas, not collect(): pyspark Row objects cost hundreds
+    # of bytes each, so a max-size merge graph lands as two compact
+    # int64 columns (~32 MB) instead of transient GBs (ADVICE r2)
+    pdf = uniq.limit(_DRIVER_MERGE_MAX + 1).toPandas()
+    if len(pdf) <= _DRIVER_MERGE_MAX:
         uf_parent: dict[int, int] = {}
 
         def find(a: int) -> int:
@@ -478,8 +504,8 @@ def min_label_components(
                 a = uf_parent[a]
             return a
 
-        for r in rows:
-            ra, rb = find(int(r["i"])), find(int(r["j"]))
+        for a, b in zip(pdf["i"].to_numpy(), pdf["j"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 uf_parent[max(ra, rb)] = min(ra, rb)
         mapping = [(n, find(n)) for n in list(uf_parent)]
@@ -494,28 +520,50 @@ def min_label_components(
     return _connected_components(seeds, sym, max_iter)
 
 
-def _assemble(local: DataFrame, max_iter: int) -> DataFrame:
-    """Global label merge + per-point output from `local` rows."""
-    spark = local.sparkSession
-    corelab = local.filter(F.col("kind") == "corelab")
-    # label-equivalence graph: labels seen for the same physical point.
-    # Only points replicated into >= 2 partitions (halo crossers) can
-    # carry an equivalence — filter before exploding.
-    eq_pairs = (
+def _eq_edges(corelab: DataFrame) -> DataFrame:
+    """Label-equivalence edges WITH provenance: (pid, i, j) — labels
+    seen for the same physical point ``pid``. Only points replicated
+    into >= 2 partitions (halo crossers) can carry an equivalence —
+    filtered before exploding. The pid column is what lets
+    :func:`dbscan_incremental` invalidate exactly the edges of points
+    whose replica row-set changed."""
+    return (
         corelab.groupBy("id")
         .agg(F.collect_set("lab").alias("labs"))
         .filter(F.size("labs") > 1)
-        .select(F.array_min("labs").alias("i"), F.explode("labs").alias("j"))
+        .select(
+            F.col("id").alias("pid"),
+            F.array_min("labs").alias("i"),
+            F.explode("labs").alias("j"),
+        )
         .filter(F.col("i") != F.col("j"))
+    )
+
+
+def _resolve_labels(eq: DataFrame, max_iter: int) -> DataFrame:
+    """(lab, cluster) resolution map from (.., i, j) equivalence edges.
+    The merge graph is LABEL-level: one node per local component,
+    independent of n (MR-DBSCAN's merge step); resolved adaptively
+    (driver union-find under the edge cap, distributed CC above it).
+    Labels untouched by any edge are identity-resolved and OMITTED —
+    consumers coalesce(cluster, lab)."""
+    pairs = eq.select("i", "j")
+    seeds = (
+        pairs.select(F.col("i").alias("id"))
+        .unionByName(pairs.select(F.col("j").alias("id")))
         .distinct()
     )
-    # The merge graph is LABEL-level: one node per local component,
-    # independent of n (MR-DBSCAN's merge step); resolved adaptively
-    # (driver union-find under the edge cap, distributed CC above it).
-    seeds = corelab.select(F.col("lab").alias("id")).distinct()
-    resolved = min_label_components(seeds, eq_pairs, max_iter).select(
+    return min_label_components(seeds, pairs, max_iter).select(
         F.col("id").alias("lab"), F.col("lab").alias("cluster")
     )
+
+
+def _assemble_rows(local: DataFrame, resolved: DataFrame) -> DataFrame:
+    """Per-point output from `local` rows given a (lab, cluster)
+    resolution map. Restrictable: called with a slice of `local`
+    containing ALL rows of each id present, it yields exactly that
+    subset of the full output."""
+    corelab = local.filter(F.col("kind") == "corelab")
 
     def _resolve(labelled: DataFrame) -> DataFrame:
         # (id, lab) -> (id, min resolved cluster); labels outside the
@@ -541,6 +589,22 @@ def _assemble(local: DataFrame, max_iter: int) -> DataFrame:
     return core_rows.unionByName(border_rows).unionByName(noise_rows)
 
 
+def _assemble_full(local: DataFrame, max_iter: int):
+    """Global label merge + per-point output. Returns
+    (result, eq_edges, resolved_nontrivial) — the two extra frames are
+    the incremental-maintenance state."""
+    corelab = local.filter(F.col("kind") == "corelab")
+    eq = _eq_edges(corelab)
+    resolved = _resolve_labels(eq, max_iter)
+    result = _assemble_rows(local, resolved)
+    return result, eq, resolved.filter(F.col("lab") != F.col("cluster"))
+
+
+def _assemble(local: DataFrame, max_iter: int) -> DataFrame:
+    """Global label merge + per-point output from `local` rows."""
+    return _assemble_full(local, max_iter)[0]
+
+
 def dbscan(
     df: DataFrame,
     key: str,
@@ -563,13 +627,25 @@ def dbscan(
     that one cell's points fit an executor. Shrink it for very dense
     data.
 
-    ``return_state=True`` additionally returns the per-cell `local`
-    state for :func:`dbscan_incremental` (append-delta maintenance).
+    ``return_state=True`` additionally returns the maintenance state
+    for :func:`dbscan_incremental` (append-delta maintenance): a dict
+    of {local, eq, resolved, result} DataFrames (per-cell local rows,
+    provenance-tagged label-equivalence edges, the non-identity label
+    resolution map, and the per-point output).
     """
     pts, eps, s = _validated_pts(df, key, x, y, eps, min_pts, coarse_cell)
     local = _compute_local(pts, s, eps, int(min_pts))
-    result = _assemble(local, max_iter)
-    return (result, local) if return_state else result
+    if not return_state:
+        return _assemble(local, max_iter)
+    result, eq, resolved = _assemble_full(local, max_iter)
+    result = result.localCheckpoint(eager=True)
+    state = {
+        "local": local,
+        "eq": eq.localCheckpoint(eager=True),
+        "resolved": resolved.localCheckpoint(eager=True),
+        "result": result,
+    }
+    return result, state
 
 
 def dbscan_incremental(
@@ -590,33 +666,153 @@ def dbscan_incremental(
     differentially in tests), at delta-proportional cost.
 
     ``df_all`` = the full table INCLUDING the delta rows; ``delta`` =
-    just the new rows; ``prev_state`` = the `local` state from
+    just the new rows; ``prev_state`` = the state dict from
     ``dbscan(..., return_state=True)`` (or a previous incremental
-    step) computed over ``df_all`` minus ``delta``. Appends only —
-    deletions would need tombstone handling this does not do.
+    step) computed over ``df_all`` minus ``delta``; a bare `local`
+    DataFrame (the pre-r3 state shape) is upgraded in place with one
+    full assemble. Appends only — deletions would need tombstone
+    handling this does not do.
 
     Dirty radius: a new point changes core flags only within eps
     (1 coarse ring at S ≥ 2·eps), and a cell's local clustering reads
     flag-changed points up to one more halo ring away — so cells
     within Chebyshev 2 of a delta home cell are recomputed (their
     pass-1 support extends one further ring via ``_compute_local``).
-    Everything farther keeps byte-identical `local` rows, and the
-    global label merge re-links the two sets through their shared
-    halo points exactly as in the full run.
+    Everything farther keeps byte-identical `local` rows.
+
+    ASSEMBLY is delta-proportional too (VERDICT r2 #6, previously
+    O(state) per batch): a point's replica rows all sit within
+    Chebyshev 1 of its home cell, so only points with home in
+    ring1(dirty) can change their row-set — their equivalence edges
+    are re-derived from the ring2(dirty) slice and swapped into the
+    persisted provenance-tagged edge list. The label resolution map is
+    re-solved (label-level, tiny) and DIFFED against the previous one;
+    per-point output is recomputed only for (points with a row in a
+    dirty cell) ∪ (points carrying a label whose resolution changed),
+    anti-join-unioned with the untouched remainder of the previous
+    result. Everything id-keyed joins against broadcast
+    delta-proportional key sets, so the O(state) frames are only ever
+    scanned, never shuffled.
 
     Returns (result, new_state)."""
+    if isinstance(prev_state, DataFrame):  # pre-r3 state shape
+        p_result, p_eq, p_resolved = _assemble_full(prev_state, max_iter)
+        prev_state = {
+            "local": prev_state,
+            "eq": p_eq.localCheckpoint(eager=True),
+            "resolved": p_resolved.localCheckpoint(eager=True),
+            "result": p_result.localCheckpoint(eager=True),
+        }
+    prev_local = prev_state["local"]
     pts_all, eps, s = _validated_pts(
         df_all, key, x, y, eps, min_pts, coarse_cell
     )
     pts_delta, _, _ = _validated_pts(delta, key, x, y, eps, min_pts, coarse_cell)
 
+    spark = df_all.sparkSession
     home = pts_delta.select(
         F.floor(F.col("x") / F.lit(s)).cast("long").alias("ccx"),
         F.floor(F.col("y") / F.lit(s)).cast("long").alias("ccy"),
     ).distinct()
-    dirty = _expand_cells(home, 2).localCheckpoint(eager=True)
+    home_pdf = home.toPandas()
+    if len(home_pdf) <= _DRIVER_CELLS_MAX:
+        # LocalRelation cell sets: every ring is a numpy dilation of the
+        # home cells, so the per-batch fixed cost is one tiny toPandas
+        # job instead of ~6 distinct-shuffle jobs (ring re-expansions)
+        def _cells(r: int) -> DataFrame:
+            return spark.createDataFrame(
+                _dilate_cells_np(home_pdf, r), "ccx long, ccy long"
+            )
 
-    fresh = _compute_local(pts_all, s, eps, int(min_pts), p2_cells=dirty)
-    kept = prev_state.join(F.broadcast(dirty), ["ccx", "ccy"], "left_anti")
-    new_state = kept.unionByName(fresh).localCheckpoint(eager=True)
-    return _assemble(new_state, max_iter), new_state
+        dirty, ring1, ring2 = _cells(2), _cells(3), _cells(4)
+        p1c = ring1
+    else:  # spray delta over a huge grid: expand distributedly
+        dirty = _expand_cells(home, 2).localCheckpoint(eager=True)
+        ring1 = _expand_cells(dirty, 1)
+        ring2 = _expand_cells(dirty, 2)
+        p1c = None
+
+    fresh = _compute_local(
+        pts_all, s, eps, int(min_pts), p2_cells=dirty, p1_cells=p1c
+    )
+    kept = prev_local.join(F.broadcast(dirty), ["ccx", "ccy"], "left_anti")
+    new_local = kept.unionByName(fresh).localCheckpoint(eager=True)
+
+    def _own_core_ids(local_rows: DataFrame) -> DataFrame:
+        return (
+            local_rows.filter((F.col("kind") == "corelab") & F.col("own"))
+            .join(F.broadcast(ring1), ["ccx", "ccy"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+
+    # points whose corelab row-set may differ between prev and new
+    # state: any replica cell dirty => home within ring1(dirty)
+    refresh_ids = (
+        _own_core_ids(prev_local)
+        .unionByName(_own_core_ids(new_local))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # their replicas all live within ring2(dirty) — re-derive edges
+    # from that slice only
+    slice_eq = (
+        new_local.filter(F.col("kind") == "corelab")
+        .join(F.broadcast(ring2), ["ccx", "ccy"], "left_semi")
+        .join(F.broadcast(refresh_ids), "id", "left_semi")
+    )
+    eq = (
+        prev_state["eq"]
+        .join(
+            F.broadcast(refresh_ids.withColumnRenamed("id", "pid")),
+            "pid",
+            "left_anti",
+        )
+        .unionByName(_eq_edges(slice_eq))
+        .localCheckpoint(eager=True)
+    )
+    resolved = _resolve_labels(eq, max_iter)
+    resolved_nt = resolved.filter(F.col("lab") != F.col("cluster")).localCheckpoint(
+        eager=True
+    )
+    # labels whose resolution changed (identity entries are omitted on
+    # both sides, so appearing/disappearing from the map IS a change)
+    p = prev_state["resolved"].withColumnRenamed("cluster", "pc")
+    n = resolved_nt.withColumnRenamed("cluster", "nc")
+    changed_labs = (
+        p.join(n, "lab", "full_outer")
+        .filter(
+            F.coalesce("pc", F.col("lab")) != F.coalesce("nc", F.col("lab"))
+        )
+        .select("lab")
+    )
+    ids_dirty = (
+        prev_local.join(F.broadcast(dirty), ["ccx", "ccy"], "left_semi")
+        .select("id")
+        .unionByName(fresh.select("id"))
+        .distinct()
+    )
+    ids_relabel = (
+        new_local.filter(F.col("kind") != "noise")
+        .join(F.broadcast(changed_labs), "lab", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    affected = (
+        ids_dirty.unionByName(ids_relabel).distinct().localCheckpoint(eager=True)
+    )
+    slice_pts = new_local.join(F.broadcast(affected), "id", "left_semi")
+    new_rows = _assemble_rows(slice_pts, resolved)
+    result = (
+        prev_state["result"]
+        .join(F.broadcast(affected), "id", "left_anti")
+        .unionByName(new_rows)
+        .localCheckpoint(eager=True)
+    )
+    new_state = {
+        "local": new_local,
+        "eq": eq,
+        "resolved": resolved_nt,
+        "result": result,
+    }
+    return result, new_state

@@ -902,3 +902,48 @@ def test_min_label_components_cap_switch(spark, monkeypatch):
                 C.min_label_components(seeds, edges).collect()}
     assert via_driver == via_dist
     assert via_driver[20] == 1 and via_driver[51] == 50
+
+
+def test_dbscan_incremental_chained_batches(spark):
+    """r3: state dict flows through SEVERAL incremental steps; the
+    delta-proportional assembly (edge swap + resolution-map diff +
+    affected-only reassembly) must keep every step byte-equal to the
+    full rebuild — including a LATE bridge merging clusters formed in
+    different earlier batches, which relabels untouched cells."""
+    from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
+
+    schema = "id long, x double, y double"
+
+    def blob(start_id, cx, cy, n=30):
+        return [
+            (start_id + k, cx + 0.05 * (k % 6), cy + 0.05 * (k // 6))
+            for k in range(n)
+        ]
+
+    base_rows = blob(0, 0.0, 0.0) + blob(100, 20.0, 0.0)
+    batches = [
+        blob(200, 40.0, 0.0),                                   # new far blob
+        [(300 + k, 0.3 + k * 0.7, 0.0) for k in range(29)],     # bridge 0<->20
+        [(400 + k, 20.3 + k * 0.7, 0.0) for k in range(29)],    # bridge 20<->40
+    ]
+    base = spark.createDataFrame(base_rows, schema)
+    _, state = dbscan(
+        base, "id", "x", "y", eps=0.8, min_pts=3, coarse_cell=1.6,
+        return_state=True,
+    )
+    acc = list(base_rows)
+    for bi, b in enumerate(batches):
+        acc = acc + b
+        full = spark.createDataFrame(acc, schema)
+        delta = spark.createDataFrame(b, schema)
+        inc, state = dbscan_incremental(
+            full, delta, state, "id", "x", "y", eps=0.8, min_pts=3,
+            coarse_cell=1.6,
+        )
+        want_df = dbscan(full, "id", "x", "y", eps=0.8, min_pts=3,
+                         coarse_cell=1.6)
+        got = {r.id: (r.cluster, r.role) for r in inc.collect()}
+        want = {r.id: (r.cluster, r.role) for r in want_df.collect()}
+        assert got == want, f"batch {bi}"
+    # after the last batch everything is ONE cluster labelled 0
+    assert {c for c, _ in got.values() if c >= 0} == {0}
