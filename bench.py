@@ -149,6 +149,26 @@ def main() -> None:
             best = min(best, time.time() - q0)
         results[name] = round(best, 3)
 
+    # kNN at large query-set scale (VERDICT r2 #7): 10k query points
+    # through the cell-join formulation — the adaptive driver loop
+    # would collect k rows per query per round
+    from geomesa_sql_spark.io.fixtures import orders_points
+    from geomesa_sql_spark.join.knn import knn_join_cells
+
+    knn_pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    knn_q = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0).alias("qx"),
+        ((F.col("id") * 104729 % 1700) / 10.0 - 85.0).alias("qy"),
+    )
+    knn_join_cells(knn_pts, knn_q, k=10).count()  # warm
+    best = float("inf")
+    for _ in range(2):
+        q0 = time.time()
+        knn_join_cells(knn_pts, knn_q, k=10).count()
+        best = min(best, time.time() - q0)
+    results["knn_10k_queries"] = round(best, 3)
+
     # incremental DBSCAN: a localized append delta reclusters only its
     # dirty coarse cells, and (r3) the assembly is delta-proportional
     # too — edges of row-set-changed points are swapped into the

@@ -86,6 +86,7 @@ def knn_join_adaptive(
     r0: float | None = None,
     max_rounds: int = 12,
     world: tuple[float, float, float, float] = (-180.0, -90.0, 180.0, 90.0),
+    large_query_threshold: int = 1000,
 ) -> DataFrame:
     """Exact kNN via expanding-radius bbox pruning (the 100 TB path).
 
@@ -93,9 +94,18 @@ def knn_join_adaptive(
     predicate is plain Column arithmetic, so with a cell-clustered
     layout (io.layout.write_geo_table) it prunes at the parquet
     row-group level instead of scanning every point.
+
+    A DataFrame query set larger than ``large_query_threshold``
+    dispatches to :func:`knn_join_cells` — the driver loop below
+    collects ≤ k·|active| rows per round, which is right for a
+    handful of probes and wrong for 10⁵ of them (VERDICT r2 #7).
     """
     spark = points.sparkSession
     if isinstance(queries, DataFrame):
+        if queries.limit(large_query_threshold + 1).count() > large_query_threshold:
+            return knn_join_cells(
+                points, queries, k, x, y, query_id, qx, qy, world=world
+            )
         qrows = [(r[0], float(r[1]), float(r[2])) for r in queries.collect()]
     else:
         qrows = [(q[0], float(q[1]), float(q[2])) for q in queries]
@@ -172,3 +182,139 @@ def knn_join_adaptive(
         out_schema = straggler.schema
         done_rows.extend(straggler.collect())
     return spark.createDataFrame(done_rows, out_schema)
+
+
+def knn_join_cells(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    x: str = "lon",
+    y: str = "lat",
+    query_id: str = "query_id",
+    qx: str = "qx",
+    qy: str = "qy",
+    cell: float | None = None,
+    max_rounds: int = 6,
+    world: tuple[float, float, float, float] = (-180.0, -90.0, 180.0, 90.0),
+) -> DataFrame:
+    """Exact kNN for LARGE query sets (VERDICT r2 #7).
+
+    :func:`knn_join_adaptive`'s driver loop collects ≤ k·|active| rows
+    per round — right for 3 probes, wrong for 10⁵ query points. Here
+    BOTH sides are cell-encoded and each round is a plain distributed
+    plan: queries replicate to their Chebyshev-m cell ring, candidates
+    arrive via a (ccx, ccy) equi-join against point home cells, a
+    per-query window takes the top-k, and a query is accepted exactly
+    when its kth distance fits inside the PER-QUERY covered radius
+    (distance from the query to the boundary of its ring block — the
+    circle of radius d_k then lies fully inside the gathered cells, so
+    no true neighbour is missed). Acceptance stats ride the SAME
+    query-keyed shuffle as the rank window (window aggregates, no
+    extra exchange); the only driver work is one count() per round.
+    Stragglers double the ring; anything left after ``max_rounds``
+    brute-forces via :func:`knn_join` (by then the active set is a
+    handful of world-edge queries).
+
+    Returns the :func:`knn_join` schema: points columns +
+    (query_id, dist, rank). Deterministic: ties break on
+    (dist, *points columns).
+    """
+    spark = points.sparkSession
+    if cell is None:
+        # a (2m+1)-cell block should hold ≳ 9k points in round 1
+        n = max(points.count(), 1)
+        area = (world[2] - world[0]) * (world[3] - world[1])
+        cell = max((area * float(k) / n) ** 0.5, 1e-9)
+
+    pts = points.withColumn(
+        "__pcx", F.floor(F.col(x) / F.lit(cell)).cast("long")
+    ).withColumn("__pcy", F.floor(F.col(y) / F.lit(cell)).cast("long"))
+
+    active = queries.select(
+        query_id,
+        F.col(qx).cast("double").alias(qx),
+        F.col(qy).cast("double").alias(qy),
+        F.floor(F.col(qx) / F.lit(cell)).cast("long").alias("__qcx"),
+        F.floor(F.col(qy) / F.lit(cell)).cast("long").alias("__qcy"),
+    ).localCheckpoint(eager=True)
+
+    out_parts: list[DataFrame] = []
+    m = 1
+    for _ in range(max_rounds):
+        if active.isEmpty():
+            break
+        span = (2 * m + 1) * cell
+        world_covered = span >= (world[2] - world[0]) and span >= (
+            world[3] - world[1]
+        )
+        offs = [(dx, dy) for dx in range(-m, m + 1) for dy in range(-m, m + 1)]
+        rep = active.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("__qcx") + F.lit(dx)).alias("cx"),
+                            (F.col("__qcy") + F.lit(dy)).alias("cy"),
+                        )
+                        for dx, dy in offs
+                    ]
+                )
+            ).alias("__c"),
+        ).select(
+            query_id, qx, qy, "__qcx", "__qcy",
+            F.col("__c.cx").alias("__pcx"), F.col("__c.cy").alias("__pcy"),
+        )
+        cand = rep.join(pts, ["__pcx", "__pcy"])
+        dx_ = F.col(x) - F.col(qx)
+        dy_ = F.col(y) - F.col(qy)
+        with_dist = cand.withColumn("dist", F.sqrt(dx_ * dx_ + dy_ * dy_))
+        order = [F.col("dist")] + [F.col(c) for c in points.columns]
+        w = Window.partitionBy(query_id).orderBy(*order)
+        wq = Window.partitionBy(query_id)
+        # covered radius: distance from q to the edge of its ring block
+        rguar = F.least(
+            F.col(qx) - (F.col("__qcx") - m) * F.lit(cell),
+            (F.col("__qcx") + m + 1) * F.lit(cell) - F.col(qx),
+            F.col(qy) - (F.col("__qcy") - m) * F.lit(cell),
+            (F.col("__qcy") + m + 1) * F.lit(cell) - F.col(qy),
+        )
+        topk = (
+            with_dist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("__nq", F.count(F.lit(1)).over(wq))
+            .withColumn("__dk", F.max("dist").over(wq))
+            .withColumn("__ok", (F.col("__nq") >= k) & (F.col("__dk") <= rguar))
+        )
+        if world_covered:
+            topk = topk.withColumn("__ok", F.lit(True))
+        accepted = (
+            topk.filter("__ok")
+            .drop(qx, qy, "__qcx", "__qcy", "__pcx", "__pcy",
+                  "__nq", "__dk", "__ok")
+            .localCheckpoint(eager=True)
+        )
+        out_parts.append(accepted)
+        if world_covered:
+            active = active.limit(0).localCheckpoint(eager=True)
+            break
+        done_ids = accepted.select(query_id).distinct()
+        active = active.join(done_ids, query_id, "left_anti").localCheckpoint(
+            eager=True
+        )
+        m *= 2
+    if not active.isEmpty():
+        out_parts.append(
+            knn_join(
+                points,
+                active.select(query_id, qx, qy),
+                k, x, y, query_id, qx, qy,
+            )
+        )
+    if not out_parts:
+        return knn_join(points.limit(0), queries.limit(0), k, x, y,
+                        query_id, qx, qy)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

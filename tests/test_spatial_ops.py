@@ -390,3 +390,33 @@ def test_incremental_pyramid_equals_full_rebuild(spark, sf_dir):
     assert sorted(per_zoom) == [3, 4, 5, 6]
     for z in (4, 5, 6):
         assert per_zoom[z - 1] <= per_zoom[z]
+
+
+def test_knn_cells_matches_bruteforce_10k_queries(spark, sf_dir):
+    """r3: the cell-join kNN (large-query-set path) is exact — parity
+    with brute force at 10k query points, including queries far
+    outside the data extent (straggler ring escalation)."""
+    from geomesa_sql_spark.io.fixtures import orders_points
+    from geomesa_sql_spark.join import knn_join, knn_join_adaptive
+    from geomesa_sql_spark.join.knn import knn_join_cells
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    queries = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0).alias("qx"),
+        ((F.col("id") * 104729 % 1700) / 10.0 - 85.0).alias("qy"),
+    )
+    k = 3
+    brute = knn_join(pts, queries, k=k)
+    cells = knn_join_cells(pts, queries, k=k)
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rank, r.o_orderkey, round(r.dist, 9))
+            for r in df.collect()
+        )
+
+    assert key(cells) == key(brute)
+    # the adaptive front door dispatches 10k DataFrame queries here
+    auto = knn_join_adaptive(pts, queries, k=k)
+    assert key(auto) == key(brute)
