@@ -816,3 +816,51 @@ def dbscan_incremental(
         "result": result,
     }
     return result, new_state
+
+
+_STATE_FRAMES = ("local", "eq", "resolved", "result")
+
+
+def save_dbscan_state(state: dict, path: str, applied: list) -> str:
+    """Durable snapshot of the incremental-DBSCAN state dict plus the
+    list of applied batch ids (kill-resume support, VERDICT r2 #8).
+
+    Writes a fresh version dir and then atomically repoints
+    ``_CURRENT`` — a kill mid-save leaves the previous version live,
+    so a resume re-applies the interrupted batch from consistent state
+    instead of double-applying it. Returns the version name."""
+    import json
+    import os
+    import uuid
+
+    v = f"v{len(applied)}_{uuid.uuid4().hex[:8]}"
+    d = os.path.join(path, v)
+    for name in _STATE_FRAMES:
+        state[name].write.mode("overwrite").parquet(os.path.join(d, name))
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump({"applied": list(applied)}, f)
+    tmp = os.path.join(path, "_CURRENT._tmp")
+    with open(tmp, "w") as f:
+        f.write(v)
+    os.replace(tmp, os.path.join(path, "_CURRENT"))
+    return v
+
+
+def load_dbscan_state(spark, path: str):
+    """(state dict, applied batch ids) from the committed version, or
+    (None, []) when no commit exists yet."""
+    import json
+    import os
+
+    cur_file = os.path.join(path, "_CURRENT")
+    if not os.path.exists(cur_file):
+        return None, []
+    with open(cur_file) as f:
+        d = os.path.join(path, f.read().strip())
+    state = {
+        name: spark.read.parquet(os.path.join(d, name))
+        for name in _STATE_FRAMES
+    }
+    with open(os.path.join(d, "meta.json")) as f:
+        applied = json.load(f)["applied"]
+    return state, applied
