@@ -743,3 +743,42 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register(
         "ST_Dimension", _measure(kernel.dimension, T.IntegerType())
     )
+
+    # PostGIS arity split: ST_Relate(a, b) -> the 9-char DE-9IM matrix;
+    # ST_RelateMatch(matrix, pattern) -> boolean (string-level, exactly
+    # PostGIS's function of the same name)
+    from geomesa_sql_spark.geom.de9im import de9im as _de9im_fn
+
+    @F.pandas_udf(T.StringType())
+    def _relate_matrix(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(_decode_series(wa), _decode_series(wb)):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_de9im_fn(a, b))
+            except ValueError:  # GeometryCollection: JTS RelateOp parity
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_Relate", _relate_matrix)
+
+    @F.pandas_udf(T.BooleanType())
+    def _relate_match(mat: pd.Series, pat: pd.Series) -> pd.Series:
+        def match(m, p):
+            if m is None or p is None or len(p) != 9 or len(m) != 9:
+                return None
+            for got, want in zip(m, p.upper()):
+                if want == "*":
+                    continue
+                if want == "T":
+                    if got == "F":
+                        return False
+                elif got != want:
+                    return False
+            return True
+
+        return pd.Series([match(m, p) for m, p in zip(mat, pat)])
+
+    spark.udf.register("ST_RelateMatch", _relate_match)

@@ -1,0 +1,107 @@
+"""DE-9IM (ST_Relate) matrices against JTS/PostGIS-derived truth.
+
+Each expected string was derived by hand from the DE-9IM definition
+(and cross-checked against the published PostGIS/JTS results for the
+standard configurations). Pure-numpy — no Spark session needed.
+"""
+
+import pytest
+
+from geomesa_sql_spark.geom import geom_from_wkt as W
+from geomesa_sql_spark.geom.de9im import de9im, relate_pattern
+
+SQ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+SQ_HOLE = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+
+CASES = [
+    # points
+    ("POINT (1 2)", "POINT (1 2)", "0FFFFFFF2"),
+    ("POINT (1 2)", "POINT (3 4)", "FF0FFF0F2"),
+    ("MULTIPOINT ((1 1), (5 5))", "POINT (5 5)", "0F0FFFFF2"),
+    # line-line
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 5)", "0F1FF0102"),
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (0 0, 10 0)", "1FFF0FFF2"),
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (10 0, 20 0)", "FF1F00102"),
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)", "1010F0102"),
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (2 0, 8 0)", "101FF0FF2"),
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 5 5)", "F01FF0102"),
+    ("LINESTRING (0 0, 10 0)", "LINESTRING (0 5, 10 5)", "FF1FF0102"),
+    # polygon-point
+    (SQ, "POINT (5 5)", "0F2FF1FF2"),
+    (SQ, "POINT (0 5)", "FF20F1FF2"),
+    (SQ, "POINT (20 5)", "FF2FF10F2"),
+    # polygon-line
+    (SQ, "LINESTRING (-5 5, 15 5)", "1F20F1102"),
+    (SQ, "LINESTRING (2 5, 8 5)", "102FF1FF2"),     # line inside
+    (SQ, "LINESTRING (2 0, 8 0)", "FF2101FF2"),     # line on edge
+    (SQ, "LINESTRING (5 5, 15 5)", "1020F1102"),    # inside -> out
+    (SQ, "LINESTRING (10 2, 10 8)", "FF2101FF2"),   # ON right edge, endpoints ON ring
+    # polygon-polygon
+    (SQ, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))", "212101212"),
+    (SQ, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", "212FF1FF2"),
+    (SQ, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))", "FF2F11212"),
+    (SQ, "POLYGON ((20 0, 30 0, 30 10, 20 10, 20 0))", "FF2FF1212"),
+    (SQ, SQ, "2FFF1FFF2"),
+    # corner touch (single point)
+    (SQ, "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))", "FF2F01212"),
+    # holes: B inside A's hole (disjoint through the hole)
+    (SQ_HOLE, "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))", "FF2FF1212"),
+    # B covers A's hole exactly (B boundary == hole ring)
+    (SQ_HOLE, "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))", "FF2F112F2"),
+    # B overlaps A's material and pokes into the hole
+    (SQ_HOLE, "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))", "212101212"),
+    # A simple square vs B with a hole, A fills B's hole + more
+    ("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))", SQ_HOLE, "2121FF212"),
+]
+
+
+@pytest.mark.parametrize("wa,wb,want", CASES, ids=range(len(CASES)))
+def test_de9im_matrix(wa, wb, want):
+    assert de9im(W(wa), W(wb)) == want
+
+
+def test_de9im_transpose_symmetry():
+    """de9im(b, a) is the transpose of de9im(a, b) for every case."""
+    for wa, wb, want in CASES:
+        m = de9im(W(wa), W(wb))
+        t = de9im(W(wb), W(wa))
+        got = "".join(m[3 * (i % 3) + i // 3] for i in range(9))
+        assert got == t, (wa, wb)
+
+
+def test_relate_pattern_matcher():
+    a, b = W(SQ), W("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+    assert relate_pattern(a, b, "T*T***T**")      # overlaps-ish
+    assert relate_pattern(a, b, "212101212")
+    assert not relate_pattern(a, b, "FF*FF****")  # disjoint pattern
+    assert relate_pattern(a, W("POINT (5 5)"), "T*****FF*")  # contains
+    with pytest.raises(ValueError):
+        relate_pattern(a, b, "TT")
+
+
+def test_de9im_agrees_with_named_predicates():
+    """The matrix patterns must reproduce the kernel's own relate
+    predicates (JTS pattern definitions) on a mixed battery."""
+    from geomesa_sql_spark.geom import kernel
+
+    geoms = [
+        "POINT (5 5)", "POINT (0 0)", "POINT (20 20)",
+        "LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 5)",
+        "LINESTRING (2 2, 8 8)",
+        SQ, SQ_HOLE,
+        "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))",
+        "POLYGON ((20 0, 30 0, 30 10, 20 10, 20 0))",
+    ]
+
+    def im_intersects(m):
+        return (m[0] != "F" or m[1] != "F" or m[3] != "F" or m[4] != "F")
+
+    def im_within(m):
+        return m[0] != "F" and m[2] == "F" and m[5] == "F"
+
+    for wa in geoms:
+        for wb in geoms:
+            a, b = W(wa), W(wb)
+            m = de9im(a, b)
+            assert im_intersects(m) == kernel.intersects(a, b), (wa, wb, m)
+            assert im_within(m) == kernel.within(a, b), (wa, wb, m)

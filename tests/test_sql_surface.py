@@ -349,3 +349,25 @@ def test_wkb_srid_accessors(spark):
     assert r.v_ok is True and r.v_bowtie is False
     assert (r.d0, r.d1, r.d2) == (0, 1, 2)
     assert r.bad is None
+
+
+def test_st_relate_sql(spark):
+    """ST_Relate (DE-9IM matrix) + ST_RelateMatch through SQL."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql("""
+      SELECT
+        ST_Relate(ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+                  ST_GeomFromText('POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))')) AS ovl,
+        ST_Relate(ST_GeomFromText('LINESTRING (0 0, 10 0)'),
+                  ST_GeomFromText('LINESTRING (5 -5, 5 5)')) AS crossing,
+        ST_RelateMatch('212101212', 'T*T***T**') AS m_overlap,
+        ST_RelateMatch('212101212', 'FF*FF****') AS m_disjoint,
+        ST_Relate(ST_GeomFromText('POINT (1 2)'),
+                  ST_GeomFromText('POINT (1 2)')) AS pt_eq
+    """).first()
+    assert r.ovl == "212101212"
+    assert r.crossing == "0F1FF0102"
+    assert r.m_overlap is True and r.m_disjoint is False
+    assert r.pt_eq == "0FFFFFFF2"
