@@ -242,6 +242,13 @@ _TAIL_RE = _re.compile(
     r"\s*(?:ORDER\s+BY\s+(?P<order>.+?))?"
     r"\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$"
 )
+_CHAIN_JOIN_RE = _re.compile(
+    r"(?is)^\s*(?P<join>(?:(?:INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?"
+    r"|FULL(?:\s+OUTER)?)\s+)?JOIN\s+\w+(?:\s+(?:AS\s+)?\w+)?\s+ON\s+.+?)"
+    r"(?=\s+(?:(?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\s+"
+    r"|\s+WHERE\s+|\s+GROUP\s+BY\s+|\s+HAVING\s+|\s+ORDER\s+BY\s+"
+    r"|\s+LIMIT\s+|\s*$)"
+)
 _GEOM_ARG_RE = _re.compile(
     r"(?is)^ST_(?P<pred>Within|Intersects|Contains|DWithin)\s*\(\s*"
     r"(?P<g1>ST_MakePoint\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*\)|[\w.]+)\s*,\s*"
@@ -403,14 +410,30 @@ class Engine:
         # faithfully express falls through to plain spark.sql:
         rest = m.group("rest") or ""
         sel = m.group("sel").strip()
-        if _re.search(r"(?i)\b(UNION|JOIN|INTERSECT|EXCEPT)\b", rest):
-            _bail("multi-join or set-operation tail")
-            return None
         if "'" in rest or '"' in rest or "'" in sel or '"' in sel:
             # quoted literals could hide clause keywords from the tail
             # splitter / alias stripper (ADVICE r2: the select list was
             # previously unguarded)
             _bail("quoted literal in select list or tail")
+            return None
+        # multi-join CHAINS: subsequent plain joins after the spatial
+        # one peel off the front of the tail and run as ordinary Spark
+        # SQL over the routed view (the Calcite planner keeps the other
+        # LogicalJoins above its EnumerableSpatialJoin the same way); a
+        # SECOND spatial join in the chain still bails.
+        chain = ""
+        while True:
+            cm = _CHAIN_JOIN_RE.match(rest)
+            if not cm:
+                break
+            seg = cm.group("join")
+            if _re.search(r"(?i)\bST_\w+\s*\(", seg):
+                _bail("second spatial join in the chain")
+                return None
+            chain += " " + seg.strip()
+            rest = rest[cm.end():]
+        if _re.search(r"(?i)\b(UNION|JOIN|INTERSECT|EXCEPT)\b", rest):
+            _bail("set-operation or unparseable join tail")
             return None
         tm = _TAIL_RE.match(rest)
         if not tm or (tm.group("having") and not tm.group("group")):
@@ -520,8 +543,13 @@ class Engine:
         # the joined frame is unqualified, so strip the known prefixes
         quals = [q for q in (m.group("a1"), m.group("a2"), t1, t2) if q]
         def _unqual(expr: str) -> str:
+            # requalify the routed pair's aliases to the VIEW (not bare
+            # names — a chained join table may carry the same column
+            # name, and a stripped reference would turn ambiguous)
             for q in quals:
-                expr = _re.sub(rf"(?i)\b{_re.escape(q)}\.", "", expr)
+                expr = _re.sub(
+                    rf"(?i)\b{_re.escape(q)}\.", f"{self._routed_view}.", expr
+                )
             return expr
 
         # overlapping column names: the join's refine stage and the tail
@@ -531,7 +559,7 @@ class Engine:
         # can't be rewritten faithfully, so it bails.
         clash = set(df1.columns) & set(df2.columns)
         if clash:
-            body = f"{sel} {rest}"
+            body = f"{sel} {chain} {rest}"
             hit = [c for c in clash
                    if _re.search(rf"(?i)\b{_re.escape(c)}\b", body)]
             if hit:
@@ -570,7 +598,12 @@ class Engine:
         # and the catalog no longer accretes one entry per routed query.
         view = self._routed_view
         out.createOrReplaceTempView(view)
+        # chained plain joins keep their own table qualifiers; only the
+        # routed pair's aliases are stripped (its columns live
+        # unqualified on the view)
         sql = f"SELECT {_unqual(m.group('sel').strip())} FROM {view}"
+        if chain:
+            sql += f" {_unqual(chain).strip()}"
         if tm.group("where"):
             sql += f" WHERE {_unqual(tm.group('where'))}"
         if tm.group("group"):

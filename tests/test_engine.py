@@ -587,3 +587,63 @@ def test_sql_alias_qualified_operands_orient(spark, sf_dir, tmp_path):
     )
     want = pts.join(sq, bbox).select("o_orderkey", "n_nationkey")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sql_spatial_join_chain_routed(spark, sf_dir, tmp_path):
+    """r3: a multi-join chain whose FIRST join is spatial routes the
+    spatial pair through the cell join and runs the remaining plain
+    equi-joins as ordinary Spark SQL on top — no BNLJ anywhere; a
+    SECOND spatial join in the chain still bails (warned)."""
+    import logging
+
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2, p3 = (str(tmp_path / d) for d in ("p", "n", "r"))
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(p3)
+    eng.register_table("cpts", p1)
+    eng.register_table("cnsq", p2)
+    eng.register_table("cnat", p3)
+
+    got = eng.sql(
+        "SELECT p.o_orderkey, s.n_nationkey, x.n_name "
+        "FROM cpts p JOIN cnsq s ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "JOIN cnat x ON s.n_nationkey = x.n_nationkey "
+        "WHERE p.o_orderkey <= 5000"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+    pts = spark.read.parquet(p1)
+    sq = spark.read.parquet(p2)
+    nat = spark.read.parquet(p3)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = (
+        pts.join(sq, bbox).filter(F.col("o_orderkey") <= 5000)
+        .join(nat, "n_nationkey")
+        .select("o_orderkey", "n_nationkey", "n_name")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # second spatial join in the chain: bail with a warning
+    q2 = ("SELECT p.o_orderkey FROM cpts p "
+          "JOIN cnsq s ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+          "JOIN cnsq t ON ST_Intersects(ST_MakePoint(p.lon, p.lat), t.poly)")
+    import logging as _l
+    caplog_records = []
+    h = _l.Handler()
+    h.emit = lambda rec: caplog_records.append(rec.getMessage())
+    lg = _l.getLogger("geomesa_sql_spark.engine")
+    lg.addHandler(h)
+    try:
+        assert eng._route_spatial_join(q2) is None
+    finally:
+        lg.removeHandler(h)
+    assert any("second spatial join" in msg for msg in caplog_records)
