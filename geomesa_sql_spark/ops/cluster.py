@@ -644,6 +644,7 @@ def dbscan(
         "eq": eq.localCheckpoint(eager=True),
         "resolved": resolved.localCheckpoint(eager=True),
         "result": result,
+        "delta": result,  # initial build: everything is new
     }
     return result, state
 
@@ -814,6 +815,12 @@ def dbscan_incremental(
         "eq": eq,
         "resolved": resolved_nt,
         "result": result,
+        # per-batch UPSERT delta (not persisted by save_dbscan_state —
+        # derivable): the recomputed rows of every affected point.
+        # A sink that MERGEs these on id into the previous output gets
+        # exactly the new result, writing O(delta) instead of O(state)
+        # rows per batch.
+        "delta": new_rows,
     }
     return result, new_state
 

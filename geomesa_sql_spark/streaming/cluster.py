@@ -6,9 +6,12 @@ Spark-first composition, not a new algorithm: Structured Streaming's
 :func:`ops.cluster.dbscan_incremental`, which reclusters only the
 coarse cells the batch can affect and re-merges labels globally —
 the micro-batch IS the append delta. State is the operator's own
-per-cell `local` rows (driver-held DataFrame, lineage truncated by
-``localCheckpoint`` each step; swap for a reliable ``checkpoint`` on
-a real cluster), and the accumulated point table grows by each batch.
+maintenance dict {local, eq, resolved, result} (driver-held
+DataFrames, lineage truncated by ``localCheckpoint`` each step; use
+``ops.cluster.save_dbscan_state`` for durable kill-resume), and the
+accumulated point table grows by each batch. Each batch also exposes
+``delta`` — the upsert rows a label sink MERGEs on the key to track
+the full labels writing O(delta) rows per batch.
 
 This mirrors how the engine's other incremental structure (the tile
 pyramid) is maintained: batch operator + delta-merge law, driven by
@@ -43,13 +46,19 @@ class DbscanMaintainer:
         min_pts: int,
         coarse_cell: float | None = None,
         on_update: Callable[[DataFrame], None] | None = None,
+        on_delta: Callable[[DataFrame], None] | None = None,
     ):
         self._args = (key, x, y)
         self._kw = dict(eps=eps, min_pts=min_pts, coarse_cell=coarse_cell)
         self._on_update = on_update
+        self._on_delta = on_delta
         self._seen: DataFrame | None = None
         self._state: DataFrame | None = None
         self.labels: DataFrame | None = None
+        #: per-batch upsert rows (r3): MERGE these on the key into a
+        #: label sink to track ``labels`` writing O(delta), not
+        #: O(state), rows per batch
+        self.delta: DataFrame | None = None
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         key, x, y = self._args
@@ -67,8 +76,11 @@ class DbscanMaintainer:
             self.labels, self._state = dbscan_incremental(
                 self._seen, batch, self._state, key, x, y, **self._kw
             )
+        self.delta = self._state.get("delta")
         if self._on_update is not None:
             self._on_update(self.labels)
+        if self._on_delta is not None and self.delta is not None:
+            self._on_delta(self.delta)
 
 
 def streaming_dbscan(

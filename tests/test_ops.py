@@ -947,3 +947,37 @@ def test_dbscan_incremental_chained_batches(spark):
         assert got == want, f"batch {bi}"
     # after the last batch everything is ONE cluster labelled 0
     assert {c for c, _ in got.values() if c >= 0} == {0}
+
+
+def test_dbscan_incremental_delta_output_upserts_to_result(spark):
+    """r3: state['delta'] is a valid per-batch UPSERT — applying it on
+    id to the previous result reproduces the new result exactly, and
+    it stays O(affected): far-away untouched points never appear."""
+    from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
+
+    schema = "id long, x double, y double"
+
+    def blob(start_id, cx, cy, n=24):
+        return [(start_id + k, cx + 0.05 * (k % 6), cy + 0.05 * (k // 6))
+                for k in range(n)]
+
+    base_rows = blob(0, 0.0, 0.0) + blob(100, 50.0, 0.0)
+    delta_rows = blob(200, 0.5, 0.5)  # touches only the first blob
+    base = spark.createDataFrame(base_rows, schema)
+    full = spark.createDataFrame(base_rows + delta_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+
+    prev, state = dbscan(base, "id", "x", "y", eps=0.8, min_pts=3,
+                         coarse_cell=1.6, return_state=True)
+    res, st2 = dbscan_incremental(full, delta, state, "id", "x", "y",
+                                  eps=0.8, min_pts=3, coarse_cell=1.6)
+    d = st2["delta"]
+    # upsert semantics: prev minus delta-ids, union delta == new result
+    merged = prev.join(d.select("id"), "id", "left_anti").unionByName(d)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, res.collect())
+    )
+    # O(affected): the far blob (ids 100..123) is untouched by this
+    # delta and must not ride the upsert
+    far = {r.id for r in d.collect() if 100 <= r.id < 200}
+    assert far == set()

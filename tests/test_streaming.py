@@ -272,7 +272,17 @@ def test_streaming_dbscan_maintenance_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)  # force multiple batches
         .parquet(d)
     )
-    maint = DbscanMaintainer("id", "x", "y", eps=0.9, min_pts=6)
+    # track the label sink with per-batch UPSERT deltas only (r3):
+    # MERGE-on-id semantics, O(delta) rows written per batch
+    sink: dict[int, tuple] = {}
+
+    def apply_delta(d):
+        for r in d.collect():
+            sink[r.id] = (r.cluster, r.role)
+
+    maint = DbscanMaintainer(
+        "id", "x", "y", eps=0.9, min_pts=6, on_delta=apply_delta
+    )
     q = (
         stream.writeStream.foreachBatch(maint)
         .trigger(availableNow=True)
@@ -286,3 +296,5 @@ def test_streaming_dbscan_maintenance_matches_batch(spark, tmp_path):
             for r in dbscan(df, "id", "x", "y", eps=0.9, min_pts=6).collect()}
     assert got == want
     assert len(got) == n
+    # the delta-upserted sink tracked the full labels exactly
+    assert sink == got
