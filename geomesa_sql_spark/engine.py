@@ -41,12 +41,15 @@ def _parse_dml(query: str):
     - INSERT INTO t VALUES (...),(...) / INSERT INTO t SELECT ...
     - UPDATE t SET a = e1, b = e2 [WHERE cond]
     - DELETE FROM t [WHERE cond]
-    - MERGE INTO t USING s|(<subquery>) ON key
-      [WHEN MATCHED THEN UPDATE] [WHEN NOT MATCHED THEN INSERT]
-      (canonical key-equality upsert: matched rows take the source's
-      provided columns, unmatched insert; omitting both WHEN clauses
-      means both. SET lists / extra predicates are not parsed — use
-      Engine.merge for anything richer.)
+    - MERGE INTO t [a] USING s|(<subquery>) [b] ON key
+      [WHEN MATCHED THEN UPDATE [SET col = expr, ...]]
+      [WHEN NOT MATCHED THEN INSERT]
+      (key-equality upsert: without a SET list, matched rows take the
+      source's provided columns; WITH one (r3), only the SET columns
+      update — expressions may mix target columns (bare or
+      target-alias-qualified) with source columns (source-alias- or
+      src.-qualified). Omitting both WHEN clauses means full upsert.
+      Extra match predicates are not parsed — use Engine.merge.)
     Expressions inside SET/WHERE pass verbatim to Spark's expression
     parser (F.expr) — the same surface as the reference's Calcite SQL.
     """
@@ -63,17 +66,23 @@ def _parse_dml(query: str):
             body = body[len("VALUES"):].strip()
         return ("insert", m.group(1), (cols, body))
     m = _re.match(
-        r"(?is)^MERGE\s+INTO\s+(\w+)\s+USING\s+"
-        r"(\w+|\([^()]*(?:\([^()]*\)[^()]*)*\))\s+ON\s+(\w+)"
-        r"(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE)?"
+        r"(?is)^MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+"
+        r"(\w+|\([^()]*(?:\([^()]*\)[^()]*)*\))(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+(\w+)"
+        r"(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE"
+        r"(?:\s+SET\s+(?P<set>.+?)(?=\s+WHEN\s+NOT\s+MATCHED|\s*$))?)?"
         r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT)?\s*$",
         q,
     )
     if m:
-        has_upd, has_ins = bool(m.group(4)), bool(m.group(5))
+        has_upd, has_ins = bool(m.group(6)), bool(m.group(8))
         if not has_upd and not has_ins:  # bare MERGE = full upsert
             has_upd = has_ins = True
-        return ("merge", m.group(1), (m.group(2), m.group(3), has_upd, has_ins))
+        return (
+            "merge",
+            m.group(1),
+            (m.group(3), m.group(5), has_upd, has_ins,
+             m.group("set"), m.group(2), m.group(4)),
+        )
     m = _re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*)$", q)
     if m:
         set_part, where = _split_top_level_where(m.group(2))
@@ -341,7 +350,7 @@ class Engine:
                 )
             n = self.insert(table, rows)
         elif verb == "merge":
-            src_ref, key, do_upd, do_ins = body
+            src_ref, key, do_upd, do_ins, set_part, tgt_alias, src_alias = body
             if src_ref.startswith("("):
                 source = self.spark.sql(src_ref[1:-1])
             elif src_ref in self._views:
@@ -350,12 +359,27 @@ class Engine:
                 source = self.df(src_ref)
             else:
                 raise ValueError(f"unknown MERGE source {src_ref!r}")
+            set_exprs = None
+            if set_part:
+                # normalize qualifiers: the USING alias/name -> 'src.'
+                # (the convention io/dml.py's merge consumes); the
+                # target alias/name is stripped (bare names = target)
+                for q_ in filter(None, (src_alias, src_ref if _re.match(r"^\w+$", src_ref) else None)):
+                    set_part = _re.sub(
+                        rf"(?i)\b{_re.escape(q_)}\.", "src.", set_part
+                    )
+                for q_ in filter(None, (tgt_alias, table)):
+                    set_part = _re.sub(
+                        rf"(?i)\b{_re.escape(q_)}\.", "", set_part
+                    )
+                set_exprs = dict(_split_assignments(set_part))
             n_upd, n_ins = self.merge(
                 table,
                 source,
                 on=key,
                 when_matched="update" if do_upd else "ignore",
                 when_not_matched="insert" if do_ins else "ignore",
+                set_exprs=set_exprs,
             )
             n = n_upd + n_ins
         elif verb == "update":
@@ -688,8 +712,11 @@ class Engine:
         on: str | None = None,
         when_matched: str = "update",
         when_not_matched: str = "insert",
+        set_exprs: dict[str, str] | None = None,
     ) -> tuple[int, int]:
-        n = self._snapshot(name).merge(source, on, when_matched, when_not_matched)
+        n = self._snapshot(name).merge(
+            source, on, when_matched, when_not_matched, set_exprs
+        )
         self.register_table(name, self._tables[name])
         return n
 

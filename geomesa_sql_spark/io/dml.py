@@ -178,6 +178,7 @@ class SnapshotTable:
         on: str | None = None,
         when_matched: str = "update",
         when_not_matched: str = "insert",
+        set_exprs: dict[str, str] | None = None,
     ) -> tuple[int, int]:
         """MERGE INTO (upsert) keyed by ``on`` (default: the FID
         column). Matched target rows take the source's values for the
@@ -188,6 +189,13 @@ class SnapshotTable:
         {'update'/'insert', 'ignore'}. One copy-on-write commit —
         atomic, snapshot-isolated, time-travelable like every verb.
         Returns (n_updated, n_inserted).
+
+        ``set_exprs`` (r3): an ANSI ``UPDATE SET`` list — {column:
+        SQL expression}. When given, matched rows update ONLY those
+        columns; each expression may reference the target row's
+        columns by bare name and the source row's columns as
+        ``src.<col>`` (``Engine.sql`` rewrites the USING alias to
+        ``src`` before calling here). Inserts are unaffected.
 
         Beyond the reference (its Calcite surface has no MERGE) but
         Iceberg-shaped like the rest of this module: at 100 TB the
@@ -203,6 +211,12 @@ class SnapshotTable:
         cols = self.columns
         if key not in source.columns:
             raise ValueError(f"MERGE source lacks key column {key!r}")
+        if set_exprs:
+            bad = set(set_exprs) - set(cols)
+            if bad:
+                raise ValueError(f"SET targets unknown columns: {sorted(bad)}")
+            if key in set_exprs:
+                raise ValueError("SET must not assign the MERGE key")
         extra = set(source.columns) - set(cols)
         if extra:
             raise ValueError(f"unknown columns in MERGE source: {sorted(extra)}")
@@ -230,18 +244,37 @@ class SnapshotTable:
             src, current[key] == F.col(f"__src_{key}"), "left"
         )
         if when_matched == "update":
-            updated = joined.select(
-                *[
-                    (
-                        F.when(
-                            F.col("__matched").isNotNull(), F.col(f"__src_{c}")
-                        ).otherwise(F.col(c)).alias(c)
-                        if c in src_cols and c != key
-                        else F.col(c)
+            if set_exprs:
+                import re as _re
+
+                def _upd_col(c: str):
+                    expr = _re.sub(r"(?i)\bsrc\.", "__src_", set_exprs[c])
+                    return (
+                        F.when(F.col("__matched").isNotNull(), F.expr(expr))
+                        .otherwise(F.col(c))
+                        .cast(current.schema[c].dataType)
+                        .alias(c)
                     )
-                    for c in cols
-                ]
-            )
+
+                updated = joined.select(
+                    *[
+                        _upd_col(c) if c in set_exprs else F.col(c)
+                        for c in cols
+                    ]
+                )
+            else:
+                updated = joined.select(
+                    *[
+                        (
+                            F.when(
+                                F.col("__matched").isNotNull(), F.col(f"__src_{c}")
+                            ).otherwise(F.col(c)).alias(c)
+                            if c in src_cols and c != key
+                            else F.col(c)
+                        )
+                        for c in cols
+                    ]
+                )
             n_upd = int(current.join(
                 source.select(F.col(key).alias("__k")),
                 current[key] == F.col("__k"), "left_semi",

@@ -233,3 +233,65 @@ def test_sql_text_merge(spark, sf_dir, tmp_path):
         "(SELECT 7777 AS image_id, 'SUBQ' AS n_name) ON image_id"
     )
     assert out3.first().affected == 1
+
+
+def test_merge_set_list_sql_and_api(spark, sf_dir, tmp_path):
+    """r3: MERGE ... WHEN MATCHED THEN UPDATE SET col = expr — only
+    the SET columns update, expressions mix target and source values,
+    inserts are unaffected; API twin via set_exprs."""
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    eng.create_table("mset", str(tmp_path / "mset"), base)
+
+    upd = base.filter("n_nationkey < 5").select(
+        "n_nationkey",
+        F.lit("ZZ").alias("n_name"),
+        (F.col("n_regionkey") + 100).alias("n_regionkey"),
+    )
+    ins = spark.createDataFrame([(900, "NEW", 1)], base.schema)
+    eng.register_view("msrc", upd.unionByName(ins))
+
+    out = eng.sql(
+        "MERGE INTO mset t USING msrc s ON n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "  n_name = concat(t.n_name, '_', s.n_name), "
+        "  n_regionkey = n_regionkey + s.n_regionkey "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    assert out.first()["affected"] == 5 + 1
+    got = {r.n_nationkey: (r.n_name, r.n_regionkey)
+           for r in eng.df("mset").collect()}
+    want_base = {r.n_nationkey: (r.n_name, r.n_regionkey)
+                 for r in base.collect()}
+    for k, (nm, rk) in want_base.items():
+        if k < 5:
+            assert got[k] == (f"{nm}_ZZ", rk + (rk + 100)), k
+        else:
+            assert got[k] == (nm, rk), k
+    assert got[900] == ("NEW", 1)
+
+    # API twin: set_exprs dict, matched-only (no insert)
+    eng2 = Engine(spark, fid_col="n_nationkey")
+    eng2.create_table("mset2", str(tmp_path / "mset2"), base)
+    n_upd, n_ins = eng2.merge(
+        "mset2", upd, on="n_nationkey",
+        when_not_matched="ignore",
+        set_exprs={"n_name": "lower(src.n_name)"},
+    )
+    assert (n_upd, n_ins) == (5, 0)
+    got2 = {r.n_nationkey: (r.n_name, r.n_regionkey)
+            for r in eng2.df("mset2").collect()}
+    for k, (nm, rk) in want_base.items():
+        # n_regionkey must NOT have updated (not in the SET list)
+        assert got2[k] == ("zz" if k < 5 else nm, rk), k
+
+    # SET on unknown column / on the key: loud errors
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown columns|SET targets"):
+        eng2.merge("mset2", upd, on="n_nationkey",
+                   set_exprs={"nope": "1"})
+    with _pt.raises(ValueError, match="MERGE key"):
+        eng2.merge("mset2", upd, on="n_nationkey",
+                   set_exprs={"n_nationkey": "0"})
