@@ -782,3 +782,14 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series([match(m, p) for m, p in zip(mat, pat)])
 
     spark.udf.register("ST_RelateMatch", _relate_match)
+
+    from geomesa_sql_spark.geom.de9im import is_simple as _is_simple_fn
+
+    @F.pandas_udf(T.BooleanType())
+    def _is_simple(wb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if g is None else _is_simple_fn(g)
+             for g in _decode_series(wb)]
+        )
+
+    spark.udf.register("ST_IsSimple", _is_simple)

@@ -426,3 +426,67 @@ def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:
         elif got != want:
             return False
     return True
+
+
+def is_simple(g: Geom) -> bool:
+    """JTS isSimple: points always; multipoints iff no duplicates;
+    polygons always (validity owns ring checks); a curve iff it
+    self-intersects only at shared endpoints of consecutive segments
+    (plus the closing point of a ring), and multi-curves additionally
+    only meet at points that are endpoints of both parts."""
+    _set_scale(g)
+    t = g.type
+    if t == model.POINT:
+        return True
+    if t == model.MULTIPOINT:
+        pts = g.all_coords()
+        return len(np.unique(pts, axis=0)) == len(pts)
+    if t in (model.POLYGON, model.MULTIPOLYGON):
+        return True
+    parts = [p for p in g.flatten() if p.type == model.LINESTRING]
+    for p in parts:
+        if not _line_self_simple(p):
+            return False
+    # cross-part: meetings must be endpoints of BOTH parts
+    for i in range(len(parts)):
+        for j in range(i + 1, len(parts)):
+            sa, sb = _segs_of(parts[i]), _segs_of(parts[j])
+            if kernel._seg_seg_intersect_matrix(sa, sb, proper=True).any():
+                return False
+            if _collinear_overlap(sa, sb):
+                return False
+            meets = _meet_points(sa, sb)
+            if len(meets):
+                ea = np.stack([parts[i].coords[0], parts[i].coords[-1]])
+                eb = np.stack([parts[j].coords[0], parts[j].coords[-1]])
+                ok = _pts_equal_any(meets, ea) & _pts_equal_any(meets, eb)
+                if not ok.all():
+                    return False
+    return True
+
+
+def _line_self_simple(p: Geom) -> bool:
+    pts = p.coords
+    segs = _segs_of(p)
+    m = len(segs)
+    if m <= 1:
+        return True
+    closed = bool((pts[0] == pts[-1]).all())
+    hit = kernel._seg_seg_intersect_matrix(segs, segs)
+    for i in range(m):
+        for j in range(i + 1, m):
+            if not hit[i][j]:
+                continue
+            if j == i + 1 or (closed and i == 0 and j == m - 1):
+                # consecutive (or ring-closing) segments share one
+                # endpoint — allowed unless they overlap collinearly
+                # (backtracking) or cross properly elsewhere
+                if _cover_intervals(segs[i], segs[j : j + 1]):
+                    return False
+                if kernel._seg_seg_intersect_matrix(
+                    segs[i : i + 1], segs[j : j + 1], proper=True
+                ).any():
+                    return False
+            else:
+                return False
+    return True

@@ -105,3 +105,24 @@ def test_de9im_agrees_with_named_predicates():
             m = de9im(a, b)
             assert im_intersects(m) == kernel.intersects(a, b), (wa, wb, m)
             assert im_within(m) == kernel.within(a, b), (wa, wb, m)
+
+
+def test_is_simple():
+    from geomesa_sql_spark.geom.de9im import is_simple
+
+    cases = [
+        ("POINT (1 1)", True),
+        ("MULTIPOINT ((1 1), (2 2))", True),
+        ("MULTIPOINT ((1 1), (1 1))", False),
+        ("LINESTRING (0 0, 10 0)", True),
+        ("LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)", True),    # closed ring
+        ("LINESTRING (0 0, 10 10, 10 0, 0 10)", False),        # bowtie cross
+        ("LINESTRING (0 0, 10 0, 5 0)", False),                # backtrack
+        ("LINESTRING (0 0, 10 0, 10 10, 5 0)", False),         # touch interior
+        ("MULTILINESTRING ((0 0, 10 0), (10 0, 20 0))", True),
+        ("MULTILINESTRING ((0 0, 10 0), (5 -5, 5 5))", False),
+        ("MULTILINESTRING ((0 0, 10 0), (5 0, 5 5))", False),  # T onto interior
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", True),
+    ]
+    for w, want in cases:
+        assert is_simple(W(w)) == want, w

@@ -371,3 +371,14 @@ def test_st_relate_sql(spark):
     assert r.crossing == "0F1FF0102"
     assert r.m_overlap is True and r.m_disjoint is False
     assert r.pt_eq == "0FFFFFFF2"
+
+
+def test_st_is_simple_sql(spark):
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql("""
+      SELECT ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 10 0)')) AS ok,
+             ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 10 10, 10 0, 0 10)')) AS bow
+    """).first()
+    assert r.ok is True and r.bow is False
