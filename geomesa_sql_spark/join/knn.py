@@ -196,6 +196,7 @@ def knn_join_cells(
     cell: float | None = None,
     max_rounds: int = 6,
     world: tuple[float, float, float, float] = (-180.0, -90.0, 180.0, 90.0),
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact kNN for LARGE query sets (VERDICT r2 #7).
 
@@ -220,6 +221,11 @@ def knn_join_cells(
     (dist, *points columns).
     """
     spark = points.sparkSession
+    ck = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if checkpoint
+        else (lambda df: df)
+    )  # checkpoint=False keeps round plans inspectable (plan tests)
     if cell is None:
         # a (2m+1)-cell block should hold ≳ 9k points in round 1
         n = max(points.count(), 1)
@@ -236,7 +242,8 @@ def knn_join_cells(
         F.col(qy).cast("double").alias(qy),
         F.floor(F.col(qx) / F.lit(cell)).cast("long").alias("__qcx"),
         F.floor(F.col(qy) / F.lit(cell)).cast("long").alias("__qcy"),
-    ).localCheckpoint(eager=True)
+    )
+    active = ck(active)
 
     out_parts: list[DataFrame] = []
     m = 1
@@ -292,16 +299,14 @@ def knn_join_cells(
             topk.filter("__ok")
             .drop(qx, qy, "__qcx", "__qcy", "__pcx", "__pcy",
                   "__nq", "__dk", "__ok")
-            .localCheckpoint(eager=True)
         )
+        accepted = ck(accepted)
         out_parts.append(accepted)
         if world_covered:
-            active = active.limit(0).localCheckpoint(eager=True)
+            active = ck(active.limit(0))
             break
         done_ids = accepted.select(query_id).distinct()
-        active = active.join(done_ids, query_id, "left_anti").localCheckpoint(
-            eager=True
-        )
+        active = ck(active.join(done_ids, query_id, "left_anti"))
         m *= 2
     if not active.isEmpty():
         out_parts.append(

@@ -136,3 +136,22 @@ def test_broadcast_decision_runs_no_job(spark, sf_dir):
         sc.setJobGroup(None, None)
     assert small is True and big is False
     assert list(sc.statusTracker().getJobIdsForGroup("bcast_probe")) == []
+
+
+def test_knn_cells_no_cartesian(spark, sf_dir):
+    """r3: the large-query-set kNN is a cell equi-join — no
+    BroadcastNestedLoop/cartesian anywhere, and the per-query rank
+    window still gets the partial top-k pushdown."""
+    from geomesa_sql_spark.join.knn import knn_join_cells
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    q = spark.range(2000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0).alias("qx"),
+        ((F.col("id") * 104729 % 1700) / 10.0 - 85.0).alias("qy"),
+    )
+    out = knn_join_cells(pts, q, k=3, max_rounds=1, checkpoint=False)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
