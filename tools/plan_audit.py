@@ -153,6 +153,54 @@ def main() -> int:
         plan,
     ))
 
+    # 6. cell kNN (large query sets): pure equi-join rounds, no
+    # cartesian anywhere, partial top-k inside the rank window
+    from geomesa_sql_spark.join.knn import knn_join_cells
+
+    knn_q = spark.range(2000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0).alias("qx"),
+        ((F.col("id") * 104729 % 1700) / 10.0 - 85.0).alias("qy"),
+    )
+    kc = knn_join_cells(pts, knn_q, k=3, max_rounds=1, checkpoint=False)
+    plan = _fmt(kc)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    sections.append((
+        "Cell kNN round (10k-query scale path)",
+        "Queries replicate to their cell ring and candidates arrive via "
+        "a plain (ccx, ccy) equi-join; the per-query rank window keeps "
+        "Spark's partial top-k (WindowGroupLimit) so the query-keyed "
+        "shuffle carries candidate survivors only. No nested-loop or "
+        "cartesian operator anywhere.",
+        plan,
+    ))
+
+    # 7. SQL-text LEFT spatial join: routed through the keyed outer
+    # path (Spark would reject the UDF ON clause for outer joins)
+    eng2 = Engine(spark, fid_col="o_orderkey")
+    pdir = "/tmp/plan_audit_pts"
+    ndir = "/tmp/plan_audit_nsq"
+    pts.write.mode("overwrite").parquet(pdir)
+    polys.write.mode("overwrite").parquet(ndir)
+    eng2.register_table("audit_lp", pdir)
+    eng2.register_table("audit_ln", ndir)
+    lq = eng2.sql(
+        "SELECT p.o_orderkey, s.n_nationkey FROM audit_lp p LEFT JOIN audit_ln s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+    )
+    plan = _fmt(lq)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    sections.append((
+        "SQL-text LEFT spatial join (router outer path)",
+        "A LEFT OUTER spatial join in SQL text routes through the cell "
+        "join plus an anti-join restore of unmatched left keys — Spark "
+        "itself rejects Python-UDF ON clauses for outer joins, so "
+        "without the router this query ERRORS rather than degrades.",
+        plan,
+    ))
+
     out = REPO / "BENCH" / "PLANS.md"
     lines = [
         "# Plan audit — explain('formatted') of the plans that matter at 100 TB",
