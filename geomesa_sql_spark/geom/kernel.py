@@ -446,40 +446,61 @@ def _interiors_intersect(a: Geom, b: Geom) -> bool:
 
 
 def touches(a: Geom, b: Geom) -> bool:
-    if not intersects(a, b):
-        return False
-    return not _interiors_intersect(a, b)
+    """JTS touches: some point in common, interiors disjoint — via the
+    DE-9IM matrix (r3: the sampling-based predicate misclassified a
+    line endpoint resting on another line's interior, which the
+    randomized DE-9IM agreement law caught). GeometryCollections keep
+    the legacy path (RelateOp rejects them)."""
+    try:
+        m = _de9im(a, b)
+    except ValueError:
+        if not intersects(a, b):
+            return False
+        return not _interiors_intersect(a, b)
+    return m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
 
 
 def crosses(a: Geom, b: Geom) -> bool:
+    """JTS crosses via DE-9IM: 'T*T******' (dim a < dim b),
+    'T*****T**' (dim a > dim b), '0********' (line-line)."""
+    try:
+        m = _de9im(a, b)
+    except ValueError:
+        return False  # GC: undefined, match RelateOp's refusal shape
     da, db = a.dimension(), b.dimension()
+    if da < db:
+        return m[0] != "F" and m[2] != "F"
     if da > db:
-        return crosses(b, a)
-    if not intersects(a, b):
-        return False
-    if da == 0 and db >= 1:
-        pts = a.all_coords()
-        cov = (
-            _covered_by_poly(pts, b) if db == 2
-            else _points_on_segs(pts[:, 0], pts[:, 1], b.segments())
-        )
-        return bool(_interiors_intersect(a, b) and (~cov).any())
-    if da == 1 and db == 1:
-        return bool(_seg_seg_intersect_matrix(a.segments(), b.segments(), proper=True).any())
-    if da == 1 and db == 2:
-        samples = _interior_samples(a)
-        strictly_in = _strictly_inside(samples, b)
-        cov = _covered_by_poly(samples, b)
-        return bool(strictly_in.any() and (~cov).any())
+        return m[0] != "F" and m[6] != "F"
+    if da == 1:
+        return m[0] == "0"
     return False
 
 
 def overlaps(a: Geom, b: Geom) -> bool:
-    if a.dimension() != b.dimension():
+    """JTS overlaps via DE-9IM: equal dims, interiors meet at full
+    dimension, and each geometry keeps interior outside the other
+    ('T*T***T**'; lines need '1*T***T**' — a mere crossing point is
+    crosses, not overlaps, which the old contains-based predicate got
+    wrong)."""
+    da, db = a.dimension(), b.dimension()
+    if da != db:
         return False
-    if not _interiors_intersect(a, b):
-        return False
-    return not contains(a, b) and not contains(b, a)
+    try:
+        m = _de9im(a, b)
+    except ValueError:
+        if not _interiors_intersect(a, b):
+            return False
+        return not contains(a, b) and not contains(b, a)
+    if da == 1:
+        return m[0] == "1" and m[2] != "F" and m[6] != "F"
+    return m[0] != "F" and m[2] != "F" and m[6] != "F"
+
+
+def _de9im(a: Geom, b: Geom) -> str:
+    from geomesa_sql_spark.geom.de9im import de9im  # lazy: avoids cycle
+
+    return de9im(a, b)
 
 
 def dwithin(a: Geom, b: Geom, d: float) -> bool:

@@ -198,3 +198,86 @@ def test_hamming_pigeonhole_slices_complete(sigs, t):
             ham = bin((sigs[i] ^ sigs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
             if ham <= t:
                 assert slices(sigs[i]) & slices(sigs[j]), (sigs[i], sigs[j], t)
+
+
+# ---- DE-9IM vs named predicates (r3) — integer lattice keeps every
+# intersection exactly representable, so epsilon effects are nil
+
+icoord = st.integers(-8, 8).map(float)
+
+
+@st.composite
+def int_points(draw):
+    return point(draw(icoord), draw(icoord))
+
+
+@st.composite
+def int_lines(draw):
+    n = draw(st.integers(2, 4))
+    pts = [[draw(icoord), draw(icoord)] for _ in range(n)]
+    # zero-length degenerate lines are not valid OGC input
+    for a, b in zip(pts[:-1], pts[1:]):
+        if a == b:
+            b[0] += 1.0
+    return linestring(pts)
+
+
+@st.composite
+def int_boxes(draw):
+    x0 = draw(st.integers(-8, 6))
+    y0 = draw(st.integers(-8, 6))
+    w = draw(st.integers(1, 6))
+    h = draw(st.integers(1, 6))
+    return box(float(x0), float(y0), float(x0 + w), float(y0 + h))
+
+
+int_geoms = st.one_of(int_points(), int_lines(), int_boxes())
+
+
+def _dim(g):
+    from geomesa_sql_spark.geom.de9im import _dim_class
+
+    return _dim_class(g)
+
+
+@settings(max_examples=150, deadline=None)
+@given(int_geoms, int_geoms)
+def test_de9im_agrees_with_all_named_predicates(a, b):
+    """The matrix must reproduce every named relate predicate via its
+    JTS pattern definition — one randomized consistency law tying the
+    r3 DE-9IM derivation to the kernel's independent implementations."""
+    from geomesa_sql_spark.geom.de9im import de9im
+
+    m = de9im(a, b)
+    da, db = _dim(a), _dim(b)
+
+    im_intersects = any(m[i] != "F" for i in (0, 1, 3, 4))
+    im_within = m[0] != "F" and m[2] == "F" and m[5] == "F"
+    im_touches = m[0] == "F" and any(m[i] != "F" for i in (1, 3, 4))
+    if da != db:
+        if da < db:
+            im_crosses = m[0] != "F" and m[2] != "F"
+        else:
+            im_crosses = m[0] != "F" and m[6] != "F"
+    elif da == 1:
+        im_crosses = m[0] == "0"
+    else:
+        im_crosses = False
+    if da == db:
+        if da == 1:
+            im_overlaps = m[0] == "1" and m[2] != "F" and m[6] != "F"
+        else:
+            im_overlaps = m[0] != "F" and m[2] != "F" and m[6] != "F"
+    else:
+        im_overlaps = False
+    im_equals = (
+        m[0] != "F" and m[2] == "F" and m[5] == "F"
+        and m[6] == "F" and m[7] == "F"
+    )
+
+    assert im_intersects == kernel.intersects(a, b), m
+    assert im_within == kernel.within(a, b), m
+    assert im_touches == kernel.touches(a, b), m
+    assert im_crosses == kernel.crosses(a, b), m
+    assert im_overlaps == kernel.overlaps(a, b), m
+    assert im_equals == kernel.geom_equals(a, b), m
