@@ -693,7 +693,10 @@ def q_sql_st_measures(spark, sf_dir):
                       AS mmaxy_r,
                   ST_SRID(ST_SetSRID(poly, 4326)) AS srid_rt,
                   ST_IsValid(poly) AS is_valid,
-                  ST_Dimension(poly) AS dim
+                  ST_Dimension(poly) AS dim,
+                  ST_Relate(poly, ST_GeomFromText(
+                      'POLYGON ((-60 -40, 40 -40, 40 40, -60 40, -60 -40))'
+                  )) AS rel_m
            FROM nsq_v"""
     )
 
@@ -1246,8 +1249,57 @@ def _oracles() -> dict[str, str]:
                        AS mmaxy_r,
                    CAST(4326 AS INTEGER) AS srid_rt,
                    TRUE AS is_valid,
-                   CAST(2 AS INTEGER) AS dim
-            FROM ({nsq})
+                   CAST(2 AS INTEGER) AS dim,
+                   -- DE-9IM of two axis-aligned rectangles is pure
+                   -- interval arithmetic (closed form fuzz-verified
+                   -- against geom/de9im.py on 6000 random pairs):
+                   -- A = the nation square, B = (-60,-40)-(40,40)
+                   CASE
+                     WHEN ox < 0 OR oy < 0 THEN 'FF2FF1212'
+                     WHEN ox = 0 AND oy = 0 THEN 'FF2F01212'
+                     WHEN ox = 0 OR oy = 0 THEN 'FF2F11212'
+                     ELSE concat(
+                       '2',
+                       CASE WHEN (pminx < -60.0 AND -60.0 < pmaxx)
+                              OR (pminx < 40.0 AND 40.0 < pmaxx)
+                              OR (pminy < -40.0 AND -40.0 < pmaxy)
+                              OR (pminy < 40.0 AND 40.0 < pmaxy)
+                            THEN '1' ELSE 'F' END,
+                       CASE WHEN a_in_b THEN 'F' ELSE '2' END,
+                       CASE WHEN (-60.0 < pminx AND pminx < 40.0)
+                              OR (-60.0 < pmaxx AND pmaxx < 40.0)
+                              OR (-40.0 < pminy AND pminy < 40.0)
+                              OR (-40.0 < pmaxy AND pmaxy < 40.0)
+                            THEN '1' ELSE 'F' END,
+                       CASE
+                         WHEN pminx IN (-60.0, 40.0) OR pmaxx IN (-60.0, 40.0)
+                              OR pminy IN (-40.0, 40.0) OR pmaxy IN (-40.0, 40.0)
+                            THEN '1'
+                         WHEN ((pminx < -60.0 AND -60.0 < pmaxx)
+                               OR (pminx < 40.0 AND 40.0 < pmaxx)
+                               OR (pminy < -40.0 AND -40.0 < pmaxy)
+                               OR (pminy < 40.0 AND 40.0 < pmaxy))
+                              AND ((-60.0 < pminx AND pminx < 40.0)
+                                   OR (-60.0 < pmaxx AND pmaxx < 40.0)
+                                   OR (-40.0 < pminy AND pminy < 40.0)
+                                   OR (-40.0 < pmaxy AND pmaxy < 40.0))
+                            THEN '0'
+                         ELSE 'F' END,
+                       CASE WHEN a_in_b THEN 'F' ELSE '1' END,
+                       CASE WHEN b_in_a THEN 'F' ELSE '2' END,
+                       CASE WHEN b_in_a THEN 'F' ELSE '1' END,
+                       '2')
+                   END AS rel_m
+            FROM (
+              SELECT *,
+                     LEAST(pmaxx, 40.0) - GREATEST(pminx, -60.0) AS ox,
+                     LEAST(pmaxy, 40.0) - GREATEST(pminy, -40.0) AS oy,
+                     (pminx >= -60.0 AND pmaxx <= 40.0
+                      AND pminy >= -40.0 AND pmaxy <= 40.0) AS a_in_b,
+                     (pminx <= -60.0 AND pmaxx >= 40.0
+                      AND pminy <= -40.0 AND pmaxy >= 40.0) AS b_in_a
+              FROM ({nsq})
+            )
         """,
         "dedup_exact": """
             SELECT doc_id, lang, n_chars FROM documents

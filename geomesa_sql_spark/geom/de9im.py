@@ -344,7 +344,7 @@ def de9im(a: Geom, b: Geom) -> str:
             bump(0, 2, 2)  # A's interior pokes into B's exterior
             # (points/curves can never cover an open region, so this
             # also settles area-vs-point and area-vs-line)
-        if fb.dim == 2 and kernel._interiors_intersect(fa.g, fb.g):
+        if fb.dim == 2 and _area_interiors_intersect(fa, fb):
             bump(0, 0, 2)
     if fb.dim == 2 and not _area_within(fb, fa):
         bump(2, 0, 2)
@@ -490,3 +490,44 @@ def _line_self_simple(p: Geom) -> bool:
             else:
                 return False
     return True
+
+
+def _area_interiors_intersect(fa: "_Feat", fb: "_Feat") -> bool:
+    """Do two polygon interiors share a point? Stronger than
+    kernel._interiors_intersect (r3): geometries whose rings overlap
+    COLLINEARLY (shared edges) with interiors on the same side have no
+    proper crossing and no strictly-inside vertex — caught here by
+    nudging a boundary-on-boundary ring piece perpendicular into A's
+    interior and testing the nudged point against B."""
+    if kernel._seg_seg_intersect_matrix(fa.segs, fb.segs, proper=True).any():
+        return True
+    mids_a = _piece_midpoints(fa.segs, fb.segs)
+    if (fb.classify(mids_a) == 0).any():
+        return True
+    mids_b = _piece_midpoints(fb.segs, fa.segs)
+    if (fa.classify(mids_b) == 0).any():
+        return True
+    pa = _interior_points(fa.g)
+    if len(pa) and (fb.classify(pa) == 0).any():
+        return True
+    pb = _interior_points(fb.g)
+    if len(pb) and (fa.classify(pb) == 0).any():
+        return True
+    off = _EPS * 1e3
+    for seg in fa.segs:
+        a = seg[:2]
+        d = seg[2:] - seg[:2]
+        L = float(np.hypot(d[0], d[1]))
+        if L == 0.0:
+            continue
+        n = np.array([-d[1], d[0]]) / L
+        ts = [0.0] + _split_ts(seg, fb.segs) + [1.0]
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            m = (a + d * ((t0 + t1) / 2.0)).reshape(1, 2)
+            if fb.classify(m)[0] != 1:
+                continue  # only boundary-on-boundary pieces need a nudge
+            for sgn in (1.0, -1.0):
+                p = m + sgn * off * n
+                if fa.classify(p)[0] == 0 and fb.classify(p)[0] == 0:
+                    return True
+    return False

@@ -126,3 +126,48 @@ def test_is_simple():
     ]
     for w, want in cases:
         assert is_simple(W(w)) == want, w
+
+
+def test_rect_closed_form_matches_de9im():
+    """The interval-arithmetic DE-9IM closed form for axis-aligned
+    rectangles (replayed by the sql_st_measures DuckDB oracle) agrees
+    with geom/de9im.py on random integer rectangles — including the
+    shared-collinear-edge overlaps that motivated
+    _area_interiors_intersect."""
+    import random
+
+    def rect_wkt(x0, y0, x1, y1):
+        return (f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                f"{x0} {y1}, {x0} {y0}))")
+
+    def rect_de9im(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
+        ox = min(ax1, bx1) - max(ax0, bx0)
+        oy = min(ay1, by1) - max(ay0, by0)
+        if ox < 0 or oy < 0:
+            return "FF2FF1212"
+        if ox == 0 or oy == 0:
+            return "FF2F01212" if (ox == 0 and oy == 0) else "FF2F11212"
+        a_in_b = ax0 >= bx0 and ax1 <= bx1 and ay0 >= by0 and ay1 <= by1
+        b_in_a = bx0 >= ax0 and bx1 <= ax1 and by0 >= ay0 and by1 <= ay1
+        ib = ((ax0 < bx0 < ax1) or (ax0 < bx1 < ax1)
+              or (ay0 < by0 < ay1) or (ay0 < by1 < ay1))
+        bi = ((bx0 < ax0 < bx1) or (bx0 < ax1 < bx1)
+              or (by0 < ay0 < by1) or (by0 < ay1 < by1))
+        shared = (ax0 in (bx0, bx1) or ax1 in (bx0, bx1)
+                  or ay0 in (by0, by1) or ay1 in (by0, by1))
+        bb = "1" if shared else ("0" if (ib and bi) else "F")
+        return ("2" + ("1" if ib else "F") + ("F" if a_in_b else "2")
+                + ("1" if bi else "F") + bb + ("F" if a_in_b else "1")
+                + ("F" if b_in_a else "2") + ("F" if b_in_a else "1") + "2")
+
+    rng = random.Random(1)
+    for _ in range(800):
+        ax0, ay0 = rng.randint(-6, 4), rng.randint(-6, 4)
+        ax1, ay1 = ax0 + rng.randint(1, 5), ay0 + rng.randint(1, 5)
+        bx0, by0 = rng.randint(-6, 4), rng.randint(-6, 4)
+        bx1, by1 = bx0 + rng.randint(1, 5), by0 + rng.randint(1, 5)
+        want = de9im(
+            W(rect_wkt(ax0, ay0, ax1, ay1)), W(rect_wkt(bx0, by0, bx1, by1))
+        )
+        got = rect_de9im(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
+        assert got == want, ((ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1))
