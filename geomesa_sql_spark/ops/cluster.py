@@ -410,6 +410,13 @@ def _dilate_cells_np(cells: "pd.DataFrame", r: int) -> "pd.DataFrame":
 # ~6 tiny shuffle jobs per batch — the dominant cost of a small delta
 _DRIVER_CELLS_MAX = 100_000
 
+# above this many affected point ids, the incremental assembly stops
+# broadcasting the id set (two int64 columns; 20M ids ≈ 160 MB on the
+# driver and per executor) and rebuilds the per-point output from the
+# full state instead — correct either way, and past this fraction the
+# anti-join union saves little
+_AFFECTED_BROADCAST_MAX = 20_000_000
+
 
 def _expand_cells(cells: DataFrame, r: int) -> DataFrame:
     """Chebyshev-r dilation of a (ccx, ccy) cell set."""
@@ -802,14 +809,24 @@ def dbscan_incremental(
     affected = (
         ids_dirty.unionByName(ids_relabel).distinct().localCheckpoint(eager=True)
     )
-    slice_pts = new_local.join(F.broadcast(affected), "id", "left_semi")
-    new_rows = _assemble_rows(slice_pts, resolved)
-    result = (
-        prev_state["result"]
-        .join(F.broadcast(affected), "id", "left_anti")
-        .unionByName(new_rows)
-        .localCheckpoint(eager=True)
-    )
+    # pathological batches (a spray delta merging giant clusters) can
+    # make the affected-id set a large fraction of the table; past the
+    # broadcast comfort zone a full reassembly is both safer for the
+    # driver and cheaper than shipping the id set to every task
+    if affected.count() > _AFFECTED_BROADCAST_MAX:
+        new_rows = _assemble_rows(new_local, resolved)
+        result = new_rows.localCheckpoint(eager=True)
+        new_rows_delta = result
+    else:
+        slice_pts = new_local.join(F.broadcast(affected), "id", "left_semi")
+        new_rows = _assemble_rows(slice_pts, resolved)
+        result = (
+            prev_state["result"]
+            .join(F.broadcast(affected), "id", "left_anti")
+            .unionByName(new_rows)
+            .localCheckpoint(eager=True)
+        )
+        new_rows_delta = new_rows
     new_state = {
         "local": new_local,
         "eq": eq,
@@ -819,8 +836,8 @@ def dbscan_incremental(
         # derivable): the recomputed rows of every affected point.
         # A sink that MERGEs these on id into the previous output gets
         # exactly the new result, writing O(delta) instead of O(state)
-        # rows per batch.
-        "delta": new_rows,
+        # rows per batch (the full result when the fallback rebuilt).
+        "delta": new_rows_delta,
     }
     return result, new_state
 

@@ -981,3 +981,33 @@ def test_dbscan_incremental_delta_output_upserts_to_result(spark):
     # delta and must not ride the upsert
     far = {r.id for r in d.collect() if 100 <= r.id < 200}
     assert far == set()
+
+
+def test_dbscan_incremental_rebuild_fallback(spark, monkeypatch):
+    """r3: with the affected-id broadcast cap forced to 0, every batch
+    takes the full-reassembly fallback — results must stay byte-equal
+    to the broadcast path and to a from-scratch rebuild."""
+    from geomesa_sql_spark.ops import cluster as C
+
+    monkeypatch.setattr(C, "_AFFECTED_BROADCAST_MAX", 0)
+    schema = "id long, x double, y double"
+
+    def blob(start_id, cx, cy, n=24):
+        return [(start_id + k, cx + 0.05 * (k % 6), cy + 0.05 * (k // 6))
+                for k in range(n)]
+
+    base_rows = blob(0, 0.0, 0.0)
+    delta_rows = blob(200, 0.5, 0.5)
+    base = spark.createDataFrame(base_rows, schema)
+    full = spark.createDataFrame(base_rows + delta_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    _, st = C.dbscan(base, "id", "x", "y", eps=0.8, min_pts=3,
+                     coarse_cell=1.6, return_state=True)
+    res, st2 = C.dbscan_incremental(full, delta, st, "id", "x", "y",
+                                    eps=0.8, min_pts=3, coarse_cell=1.6)
+    want = C.dbscan(full, "id", "x", "y", eps=0.8, min_pts=3, coarse_cell=1.6)
+    got = {r.id: (r.cluster, r.role) for r in res.collect()}
+    exp = {r.id: (r.cluster, r.role) for r in want.collect()}
+    assert got == exp
+    # fallback delta = the full result (documented upsert contract)
+    assert st2["delta"].count() == res.count()
