@@ -147,7 +147,9 @@ def q_merge_readback(spark, sf_dir):
     base = _t(spark, sf_dir, "nation")
     path = os.path.join(
         tempfile.gettempdir(),
-        f"gsj_merge_gate_{os.path.basename(str(sf_dir).rstrip('/'))}",
+        # pid suffix: concurrent gate/bench processes over the same
+        # scale factor must not race on rmtree/create (review r3)
+        f"gsj_merge_gate_{os.path.basename(str(sf_dir).rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)
     eng = Engine(spark, fid_col="n_nationkey")

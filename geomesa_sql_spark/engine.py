@@ -132,6 +132,41 @@ def _split_top_level_where(s: str) -> tuple[str, str | None]:
     return s, None
 
 
+def _sub_outside_literals(pat: str, repl: str, text: str) -> str:
+    """re.sub applied only OUTSIDE quoted string literals — qualifier
+    rewrites must never touch 'a string mentioning s.something'
+    (review r3)."""
+    res: list[str] = []
+    buf: list[str] = []
+    quote = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(text[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+                res.append("".join(buf))
+                buf = []
+            i += 1
+            continue
+        if ch in "'\"":
+            res.append(_re.sub(pat, repl, "".join(buf)))
+            buf = [ch]
+            quote = ch
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf)
+    res.append(tail if quote else _re.sub(pat, repl, tail))
+    return "".join(res)
+
+
 def _split_assignments(set_part: str):
     """Split 'a = e1, b = e2' on top-level commas (not inside parens
     or quotes)."""
@@ -363,13 +398,22 @@ class Engine:
             if set_part:
                 # normalize qualifiers: the USING alias/name -> 'src.'
                 # (the convention io/dml.py's merge consumes); the
-                # target alias/name is stripped (bare names = target)
+                # target alias/name is stripped (bare names = target).
+                # Rewrites run OUTSIDE string literals only (review
+                # r3); a target named/aliased 'src' would still collide
+                # with the convention — refuse that loudly.
+                if "src" in (table.lower(), (tgt_alias or "").lower()):
+                    raise ValueError(
+                        "a MERGE target named/aliased 'src' collides with "
+                        "the source-qualifier convention — rename it or "
+                        "use Engine.merge(set_exprs=...)"
+                    )
                 for q_ in filter(None, (src_alias, src_ref if _re.match(r"^\w+$", src_ref) else None)):
-                    set_part = _re.sub(
+                    set_part = _sub_outside_literals(
                         rf"(?i)\b{_re.escape(q_)}\.", "src.", set_part
                     )
                 for q_ in filter(None, (tgt_alias, table)):
-                    set_part = _re.sub(
+                    set_part = _sub_outside_literals(
                         rf"(?i)\b{_re.escape(q_)}\.", "", set_part
                     )
                 set_exprs = dict(_split_assignments(set_part))
@@ -566,13 +610,13 @@ class Engine:
         # residual/select references may be alias- or table-qualified;
         # the joined frame is unqualified, so strip the known prefixes
         quals = [q for q in (m.group("a1"), m.group("a2"), t1, t2) if q]
-        def _unqual(expr: str) -> str:
+        def _unqual(expr: str, view: str) -> str:
             # requalify the routed pair's aliases to the VIEW (not bare
             # names — a chained join table may carry the same column
             # name, and a stripped reference would turn ambiguous)
             for q in quals:
                 expr = _re.sub(
-                    rf"(?i)\b{_re.escape(q)}\.", f"{self._routed_view}.", expr
+                    rf"(?i)\b{_re.escape(q)}\.", f"{view}.", expr
                 )
             return expr
 
@@ -617,25 +661,26 @@ class Engine:
         # join — our plan for the join, Catalyst's planning for the
         # tail (reference analog: the Calcite planner keeps the
         # Aggregate/Sort above its EnumerableSpatialJoin node).
-        # Fixed per-Engine view name (ADVICE r2): createOrReplaceTempView
-        # makes reuse safe — each returned DataFrame captured its plan —
-        # and the catalog no longer accretes one entry per routed query.
-        view = self._routed_view
+        # Per-call unique name, DROPPED once the returned DataFrame has
+        # captured its plan: a fixed per-Engine name raced concurrent
+        # .sql() calls on one Engine (review r3), and never dropping
+        # leaked a catalog entry per query (ADVICE r2).
+        view = f"{self._routed_view}_{uuid.uuid4().hex[:8]}"
         out.createOrReplaceTempView(view)
         # chained plain joins keep their own table qualifiers; only the
         # routed pair's aliases are stripped (its columns live
         # unqualified on the view)
-        sql = f"SELECT {_unqual(m.group('sel').strip())} FROM {view}"
+        sql = f"SELECT {_unqual(m.group('sel').strip(), view)} FROM {view}"
         if chain:
-            sql += f" {_unqual(chain).strip()}"
+            sql += f" {_unqual(chain, view).strip()}"
         if tm.group("where"):
-            sql += f" WHERE {_unqual(tm.group('where'))}"
+            sql += f" WHERE {_unqual(tm.group('where'), view)}"
         if tm.group("group"):
-            sql += f" GROUP BY {_unqual(tm.group('group'))}"
+            sql += f" GROUP BY {_unqual(tm.group('group'), view)}"
         if tm.group("having"):
-            sql += f" HAVING {_unqual(tm.group('having'))}"
+            sql += f" HAVING {_unqual(tm.group('having'), view)}"
         if tm.group("order"):
-            sql += f" ORDER BY {_unqual(tm.group('order'))}"
+            sql += f" ORDER BY {_unqual(tm.group('order'), view)}"
         if tm.group("limit"):
             sql += f" LIMIT {tm.group('limit')}"
         try:
@@ -644,6 +689,10 @@ class Engine:
             # reference is ambiguous because both tables carry the name
             _bail(f"tail failed to resolve over the joined frame: {exc}")
             return None
+        finally:
+            # the returned DataFrame captured its analyzed plan; the
+            # view is only needed during spark.sql() above
+            self.spark.catalog.dropTempView(view)
 
     def table(self, name: str) -> GeoTable:
         """Pushdown-accumulating scan handle (§2.1 S1/S2); snapshot

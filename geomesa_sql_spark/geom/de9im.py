@@ -33,21 +33,29 @@ _F = -1
 # relative tolerance for on-curve / collinearity classification: float
 # midpoints and intersection points are computed arithmetically, so an
 # exactly-collinear piece can land ~1e-16 off its carrier. JTS uses
-# exact predicates; we scale an epsilon to the coordinate magnitude
-# (set per de9im() call).
+# exact predicates; we scale the point-distance epsilon to the
+# coordinate magnitude (set per de9im() call). Cross-product
+# (collinearity/parallelism) tests instead scale with the PRODUCT OF
+# SEGMENT LENGTHS — an angle tolerance — because |u x v| = |u||v|sinθ:
+# a coordinate-magnitude-squared threshold misclassified genuinely
+# crossing small segments as parallel at Web-Mercator-scale offsets
+# (review r3).
 _EPS = 1e-9
-_EPS2 = 1e-9
+_EPS_ANG = 1e-9
 
 
 def _set_scale(*geoms: Geom) -> None:
-    global _EPS, _EPS2
+    global _EPS
     m = 1.0
     for g in geoms:
         c = g.all_coords()
         if len(c):
             m = max(m, float(np.abs(c).max()))
     _EPS = 1e-9 * m
-    _EPS2 = 1e-9 * m * m
+
+
+def _cross_tol(u: np.ndarray, v: np.ndarray) -> float:
+    return _EPS_ANG * float(np.hypot(u[0], u[1]) * np.hypot(v[0], v[1])) + 1e-30
 
 
 def _dim_class(g: Geom) -> int:
@@ -130,8 +138,8 @@ def _cover_intervals(seg: np.ndarray, sb: np.ndarray) -> list[tuple[float, float
         p, q = s[:2], s[2:]
         # both endpoints of s on the LINE of seg?
         if (
-            abs(_cross(d, p - a)) > _EPS2
-            or abs(_cross(d, q - a)) > _EPS2
+            abs(_cross(d, p - a)) > _cross_tol(d, p - a)
+            or abs(_cross(d, q - a)) > _cross_tol(d, q - a)
         ):
             continue
         tp = float((p - a) @ d) / L2
@@ -177,7 +185,7 @@ def _split_ts(seg: np.ndarray, other: np.ndarray) -> list[float]:
         p, q = s[:2], s[2:]
         r = q - p
         denom = _cross(d, r)
-        if abs(denom) > _EPS2:
+        if abs(denom) > _cross_tol(d, r):
             ap = p - a
             t = _cross(ap, r) / denom
             u = _cross(ap, d) / denom
@@ -185,7 +193,7 @@ def _split_ts(seg: np.ndarray, other: np.ndarray) -> list[float]:
                 ts.add(t)
         else:
             # parallel: collinear endpoints project as split points
-            if abs(_cross(d, p - a)) <= _EPS2:
+            if abs(_cross(d, p - a)) <= _cross_tol(d, p - a):
                 for e in (p, q):
                     t = float((e - a) @ d) / L2
                     if 0.0 < t < 1.0:
@@ -220,19 +228,19 @@ def _meet_points(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
             p, q = s[:2], s[2:]
             r = q - p
             denom = _cross(d, r)
-            if abs(denom) > _EPS2:
+            if abs(denom) > _cross_tol(d, r):
                 ap = p - a
                 t = _cross(ap, r) / denom
                 u = _cross(ap, d) / denom
                 if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
                     pts.append(a + d * t)
             else:
-                if abs(_cross(d, p - a)) <= _EPS2:
+                if abs(_cross(d, p - a)) <= _cross_tol(d, p - a):
                     for e in (p, q):
                         t = float((e - a) @ d) / L2
                         if 0.0 <= t <= 1.0:
                             pts.append(a + d * t)
-                    for e, ll in ((a, 0.0), (seg[2:], 1.0)):
+                    for e in (a, seg[2:]):
                         tt = float((e - p) @ r) / float(r @ r)
                         if 0.0 <= tt <= 1.0:
                             pts.append(e.copy())
@@ -307,10 +315,9 @@ def de9im(a: Geom, b: Geom) -> str:
     if len(fa.segs):
         arow = 0 if fa.dim == 1 else 1  # rings ARE the area's boundary
         if fb.dim == 0:
-            # curve minus finite points keeps its dimension everywhere
+            # curve minus finite points keeps its dimension everywhere;
+            # B points on A's curve are handled by the point loop above
             bump(arow, 2, 1)
-            on_a = fa.classify(fb.pts)
-            # B points sitting on A's curve interior handled above
         else:
             mids = _piece_midpoints(fa.segs, fb.segs)
             cls = fb.classify(mids)

@@ -250,9 +250,16 @@ def knn_join_cells(
     for _ in range(max_rounds):
         if active.isEmpty():
             break
-        span = (2 * m + 1) * cell
-        world_covered = span >= (world[2] - world[0]) and span >= (
-            world[3] - world[1]
+        # the ring reaches m cells FROM each query's home cell, so it
+        # is guaranteed to cover every point cell only when m·cell
+        # exceeds the full world extent plus a cell of floor slack on
+        # each side (review r3: comparing the block DIAMETER against
+        # the world width accepted far-edge queries while their
+        # candidate cells were still outside the ring)
+        reach = m * cell
+        world_covered = (
+            reach >= (world[2] - world[0]) + 2 * cell
+            and reach >= (world[3] - world[1]) + 2 * cell
         )
         offs = [(dx, dy) for dx in range(-m, m + 1) for dy in range(-m, m + 1)]
         rep = active.select(
@@ -291,7 +298,10 @@ def knn_join_cells(
             .filter(F.col("rank") <= k)
             .withColumn("__nq", F.count(F.lit(1)).over(wq))
             .withColumn("__dk", F.max("dist").over(wq))
-            .withColumn("__ok", (F.col("__nq") >= k) & (F.col("__dk") <= rguar))
+            # STRICT <: a point exactly on the ring-block edge sits in
+            # an ungathered cell at distance == rguar and could win the
+            # deterministic tie-break (review r3)
+            .withColumn("__ok", (F.col("__nq") >= k) & (F.col("__dk") < rguar))
         )
         if world_covered:
             topk = topk.withColumn("__ok", F.lit(True))

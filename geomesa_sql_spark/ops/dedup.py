@@ -106,13 +106,14 @@ def _fnv1a_tokens(toks: list[str]) -> np.ndarray:
     if width == 0:  # every token empty
         return np.full(len(toks), _FNV_OFFSET & _FNV_MASK63, dtype=np.uint64)
     mat = arr.view(np.uint32).reshape(len(arr), width)
-    # token length from the NUL padding: trustworthy only when the
-    # nonzero codepoints form an exact prefix (no embedded NULs)
+    # token length from the NUL padding: trustworthy only when no
+    # token contains a NUL at all. numpy 'U' conversion TRUNCATES
+    # trailing NULs, so the matrix cannot distinguish 'a\\x00' from
+    # 'a' (review r3) — compare the true total char count instead;
+    # any NUL anywhere makes it exceed the nonzero-codepoint count.
     nzmask = mat != 0
     lens = nzmask.sum(axis=1).astype(np.int64)
-    last = width - np.argmax(nzmask[:, ::-1], axis=1).astype(np.int64)
-    last[lens == 0] = 0
-    if (mat >= 128).any() or (lens != last).any():
+    if (mat >= 128).any() or sum(map(len, toks)) != int(lens.sum()):
         return _fnv1a_bytes_batch([t.encode() for t in toks])
     acc = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
     for j in range(width):

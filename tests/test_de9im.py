@@ -171,3 +171,34 @@ def test_rect_closed_form_matches_de9im():
         )
         got = rect_de9im(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
         assert got == want, ((ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1))
+
+
+def test_de9im_translation_invariant_at_mercator_scale():
+    """Review r3: the collinearity tolerance must be an ANGLE
+    tolerance (segment-length product), not coordinate-magnitude
+    squared — identical shapes translated to Web-Mercator-scale
+    offsets (2e7, which ST_Transform itself produces) must keep the
+    same matrix."""
+    from geomesa_sql_spark.geom import kernel
+
+    pairs = [
+        ("LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 5)"),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "LINESTRING (-5 5, 15 5)"),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+    ]
+
+    def shift(wkt, dx):
+        import re
+        return re.sub(
+            r"(-?\d+(?:\.\d+)?) (-?\d+(?:\.\d+)?)",
+            lambda m: f"{float(m.group(1)) + dx} {m.group(2)}", wkt,
+        )
+
+    for wa, wb in pairs:
+        m0 = de9im(W(wa), W(wb))
+        m1 = de9im(W(shift(wa, 2e7)), W(shift(wb, 2e7)))
+        assert m0 == m1, (wa, wb, m0, m1)
+        assert kernel.crosses(W(shift(wa, 2e7)), W(shift(wb, 2e7))) == \
+            kernel.crosses(W(wa), W(wb))

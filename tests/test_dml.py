@@ -295,3 +295,32 @@ def test_merge_set_list_sql_and_api(spark, sf_dir, tmp_path):
     with _pt.raises(ValueError, match="MERGE key"):
         eng2.merge("mset2", upd, on="n_nationkey",
                    set_exprs={"n_nationkey": "0"})
+
+
+def test_merge_set_literal_and_src_collision_guards(spark, sf_dir, tmp_path):
+    """Review r3: SET-list qualifier rewriting must not touch string
+    literals, and a target named 'src' (the source-qualifier
+    convention) is refused loudly."""
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    eng.create_table("mlit", str(tmp_path / "mlit"), base)
+    upd = base.filter("n_nationkey = 3").select("n_nationkey")
+    eng.register_view("s", upd)
+
+    # literal containing 's.' survives untouched
+    eng.sql(
+        "MERGE INTO mlit t USING s ON n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET n_name = 'see s.mail'"
+    )
+    got = {r.n_nationkey: r.n_name for r in eng.df("mlit").collect()}
+    assert got[3] == "see s.mail"
+
+    eng.create_table("src", str(tmp_path / "src"), base)
+    eng.register_view("u", upd)
+    with pytest.raises(ValueError, match="src"):
+        eng.sql(
+            "MERGE INTO src USING u ON n_nationkey "
+            "WHEN MATCHED THEN UPDATE SET n_name = 'x'"
+        )

@@ -420,3 +420,34 @@ def test_knn_cells_matches_bruteforce_10k_queries(spark, sf_dir):
     # the adaptive front door dispatches 10k DataFrame queries here
     auto = knn_join_adaptive(pts, queries, k=k)
     assert key(auto) == key(brute)
+
+
+def test_knn_cells_world_edge_queries(spark):
+    """Review r3: queries in the far world corner with all points in
+    the opposite corner must still get their k neighbours (the old
+    coverage test compared the ring DIAMETER to the world width and
+    accepted edge queries while their candidate cells were outside
+    the ring — silently returning zero rows)."""
+    from geomesa_sql_spark.join import knn_join
+    from geomesa_sql_spark.join.knn import knn_join_cells
+
+    pts = spark.createDataFrame(
+        [(i, 170.0 + 0.1 * (i % 10), 80.0 + 0.1 * (i // 10))
+         for i in range(50)],
+        "o_orderkey long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(0, -179.0, -84.0), (1, -178.5, -83.5)],
+        "query_id long, qx double, qy double",
+    )
+    got = knn_join_cells(pts, queries, k=3)
+    want = knn_join(pts, queries, k=3)
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rank, r.o_orderkey, round(r.dist, 9))
+            for r in df.collect()
+        )
+
+    assert key(got) == key(want)
+    assert got.count() == 6
