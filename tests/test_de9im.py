@@ -52,6 +52,12 @@ CASES = [
     (SQ_HOLE, "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))", "212101212"),
     # A simple square vs B with a hole, A fills B's hole + more
     ("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))", SQ_HOLE, "2121FF212"),
+    # multi-geometries
+    ("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+     "((10 0, 14 0, 14 4, 10 4, 10 0)))",
+     "POLYGON ((2 1, 6 1, 6 3, 2 3, 2 1))", "212101212"),
+    ("MULTILINESTRING ((1 1, 2 2), (20 20, 21 21))", SQ, "1F10F0212"),
+    ("MULTIPOINT ((5 5), (0 5), (20 20))", SQ, "000FFF212"),
 ]
 
 

@@ -382,3 +382,17 @@ def test_st_is_simple_sql(spark):
              ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 10 10, 10 0, 0 10)')) AS bow
     """).first()
     assert r.ok is True and r.bow is False
+
+
+def test_st_relate_geometrycollection_null(spark):
+    """DE-9IM is undefined for GeometryCollections (JTS RelateOp
+    refuses them) — the SQL surface yields NULL, not an error."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql("""
+      SELECT ST_Relate(
+        ST_GeomFromText('GEOMETRYCOLLECTION (POINT (1 1))'),
+        ST_GeomFromText('POINT (1 1)')) AS m
+    """).first()
+    assert r.m is None
