@@ -32,6 +32,7 @@ Semantics parity with the reference:
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 import numpy as np
@@ -45,6 +46,8 @@ from geomesa_sql_spark.cells.column import zorder_cell_col
 from geomesa_sql_spark.cells.curve import res_for_extent
 from geomesa_sql_spark.functions.st import st_envelope_wkb
 from geomesa_sql_spark.geom import kernel
+
+_LOG = logging.getLogger(__name__)
 
 _CELL = "__gsj_cell"
 _SALT = "__gsj_salt"
@@ -203,7 +206,11 @@ def _refine_predicate(
         if pred in ("equals", "intersects", "contains", "within", "touches"):
             eq = (F.col(left.x) == F.col(right.x)) & (F.col(left.y) == F.col(right.y))
             return eq if pred != "touches" else F.lit(False)
-        return F.lit(False)
+        if pred in ("crosses", "overlaps"):
+            return F.lit(False)  # single points: never, per JTS
+        # review r3: a typo used to return a silently EMPTY join here
+        # while the wkb paths raise — fail loudly on both
+        raise ValueError(f"unsupported spatial-join predicate {predicate!r}")
     if left.is_point or right.is_point:
         pt, other = (left, right) if left.is_point else (right, left)
         # reorient predicate: pred(left, right) with point on one side
@@ -315,12 +322,19 @@ def spatial_join(
     right_nn = right_df.filter(right.not_null())
 
     if res is None:
-        res = _estimate_res(right_nn, right, expand)
+        res = min(
+            _estimate_res(right_nn, right, expand),
+            # the raise-don't-truncate cover cap applies per ROW on
+            # both sides: bound res by the largest sampled envelope of
+            # each (review r3 — a right side of points picked a dense
+            # res that crashed the first left polygon wider than
+            # ~sqrt(max_cells) cells)
+            _res_cap(left_nn, left, expand, max_cells_per_row),
+            _res_cap(right_nn, right, 0.0, max_cells_per_row),
+        )
 
     lc = _cells_for_side(left_nn, left, res, expand, max_cells_per_row)
-    rc = _cells_for_side(
-        right_nn.withColumnRenamed(_CELL, _CELL), right, res, 0.0, max_cells_per_row
-    )
+    rc = _cells_for_side(right_nn, right, res, 0.0, max_cells_per_row)
     rc = (
         rc.withColumnRenamed(_CELL, _CELL + "_r")
         .withColumnRenamed("__gsj_minx", "__gsj_rminx")
@@ -343,7 +357,11 @@ def spatial_join(
                 _SALT,
                 F.when(
                     F.col(_CELL).isin(list(hot)),
-                    F.pmod(F.xxhash64(*[F.col(c) for c in lc.columns[:1]]), F.lit(salt)),
+                    # hash EVERY projected column: a constant first
+                    # column previously put all hot-cell rows in one
+                    # salt bucket (review r3 — salting became a pure
+                    # replication pessimization)
+                    F.pmod(F.xxhash64(*[F.col(c) for c in lc.columns]), F.lit(salt)),
                 ).otherwise(F.lit(0)),
             )
             rc = rc.withColumn(
@@ -442,6 +460,29 @@ def _estimate_res(right: DataFrame, side: GeomSide, expand: float) -> int:
     return res_for_extent(w, h)
 
 
+def _res_cap(
+    df: DataFrame, side: GeomSide, expand: float, max_cells: int
+) -> int:
+    """Coarsest resolution at which the LARGEST sampled envelope of
+    this side still covers well under ``max_cells`` cells (the
+    cover_envelopes cap raises rather than silently dropping cells).
+    Sample-based, so a beyond-sample outlier can still trip the cap —
+    that remains a loud error with a res hint, never silent loss."""
+    if side.is_point and expand <= 0.0:
+        return 32  # single-cell covers: no cap needed
+    if side.is_point:
+        w = h = 2.0 * expand
+    else:
+        sample = df.select(st_envelope_wkb(side.wkb).alias("e")).limit(1000).collect()
+        if not sample:
+            return 32
+        w = float(max(r.e.maxx - r.e.minx for r in sample)) + 2 * expand
+        h = float(max(r.e.maxy - r.e.miny for r in sample)) + 2 * expand
+    k = max(int(max_cells ** 0.5) // 2, 2)  # 256 -> 8: cover <= ~81
+    span = max(w, h, 1e-12) / k
+    return res_for_extent(span, span)
+
+
 def _should_broadcast(df: DataFrame, max_rows: int) -> bool:
     """Broadcast decision WITHOUT running a job: Catalyst's own plan
     statistics (sizeInBytes propagates from parquet file sizes through
@@ -456,8 +497,15 @@ def _should_broadcast(df: DataFrame, max_rows: int) -> bool:
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:
-        # stats unavailable (e.g. foreign plan): bounded row probe
-        return df.limit(max_rows + 1).count() <= max_rows
+        # stats unavailable (e.g. foreign plan shapes): do NOT fall
+        # back to a probe job — the zero-jobs invariant is the point
+        # of this function (review r3); shuffle-join is the safe
+        # default at scale and the caller can pass broadcast=True
+        _LOG.warning(
+            "spatial_join: plan statistics unavailable; defaulting to "
+            "a shuffle join (pass broadcast=True to override)"
+        )
+        return False
     return size <= min(max_rows * 100, 1 << 30)
 
 

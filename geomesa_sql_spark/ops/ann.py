@@ -96,6 +96,10 @@ def lsh_bucket_ann(
     the lowest ``multiprobe`` bits (recall/latency dial).
     """
     planes = _hyperplanes(dim, bits)
+    # NULL embeddings would crash np.stack mid-job (review r3) — drop
+    # them up front, matching spatial_join's null-geometry gate
+    df = df.filter(F.col(vec_col).isNotNull())
+    query_df = query_df.filter(F.col(q_vec_col).isNotNull())
 
     @F.pandas_udf(T.LongType())
     def _bucket(vecs: pd.Series) -> pd.Series:
@@ -141,6 +145,7 @@ def near_dup_embeddings(
     instead of a single band's, the standard OR-construction; recall
     measured in tests. Dedup happens on the verified pair, so a pair
     colliding in several bands is emitted once."""
+    df = df.filter(F.col(vec_col).isNotNull())  # np.stack null gate (r3)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
@@ -200,8 +205,16 @@ def embedding_clusters(
     pointer-jumping min-label CC the spatial DBSCAN uses — the graph
     has one node per vector but near-dup edges are sparse, so rounds
     are cheap keyed shuffles."""
+    from pyspark.sql.types import NumericType
+
     from geomesa_sql_spark.ops.cluster import min_label_components
 
+    if not isinstance(df.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"embedding_clusters id column {id_col!r} must be numeric, got "
+            f"{df.schema[id_col].dataType.simpleString()} (a string id "
+            "would cast to NULL and silently collapse every row)"
+        )
     pairs = near_dup_embeddings(
         df, threshold, vec_col, id_col, exact, bits, dim
     ).select("id_a", "id_b")
@@ -263,6 +276,8 @@ def ivf_topk(
     candidate join touches ~nprobe/n_lists of the data. Recall vs brute
     force is asserted in tests (like the LSH path).
     """
+    df = df.filter(F.col(vec_col).isNotNull())  # np.stack null gate (r3)
+    query_df = query_df.filter(F.col(q_vec_col).isNotNull())
     sample = np.stack(
         [
             np.asarray(r[0], dtype=np.float64)
@@ -325,6 +340,8 @@ def pq_topk(
     candidates per query rerank exactly. Recall vs brute force is
     asserted in tests, like the LSH/IVF paths.
     """
+    df = df.filter(F.col(vec_col).isNotNull())  # np.stack null gate (r3)
+    query_df = query_df.filter(F.col(q_vec_col).isNotNull())
     rerank = rerank or max(4 * k, 32)
     sample = np.stack(
         [
@@ -357,6 +374,11 @@ def pq_topk(
         return pd.Series(list(codes))
 
     encoded = df.select(id_col, vec_col).withColumn("__codes", _encode(vec_col))
+    # codes-only ADC scan: mapInPandas cannot column-prune, so project
+    # the float vectors OUT before the scan (review r3 — shipping them
+    # defeats the memory path PQ exists for; the rerank re-joins them
+    # for the survivors only)
+    encoded = encoded.select(id_col, "__codes")
 
     qrows = [
         (r[0], np.asarray(r[1], dtype=np.float64))

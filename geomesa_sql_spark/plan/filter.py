@@ -37,6 +37,7 @@ from geomesa_sql_spark.functions.st import (
 from geomesa_sql_spark.geom import geom_from_wkt
 from geomesa_sql_spark.geom.model import Geom
 from geomesa_sql_spark.geom.wkb import geom_to_wkb
+from geomesa_sql_spark.io.layout import DEFAULT_DATA_RES
 
 
 def cell_prune_ranges(
@@ -52,17 +53,22 @@ def cell_prune_ranges(
     width = max(maxx - minx, 1e-12)
     height = max(maxy - miny, 1e-12)
     coarse = min(data_res, res_for_extent(width / 4, height / 4, max_res=data_res))
-    cells = cover_envelope(minx, miny, maxx, maxy, coarse)
-    k = 2 * (data_res - coarse)
-    los = cells.astype(np.int64) << k
-    his = ((cells.astype(np.int64) + 1) << k) - 1
-    ranges: list[tuple[int, int]] = []
-    for lo, hi in zip(los.tolist(), his.tolist()):
-        if ranges and lo == ranges[-1][1] + 1:
-            ranges[-1] = (ranges[-1][0], hi)
-        else:
-            ranges.append((lo, hi))
-    return ranges
+    while True:
+        cells = cover_envelope(minx, miny, maxx, maxy, coarse)
+        k = 2 * (data_res - coarse)
+        los = cells.astype(np.int64) << k
+        his = ((cells.astype(np.int64) + 1) << k) - 1
+        ranges: list[tuple[int, int]] = []
+        for lo, hi in zip(los.tolist(), his.tolist()):
+            if ranges and lo == ranges[-1][1] + 1:
+                ranges[-1] = (ranges[-1][0], hi)
+            else:
+                ranges.append((lo, hi))
+        # max_ranges is now ENFORCED (review r3: it was documented but
+        # never read) — coarsen until the predicate stays bounded
+        if len(ranges) <= max_ranges or coarse <= 1:
+            return ranges
+        coarse -= 1
 
 
 def _ranges_predicate(cell_col: str, ranges: list[tuple[int, int]]) -> Column:
@@ -82,7 +88,7 @@ def spatial_filter(
     wkb: str | None = None,
     distance: float | None = None,
     cell_col: str | None = "cell",
-    data_res: int | None = 12,
+    data_res: int | None = DEFAULT_DATA_RES,
 ) -> DataFrame:
     """Filter rows by ``ST_<predicate>(row_geometry, literal geom)``.
 

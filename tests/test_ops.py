@@ -1011,3 +1011,39 @@ def test_dbscan_incremental_rebuild_fallback(spark, monkeypatch):
     assert got == exp
     # fallback delta = the full result (documented upsert contract)
     assert st2["delta"].count() == res.count()
+
+
+def test_ann_null_embeddings_survive(spark, sf_dir):
+    """Review r3: a NULL embedding row used to crash every np.stack
+    ANN path mid-job; nulls are now gated up front like
+    spatial_join's null geometries."""
+    from geomesa_sql_spark.ops import lsh_bucket_ann
+    from geomesa_sql_spark.ops.ann import ivf_topk, pq_topk
+
+    e = embs(spark, sf_dir).select("vec_id", "embedding").limit(40)
+    with_null = e.unionByName(
+        e.limit(1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.lit(None).cast(e.schema["embedding"].dataType).alias("embedding"),
+        )
+    )
+    q = e.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    assert lsh_bucket_ann(with_null, q, k=2, bits=8).count() > 0
+    assert ivf_topk(with_null, q, k=2, n_lists=4, train_sample=40).count() > 0
+    assert pq_topk(with_null, q, k=2).count() > 0
+
+
+def test_embedding_clusters_rejects_string_ids(spark, sf_dir):
+    """Review r3: a string id column silently cast to NULL and
+    collapsed every row — now a loud TypeError."""
+    import pytest as _pt
+
+    from geomesa_sql_spark.ops import embedding_clusters
+
+    e = embs(spark, sf_dir).limit(10).withColumn(
+        "vec_id", F.col("vec_id").cast("string")
+    )
+    with _pt.raises(TypeError, match="must be numeric"):
+        embedding_clusters(e)

@@ -451,3 +451,31 @@ def test_knn_cells_world_edge_queries(spark):
 
     assert key(got) == key(want)
     assert got.count() == 6
+
+
+def test_spatial_join_large_left_small_right_no_cover_crash(spark):
+    """Review r3: a wkb LEFT side with polygons much larger than the
+    right side's extent used to crash (res picked from the right side
+    only; the left covers blew the raise-don't-truncate cell cap).
+    The res cap from BOTH sides keeps it running and exact."""
+    from geomesa_sql_spark.geom.model import box
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+
+    # 5 big polygons (up to 40 deg wide) vs a tight point cluster
+    polys = spark.createDataFrame(
+        [(i, bytearray(geom_to_wkb(box(-20.0 + i, -20.0, 20.0 + i, 20.0))))
+         for i in range(5)],
+        "poly_id long, poly binary",
+    )
+    pts = spark.createDataFrame(
+        [(j, 0.001 * j, 0.001 * j) for j in range(100)],
+        "pt_id long, lon double, lat double",
+    )
+    out = spatial_join(
+        polys, pts, wkb_side("poly"), point_side("lon", "lat"),
+        predicate="contains",
+    )
+    # every point is inside every polygon (cluster near origin)
+    assert out.count() == 500
