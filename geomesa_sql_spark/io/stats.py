@@ -33,10 +33,11 @@ def fast_count(path: str) -> int:
 # FIXED_LEN_BYTE_ARRAY are excluded: parquet writers may TRUNCATE
 # string/binary statistics (parquet-format allows it and pyarrow does
 # not expose the is_{min,max}_value_exact flags), so a long-string MAX
-# from the footer can be wrong — those columns fall back to a scan.
-_EXACT_STAT_TYPES = frozenset(
-    {"BOOLEAN", "INT32", "INT64", "INT96", "FLOAT", "DOUBLE"}
-)
+# from the footer can be wrong. FLOAT/DOUBLE are excluded too (review
+# r3): parquet stats ignore NaN while Spark's MAX orders NaN above
+# everything, so a NaN-bearing column would make the footer path and
+# the scan fallback disagree. All of those fall back to a scan.
+_EXACT_STAT_TYPES = frozenset({"BOOLEAN", "INT32", "INT64", "INT96"})
 
 
 def fast_min_max(path: str, column: str):
@@ -50,12 +51,18 @@ def fast_min_max(path: str, column: str):
     ds = pq.ParquetDataset(path)
     for f in ds.files:
         md = pq.ParquetFile(f).metadata
-        try:
-            ci = md.schema.to_arrow_schema().get_field_index(column)
-        except KeyError:
-            return None
-        if ci < 0:
-            return None
+        # resolve the LEAF column index by its path: arrow top-level
+        # field indexes diverge from row-group leaf indexes on nested
+        # schemas, silently reading the wrong column's stats (review r3)
+        ci = None
+        if md.num_row_groups:
+            g0 = md.row_group(0)
+            for i in range(g0.num_columns):
+                if g0.column(i).path_in_schema == column:
+                    ci = i
+                    break
+        if ci is None:
+            return None  # missing or nested: must scan
         for rg in range(md.num_row_groups):
             group = md.row_group(rg)
             col = group.column(ci)
@@ -85,5 +92,7 @@ def global_agg(df_or_path, column: str | None = None):
         return (r[0], r[1])
     if column is None:
         return fast_count(df_or_path)
-    mm = fast_min_max(df_or_path, column)
-    return mm
+    # path form: None means "footer cannot answer exactly — scan it
+    # yourself" (there is no SparkSession here to scan with); an
+    # all-null column answers as (None, None)
+    return fast_min_max(df_or_path, column)

@@ -66,6 +66,14 @@ def index_lookup_join(
     pairs = [on] if isinstance(on, tuple) else list(on)
     lk0, rk0 = pairs[0]
 
+    # cache the projected key column across the up-to-three probe
+    # passes (limit-count, approx-distinct, distinct+collect): an
+    # expensive left subtree was re-evaluated per probe (review r3).
+    # persist() is lazy — no job unless a probe actually runs.
+    left_keys = left.select(lk0)
+    if push is None or push:
+        left_keys = left_keys.persist()
+
     if push is None:
         # two-step probe, cheapest first:
         # 1. raw-rowcount limit scan (no shuffle, nothing collected):
@@ -74,10 +82,10 @@ def index_lookup_join(
         #    exists for) falls through to approx_count_distinct — one
         #    map-side-partial pass, a single scalar to the driver —
         #    before committing to the bounded distinct+collect.
-        if left.select(lk0).limit(max_push_keys + 1).count() <= max_push_keys:
+        if left_keys.limit(max_push_keys + 1).count() <= max_push_keys:
             push = True
         else:
-            approx = left.agg(
+            approx = left_keys.agg(
                 F.approx_count_distinct(lk0).alias("n")
             ).first()["n"]
             # approx_count_distinct err ~2-4%: leave headroom
@@ -86,11 +94,12 @@ def index_lookup_join(
     if push:
         keys = [
             r[0]
-            for r in left.select(lk0).distinct().limit(max_push_keys + 1).collect()
+            for r in left_keys.distinct().limit(max_push_keys + 1).collect()
         ]
         if len(keys) <= max_push_keys:
             non_null = [k for k in keys if k is not None]
             pushed = right.filter(F.col(rk0).isin(non_null))
+    left_keys.unpersist()
 
     cond = None
     for lk, rk in pairs:
@@ -111,10 +120,17 @@ def _left_residual(
     left: DataFrame, pushed: DataFrame, cond: Column, residual: Column
 ) -> DataFrame:
     """LEFT join with residual: keep matched rows passing the residual,
-    null-pad left rows with no surviving match."""
+    null-pad left rows with no surviving match. POSITIONAL union: a
+    right-side column sharing a left column's NAME broke the previous
+    name-based padding (review r3) — positions are unambiguous because
+    matched's layout is exactly left.columns then pushed's columns."""
     matched = left.join(pushed, cond & residual, "inner")
-    pad_cols = [c for c in matched.columns if c not in left.columns]
     unmatched = left.join(pushed, cond & residual, "left_anti")
-    for c in pad_cols:
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
-    return matched.unionByName(unmatched.select(matched.columns))
+    n_left = len(left.columns)
+    pads = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in matched.schema.fields[n_left:]
+    ]
+    return matched.union(
+        unmatched.select([F.col(c) for c in left.columns] + pads)
+    )

@@ -77,10 +77,18 @@ def image_stats(
                     continue
                 w, h = int(w), int(h)
                 stack = np.empty((len(idxs), h * w * 3), dtype=np.uint8)
+                ok = np.ones(len(idxs), dtype=bool)
                 for j, i in enumerate(idxs):
-                    stack[j] = decode_image(
-                        bytes(blobs[i]), fmt, w, h
-                    ).reshape(-1)
+                    try:
+                        stack[j] = decode_image(
+                            bytes(blobs[i]), fmt, w, h
+                        ).reshape(-1)
+                    except Exception:
+                        ok[j] = False  # truncated blob: null stats row
+                idxs = idxs[ok]
+                stack = stack[ok]
+                if not len(idxs):
+                    continue
                 sums = stack.reshape(len(idxs), -1, 3).sum(axis=1, dtype=np.int64)
                 npx = float(w * h)
                 mr[idxs] = sums[:, 0] / npx
@@ -136,10 +144,20 @@ def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
                 if not len(idxs):
                     continue
                 w, h = int(w), int(h)
-                by, bx = max(h // 8, 1), max(w // 8, 1)
+                if w < 8 or h < 8:
+                    continue  # sub-8px: no 8x8 hash — row stays NULL
+                by, bx = h // 8, w // 8
                 stack = np.empty((len(idxs), h, w, 3), dtype=np.uint8)
+                ok = np.ones(len(idxs), dtype=bool)
                 for j, i in enumerate(idxs):
-                    stack[j] = decode_image(bytes(blobs[i]), fmt, w, h)
+                    try:
+                        stack[j] = decode_image(bytes(blobs[i]), fmt, w, h)
+                    except Exception:
+                        ok[j] = False  # corrupt blob: row stays NULL
+                idxs = idxs[ok]
+                stack = stack[ok]
+                if not len(idxs):
+                    continue
                 luma = (stack.astype(np.int64) * weights).sum(axis=3)
                 cropped = luma[:, : by * 8, : bx * 8]
                 bsum = cropped.reshape(len(idxs), 8, by, 8, bx).sum(axis=(2, 4))
@@ -208,7 +226,13 @@ def resize_images(df: DataFrame, out_size: int, id_col: str = "image_id") -> Dat
                     outs.append(None)
                     sums.append(None)
                     continue
-                px = decode_image(bytes(data), fmt, int(w), int(h))
+                try:
+                    px = decode_image(bytes(data), fmt, int(w), int(h))
+                except Exception:
+                    ids.append(iid)  # truncated blob: null row survives
+                    outs.append(None)
+                    sums.append(None)
+                    continue
                 yi = (np.arange(out_size) * px.shape[0] // out_size).astype(np.int64)
                 xi = (np.arange(out_size) * px.shape[1] // out_size).astype(np.int64)
                 rs = px[yi][:, xi]
@@ -278,6 +302,15 @@ def frame_sample(
                     )
                 w, h = int(w), int(h)
                 fsize = w * h * 3
+                if fsize == 0:
+                    # zero-dimension metadata: corrupt row, survives
+                    # as one null row like a None payload
+                    ids.append(vid)
+                    idxs.append(None)
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
                 n_frames = len(data) // fsize
                 if n_frames == 0:
                     # truncated payload (< one frame): same survival
@@ -344,6 +377,13 @@ def audio_features(
                     raise NotImplementedError(
                         f"fmt {fmt!r}: mp3/ogg decode needs codec libs (absent)"
                     )
+                if len(data) % 2:
+                    # torn 16-bit payload: corrupt row, survives null
+                    ns.append(None)
+                    rms.append(None)
+                    zc.append(None)
+                    pk.append(None)
+                    continue
                 x = np.frombuffer(data, dtype="<i2").astype(np.float64)
                 ns.append(len(x))
                 rms.append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
@@ -354,7 +394,10 @@ def audio_features(
                 {
                     id_col: ids,
                     "n_samples": pd.array(ns, dtype="Int64"),
-                    "rms": pd.array(rms, dtype="float64"),
+                    # nullable Float64: plain float64 coerces None to
+                    # NaN, which Arrow ships as a NON-null NaN (review
+                    # r3 — rms IS NULL then missed corrupt rows)
+                    "rms": pd.array(rms, dtype="Float64"),
                     "zero_crossings": pd.array(zc, dtype="Int64"),
                     "peak": pd.array(pk, dtype="Int32"),
                 }

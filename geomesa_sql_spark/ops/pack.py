@@ -73,6 +73,14 @@ def pack_sequences(
     token counter). With ``shard_col=None`` everything is one shard —
     only for small inputs; at scale always shard (the walk is
     sequential within a shard by definition)."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"pack_sequences id column {id_col!r} must be numeric, got "
+            f"{df.schema[id_col].dataType.simpleString()} (a string id "
+            "would cast to NULL and silently drop every row)"
+        )
     budget_i = int(budget)
     if budget_i < 1:
         raise ValueError("budget must be >= 1 token")

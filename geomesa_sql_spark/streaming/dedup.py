@@ -126,7 +126,17 @@ def streaming_lsh_near_dup(
         # one signature matrix per GROUP, grown in place — rebuilding
         # it per row would copy the whole bucket state for every
         # arrival (O(B·max_bucket) bytes for a hot bucket)
-        batches = [pdf.sort_values("id") for pdf in pdfs]
+        # GLOBAL sort across the micro-batch's chunks: sorting each
+        # Arrow chunk independently left multi-chunk groups with a
+        # chunking-dependent processing order, so which doc of a pair
+        # counted as "seen" varied run to run (review r3)
+        chunks = list(pdfs)
+        merged = (
+            pd.concat(chunks).sort_values("id")
+            if len(chunks) > 1
+            else (chunks[0].sort_values("id") if chunks else pd.DataFrame())
+        )
+        batches = [merged] if len(merged) else []
         n_new = sum(len(p) for p in batches)
         m = (
             np.frombuffer(b"".join(sigs), dtype=np.int64).reshape(len(sigs), -1)

@@ -298,3 +298,28 @@ def test_frame_sample_truncated_payload_survives(spark):
     )
     rows = frame_sample(df, every_n=1).collect()
     assert len(rows) == 1 and rows[0].frame_idx is None and rows[0].bytes is None
+
+
+def test_phash_tiny_and_corrupt_images_survive(spark):
+    """Review r3: sub-8px images crashed the phash reshape and a
+    truncated blob killed the task — both must survive as NULL rows
+    (the 'corrupt image must not kill a 100 TB pass' contract)."""
+    from geomesa_sql_spark.io.images import encode_png
+    from geomesa_sql_spark.ops import image_stats, phash_images
+
+    ok_px = image_pixels(1, 16)
+    tiny_px = image_pixels(2, 16)[:4, :16]  # h=4 < 8
+    rows = [
+        ("ok", bytearray(encode_png(ok_px)), "png", 16, 16),
+        ("tiny", bytearray(encode_png(tiny_px)), "png", 16, 4),
+        ("trunc", bytearray(encode_png(ok_px)[:20]), "png", 16, 16),
+        ("null", None, "png", 16, 16),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    got = {r.image_id: r.ahash for r in phash_images(df).collect()}
+    assert got["ok"] is not None
+    assert got["tiny"] is None and got["trunc"] is None and got["null"] is None
+    st = {r.image_id: r.mean_r for r in image_stats(df).collect()}
+    assert st["ok"] is not None and st["trunc"] is None

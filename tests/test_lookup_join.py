@@ -169,3 +169,25 @@ def test_many_rows_few_keys_still_pushes(spark, sf_dir):
     got = index_lookup_join(left, orders, ("k3", "o_custkey"), max_push_keys=50)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(o_custkey" in plan, plan[:1200]
+
+
+def test_left_residual_shared_column_name(spark, sf_dir):
+    """Review r3: a right-side column sharing a left column's name
+    broke the residual LEFT join's null-padding (name-based union) —
+    positional union keeps it working."""
+    from geomesa_sql_spark.join import index_lookup_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 5), (2, "y", 50)], "rk long, name string, v long"
+    )
+    out = index_lookup_join(
+        left, right, ("k", "rk"), how="left", residual=F.col("v") < 10
+    )
+    rows = sorted(out.collect(), key=lambda r: r[0])
+    assert len(rows) == 3
+    assert rows[0][4] == 5          # k=1 matched, v=5 survives residual
+    assert rows[1][4] is None       # k=2: residual disqualifies -> padded
+    assert rows[2][4] is None       # k=3: no match -> padded
