@@ -176,6 +176,10 @@ def cover_envelope(minx: float, miny: float, maxx: float, maxy: float, res: int)
     (x1,), (y1,) = lonlat_to_xy(
         [np.nextafter(maxx, -np.inf)], [np.nextafter(maxy, -np.inf)], res
     )
+    # boundary-degenerate envelope (minx == maxx on a cell edge): the
+    # nextafter step can push x1 below x0, which would yield an EMPTY
+    # cover — same guard as the batched cover_envelopes (review r3)
+    x1, y1 = max(x0, x1), max(y0, y1)
     xs = np.arange(x0, x1 + 1, dtype=np.int64)
     ys = np.arange(y0, y1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)
@@ -198,11 +202,10 @@ def cover_envelopes(
     emitted granularity for that row (cells are emitted at res but
     sampled on a stride grid covering the envelope — never *missing* a
     cell that the envelope overlaps is required for correctness, so
-    instead of sampling we expand: oversized rows fall back to the
-    coarsest stride-1 grid at a reduced local resolution, then re-encode
-    children ranges). Practically: callers should pick ``res`` from
-    envelope statistics so covers stay small; the clamp raises if a row
-    would silently lose cells.
+    there is NO sampling/coarsening fallback: an oversized row RAISES
+    (silently losing cells would drop join candidates). Callers pick
+    ``res`` from envelope statistics of BOTH join sides so covers stay
+    small (join/spatial.py::_res_cap).
     """
     minx = np.asarray(minx, dtype=np.float64)
     miny = np.asarray(miny, dtype=np.float64)

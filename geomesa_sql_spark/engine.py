@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geomesa_sql_spark.functions import register_all
-from geomesa_sql_spark.io.dml import SnapshotTable
+from geomesa_sql_spark.io.dml import SnapshotTable, _sub_outside_literals
 from geomesa_sql_spark.plan.scan import GeoTable
 
 
@@ -130,41 +130,6 @@ def _split_top_level_where(s: str) -> tuple[str, str | None]:
                 return s[:i].rstrip(), s[i + 5 :].strip() or None
         i += 1
     return s, None
-
-
-def _sub_outside_literals(pat: str, repl: str, text: str) -> str:
-    """re.sub applied only OUTSIDE quoted string literals — qualifier
-    rewrites must never touch 'a string mentioning s.something'
-    (review r3)."""
-    res: list[str] = []
-    buf: list[str] = []
-    quote = None
-    i, n = 0, len(text)
-    while i < n:
-        ch = text[i]
-        if quote:
-            buf.append(ch)
-            if ch == "\\" and i + 1 < n:
-                buf.append(text[i + 1])
-                i += 2
-                continue
-            if ch == quote:
-                quote = None
-                res.append("".join(buf))
-                buf = []
-            i += 1
-            continue
-        if ch in "'\"":
-            res.append(_re.sub(pat, repl, "".join(buf)))
-            buf = [ch]
-            quote = ch
-            i += 1
-            continue
-        buf.append(ch)
-        i += 1
-    tail = "".join(buf)
-    res.append(tail if quote else _re.sub(pat, repl, tail))
-    return "".join(res)
 
 
 def _split_assignments(set_part: str):

@@ -32,10 +32,46 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _sub_outside_literals(pat: str, repl: str, text: str) -> str:
+    """re.sub applied only OUTSIDE quoted string literals — qualifier
+    rewrites must never touch 'a string mentioning s.something'
+    (review r3)."""
+    res: list[str] = []
+    buf: list[str] = []
+    quote = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(text[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+                res.append("".join(buf))
+                buf = []
+            i += 1
+            continue
+        if ch in "'\"":
+            res.append(_re.sub(pat, repl, "".join(buf)))
+            buf = [ch]
+            quote = ch
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf)
+    res.append(tail if quote else _re.sub(pat, repl, tail))
+    return "".join(res)
 
 
 class FidUpdateError(ValueError):
@@ -141,7 +177,13 @@ class SnapshotTable:
 
     def update(self, set_exprs: dict[str, Column | str], where: Column | None = None) -> int:
         """Copy-on-write UPDATE. ``set_exprs`` maps column → new value
-        (Column or SQL string); ``where=None`` touches every row."""
+        (Column or SQL string); ``where=None`` touches every row.
+
+        The affected count evaluates ``where`` separately from the
+        rewrite, so a NON-DETERMINISTIC predicate (rand() etc.) can
+        report a count that differs from the rows actually rewritten —
+        use a deterministic predicate (ANSI UPDATE makes the same
+        assumption)."""
         if self.fid_col in set_exprs:
             raise FidUpdateError(
                 f"cannot update row-identity column {self.fid_col!r}"
@@ -221,9 +263,16 @@ class SnapshotTable:
         if extra:
             raise ValueError(f"unknown columns in MERGE source: {sorted(extra)}")
         current = self.read()
+        # evaluate the (arbitrary, possibly non-deterministic) source
+        # plan ONCE: the dup check, both join branches, both counts and
+        # the committed write must all see the same rows (review r3 —
+        # insert() already follows this discipline)
+        source = source.localCheckpoint()
 
         dup = (
-            source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+            source.filter(F.col(key).isNotNull())  # NULL keys match no
+            # target row; ANSI MERGE just inserts them (review r3)
+            .groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
         )
         if dup:
             raise ValueError(
@@ -240,15 +289,19 @@ class SnapshotTable:
             ]
         ).withColumn("__matched", F.lit(True))
 
+        # the validated source is small and key-unique — broadcast it
+        # so the target's payload columns (bytes!) never ride a
+        # sort-merge shuffle (CLAUDE.md payload-discipline invariant)
         joined = current.join(
-            src, current[key] == F.col(f"__src_{key}"), "left"
+            F.broadcast(src), current[key] == F.col(f"__src_{key}"), "left"
         )
         if when_matched == "update":
             if set_exprs:
-                import re as _re
 
                 def _upd_col(c: str):
-                    expr = _re.sub(r"(?i)\bsrc\.", "__src_", set_exprs[c])
+                    expr = _sub_outside_literals(
+                        r"(?i)\bsrc\.", "__src_", set_exprs[c]
+                    )
                     return (
                         F.when(F.col("__matched").isNotNull(), F.expr(expr))
                         .otherwise(F.col(c))
@@ -276,7 +329,7 @@ class SnapshotTable:
                     ]
                 )
             n_upd = int(current.join(
-                source.select(F.col(key).alias("__k")),
+                F.broadcast(source.select(F.col(key).alias("__k"))),
                 current[key] == F.col("__k"), "left_semi",
             ).count())
         else:
@@ -287,7 +340,7 @@ class SnapshotTable:
             new_rows = source.join(
                 current.select(F.col(key).alias("__k")),
                 source[key] == F.col("__k"), "left_anti",
-            )
+            )  # source is checkpointed: anti-join re-reads, not re-runs
             inserts = new_rows.select(
                 *[
                     (F.col(c) if c in source.columns else F.lit(None))
@@ -329,12 +382,16 @@ class SnapshotTable:
         return len(_glob.glob(os.path.join(d, "*.parquet")))
 
     def delete(self, where: Column | None = None) -> int:
-        """Copy-on-write DELETE; ``where=None`` empties the table."""
+        """Copy-on-write DELETE; ``where=None`` empties the table.
+        The count derives from before/after row totals, so the (possibly
+        non-deterministic) predicate is only ever evaluated once — in
+        the rewrite that actually commits (review r3)."""
         cols = self.columns
         current = self.read()
         cond = F.lit(True) if where is None else where
-        n = int(current.filter(cond).count())
+        before = int(current.count())
         remaining = current.filter(~cond | cond.isNull())
         d = self._write_data_dir(remaining)
+        n = before - int(self.spark.read.parquet(d).count())
         self._commit([d], cols)
         return n

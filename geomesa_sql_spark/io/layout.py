@@ -57,6 +57,12 @@ def write_geo_table(
         .write.mode(mode)
         .parquet(path)
     )
+    # record the layout res so scans prune at the resolution the cells
+    # were actually encoded with (review r3; plan/scan.py reads this)
+    import json as _json
+
+    with open(f"{path.rstrip('/')}/_GEO_META.json", "w") as f:
+        _json.dump({"res": int(res), "x": x, "y": y}, f)
 
 
 def write_tiled(
@@ -104,6 +110,11 @@ def tile_partition_filter(
     filter, so Spark prunes directories at planning time."""
     import numpy as np
 
+    if minx > maxx or miny > maxy:
+        raise ValueError(
+            "tile_partition_filter: inverted bbox (antimeridian wrap is "
+            "not supported — split the query into two bboxes)"
+        )
     n = 1 << zoom
     tx0 = int(max(0, min(n - 1, np.floor((minx + 180.0) / 360.0 * n))))
     tx1 = int(max(0, min(n - 1, np.floor((maxx + 180.0) / 360.0 * n))))

@@ -53,13 +53,35 @@ class ScanSpec:
     data_res: int | None = 12
 
 
+def _table_res(path) -> int:
+    """Cell resolution the table was WRITTEN with: read the layout
+    metadata io.layout.write_geo_table drops next to the data (review
+    r3 — a res=8 table scanned with the res-12 default built ranges
+    the stored cells could never fall in, silently losing rows).
+    Falls back to the shared default when absent."""
+    import json as _json
+    import os as _os
+
+    from geomesa_sql_spark.io.layout import DEFAULT_DATA_RES
+
+    p = path if isinstance(path, str) else (path[0] if path else "")
+    meta = _os.path.join(str(p), "_GEO_META.json")
+    try:
+        with open(meta) as f:
+            return int(_json.load(f)["res"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return DEFAULT_DATA_RES
+
+
 class GeoTable:
     """Pushdown-capable table handle over one parquet/Iceberg path."""
 
     def __init__(self, spark: SparkSession, path: str, spec: ScanSpec | None = None,
                  pushdown: bool = True):
         self.spark = spark
-        self.spec = spec or ScanSpec(path=path)
+        if spec is None:
+            spec = ScanSpec(path=path, data_res=_table_res(path))
+        self.spec = spec
         self.pushdown = pushdown
 
     def _with(self, **kw) -> "GeoTable":
@@ -106,6 +128,14 @@ class GeoTable:
     def offset(self, n: int) -> "GeoTable":
         if self.spec.offset:
             raise ValueError("offset already set")
+        if self.spec.fetch is not None:
+            # df() compiles offset BELOW limit; accepting offset after
+            # limit would silently reorder the two (review r3 — same
+            # no-reorder contract as the other post-limit mutators)
+            raise ValueError(
+                "offset after limit would reorder semantics; "
+                "set offset first"
+            )
         return self._with(offset=n)
 
     def df(self) -> DataFrame:

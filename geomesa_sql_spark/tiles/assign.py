@@ -77,10 +77,16 @@ def pyramid_rollup(
     plain shuffles on integer keys (no UDF anywhere).
     """
     out = tile_stats_df
+    # structural columns are never measures (review r3: a frame straight
+    # from assign_tiles(with_hilbert=True) or build_pyramid summed
+    # Hilbert ids / zoom levels into garbage); agg_cols entries default
+    # to 'sum' per column instead of KeyError-ing on partial dicts
     measures = [
-        c for c in out.columns if c not in ("tile_x", "tile_y")
+        c for c in out.columns
+        if c not in ("tile_x", "tile_y", "tile_id", "zoom")
     ]
-    aggs = agg_cols or {c: "sum" for c in measures}
+    aggs = {c: (agg_cols or {}).get(c, "sum") for c in measures}
+    out = out.select("tile_x", "tile_y", *measures)
     for _ in range(levels):
         out = (
             out.withColumn("tile_x", F.shiftright("tile_x", 1))
@@ -107,7 +113,11 @@ def build_pyramid(
     independent of input row count (the base aggregation already
     happened in ``tile_stats``).
     """
-    measures = [c for c in tile_stats_df.columns if c not in ("tile_x", "tile_y")]
+    measures = [
+        c for c in tile_stats_df.columns
+        if c not in ("tile_x", "tile_y", "tile_id", "zoom")
+    ]
+    tile_stats_df = tile_stats_df.select("tile_x", "tile_y", *measures)
     frames = [tile_stats_df.withColumn("zoom", F.lit(zoom))]
     cur = tile_stats_df
     for z in range(zoom - 1, min_zoom - 1, -1):
@@ -140,9 +150,10 @@ def merge_pyramids(
     overwrite so only the delta's footprint is rewritten.
     """
     measures = [
-        c for c in existing.columns if c not in ("zoom", "tile_x", "tile_y")
+        c for c in existing.columns
+        if c not in ("zoom", "tile_x", "tile_y", "tile_id")
     ]
-    aggs = agg_cols or {c: "sum" for c in measures}
+    aggs = {c: (agg_cols or {}).get(c, "sum") for c in measures}
     return (
         existing.unionByName(delta)
         .groupBy("zoom", "tile_x", "tile_y")

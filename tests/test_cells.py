@@ -113,3 +113,37 @@ def test_zorder_col_matches_numpy():
     got = edge.withColumn("c", zorder_cell_col(F.col("lon"), F.col("lat"), 12)).toPandas()
     want = lonlat_to_cell(got["lon"].to_numpy(), got["lat"].to_numpy(), 12)
     assert (got["c"].to_numpy(np.int64) == want).all()
+
+
+def test_tile_partition_filter_matches_assign_tiles(spark):
+    """Review r3: layout's scalar tile formula must stay bit-identical
+    to assign_tiles' Column formula (partition pruning correctness
+    depends on the two never drifting)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.io.layout import tile_partition_filter
+    from geomesa_sql_spark.tiles import assign_tiles
+
+    zoom = 4
+    pts = spark.createDataFrame(
+        [(i, -180.0 + i * 7.3, -90.0 + (i * 3.7) % 180) for i in range(50)],
+        "id long, lon double, lat double",
+    )
+    tiled = assign_tiles(pts, zoom=zoom, with_hilbert=False)
+    n = 1 << zoom
+    rows = tiled.select(
+        "id", "lon", "lat",
+        (F.col("tile_y") * n + F.col("tile_x")).alias("tile_p"),
+    ).collect()
+    for r in rows:
+        # a 1-point bbox at the point must keep exactly its partition
+        pred = tile_partition_filter(r.lon, r.lat, r.lon, r.lat, zoom=zoom)
+        kept = spark.createDataFrame(
+            [(r.tile_p,)], "tile_p long"
+        ).filter(pred).count()
+        assert kept == 1, (r.lon, r.lat, r.tile_p)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="inverted bbox"):
+        tile_partition_filter(170.0, 0.0, -170.0, 10.0)

@@ -140,3 +140,33 @@ def test_write_tiled_partition_pruning(spark, sf_dir, tmp_path):
         r.tile_p for r in pruned.select("tile_p").distinct().collect()
     }
     assert 0 < len(hit_parts) < all_parts
+
+
+def test_geotable_honors_written_res(spark, sf_dir, tmp_path):
+    """Review r3: a table written with a non-default cell resolution
+    used to be scanned with the res-12 default, building prune ranges
+    the stored cells could never fall in — rows inside the query
+    envelope silently vanished. The layout metadata now travels with
+    the table."""
+    from geomesa_sql_spark.io.fixtures import orders_points
+    from geomesa_sql_spark.io.layout import write_geo_table
+    from geomesa_sql_spark.plan.scan import GeoTable
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    path = str(tmp_path / "geo8")
+    write_geo_table(pts, path, res=8)
+
+    rect = "POLYGON ((-50 -30, 40 -30, 40 35, -50 35, -50 -30))"
+    got = (
+        GeoTable(spark, path)
+        .where_spatial("within", rect, x="lon", y="lat")
+        .df()
+        .count()
+    )
+    want = (
+        GeoTable(spark, path, pushdown=False)
+        .where_spatial("within", rect, x="lon", y="lat")
+        .df()
+        .count()
+    )
+    assert want > 0 and got == want
