@@ -1704,15 +1704,16 @@ def _doc_fingerprints_sql() -> str:
 
 
 def _stop_hits_sql() -> str:
+    """Token-membership stopword count — same semantics as the Spark
+    op (r3: the old ' w '-replacement trick undercounted consecutive
+    stopwords because the shared delimiter space was consumed)."""
     from geomesa_sql_spark.ops.text import _STOPWORDS
 
-    parts = []
-    for w in _STOPWORDS:
-        parts.append(
-            f"(length(' ' || text || ' ') - "
-            f"length(replace(' ' || text || ' ', ' {w} ', ' '))) / {len(w) + 1}"
-        )
-    return " + ".join(parts)
+    lst = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains([{lst}], w)))"
+    )
 
 
 # ------------------------------------------------------------ driver surface

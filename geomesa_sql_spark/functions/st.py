@@ -132,9 +132,15 @@ def st_predicate_point_cols(
             return F.lit(False)
         return inside
 
+    purely_areal = all(
+        part.type == "Polygon" for part in g.flatten()
+    ) and len(g.flatten()) > 0
     if pred_l in ("within", "intersects"):
         boundary = "exclude" if pred_l == "within" else "include"
-        if g.dimension() == 2:
+        if purely_areal:
+            # dimension()==2 alone is NOT enough: a mixed collection
+            # maxes at 2 but points_in_polygon rejects non-polygon
+            # parts (review r3)
 
             @F.pandas_udf(T.BooleanType())
             def _pip(px: pd.Series, py: pd.Series) -> pd.Series:
@@ -146,15 +152,19 @@ def st_predicate_point_cols(
 
             return _pip(x, y)
 
-        @F.pandas_udf(T.BooleanType())
-        def _isect(px: pd.Series, py: pd.Series) -> pd.Series:
-            return pd.Series(
-                kernel.points_intersect_geom(
-                    px.to_numpy(np.float64), py.to_numpy(np.float64), g
-                )
-            )
+        if pred_l == "intersects":
 
-        return _isect(x, y)
+            @F.pandas_udf(T.BooleanType())
+            def _isect(px: pd.Series, py: pd.Series) -> pd.Series:
+                return pd.Series(
+                    kernel.points_intersect_geom(
+                        px.to_numpy(np.float64), py.to_numpy(np.float64), g
+                    )
+                )
+
+            return _isect(x, y)
+        # within against a 0/1-dim or mixed literal: boundary points
+        # do NOT qualify (JTS) — fall through to the exact relate
 
     # general fallback: pairwise relate against the literal
     wkb = geom_to_wkb(g)
@@ -322,8 +332,24 @@ def register_all(spark: SparkSession) -> None:
 
     @F.pandas_udf(T.BooleanType())
     def _dwithin(wa: pd.Series, wb: pd.Series, d: pd.Series) -> pd.Series:
-        dv = float(d.iloc[0]) if len(d) else 0.0
-        return pd.Series(kernel.relate_many(list(wa), list(wb), "dwithin", dv))
+        # per-ROW distance (review r3: the batch previously reused row
+        # 0's radius for all 8192 rows); constant literals still hit
+        # the vectorized path below because the values are equal
+        dvals = d.to_numpy()
+        uniq = pd.unique(d.dropna())
+        if len(uniq) == 1 and not d.isna().any():
+            return pd.Series(
+                kernel.relate_many(list(wa), list(wb), "dwithin", float(uniq[0]))
+            )
+        out = []
+        for a, b, dv in zip(wa, wb, dvals):
+            if a is None or b is None or dv is None or dv != dv:
+                out.append(None)
+                continue
+            out.append(bool(
+                kernel.relate_many([a], [b], "dwithin", float(dv))[0]
+            ))
+        return pd.Series(out, dtype=object)
 
     spark.udf.register("ST_DWithin", _dwithin)
 
@@ -365,7 +391,9 @@ def register_all(spark: SparkSession) -> None:
 
         return pd.Series(
             [
-                geom_to_wkb(box(float(a), float(b), float(c), float(e)))
+                None
+                if a is None or b is None or c is None or e is None
+                else geom_to_wkb(box(float(a), float(b), float(c), float(e)))
                 for a, b, c, e in zip(minx, miny, maxx, maxy)
             ],
             dtype=object,
@@ -451,8 +479,8 @@ def register_all(spark: SparkSession) -> None:
         require a full proj database (not in this container)."""
         out = []
         for b, s, d in zip(wkb, src, dst):
-            if b is None:
-                out.append(None)
+            if b is None or s is None or d is None:
+                out.append(None)  # NULL-in -> NULL-out (review r3)
                 continue
             if s == d:
                 out.append(bytes(b))

@@ -323,6 +323,25 @@ def _simple_distance(a: Geom, b: Geom) -> float:
     return _seg_seg_dist_min(a.segments(), b.segments())
 
 
+def _line_boundary_pts(g: Geom) -> np.ndarray:
+    """Mod-2 boundary points of g's line parts (JTS: a closed ring has
+    an EMPTY boundary; an endpoint shared by an even number of parts is
+    interior — review r3: the naive all-endpoints set misclassified
+    closed-ring closure vertices as boundary in contains/touches)."""
+    counts: dict[tuple, int] = {}
+    for p in g.flatten():
+        if p.type != model.LINESTRING or len(p.coords) == 0:
+            continue
+        pts = p.coords
+        if bool((pts[0] == pts[-1]).all()):
+            continue
+        for q in (pts[0], pts[-1]):
+            k = (float(q[0]), float(q[1]))
+            counts[k] = counts.get(k, 0) + 1
+    odd = [k for k, v in counts.items() if v % 2 == 1]
+    return np.array(odd, dtype=np.float64).reshape(-1, 2)
+
+
 def contains(a: Geom, b: Geom) -> bool:
     """JTS contains: every point of b in a, interiors intersect."""
     if _env_disjoint(a, b):
@@ -349,12 +368,16 @@ def contains(a: Geom, b: Geom) -> bool:
             segs = a.segments()
             if not _points_on_segs(pts[:, 0], pts[:, 1], segs).all():
                 return False
-            # boundary of a line = its endpoints; a point equal to an
-            # endpoint is boundary-contact only → not contained
-            ends = np.concatenate([c[[0, -1]] for c in (p.coords for p in a.flatten())])
-            interior = ~(
-                (pts[:, None, 0] == ends[None, :, 0]) & (pts[:, None, 1] == ends[None, :, 1])
-            ).any(axis=1)
+            # boundary of a line = its MOD-2 endpoints; a point equal
+            # to one is boundary-contact only → not contained
+            ends = _line_boundary_pts(a)
+            if len(ends):
+                interior = ~(
+                    (pts[:, None, 0] == ends[None, :, 0])
+                    & (pts[:, None, 1] == ends[None, :, 1])
+                ).any(axis=1)
+            else:
+                interior = np.ones(len(pts), dtype=bool)
             return bool(interior.any())
         if b.dimension() == 1:
             samples = _interior_samples(b)
@@ -423,11 +446,15 @@ def _interiors_intersect(a: Geom, b: Geom) -> bool:
             return True
         # collinear overlap: midpoint of one seg on the other's interior
         sa = _interior_samples(a)
-        ends_b = np.concatenate([c[[0, -1]] for c in (p.coords for p in b.flatten())])
+        ends_b = _line_boundary_pts(b)
         on_b = _points_on_segs(sa[:, 0], sa[:, 1], b.segments())
-        at_end = (
-            (sa[:, None, 0] == ends_b[None, :, 0]) & (sa[:, None, 1] == ends_b[None, :, 1])
-        ).any(axis=1)
+        if len(ends_b):
+            at_end = (
+                (sa[:, None, 0] == ends_b[None, :, 0])
+                & (sa[:, None, 1] == ends_b[None, :, 1])
+            ).any(axis=1)
+        else:
+            at_end = np.zeros(len(sa), dtype=bool)
         return bool((on_b & ~at_end).any())
     # point vs point/line
     pts = a.all_coords() if da == 0 else b.all_coords()
@@ -437,11 +464,15 @@ def _interiors_intersect(a: Geom, b: Geom) -> bool:
         return bool(
             ((pts[:, None, 0] == po[None, :, 0]) & (pts[:, None, 1] == po[None, :, 1])).any()
         )
-    ends = np.concatenate([c[[0, -1]] for c in (p.coords for p in other.flatten())])
+    ends = _line_boundary_pts(other)
     on = _points_on_segs(pts[:, 0], pts[:, 1], other.segments())
-    at_end = (
-        (pts[:, None, 0] == ends[None, :, 0]) & (pts[:, None, 1] == ends[None, :, 1])
-    ).any(axis=1)
+    if len(ends):
+        at_end = (
+            (pts[:, None, 0] == ends[None, :, 0])
+            & (pts[:, None, 1] == ends[None, :, 1])
+        ).any(axis=1)
+    else:
+        at_end = np.zeros(len(pts), dtype=bool)
     return bool((on & ~at_end).any())
 
 

@@ -63,9 +63,16 @@ def decode_png(data: bytes) -> np.ndarray:
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
-            if depth != 8 or ctype != 2:
-                raise ValueError(f"unsupported PNG (depth={depth}, color={ctype})")
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                # Adam7-interlaced streams reshape to garbage (review
+                # r3) — refuse them as cleanly as other unsupported forms
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype}, "
+                    f"interlace={interlace})"
+                )
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":

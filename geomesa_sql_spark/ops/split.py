@@ -114,8 +114,25 @@ def _uniform_draw(k: Column, salt: int) -> Column:
     filter-heavy split/sample paths use the engine's native hash; the
     staged form remains for fixture-parity derivations). The top 53
     bits are exactly representable in a double."""
-    h = F.xxhash64(k.cast("long"), F.lit(int(np.int64(salt))))
+    h = F.xxhash64(k, F.lit(int(np.int64(salt))))
     return F.shiftrightunsigned(h, 11).cast("double") / F.lit(float(1 << 53))
+
+
+def _draw_key(df: DataFrame, key) -> Column:
+    """Resolve the split key column: INTEGRAL columns keep the long
+    cast (pins the assignments shipped since r2); strings/doubles hash
+    natively — the unconditional cast('long') either threw under ANSI
+    or NULLed every draw to the bare seed, putting ALL rows in one
+    split (review r3)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if isinstance(key, str):
+        dt = df.schema[key].dataType
+        col = F.col(key)
+        if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            return col.cast("long")
+        return col
+    return key  # expression keys pass through as-is
 
 
 def hash_split(
@@ -134,14 +151,13 @@ def hash_split(
     fraction boundary moves only the rows between the old and new
     boundary (consistent-split property — a 1% val set grown to 2%
     keeps the original 1%)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    if not fractions:
-        raise ValueError("fractions must be non-empty")
 
-    k = F.col(key) if isinstance(key, str) else key
-    u = _uniform_draw(k, salt)
+    u = _uniform_draw(_draw_key(df, key), salt)
 
     expr = None
     acc = 0.0
@@ -165,5 +181,4 @@ def hash_sample(
     property dataset-curation reruns rely on)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    k = F.col(key) if isinstance(key, str) else key
-    return df.filter(_uniform_draw(k, salt) < F.lit(float(fraction)))
+    return df.filter(_uniform_draw(_draw_key(df, key), salt) < F.lit(float(fraction)))

@@ -40,18 +40,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         "avg_token_len",
         (F.length(t) - (F.col("n_tokens") - 1)) / F.col("n_tokens"),
     )
-    stop_hits = None
-    for w in _STOPWORDS:
-        # count of ' w ' occurrences via length difference
-        hit = (
-            F.length(F.concat(F.lit(" "), t, F.lit(" ")))
-            - F.length(
-                F.regexp_replace(
-                    F.concat(F.lit(" "), t, F.lit(" ")), f" {w} ", " "
-                )
-            )
-        ) / (len(w) + 1)
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    # token-membership count (review r3: the old ' w '-replacement
+    # trick consumed the shared delimiter space, undercounting
+    # consecutive stopwords like 'of the')
+    stop_hits = F.size(
+        F.filter(
+            F.split(t, " "),
+            lambda w: w.isin(*[F.lit(x) for x in _STOPWORDS]),
+        )
+    )
     out = out.withColumn("stopword_ratio", stop_hits / F.col("n_tokens"))
     out = out.withColumn(
         "quality",

@@ -107,7 +107,15 @@ def run_available_now(
 ) -> DataFrame:
     """Drain the stream with the available-now trigger into a memory
     sink; returns the sink table. ``mode``: 'complete' for windowed
-    aggregations, 'update' for applyInPandasWithState queries."""
+    aggregations, 'update' for applyInPandasWithState queries.
+
+    CAVEAT (review r3): the memory sink APPENDS update-mode output, it
+    does not upsert — a source that splits into several micro-batches
+    leaves one row per key PER BATCH in the returned table (stale
+    intermediates alongside finals). Consumers wanting only the final
+    state per key must take the LAST row per key themselves or drive a
+    real upsert sink via foreachBatch; the tests here drain
+    single-batch sources, where append == upsert."""
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")

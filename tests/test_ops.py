@@ -1047,3 +1047,22 @@ def test_embedding_clusters_rejects_string_ids(spark, sf_dir):
     )
     with _pt.raises(TypeError, match="must be numeric"):
         embedding_clusters(e)
+
+
+def test_hash_split_string_keys(spark):
+    """Review r3: string keys were cast('long') -> NULL, collapsing
+    every row into one split; they now hash natively and split
+    deterministically with roughly the requested proportions."""
+    from geomesa_sql_spark.ops.split import hash_sample, hash_split
+
+    df = spark.createDataFrame(
+        [(f"doc_{i}",) for i in range(2000)], "doc_id string"
+    )
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.2})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val"}
+    assert 1400 < counts["train"] < 1800
+    # determinism + nested-sample law hold for string keys too
+    s10 = {r.doc_id for r in hash_sample(df, "doc_id", 0.10).collect()}
+    s50 = {r.doc_id for r in hash_sample(df, "doc_id", 0.50).collect()}
+    assert s10 and s10 <= s50
