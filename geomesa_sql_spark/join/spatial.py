@@ -322,15 +322,18 @@ def spatial_join(
     right_nn = right_df.filter(right.not_null())
 
     if res is None:
+        # ONE bounded envelope sample per non-point side serves both
+        # the typical-extent estimate and the per-row cover caps —
+        # the caps exist because the raise-don't-truncate cover applies
+        # per ROW on both sides (review r3: a right side of points
+        # picked a dense res that crashed the first left polygon wider
+        # than ~sqrt(max_cells) cells)
+        ext_r = None if right.is_point else _sample_extents(right_nn, right)
+        ext_l = None if left.is_point else _sample_extents(left_nn, left)
         res = min(
-            _estimate_res(right_nn, right, expand),
-            # the raise-don't-truncate cover cap applies per ROW on
-            # both sides: bound res by the largest sampled envelope of
-            # each (review r3 — a right side of points picked a dense
-            # res that crashed the first left polygon wider than
-            # ~sqrt(max_cells) cells)
-            _res_cap(left_nn, left, expand, max_cells_per_row),
-            _res_cap(right_nn, right, 0.0, max_cells_per_row),
+            _estimate_res(ext_r, right, expand),
+            _res_cap(ext_l, left, expand, max_cells_per_row),
+            _res_cap(ext_r, right, 0.0, max_cells_per_row),
         )
 
     lc = _cells_for_side(left_nn, left, res, expand, max_cells_per_row)
@@ -445,24 +448,37 @@ def _refpoint_keep(res: int) -> Column:
     )
 
 
-def _estimate_res(right: DataFrame, side: GeomSide, expand: float) -> int:
-    """Pick cell resolution from a sample of right-side envelope extents."""
+def _sample_extents(df: DataFrame, side: GeomSide):
+    """(mean_w, mean_h, max_w, max_h) of a 1000-row envelope sample —
+    ONE bounded collect serves both the typical-extent estimate and
+    the per-row cover cap."""
+    sample = df.select(st_envelope_wkb(side.wkb).alias("e")).limit(1000).collect()
+    if not sample:
+        return None
+    ws = [r.e.maxx - r.e.minx for r in sample]
+    hs = [r.e.maxy - r.e.miny for r in sample]
+    return (
+        float(np.mean(ws)), float(np.mean(hs)),
+        float(max(ws)), float(max(hs)),
+    )
+
+
+def _estimate_res(ext, side: GeomSide, expand: float) -> int:
+    """Pick cell resolution from sampled right-side envelope extents
+    (``ext`` from :func:`_sample_extents`, or None for empty input)."""
     if side.is_point:
         # points have zero extent: resolution bounded by DWithin radius
         # (or a dense default for pure point-point joins)
         span = max(2 * expand, 0.01)
         return res_for_extent(span, span)
-    sample = right.select(st_envelope_wkb(side.wkb).alias("e")).limit(1000).collect()
-    if not sample:
+    if ext is None:
         return 8
-    w = float(np.mean([r.e.maxx - r.e.minx for r in sample])) + 2 * expand
-    h = float(np.mean([r.e.maxy - r.e.miny for r in sample])) + 2 * expand
+    w = ext[0] + 2 * expand
+    h = ext[1] + 2 * expand
     return res_for_extent(w, h)
 
 
-def _res_cap(
-    df: DataFrame, side: GeomSide, expand: float, max_cells: int
-) -> int:
+def _res_cap(ext, side: GeomSide, expand: float, max_cells: int) -> int:
     """Coarsest resolution at which the LARGEST sampled envelope of
     this side still covers well under ``max_cells`` cells (the
     cover_envelopes cap raises rather than silently dropping cells).
@@ -472,12 +488,11 @@ def _res_cap(
         return 32  # single-cell covers: no cap needed
     if side.is_point:
         w = h = 2.0 * expand
+    elif ext is None:
+        return 32
     else:
-        sample = df.select(st_envelope_wkb(side.wkb).alias("e")).limit(1000).collect()
-        if not sample:
-            return 32
-        w = float(max(r.e.maxx - r.e.minx for r in sample)) + 2 * expand
-        h = float(max(r.e.maxy - r.e.miny for r in sample)) + 2 * expand
+        w = ext[2] + 2 * expand
+        h = ext[3] + 2 * expand
     k = max(int(max_cells ** 0.5) // 2, 2)  # 256 -> 8: cover <= ~81
     span = max(w, h, 1e-12) / k
     return res_for_extent(span, span)
