@@ -85,8 +85,9 @@ def image_stats(
                         ).reshape(-1)
                     except Exception:
                         ok[j] = False  # truncated blob: null stats row
-                idxs = idxs[ok]
-                stack = stack[ok]
+                if not ok.all():  # fancy-index copies — skip when clean
+                    idxs = idxs[ok]
+                    stack = stack[ok]
                 if not len(idxs):
                     continue
                 sums = stack.reshape(len(idxs), -1, 3).sum(axis=1, dtype=np.int64)
@@ -154,8 +155,9 @@ def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
                         stack[j] = decode_image(bytes(blobs[i]), fmt, w, h)
                     except Exception:
                         ok[j] = False  # corrupt blob: row stays NULL
-                idxs = idxs[ok]
-                stack = stack[ok]
+                if not ok.all():  # fancy-index copies — skip when clean
+                    idxs = idxs[ok]
+                    stack = stack[ok]
                 if not len(idxs):
                     continue
                 luma = (stack.astype(np.int64) * weights).sum(axis=3)
