@@ -362,15 +362,29 @@ _P2_SCHEMA = T.StructType(
 
 
 def _validated_pts(df, key, x, y, eps, min_pts, coarse_cell):
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        NumericType,
+        ShortType,
+    )
 
-    for c in (key, x, y):
+    for c in (x, y):
         if not isinstance(df.schema[c].dataType, NumericType):
             raise TypeError(
                 f"dbscan column {c!r} must be numeric, got "
-                f"{df.schema[c].dataType.simpleString()} (a string key would "
-                "cast to NULL and silently drop every row)"
+                f"{df.schema[c].dataType.simpleString()}"
             )
+    if not isinstance(
+        df.schema[key].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise TypeError(
+            f"dbscan key column {key!r} must be an integral type, got "
+            f"{df.schema[key].dataType.simpleString()} (a string key would "
+            "cast to NULL and drop every row; a fractional key would "
+            "TRUNCATE, merging distinct points onto one id — review r3)"
+        )
     eps = float(eps)
     if not eps > 0.0:
         raise ValueError("eps must be > 0")
@@ -734,22 +748,26 @@ def dbscan_incremental(
 
         dirty, ring1, ring2 = _cells(2), _cells(3), _cells(4)
         p1c = ring1
-    else:  # spray delta over a huge grid: expand distributedly
+        bcast = F.broadcast
+    else:  # spray delta over a huge grid: expand distributedly and do
+        # NOT force-broadcast multi-million-cell frames (review r3) —
+        # Catalyst/AQE picks the join side from stats
         dirty = _expand_cells(home, 2).localCheckpoint(eager=True)
         ring1 = _expand_cells(dirty, 1)
         ring2 = _expand_cells(dirty, 2)
         p1c = None
+        bcast = lambda df_: df_  # noqa: E731
 
     fresh = _compute_local(
         pts_all, s, eps, int(min_pts), p2_cells=dirty, p1_cells=p1c
     )
-    kept = prev_local.join(F.broadcast(dirty), ["ccx", "ccy"], "left_anti")
+    kept = prev_local.join(bcast(dirty), ["ccx", "ccy"], "left_anti")
     new_local = kept.unionByName(fresh).localCheckpoint(eager=True)
 
     def _own_core_ids(local_rows: DataFrame) -> DataFrame:
         return (
             local_rows.filter((F.col("kind") == "corelab") & F.col("own"))
-            .join(F.broadcast(ring1), ["ccx", "ccy"], "left_semi")
+            .join(bcast(ring1), ["ccx", "ccy"], "left_semi")
             .select("id")
             .distinct()
         )
@@ -766,7 +784,7 @@ def dbscan_incremental(
     # from that slice only
     slice_eq = (
         new_local.filter(F.col("kind") == "corelab")
-        .join(F.broadcast(ring2), ["ccx", "ccy"], "left_semi")
+        .join(bcast(ring2), ["ccx", "ccy"], "left_semi")
         .join(F.broadcast(refresh_ids), "id", "left_semi")
     )
     eq = (
@@ -795,14 +813,17 @@ def dbscan_incremental(
         .select("lab")
     )
     ids_dirty = (
-        prev_local.join(F.broadcast(dirty), ["ccx", "ccy"], "left_semi")
+        prev_local.join(bcast(dirty), ["ccx", "ccy"], "left_semi")
         .select("id")
         .unionByName(fresh.select("id"))
         .distinct()
     )
     ids_relabel = (
         new_local.filter(F.col("kind") != "noise")
-        .join(F.broadcast(changed_labs), "lab", "left_semi")
+        # no forced broadcast: a mega-merge batch can change millions
+        # of labels, and this runs BEFORE the affected-id size guard
+        # (review r3) — let Catalyst pick from stats
+        .join(changed_labs, "lab", "left_semi")
         .select("id")
         .distinct()
     )

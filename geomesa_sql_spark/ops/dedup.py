@@ -44,19 +44,40 @@ def exact_dedup(df: DataFrame, content_cols: list[str], key: str) -> DataFrame:
     → semi-join back. Spark does partial aggregation map-side, so the
     shuffle carries one row per distinct hash per partition.
     """
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    # base64 each column (its alphabet excludes the separator, killing
+    # ('a\x1fb','c') vs ('a','b\x1fc') collisions) and encode NULL as a
+    # token no real value can produce post-base64 — concat_ws SKIPS
+    # nulls, so ('x', NULL) and (NULL, 'x') used to collide (review r3)
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(
+                    F.base64(F.col(c).cast("string").cast("binary")),
+                    F.lit("<NULL>"),
+                )
+                for c in content_cols
+            ],
+        )
+    )
     hashed = df.withColumn("__h", h)
     keep = hashed.groupBy("__h").agg(F.min(key).alias(key)).select(key)
     return df.join(keep, on=key, how="left_semi")
 
 
 
-def _fnv1a(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (builtin hash() is per-process salted)."""
+def _fnv1a_bytes(b: bytes) -> int:
+    """Scalar 64-bit FNV-1a over raw bytes (the reference chain every
+    vectorized path must match bit-for-bit)."""
     acc = 0xCBF29CE484222325
-    for ch in s.encode():
+    for ch in b:
         acc = ((acc ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return acc & 0x7FFFFFFFFFFFFFFF
+
+
+def _fnv1a(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (builtin hash() is per-process salted)."""
+    return _fnv1a_bytes(s.encode())
 
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
@@ -76,6 +97,18 @@ def _fnv1a_bytes_batch(items: list[bytes]) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     lens = np.fromiter((len(b) for b in items), count=n, dtype=np.int64)
     width = int(lens.max())
+    # a single huge item (one 10 MB chunk from a cut-free document)
+    # would densify the WHOLE batch to (n, 10M) bytes (review r3):
+    # route outliers through the scalar reference implementation and
+    # batch only the normal-sized rest
+    if width > 1 << 16 and n > 1:
+        big = lens > (1 << 16)
+        out = np.empty(n, dtype=np.uint64)
+        small_idx = np.nonzero(~big)[0]
+        out[small_idx] = _fnv1a_bytes_batch([items[i] for i in small_idx])
+        for i in np.nonzero(big)[0]:
+            out[i] = _fnv1a_bytes(items[i])
+        return out
     acc = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     if width == 0:
         return acc & _FNV_MASK63
@@ -563,7 +596,15 @@ def dedup_keep_best(
     highest-``score_col`` representative instead. One shuffle keyed by
     cluster (map-side partial max), then a semi-join back."""
     labelled = df.join(clusters, id_col, "left").withColumn(
-        "__grp", F.coalesce(F.col("cluster"), F.col(id_col))
+        # NULL or NEGATIVE labels mean "not in any dedup group" (dbscan
+        # emits cluster=-1 for noise; collapsing all noise into one
+        # group deleted unrelated rows — review r3): such rows keep
+        # themselves
+        "__grp",
+        F.when(
+            F.col("cluster").isNull() | (F.col("cluster") < 0),
+            F.col(id_col),
+        ).otherwise(F.col("cluster")),
     )
     best = (
         labelled.groupBy("__grp")

@@ -678,7 +678,7 @@ def test_dbscan_rejects_non_numeric_key(spark):
     from geomesa_sql_spark.ops.cluster import dbscan
 
     df = spark.createDataFrame([("#1", 0.0, 0.0)], "id string, x double, y double")
-    with _pytest.raises(TypeError, match="must be numeric"):
+    with _pytest.raises(TypeError, match="integral"):
         dbscan(df, "id", "x", "y", eps=1.0, min_pts=2)
 
 
@@ -1066,3 +1066,102 @@ def test_hash_split_string_keys(spark):
     s10 = {r.doc_id for r in hash_sample(df, "doc_id", 0.10).collect()}
     s50 = {r.doc_id for r in hash_sample(df, "doc_id", 0.50).collect()}
     assert s10 and s10 <= s50
+
+
+def test_exact_dedup_null_and_separator_safety(spark):
+    """Review r3: concat_ws SKIPS nulls, so ('x', NULL) and (NULL, 'x')
+    hashed identically; and a raw \\x1f inside a value could straddle
+    the column separator. Columns are now base64-wrapped with an
+    explicit NULL token."""
+    from geomesa_sql_spark.ops.dedup import exact_dedup
+
+    rows = [
+        (1, "x", None), (2, None, "x"),          # null-position swap
+        (3, "a\x1fb", "c"), (4, "a", "b\x1fc"),  # separator straddle
+        (5, "x", None),                           # true dup of row 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, c1 string, c2 string")
+    kept = sorted(
+        r.doc_id for r in exact_dedup(df, ["c1", "c2"], "doc_id").collect()
+    )
+    assert kept == [1, 2, 3, 4]
+
+
+def test_fnv_batch_huge_item_outlier():
+    """Review r3: one multi-MB item used to densify the whole batch to
+    (n, width) bytes; outliers now route through the scalar chain —
+    and that chain must hash RAW bytes (a latin1->utf8 round trip
+    would double every >=0x80 byte)."""
+    from geomesa_sql_spark.ops.dedup import _fnv1a_bytes, _fnv1a_bytes_batch
+
+    big = ("caf\xe9 " * 16_000).encode()  # ~96 KB, non-ASCII bytes
+    items = [b"alpha", big, b"", b"beta", big + b"!"]
+    got = _fnv1a_bytes_batch(items)
+    assert got.tolist() == [_fnv1a_bytes(b) for b in items]
+
+
+def test_dedup_keep_best_noise_labels(spark):
+    """Review r3: dbscan emits cluster=-1 for noise; keep-best used to
+    collapse ALL noise rows into one group and delete unrelated docs.
+    Negative (and NULL) labels now mean 'keep yourself'."""
+    from geomesa_sql_spark.ops.dedup import dedup_keep_best
+
+    rows = [(1, 0.2), (2, 0.9), (7, 0.5), (8, 0.9)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, -1), (8, -1)], "doc_id long, cluster long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_keep_best(df, clusters, "doc_id", "q").collect()
+    )
+    assert kept == [2, 7, 8]
+
+
+def test_dbscan_key_type_validation(spark):
+    """Review r3: a string key cast to NULL and dropped every row; a
+    DOUBLE key would silently truncate, merging distinct ids. Both now
+    raise up front; integral keys still work."""
+    import pytest as _pytest
+
+    from geomesa_sql_spark.ops.cluster import dbscan
+
+    rows = [(1, 0.0, 0.0), (2, 0.1, 0.0), (3, 0.2, 0.0)]
+    ok = spark.createDataFrame(rows, "id long, x double, y double")
+    assert dbscan(ok, "id", "x", "y", eps=0.5, min_pts=2).count() == 3
+
+    bad_str = ok.withColumn("id", ok.id.cast("string"))
+    with _pytest.raises(TypeError, match="integral"):
+        dbscan(bad_str, "id", "x", "y", eps=0.5, min_pts=2)
+    bad_frac = ok.withColumn("id", ok.id.cast("double"))
+    with _pytest.raises(TypeError, match="integral"):
+        dbscan(bad_frac, "id", "x", "y", eps=0.5, min_pts=2)
+
+
+def test_dbscan_incremental_distributed_cells_branch(spark, monkeypatch):
+    """Review r3: with _DRIVER_CELLS_MAX forced to 0 every batch takes
+    the distributed ring-expansion branch (no forced broadcast of the
+    cell frames) — results must equal a from-scratch rebuild."""
+    from geomesa_sql_spark.ops import cluster as C
+
+    monkeypatch.setattr(C, "_DRIVER_CELLS_MAX", 0)
+    schema = "id long, x double, y double"
+
+    def blob(start_id, cx, cy, n=24):
+        return [(start_id + k, cx + 0.05 * (k % 6), cy + 0.05 * (k // 6))
+                for k in range(n)]
+
+    base_rows = blob(0, 0.0, 0.0) + blob(100, 50.0, 0.0)
+    delta_rows = blob(200, 0.5, 0.5)
+    base = spark.createDataFrame(base_rows, schema)
+    full = spark.createDataFrame(base_rows + delta_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    _, st = C.dbscan(base, "id", "x", "y", eps=0.8, min_pts=3,
+                     coarse_cell=1.6, return_state=True)
+    res, _ = C.dbscan_incremental(full, delta, st, "id", "x", "y",
+                                  eps=0.8, min_pts=3, coarse_cell=1.6)
+    want = C.dbscan(full, "id", "x", "y", eps=0.8, min_pts=3,
+                    coarse_cell=1.6)
+    got = {r.id: (r.cluster, r.role) for r in res.collect()}
+    exp = {r.id: (r.cluster, r.role) for r in want.collect()}
+    assert got == exp
