@@ -859,9 +859,20 @@ def q_text_signals(spark, sf_dir):
 def q_ann_approx(spark, sf_dir):
     """Approximate ANN both ways, tagged by method: sign-LSH bucket join
     (bits sized so 2^6 buckets over ~500 vectors ≈ 8/bucket; at 10^12
-    rows bits≈30) ∪ IVF (coarse k-means quantizer, nprobe lists, exact
-    rerank). Recall vs brute force asserted in tests/test_ops.py."""
-    from geomesa_sql_spark.ops.ann import ivf_topk, lsh_bucket_ann
+    rows bits≈30) ∪ IVF (coarse quantizer, nprobe lists, exact rerank).
+
+    ORACLE-GATED since round 3 (was the one rows-only query): the
+    hyperplanes AND the IVF coarse centroids are data-independent
+    splitmix64 constants (ops.ann.fixed_centroids), so DuckDB replays
+    bucket assignment, multiprobe, list probing and the rerank ordering
+    from embedded DOUBLE[] literals (_ann_approx_sql). K-means
+    TRAINING (the default ivf_topk path) stays recall-gated in
+    tests/test_ops.py, as does LSH recall on adversarial corpora."""
+    from geomesa_sql_spark.ops.ann import (
+        fixed_centroids,
+        ivf_topk,
+        lsh_bucket_ann,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
@@ -870,9 +881,9 @@ def q_ann_approx(spark, sf_dir):
     lsh = lsh_bucket_ann(e, q, k=10, bits=6, multiprobe=2).select(
         F.lit("sign_lsh").alias("method"), "q_id", "vec_id", "rank"
     )
-    ivf = ivf_topk(e, q, k=10, n_lists=8, nprobe=3).select(
-        F.lit("ivf").alias("method"), "q_id", "vec_id", "rank"
-    )
+    ivf = ivf_topk(
+        e, q, k=10, n_lists=8, nprobe=3, centroids=fixed_centroids(64, 8)
+    ).select(F.lit("ivf").alias("method"), "q_id", "vec_id", "rank")
     return lsh.unionByName(ivf)
 
 
@@ -1373,6 +1384,7 @@ def _oracles() -> dict[str, str]:
         """,
         "text_signals": _text_signals_sql(),
         "doc_fingerprints": _doc_fingerprints_sql(),
+        "ann_approx": _ann_approx_sql(),
         # Exact 3-token-shingle Jaccard over the 150-orig + 150-modified
         # corpus, fully relational: tokenize → distinct shingle strings →
         # shingle-equality self-join counts the intersection; union =
@@ -1703,6 +1715,99 @@ def _doc_fingerprints_sql() -> str:
     """
 
 
+def _ann_approx_sql() -> str:
+    """ann_approx oracle: replays BOTH approximate ANN paths.
+
+    The sign-LSH hyperplanes and the IVF coarse centroids are
+    data-independent splitmix64 constants, embedded as DOUBLE[]
+    literals (``repr`` round-trips every float64 exactly: ≤17
+    significant digits survive DuckDB's DECIMAL parse → DOUBLE cast).
+    Only integers are hashed (method, q_id, vec_id, rank); the floats
+    behind them need sign/ordering agreement only — a bucket bit flips
+    at |dot| ≈ 1e-15 and a rank at sim gaps ≈ 1e-15, far below this
+    dataset's margins. The rerank sim itself is bit-identical anyway:
+    DuckDB's list_dot_product is the same sequential fold as the Spark
+    side's aggregate(zip_with(...)) (see ann_topk)."""
+    from geomesa_sql_spark.ops.ann import _hyperplanes, fixed_centroids
+
+    def lit(vec):
+        return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+    def bucket_of(col):
+        # Σ 2^i over sign bits of plane dot products, matching
+        # lsh_bucket_ann's signs @ (1 << arange(bits))
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {lit(p)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(_hyperplanes(64, 6))
+        )
+
+    cent_rows = ",\n          ".join(
+        f"({cid}, {lit(c)})" for cid, c in enumerate(fixed_centroids(64, 8))
+    )
+    cosine = (
+        "list_dot_product(de, qe) / (sqrt(list_dot_product(de, de))"
+        " * sqrt(list_dot_product(qe, qe)))"
+    )
+    return f"""
+        WITH d AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        q AS (
+          SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 3 AND embedding IS NOT NULL
+        ),
+        db AS (SELECT vec_id, de, {bucket_of('de')} AS bucket FROM d),
+        qb AS (
+          SELECT q_id, qe, xor(b0, pr.p) AS bucket
+          FROM (SELECT q_id, qe, {bucket_of('qe')} AS b0 FROM q)
+          CROSS JOIN (VALUES (0), (1), (2)) pr(p)
+        ),
+        lsh_ranked AS (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY {cosine} DESC, vec_id
+                 ) AS rank
+          FROM db JOIN qb USING (bucket)
+        ),
+        cents(cid, cv) AS (VALUES
+          {cent_rows}
+        ),
+        dl AS (
+          SELECT vec_id, de, cid AS lst FROM (
+            SELECT vec_id, de, cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY list_distance(de, cv), cid
+                   ) AS pr
+            FROM d CROSS JOIN cents
+          ) WHERE pr = 1
+        ),
+        ql AS (
+          SELECT q_id, qe, cid AS lst FROM (
+            SELECT q_id, qe, cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q_id ORDER BY list_distance(qe, cv), cid
+                   ) AS pr
+            FROM q CROSS JOIN cents
+          ) WHERE pr <= 3
+        ),
+        ivf_ranked AS (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY {cosine} DESC, vec_id
+                 ) AS rank
+          FROM dl JOIN ql USING (lst)
+        )
+        SELECT 'sign_lsh' AS method, q_id, vec_id,
+               CAST(rank AS INTEGER) AS rank
+        FROM lsh_ranked WHERE rank <= 10
+        UNION ALL
+        SELECT 'ivf' AS method, q_id, vec_id, CAST(rank AS INTEGER) AS rank
+        FROM ivf_ranked WHERE rank <= 10
+    """
+
+
 def _stop_hits_sql() -> str:
     """Token-membership stopword count — same semantics as the Spark
     op (r3: the old ' w '-replacement trick undercounted consecutive
@@ -1747,8 +1852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_signals; ann_lsh+ann_ivf → ann_approx; minhash_near_dup+
     ngram_jaccard → near_dup_text) and the freed slots carry the new
     round-2 operators (buffered-expression join, RIGHT join,
-    simplify/hull) — 49 oracle-gated, 1 rows-only (ann_approx, which
-    is approximate by definition)."""
+    simplify/hull) — all 50 oracle-gated since round 3 (ann_approx,
+    the last rows-only entry, now replays both approximate paths from
+    splitmix-constant hyperplanes/centroids in DuckDB)."""
     return {
         "filter_range_like": q_filter_range_like,
         "project_prune": q_project_prune,
@@ -1798,7 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_text": q_near_dup_text,
         "text_signals": q_text_signals,
         "doc_fingerprints": q_doc_fingerprints,
-        # rows-only (approximate by definition; recall gated in pytest)
         "ann_approx": q_ann_approx,
         "image_stats": q_image_stats,
     }

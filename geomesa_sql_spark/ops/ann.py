@@ -230,6 +230,25 @@ def embedding_clusters(
     )
 
 
+def fixed_centroids(dim: int, k: int, seed: int = 11) -> np.ndarray:
+    """Data-independent coarse-quantizer centroids, uniform in [-1, 1)
+    from the same splitmix64 stream as the LSH hyperplanes.
+
+    A fixed Voronoi quantizer is a legitimate IVF coarse structure
+    (assignment, nprobe probing and rerank are identical to the trained
+    path); being data-independent it can also be embedded as literal
+    constants in a SQL oracle — which is how the driver gates
+    ``ann_approx`` bit-for-bit. K-means training (the default
+    ``ivf_topk`` path) stays recall-gated in pytest."""
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
+    idx = np.arange(
+        seed * 2_000_000, seed * 2_000_000 + k * dim, dtype=np.int64
+    )
+    h = _splitmix64(idx).astype(np.float64)
+    return (h / 2**63 - 1.0).reshape(k, dim)
+
+
 def _kmeans_centroids(
     sample: np.ndarray, k: int, iters: int = 10, seed: int = 11
 ) -> np.ndarray:
@@ -267,6 +286,7 @@ def ivf_topk(
     q_vec_col: str = "q_embedding",
     q_id_col: str = "q_id",
     train_sample: int = 10_000,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means quantizer → inverted lists
     → probe the ``nprobe`` nearest lists per query → exact rerank.
@@ -275,16 +295,27 @@ def ivf_topk(
     broadcast; corpus assignment is one vectorized pandas-UDF pass; the
     candidate join touches ~nprobe/n_lists of the data. Recall vs brute
     force is asserted in tests (like the LSH path).
+
+    ``centroids`` (shape (n_lists, dim)) skips training and uses the
+    given coarse quantizer — :func:`fixed_centroids` makes the whole
+    pipeline deterministic constants, SQL-oracle replayable.
     """
     df = df.filter(F.col(vec_col).isNotNull())  # np.stack null gate (r3)
     query_df = query_df.filter(F.col(q_vec_col).isNotNull())
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in df.select(vec_col).limit(train_sample).collect()
-        ]
-    )
-    cents = _kmeans_centroids(sample, n_lists)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.shape[0] != n_lists:
+            raise ValueError(
+                f"centroids rows {cents.shape[0]} != n_lists {n_lists}"
+            )
+    else:
+        sample = np.stack(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in df.select(vec_col).limit(train_sample).collect()
+            ]
+        )
+        cents = _kmeans_centroids(sample, n_lists)
     cn = (cents * cents).sum(1)
 
     @F.pandas_udf(T.IntegerType())

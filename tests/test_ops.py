@@ -1165,3 +1165,30 @@ def test_dbscan_incremental_distributed_cells_branch(spark, monkeypatch):
     got = {r.id: (r.cluster, r.role) for r in res.collect()}
     exp = {r.id: (r.cluster, r.role) for r in want.collect()}
     assert got == exp
+
+
+def test_ivf_fixed_centroids_path(spark, sf_dir):
+    """r3: ivf_topk(centroids=fixed_centroids(...)) skips training (no
+    corpus collect) and keeps the full assign/probe/rerank pipeline —
+    k rows per query, recall well above the nprobe/n_lists floor.
+    This is the configuration the ann_approx driver oracle replays
+    from DOUBLE[] literals in DuckDB."""
+    from geomesa_sql_spark.ops.ann import (
+        cosine_topk,
+        fixed_centroids,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter("vec_id < 3").selectExpr(
+        "vec_id as q_id", "embedding as q_embedding"
+    )
+    cents = fixed_centroids(64, 8)
+    assert cents.shape == (8, 64)
+    assert (fixed_centroids(64, 8) == cents).all()  # deterministic
+    out = ivf_topk(e, q, k=10, n_lists=8, nprobe=3, centroids=cents)
+    counts = {r["count"] for r in out.groupBy("q_id").count().collect()}
+    assert counts == {10}
+    exact = cosine_topk(e, q, k=10)
+    hits = out.join(exact, ["q_id", "vec_id"], "inner").count()
+    assert hits / exact.count() >= 0.6
