@@ -423,7 +423,7 @@ class Engine:
         """
         m = _SPATIAL_JOIN_RE.match(query.strip())
         if not m:
-            return None
+            return self._route_spatial_after_prefix(query)
 
         def _bail(why: str) -> None:
             _LOG.warning(
@@ -658,6 +658,153 @@ class Engine:
             # the returned DataFrame captured its analyzed plan; the
             # view is only needed during spark.sql() above
             self.spark.catalog.dropTempView(view)
+
+    def _route_spatial_after_prefix(self, query: str) -> DataFrame | None:
+        """Spatial join as a NON-FIRST join in a multi-join chain:
+
+            SELECT ... FROM t0 [a0] JOIN t1 [a1] ON <plain> [JOIN ...]
+            JOIN tS [aS] ON ST_Pred(...) [more plain joins] [tail]
+
+        The plain-join PREFIX runs as ordinary Spark SQL into a temp
+        view; the query is rewritten with that view as the spatial
+        join's left table and re-routed through the primary path, which
+        applies the cell join plus the usual chain/tail handling (the
+        Calcite planner fires EnumerableSpatialJoinRule on any matching
+        LogicalJoin regardless of its position in the tree —
+        rules/EnumerableSpatialJoinRule.scala:38-145). INNER spatial
+        joins only: a 1:N prefix join can duplicate the engine's
+        ``fid_col``, which would break the outer-join restore contract.
+        """
+        q = query.strip().rstrip(";").strip()
+        if not _re.search(r"(?i)\bON\s+ST_\w+\s*\(", q):
+            return None  # no spatial join anywhere: stay silent
+
+        def _bail(why: str) -> None:
+            _LOG.warning(
+                "SQL-text spatial join NOT routed (%s) — falling back to "
+                "plain spark.sql, which plans a Python-UDF ON clause as a "
+                "cartesian BroadcastNestedLoopJoin (and rejects it for "
+                "outer joins): %.200s",
+                why,
+                query,
+            )
+
+        if "'" in q or '"' in q:
+            _bail("quoted literal in a chain-prefix query")
+            return None
+        if _re.search(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", q):
+            return None
+        sm = _re.match(r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<body>.+)$", q)
+        if not sm:
+            return None
+        sel, body = sm.group("sel"), sm.group("body")
+        depths, d = [], 0
+        for ch in body:
+            depths.append(d)
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        tail = ""
+        tail_re = _re.compile(
+            r"(?i)\s(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\s"
+        )
+        for tmm in tail_re.finditer(body):
+            if depths[tmm.start()] == 0:
+                tail = body[tmm.start():].strip()
+                body = body[: tmm.start()]
+                break
+        if _re.search(r"(?i)\bSELECT\b", body):
+            return None  # subquery in FROM — out of scope
+        join_re = _re.compile(
+            r"(?i)\b(?:(?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\s"
+        )
+        starts = [j.start() for j in join_re.finditer(body) if depths[j.start()] == 0]
+        if len(starts) < 2:
+            return None  # ≤1 join is the primary path's territory
+        segs, prev = [], 0
+        for s0 in starts:
+            segs.append(body[prev:s0].strip())
+            prev = s0
+        segs.append(body[prev:].strip())
+        base, joins = segs[0], segs[1:]
+        spatial_at = [
+            i for i, jseg in enumerate(joins)
+            if _re.search(r"(?i)\bST_\w+\s*\(", jseg)
+        ]
+        if len(spatial_at) != 1:
+            if len(spatial_at) > 1:
+                _bail("second spatial join in the chain")
+            return None
+        k = spatial_at[0]
+        if k == 0:
+            return None  # spatial-first failed the primary regex: bail quiet
+        spatial_seg = joins[k]
+        if _re.match(r"(?i)(LEFT|RIGHT|FULL)\b", spatial_seg):
+            _bail(
+                "outer spatial join after a join-chain prefix (the prefix "
+                "can't guarantee a unique restore key)"
+            )
+            return None
+        # collect prefix table/alias names; validate registration
+        names, tabs = [], []
+        bm = _re.match(r"(?i)^(\w+)(?:\s+(?:AS\s+)?(\w+))?$", base)
+        if not bm:
+            _bail("unparseable chain-prefix base table")
+            return None
+        names += [n for n in bm.groups() if n]
+        tabs.append(bm.group(1))
+        seg_re = _re.compile(
+            r"(?i)^(?:(?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\s+"
+            r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+"
+        )
+        for jseg in joins[:k]:
+            jm = seg_re.match(jseg)
+            if not jm:
+                _bail("unparseable join segment in the chain prefix")
+                return None
+            names += [n for n in jm.groups() if n]
+            tabs.append(jm.group(1))
+        known = set(self._tables) | set(self._views)
+        missing = [t for t in tabs if t not in known]
+        if missing:
+            _bail(f"chain-prefix table(s) {missing} not registered")
+            return None
+        spm = seg_re.match(spatial_seg)
+        if not spm:
+            _bail("unparseable spatial join segment")
+            return None
+        lowered = {n.lower() for n in names}
+        if lowered & {x.lower() for x in spm.groups() if x}:
+            _bail("prefix alias collides with the spatial join's table/alias")
+            return None
+        pre_df = self.spark.sql(f"SELECT * FROM {base} {' '.join(joins[:k])}")
+        if len(set(pre_df.columns)) != len(pre_df.columns):
+            _bail("join-chain prefix produces duplicate column names")
+            return None
+        tmp = f"{self._routed_view}_pre_{uuid.uuid4().hex[:8]}"
+
+        def rq(s: str) -> str:
+            for n_ in names:
+                s = _re.sub(rf"(?i)\b{_re.escape(n_)}\.", f"{tmp}.", s)
+            return s
+
+        new_q = f"SELECT {rq(sel)} FROM {tmp} {rq(spatial_seg)}"
+        rest_joins = " ".join(joins[k + 1:])
+        if rest_joins:
+            new_q += f" {rq(rest_joins)}"
+        if tail:
+            new_q += f" {rq(tail)}"
+        # _views registration only — the primary path resolves t1 via
+        # Engine.df() (the DataFrame object), never the Spark catalog,
+        # so no temp view is created for the prefix
+        self._views[tmp] = pre_df
+        try:
+            # the rewritten query has the spatial join FIRST, so this
+            # recursion terminates in the primary path (or its bails)
+            return self._route_spatial_join(new_q)
+        finally:
+            del self._views[tmp]
 
     def table(self, name: str) -> GeoTable:
         """Pushdown-accumulating scan handle (§2.1 S1/S2); snapshot

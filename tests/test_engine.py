@@ -647,3 +647,76 @@ def test_sql_spatial_join_chain_routed(spark, sf_dir, tmp_path):
     finally:
         lg.removeHandler(h)
     assert any("second spatial join" in msg for msg in caplog_records)
+
+
+def test_sql_spatial_join_second_in_chain_routed(spark, sf_dir, tmp_path):
+    """r3: a chain whose spatial join is NOT the first join routes too:
+    the plain-join prefix runs as ordinary Spark SQL into a temp frame,
+    which becomes the spatial join's left side — no BNLJ anywhere.
+    Outer spatial joins after a prefix and duplicate-column prefixes
+    bail with a warning."""
+    import logging as _l
+
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2, p3 = (str(tmp_path / d) for d in ("p", "n", "o"))
+    orders_points(spark, sf_dir).select(
+        F.col("o_orderkey").alias("pt_key"), "lon", "lat"
+    ).write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).write.parquet(p3)
+    eng.register_table("ppts", p1)
+    eng.register_table("pnsq", p2)
+    eng.register_table("pords", p3)
+
+    got = eng.sql(
+        "SELECT d.o_custkey, p.pt_key, s.n_nationkey "
+        "FROM pords d JOIN ppts p ON d.o_orderkey = p.pt_key "
+        "JOIN pnsq s ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "WHERE p.pt_key <= 5000"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+    pts = spark.read.parquet(p1)
+    sq = spark.read.parquet(p2)
+    ords = spark.read.parquet(p3)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = (
+        ords.join(pts, F.col("o_orderkey") == F.col("pt_key"))
+        .filter(F.col("pt_key") <= 5000)
+        .join(sq, bbox)
+        .select("o_custkey", "pt_key", "n_nationkey")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # no leaked engine-side prefix views
+    assert not [v for v in eng._views if v.startswith("__gsj")]
+
+    records = []
+    h = _l.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    lg = _l.getLogger("geomesa_sql_spark.engine")
+    lg.addHandler(h)
+    try:
+        # outer spatial join after a prefix: bail (warned)
+        assert eng._route_spatial_join(
+            "SELECT d.o_custkey FROM pords d JOIN ppts p ON d.o_orderkey = p.pt_key "
+            "LEFT JOIN pnsq s ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+        ) is None
+        # duplicate column names in the prefix: bail (warned)
+        assert eng._route_spatial_join(
+            "SELECT p.lon FROM pords d JOIN pords e ON d.o_orderkey = e.o_orderkey "
+            "JOIN pnsq s ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+        ) is None
+    finally:
+        lg.removeHandler(h)
+    assert any("outer spatial join after a join-chain prefix" in r for r in records)
+    assert any("duplicate column names" in r for r in records)
