@@ -332,6 +332,9 @@ class Engine:
         count as a 1-row result)."""
         dml = _parse_dml(query)
         if dml is None:
+            routed = self._route_with_ctes(query)
+            if routed is not None:
+                return routed
             routed = self._route_spatial_join(query)
             if routed is not None:
                 return routed
@@ -658,6 +661,100 @@ class Engine:
             # the returned DataFrame captured its analyzed plan; the
             # view is only needed during spark.sql() above
             self.spark.catalog.dropTempView(view)
+
+    def _route_with_ctes(self, query: str) -> DataFrame | None:
+        """WITH-clause queries containing a spatial join: each CTE body
+        is routed through the spatial planner (falling back to plain
+        Spark SQL when it isn't a spatial join) and registered as a
+        temp view under its CTE name; the main SELECT then plans over
+        those views — itself routed if IT is the spatial part. Without
+        this, a spatial join inside a CTE silently got the cartesian
+        Python-UDF plan (the Calcite planner sees through CTEs because
+        they're just LogicalProject subtrees by the time
+        EnumerableSpatialJoinRule runs).
+
+        Returns None (untouched plain path) when the query has no WITH
+        clause or no ``ON ST_*(...)`` join anywhere; bails with a
+        warning on shapes the splitter can't handle faithfully.
+        """
+        q = query.strip().rstrip(";").strip()
+        if not _re.match(r"(?is)^WITH\b", q):
+            return None
+        if not _re.search(r"(?i)\bON\s+ST_\w+\s*\(", q):
+            return None  # no spatial join: plain spark.sql handles WITH
+
+        def _bail(why: str) -> None:
+            _LOG.warning(
+                "WITH-clause spatial join NOT routed (%s) — falling back "
+                "to plain spark.sql, which plans a Python-UDF ON clause "
+                "as a cartesian BroadcastNestedLoopJoin: %.200s",
+                why,
+                query,
+            )
+
+        if "'" in q or '"' in q:
+            # a quote could hide parens from the CTE splitter
+            _bail("quoted literal in a WITH query")
+            return None
+        if _re.search(r"(?i)\bRECURSIVE\b", q):
+            _bail("WITH RECURSIVE")
+            return None
+        # split `WITH n1 AS (...), n2 AS (...) SELECT ...` by paren depth
+        i = _re.match(r"(?is)^WITH\s+", q).end()
+        ctes: list[tuple[str, str]] = []
+        while True:
+            nm = _re.match(r"(?is)(\w+)\s+AS\s*\(", q[i:])
+            if not nm:
+                _bail("unparseable CTE definition")
+                return None
+            j = i + nm.end()  # position just past the opening paren
+            depth, k = 1, j
+            while k < len(q) and depth:
+                if q[k] == "(":
+                    depth += 1
+                elif q[k] == ")":
+                    depth -= 1
+                k += 1
+            if depth:
+                _bail("unbalanced parens in CTE definition")
+                return None
+            ctes.append((nm.group(1), q[j:k - 1].strip()))
+            cm = _re.match(r"(?is)\s*,\s*", q[k:])
+            if not cm:
+                main = q[k:].strip()
+                break
+            i = k + cm.end()
+        if not _re.match(r"(?is)^SELECT\b", main):
+            _bail("WITH body is not a SELECT")
+            return None
+        known = set(self._tables) | set(self._views)
+        clash = [n for n, _ in ctes
+                 if n in known or self.spark.catalog.tableExists(n)]
+        if clash:
+            _bail(f"CTE name(s) {clash} shadow existing tables/views")
+            return None
+        registered: list[str] = []
+        try:
+            for name, body in ctes:
+                routed = self._route_spatial_join(body)
+                df = (
+                    routed
+                    if routed is not None
+                    else self.spark.sql(_rewrite_spatial_predicates(body))
+                )
+                self._views[name] = df
+                df.createOrReplaceTempView(name)
+                registered.append(name)
+            routed = self._route_spatial_join(main)
+            if routed is not None:
+                return routed
+            return self.spark.sql(_rewrite_spatial_predicates(main))
+        finally:
+            # every returned DataFrame captured its analyzed plan during
+            # spark.sql()/routing above, so the views can go immediately
+            for name in registered:
+                del self._views[name]
+                self.spark.catalog.dropTempView(name)
 
     def _route_spatial_after_prefix(self, query: str) -> DataFrame | None:
         """Spatial join as a NON-FIRST join in a multi-join chain:

@@ -720,3 +720,64 @@ def test_sql_spatial_join_second_in_chain_routed(spark, sf_dir, tmp_path):
         lg.removeHandler(h)
     assert any("outer spatial join after a join-chain prefix" in r for r in records)
     assert any("duplicate column names" in r for r in records)
+
+
+def test_sql_with_cte_spatial_join_routed(spark, sf_dir, tmp_path):
+    """r3: a spatial join inside a WITH-clause CTE routes through the
+    cell join (previously the whole query fell to plain spark.sql and
+    its cartesian Python-UDF plan); CTEs chain (later bodies see
+    earlier ones), the main SELECT plans over the routed views, and
+    the temp views are dropped after the plan is captured. CTE names
+    that shadow registered tables bail with a warning."""
+    import logging as _l
+
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("wpts", p1)
+    eng.register_table("wnsq", p2)
+
+    got = eng.sql(
+        "WITH hits AS ("
+        "SELECT p.o_orderkey, s.n_nationkey FROM wpts p JOIN wnsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+        "), agg AS ("
+        "SELECT n_nationkey, COUNT(*) AS n FROM hits GROUP BY n_nationkey"
+        ") SELECT * FROM agg ORDER BY n_nationkey"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = (
+        pts.join(sq, bbox).groupBy("n_nationkey").count()
+        .orderBy("n_nationkey")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # CTE views are session-transient: dropped once the plan is captured
+    assert not spark.catalog.tableExists("hits")
+    assert not spark.catalog.tableExists("agg")
+    assert "hits" not in eng._views and "agg" not in eng._views
+
+    records = []
+    h = _l.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    lg = _l.getLogger("geomesa_sql_spark.engine")
+    lg.addHandler(h)
+    try:
+        assert eng._route_with_ctes(
+            "WITH wpts AS (SELECT 1 AS one) SELECT o_orderkey FROM wpts p "
+            "JOIN wnsq s ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+        ) is None
+    finally:
+        lg.removeHandler(h)
+    assert any("shadow existing tables" in r for r in records)
