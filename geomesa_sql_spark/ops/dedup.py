@@ -37,18 +37,15 @@ def _hash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def exact_dedup(df: DataFrame, content_cols: list[str], key: str) -> DataFrame:
-    """Keep one row (min key) per exact content group — hash-groupBy.
-
-    Two-phase: md5 over concatenated content → groupBy(hash) min(key)
-    → semi-join back. Spark does partial aggregation map-side, so the
-    shuffle carries one row per distinct hash per partition.
-    """
-    # base64 each column (its alphabet excludes the separator, killing
-    # ('a\x1fb','c') vs ('a','b\x1fc') collisions) and encode NULL as a
-    # token no real value can produce post-base64 — concat_ws SKIPS
-    # nulls, so ('x', NULL) and (NULL, 'x') used to collide (review r3)
-    h = F.md5(
+def content_hash_col(content_cols: list[str]):
+    """Injective-by-construction content hash Column, shared by batch
+    ``exact_dedup`` and ``streaming.streaming_exact_dedup`` so both
+    form identical groups: base64 each column (its alphabet excludes
+    the separator, killing ('a\\x1fb','c') vs ('a','b\\x1fc')
+    collisions) and encode NULL as a token no real value can produce
+    post-base64 — concat_ws SKIPS nulls, so ('x', NULL) and (NULL,
+    'x') used to collide (review r3)."""
+    return F.md5(
         F.concat_ws(
             "\x1f",
             *[
@@ -60,7 +57,16 @@ def exact_dedup(df: DataFrame, content_cols: list[str], key: str) -> DataFrame:
             ],
         )
     )
-    hashed = df.withColumn("__h", h)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], key: str) -> DataFrame:
+    """Keep one row (min key) per exact content group — hash-groupBy.
+
+    Two-phase: md5 over concatenated content → groupBy(hash) min(key)
+    → semi-join back. Spark does partial aggregation map-side, so the
+    shuffle carries one row per distinct hash per partition.
+    """
+    hashed = df.withColumn("__h", content_hash_col(content_cols))
     keep = hashed.groupBy("__h").agg(F.min(key).alias(key)).select(key)
     return df.join(keep, on=key, how="left_semi")
 

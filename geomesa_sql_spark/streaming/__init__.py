@@ -1,4 +1,6 @@
 from geomesa_sql_spark.streaming.windowed import (  # noqa: F401
+    drain_merge_into,
+    drain_upsert,
     run_available_now,
     stateful_running_totals,
     stream_spatial_join,

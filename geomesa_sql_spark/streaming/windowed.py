@@ -113,9 +113,8 @@ def run_available_now(
     does not upsert — a source that splits into several micro-batches
     leaves one row per key PER BATCH in the returned table (stale
     intermediates alongside finals). Consumers wanting only the final
-    state per key must take the LAST row per key themselves or drive a
-    real upsert sink via foreachBatch; the tests here drain
-    single-batch sources, where append == upsert."""
+    state per key should use :func:`drain_upsert` (dev/test scale) or
+    :func:`drain_merge_into` (state lives in a snapshot table)."""
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -126,6 +125,74 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def drain_upsert(
+    stream_df: DataFrame, key_cols: list[str], mode: str = "update"
+) -> DataFrame:
+    """Available-now drain with true per-key UPSERT semantics.
+
+    Each micro-batch's rows overwrite earlier rows sharing the same
+    ``key_cols`` (within a batch the last emitted row wins), so a
+    multi-batch update-mode drain returns exactly one final row per
+    key — what ``run_available_now``'s appending memory sink cannot
+    give. foreachBatch delivers batches to the driver in epoch order,
+    which makes last-wins deterministic.
+
+    Driver-side accumulation: the final state must fit on the driver —
+    the SAME contract as the memory sink this replaces (dev/test
+    drains). The production-scale upsert is :func:`drain_merge_into`,
+    where state lives in a snapshot table and the driver holds
+    nothing."""
+    spark = stream_df.sparkSession
+    schema = stream_df.schema
+    batches: list[pd.DataFrame] = []
+
+    def _collect(bdf: DataFrame, _eid: int) -> None:
+        batches.append(bdf.toPandas())
+
+    q = (
+        stream_df.writeStream.foreachBatch(_collect)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not batches:
+        return spark.createDataFrame([], schema)
+    allp = pd.concat(batches, ignore_index=True)
+    final = allp.drop_duplicates(subset=list(key_cols), keep="last")
+    return spark.createDataFrame(final, schema)
+
+
+def drain_merge_into(
+    stream_df: DataFrame,
+    engine,
+    table: str,
+    on: str | None = None,
+    mode: str = "update",
+) -> DataFrame:
+    """Available-now drain where every micro-batch MERGEs into a
+    registered snapshot table (update-if-matched / insert-if-not, one
+    atomic snapshot commit per batch — ``Engine.merge`` /
+    io/dml.py). The production upsert sink: keyed state lives in the
+    table, the driver holds nothing, and a crash between batches
+    leaves a consistent snapshot to resume from. Returns the drained
+    table's DataFrame."""
+
+    def _merge(bdf: DataFrame, _eid: int) -> None:
+        if bdf.isEmpty():
+            return
+        engine.merge(table, bdf, on=on)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return engine.df(table)
 
 
 def stream_spatial_join(
@@ -263,11 +330,10 @@ def streaming_exact_dedup(
     of each distinct content (batch exact_dedup keeps min-key instead —
     both keep exactly one representative per content group).
     """
-    h = F.md5(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
-    )
+    from geomesa_sql_spark.ops.dedup import content_hash_col
+
     out = (
-        events.withColumn("__h", h)
+        events.withColumn("__h", content_hash_col(content_cols))
         .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
     )

@@ -298,3 +298,127 @@ def test_streaming_dbscan_maintenance_matches_batch(spark, tmp_path):
     assert len(got) == n
     # the delta-upserted sink tracked the full labels exactly
     assert sink == got
+
+
+def test_drain_upsert_vs_memory_sink_append(spark, sf_dir, tmp_path):
+    """r3: drain_upsert returns ONE final row per key from a
+    multi-batch update-mode drain, equal to the batch aggregate; the
+    memory sink (run_available_now) demonstrably appends per-batch
+    intermediates for the same query."""
+    from geomesa_sql_spark.streaming import (
+        drain_upsert,
+        run_available_now,
+        stateful_running_totals,
+    )
+
+    d = str(tmp_path / "ev")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(d)  # 4 files -> 4 micro-batches
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    got = drain_upsert(stateful_running_totals(stream()), ["event_type"])
+    want = {
+        r.event_type: (r.n, round(r.v, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    res = {
+        r.event_type: (r.total_n, round(r.total_value, 6))
+        for r in got.collect()
+    }
+    assert res == want
+    # the memory sink keeps one row per key per batch — strictly more
+    appended = run_available_now(
+        stateful_running_totals(stream()), mode="update"
+    )
+    assert appended.count() > got.count()
+
+
+def test_drain_merge_into_snapshot_table(spark, sf_dir, tmp_path):
+    """r3: foreachBatch -> Engine.merge upsert sink: after a
+    multi-batch drain the snapshot table holds exactly the final
+    per-key totals (later batches updated earlier rows, one commit per
+    batch), matching the batch aggregate."""
+    from geomesa_sql_spark.engine import Engine
+    from geomesa_sql_spark.io.dml import SnapshotTable
+    from geomesa_sql_spark.streaming import (
+        drain_merge_into,
+        stateful_running_totals,
+    )
+
+    eng = Engine(spark, fid_col="event_type")
+    d = str(tmp_path / "ev")
+    t = str(tmp_path / "tot")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(d)
+    empty = spark.createDataFrame(
+        [], "event_type string, total_n long, total_value double"
+    )
+    SnapshotTable(spark, t, fid_col="event_type").create(empty)
+    eng.register_table("totals", t)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = drain_merge_into(
+        stateful_running_totals(stream), eng, "totals", on="event_type"
+    )
+    want = {
+        r.event_type: (r.n, round(r.v, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    res = {
+        r.event_type: (r.total_n, round(r.total_value, 6))
+        for r in got.collect()
+    }
+    assert res == want
+    # multi-commit history: one snapshot per non-empty batch + create
+    assert SnapshotTable(spark, t, fid_col="event_type")._current_version() >= 3
+
+
+def test_streaming_exact_dedup_null_and_separator_groups(spark, tmp_path):
+    """r3: streaming dedup shares content_hash_col with the batch op,
+    so NULL-position swaps and separator-straddling values form the
+    same groups in both engines."""
+    from geomesa_sql_spark.ops import exact_dedup
+    from geomesa_sql_spark.streaming import (
+        run_available_now,
+        stream_events,
+        streaming_exact_dedup,
+    )
+
+    d = str(tmp_path / "nv")
+    rows = [
+        (1, "x", None, "2024-01-01 00:00:00"),
+        (2, None, "x", "2024-01-01 00:00:01"),
+        (3, "a\x1fb", "c", "2024-01-01 00:00:02"),
+        (4, "a", "b\x1fc", "2024-01-01 00:00:03"),
+        (5, "x", None, "2024-01-01 00:00:04"),  # dup of 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, c1 string, c2 string, ts string"
+    )
+    df.coalesce(1).write.parquet(d)
+    got = run_available_now(
+        streaming_exact_dedup(
+            stream_events(spark, d), ["c1", "c2"], watermark="0 seconds"
+        ),
+        mode="append",
+    )
+    batch = exact_dedup(spark.read.parquet(d), ["c1", "c2"], "event_id")
+    assert got.count() == batch.count() == 4
