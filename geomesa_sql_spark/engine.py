@@ -452,6 +452,31 @@ class Engine:
             # previously unguarded)
             _bail("quoted literal in select list or tail")
             return None
+        # conjunctive ON: `ON ST_Pred(...) AND <residual>` — for an
+        # INNER join the residual is equivalent to a post-join WHERE,
+        # so it folds into the tail below (the reference's rule splits
+        # the RexCall conjunction the same way). Outer joins bail: an
+        # ON-residual is join-scoped there, not a filter.
+        on_resid = None
+        am = _re.match(
+            r"(?is)^\s*AND\s+(?P<cond>.+?)"
+            r"(?=\s+(?:(?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\s+"
+            r"|\s+WHERE\s+|\s+GROUP\s+BY\s+|\s+HAVING\s+|\s+ORDER\s+BY\s+"
+            r"|\s+LIMIT\s+|\s*$)",
+            rest,
+        )
+        if am:
+            on_resid = am.group("cond").strip()
+            if _re.search(r"(?i)\bST_\w+\s*\(", on_resid):
+                _bail("second spatial predicate in the ON conjunction")
+                return None
+            if (m.group("jt") or "inner").lower() != "inner":
+                _bail(
+                    "ON-clause residual conjunct on an OUTER spatial join "
+                    "(join-scoped semantics can't be expressed as WHERE)"
+                )
+                return None
+            rest = rest[am.end():]
         # multi-join CHAINS: subsequent plain joins after the spatial
         # one peel off the front of the tail and run as ordinary Spark
         # SQL over the routed view (the Calcite planner keeps the other
@@ -595,7 +620,7 @@ class Engine:
         # can't be rewritten faithfully, so it bails.
         clash = set(df1.columns) & set(df2.columns)
         if clash:
-            body = f"{sel} {chain} {rest}"
+            body = f"{sel} {chain} {on_resid or ''} {rest}"
             hit = [c for c in clash
                    if _re.search(rf"(?i)\b{_re.escape(c)}\b", body)]
             if hit:
@@ -641,8 +666,13 @@ class Engine:
         sql = f"SELECT {_unqual(m.group('sel').strip(), view)} FROM {view}"
         if chain:
             sql += f" {_unqual(chain, view).strip()}"
-        if tm.group("where"):
-            sql += f" WHERE {_unqual(tm.group('where'), view)}"
+        where_parts = [
+            p for p in (on_resid, tm.group("where")) if p
+        ]
+        if where_parts:
+            sql += " WHERE " + " AND ".join(
+                f"({_unqual(p, view)})" for p in where_parts
+            )
         if tm.group("group"):
             sql += f" GROUP BY {_unqual(tm.group('group'), view)}"
         if tm.group("having"):
@@ -771,6 +801,12 @@ class Engine:
         rules/EnumerableSpatialJoinRule.scala:38-145). INNER spatial
         joins only: a 1:N prefix join can duplicate the engine's
         ``fid_col``, which would break the outer-join restore contract.
+
+        The prefix frame is NOT cached: the spatial join's envelope
+        sample re-executes it once before the join itself does —
+        same contract as plain Spark SQL, which wouldn't cache a
+        repeated subquery either; callers with an expensive prefix
+        can register it as a view and route the spatial join alone.
         """
         q = query.strip().rstrip(";").strip()
         if not _re.search(r"(?i)\bON\s+ST_\w+\s*\(", q):

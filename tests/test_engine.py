@@ -781,3 +781,64 @@ def test_sql_with_cte_spatial_join_routed(spark, sf_dir, tmp_path):
     finally:
         lg.removeHandler(h)
     assert any("shadow existing tables" in r for r in records)
+
+
+def test_sql_spatial_join_on_conjunct_residual(spark, sf_dir, tmp_path):
+    """r3: `ON ST_Pred(...) AND <residual>` routes for INNER joins —
+    the residual folds into the post-join WHERE (equivalent for inner
+    joins) — and bails warned for OUTER joins, where an ON-residual is
+    join-scoped and cannot be expressed as a filter."""
+    import logging as _l
+
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("qpts", p1)
+    eng.register_table("qnsq", p2)
+
+    got = eng.sql(
+        "SELECT p.o_orderkey, s.n_nationkey FROM qpts p JOIN qnsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "AND p.o_orderkey <= 5000 AND s.n_nationkey >= 3 "
+        "WHERE p.o_orderkey >= 10"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = (
+        pts.filter((F.col("o_orderkey") <= 5000) & (F.col("o_orderkey") >= 10))
+        .join(sq.filter(F.col("n_nationkey") >= 3), bbox)
+        .select("o_orderkey", "n_nationkey")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    records = []
+    h = _l.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    lg = _l.getLogger("geomesa_sql_spark.engine")
+    lg.addHandler(h)
+    try:
+        assert eng._route_spatial_join(
+            "SELECT p.o_orderkey FROM qpts p LEFT JOIN qnsq s "
+            "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+            "AND s.n_nationkey >= 3"
+        ) is None
+        assert eng._route_spatial_join(
+            "SELECT p.o_orderkey FROM qpts p JOIN qnsq s "
+            "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+            "AND ST_DWithin(ST_MakePoint(p.lon, p.lat), s.poly, 1.0)"
+        ) is None
+    finally:
+        lg.removeHandler(h)
+    assert any("OUTER spatial join" in r for r in records)
+    assert any("second spatial predicate" in r for r in records)

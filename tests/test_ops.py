@@ -1192,3 +1192,40 @@ def test_ivf_fixed_centroids_path(spark, sf_dir):
     exact = cosine_topk(e, q, k=10)
     hits = out.join(exact, ["q_id", "vec_id"], "inner").count()
     assert hits / exact.count() >= 0.6
+
+
+def test_exact_dedup_hash_injective_property(spark):
+    """Hypothesis law: content_hash_col collides exactly when the
+    column tuples are equal — over adversarial tuples mixing NULLs,
+    the \\x1f separator, base64-alphabet strings and empties."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geomesa_sql_spark.ops.dedup import content_hash_col
+
+    atom = st.one_of(
+        st.none(),
+        st.sampled_from(["", "x", "a\x1fb", "b\x1fc", "<NULL>", "PE5VTEw+",
+                         "a", "ab", "\x1f", "\x1f\x1f"]),
+    )
+    tuples = st.lists(st.tuples(atom, atom, atom), min_size=2, max_size=8)
+
+    @settings(max_examples=20, deadline=None)
+    @given(tuples)
+    def law(rows):
+        df = spark.createDataFrame(
+            [(i, *t) for i, t in enumerate(rows)],
+            "i long, c1 string, c2 string, c3 string",
+        )
+        got = df.withColumn(
+            "h", content_hash_col(["c1", "c2", "c3"])
+        ).collect()
+        by_content = {}
+        for r, t in zip(sorted(got, key=lambda r: r.i), rows):
+            by_content.setdefault(t, set()).add(r.h)
+        hashes = [h for s in by_content.values() for h in s]
+        # one hash per distinct tuple, all distinct across tuples
+        assert all(len(s) == 1 for s in by_content.values())
+        assert len(set(hashes)) == len(by_content)
+
+    law()
