@@ -259,7 +259,8 @@ _CHAIN_JOIN_RE = _re.compile(
     r"|\s+LIMIT\s+|\s*$)"
 )
 _GEOM_ARG_RE = _re.compile(
-    r"(?is)^ST_(?P<pred>Within|Intersects|Contains|DWithin)\s*\(\s*"
+    r"(?is)^ST_(?P<pred>Within|Intersects|Contains|DWithin|Touches|Crosses"
+    r"|Overlaps|Equals)\s*\(\s*"
     r"(?P<g1>ST_MakePoint\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*\)|[\w.]+)\s*,\s*"
     r"(?P<g2>ST_MakePoint\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*\)|[\w.]+)\s*"
     r"(?:,\s*(?P<dist>[0-9.eE+-]+)\s*)?\)\s*$"

@@ -842,3 +842,66 @@ def test_sql_spatial_join_on_conjunct_residual(spark, sf_dir, tmp_path):
         lg.removeHandler(h)
     assert any("OUTER spatial join" in r for r in records)
     assert any("second spatial predicate" in r for r in records)
+
+
+def test_sql_spatial_join_de9im_predicates(spark, tmp_path):
+    """r3: ST_Touches/Overlaps/Equals/Crosses route through the cell
+    join (they all imply bbox intersection, so the cover prefilter is
+    sound); results match a brute-force kernel.relate double loop, and
+    reversed operand order works for the symmetric predicates."""
+    from geomesa_sql_spark.geom.kernel import relate
+    from geomesa_sql_spark.geom.model import box
+    from geomesa_sql_spark.geom.wkb import geom_from_wkb, geom_to_wkb
+
+    a_boxes = {i: box(2.0 * i, 0.0, 2.0 * i + 1.0, 1.0) for i in range(5)}
+    b_boxes = {
+        0: box(1.0, 0.0, 2.0, 1.0),       # touches A0 and A1
+        1: box(0.5, 0.2, 0.8, 0.7),       # within A0
+        2: box(0.5, -0.5, 2.5, 0.5),      # overlaps A0 and A1
+        3: box(0.0, 0.0, 1.0, 1.0),       # equals A0
+        4: box(10.0, 10.0, 11.0, 11.0),   # disjoint
+    }
+    eng = Engine(spark)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(
+        [(i, bytearray(geom_to_wkb(g))) for i, g in a_boxes.items()],
+        "aid long, awkb binary",
+    ).write.parquet(pa)
+    spark.createDataFrame(
+        [(i, bytearray(geom_to_wkb(g))) for i, g in b_boxes.items()],
+        "bid long, bwkb binary",
+    ).write.parquet(pb)
+    eng.register_table("dta", pa)
+    eng.register_table("dtb", pb)
+
+    for pred, sql_pred in [
+        ("touches", "ST_Touches"),
+        ("overlaps", "ST_Overlaps"),
+        ("equals", "ST_Equals"),
+        ("crosses", "ST_Crosses"),
+    ]:
+        want = sorted(
+            (ai, bi)
+            for ai, ga in a_boxes.items()
+            for bi, gb in b_boxes.items()
+            if relate(ga, gb, pred)
+        )
+        got_df = eng.sql(
+            f"SELECT aid, bid FROM dta JOIN dtb ON {sql_pred}(awkb, bwkb)"
+        )
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, (pred, plan[:800])
+        got = sorted((r.aid, r.bid) for r in got_df.collect())
+        assert got == want, pred
+        # symmetric predicates: reversed operand order, same pairs
+        rev = sorted(
+            (r.aid, r.bid)
+            for r in eng.sql(
+                f"SELECT aid, bid FROM dta JOIN dtb ON {sql_pred}(bwkb, awkb)"
+            ).collect()
+        )
+        assert rev == want, f"{pred} reversed"
+    # sanity: the fixture actually exercises every predicate
+    assert relate(a_boxes[0], b_boxes[0], "touches")
+    assert relate(a_boxes[0], b_boxes[2], "overlaps")
+    assert relate(a_boxes[0], b_boxes[3], "equals")
