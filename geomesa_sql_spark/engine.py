@@ -166,7 +166,7 @@ def _split_assignments(set_part: str):
 
 
 _SPATIAL_PRED_RE = _re.compile(
-    r"(?is)ST_(Within|Intersects|Contains|DWithin)\s*\(\s*"
+    r"(?is)ST_(Within|Intersects|Contains|DWithin|Touches|Equals)\s*\(\s*"
     r"ST_MakePoint\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_][\w.]*)\s*\)\s*,\s*"
     r"ST_GeomFromText\s*\(\s*'([^']+)'\s*\)\s*"
     r"(?:,\s*([0-9.eE+-]+)\s*)?\)"
@@ -175,7 +175,7 @@ _SPATIAL_PRED_RE = _re.compile(
 # the flipped argument order — ST_Contains(<literal poly>, pt) is the
 # most common containment spelling (FilterTest.scala uses both orders)
 _SPATIAL_PRED_FLIP_RE = _re.compile(
-    r"(?is)ST_(Within|Intersects|Contains|DWithin)\s*\(\s*"
+    r"(?is)ST_(Within|Intersects|Contains|DWithin|Touches|Equals)\s*\(\s*"
     r"ST_GeomFromText\s*\(\s*'([^']+)'\s*\)\s*,\s*"
     r"ST_MakePoint\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_][\w.]*)\s*\)\s*"
     r"(?:,\s*([0-9.eE+-]+)\s*)?\)"

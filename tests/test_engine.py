@@ -905,3 +905,33 @@ def test_sql_spatial_join_de9im_predicates(spark, tmp_path):
     assert relate(a_boxes[0], b_boxes[0], "touches")
     assert relate(a_boxes[0], b_boxes[2], "overlaps")
     assert relate(a_boxes[0], b_boxes[3], "equals")
+
+
+def test_sql_spatial_filter_touches_equals_pushdown(spark, sf_dir, tmp_path):
+    """r3: WHERE ST_Touches/ST_Equals against a literal geometry gains
+    the sargable bbox conjunction (both imply the point lies in the
+    envelope); results stay exact via the residual UDF call."""
+    from geomesa_sql_spark.io.fixtures import orders_points
+
+    eng = Engine(spark)
+    path = str(tmp_path / "tp")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(path)
+    eng.register_table("tpts", path)
+    q = ("SELECT o_orderkey FROM tpts WHERE ST_Touches("
+         "ST_GeomFromText('POLYGON ((0.0025 0.0025, 40.0025 0.0025, "
+         "40.0025 30.0025, 0.0025 30.0025, 0.0025 0.0025))'), "
+         "ST_MakePoint(lon, lat))")
+    got = eng.sql(q)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(lon" in plan, plan[:1500]
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in spark.sql(q).collect()
+    )
+    q2 = ("SELECT o_orderkey FROM tpts WHERE ST_Equals("
+          "ST_MakePoint(lon, lat), ST_GeomFromText('POINT (7.0025 3.0025)'))")
+    got2 = eng.sql(q2)
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(lon" in plan2, plan2[:1500]
+    assert sorted(r[0] for r in got2.collect()) == sorted(
+        r[0] for r in spark.sql(q2).collect()
+    )
