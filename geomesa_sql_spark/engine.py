@@ -336,6 +336,9 @@ class Engine:
             routed = self._route_with_ctes(query)
             if routed is not None:
                 return routed
+            routed = self._route_derived_tables(query)
+            if routed is not None:
+                return routed
             routed = self._route_spatial_join(query)
             if routed is not None:
                 return routed
@@ -783,6 +786,99 @@ class Engine:
         finally:
             # every returned DataFrame captured its analyzed plan during
             # spark.sql()/routing above, so the views can go immediately
+            for name in registered:
+                del self._views[name]
+                self.spark.catalog.dropTempView(name)
+
+    def _route_derived_tables(self, query: str) -> DataFrame | None:
+        """Derived tables around a spatial join:
+
+            SELECT ... FROM (SELECT ...) a JOIN shapes s ON ST_Pred(...)
+
+        Each top-level ``FROM (subquery) alias`` / ``JOIN (subquery)
+        alias`` block is lifted into a transient view (the body itself
+        routed through the spatial planner when IT is the spatial
+        part, plain Spark SQL otherwise — same treatment as CTE
+        bodies), the block text is replaced by the view name + alias,
+        and the rewritten query re-enters the router. Returns None
+        when the query has no spatial join or no derived table; bails
+        warned on quoted literals and alias-less subqueries.
+        """
+        q = query.strip().rstrip(";").strip()
+        if not _re.search(r"(?i)\bON\s+ST_\w+\s*\(", q):
+            return None
+        if not _re.search(r"(?i)\b(FROM|JOIN)\s*\(", q):
+            return None
+
+        def _bail(why: str) -> None:
+            _LOG.warning(
+                "derived-table spatial join NOT routed (%s) — falling "
+                "back to plain spark.sql, which plans a Python-UDF ON "
+                "clause as a cartesian BroadcastNestedLoopJoin: %.200s",
+                why,
+                query,
+            )
+
+        if "'" in q or '"' in q:
+            _bail("quoted literal in a derived-table query")
+            return None
+        out_parts: list[str] = []
+        bodies: list[str] = []
+        pos = 0
+        for m in _re.finditer(r"(?i)\b(FROM|JOIN)\s*\(", q):
+            # only top-level blocks: depth 0 at the keyword
+            if q[:m.start()].count("(") != q[:m.start()].count(")"):
+                continue
+            if m.start() < pos:
+                continue  # inside a block already consumed
+            depth, k = 1, m.end()
+            while k < len(q) and depth:
+                if q[k] == "(":
+                    depth += 1
+                elif q[k] == ")":
+                    depth -= 1
+                k += 1
+            if depth:
+                _bail("unbalanced parens in derived table")
+                return None
+            body = q[m.end():k - 1].strip()
+            if not _re.match(r"(?is)^SELECT\b", body):
+                _bail("non-SELECT parenthesized FROM item")
+                return None
+            am = _re.match(r"(?is)\s*(?:AS\s+)?(\w+)", q[k:])
+            if not am or am.group(1).upper() in (
+                "ON", "JOIN", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+                "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+            ):
+                _bail("derived table without an alias")
+                return None
+            name = f"{self._routed_view}_dt_{uuid.uuid4().hex[:8]}"
+            out_parts.append(q[pos:m.start()])
+            # keep the user's alias; the view name replaces the block
+            out_parts.append(f"{m.group(1)} {name}")
+            bodies.append((name, body))
+            pos = k  # alias text (q[k:]) stays in place
+        if not bodies:
+            return None
+        out_parts.append(q[pos:])
+        new_q = "".join(out_parts)
+        registered: list[str] = []
+        try:
+            for name, body in bodies:
+                routed = self._route_spatial_join(body)
+                df = (
+                    routed
+                    if routed is not None
+                    else self.spark.sql(_rewrite_spatial_predicates(body))
+                )
+                self._views[name] = df
+                df.createOrReplaceTempView(name)
+                registered.append(name)
+            routed = self._route_spatial_join(new_q)
+            if routed is not None:
+                return routed
+            return self.spark.sql(_rewrite_spatial_predicates(new_q))
+        finally:
             for name in registered:
                 del self._views[name]
                 self.spark.catalog.dropTempView(name)

@@ -935,3 +935,55 @@ def test_sql_spatial_filter_touches_equals_pushdown(spark, sf_dir, tmp_path):
     assert sorted(r[0] for r in got2.collect()) == sorted(
         r[0] for r in spark.sql(q2).collect()
     )
+
+
+def test_sql_derived_table_spatial_join_routed(spark, sf_dir, tmp_path):
+    """r3: a derived table feeding a spatial join routes — the
+    subquery lifts into a transient view and the outer spatial join
+    gets the cell plan; a spatial join INSIDE the derived table routes
+    too when the outer query is plain."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("dpts", p1)
+    eng.register_table("dnsq", p2)
+
+    # derived table as the LEFT side of the spatial join
+    got = eng.sql(
+        "SELECT t.o_orderkey, s.n_nationkey "
+        "FROM (SELECT o_orderkey, lon, lat FROM dpts WHERE o_orderkey <= 5000) t "
+        "JOIN dnsq s ON ST_Intersects(ST_MakePoint(t.lon, t.lat), s.poly)"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = (
+        pts.filter(F.col("o_orderkey") <= 5000)
+        .join(sq, bbox)
+        .select("o_orderkey", "n_nationkey")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert not [v for v in eng._views if "_dt_" in v]  # no leaked views
+
+    # spatial join INSIDE the derived table; plain aggregate outside
+    got2 = eng.sql(
+        "SELECT n_nationkey, COUNT(*) AS n FROM ("
+        "SELECT p.o_orderkey, s.n_nationkey FROM dpts p JOIN dnsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+        ") h GROUP BY n_nationkey ORDER BY n_nationkey"
+    )
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan2, plan2[:1500]
+    want2 = (
+        pts.join(sq, bbox).groupBy("n_nationkey").count().orderBy("n_nationkey")
+    )
+    assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
