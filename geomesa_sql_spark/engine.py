@@ -244,6 +244,14 @@ _SPATIAL_JOIN_RE = _re.compile(
     r"ON\s+(?P<on>ST_\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))"
     r"(?P<rest>\s+.+?)?\s*;?\s*$"
 )
+_SPATIAL_EXISTS_RE = _re.compile(
+    r"(?is)^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
+    r"(?P<t1>\w+)(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<a1>\w+))?\s+"
+    r"WHERE\s+(?P<neg>NOT\s+)?EXISTS\s*\(\s*"
+    r"SELECT\s+.+?\s+FROM\s+(?P<t2>\w+)(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<a2>\w+))?\s+"
+    r"WHERE\s+(?P<on>ST_\w+\s*\([^()]*(?:\([^()]*\)[^()]*)*\))\s*\)"
+    r"(?P<rest>\s+.+?)?\s*;?\s*$"
+)
 _TAIL_RE = _re.compile(
     r"(?is)^\s*(?:WHERE\s+(?P<where>.+?))?"
     r"\s*(?:GROUP\s+BY\s+(?P<group>.+?))?"
@@ -337,6 +345,9 @@ class Engine:
             if routed is not None:
                 return routed
             routed = self._route_derived_tables(query)
+            if routed is not None:
+                return routed
+            routed = self._route_spatial_exists(query)
             if routed is not None:
                 return routed
             routed = self._route_spatial_join(query)
@@ -789,6 +800,167 @@ class Engine:
             for name in registered:
                 del self._views[name]
                 self.spark.catalog.dropTempView(name)
+
+    def _route_spatial_exists(self, query: str) -> DataFrame | None:
+        """Correlated spatial [NOT] EXISTS — the canonical
+        point-in-any-polygon filter:
+
+            SELECT <cols> FROM t1 [a] WHERE [NOT] EXISTS (
+                SELECT ... FROM t2 [b] WHERE ST_Pred(<correlated>)
+            ) [AND <residual>] [tail]
+
+        routes as ``spatial_join(how='left_semi'|'left_anti')`` keyed
+        on the engine's ``fid_col`` — the cell join instead of the
+        correlated Python-UDF subquery Spark cannot plan. The result
+        carries t1's rows only, so the select list and tail run as
+        plain Spark SQL over the semi-joined view.
+        """
+        m = _SPATIAL_EXISTS_RE.match(query.strip())
+        if not m:
+            return None
+
+        def _bail(why: str) -> None:
+            _LOG.warning(
+                "spatial EXISTS NOT routed (%s) — falling back to plain "
+                "spark.sql on the correlated Python-UDF subquery: %.200s",
+                why,
+                query,
+            )
+
+        sel = m.group("sel").strip()
+        rest = m.group("rest") or ""
+        if "'" in sel or '"' in sel or "'" in rest or '"' in rest:
+            _bail("quoted literal in select list or tail")
+            return None
+        t1, t2 = m.group("t1"), m.group("t2")
+        known = set(self._tables) | set(self._views)
+        if t1 not in known or t2 not in known:
+            _bail("table(s) not registered with this Engine")
+            return None
+        if t1 == t2:
+            _bail("self-referential EXISTS")
+            return None
+        df1, df2 = self.df(t1), self.df(t2)
+        if self.fid_col not in df1.columns:
+            _bail(
+                f"semi/anti spatial join needs a unique key on {t1} "
+                f"(Engine fid_col={self.fid_col!r} is not a column)"
+            )
+            return None
+        g = _GEOM_ARG_RE.match(m.group("on"))
+        if not g:
+            _bail("unsupported ST_ predicate or operand shape")
+            return None
+
+        from geomesa_sql_spark.join import spatial_join
+        from geomesa_sql_spark.join.spatial import GeomSide
+
+        def _side(arg: str) -> tuple[GeomSide, set[str], set[str]]:
+            pm = _re.match(
+                r"(?is)ST_MakePoint\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)", arg
+            )
+            if pm:
+                rx, ry = pm.group(1), pm.group(2)
+                x, y = _strip_qual(rx), _strip_qual(ry)
+                quals = {q_ for q_ in (_qual_of(rx), _qual_of(ry)) if q_}
+                return GeomSide(x=x, y=y), {x, y}, quals
+            col = _strip_qual(arg)
+            q_ = _qual_of(arg)
+            return GeomSide(wkb=col), {col}, ({q_} if q_ else set())
+
+        side_a, cols_a, quals_a = _side(g.group("g1"))
+        side_b, cols_b, quals_b = _side(g.group("g2"))
+        pred = g.group("pred").lower()
+        dist = float(g.group("dist")) if g.group("dist") else None
+        names1 = {t1, m.group("a1") or t1}
+        names2 = {t2, m.group("a2") or t2}
+
+        def _owner(quals: set[str]) -> int:
+            if quals and quals <= names1:
+                return 1
+            if quals and quals <= names2:
+                return 2
+            return 0
+
+        fa, fb = _owner(quals_a), _owner(quals_b)
+        if (quals_a or quals_b) and not (fa or fb):
+            _bail("geometry operand qualifier matches neither table")
+            return None
+        if fa and fb and fa == fb:
+            _bail("both geometry operands qualify to the same table")
+            return None
+        if (fa, fb) in ((1, 2), (1, 0), (0, 2)):
+            fwd, rev = True, False
+        elif (fa, fb) in ((2, 1), (2, 0), (0, 1)):
+            fwd, rev = False, True
+        else:
+            fwd = cols_a <= set(df1.columns) and cols_b <= set(df2.columns)
+            rev = cols_b <= set(df1.columns) and cols_a <= set(df2.columns)
+            if fwd and rev:
+                _bail("ambiguous operand columns (both orientations resolve)")
+                return None
+        if fwd:
+            left_side, right_side = side_a, side_b
+            lcols, rcols = cols_a, cols_b
+        elif rev:
+            flip = {"contains": "within", "within": "contains"}
+            pred = flip.get(pred, pred)
+            left_side, right_side = side_b, side_a
+            lcols, rcols = cols_b, cols_a
+        else:
+            _bail("operand columns don't split across the tables")
+            return None
+        if not (lcols <= set(df1.columns) and rcols <= set(df2.columns)):
+            _bail("geometry operand column(s) missing from the tables")
+            return None
+
+        how = "left_anti" if m.group("neg") else "left_semi"
+        out = spatial_join(
+            df1, df2, left_side, right_side, predicate=pred, distance=dist,
+            how=how, left_key=self.fid_col,
+        )
+        # residual AND-conjunct + ordinary tail over the semi-joined view
+        on_resid = None
+        am = _re.match(r"(?is)^\s*AND\s+(?P<cond>.+?)"
+                       r"(?=\s+GROUP\s+BY\s+|\s+HAVING\s+|\s+ORDER\s+BY\s+"
+                       r"|\s+LIMIT\s+|\s*$)", rest)
+        if am:
+            if _re.search(r"(?i)\bST_\w+\s*\(", am.group("cond")):
+                _bail("second spatial predicate in the residual WHERE")
+                return None
+            on_resid = am.group("cond").strip()
+            rest = rest[am.end():]
+        tm = _TAIL_RE.match(rest)
+        if not tm or tm.group("where"):
+            _bail("unparseable tail clauses")
+            return None
+        quals = [q_ for q_ in (m.group("a1"), t1) if q_]
+        view = f"{self._routed_view}_ex_{uuid.uuid4().hex[:8]}"
+
+        def _unq(expr: str) -> str:
+            for q_ in quals:
+                expr = _re.sub(rf"(?i)\b{_re.escape(q_)}\.", f"{view}.", expr)
+            return expr
+
+        out.createOrReplaceTempView(view)
+        sql = f"SELECT {_unq(sel)} FROM {view}"
+        if on_resid:
+            sql += f" WHERE {_unq(on_resid)}"
+        if tm.group("group"):
+            sql += f" GROUP BY {_unq(tm.group('group'))}"
+        if tm.group("having"):
+            sql += f" HAVING {_unq(tm.group('having'))}"
+        if tm.group("order"):
+            sql += f" ORDER BY {_unq(tm.group('order'))}"
+        if tm.group("limit"):
+            sql += f" LIMIT {tm.group('limit')}"
+        try:
+            return self.spark.sql(sql)
+        except Exception as exc:
+            _bail(f"tail failed to resolve over the semi-joined frame: {exc}")
+            return None
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def _route_derived_tables(self, query: str) -> DataFrame | None:
         """Derived tables around a spatial join:

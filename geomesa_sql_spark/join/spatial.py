@@ -309,12 +309,29 @@ def spatial_join(
         if eff == "full":
             out = _pad_unmatched(out, left_df, left_key, inner)
         return out
+    if how in ("left_semi", "left_anti"):
+        if left_key is None:
+            raise ValueError(f"how={how!r} requires left_key")
+        inner = spatial_join(
+            left_df, right_df, left, right, predicate=pred,
+            distance=distance, how="inner", res=res, broadcast=broadcast,
+            broadcast_rows=broadcast_rows, salt=salt,
+            hot_cell_threshold=hot_cell_threshold,
+            max_cells_per_row=max_cells_per_row,
+        )
+        matched = inner.select(left_key).distinct()
+        # null-geom left rows never match: excluded from semi, KEPT in
+        # anti — matching SQL's NULL-predicate semantics for
+        # [NOT] EXISTS(ST_Pred(NULL, ...))
+        return left_df.join(matched, on=left_key, how=how)
     if how not in ("inner", "left"):
         raise ValueError(
-            "spatial_join supports how='inner'|'left'|'right'|'full' "
-            "(INNER/LEFT optimized per EnumerableSpatialJoinRule"
-            ".scala:43-44; RIGHT/FULL answered like the reference's "
-            "enumerable fallback, SpatialJoinTest.scala:54-60)"
+            "spatial_join supports how='inner'|'left'|'right'|'full'|"
+            "'left_semi'|'left_anti' (INNER/LEFT optimized per "
+            "EnumerableSpatialJoinRule.scala:43-44; RIGHT/FULL answered "
+            "like the reference's enumerable fallback, "
+            "SpatialJoinTest.scala:54-60; semi/anti serve the "
+            "[NOT] EXISTS correlated-subquery shape)"
         )
 
     # null-geom drop (both sides, both join types — reference quirk)

@@ -987,3 +987,56 @@ def test_sql_derived_table_spatial_join_routed(spark, sf_dir, tmp_path):
         pts.join(sq, bbox).groupBy("n_nationkey").count().orderBy("n_nationkey")
     )
     assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
+
+
+def test_sql_spatial_exists_routed_semi_anti(spark, sf_dir, tmp_path):
+    """r3: correlated spatial [NOT] EXISTS routes as a cell semi/anti
+    join keyed on fid_col — the canonical point-in-any-polygon filter
+    Spark cannot plan with a Python-UDF subquery. Residual AND
+    conjuncts and tails run over the semi-joined view."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark, fid_col="o_orderkey")
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("epts", p1)
+    eng.register_table("ensq", p2)
+
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    in_any = {r.o_orderkey for r in pts.join(sq, bbox).select("o_orderkey").collect()}
+    all_keys = {r.o_orderkey for r in pts.collect()}
+
+    got = eng.sql(
+        "SELECT p.o_orderkey FROM epts p WHERE EXISTS ("
+        "SELECT 1 FROM ensq s "
+        "WHERE ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly))"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert {r.o_orderkey for r in got.collect()} == in_any
+    # each matching point appears ONCE (semi, not inner)
+    assert got.count() == len(in_any)
+
+    got_anti = eng.sql(
+        "SELECT p.o_orderkey FROM epts p WHERE NOT EXISTS ("
+        "SELECT 1 FROM ensq s "
+        "WHERE ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly))"
+    )
+    assert {r.o_orderkey for r in got_anti.collect()} == all_keys - in_any
+
+    # residual conjunct + ORDER BY/LIMIT tail
+    got3 = eng.sql(
+        "SELECT p.o_orderkey FROM epts p WHERE EXISTS ("
+        "SELECT 1 FROM ensq s "
+        "WHERE ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)) "
+        "AND p.o_orderkey <= 5000 ORDER BY p.o_orderkey LIMIT 7"
+    )
+    want3 = sorted(k for k in in_any if k <= 5000)[:7]
+    assert [r.o_orderkey for r in got3.collect()] == want3

@@ -479,3 +479,33 @@ def test_spatial_join_large_left_small_right_no_cover_crash(spark):
     )
     # every point is inside every polygon (cluster near origin)
     assert out.count() == 500
+
+
+def test_spatial_join_semi_anti_null_geom(spark, sf_dir, tmp_path):
+    """r3: how='left_semi'/'left_anti' — and a NULL-geometry left row
+    never matches, so it is excluded from semi and KEPT in anti
+    (SQL's NULL-predicate semantics for [NOT] EXISTS)."""
+    from geomesa_sql_spark.geom.model import box
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+
+    polys = spark.createDataFrame(
+        [(1, bytearray(geom_to_wkb(box(0.0, 0.0, 10.0, 10.0))))],
+        "pid long, poly binary",
+    )
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 50.0, 50.0), (3, None, None)],
+        "kid long, x double, y double",
+    )
+    semi = spatial_join(
+        pts, polys, point_side("x", "y"), wkb_side("poly"),
+        predicate="intersects", how="left_semi", left_key="kid",
+    )
+    anti = spatial_join(
+        pts, polys, point_side("x", "y"), wkb_side("poly"),
+        predicate="intersects", how="left_anti", left_key="kid",
+    )
+    assert sorted(r.kid for r in semi.collect()) == [1]
+    assert sorted(r.kid for r in anti.collect()) == [2, 3]
+    assert semi.columns == pts.columns  # left columns only
