@@ -182,6 +182,20 @@ _SPATIAL_PRED_FLIP_RE = _re.compile(
 )
 
 
+def _has_routable_spatial(q: str) -> bool:
+    """Entry hint for the CTE/derived-table routers: a spatial JOIN
+    (``ON ST_*``) or a correlated spatial EXISTS anywhere in the text.
+    Generous by design — the precise shape regexes still decide
+    whether routing happens; this only gates whether the splitters
+    engage at all."""
+    if _re.search(r"(?i)\bON\s+ST_\w+\s*\(", q):
+        return True
+    return bool(
+        _re.search(r"(?i)\bEXISTS\s*\(", q)
+        and _re.search(r"(?i)\bWHERE\s+ST_\w+\s*\(", q)
+    )
+
+
 def _rewrite_spatial_predicates(query: str) -> str:
     """The SpatialFilterRule analog for SQL TEXT (reference:
     rules/GeoMesaSpatialFilterRule.scala translates RexNode ST_* calls
@@ -347,10 +361,7 @@ class Engine:
             routed = self._route_derived_tables(query)
             if routed is not None:
                 return routed
-            routed = self._route_spatial_exists(query)
-            if routed is not None:
-                return routed
-            routed = self._route_spatial_join(query)
+            routed = self._route_select(query)
             if routed is not None:
                 return routed
             return self.spark.sql(_rewrite_spatial_predicates(query))
@@ -725,8 +736,8 @@ class Engine:
         q = query.strip().rstrip(";").strip()
         if not _re.match(r"(?is)^WITH\b", q):
             return None
-        if not _re.search(r"(?i)\bON\s+ST_\w+\s*\(", q):
-            return None  # no spatial join: plain spark.sql handles WITH
+        if not _has_routable_spatial(q):
+            return None  # nothing spatial: plain spark.sql handles WITH
 
         def _bail(why: str) -> None:
             _LOG.warning(
@@ -781,7 +792,7 @@ class Engine:
         registered: list[str] = []
         try:
             for name, body in ctes:
-                routed = self._route_spatial_join(body)
+                routed = self._route_select(body)
                 df = (
                     routed
                     if routed is not None
@@ -790,7 +801,7 @@ class Engine:
                 self._views[name] = df
                 df.createOrReplaceTempView(name)
                 registered.append(name)
-            routed = self._route_spatial_join(main)
+            routed = self._route_select(main)
             if routed is not None:
                 return routed
             return self.spark.sql(_rewrite_spatial_predicates(main))
@@ -800,6 +811,17 @@ class Engine:
             for name in registered:
                 del self._views[name]
                 self.spark.catalog.dropTempView(name)
+
+    def _route_select(self, query: str) -> DataFrame | None:
+        """One plain-SELECT routing attempt: correlated spatial EXISTS
+        first (its shape is more specific), then the spatial-join
+        router (primary / chain-prefix). CTE bodies, derived-table
+        bodies and rewritten mains all funnel through here so every
+        routable shape works at every nesting position."""
+        routed = self._route_spatial_exists(query)
+        if routed is None:
+            routed = self._route_spatial_join(query)
+        return routed
 
     def _route_spatial_exists(self, query: str) -> DataFrame | None:
         """Correlated spatial [NOT] EXISTS — the canonical
@@ -977,7 +999,7 @@ class Engine:
         warned on quoted literals and alias-less subqueries.
         """
         q = query.strip().rstrip(";").strip()
-        if not _re.search(r"(?i)\bON\s+ST_\w+\s*\(", q):
+        if not _has_routable_spatial(q):
             return None
         if not _re.search(r"(?i)\b(FROM|JOIN)\s*\(", q):
             return None
@@ -1037,7 +1059,7 @@ class Engine:
         registered: list[str] = []
         try:
             for name, body in bodies:
-                routed = self._route_spatial_join(body)
+                routed = self._route_select(body)
                 df = (
                     routed
                     if routed is not None
@@ -1046,7 +1068,7 @@ class Engine:
                 self._views[name] = df
                 df.createOrReplaceTempView(name)
                 registered.append(name)
-            routed = self._route_spatial_join(new_q)
+            routed = self._route_select(new_q)
             if routed is not None:
                 return routed
             return self.spark.sql(_rewrite_spatial_predicates(new_q))

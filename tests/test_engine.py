@@ -1040,3 +1040,40 @@ def test_sql_spatial_exists_routed_semi_anti(spark, sf_dir, tmp_path):
     )
     want3 = sorted(k for k in in_any if k <= 5000)[:7]
     assert [r.o_orderkey for r in got3.collect()] == want3
+
+
+def test_sql_cte_with_spatial_exists_main(spark, sf_dir, tmp_path):
+    """r3: every routable shape works at every nesting position — here
+    a WITH query whose MAIN select is a correlated spatial EXISTS over
+    a CTE-filtered table."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark, fid_col="o_orderkey")
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("xpts", p1)
+    eng.register_table("xnsq", p2)
+
+    got = eng.sql(
+        "WITH few AS (SELECT o_orderkey, lon, lat FROM xpts "
+        "WHERE o_orderkey <= 5000) "
+        "SELECT f.o_orderkey FROM few f WHERE EXISTS ("
+        "SELECT 1 FROM xnsq s "
+        "WHERE ST_Intersects(ST_MakePoint(f.lon, f.lat), s.poly))"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = {
+        r.o_orderkey
+        for r in pts.filter(F.col("o_orderkey") <= 5000)
+        .join(sq, bbox).select("o_orderkey").collect()
+    }
+    assert {r.o_orderkey for r in got.collect()} == want
