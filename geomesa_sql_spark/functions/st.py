@@ -821,3 +821,210 @@ def register_all(spark: SparkSession) -> None:
         )
 
     spark.udf.register("ST_IsSimple", _is_simple)
+
+    # ------------------------------------------------ Calcite-table fill-in
+    # (round-3 continuation): derived DE-9IM predicates, typed WKT
+    # constructors, ring accessors, Z/3D stubs, precision, and the two
+    # aggregate functions — closing the remaining gap against Calcite's
+    # fun=spatial operator table (jdbc/Driver.scala:51-56).
+
+    def _matrix_pred(check):
+        @F.pandas_udf(T.BooleanType())
+        def _udf(wa: pd.Series, wb: pd.Series) -> pd.Series:
+            out = []
+            for a, b in zip(_decode_series(wa), _decode_series(wb)):
+                if a is None or b is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(check(_de9im_fn(a, b)))
+                except ValueError:  # GeometryCollection
+                    out.append(None)
+            return pd.Series(out, dtype=object)
+
+        return _udf
+
+    # matrix index layout: 0..8 = II IB IE BI BB BE EI EB EE
+    spark.udf.register(
+        "ST_Covers",
+        _matrix_pred(lambda m: m[6] == "F" and m[7] == "F"
+                     and any(m[i] != "F" for i in (0, 1, 3, 4))),
+    )
+    spark.udf.register(
+        "ST_CoveredBy",
+        _matrix_pred(lambda m: m[2] == "F" and m[5] == "F"
+                     and any(m[i] != "F" for i in (0, 1, 3, 4))),
+    )
+    spark.udf.register(
+        "ST_ContainsProperly",
+        _matrix_pred(lambda m: m[0] != "F" and m[3] == "F" and m[4] == "F"
+                     and m[6] == "F" and m[7] == "F"),
+    )
+
+    def _typed_from_text(*want_types):
+        @F.pandas_udf(T.BinaryType())
+        def _udf(wkt: pd.Series) -> pd.Series:
+            out = []
+            for s in wkt:
+                if s is None:
+                    out.append(None)
+                    continue
+                try:
+                    g = geom_from_wkt(str(s))
+                except Exception:
+                    out.append(None)
+                    continue
+                out.append(geom_to_wkb(g) if g.type in want_types else None)
+            return pd.Series(out, dtype=object)
+
+        return _udf
+
+    from geomesa_sql_spark.geom import model as _m
+
+    spark.udf.register("ST_PointFromText", _typed_from_text(_m.POINT))
+    spark.udf.register("ST_LineFromText", _typed_from_text(_m.LINESTRING))
+    spark.udf.register("ST_PolyFromText", _typed_from_text(_m.POLYGON))
+    spark.udf.register("ST_MPointFromText", _typed_from_text(_m.MULTIPOINT))
+    spark.udf.register("ST_MLineFromText", _typed_from_text(_m.MULTILINESTRING))
+    spark.udf.register("ST_MPolyFromText", _typed_from_text(_m.MULTIPOLYGON))
+
+    # planar 2D engine: Z/M are honestly absent, not silently zero
+    spark.udf.register(
+        "ST_Is3D", _measure(lambda g: False, T.BooleanType())
+    )
+    spark.udf.register("ST_Z", _measure(lambda g: None))
+    _TYPE_CODE = {
+        _m.POINT: 1, _m.LINESTRING: 2, _m.POLYGON: 3, _m.MULTIPOINT: 4,
+        _m.MULTILINESTRING: 5, _m.MULTIPOLYGON: 6, _m.GEOMETRYCOLLECTION: 7,
+    }
+    spark.udf.register(
+        "ST_GeometryTypeCode",
+        _measure(lambda g: _TYPE_CODE.get(g.type), T.IntegerType()),
+    )
+    spark.udf.register(
+        "ST_NumInteriorRing",
+        _measure(
+            lambda g: len(g.coords) - 1 if g.type == _m.POLYGON else None,
+            T.IntegerType(),
+        ),
+    )
+
+    def _ring_udf(pick):
+        @F.pandas_udf(T.BinaryType())
+        def _udf(wkb: pd.Series, n: pd.Series) -> pd.Series:
+            out = []
+            for g, i in zip(_decode_series(wkb), n):
+                r = None if g is None or i is None else pick(g, int(i))
+                out.append(None if r is None else geom_to_wkb(r))
+            return pd.Series(out, dtype=object)
+
+        return _udf
+
+    spark.udf.register(
+        "ST_InteriorRingN",
+        _ring_udf(
+            lambda g, i: Geom(_m.LINESTRING, g.coords[i])
+            if g.type == _m.POLYGON and 1 <= i < len(g.coords)
+            else None
+        ),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def _exterior_ring(wkb: pd.Series) -> pd.Series:
+        out = []
+        for g in _decode_series(wkb):
+            if g is None or g.type != _m.POLYGON or not len(g.coords):
+                out.append(None)
+            else:
+                out.append(geom_to_wkb(Geom(_m.LINESTRING, g.coords[0])))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_ExteriorRing", _exterior_ring)
+
+    from geomesa_sql_spark.geom.de9im import _interior_points as _int_pts
+
+    @F.pandas_udf(T.BinaryType())
+    def _point_on_surface(wkb: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.geom.model import point as _point
+
+        out = []
+        for g in _decode_series(wkb):
+            if g is None:
+                out.append(None)
+                continue
+            if g.dimension() == 2:
+                pts = _int_pts(g)  # guaranteed strictly interior
+                out.append(
+                    geom_to_wkb(_point(pts[0, 0], pts[0, 1]))
+                    if len(pts) else None
+                )
+            elif g.dimension() == 1:
+                # a vertex ON the line (middle vertex of the first part)
+                c = g.flatten()[0].coords
+                v = c[len(c) // 2]
+                out.append(geom_to_wkb(_point(float(v[0]), float(v[1]))))
+            else:
+                c = g.all_coords()
+                out.append(
+                    geom_to_wkb(_point(float(c[0, 0]), float(c[0, 1])))
+                    if len(c) else None
+                )
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_PointOnSurface", _point_on_surface)
+
+    @F.pandas_udf(T.BinaryType())
+    def _reduce_precision(wkb: pd.Series, grid: pd.Series) -> pd.Series:
+        def snap(g: Geom, s: float) -> Geom:
+            if g.type == _m.POINT:
+                return Geom(_m.POINT, np.round(g.coords / s) * s)
+            if g.type == _m.LINESTRING:
+                return Geom(_m.LINESTRING, np.round(g.coords / s) * s)
+            if g.type == _m.POLYGON:
+                return Geom(_m.POLYGON, [np.round(r / s) * s for r in g.coords])
+            return Geom(g.type, [snap(p, s) for p in g.coords])
+
+        out = []
+        for g, s in zip(_decode_series(wkb), grid):
+            if g is None or s is None or float(s) <= 0.0:
+                out.append(None)
+            else:
+                out.append(geom_to_wkb(snap(g, float(s))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_ReducePrecision", _reduce_precision)
+
+    # aggregate functions (GROUPED_AGG pandas UDFs — usable in SQL
+    # GROUP BY): ST_Extent = bbox of the group as an envelope polygon;
+    # ST_Collect = Multi*/GeometryCollection of the group's geometries
+    @F.pandas_udf(T.BinaryType())
+    def _extent(wkb: pd.Series) -> bytes:
+        from geomesa_sql_spark.geom.model import box as _box
+
+        envs = [g.envelope() for g in _decode_series(wkb) if g is not None]
+        if not envs:
+            return None
+        e = np.asarray(envs, dtype=np.float64)
+        return geom_to_wkb(
+            _box(float(e[:, 0].min()), float(e[:, 1].min()),
+                 float(e[:, 2].max()), float(e[:, 3].max()))
+        )
+
+    spark.udf.register("ST_Extent", _extent)
+
+    @F.pandas_udf(T.BinaryType())
+    def _collect(wkb: pd.Series) -> bytes:
+        geoms = [g for g in _decode_series(wkb) if g is not None]
+        if not geoms:
+            return None
+        types = {g.type for g in geoms}
+        multi_of = {
+            _m.POINT: _m.MULTIPOINT,
+            _m.LINESTRING: _m.MULTILINESTRING,
+            _m.POLYGON: _m.MULTIPOLYGON,
+        }
+        if len(types) == 1 and (t := types.pop()) in multi_of:
+            return geom_to_wkb(Geom(multi_of[t], geoms))
+        return geom_to_wkb(Geom(_m.GEOMETRYCOLLECTION, geoms))
+
+    spark.udf.register("ST_Collect", _collect)

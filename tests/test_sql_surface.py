@@ -396,3 +396,83 @@ def test_st_relate_geometrycollection_null(spark):
         ST_GeomFromText('POINT (1 1)')) AS m
     """).first()
     assert r.m is None
+
+
+def test_calcite_fillin_predicates_and_accessors(spark):
+    """r3 continuation: ST_Covers/CoveredBy/ContainsProperly derived
+    from the DE-9IM matrix; typed FromText constructors; ring
+    accessors; Z/3D honesty; ST_ReducePrecision; ST_PointOnSurface
+    lies ON the geometry."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    holed = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    row = spark.sql(f"""
+        SELECT
+          ST_Covers(ST_GeomFromText('{poly}'), ST_GeomFromText('POINT (0 2)')) AS cov_bnd,
+          ST_Contains(ST_GeomFromText('{poly}'), ST_GeomFromText('POINT (0 2)')) AS cont_bnd,
+          ST_CoveredBy(ST_GeomFromText('POINT (0 2)'), ST_GeomFromText('{poly}')) AS covby,
+          ST_ContainsProperly(ST_GeomFromText('{poly}'), ST_GeomFromText('POINT (2 2)')) AS cp_in,
+          ST_ContainsProperly(ST_GeomFromText('{poly}'), ST_GeomFromText('POINT (0 2)')) AS cp_bnd,
+          ST_Covers(ST_GeomFromText('{poly}'), ST_GeomFromText('POINT (9 9)')) AS cov_out,
+          ST_NumInteriorRing(ST_GeomFromText('{holed}')) AS nrings,
+          ST_AsText(ST_ExteriorRing(ST_GeomFromText('{poly}'))) AS ext_ring,
+          ST_AsText(ST_InteriorRingN(ST_GeomFromText('{holed}'), 1)) AS int_ring,
+          ST_InteriorRingN(ST_GeomFromText('{poly}'), 1) AS no_ring,
+          ST_Is3D(ST_MakePoint(1.0, 2.0)) AS is3d,
+          ST_Z(ST_MakePoint(1.0, 2.0)) AS z,
+          ST_GeometryTypeCode(ST_GeomFromText('{poly}')) AS tc,
+          ST_X(ST_ReducePrecision(ST_MakePoint(1.234, 5.678), 0.1)) AS rpx,
+          ST_Y(ST_ReducePrecision(ST_MakePoint(1.234, 5.678), 0.1)) AS rpy,
+          ST_AsText(ST_PointFromText('POINT (1 2)')) AS pf,
+          ST_PointFromText('{poly}') AS pf_bad,
+          ST_AsText(ST_MPolyFromText('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))')) AS mpf,
+          ST_AsText(ST_PointOnSurface(ST_GeomFromText('{holed}'))) AS pos
+    """).first()
+    assert row.cov_bnd is True and row.cont_bnd is False  # boundary point
+    assert row.covby is True
+    assert row.cp_in is True and row.cp_bnd is False
+    assert row.cov_out is False
+    assert row.nrings == 1
+    assert row.ext_ring.startswith("LINESTRING")
+    assert row.int_ring.startswith("LINESTRING") and "4 4" in row.int_ring
+    assert row.no_ring is None
+    assert row.is3d is False and row.z is None
+    assert row.tc == 3
+    assert abs(row.rpx - 1.2) < 1e-12 and abs(row.rpy - 5.7) < 1e-12
+    assert row.pf == "POINT (1 2)" and row.pf_bad is None
+    assert row.mpf.startswith("MULTIPOLYGON")
+    # point-on-surface of the holed polygon is strictly inside and
+    # not in the hole
+    within = spark.sql(f"""
+        SELECT ST_ContainsProperly(ST_GeomFromText('{holed}'),
+               ST_PointOnSurface(ST_GeomFromText('{holed}'))) AS ok
+    """).first().ok
+    assert within is True
+
+
+def test_calcite_fillin_aggregates(spark):
+    """r3 continuation: ST_Extent and ST_Collect work as SQL GROUP BY
+    aggregates (grouped-agg pandas UDFs)."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    df = spark.sql("""
+        SELECT CAST(id % 2 AS INT) AS grp,
+               ST_MakePoint(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE)) AS g
+        FROM range(6)
+    """)
+    df.createOrReplaceTempView("agg_pts")
+    rows = {
+        r.grp: (r.ext, r.col)
+        for r in spark.sql("""
+            SELECT grp, ST_AsText(ST_Extent(g)) AS ext,
+                   ST_AsText(ST_Collect(g)) AS col
+            FROM agg_pts GROUP BY grp ORDER BY grp
+        """).collect()
+    }
+    # grp 0: ids 0,2,4 -> x in [0,4], y in [0,8]
+    assert rows[0][0] == "POLYGON ((0 0, 4 0, 4 8, 0 8, 0 0))"
+    assert rows[0][1] == "MULTIPOINT ((0 0), (2 4), (4 8))"
+    assert rows[1][0] == "POLYGON ((1 2, 5 2, 5 10, 1 10, 1 2))"
