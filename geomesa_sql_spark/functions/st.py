@@ -1028,3 +1028,182 @@ def register_all(spark: SparkSession) -> None:
         return geom_to_wkb(Geom(_m.GEOMETRYCOLLECTION, geoms))
 
     spark.udf.register("ST_Collect", _collect)
+
+    # geometry-shape extras: octagonal envelope (bbox clipped by the
+    # four diagonal half-planes), rotating-calipers minimum rectangle /
+    # diameter over the existing convex hull, and vertex snapping
+    def _hull_pts(g: Geom) -> np.ndarray:
+        h = kernel.convex_hull(g)
+        if h.type == _m.POLYGON:
+            return h.coords[0][:-1]
+        if h.type == _m.LINESTRING:
+            return h.coords
+        if h.type == _m.POINT:
+            return h.coords.reshape(1, 2)
+        return np.empty((0, 2))
+
+    def _clip_halfplane(poly: list, a: float, b: float, c: float) -> list:
+        # Sutherland–Hodgman: keep a*x + b*y <= c
+        out: list = []
+        n = len(poly)
+        for i in range(n):
+            p, q = poly[i], poly[(i + 1) % n]
+            pin = a * p[0] + b * p[1] <= c + 1e-12
+            qin = a * q[0] + b * q[1] <= c + 1e-12
+            if pin:
+                out.append(p)
+            if pin != qin:
+                t = (c - a * p[0] - b * p[1]) / (
+                    a * (q[0] - p[0]) + b * (q[1] - p[1])
+                )
+                out.append((p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])))
+        return out
+
+    @F.pandas_udf(T.BinaryType())
+    def _octagonal_env(wkb: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.geom.model import point as _point, polygon as _polygon
+
+        out = []
+        for g in _decode_series(wkb):
+            if g is None:
+                out.append(None)
+                continue
+            c = g.all_coords()
+            if not len(c):
+                out.append(None)
+                continue
+            x, y = c[:, 0], c[:, 1]
+            poly = [
+                (x.min(), y.min()), (x.max(), y.min()),
+                (x.max(), y.max()), (x.min(), y.max()),
+            ]
+            s, d = x + y, x - y
+            for a, b, cc in (
+                (-1.0, -1.0, -float(s.min())), (1.0, 1.0, float(s.max())),
+                (-1.0, 1.0, -float(d.min())), (1.0, -1.0, float(d.max())),
+            ):
+                poly = _clip_halfplane(poly, a, b, cc)
+            uniq: list = []
+            for p in poly:
+                if not uniq or (abs(p[0] - uniq[-1][0]) > 1e-12
+                                or abs(p[1] - uniq[-1][1]) > 1e-12):
+                    uniq.append(p)
+            if len(uniq) >= 3:
+                out.append(geom_to_wkb(_polygon(np.asarray(uniq))))
+            elif len(uniq) == 2:
+                out.append(geom_to_wkb(Geom(_m.LINESTRING, np.asarray(uniq))))
+            elif uniq:
+                out.append(geom_to_wkb(_point(*uniq[0])))
+            else:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_OctagonalEnvelope", _octagonal_env)
+
+    def _caliper_frames(h: np.ndarray):
+        e = np.roll(h, -1, axis=0) - h
+        ln = np.hypot(e[:, 0], e[:, 1])
+        keep = ln > 0
+        d = e[keep] / ln[keep][:, None]
+        # anchors stay aligned with the FILTERED edges (zero-length
+        # edges may drop anywhere, not just at the tail)
+        return d, np.stack([-d[:, 1], d[:, 0]], axis=1), h[keep]
+
+    @F.pandas_udf(T.BinaryType())
+    def _min_rectangle(wkb: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.geom.model import polygon as _polygon
+
+        out = []
+        for g in _decode_series(wkb):
+            if g is None:
+                out.append(None)
+                continue
+            h = _hull_pts(g)
+            if len(h) < 3:
+                # JTS degenerate contract: the hull itself
+                out.append(geom_to_wkb(kernel.convex_hull(g)))
+                continue
+            dirs, norms, _ = _caliper_frames(h)
+            pd_ = h @ dirs.T   # (n_pts, n_edges) projections
+            pn_ = h @ norms.T
+            areas = (pd_.max(0) - pd_.min(0)) * (pn_.max(0) - pn_.min(0))
+            bi = int(np.argmin(areas))
+            d, n = dirs[bi], norms[bi]
+            lo_d, hi_d = pd_[:, bi].min(), pd_[:, bi].max()
+            lo_n, hi_n = pn_[:, bi].min(), pn_[:, bi].max()
+            corners = np.array([
+                d * lo_d + n * lo_n, d * hi_d + n * lo_n,
+                d * hi_d + n * hi_n, d * lo_d + n * hi_n,
+            ])
+            out.append(geom_to_wkb(_polygon(corners)))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_MinimumRectangle", _min_rectangle)
+
+    @F.pandas_udf(T.BinaryType())
+    def _min_diameter(wkb: pd.Series) -> pd.Series:
+        out = []
+        for g in _decode_series(wkb):
+            if g is None:
+                out.append(None)
+                continue
+            h = _hull_pts(g)
+            if len(h) == 0:
+                out.append(None)
+                continue
+            if len(h) < 3:
+                p = h[0]
+                q = h[-1] if len(h) == 2 else h[0]
+                # width 0: the perpendicular segment degenerates to a
+                # point on the line (JTS returns a 0-length segment)
+                out.append(geom_to_wkb(Geom(_m.LINESTRING, np.array([p, p]))))
+                continue
+            dirs, norms, anchors = _caliper_frames(h)
+            pn_ = h @ norms.T              # (n_pts, n_edges)
+            base = np.einsum("ej,ej->e", anchors, norms)  # offset per edge
+            dist = pn_ - base[None, :]
+            widths = np.abs(dist).max(0)
+            bi = int(np.argmin(widths))
+            pi = int(np.abs(dist[:, bi]).argmax())
+            far = h[pi]
+            foot = far - dist[pi, bi] * norms[bi]
+            out.append(geom_to_wkb(Geom(_m.LINESTRING, np.array([foot, far]))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_MinimumDiameter", _min_diameter)
+
+    @F.pandas_udf(T.BinaryType())
+    def _snap(wa: pd.Series, wb: pd.Series, tol: pd.Series) -> pd.Series:
+        def snap_coords(c: np.ndarray, targets: np.ndarray, t: float) -> np.ndarray:
+            if not len(targets) or not len(c):
+                return c
+            d2 = ((c[:, None, :] - targets[None, :, :]) ** 2).sum(-1)
+            j = d2.argmin(1)
+            hit = d2[np.arange(len(c)), j] <= t * t
+            c = c.copy()
+            c[hit] = targets[j[hit]]
+            return c
+
+        def snap_geom(g: Geom, targets: np.ndarray, t: float) -> Geom:
+            if g.type == _m.POINT:
+                return Geom(_m.POINT, snap_coords(g.coords.reshape(1, 2), targets, t)[0])
+            if g.type == _m.LINESTRING:
+                return Geom(_m.LINESTRING, snap_coords(g.coords, targets, t))
+            if g.type == _m.POLYGON:
+                return Geom(
+                    _m.POLYGON,
+                    [snap_coords(r, targets, t) for r in g.coords],
+                )
+            return Geom(g.type, [snap_geom(p, targets, t) for p in g.coords])
+
+        out = []
+        for a, b, t in zip(_decode_series(wa), _decode_series(wb), tol):
+            if a is None or b is None or t is None:
+                out.append(None)
+                continue
+            # vertex snapping (JTS additionally snaps to segment
+            # interiors; vertex-only is the documented subset here)
+            out.append(geom_to_wkb(snap_geom(a, b.all_coords(), float(t))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_Snap", _snap)

@@ -476,3 +476,42 @@ def test_calcite_fillin_aggregates(spark):
     assert rows[0][0] == "POLYGON ((0 0, 4 0, 4 8, 0 8, 0 0))"
     assert rows[0][1] == "MULTIPOINT ((0 0), (2 4), (4 8))"
     assert rows[1][0] == "POLYGON ((1 2, 5 2, 5 10, 1 10, 1 2))"
+
+
+def test_shape_extras_octagon_minrect_diameter_snap(spark):
+    """r3 continuation: ST_OctagonalEnvelope (bbox clipped by diagonal
+    half-planes), ST_MinimumRectangle / ST_MinimumDiameter (rotating
+    calipers over the hull — rotated inputs get the rotated answers),
+    ST_Snap (vertex snapping)."""
+    import math
+
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql("""
+        SELECT
+          ST_AsText(ST_OctagonalEnvelope(
+            ST_GeomFromText('POLYGON ((0 0, 10 0, 5 10, 0 0))'))) AS oe,
+          ST_AsText(ST_MinimumRectangle(
+            ST_GeomFromText('MULTIPOINT ((0 0), (4 0), (4 2), (0 2))'))) AS mr,
+          ST_AsText(ST_MinimumDiameter(
+            ST_GeomFromText('MULTIPOINT ((0 0), (4 0), (4 2), (0 2))'))) AS md,
+          ST_Length(ST_MinimumDiameter(
+            ST_GeomFromText('MULTIPOINT ((0 0), (4 0), (4 2), (0 2))'))) AS mdl,
+          ST_AsText(ST_Snap(ST_GeomFromText('LINESTRING (0.05 0.05, 3 3)'),
+                            ST_GeomFromText('POINT (0 0)'), 0.1)) AS sn,
+          ST_AsText(ST_Snap(ST_GeomFromText('LINESTRING (0.05 0.05, 3 3)'),
+                            ST_GeomFromText('POINT (0 0)'), 0.01)) AS sn_far,
+          ST_Area(ST_MinimumRectangle(
+            ST_GeomFromText('MULTIPOINT ((0 0), (2 2), (3 1), (1 -1))'))) AS rot_area,
+          ST_Length(ST_MinimumDiameter(
+            ST_GeomFromText('MULTIPOINT ((0 0), (2 2), (3 1), (1 -1))'))) AS rot_w
+    """).first()
+    assert r.oe == "POLYGON ((0 0, 10 0, 10 5, 5 10, 0 5, 0 0))"
+    assert r.mr == "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))"
+    assert abs(r.mdl - 2.0) < 1e-9  # min width of the 4x2 rectangle
+    assert r.sn == "LINESTRING (0 0, 3 3)"
+    assert r.sn_far == "LINESTRING (0.05 0.05, 3 3)"  # beyond tolerance
+    # 45-degree rotated 2sqrt2 x sqrt2 rectangle: area 4, width sqrt2
+    assert abs(r.rot_area - 4.0) < 1e-9
+    assert abs(r.rot_w - math.sqrt(2.0)) < 1e-9
