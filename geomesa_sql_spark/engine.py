@@ -182,6 +182,31 @@ _SPATIAL_PRED_FLIP_RE = _re.compile(
 )
 
 
+def _mask_literals(s: str) -> str:
+    """Blank out quoted-literal CONTENT (keeping length and the quote
+    chars) so paren-depth scans and keyword regexes can run over SQL
+    that contains string literals — e.g. WKT in ST_GeomFromText('...').
+    Handles doubled-quote escapes ('' and "")."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:  # doubled escape
+                        out[i] = out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
+                out[i] = " "
+                i += 1
+        i += 1
+    return "".join(out)
+
+
 def _has_routable_spatial(q: str) -> bool:
     """Entry hint for the CTE/derived-table routers: a spatial JOIN
     (``ON ST_*``) or a correlated spatial EXISTS anywhere in the text.
@@ -748,27 +773,26 @@ class Engine:
                 query,
             )
 
-        if "'" in q or '"' in q:
-            # a quote could hide parens from the CTE splitter
-            _bail("quoted literal in a WITH query")
-            return None
-        if _re.search(r"(?i)\bRECURSIVE\b", q):
+        mq = _mask_literals(q)  # literals blanked: WKT in a CTE body
+        # must not confuse the paren/keyword scan (the bodies themselves
+        # pass through VERBATIM, so their literals are safe)
+        if _re.search(r"(?i)\bRECURSIVE\b", mq):
             _bail("WITH RECURSIVE")
             return None
         # split `WITH n1 AS (...), n2 AS (...) SELECT ...` by paren depth
         i = _re.match(r"(?is)^WITH\s+", q).end()
         ctes: list[tuple[str, str]] = []
         while True:
-            nm = _re.match(r"(?is)(\w+)\s+AS\s*\(", q[i:])
+            nm = _re.match(r"(?is)(\w+)\s+AS\s*\(", mq[i:])
             if not nm:
                 _bail("unparseable CTE definition")
                 return None
             j = i + nm.end()  # position just past the opening paren
             depth, k = 1, j
             while k < len(q) and depth:
-                if q[k] == "(":
+                if mq[k] == "(":
                     depth += 1
-                elif q[k] == ")":
+                elif mq[k] == ")":
                     depth -= 1
                 k += 1
             if depth:
@@ -1013,23 +1037,22 @@ class Engine:
                 query,
             )
 
-        if "'" in q or '"' in q:
-            _bail("quoted literal in a derived-table query")
-            return None
+        mq = _mask_literals(q)  # bodies pass through verbatim; only
+        # the scanner needs literal-blind text
         out_parts: list[str] = []
         bodies: list[str] = []
         pos = 0
-        for m in _re.finditer(r"(?i)\b(FROM|JOIN)\s*\(", q):
+        for m in _re.finditer(r"(?i)\b(FROM|JOIN)\s*\(", mq):
             # only top-level blocks: depth 0 at the keyword
-            if q[:m.start()].count("(") != q[:m.start()].count(")"):
+            if mq[:m.start()].count("(") != mq[:m.start()].count(")"):
                 continue
             if m.start() < pos:
                 continue  # inside a block already consumed
             depth, k = 1, m.end()
             while k < len(q) and depth:
-                if q[k] == "(":
+                if mq[k] == "(":
                     depth += 1
-                elif q[k] == ")":
+                elif mq[k] == ")":
                     depth -= 1
                 k += 1
             if depth:
@@ -1113,17 +1136,19 @@ class Engine:
                 query,
             )
 
-        if "'" in q or '"' in q:
-            _bail("quoted literal in a chain-prefix query")
+        mq = _mask_literals(q)
+        if _re.search(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", mq):
             return None
-        if _re.search(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", q):
-            return None
-        sm = _re.match(r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<body>.+)$", q)
+        sm = _re.match(r"(?is)^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<body>.+)$", mq)
         if not sm:
             return None
-        sel, body = sm.group("sel"), sm.group("body")
+        # slice the ORIGINAL text by the masked match's spans (literals
+        # in prefix ON conditions are fine — the prefix runs verbatim)
+        sel = q[sm.start("sel"):sm.end("sel")]
+        body = q[sm.start("body"):sm.end("body")]
+        mbody = mq[sm.start("body"):sm.end("body")]
         depths, d = [], 0
-        for ch in body:
+        for ch in mbody:
             depths.append(d)
             if ch == "(":
                 d += 1
@@ -1133,27 +1158,31 @@ class Engine:
         tail_re = _re.compile(
             r"(?i)\s(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\s"
         )
-        for tmm in tail_re.finditer(body):
+        for tmm in tail_re.finditer(mbody):
             if depths[tmm.start()] == 0:
                 tail = body[tmm.start():].strip()
                 body = body[: tmm.start()]
+                mbody = mbody[: tmm.start()]
                 break
-        if _re.search(r"(?i)\bSELECT\b", body):
+        if _re.search(r"(?i)\bSELECT\b", mbody):
             return None  # subquery in FROM — out of scope
         join_re = _re.compile(
             r"(?i)\b(?:(?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\s"
         )
-        starts = [j.start() for j in join_re.finditer(body) if depths[j.start()] == 0]
+        starts = [j.start() for j in join_re.finditer(mbody) if depths[j.start()] == 0]
         if len(starts) < 2:
             return None  # ≤1 join is the primary path's territory
-        segs, prev = [], 0
+        segs, msegs, prev = [], [], 0
         for s0 in starts:
             segs.append(body[prev:s0].strip())
+            msegs.append(mbody[prev:s0].strip())
             prev = s0
         segs.append(body[prev:].strip())
+        msegs.append(mbody[prev:].strip())
         base, joins = segs[0], segs[1:]
+        mjoins = msegs[1:]
         spatial_at = [
-            i for i, jseg in enumerate(joins)
+            i for i, jseg in enumerate(mjoins)
             if _re.search(r"(?i)\bST_\w+\s*\(", jseg)
         ]
         if len(spatial_at) != 1:
@@ -1164,6 +1193,12 @@ class Engine:
         if k == 0:
             return None  # spatial-first failed the primary regex: bail quiet
         spatial_seg = joins[k]
+        rewritten = " ".join([sel, spatial_seg] + joins[k + 1:] + [tail])
+        if "'" in rewritten or '"' in rewritten:
+            # alias requalification runs over these parts as plain text;
+            # a literal containing "<alias>." would be corrupted
+            _bail("quoted literal in a section the router must rewrite")
+            return None
         if _re.match(r"(?i)(LEFT|RIGHT|FULL)\b", spatial_seg):
             _bail(
                 "outer spatial join after a join-chain prefix (the prefix "

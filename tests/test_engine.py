@@ -1077,3 +1077,44 @@ def test_sql_cte_with_spatial_exists_main(spark, sf_dir, tmp_path):
         .join(sq, bbox).select("o_orderkey").collect()
     }
     assert {r.o_orderkey for r in got.collect()} == want
+
+
+def test_sql_cte_with_wkt_literal_body_routes(spark, sf_dir, tmp_path):
+    """r3: WKT literals inside CTE bodies no longer bail the WHOLE
+    query out of routing — the splitter masks literal content; the
+    body's own filter keeps the bbox rewrite and the main's spatial
+    join still gets the cell plan."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("lpts2", p1)
+    eng.register_table("lnsq2", p2)
+
+    got = eng.sql(
+        "WITH few AS ("
+        "SELECT o_orderkey, lon, lat FROM lpts2 WHERE ST_Contains("
+        "ST_GeomFromText('POLYGON ((0.0025 0.0025, 40.0025 0.0025, "
+        "40.0025 30.0025, 0.0025 30.0025, 0.0025 0.0025))'), "
+        "ST_MakePoint(lon, lat))"
+        ") SELECT f.o_orderkey, s.n_nationkey FROM few f JOIN lnsq2 s "
+        "ON ST_Intersects(ST_MakePoint(f.lon, f.lat), s.poly)"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    inside = pts.filter(
+        (F.col("lon") >= 0.0025) & (F.col("lon") <= 40.0025)
+        & (F.col("lat") >= 0.0025) & (F.col("lat") <= 30.0025)
+    )
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = inside.join(sq, bbox).select("o_orderkey", "n_nationkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
