@@ -475,7 +475,8 @@ class Engine:
         match; any bail after the query LOOKS spatial logs a warning
         naming the cartesian fallback.
         """
-        m = _SPATIAL_JOIN_RE.match(query.strip())
+        qtext = query.strip()
+        m = _SPATIAL_JOIN_RE.match(_mask_literals(qtext))
         if not m:
             return self._route_spatial_after_prefix(query)
 
@@ -489,20 +490,19 @@ class Engine:
                 query,
             )
 
-        g = _GEOM_ARG_RE.match(m.group("on"))
+        g = _GEOM_ARG_RE.match(qtext[m.start("on"):m.end("on")])
         if not g:
             _bail("unsupported ST_ predicate or operand shape in ON")
             return None
-        # defensive bails — anything this restricted planner can't
-        # faithfully express falls through to plain spark.sql:
-        rest = m.group("rest") or ""
-        sel = m.group("sel").strip()
-        if "'" in rest or '"' in rest or "'" in sel or '"' in sel:
-            # quoted literals could hide clause keywords from the tail
-            # splitter / alias stripper (ADVICE r2: the select list was
-            # previously unguarded)
-            _bail("quoted literal in select list or tail")
-            return None
+        # literal handling: the shape regex matched MASKED text, so all
+        # further keyword matching runs on the masked twin while slices
+        # come from the original — and the alias requalifier below skips
+        # literal content (_sub_outside_literals). The old blanket quote
+        # bail (ADVICE r2) is gone: 'tag' constants in the select list
+        # and literals in the tail are routable now.
+        rest = qtext[m.start("rest"):m.end("rest")] if m.group("rest") else ""
+        mrest = m.group("rest") or ""
+        sel = qtext[m.start("sel"):m.end("sel")].strip()
         # conjunctive ON: `ON ST_Pred(...) AND <residual>` — for an
         # INNER join the residual is equivalent to a post-join WHERE,
         # so it folds into the tail below (the reference's rule splits
@@ -514,11 +514,11 @@ class Engine:
             r"(?=\s+(?:(?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\s+"
             r"|\s+WHERE\s+|\s+GROUP\s+BY\s+|\s+HAVING\s+|\s+ORDER\s+BY\s+"
             r"|\s+LIMIT\s+|\s*$)",
-            rest,
+            mrest,
         )
         if am:
-            on_resid = am.group("cond").strip()
-            if _re.search(r"(?i)\bST_\w+\s*\(", on_resid):
+            on_resid = rest[am.start("cond"):am.end("cond")].strip()
+            if _re.search(r"(?i)\bST_\w+\s*\(", am.group("cond")):
                 _bail("second spatial predicate in the ON conjunction")
                 return None
             if (m.group("jt") or "inner").lower() != "inner":
@@ -528,6 +528,7 @@ class Engine:
                 )
                 return None
             rest = rest[am.end():]
+            mrest = mrest[am.end():]
         # multi-join CHAINS: subsequent plain joins after the spatial
         # one peel off the front of the tail and run as ordinary Spark
         # SQL over the routed view (the Calcite planner keeps the other
@@ -535,22 +536,31 @@ class Engine:
         # SECOND spatial join in the chain still bails.
         chain = ""
         while True:
-            cm = _CHAIN_JOIN_RE.match(rest)
+            cm = _CHAIN_JOIN_RE.match(mrest)
             if not cm:
                 break
-            seg = cm.group("join")
-            if _re.search(r"(?i)\bST_\w+\s*\(", seg):
+            if _re.search(r"(?i)\bST_\w+\s*\(", cm.group("join")):
                 _bail("second spatial join in the chain")
                 return None
-            chain += " " + seg.strip()
+            chain += " " + rest[cm.start("join"):cm.end("join")].strip()
             rest = rest[cm.end():]
-        if _re.search(r"(?i)\b(UNION|JOIN|INTERSECT|EXCEPT)\b", rest):
+            mrest = mrest[cm.end():]
+        if _re.search(r"(?i)\b(UNION|JOIN|INTERSECT|EXCEPT)\b", mrest):
             _bail("set-operation or unparseable join tail")
             return None
-        tm = _TAIL_RE.match(rest)
+        tm = _TAIL_RE.match(mrest)
         if not tm or (tm.group("having") and not tm.group("group")):
             _bail("unparseable tail clauses")
             return None
+
+        def tg(name: str) -> str | None:
+            # tail clause text from the ORIGINAL string (the match ran
+            # on the masked twin)
+            return (
+                rest[tm.start(name):tm.end(name)]
+                if tm.group(name) is not None
+                else None
+            )
         t1, t2 = m.group("t1"), m.group("t2")
         known = set(self._tables) | set(self._views)
         if t1 not in known or t2 not in known:
@@ -657,9 +667,11 @@ class Engine:
         def _unqual(expr: str, view: str) -> str:
             # requalify the routed pair's aliases to the VIEW (not bare
             # names — a chained join table may carry the same column
-            # name, and a stripped reference would turn ambiguous)
+            # name, and a stripped reference would turn ambiguous);
+            # literal content is skipped (a string mentioning "p." must
+            # not be rewritten)
             for q in quals:
-                expr = _re.sub(
+                expr = _sub_outside_literals(
                     rf"(?i)\b{_re.escape(q)}\.", f"{view}.", expr
                 )
             return expr
@@ -671,7 +683,7 @@ class Engine:
         # can't be rewritten faithfully, so it bails.
         clash = set(df1.columns) & set(df2.columns)
         if clash:
-            body = f"{sel} {chain} {on_resid or ''} {rest}"
+            body = _mask_literals(f"{sel} {chain} {on_resid or ''} {rest}")
             hit = [c for c in clash
                    if _re.search(rf"(?i)\b{_re.escape(c)}\b", body)]
             if hit:
@@ -714,24 +726,22 @@ class Engine:
         # chained plain joins keep their own table qualifiers; only the
         # routed pair's aliases are stripped (its columns live
         # unqualified on the view)
-        sql = f"SELECT {_unqual(m.group('sel').strip(), view)} FROM {view}"
+        sql = f"SELECT {_unqual(sel, view)} FROM {view}"
         if chain:
             sql += f" {_unqual(chain, view).strip()}"
-        where_parts = [
-            p for p in (on_resid, tm.group("where")) if p
-        ]
+        where_parts = [p for p in (on_resid, tg("where")) if p]
         if where_parts:
             sql += " WHERE " + " AND ".join(
                 f"({_unqual(p, view)})" for p in where_parts
             )
-        if tm.group("group"):
-            sql += f" GROUP BY {_unqual(tm.group('group'), view)}"
-        if tm.group("having"):
-            sql += f" HAVING {_unqual(tm.group('having'), view)}"
-        if tm.group("order"):
-            sql += f" ORDER BY {_unqual(tm.group('order'), view)}"
-        if tm.group("limit"):
-            sql += f" LIMIT {tm.group('limit')}"
+        if tg("group"):
+            sql += f" GROUP BY {_unqual(tg('group'), view)}"
+        if tg("having"):
+            sql += f" HAVING {_unqual(tg('having'), view)}"
+        if tg("order"):
+            sql += f" ORDER BY {_unqual(tg('order'), view)}"
+        if tg("limit"):
+            sql += f" LIMIT {tg('limit')}"
         try:
             return self.spark.sql(sql)
         except Exception as exc:  # AnalysisException: e.g. a stripped
@@ -861,7 +871,8 @@ class Engine:
         carries t1's rows only, so the select list and tail run as
         plain Spark SQL over the semi-joined view.
         """
-        m = _SPATIAL_EXISTS_RE.match(query.strip())
+        qtext = query.strip()
+        m = _SPATIAL_EXISTS_RE.match(_mask_literals(qtext))
         if not m:
             return None
 
@@ -873,11 +884,9 @@ class Engine:
                 query,
             )
 
-        sel = m.group("sel").strip()
-        rest = m.group("rest") or ""
-        if "'" in sel or '"' in sel or "'" in rest or '"' in rest:
-            _bail("quoted literal in select list or tail")
-            return None
+        sel = qtext[m.start("sel"):m.end("sel")].strip()
+        rest = qtext[m.start("rest"):m.end("rest")] if m.group("rest") else ""
+        mrest = m.group("rest") or ""
         t1, t2 = m.group("t1"), m.group("t2")
         known = set(self._tables) | set(self._views)
         if t1 not in known or t2 not in known:
@@ -893,7 +902,7 @@ class Engine:
                 f"(Engine fid_col={self.fid_col!r} is not a column)"
             )
             return None
-        g = _GEOM_ARG_RE.match(m.group("on"))
+        g = _GEOM_ARG_RE.match(qtext[m.start("on"):m.end("on")])
         if not g:
             _bail("unsupported ST_ predicate or operand shape")
             return None
@@ -969,37 +978,47 @@ class Engine:
         on_resid = None
         am = _re.match(r"(?is)^\s*AND\s+(?P<cond>.+?)"
                        r"(?=\s+GROUP\s+BY\s+|\s+HAVING\s+|\s+ORDER\s+BY\s+"
-                       r"|\s+LIMIT\s+|\s*$)", rest)
+                       r"|\s+LIMIT\s+|\s*$)", mrest)
         if am:
             if _re.search(r"(?i)\bST_\w+\s*\(", am.group("cond")):
                 _bail("second spatial predicate in the residual WHERE")
                 return None
-            on_resid = am.group("cond").strip()
+            on_resid = rest[am.start("cond"):am.end("cond")].strip()
             rest = rest[am.end():]
-        tm = _TAIL_RE.match(rest)
+            mrest = mrest[am.end():]
+        tm = _TAIL_RE.match(mrest)
         if not tm or tm.group("where"):
             _bail("unparseable tail clauses")
             return None
+
+        def tg(name: str) -> str | None:
+            return (
+                rest[tm.start(name):tm.end(name)]
+                if tm.group(name) is not None
+                else None
+            )
         quals = [q_ for q_ in (m.group("a1"), t1) if q_]
         view = f"{self._routed_view}_ex_{uuid.uuid4().hex[:8]}"
 
         def _unq(expr: str) -> str:
             for q_ in quals:
-                expr = _re.sub(rf"(?i)\b{_re.escape(q_)}\.", f"{view}.", expr)
+                expr = _sub_outside_literals(
+                    rf"(?i)\b{_re.escape(q_)}\.", f"{view}.", expr
+                )
             return expr
 
         out.createOrReplaceTempView(view)
         sql = f"SELECT {_unq(sel)} FROM {view}"
         if on_resid:
             sql += f" WHERE {_unq(on_resid)}"
-        if tm.group("group"):
-            sql += f" GROUP BY {_unq(tm.group('group'))}"
-        if tm.group("having"):
-            sql += f" HAVING {_unq(tm.group('having'))}"
-        if tm.group("order"):
-            sql += f" ORDER BY {_unq(tm.group('order'))}"
-        if tm.group("limit"):
-            sql += f" LIMIT {tm.group('limit')}"
+        if tg("group"):
+            sql += f" GROUP BY {_unq(tg('group'))}"
+        if tg("having"):
+            sql += f" HAVING {_unq(tg('having'))}"
+        if tg("order"):
+            sql += f" ORDER BY {_unq(tg('order'))}"
+        if tg("limit"):
+            sql += f" LIMIT {tg('limit')}"
         try:
             return self.spark.sql(sql)
         except Exception as exc:
@@ -1193,12 +1212,6 @@ class Engine:
         if k == 0:
             return None  # spatial-first failed the primary regex: bail quiet
         spatial_seg = joins[k]
-        rewritten = " ".join([sel, spatial_seg] + joins[k + 1:] + [tail])
-        if "'" in rewritten or '"' in rewritten:
-            # alias requalification runs over these parts as plain text;
-            # a literal containing "<alias>." would be corrupted
-            _bail("quoted literal in a section the router must rewrite")
-            return None
         if _re.match(r"(?i)(LEFT|RIGHT|FULL)\b", spatial_seg):
             _bail(
                 "outer spatial join after a join-chain prefix (the prefix "
@@ -1244,8 +1257,11 @@ class Engine:
         tmp = f"{self._routed_view}_pre_{uuid.uuid4().hex[:8]}"
 
         def rq(s: str) -> str:
+            # literal-safe: a string mentioning "<alias>." is untouched
             for n_ in names:
-                s = _re.sub(rf"(?i)\b{_re.escape(n_)}\.", f"{tmp}.", s)
+                s = _sub_outside_literals(
+                    rf"(?i)\b{_re.escape(n_)}\.", f"{tmp}.", s
+                )
             return s
 
         new_q = f"SELECT {rq(sel)} FROM {tmp} {rq(spatial_seg)}"

@@ -542,13 +542,17 @@ def test_sql_left_spatial_join_needs_key_warns(spark, sf_dir, tmp_path, caplog):
     assert any("NOT routed" in r.message and "unique key" in r.message
                for r in caplog.records)
 
-    # the bail warning also fires for the quoted-literal select guard
-    caplog.clear()
+    # r3 continuation: constant string literals in the select list now
+    # ROUTE (the old blanket quote bail is gone — matching runs on
+    # masked text and the requalifier skips literal content)
     q2 = ("SELECT o_orderkey, 'x' AS tag FROM wpts JOIN wnsq "
           "ON ST_Intersects(ST_MakePoint(lon, lat), poly)")
-    with caplog.at_level(logging.WARNING, logger="geomesa_sql_spark.engine"):
-        assert eng._route_spatial_join(q2) is None
-    assert any("quoted literal" in r.message for r in caplog.records)
+    routed = eng._route_spatial_join(q2)
+    assert routed is not None
+    rows = routed.collect()
+    assert rows and all(r.tag == "x" for r in rows)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_sql_alias_qualified_operands_orient(spark, sf_dir, tmp_path):
