@@ -383,9 +383,6 @@ class Engine:
             routed = self._route_with_ctes(query)
             if routed is not None:
                 return routed
-            routed = self._route_derived_tables(query)
-            if routed is not None:
-                return routed
             routed = self._route_select(query)
             if routed is not None:
                 return routed
@@ -847,15 +844,128 @@ class Engine:
                 self.spark.catalog.dropTempView(name)
 
     def _route_select(self, query: str) -> DataFrame | None:
-        """One plain-SELECT routing attempt: correlated spatial EXISTS
-        first (its shape is more specific), then the spatial-join
-        router (primary / chain-prefix). CTE bodies, derived-table
-        bodies and rewritten mains all funnel through here so every
-        routable shape works at every nesting position."""
-        routed = self._route_spatial_exists(query)
+        """One SELECT routing attempt, most-specific shape first:
+        top-level set operations (each branch recurses back through
+        here), correlated spatial EXISTS, the spatial-join router
+        (primary / chain-prefix), then derived-table lifting (whose
+        rewritten query recurses back through here). CTE bodies and
+        mains funnel through this too, so every routable shape works
+        at every nesting position."""
+        routed = self._route_set_ops(query)
+        if routed is None:
+            routed = self._route_spatial_exists(query)
         if routed is None:
             routed = self._route_spatial_join(query)
+        if routed is None:
+            routed = self._route_derived_tables(query)
         return routed
+
+    def _route_set_ops(self, query: str) -> DataFrame | None:
+        """Top-level UNION / INTERSECT / EXCEPT ([ALL]) whose branches
+        contain spatial joins: each branch routes independently (plain
+        branches run as ordinary Spark SQL), the results combine with
+        the matching DataFrame set operation (positional columns —
+        SQL's own semantics), and a set-level trailing ORDER BY/LIMIT
+        applies to the combined frame. Mixed operator FAMILIES bail:
+        SQL gives INTERSECT higher precedence than UNION/EXCEPT and
+        this flat splitter cannot honor that.
+        """
+        q = query.strip().rstrip(";").strip()
+        if not _has_routable_spatial(q):
+            return None
+        mq = _mask_literals(q)
+        depths, d = [], 0
+        for ch in mq:
+            depths.append(d)
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        setop_re = _re.compile(
+            r"(?i)\b(UNION\s+ALL|UNION|INTERSECT\s+ALL|INTERSECT"
+            r"|EXCEPT\s+ALL|EXCEPT)\b"
+        )
+        cuts = [
+            (mm.start(), mm.end(), " ".join(mm.group(1).upper().split()))
+            for mm in setop_re.finditer(mq)
+            if depths[mm.start()] == 0
+        ]
+        if not cuts:
+            return None
+
+        def _bail(why: str) -> None:
+            _LOG.warning(
+                "set-operation spatial query NOT routed (%s) — falling "
+                "back to plain spark.sql: %.200s",
+                why,
+                query,
+            )
+
+        families = {op.split()[0] for _, _, op in cuts}
+        if len(families) > 1:
+            _bail("mixed set-operator families (precedence not handled)")
+            return None
+        bounds = [0] + [c[0] for c in cuts] + [len(q)]
+        branches = []
+        for i in range(len(cuts) + 1):
+            lo = bounds[i] if i == 0 else cuts[i - 1][1]
+            hi = bounds[i + 1]
+            branches.append((q[lo:hi].strip(), mq[lo:hi]))
+        # set-level tail: trailing top-level ORDER BY / LIMIT belongs to
+        # the whole set (a branch cannot carry its own without parens)
+        last, mlast = branches[-1]
+        tail_sql = ""
+        tmm = _re.search(
+            r"(?is)\s(ORDER\s+BY\s.+?|LIMIT\s+\d+)\s*$", mlast
+        )
+        if tmm:
+            dlast, dd = [], 0
+            for ch in mlast:
+                dlast.append(dd)
+                if ch == "(":
+                    dd += 1
+                elif ch == ")":
+                    dd -= 1
+            if dlast[tmm.start()] == 0:
+                tail_sql = last[tmm.start():].strip()
+                branches[-1] = (last[: tmm.start()].strip(), None)
+        dfs = []
+        for btext, _mb in branches:
+            routed = self._route_select(btext)
+            dfs.append(
+                routed
+                if routed is not None
+                else self.spark.sql(_rewrite_spatial_predicates(btext))
+            )
+        try:
+            out = dfs[0]
+            for (_, _, op), nxt in zip(cuts, dfs[1:]):
+                if op == "UNION ALL":
+                    out = out.unionAll(nxt)
+                elif op == "UNION":
+                    out = out.unionAll(nxt).distinct()
+                elif op == "INTERSECT":
+                    out = out.intersect(nxt)
+                elif op == "INTERSECT ALL":
+                    out = out.intersectAll(nxt)
+                elif op == "EXCEPT":
+                    out = out.subtract(nxt)
+                else:  # EXCEPT ALL
+                    out = out.exceptAll(nxt)
+        except Exception as exc:
+            _bail(f"branch frames failed to combine: {exc}")
+            return None
+        if not tail_sql:
+            return out
+        view = f"{self._routed_view}_set_{uuid.uuid4().hex[:8]}"
+        out.createOrReplaceTempView(view)
+        try:
+            return self.spark.sql(f"SELECT * FROM {view} {tail_sql}")
+        except Exception as exc:
+            _bail(f"set-level tail failed to resolve: {exc}")
+            return None
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def _route_spatial_exists(self, query: str) -> DataFrame | None:
         """Correlated spatial [NOT] EXISTS — the canonical

@@ -1122,3 +1122,71 @@ def test_sql_cte_with_wkt_literal_body_routes(spark, sf_dir, tmp_path):
     )
     want = inside.join(sq, bbox).select("o_orderkey", "n_nationkey")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sql_set_ops_with_spatial_branches(spark, sf_dir, tmp_path):
+    """r3: top-level UNION/INTERSECT/EXCEPT whose branches contain
+    spatial joins route per branch (no BNLJ), with the set-level
+    ORDER BY/LIMIT applied to the combined frame; mixed operator
+    families bail warned."""
+    import logging as _l
+
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("upts", p1)
+    eng.register_table("unsq", p2)
+
+    got = eng.sql(
+        "SELECT p.o_orderkey FROM upts p JOIN unsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "AND p.o_orderkey <= 3000 "
+        "UNION ALL "
+        "SELECT p.o_orderkey FROM upts p JOIN unsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "AND p.o_orderkey > 3000 "
+        "ORDER BY o_orderkey LIMIT 50"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = sorted(
+        r.o_orderkey for r in pts.join(sq, bbox).select("o_orderkey").collect()
+    )[:50]
+    assert [r.o_orderkey for r in got.collect()] == want
+
+    # UNION (distinct) dedupes across branches
+    got2 = eng.sql(
+        "SELECT p.o_orderkey FROM upts p JOIN unsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "UNION "
+        "SELECT p.o_orderkey FROM upts p JOIN unsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly)"
+    )
+    all_match = {r.o_orderkey for r in pts.join(sq, bbox).select("o_orderkey").collect()}
+    assert got2.count() == len(all_match)
+
+    records = []
+    h = _l.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    lg = _l.getLogger("geomesa_sql_spark.engine")
+    lg.addHandler(h)
+    try:
+        assert eng._route_set_ops(
+            "SELECT p.o_orderkey FROM upts p JOIN unsq s "
+            "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+            "UNION SELECT 1 INTERSECT SELECT 2"
+        ) is None
+    finally:
+        lg.removeHandler(h)
+    assert any("mixed set-operator families" in r for r in records)
