@@ -195,6 +195,10 @@ def _mask_literals(s: str) -> str:
             q = ch
             i += 1
             while i < n:
+                if s[i] == "\\" and i + 1 < n:  # backslash escape
+                    out[i] = out[i + 1] = " "
+                    i += 2
+                    continue
                 if s[i] == q:
                     if i + 1 < n and s[i + 1] == q:  # doubled escape
                         out[i] = out[i + 1] = " "

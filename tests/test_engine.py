@@ -1190,3 +1190,27 @@ def test_sql_set_ops_with_spatial_branches(spark, sf_dir, tmp_path):
     finally:
         lg.removeHandler(h)
     assert any("mixed set-operator families" in r for r in records)
+
+
+def test_mask_literals_escapes():
+    """The router's literal masker handles doubled-quote AND backslash
+    escapes (Spark SQL accepts both), never leaks parens from inside a
+    literal, and preserves length (spans map 1:1 onto the original)."""
+    from geomesa_sql_spark.engine import _mask_literals
+
+    for q in [
+        "a 'x(y' b",
+        "a 'it\\'s (' b",
+        "a 'do''nt (' b",
+        'x "i(d" y',
+        "SELECT 'WHERE' AS w FROM t WHERE ST_X(g) > 0",
+    ]:
+        m = _mask_literals(q)
+        assert len(m) == len(q)
+    assert "(" not in _mask_literals("'x(y'")
+    assert "(" not in _mask_literals("'it\\'s ('")
+    assert "(" not in _mask_literals("'do''nt ('")
+    assert _mask_literals("plain (text)") == "plain (text)"
+    # keyword inside a literal is blanked; real keyword survives
+    m = _mask_literals("SELECT 'WHERE' AS w FROM t WHERE x")
+    assert "WHERE" in m and m.count("WHERE") == 1
