@@ -1,4 +1,6 @@
 from geomesa_sql_spark.ops.dedup import (  # noqa: F401
+    contaminated_ids,
+    decontaminate,
     hamming_clusters,
     hamming_near_dup_pairs,
     exact_dedup,

@@ -622,3 +622,82 @@ def dedup_keep_best(
         .select(id_col)
     )
     return df.join(best, id_col, "left_semi")
+
+
+def _shingle_set(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Distinct k-token shingle hashes over ALL rows of ``df`` — the
+    benchmark side of decontamination. One mapInPandas pass emitting
+    per-batch-deduped hashes, then a global distinct (the frame is
+    eval-set sized, not corpus sized)."""
+    schema = T.StructType([T.StructField("sh", T.LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = [np.unique(_shingles(t or "", k)) for t in pdf[text_col]]
+            allh = np.unique(np.concatenate(hs))
+            yield pd.DataFrame({"sh": allh.view(np.int64)})
+
+    return df.select(text_col).mapInPandas(gen, schema).distinct()
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(id, n_hits) for corpus docs sharing ≥ ``min_hits`` DISTINCT
+    k-token shingles with the benchmark/eval set — the standard
+    n-gram-overlap decontamination test for training corpora.
+
+    100 TB shape: the benchmark shingle set is eval-sized and
+    BROADCAST; the corpus side is one mapInPandas shingle pass (hashes
+    deduped per doc locally, so the per-doc hit count is a distinct
+    count without a distinct shuffle), a broadcast hash join, and a
+    map-side-partial count per doc. The corpus text never shuffles.
+    Shingle hashes are 64-bit (collision FP ≈ n·m / 2^64)."""
+    bench_sh = _shingle_set(benchmark, text_col, shingle_k)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sh", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out: list = []
+            sh_out: list = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                sh = np.unique(_shingles(text or "", shingle_k))
+                ids_out.extend([int(i)] * len(sh))
+                sh_out.extend(sh.view(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids_out, "sh": sh_out})
+
+    corp_sh = corpus.select(id_col, text_col).mapInPandas(gen, schema)
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= int(min_hits))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Corpus minus benchmark-contaminated docs (anti-join on
+    :func:`contaminated_ids`) — all corpus columns preserved."""
+    bad = contaminated_ids(
+        corpus, benchmark, text_col, id_col, shingle_k, min_hits
+    ).select(id_col)
+    return corpus.join(bad, id_col, "left_anti")

@@ -1229,3 +1229,51 @@ def test_exact_dedup_hash_injective_property(spark):
         assert len(set(hashes)) == len(by_content)
 
     law()
+
+
+def test_decontaminate_vs_python_oracle(spark, sf_dir):
+    """r3: n-gram decontamination — corpus docs sharing >= min_hits
+    distinct k-token shingles with a benchmark set are flagged, exact
+    against a pure-python shingle-set oracle; planted contamination
+    (benchmark doc embedded verbatim in a corpus doc) is caught and
+    clean docs survive decontaminate() with columns intact."""
+    from geomesa_sql_spark.ops import contaminated_ids, decontaminate
+    from geomesa_sql_spark.ops.dedup import _shingles
+
+    k = 8
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    rows = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    ids = sorted(rows)
+    # benchmark: 5 docs verbatim + one synthetic sentence nobody has
+    bench_ids = ids[:5]
+    bench_rows = [(rows[i],) for i in bench_ids] + [
+        ("zz qq ww ee rr tt yy uu ii oo pp",)
+    ]
+    bench = spark.createDataFrame(bench_rows, "text string")
+
+    got = {
+        r.doc_id: r.n_hits
+        for r in contaminated_ids(docs, bench, shingle_k=k).collect()
+    }
+    bench_sh = set()
+    for t, in bench_rows:
+        bench_sh |= set(_shingles(t, k).tolist())
+    want = {}
+    for i in ids:
+        hits = len(set(_shingles(rows[i], k).tolist()) & bench_sh)
+        if hits >= 1:
+            want[i] = hits
+    assert got == want
+    assert set(bench_ids) <= set(got)  # verbatim members are flagged
+
+    clean = decontaminate(docs, bench, shingle_k=k)
+    assert set(clean.columns) == set(docs.columns)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == (
+        set(ids) - set(got)
+    )
+    # min_hits raises the bar monotonically
+    strict = {
+        r.doc_id
+        for r in contaminated_ids(docs, bench, shingle_k=k, min_hits=3).collect()
+    }
+    assert strict <= set(got)

@@ -155,3 +155,17 @@ def test_knn_cells_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """r3: the benchmark shingle set rides a broadcast join — the
+    corpus text never shuffles (only (id, hash) pairs reach the
+    count exchange)."""
+    from geomesa_sql_spark.ops import contaminated_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.limit(5).select("text")
+    out = contaminated_ids(docs, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
