@@ -920,7 +920,10 @@ class Engine:
         last, mlast = branches[-1]
         tail_sql = ""
         tmm = _re.search(
-            r"(?is)\s(ORDER\s+BY\s.+?|LIMIT\s+\d+)\s*$", mlast
+            r"(?is)\s(ORDER\s+BY\s.+?"
+            r"|LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?"
+            r"|OFFSET\s+\d+)\s*$",
+            mlast,
         )
         if tmm:
             dlast, dd = [], 0
@@ -1083,12 +1086,8 @@ class Engine:
             _bail("geometry operand column(s) missing from the tables")
             return None
 
-        how = "left_anti" if m.group("neg") else "left_semi"
-        out = spatial_join(
-            df1, df2, left_side, right_side, predicate=pred, distance=dist,
-            how=how, left_key=self.fid_col,
-        )
-        # residual AND-conjunct + ordinary tail over the semi-joined view
+        # residual AND-conjunct + tail parse FIRST: an unparseable tail
+        # must bail before the join's envelope-sample jobs run
         on_resid = None
         am = _re.match(r"(?is)^\s*AND\s+(?P<cond>.+?)"
                        r"(?=\s+GROUP\s+BY\s+|\s+HAVING\s+|\s+ORDER\s+BY\s+"
@@ -1111,6 +1110,32 @@ class Engine:
                 if tm.group(name) is not None
                 else None
             )
+
+        # shared column names (geometry columns, a duplicated fid) make
+        # the inner cell join ambiguous — the output carries only left
+        # columns, so clashing RIGHT columns rename away unconditionally
+        clash = set(df1.columns) & set(df2.columns)
+        if clash:
+            ren = {c: f"__gsj_r_{c}" for c in clash}
+            for old_, new_ in ren.items():
+                df2 = df2.withColumnRenamed(old_, new_)
+            if right_side.wkb:
+                right_side = GeomSide(wkb=ren.get(right_side.wkb, right_side.wkb))
+            else:
+                right_side = GeomSide(
+                    x=ren.get(right_side.x, right_side.x),
+                    y=ren.get(right_side.y, right_side.y),
+                )
+
+        how = "left_anti" if m.group("neg") else "left_semi"
+        try:
+            out = spatial_join(
+                df1, df2, left_side, right_side, predicate=pred,
+                distance=dist, how=how, left_key=self.fid_col,
+            )
+        except Exception as exc:
+            _bail(f"semi/anti spatial join failed to build: {exc}")
+            return None
         quals = [q_ for q_ in (m.group("a1"), t1) if q_]
         view = f"{self._routed_view}_ex_{uuid.uuid4().hex[:8]}"
 

@@ -1153,7 +1153,6 @@ def register_all(spark: SparkSession) -> None:
                 continue
             if len(h) < 3:
                 p = h[0]
-                q = h[-1] if len(h) == 2 else h[0]
                 # width 0: the perpendicular segment degenerates to a
                 # point on the line (JTS returns a 0-length segment)
                 out.append(geom_to_wkb(Geom(_m.LINESTRING, np.array([p, p]))))

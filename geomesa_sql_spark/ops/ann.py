@@ -69,13 +69,22 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+def _splitmix_uniform(rows: int, dim: int, offset: int) -> np.ndarray:
+    """(rows, dim) matrix uniform in [-1, 1) from the splitmix64
+    counter stream starting at ``offset`` — the ONE derivation behind
+    both the LSH hyperplanes and the fixed IVF centroids (the
+    ann_approx DuckDB oracle embeds both as literals, so the two must
+    stay bit-identical forever)."""
     from geomesa_sql_spark.io.fixtures import _splitmix64
 
-    idx = np.arange(seed * 1_000_000, seed * 1_000_000 + bits * dim, dtype=np.int64)
+    idx = np.arange(offset, offset + rows * dim, dtype=np.int64)
     h = _splitmix64(idx).astype(np.float64)
     # uniform in [-1, 1); direction-only use means no gaussian needed
-    return (h / 2**63 - 1.0).reshape(bits, dim)
+    return (h / 2**63 - 1.0).reshape(rows, dim)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    return _splitmix_uniform(bits, dim, seed * 1_000_000)
 
 
 def lsh_bucket_ann(
@@ -240,13 +249,7 @@ def fixed_centroids(dim: int, k: int, seed: int = 11) -> np.ndarray:
     constants in a SQL oracle — which is how the driver gates
     ``ann_approx`` bit-for-bit. K-means training (the default
     ``ivf_topk`` path) stays recall-gated in pytest."""
-    from geomesa_sql_spark.io.fixtures import _splitmix64
-
-    idx = np.arange(
-        seed * 2_000_000, seed * 2_000_000 + k * dim, dtype=np.int64
-    )
-    h = _splitmix64(idx).astype(np.float64)
-    return (h / 2**63 - 1.0).reshape(k, dim)
+    return _splitmix_uniform(k, dim, seed * 2_000_000)
 
 
 def _kmeans_centroids(

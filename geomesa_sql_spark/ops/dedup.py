@@ -601,19 +601,23 @@ def dedup_keep_best(
     exact_dedup does) discards quality information; this keeps the
     highest-``score_col`` representative instead. One shuffle keyed by
     cluster (map-side partial max), then a semi-join back."""
-    labelled = df.join(clusters, id_col, "left").withColumn(
+    is_noise = F.col("cluster").isNull() | (F.col("cluster") < 0)
+    labelled = (
+        df.join(clusters, id_col, "left")
         # NULL or NEGATIVE labels mean "not in any dedup group" (dbscan
         # emits cluster=-1 for noise; collapsing all noise into one
         # group deleted unrelated rows — review r3): such rows keep
-        # themselves
-        "__grp",
-        F.when(
-            F.col("cluster").isNull() | (F.col("cluster") < 0),
-            F.col(id_col),
-        ).otherwise(F.col("cluster")),
+        # themselves. The namespace FLAG keeps a noise row whose id
+        # happens to equal some unrelated group's label out of that
+        # group (review r3b: kmeans-style small labels collide with
+        # ids)
+        .withColumn("__grp_self", is_noise)
+        .withColumn(
+            "__grp", F.when(is_noise, F.col(id_col)).otherwise(F.col("cluster"))
+        )
     )
     best = (
-        labelled.groupBy("__grp")
+        labelled.groupBy("__grp_self", "__grp")
         .agg(
             F.max_by(
                 F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
@@ -633,9 +637,14 @@ def _shingle_set(df: DataFrame, text_col: str, k: int) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            if not len(pdf):
+            hs = [
+                np.unique(_shingles(t, k))
+                for t in pdf[text_col]
+                if t and t.split()  # empty docs share no CONTENT:
+                # the _shingles('') sentinel must not cross-match
+            ]
+            if not hs:
                 continue
-            hs = [np.unique(_shingles(t or "", k)) for t in pdf[text_col]]
             allh = np.unique(np.concatenate(hs))
             yield pd.DataFrame({"sh": allh.view(np.int64)})
 
@@ -673,7 +682,9 @@ def contaminated_ids(
             ids_out: list = []
             sh_out: list = []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                sh = np.unique(_shingles(text or "", shingle_k))
+                if not (text and text.split()):
+                    continue  # no tokens -> no content to match
+                sh = np.unique(_shingles(text, shingle_k))
                 ids_out.extend([int(i)] * len(sh))
                 sh_out.extend(sh.view(np.int64).tolist())
             yield pd.DataFrame({id_col: ids_out, "sh": sh_out})

@@ -146,10 +146,15 @@ def drain_upsert(
     nothing."""
     spark = stream_df.sparkSession
     schema = stream_df.schema
-    batches: list[pd.DataFrame] = []
+    # keyed Row store, not pandas: toPandas would turn a nullable long
+    # column holding NULLs into float64/NaN, which the final
+    # createDataFrame cannot cast back (review r3b). Rows keep Python
+    # ints/None, round-tripping any schema exactly.
+    state: dict = {}
 
     def _collect(bdf: DataFrame, _eid: int) -> None:
-        batches.append(bdf.toPandas())
+        for row in bdf.collect():  # epoch order; last write wins
+            state[tuple(row[k] for k in key_cols)] = row
 
     q = (
         stream_df.writeStream.foreachBatch(_collect)
@@ -158,11 +163,9 @@ def drain_upsert(
         .start()
     )
     q.awaitTermination()
-    if not batches:
+    if not state:
         return spark.createDataFrame([], schema)
-    allp = pd.concat(batches, ignore_index=True)
-    final = allp.drop_duplicates(subset=list(key_cols), keep="last")
-    return spark.createDataFrame(final, schema)
+    return spark.createDataFrame(list(state.values()), schema)
 
 
 def drain_merge_into(

@@ -1214,3 +1214,72 @@ def test_mask_literals_escapes():
     # keyword inside a literal is blanked; real keyword survives
     m = _mask_literals("SELECT 'WHERE' AS w FROM t WHERE x")
     assert "WHERE" in m and m.count("WHERE") == 1
+
+
+def test_sql_set_ops_limit_offset_tail(spark, sf_dir, tmp_path):
+    """r3b: a set-level LIMIT ... OFFSET tail is recognized and applied
+    to the COMBINED frame (previously it stayed attached to the last
+    branch, silently returning extra rows)."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark)
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat").write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        "n_nationkey", "poly", "pminx", "pminy", "pmaxx", "pmaxy"
+    ).write.parquet(p2)
+    eng.register_table("opts", p1)
+    eng.register_table("onsq", p2)
+
+    got = eng.sql(
+        "SELECT p.o_orderkey FROM opts p JOIN onsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "AND p.o_orderkey <= 3000 "
+        "UNION ALL "
+        "SELECT p.o_orderkey FROM opts p JOIN onsq s "
+        "ON ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly) "
+        "AND p.o_orderkey > 3000 "
+        "ORDER BY o_orderkey LIMIT 10 OFFSET 5"
+    )
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = sorted(
+        r.o_orderkey for r in pts.join(sq, bbox).select("o_orderkey").collect()
+    )[5:15]
+    assert [r.o_orderkey for r in got.collect()] == want
+
+
+def test_sql_spatial_exists_clashing_columns(spark, sf_dir, tmp_path):
+    """r3b: tables sharing column names (here the fid itself) used to
+    crash the EXISTS route with an ambiguous-reference analysis error;
+    clashing right columns now rename away (the semi output carries
+    left columns only)."""
+    from geomesa_sql_spark.io.fixtures import nation_squares, orders_points
+
+    eng = Engine(spark, fid_col="id")
+    p1, p2 = str(tmp_path / "p"), str(tmp_path / "n")
+    orders_points(spark, sf_dir).select(
+        F.col("o_orderkey").alias("id"), "lon", "lat"
+    ).write.parquet(p1)
+    nation_squares(spark, sf_dir).select(
+        F.col("n_nationkey").alias("id"), "poly",
+        "pminx", "pminy", "pmaxx", "pmaxy",
+    ).write.parquet(p2)
+    eng.register_table("cxpts", p1)
+    eng.register_table("cxnsq", p2)
+
+    got = eng.sql(
+        "SELECT p.id FROM cxpts p WHERE EXISTS ("
+        "SELECT 1 FROM cxnsq s "
+        "WHERE ST_Intersects(ST_MakePoint(p.lon, p.lat), s.poly))"
+    )
+    pts, sq = spark.read.parquet(p1), spark.read.parquet(p2)
+    bbox = (
+        (F.col("lon") >= F.col("pminx")) & (F.col("lon") <= F.col("pmaxx"))
+        & (F.col("lat") >= F.col("pminy")) & (F.col("lat") <= F.col("pmaxy"))
+    )
+    want = {r.id for r in pts.join(sq, bbox).select(pts.id).collect()}
+    assert {r.id for r in got.collect()} == want

@@ -1277,3 +1277,40 @@ def test_decontaminate_vs_python_oracle(spark, sf_dir):
         for r in contaminated_ids(docs, bench, shingle_k=k, min_hits=3).collect()
     }
     assert strict <= set(got)
+
+
+def test_dedup_keep_best_label_id_collision(spark):
+    """r3b: a noise doc whose ID equals an unrelated group's LABEL must
+    not merge into that group (kmeans-style small labels collide with
+    ids); the group key carries a namespace flag."""
+    from geomesa_sql_spark.ops.dedup import dedup_keep_best
+
+    rows = [(5, 0.1), (7, 0.9), (8, 0.2)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    # doc 7 and 8 form cluster LABELLED 5; doc 5 is unlabelled noise
+    clusters = spark.createDataFrame(
+        [(7, 5), (8, 5)], "doc_id long, cluster long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_keep_best(df, clusters, "doc_id", "q").collect()
+    )
+    # doc 5 keeps itself despite scoring below cluster-5's winner
+    assert kept == [5, 7]
+
+
+def test_decontaminate_empty_docs_not_cross_matched(spark):
+    """r3b: an empty/whitespace benchmark row used to flag every
+    empty corpus doc via the _shingles('') sentinel; empty docs now
+    emit no shingles on either side."""
+    from geomesa_sql_spark.ops import contaminated_ids
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real shared content here ok")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("",), ("real shared content here ok",)], "text string"
+    )
+    got = {r.doc_id for r in contaminated_ids(corpus, bench, shingle_k=3).collect()}
+    assert got == {4}

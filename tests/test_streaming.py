@@ -422,3 +422,21 @@ def test_streaming_exact_dedup_null_and_separator_groups(spark, tmp_path):
     )
     batch = exact_dedup(spark.read.parquet(d), ["c1", "c2"], "event_id")
     assert got.count() == batch.count() == 4
+
+
+def test_drain_upsert_nullable_long_columns(spark, tmp_path):
+    """r3b: a nullable long column holding NULLs used to crash the
+    drain (pandas float64/NaN cannot cast back to LongType); the
+    Row-based store round-trips any schema exactly."""
+    from geomesa_sql_spark.streaming import drain_upsert
+
+    d = str(tmp_path / "nl")
+    rows = [("a", 1), ("b", None), ("a", 3), ("c", None)]
+    spark.createDataFrame(rows, "k string, n long").coalesce(1).write.parquet(d)
+    stream = (
+        spark.readStream.schema("k string, n long").parquet(d)
+    )
+    got = drain_upsert(stream, ["k"], mode="append")
+    vals = {r.k: r.n for r in got.collect()}
+    assert vals == {"a": 3, "b": None, "c": None}
+    assert dict(got.dtypes)["n"] == "bigint"
