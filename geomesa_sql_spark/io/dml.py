@@ -254,11 +254,34 @@ class SnapshotTable:
         if key not in source.columns:
             raise ValueError(f"MERGE source lacks key column {key!r}")
         if set_exprs:
+            if when_matched != "update":
+                raise ValueError(
+                    "set_exprs given with when_matched='ignore' — the SET "
+                    "list would be silently dropped (review r3b)"
+                )
             bad = set(set_exprs) - set(cols)
             if bad:
                 raise ValueError(f"SET targets unknown columns: {sorted(bad)}")
             if key in set_exprs:
                 raise ValueError("SET must not assign the MERGE key")
+            # src.<col> references must exist on the SOURCE — otherwise
+            # the __src_ rewrite surfaces later as an opaque
+            # UNRESOLVED_COLUMN naming a mangled column (review r3b)
+            for c, expr in set_exprs.items():
+                # mark src.<col> tokens OUTSIDE literals only, then
+                # collect the marked names — a string mentioning
+                # 'src.x' must not be validated as a reference
+                marked = _sub_outside_literals(
+                    r"(?i)\bsrc\.(\w+)", "\x00\\1\x00", expr
+                )
+                refs = set(_re.findall("\x00(\\w+)\x00", marked))
+                missing = refs - set(source.columns)
+                if missing:
+                    raise ValueError(
+                        f"SET expression for {c!r} references source "
+                        f"column(s) {sorted(missing)} not present on the "
+                        "MERGE source"
+                    )
         extra = set(source.columns) - set(cols)
         if extra:
             raise ValueError(f"unknown columns in MERGE source: {sorted(extra)}")

@@ -49,7 +49,16 @@ def write_geo_table(
     range (→ file-level pruning); ``sortWithinPartitions`` gives tight
     row-group stats within files (→ row-group pruning).
     """
-    out = df if "cell" in df.columns else add_cell(df, x, y, res)
+    if "cell" in df.columns:
+        raise ValueError(
+            "df already carries a 'cell' column — write_geo_table cannot "
+            "know what res it was encoded with, and recording the wrong "
+            "res makes the pushdown scan silently drop every row (review "
+            "r3b). Drop the column and let write_geo_table encode at "
+            "`res`, or write with plain df.write.parquet and author "
+            "_GEO_META.json yourself."
+        )
+    out = add_cell(df, x, y, res)
     n = partitions or out.sparkSession.sparkContext.defaultParallelism
     (
         out.repartitionByRange(n, F.col("cell"))

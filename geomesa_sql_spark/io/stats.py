@@ -37,7 +37,10 @@ def fast_count(path: str) -> int:
 # r3): parquet stats ignore NaN while Spark's MAX orders NaN above
 # everything, so a NaN-bearing column would make the footer path and
 # the scan fallback disagree. All of those fall back to a scan.
-_EXACT_STAT_TYPES = frozenset({"BOOLEAN", "INT32", "INT64", "INT96"})
+# INT96 excluded too (review r3b): parquet DEPRECATED INT96 min/max
+# (sort order undefined; legacy writers compared byte-wise signed), so
+# a legacy timestamp file's footer stats can be plain wrong.
+_EXACT_STAT_TYPES = frozenset({"BOOLEAN", "INT32", "INT64"})
 
 
 def fast_min_max(path: str, column: str):

@@ -324,3 +324,69 @@ def test_merge_set_literal_and_src_collision_guards(spark, sf_dir, tmp_path):
             "MERGE INTO src USING u ON n_nationkey "
             "WHEN MATCHED THEN UPDATE SET n_name = 'x'"
         )
+
+
+def test_merge_set_exprs_validation(spark, tmp_path):
+    """r3b: src.<col> references in SET expressions are validated
+    against the source's columns up front (clean ValueError, not an
+    opaque mangled-column analysis error); a literal mentioning
+    'src.x' is NOT a reference; set_exprs with when_matched='ignore'
+    raises instead of silently dropping the SET list."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "msv")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "image_id long, n string, price double"
+    )
+    t = SnapshotTable(spark, d).create(base)
+    src = spark.createDataFrame([(1, 9.0)], "image_id long, price double")
+
+    t.merge(src, set_exprs={"price": "src.price * 2"})
+    assert {r.image_id: r.price for r in t.read().collect()}[1] == 18.0
+
+    with _pytest.raises(ValueError, match="qty"):
+        t.merge(src, set_exprs={"price": "src.qty * 2"})
+    with _pytest.raises(ValueError, match="silently dropped"):
+        t.merge(src, when_matched="ignore", set_exprs={"price": "src.price"})
+
+    t.merge(src, set_exprs={"n": "'src.fake'"})  # literal, not a ref
+    assert {r.image_id: r.n for r in t.read().collect()}[1] == "src.fake"
+
+
+def test_write_geo_table_rejects_precomputed_cell(spark, tmp_path):
+    """r3b: a frame already carrying 'cell' is refused — the recorded
+    layout res could silently disagree with the encode res, making the
+    pushdown scan drop every row."""
+    import pytest as _pytest
+
+    from geomesa_sql_spark.io.layout import add_cell, write_geo_table
+
+    df = add_cell(
+        spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double"),
+        "lon", "lat", 8,
+    )
+    with _pytest.raises(ValueError, match="cell"):
+        write_geo_table(df, str(tmp_path / "bad"))
+
+
+def test_fast_min_max_refuses_int96(spark, tmp_path):
+    """r3b: INT96 footer stats are deprecated (undefined sort order) —
+    fast_min_max must fall back to a scan (return None) instead of
+    trusting them."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geomesa_sql_spark.io.stats import fast_min_max
+
+    d = str(tmp_path / "i96")
+    tbl = pa.table(
+        {"ts": pd.to_datetime(["2024-01-01", "2024-06-01"]), "v": [1, 2]}
+    )
+    import os
+    os.makedirs(d)
+    pq.write_table(
+        tbl, f"{d}/part-0.parquet", use_deprecated_int96_timestamps=True
+    )
+    assert fast_min_max(d, "ts") is None      # INT96: refused
+    assert fast_min_max(d, "v") == (1, 2)     # INT64: still exact

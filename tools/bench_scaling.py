@@ -161,6 +161,26 @@ def main() -> int:
     n_bench = 100_000 if quick else 600_000
     zpath = build_pyfiles_zip()
     state = _load_state()
+    # per-level minima are only comparable across submissions of the
+    # IDENTICAL job (review r3b): key the cached state by a content
+    # hash of the job sources and reset stale sections on change
+    import hashlib as _hl
+
+    def _h(*paths):
+        h = _hl.sha256()
+        for q in paths:
+            h.update(q.read_bytes())
+        return h.hexdigest()[:16]
+
+    scale_ver = _h(REPO / "tools/scale_job.py")
+    bench_ver = _h(REPO / "bench.py")
+    if state.get("scale_ver") != scale_ver:
+        state["scale"] = []
+        state["os_ceiling"] = None
+        state["scale_ver"] = scale_ver
+    if state.get("bench_ver") != bench_ver:
+        state["bench"] = {}
+        state["bench_ver"] = bench_ver
 
     levels_env = os.environ.get("SPARK_GRAFT_SCALE_CPUS", "4,16,8,32")
     nums = [int(x) for x in levels_env.split(",")]
@@ -191,7 +211,6 @@ def main() -> int:
         for lo, hi in pairs
     }
     (n_lo, n_hi) = pairs[0]
-    s8, s32 = best[n_lo], best[n_hi]
     eff = pair_eff[(n_lo, n_hi)]
 
     if state.get("os_ceiling") is None or not scale_only:
@@ -201,13 +220,19 @@ def main() -> int:
 
     if scale_only and state["bench"].get("r8"):
         r8, r32, skew = state["bench"]["r8"], state["bench"]["r32"], state["bench"]["skew"]
+        n_bench = state["bench"].get("n_bench", n_bench)  # honest label
+    elif scale_only:
+        print("--scale-only: no cached bench results; skipping the "
+              "per-query section (run once without --scale-only first)")
+        r8 = r32 = skew = None
     else:
         r8 = spark_submit(str(REPO / "bench.py"), 8, zpath,
                           {"SPARK_GRAFT_IMAGES": str(n_bench)})
         r32 = spark_submit(str(REPO / "bench.py"), 32, zpath,
                            {"SPARK_GRAFT_IMAGES": str(n_bench)})
         skew = skew_stats(n_bench)
-        state["bench"] = {"r8": r8, "r32": r32, "skew": skew}
+        state["bench"] = {"r8": r8, "r32": r32, "skew": skew,
+                          "n_bench": n_bench}
         _save_state(state)
 
     os.makedirs(REPO / "BENCH", exist_ok=True)
@@ -263,53 +288,60 @@ def main() -> int:
         f"| 8 procs | {ceil['sec8']} | — |",
         f"| 32 procs | {ceil['sec32']} | {ceil['efficiency_8_32']:.3f} |",
         "",
-        "## Throughput vs the reference execution model",
-        "",
-        "The reference publishes no benchmark numbers (BASELINE.md §6); its",
-        "execution model is a single-threaded row-at-a-time pull with an",
-        "in-memory STRtree over the whole right side",
-        "(EnumerableSpatialJoinEnumerator.scala:28-123), anecdotally 0.066-",
-        "0.095 s for 10-row LIMIT queries over a remote store. This engine",
-        "answers equivalent 10-row queries in ~0.3-0.5 s (Spark's per-job",
-        "floor) but executes the workloads that matter at scale in",
-        "parallel: the 10M-point spatial join + tile rollup completes in",
-        f"~{r32['queries'].get('big_join_10m', '—')} s at local[32]",
-        f"(~{r32.get('big_join_rows_per_sec', 0):,.0f} rows/s), and the",
-        "full-table image decode+featurize runs at",
-        f"~{r32.get('image_decode_rows_per_sec', 0):,.0f} images/s — scan",
-        "shapes a pull-based single-thread engine cannot approach.",
-        "",
-        "## Hot-cell skew, before/after salting (res-4 cells, salt=8)",
-        "",
-        "| | max rows/key | median rows/key | #keys |",
-        "|---|---|---|---|",
-        f"| before | {skew['before']['max']:,} | {skew['before']['median']:,.0f} | {skew['before']['n_keys']} |",
-        f"| after | {skew['after']['max']:,} | {skew['after']['median']:,.0f} | {skew['after']['n_keys']} |",
-        "",
-        f"Hot threshold: > {skew['hot_threshold_rows']:,} rows/cell (4× median).",
-        "",
-        f"## Per-query latency (sec; sf0.1 driver tables, {n_bench:,}-row image table)",
-        "",
-        "Small-input latencies — fixed per-job overhead (~0.3-1 s: AQE stage",
-        "commits, Python-worker spin-up) dominates several of these at",
-        "local[32]; the scaling table above is the throughput evidence.",
-        "",
-        "| query | local[8] | local[32] |",
-        "|---|---|---|",
     ]
-    for k in sorted(r32["queries"]):
-        lines.append(f"| {k} | {r8['queries'].get(k, '—')} | {r32['queries'][k]} |")
+    if r8 is not None:
+        lines += [
+            "## Throughput vs the reference execution model",
+            "",
+            "The reference publishes no benchmark numbers (BASELINE.md §6); its",
+            "execution model is a single-threaded row-at-a-time pull with an",
+            "in-memory STRtree over the whole right side",
+            "(EnumerableSpatialJoinEnumerator.scala:28-123), anecdotally 0.066-",
+            "0.095 s for 10-row LIMIT queries over a remote store. This engine",
+            "answers equivalent 10-row queries in ~0.3-0.5 s (Spark's per-job",
+            "floor) but executes the workloads that matter at scale in",
+            "parallel: the 10M-point spatial join + tile rollup completes in",
+            f"~{r32['queries'].get('big_join_10m', '—')} s at local[32]",
+            f"(~{r32.get('big_join_rows_per_sec', 0):,.0f} rows/s), and the",
+            "full-table image decode+featurize runs at",
+            f"~{r32.get('image_decode_rows_per_sec', 0):,.0f} images/s — scan",
+            "shapes a pull-based single-thread engine cannot approach.",
+            "",
+            "## Hot-cell skew, before/after salting (res-4 cells, salt=8)",
+            "",
+            "| | max rows/key | median rows/key | #keys |",
+            "|---|---|---|---|",
+            f"| before | {skew['before']['max']:,} | {skew['before']['median']:,.0f} | {skew['before']['n_keys']} |",
+            f"| after | {skew['after']['max']:,} | {skew['after']['median']:,.0f} | {skew['after']['n_keys']} |",
+            "",
+            f"Hot threshold: > {skew['hot_threshold_rows']:,} rows/cell (4× median).",
+            "",
+            f"## Per-query latency (sec; sf0.1 driver tables, {n_bench:,}-row image table)",
+            "",
+            "Small-input latencies — fixed per-job overhead (~0.3-1 s: AQE stage",
+            "commits, Python-worker spin-up) dominates several of these at",
+            "local[32]; the scaling table above is the throughput evidence.",
+            "",
+            "| query | local[8] | local[32] |",
+            "|---|---|---|",
+        ]
+        for k in sorted(r32["queries"]):
+            lines.append(
+                f"| {k} | {r8['queries'].get(k, '—')} | {r32['queries'][k]} |"
+            )
+    payload = {
+        "scale_best": {str(c): best[c] for c in levels},
+        "pair_efficiency": {f"{lo}->{hi}": round(e, 3)
+                            for (lo, hi), e in pair_eff.items()},
+        "scaling_efficiency": round(eff, 3),
+        "os_ceiling_control": ceil,
+    }
+    if r8 is not None:
+        payload.update({"bench8": r8, "bench32": r32, "skew": skew})
     lines += [
         "",
         "```json",
-        json.dumps({
-            "scale_best": {str(c): best[c] for c in levels},
-            "pair_efficiency": {f"{lo}->{hi}": round(e, 3)
-                                for (lo, hi), e in pair_eff.items()},
-            "scaling_efficiency": round(eff, 3),
-            "os_ceiling_control": ceil,
-            "bench8": r8, "bench32": r32, "skew": skew,
-        }),
+        json.dumps(payload),
         "```",
         "",
     ]

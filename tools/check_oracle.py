@@ -50,6 +50,10 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"ERROR: unknown query name(s) {unknown} — not in queries()")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
