@@ -369,19 +369,95 @@ def register_all(spark: SparkSession) -> None:
 
     @F.pandas_udf(T.BinaryType())
     def _union(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        # dissolving union via the overlay kernel (JTS OverlayOp
+        # parity); GeometryCollection operands — which JTS rejects —
+        # fall back to the predicate-equivalent collection union
+        from geomesa_sql_spark.geom import overlay as _ov
+
         out = []
         for a, b in zip(wa, wb):
             if a is None or b is None:
                 out.append(None)
-            else:
-                out.append(
-                    geom_to_wkb(
-                        kernel.union_geom(geom_from_wkb(bytes(a)), geom_from_wkb(bytes(b)))
-                    )
-                )
+                continue
+            ga, gb = geom_from_wkb(bytes(a)), geom_from_wkb(bytes(b))
+            try:
+                out.append(geom_to_wkb(_ov.overlay(ga, gb, "union")))
+            except ValueError:
+                out.append(geom_to_wkb(kernel.union_geom(ga, gb)))
         return pd.Series(out, dtype=object)
 
     spark.udf.register("ST_Union", _union)
+
+    # boolean overlay constructors (geom/overlay.py — Calcite inherits
+    # these from JTS OverlayOp via jdbc/Driver.scala:51-56; NULL on
+    # GeometryCollection operands, which JTS rejects too)
+    def _overlay_udf(op: str):
+        from geomesa_sql_spark.geom import overlay as _ov
+
+        @F.pandas_udf(T.BinaryType())
+        def _fn(wa: pd.Series, wb: pd.Series) -> pd.Series:
+            out = []
+            for a, b in zip(wa, wb):
+                if a is None or b is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(
+                        geom_to_wkb(
+                            _ov.overlay(
+                                geom_from_wkb(bytes(a)), geom_from_wkb(bytes(b)), op
+                            )
+                        )
+                    )
+                except ValueError:
+                    out.append(None)
+            return pd.Series(out, dtype=object)
+
+        return _fn
+
+    spark.udf.register("ST_Intersection", _overlay_udf("intersection"))
+    spark.udf.register("ST_Difference", _overlay_udf("difference"))
+    _symdiff = _overlay_udf("symdifference")
+    spark.udf.register("ST_SymDifference", _symdiff)
+    spark.udf.register("ST_SymmetricDifference", _symdiff)  # PostGIS alias
+
+    @F.pandas_udf(T.BinaryType())
+    def _split(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.geom import overlay as _ov
+
+        out = []
+        for a, b in zip(wa, wb):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    geom_to_wkb(
+                        _ov.split_geom(
+                            geom_from_wkb(bytes(a)), geom_from_wkb(bytes(b))
+                        )
+                    )
+                )
+            except ValueError:
+                out.append(None)  # unsupported dimension pair
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_Split", _split)
+
+    @F.pandas_udf(T.BinaryType())
+    def _union_aggr(wkb: pd.Series) -> bytes:
+        # grouped-agg dissolving union (Calcite's ST_UnionAggr /
+        # PostGIS ST_Union(agg)); one overlay pass over the group's
+        # pooled parts — isolated parts skip the splitting entirely
+        from geomesa_sql_spark.geom import overlay as _ov
+
+        geoms = [g for g in _decode_series(wkb) if g is not None]
+        if not geoms:
+            return None
+        return geom_to_wkb(_ov.union_all(geoms))
+
+    spark.udf.register("ST_UnionAggr", _union_aggr)
+    spark.udf.register("ST_Union_Aggr", _union_aggr)  # Calcite spelling
 
     @F.pandas_udf(T.BinaryType())
     def _makeenv(
