@@ -19,6 +19,8 @@ UDF here is a pandas_udf over Arrow batches.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, SparkSession
@@ -1016,6 +1018,297 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series(out, dtype=object)
 
     spark.udf.register("ST_ExteriorRing", _exterior_ring)
+
+    # ------------------------------------------- Calcite-table fill-in, 2
+    # (round-3 continuation, second pass): part accessor, rectangle
+    # test, GeoJSON + EWKT/EWKB text surfaces, and the grid makers —
+    # the last names of Calcite's fun=spatial table
+    # (jdbc/Driver.scala:51-56) still absent here.
+
+    _MULTI_TYPES = (
+        _m.MULTIPOINT, _m.MULTILINESTRING, _m.MULTIPOLYGON,
+        _m.GEOMETRYCOLLECTION,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def _geometry_n(wkb: pd.Series, n: pd.Series) -> pd.Series:
+        # JTS getGeometryN: 1-based DIRECT child of a multi/collection;
+        # for a single geometry, n=1 returns the geometry itself
+        out = []
+        for g, i in zip(_decode_series(wkb), n):
+            if g is None or i is None:
+                out.append(None)
+                continue
+            i = int(i)
+            if g.type in _MULTI_TYPES:
+                parts = list(g.coords)
+                out.append(
+                    geom_to_wkb(parts[i - 1]) if 1 <= i <= len(parts) else None
+                )
+            else:
+                out.append(geom_to_wkb(g) if i == 1 else None)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_GeometryN", _geometry_n)
+
+    def _is_rectangle(g: Geom) -> bool:
+        # JTS isRectangle: a single polygon, no holes, 4 corners, every
+        # vertex on the envelope corner set and all 4 corners present.
+        # Structural (exact comparisons on STORED coordinates) — a
+        # computed-area equality would be float-brittle for cells whose
+        # shoelace sum rounds differently from (dx * dy).
+        if g.type != _m.POLYGON or len(g.coords) != 1:
+            return False
+        ring = np.asarray(g.coords[0], dtype=np.float64)
+        if len(ring) != 5:
+            return False
+        x0, y0, x1, y1 = g.envelope()
+        if x0 == x1 or y0 == y1:
+            return False
+        on_corner = (
+            np.isin(ring[:, 0], (x0, x1)) & np.isin(ring[:, 1], (y0, y1))
+        )
+        if not on_corner.all():
+            return False
+        corners = {(x, y) for x, y in ring[:-1]}
+        if corners != {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}:
+            return False
+        # consecutive vertices must differ in exactly one ordinate
+        # (rules out the bowtie vertex order)
+        dx = ring[1:, 0] != ring[:-1, 0]
+        dy = ring[1:, 1] != ring[:-1, 1]
+        return bool((dx ^ dy).all())
+
+    spark.udf.register(
+        "ST_IsRectangle", _measure(_is_rectangle, T.BooleanType())
+    )
+    # Calcite/PostGIS both spell the interior-ring count with and
+    # without the trailing S
+    spark.udf.register(
+        "ST_NumInteriorRings",
+        _measure(
+            lambda g: len(g.coords) - 1 if g.type == _m.POLYGON else None,
+            T.IntegerType(),
+        ),
+    )
+
+    # ---- GeoJSON text surface (RFC 7946 geometry objects, 2D) ----
+
+    def _gj_coords(g: Geom):
+        if g.type == _m.POINT:
+            return [float(g.coords[0]), float(g.coords[1])]
+        if g.type == _m.LINESTRING:
+            return [[float(x), float(y)] for x, y in np.asarray(g.coords)]
+        if g.type == _m.POLYGON:
+            return [
+                [[float(x), float(y)] for x, y in np.asarray(r)]
+                for r in g.coords
+            ]
+        return [_gj_coords(p) for p in g.coords]
+
+    def _to_geojson(g: Geom) -> str:
+        import json
+
+        if g.type == _m.GEOMETRYCOLLECTION:
+            return json.dumps(
+                {
+                    "type": "GeometryCollection",
+                    "geometries": [
+                        json.loads(_to_geojson(p)) for p in g.coords
+                    ],
+                },
+                separators=(",", ":"),
+            )
+        return json.dumps(
+            {"type": g.type, "coordinates": _gj_coords(g)},
+            separators=(",", ":"),
+        )
+
+    def _from_geojson(obj) -> Geom:
+        t = obj["type"]
+        if t == "GeometryCollection":
+            return Geom(
+                _m.GEOMETRYCOLLECTION,
+                [_from_geojson(p) for p in obj["geometries"]],
+            )
+        c = obj["coordinates"]
+        if t == _m.POINT:
+            return Geom(_m.POINT, np.asarray(c[:2], dtype=np.float64))
+        if t == _m.LINESTRING:
+            return Geom(
+                _m.LINESTRING,
+                np.asarray([p[:2] for p in c], dtype=np.float64),
+            )
+        if t == _m.POLYGON:
+            return Geom(
+                _m.POLYGON,
+                [np.asarray([p[:2] for p in r], dtype=np.float64) for r in c],
+            )
+        part_type = {
+            _m.MULTIPOINT: _m.POINT,
+            _m.MULTILINESTRING: _m.LINESTRING,
+            _m.MULTIPOLYGON: _m.POLYGON,
+        }.get(t)
+        if part_type is None:
+            raise ValueError(f"unknown GeoJSON type {t!r}")
+        return Geom(
+            t,
+            [
+                _from_geojson({"type": part_type, "coordinates": pc})
+                for pc in c
+            ],
+        )
+
+    @F.pandas_udf(T.StringType())
+    def _as_geojson(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if g is None else _to_geojson(g)
+             for g in _decode_series(wkb)],
+            dtype=object,
+        )
+
+    spark.udf.register("ST_AsGeoJSON", _as_geojson)
+
+    @F.pandas_udf(T.BinaryType())
+    def _geom_from_geojson(txt: pd.Series) -> pd.Series:
+        import json
+
+        out = []
+        for s in txt:
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                out.append(geom_to_wkb(_from_geojson(json.loads(str(s)))))
+            except Exception:
+                out.append(None)  # malformed JSON → NULL (constructor parity)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_GeomFromGeoJSON", _geom_from_geojson)
+
+    # ---- EWKT / EWKB (PostGIS extended forms; SRID rides the EWKB
+    # tag this engine already uses for ST_SRID/ST_SetSRID) ----
+
+    @F.pandas_udf(T.StringType())
+    def _as_ewkt(wkb: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.geom.wkb import wkb_srid
+        from geomesa_sql_spark.geom.wkt import geom_to_wkt
+
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            s = wkb_srid(b)
+            txt = geom_to_wkt(geom_from_wkb(b))
+            out.append(f"SRID={s};{txt}" if s else txt)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_AsEWKT", _as_ewkt)
+
+    @F.pandas_udf(T.BinaryType())
+    def _geom_from_ewkt(txt: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.geom.wkb import geom_to_ewkb as _to_ewkb
+
+        out = []
+        for s in txt:
+            if s is None:
+                out.append(None)
+                continue
+            s = str(s).strip()
+            srid = 0
+            msrid = _re.match(r"(?i)^SRID\s*=\s*(\d+)\s*;\s*", s)
+            if msrid:
+                srid = int(msrid.group(1))
+                s = s[msrid.end():]
+            try:
+                out.append(_to_ewkb(geom_from_wkt(s), srid))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_GeomFromEWKT", _geom_from_ewkt)
+
+    @F.pandas_udf(T.BinaryType())
+    def _as_ewkb(wkb: pd.Series) -> pd.Series:
+        # the stored buffer IS (E)WKB — already carrying its SRID tag
+        # when one was set; round-trip through the decoder to normalize
+        from geomesa_sql_spark.geom.wkb import geom_to_ewkb as _to_ewkb
+        from geomesa_sql_spark.geom.wkb import wkb_srid
+
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            out.append(_to_ewkb(geom_from_wkb(b), wkb_srid(b)))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_AsEWKB", _as_ewkb)
+    spark.udf.register("ST_GeomFromEWKB", _as_ewkb)  # same normalization
+
+    # ---- grid makers (Calcite: divide a geometry's envelope into
+    # nx x ny cells; cells as polygons, or their center points) ----
+
+    def _grid_cells(g: Geom, nx: int, ny: int):
+        x0, y0, x1, y1 = g.envelope()
+        if nx < 1 or ny < 1 or x0 > x1 or y0 > y1:
+            return None
+        xs = np.linspace(x0, x1, nx + 1)
+        ys = np.linspace(y0, y1, ny + 1)
+        return xs, ys
+
+    @F.pandas_udf(T.BinaryType())
+    def _make_grid(wkb: pd.Series, nx: pd.Series, ny: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.geom.model import box as _box
+
+        out = []
+        for g, a, b in zip(_decode_series(wkb), nx, ny):
+            if g is None or a is None or b is None:
+                out.append(None)
+                continue
+            grid = _grid_cells(g, int(a), int(b))
+            if grid is None:
+                out.append(None)
+                continue
+            xs, ys = grid
+            cells = [
+                _box(xs[i], ys[j], xs[i + 1], ys[j + 1])
+                for j in range(len(ys) - 1)
+                for i in range(len(xs) - 1)
+            ]
+            out.append(geom_to_wkb(Geom(_m.MULTIPOLYGON, cells)))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_MakeGrid", _make_grid)
+
+    @F.pandas_udf(T.BinaryType())
+    def _make_grid_points(
+        wkb: pd.Series, nx: pd.Series, ny: pd.Series
+    ) -> pd.Series:
+        out = []
+        for g, a, b in zip(_decode_series(wkb), nx, ny):
+            if g is None or a is None or b is None:
+                out.append(None)
+                continue
+            grid = _grid_cells(g, int(a), int(b))
+            if grid is None:
+                out.append(None)
+                continue
+            xs, ys = grid
+            cx = (xs[:-1] + xs[1:]) / 2.0
+            cy = (ys[:-1] + ys[1:]) / 2.0
+            pts = [
+                Geom(_m.POINT, np.array([x, y]))
+                for y in cy
+                for x in cx
+            ]
+            out.append(geom_to_wkb(Geom(_m.MULTIPOINT, pts)))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_MakeGridPoints", _make_grid_points)
 
     from geomesa_sql_spark.geom.de9im import _interior_points as _int_pts
 

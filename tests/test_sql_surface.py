@@ -515,3 +515,99 @@ def test_shape_extras_octagon_minrect_diameter_snap(spark):
     # 45-degree rotated 2sqrt2 x sqrt2 rectangle: area 4, width sqrt2
     assert abs(r.rot_area - 4.0) < 1e-9
     assert abs(r.rot_w - math.sqrt(2.0)) < 1e-9
+
+
+def test_calcite_fillin_geometry_n_rectangle(spark):
+    register_all(spark)
+    r = spark.sql(
+        """SELECT
+             ST_AsText(ST_GeometryN(ST_GeomFromText(
+                 'MULTIPOINT ((1 1), (2 2), (3 3))'), 2)) AS p2,
+             ST_AsText(ST_GeometryN(ST_GeomFromText('POINT (7 8)'), 1)) AS self1,
+             ST_GeometryN(ST_GeomFromText('POINT (7 8)'), 2) AS oob,
+             ST_IsRectangle(ST_GeomFromText(
+                 'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')) AS rect,
+             ST_IsRectangle(ST_GeomFromText(
+                 'POLYGON ((0 0, 4 0, 2 3, 0 0))')) AS tri,
+             ST_IsRectangle(ST_GeomFromText(
+                 'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0),
+                           (1 1, 2 1, 2 2, 1 2, 1 1))')) AS holed,
+             ST_NumInteriorRings(ST_GeomFromText(
+                 'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0),
+                           (1 1, 2 1, 2 2, 1 2, 1 1))')) AS nrings"""
+    ).first()
+    assert r.p2 == "POINT (2 2)"
+    assert r.self1 == "POINT (7 8)"
+    assert r.oob is None
+    assert r.rect is True and r.tri is False and r.holed is False
+    assert r.nrings == 1
+
+
+def test_geojson_roundtrip(spark):
+    register_all(spark)
+    wkts = [
+        "POINT (10.5 -3.25)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOINT ((1 1), (2 2))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+    ]
+    df = spark.createDataFrame([(w,) for w in wkts], "wkt string")
+    df.createOrReplaceTempView("gj_wkts")
+    got = spark.sql(
+        """SELECT wkt,
+                  ST_AsGeoJSON(ST_GeomFromText(wkt)) AS gj,
+                  ST_AsText(ST_GeomFromGeoJSON(
+                      ST_AsGeoJSON(ST_GeomFromText(wkt)))) AS rt
+           FROM gj_wkts"""
+    ).collect()
+    import json
+
+    for r in got:
+        assert r.rt == r.wkt
+        obj = json.loads(r.gj)
+        assert obj["type"] in (
+            "Point", "LineString", "Polygon", "MultiPoint",
+            "MultiLineString", "MultiPolygon", "GeometryCollection",
+        )
+    bad = spark.sql("SELECT ST_GeomFromGeoJSON('{not json') AS g").first()
+    assert bad.g is None
+
+
+def test_ewkt_ewkb_srid_roundtrip(spark):
+    register_all(spark)
+    r = spark.sql(
+        """SELECT
+             ST_AsEWKT(ST_GeomFromEWKT('SRID=4326;POINT (1 2)')) AS ewkt,
+             ST_SRID(ST_GeomFromEWKT('SRID=4326;POINT (1 2)')) AS srid,
+             ST_AsEWKT(ST_GeomFromText('POINT (1 2)')) AS plain,
+             ST_SRID(ST_AsEWKB(ST_SetSRID(
+                 ST_GeomFromText('POINT (3 4)'), 3857))) AS srid2,
+             ST_AsText(ST_GeomFromEWKB(ST_SetSRID(
+                 ST_GeomFromText('POINT (3 4)'), 3857))) AS txt2"""
+    ).first()
+    assert r.ewkt == "SRID=4326;POINT (1 2)"
+    assert r.srid == 4326
+    assert r.plain == "POINT (1 2)"
+    assert r.srid2 == 3857
+    assert r.txt2 == "POINT (3 4)"
+
+
+def test_make_grid_and_grid_points(spark):
+    register_all(spark)
+    r = spark.sql(
+        """SELECT
+             ST_NumGeometries(ST_MakeGrid(ST_GeomFromText(
+                 'POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))'), 2, 2)) AS ncells,
+             ST_Area(ST_MakeGrid(ST_GeomFromText(
+                 'POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))'), 2, 2)) AS area,
+             ST_AsText(ST_MakeGridPoints(ST_GeomFromText(
+                 'POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))'), 2, 1)) AS centers,
+             ST_MakeGrid(ST_GeomFromText('POINT (1 1)'), 0, 3) AS degen"""
+    ).first()
+    assert r.ncells == 4
+    assert abs(r.area - 8.0) < 1e-12
+    assert r.centers == "MULTIPOINT ((1 1), (3 1))"
+    assert r.degen is None
