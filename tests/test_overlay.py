@@ -349,3 +349,72 @@ def test_overlay_wkt_roundtrip_stability():
         g = overlay.overlay(A, B, op)
         g2 = geom_from_wkt(geom_to_wkt(g))
         assert kernel.area(g2) == pytest.approx(kernel.area(g))
+
+
+def test_self_overlay_idempotence():
+    """A op A with every edge collinear-shared: the dedup/orientation
+    path must not double or drop edges."""
+    rng = np.random.default_rng(7)
+    A = model.polygon(
+        _star_ring(rng, 0, 0, 1.2, 2.2, 9), _star_ring(rng, 0, 0, 0.2, 0.8, 6)
+    )
+    aA = kernel.area(A)
+    assert kernel.area(overlay.overlay(A, A, "intersection")) == pytest.approx(aA)
+    assert kernel.area(overlay.overlay(A, A, "union")) == pytest.approx(aA)
+    assert kernel.area(overlay.overlay(A, A, "difference")) == 0.0
+    assert kernel.area(overlay.overlay(A, A, "symdifference")) == 0.0
+
+
+def test_island_in_hole_nesting():
+    outer = model.polygon(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+        [[2, 2], [8, 2], [8, 8], [2, 8], [2, 2]],
+    )
+    island = model.polygon([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]])
+    assert kernel.area(overlay.overlay(outer, island, "union")) == pytest.approx(68.0)
+    assert kernel.area(overlay.overlay(outer, island, "intersection")) == 0.0
+    assert kernel.area(overlay.overlay(island, outer, "difference")) == pytest.approx(4.0)
+
+
+def test_difference_creates_hole():
+    big = model.polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    small = model.polygon([[3, 3], [5, 3], [5, 5], [3, 5], [3, 3]])
+    d = overlay.overlay(big, small, "difference")
+    assert d.type == model.POLYGON and len(d.coords) == 2  # shell + hole
+    assert kernel.area(d) == pytest.approx(96.0)
+
+
+def test_shared_edge_and_corner_touch():
+    a = model.polygon([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]])
+    b = model.polygon([[2, 0], [4, 0], [4, 2], [2, 2], [2, 0]])
+    u = overlay.overlay(a, b, "union")
+    # interior edge dissolves: one shell, no hole
+    assert u.type == model.POLYGON and len(u.coords) == 1
+    assert kernel.area(u) == pytest.approx(8.0)
+    # edge-only contact → 1-dimensional intersection (JTS parity)
+    i = overlay.overlay(a, b, "intersection")
+    assert i.type == model.LINESTRING and kernel.length(i) == pytest.approx(2.0)
+    # corner touch decomposes the pinch into two shells
+    c = model.polygon([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]])
+    u2 = overlay.overlay(a, c, "union")
+    assert u2.type == model.MULTIPOLYGON and kernel.area(u2) == pytest.approx(8.0)
+
+
+def test_split_multi_entry_blade():
+    """A W-shaped blade entering and leaving the polygon multiple times
+    splits it into one piece per crossing band."""
+    rect = model.polygon([[0, 0], [12, 0], [12, 4], [0, 4], [0, 0]])
+    blade = model.linestring([[1, -1], [3, 5], [5, -1], [7, 5], [9, -1]])
+    s = overlay.split_geom(rect, blade)
+    assert len(s.coords) == 5
+    assert sum(kernel.area(p) for p in s.coords) == pytest.approx(48.0)
+    # blade entirely outside: collection(g) unchanged
+    s2 = overlay.split_geom(rect, model.linestring([[20, 0], [25, 5]]))
+    assert len(s2.coords) == 1 and kernel.area(s2.coords[0]) == pytest.approx(48.0)
+
+
+def test_line_symdifference_lengths():
+    l1 = model.linestring([[0, 0], [10, 0]])
+    l2 = model.linestring([[5, 0], [15, 0]])
+    sd = overlay.overlay(l1, l2, "symdifference")
+    assert kernel.length(sd) == pytest.approx(10.0)
