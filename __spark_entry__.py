@@ -650,10 +650,16 @@ def q_sql_st_xy_dist(spark, sf_dir):
 def q_st_simplify_hull(spark, sf_dir):
     """ST_Simplify (Douglas-Peucker) + ST_ConvexHull + ST_NumPoints over
     SQL-built WKT (surface extensions; Calcite's fun=spatial table has
-    neither — semantics follow the PostGIS/JTS contract). Exact oracle:
-    a 3-point zigzag per nation collapses to its endpoints iff the peak
-    deviation (n_nationkey%5)/1000 ≤ tol 0.0025, and the hull of the
-    square's 4 corners + center is the square itself (area 4·hs²)."""
+    neither — semantics follow the PostGIS/JTS contract), plus the
+    boolean overlay constructors (geom/overlay.py) against an
+    hs-shifted twin of the nation square. Exact oracle: a 3-point
+    zigzag per nation collapses to its endpoints iff the peak
+    deviation (n_nationkey%5)/1000 ≤ tol 0.0025; the hull of the
+    square's 4 corners + center is the square itself (area 4·hs²);
+    shifting an axis-aligned square of side 2·hs by hs overlaps a
+    hs × 2·hs band (∩ = 2·hs², ∪ = 6·hs², △ = 4·hs², all exact
+    integers since hs ∈ {3..7}); a vertical blade through the center
+    splits the square into exactly 2 pieces."""
     from geomesa_sql_spark.functions import register_all
 
     register_all(spark)
@@ -668,7 +674,16 @@ def q_st_simplify_hull(spark, sf_dir):
                       concat('MULTIPOINT (', pminx, ' ', pminy, ', ',
                              pmaxx, ' ', pminy, ', ', pmaxx, ' ', pmaxy, ', ',
                              pminx, ' ', pmaxy, ', ', cx, ' ', cy, ')')))), 6)
-                      AS hull_area
+                      AS hull_area,
+                  ROUND(ST_Area(ST_Intersection(
+                      poly, ST_Translate(poly, hs, 0.0D))), 6) AS inter_area,
+                  ROUND(ST_Area(ST_Union(
+                      poly, ST_Translate(poly, hs, 0.0D))), 6) AS union_area,
+                  ROUND(ST_Area(ST_SymDifference(
+                      poly, ST_Translate(poly, hs, 0.0D))), 6) AS symdiff_area,
+                  ST_NumGeometries(ST_Split(poly, ST_GeomFromText(
+                      concat('LINESTRING (', cx, ' ', pminy - 1.0D, ', ',
+                             cx, ' ', pmaxy + 1.0D, ')')))) AS split_n
            FROM nsq_sh"""
     )
 
@@ -1191,7 +1206,11 @@ def _oracles() -> dict[str, str]:
         "st_simplify_hull": f"""
             SELECT n_nationkey,
                    CASE WHEN (n_nationkey % 5) <= 2 THEN 2 ELSE 3 END AS simp_n,
-                   ROUND(4.0 * hs * hs, 6) AS hull_area
+                   ROUND(4.0 * hs * hs, 6) AS hull_area,
+                   ROUND(2.0 * hs * hs, 6) AS inter_area,
+                   ROUND(6.0 * hs * hs, 6) AS union_area,
+                   ROUND(4.0 * hs * hs, 6) AS symdiff_area,
+                   CAST(2 AS INTEGER) AS split_n
             FROM ({nsq})
         """,
         "spatial_join_buffered": f"""
