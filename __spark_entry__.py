@@ -165,24 +165,33 @@ def q_merge_readback(spark, sf_dir):
 
 
 def q_topk(spark, sf_dir):
-    """L2 parity: ORDER BY + LIMIT → TakeOrderedAndProject."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
-        .select("o_orderkey", "o_totalprice")
+    """L1+L2 parity in one tagged slot (merged r3 to free a slot for
+    events_streamed): ORDER BY + LIMIT top-k → TakeOrderedAndProject
+    (tag='price_topk') and LIMIT/OFFSET pushdown (offset client-side
+    in the reference; tag='key_offset')."""
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .select(
+            F.lit("price_topk").alias("tag"),
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+        )
         .limit(10)
     )
-
-
-def q_limit_offset(spark, sf_dir):
-    """L1 parity: LIMIT/OFFSET pushdown (offset client-side in reference)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .orderBy("o_orderkey")
-        .select("o_orderkey", "o_orderstatus")
+    off = (
+        o.orderBy("o_orderkey")
+        .select(
+            F.lit("key_offset").alias("tag"),
+            "o_orderkey",
+            F.lit(None).cast("double").alias("o_totalprice"),
+            "o_orderstatus",
+        )
         .offset(5)
         .limit(10)
     )
+    return top.unionByName(off)
 
 
 def q_fid_in(spark, sf_dir):
@@ -332,6 +341,35 @@ def q_events_hourly(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
+    )
+
+
+def q_events_streamed(spark, sf_dir):
+    """§2.8 under the driver gate (r3): the same hourly aggregation as
+    events_hourly computed through Structured Streaming — parquet
+    directory source, watermarked 1-hour event-time windows, complete
+    mode drained into a memory sink by the available-now trigger.
+    Value sums ride DECIMAL(18,6) so micro-batch order cannot move a
+    ulp (repo money-sum convention); the oracle is the plain batch
+    GROUP BY, so the streamed ≡ batch law itself is hash-gated. At
+    scale the memory sink becomes drain_merge_into (state in a
+    snapshot table); the streaming plan is identical."""
+    from geomesa_sql_spark.streaming.windowed import (
+        run_available_now,
+        stream_events,
+        windowed_counts,
+    )
+
+    ev = stream_events(spark, f"{sf_dir}/events.parquet").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    agg = windowed_counts(ev, window="1 hour", watermark="2 hours")
+    sink = run_available_now(agg, mode="complete")
+    return sink.select(
+        F.date_format("win.start", "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -997,12 +1035,14 @@ def _oracles() -> dict[str, str]:
             FROM range(5) AS t(i)
         """,
         "topk": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-        """,
-        "limit_offset": """
-            SELECT o_orderkey, o_orderstatus FROM orders
-            ORDER BY o_orderkey LIMIT 10 OFFSET 5
+            (SELECT 'price_topk' AS tag, o_orderkey, o_totalprice,
+                    CAST(NULL AS VARCHAR) AS o_orderstatus
+             FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+            UNION ALL
+            (SELECT 'key_offset', o_orderkey, CAST(NULL AS DOUBLE),
+                    o_orderstatus
+             FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 5)
         """,
         "fid_in": """
             SELECT o_orderkey, o_custkey FROM orders
@@ -1062,6 +1102,14 @@ def _oracles() -> dict[str, str]:
               AND o_orderstatus IS NOT NULL
         """,
         "events_hourly": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_streamed": """
+            -- the BATCH aggregation: hash-equality against the streamed
+            -- plan is the streamed-equals-batch law under the gate
             SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -1882,7 +1930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_enum": q_distinct_enum,
         "merge_readback": q_merge_readback,
         "topk": q_topk,
-        "limit_offset": q_limit_offset,
         "fid_in": q_fid_in,
         "join_equi": q_join_equi,
         "join_theta_computed": q_join_theta_computed,
@@ -1894,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "filter_null_forms": q_filter_null_forms,
         "events_hourly": q_events_hourly,
+        "events_streamed": q_events_streamed,
         "sql_st_intersects": q_sql_st_intersects,
         "sql_st_xy_dist": q_sql_st_xy_dist,
         "sql_st_measures": q_sql_st_measures,

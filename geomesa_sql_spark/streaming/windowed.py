@@ -21,6 +21,7 @@ source stands in (same DataFrame code — the TableIO seam again).
 
 from __future__ import annotations
 
+import os
 import uuid
 from typing import Iterable
 
@@ -33,10 +34,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def stream_events(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Open a parquet directory as a stream (one file = one microbatch
-    unit; schema required by Structured Streaming file sources)."""
+    unit; schema required by Structured Streaming file sources).
+
+    Accepts a single-file path too (the driver's sf dirs hold one file
+    per table): the file source only lists directories, so a file path
+    becomes parent-dir + pathGlobFilter on the file name."""
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
 
 
 def windowed_counts(
