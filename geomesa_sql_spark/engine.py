@@ -344,6 +344,21 @@ class Engine:
 
     # ------------------------------------------------------------- catalog
 
+    @classmethod
+    def from_model(
+        cls, spark: SparkSession, model_path: str, fid_col: str = "image_id"
+    ):
+        """Build an Engine from a Calcite-style model file — the
+        ``geomesa-sqlline -m model.yaml`` analog (reference
+        README.md:151-172). Default-schema tables register bare on the
+        engine; other schemas become Spark databases of external
+        tables addressed as ``schema.table`` (io/model.py)."""
+        from geomesa_sql_spark.io.model import apply_model
+
+        engine = cls(spark, fid_col=fid_col)
+        engine.model = apply_model(engine, model_path)
+        return engine
+
     def register_table(self, name: str, path: str) -> None:
         """Add a table to the schema and expose it to SQL (the analog of
         GeoMesaSchema's typeName → table map, GeoMesaSchema.scala:38-50)."""
