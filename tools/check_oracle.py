@@ -20,6 +20,30 @@ TABLES = (
 ).split()
 
 
+def dtype_keys(df: pd.DataFrame) -> dict[str, str]:
+    """Canonical per-column type kind, replicating the driver gate's
+    TYPE-sensitivity (CLAUDE.md: the r01 hash mismatches were DuckDB
+    HUGEINT/Decimal sums stringifying like ints — invisible to the
+    value compare below, fatal to the driver's hash). Width is
+    ignored (int32 vs int64 hash alike); kind is not."""
+    out: dict[str, str] = {}
+    for col in df.columns:
+        dt = df[col].dtype
+        if pd.api.types.is_bool_dtype(dt):
+            kind = "bool"
+        elif pd.api.types.is_integer_dtype(dt):
+            kind = "int"
+        elif pd.api.types.is_float_dtype(dt):
+            kind = "float"
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            kind = "datetime"
+        else:  # object: classify by the first non-null value
+            s = df[col].dropna()
+            kind = type(s.iloc[0]).__name__ if len(s) else "empty"
+        out[col] = kind
+    return out
+
+
 def normalize(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
     rows = []
@@ -80,6 +104,21 @@ def main() -> int:
             problems.append(f"rowcount {len(got)} != {len(want)}")
         if sorted(got.columns) != sorted(want.columns):
             problems.append(f"schema {sorted(got.columns)} != {sorted(want.columns)}")
+        if not problems:
+            gk, wk = dtype_keys(got), dtype_keys(want)
+            bad = {
+                c: (gk[c], wk[c])
+                for c in gk
+                if gk[c] != wk[c]
+                # ndarray vs list: both engines return array columns as
+                # sequences; the driver hashes their elements alike
+                and {gk[c], wk[c]} != {"ndarray", "list"}
+                # a column that is all-NULL on both sides hashes alike
+                # regardless of its declared type
+                and "empty" not in (gk[c], wk[c])
+            }
+            if bad:
+                problems.append(f"dtype kinds differ: {bad}")
         if not problems:
             ng, nw = normalize(got), normalize(want)
             if ng != nw:
