@@ -33,6 +33,58 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 IMAGES_CACHE = "/tmp/spark_graft_bench"
 
 
+def _host_burn(_arg: int = 0) -> float:
+    """Fixed CPU+memory workload (~0.15 s on a healthy core): zlib
+    round-trip + strided numpy sum over a 12 MB buffer. Deterministic,
+    no Spark, no disk — a pure probe of what the hypervisor is actually
+    delivering."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.arange(3_000_000, dtype=np.uint32)
+    buf = (rng * np.uint32(2654435761) >> np.uint32(8)).astype(np.uint8).tobytes()
+    t0 = time.time()
+    for _ in range(20):
+        z = zlib.compress(buf, 1)
+        zlib.decompress(z)
+        np.frombuffer(buf, dtype=np.uint8).reshape(-1, 64).sum(axis=0, dtype=np.int64)
+    return time.time() - t0
+
+
+def host_calibration(nprocs: int) -> dict:
+    """Host-state evidence embedded in every bench JSON: this sandbox's
+    hypervisor is oversubscribed at unpredictable times (steal of >1
+    core observed at IDLE; the same pure-CPU workload has measured
+    0.20-0.95 parallel efficiency at 32 procs on different days, with
+    ZERO engine code in the loop). Query latencies are only comparable
+    across runs whose calibration matches — BASELINE.md numbers were
+    taken at parallel_efficiency ≈ 0.9 (healthy windows, per-level
+    minima over repeated submissions)."""
+    import multiprocessing as mp
+
+    with open("/proc/stat") as f:
+        a = f.readline().split()
+    steal0, tot0 = int(a[8]), sum(map(int, a[1:]))
+    single = min(_host_burn() for _ in range(2))
+    ctx = mp.get_context("fork")
+    with ctx.Pool(nprocs) as pool:
+        pool.map(int, range(nprocs))  # spawn + warm the workers untimed
+        t0 = time.time()
+        pool.map(_host_burn, range(nprocs))
+        par = time.time() - t0
+    with open("/proc/stat") as f:
+        a = f.readline().split()
+    steal1, tot1 = int(a[8]), sum(map(int, a[1:]))
+    dt = max(tot1 - tot0, 1)
+    return {
+        "single_core_sec": round(single, 3),
+        "procs": nprocs,
+        "parallel_efficiency": round(single / par, 3),
+        "steal_cores": round((steal1 - steal0) / dt * os.cpu_count(), 2),
+    }
+
+
 def _bench_images_path(spark, n_images: int, size: int, fmt: str = "mixed") -> str:
     """Generate-once parquet of the synthetic image table (deterministic,
     so safe to share between the local[8] and local[32] runs)."""
@@ -74,6 +126,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_images = int(os.environ.get("SPARK_GRAFT_IMAGES", "600000"))
+
+    host = host_calibration(cpus)
 
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
@@ -405,6 +459,7 @@ def main() -> None:
                 "headline_runs": [round(r, 3) for r in runs],
                 "image_decode_rows_per_sec": round(n_dec / results["image_stats_full"], 1),
                 "big_join_rows_per_sec": round(n_big / big_sec, 1),
+                "host": host,
             }
         )
     )

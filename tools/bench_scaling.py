@@ -157,6 +157,26 @@ def _save_state(st: dict) -> None:
 def main() -> int:
     quick = "--quick" in sys.argv
     scale_only = "--scale-only" in sys.argv
+    # the hypervisor is oversubscribed at unpredictable times (observed
+    # 0.07 pure-CPU parallel efficiency @32 procs, 7-10 cores stolen):
+    # numbers from such a window are meaningless for a baseline, and
+    # under the per-level-minima protocol a slow submission can never
+    # improve the tables — so refuse to burn 30+ min and rewrite
+    # BASELINE.md unless the host is actually delivering its cores
+    from bench import host_calibration
+
+    cal = host_calibration(32)
+    print(f"host calibration: {cal}")
+    if cal["parallel_efficiency"] < 0.5 and not os.environ.get(
+        "SPARK_GRAFT_FORCE_BASELINE"
+    ):
+        print(
+            "host is throttled (pure-CPU parallel efficiency "
+            f"{cal['parallel_efficiency']} < 0.5, {cal['steal_cores']} cores "
+            "stolen) — refusing to rewrite BENCH/BASELINE.md from this "
+            "window. Set SPARK_GRAFT_FORCE_BASELINE=1 to override."
+        )
+        return 1
     n_scale = 200_000 if quick else 1_000_000
     n_bench = 100_000 if quick else 600_000
     zpath = build_pyfiles_zip()
