@@ -1,0 +1,187 @@
+"""GeoParquet interop (OGC GeoParquet spec v1.0.0, public).
+
+GeoParquet marks a parquet file as spatial with a ``geo`` JSON entry in
+the footer's key-value metadata::
+
+    {"version": "1.0.0", "primary_column": "<col>",
+     "columns": {"<col>": {"encoding": "WKB",
+                           "geometry_types": ["Polygon", ...],
+                           "bbox": [minx, miny, maxx, maxy]}}}
+
+This engine already carries geometry as WKB ``BinaryType`` columns
+(geom/model.py), so interop is pure metadata — no payload transcoding.
+The reference has no GeoParquet surface (GeoMesa's stores are
+key-value); this closes the gap a migrating user hits first when their
+downstream tools (GDAL/ogr2ogr, GeoPandas, DuckDB spatial, Sedona)
+expect the standard marker.
+
+Scale shape:
+- WRITE: Spark writes the data files normally, then the footer
+  metadata is attached in a second distributed pass — one task per
+  file, each rewriting its ONE file with pyarrow (no shuffle, no
+  driver collect). The per-file ``bbox`` and ``geometry_types`` are
+  computed from that file's own rows in the same pass, so the standard
+  metadata doubles as file-level pruning stats.
+- READ: the ``geo`` entry is parsed from ONE footer on the driver
+  (footer-only read); an optional query bbox prunes whole files by
+  their footer bbox before Spark ever plans the scan — the GeoParquet
+  analog of the Z-order row-group pruning in io/layout.py.
+
+CRS: omitted on write per spec default (OGC:CRS84, lon/lat) — matching
+the engine's 4326 convention (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+GEO_VERSION = "1.0.0"
+_GEO_KEY = b"geo"
+
+
+def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
+    """Rewrite ONE parquet file with the ``geo`` footer entry added.
+
+    Runs on an executor: reads the file, scans the geometry column once
+    for bbox + geometry_types, rewrites via a temp file + atomic
+    os.replace (a killed task leaves the original file intact).
+    Existing footer metadata (Spark's row metadata) is preserved.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geomesa_sql_spark.geom.wkb import geom_from_wkb
+
+    tbl = pq.read_table(file_path)
+    minx = miny = float("inf")
+    maxx = maxy = float("-inf")
+    gtypes: set[str] = set()
+    for chunk in tbl.column(geometry).chunks:
+        for buf in chunk:
+            b = buf.as_py()
+            if b is None:
+                continue
+            g = geom_from_wkb(bytes(b))
+            gtypes.add(g.type)
+            x0, y0, x1, y1 = g.envelope()
+            if x0 == x0:  # skip empty-geometry NaN envelopes
+                minx, miny = min(minx, x0), min(miny, y0)
+                maxx, maxy = max(maxx, x1), max(maxy, y1)
+    bbox = [minx, miny, maxx, maxy] if minx <= maxx else None
+    col_meta = {"encoding": "WKB", "geometry_types": sorted(gtypes)}
+    if bbox is not None:
+        col_meta["bbox"] = bbox
+    geo = {
+        "version": GEO_VERSION,
+        "primary_column": geometry,
+        "columns": {geometry: col_meta},
+    }
+    existing = dict(tbl.schema.metadata or {})
+    existing[_GEO_KEY] = json.dumps(geo).encode()
+    out = tbl.replace_schema_metadata(existing)
+    tmp = file_path + ".geo.tmp"
+    pq.write_table(out, tmp, compression="snappy")
+    os.replace(tmp, file_path)
+    # Hadoop's LocalFileSystem keeps a .<name>.crc sidecar from the
+    # Spark write; it no longer matches the rewritten bytes and would
+    # fail every subsequent Spark read with ChecksumException
+    crc = os.path.join(
+        os.path.dirname(file_path), f".{os.path.basename(file_path)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    return (file_path, bbox, sorted(gtypes))
+
+
+def _data_files(path: str) -> list[str]:
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    if not files:
+        raise ValueError(f"no parquet data files under {path}")
+    return files
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geometry: str = "geom",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as GeoParquet: plain distributed parquet write, then
+    a distributed one-task-per-file footer pass (see module doc)."""
+    if geometry not in df.columns:
+        raise ValueError(f"write_geoparquet: no column {geometry!r} in df")
+    if dict(df.dtypes)[geometry] != "binary":
+        raise ValueError(
+            f"write_geoparquet: {geometry!r} must be a WKB BinaryType "
+            "column (use ST_AsBinary / geom_to_wkb)"
+        )
+    df.write.mode(mode).parquet(path)
+    files = _data_files(path)
+    sc = df.sparkSession.sparkContext
+    # one partition per file: each executor rewrites only files local
+    # to its task; on object stores pyarrow's fs handles the URI
+    results = (
+        sc.parallelize(files, len(files))
+        .map(lambda f: _attach_geo_footer(f, geometry))
+        .collect()  # tiny: (path, bbox, types) per FILE, not per row
+    )
+    if len(results) != len(files):  # pragma: no cover - job-level guard
+        raise RuntimeError("geo footer pass did not cover every file")
+
+
+def geoparquet_meta(path: str) -> dict:
+    """Parse the ``geo`` footer entry (footer-only read of one file)."""
+    import pyarrow.parquet as pq
+
+    f = _data_files(path)[0]
+    md = pq.ParquetFile(f).schema_arrow.metadata or {}
+    if _GEO_KEY not in md:
+        raise ValueError(f"{path} is not GeoParquet (no 'geo' footer key)")
+    return json.loads(md[_GEO_KEY])
+
+
+def read_geoparquet(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Read a GeoParquet table → (DataFrame, geo metadata).
+
+    With ``bbox=(minx, miny, maxx, maxy)``, whole files whose footer
+    bbox is disjoint from the query bbox are dropped from the scan at
+    planning time (footer-only reads on the driver — the same cost the
+    parquet reader already pays for schema discovery). Rows are NOT
+    filtered: callers apply the exact predicate; pruning only shrinks
+    the file list, like partition pruning.
+    """
+    import pyarrow.parquet as pq
+
+    meta = geoparquet_meta(path)
+    files = _data_files(path)
+    if bbox is not None:
+        qx0, qy0, qx1, qy1 = bbox
+        col = meta["primary_column"]
+        keep = []
+        for f in files:
+            md = pq.ParquetFile(f).schema_arrow.metadata or {}
+            fb = (
+                json.loads(md[_GEO_KEY])["columns"].get(col, {}).get("bbox")
+                if _GEO_KEY in md
+                else None
+            )
+            if fb is None or not (
+                fb[2] < qx0 or fb[0] > qx1 or fb[3] < qy0 or fb[1] > qy1
+            ):
+                keep.append(f)
+        files = keep
+    if not files:
+        # preserve the schema for an empty result
+        return spark.read.parquet(path).limit(0), meta
+    return spark.read.parquet(*files), meta

@@ -1,0 +1,101 @@
+"""GeoParquet interop: standard 'geo' footer on write, metadata-driven
+read, footer-bbox file pruning (io/geoparquet.py)."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.geom import model
+from geomesa_sql_spark.geom.wkb import geom_from_wkb, geom_to_wkb
+from geomesa_sql_spark.io.geoparquet import (
+    geoparquet_meta,
+    read_geoparquet,
+    write_geoparquet,
+)
+
+
+def _square_df(spark, n=40, with_null=False):
+    """n unit squares marching east: row i covers [i, i+1]x[0, 1]."""
+    rows = []
+    for i in range(n):
+        wkb = bytearray(geom_to_wkb(model.box(float(i), 0.0, i + 1.0, 1.0)))
+        rows.append((i, bytes(wkb)))
+    if with_null:
+        rows.append((n, None))
+    return spark.createDataFrame(rows, "id int, geom binary")
+
+
+def test_write_marks_every_file(spark, tmp_path):
+    path = str(tmp_path / "gp")
+    write_geoparquet(_square_df(spark).repartition(4), path, geometry="geom")
+    files = [str(p) for p in (tmp_path / "gp").glob("*.parquet")]
+    assert len(files) >= 2
+    for f in files:
+        md = pq.ParquetFile(f).schema_arrow.metadata
+        geo = json.loads(md[b"geo"])
+        assert geo["version"] == "1.0.0"
+        assert geo["primary_column"] == "geom"
+        col = geo["columns"]["geom"]
+        assert col["encoding"] == "WKB"
+        assert col["geometry_types"] == ["Polygon"]
+        # file bbox must cover exactly that file's own rows
+        ids = pq.read_table(f).column("id").to_pylist()
+        lo, hi = min(ids), max(ids) + 1
+        bx = col["bbox"]
+        assert bx[0] >= 0 and bx[2] <= 40
+        assert bx[0] <= lo + 1 and bx[2] >= hi - 1
+        assert bx[1] == 0.0 and bx[3] == 1.0
+
+
+def test_round_trip_and_meta(spark, tmp_path):
+    path = str(tmp_path / "gp")
+    write_geoparquet(_square_df(spark, with_null=True), path)
+    df, meta = read_geoparquet(spark, path)
+    assert meta["primary_column"] == "geom"
+    got = {r.id: r.geom for r in df.collect()}
+    assert len(got) == 41 and got[40] is None
+    g = geom_from_wkb(bytes(got[7]))
+    assert g.type == "Polygon" and g.envelope() == (7.0, 0.0, 8.0, 1.0)
+
+
+def test_bbox_prunes_files(spark, tmp_path):
+    path = str(tmp_path / "gp")
+    # range-partition by id so each file holds a distinct east-west band
+    write_geoparquet(
+        _square_df(spark).repartitionByRange(4, F.col("id")), path
+    )
+    full, _ = read_geoparquet(spark, path)
+    pruned, _ = read_geoparquet(spark, path, bbox=(0.0, 0.0, 3.5, 1.0))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # pruning drops whole files only — every square intersecting the
+    # bbox must survive (ids 0..3 inclusive)
+    ids = {r.id for r in pruned.collect()}
+    assert ids >= {0, 1, 2, 3}
+    # disjoint bbox → empty frame, schema preserved
+    empty, _ = read_geoparquet(spark, path, bbox=(500.0, 50.0, 600.0, 60.0))
+    assert empty.count() == 0 and empty.columns == ["id", "geom"]
+
+
+def test_null_only_file_and_mixed_types(spark, tmp_path):
+    pt = geom_to_wkb(model.point(5.0, 5.0))
+    df = spark.createDataFrame(
+        [(0, None), (1, bytes(pt))], "id int, geom binary"
+    ).coalesce(1)
+    path = str(tmp_path / "gp2")
+    write_geoparquet(df, path)
+    meta = geoparquet_meta(path)
+    col = meta["columns"]["geom"]
+    assert col["geometry_types"] == ["Point"]
+    assert col["bbox"] == [5.0, 5.0, 5.0, 5.0]
+
+
+def test_rejects_non_binary_and_non_geo(spark, tmp_path):
+    df = spark.range(3).withColumn("geom", F.col("id").cast("string"))
+    with pytest.raises(ValueError, match="BinaryType"):
+        write_geoparquet(df, str(tmp_path / "bad"))
+    plain = str(tmp_path / "plain")
+    spark.range(3).write.parquet(plain)
+    with pytest.raises(ValueError, match="not GeoParquet"):
+        geoparquet_meta(plain)
