@@ -97,14 +97,19 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
 
 
 def _data_files(path: str) -> list[str]:
-    files = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    """All parquet data files under ``path``, including hive-style
+    partition subdirectories (write_tiled layouts)."""
+    files: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        files.extend(
+            os.path.join(root, f)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
     if not files:
         raise ValueError(f"no parquet data files under {path}")
-    return files
+    return sorted(files)
 
 
 def write_geoparquet(
@@ -184,4 +189,6 @@ def read_geoparquet(
     if not files:
         # preserve the schema for an empty result
         return spark.read.parquet(path).limit(0), meta
-    return spark.read.parquet(*files), meta
+    # basePath keeps hive partition columns (write_tiled layouts) when
+    # reading an explicit pruned file list
+    return spark.read.option("basePath", path).parquet(*files), meta

@@ -91,6 +91,24 @@ def test_null_only_file_and_mixed_types(spark, tmp_path):
     assert col["bbox"] == [5.0, 5.0, 5.0, 5.0]
 
 
+def test_hive_partitioned_layout(spark, tmp_path):
+    df = _square_df(spark).withColumn("band", F.col("id") % 2)
+    path = str(tmp_path / "gp_hive")
+    df.write.partitionBy("band").parquet(path)
+    # attach footers over the already-written hive layout
+    from geomesa_sql_spark.io.geoparquet import _attach_geo_footer, _data_files
+
+    files = _data_files(path)
+    assert all("band=" in f for f in files)
+    for f in files:
+        _attach_geo_footer(f, "geom")
+    out, meta = read_geoparquet(spark, path, bbox=(0.0, 0.0, 100.0, 1.0))
+    assert meta["primary_column"] == "geom"
+    # partition column survives the explicit-file-list read
+    assert set(out.columns) == {"id", "geom", "band"}
+    assert out.count() == 40
+
+
 def test_rejects_non_binary_and_non_geo(spark, tmp_path):
     df = spark.range(3).withColumn("geom", F.col("id").cast("string"))
     with pytest.raises(ValueError, match="BinaryType"):
