@@ -1093,71 +1093,14 @@ def register_all(spark: SparkSession) -> None:
     )
 
     # ---- GeoJSON text surface (RFC 7946 geometry objects, 2D) ----
-
-    def _gj_coords(g: Geom):
-        if g.type == _m.POINT:
-            return [float(g.coords[0]), float(g.coords[1])]
-        if g.type == _m.LINESTRING:
-            return [[float(x), float(y)] for x, y in np.asarray(g.coords)]
-        if g.type == _m.POLYGON:
-            return [
-                [[float(x), float(y)] for x, y in np.asarray(r)]
-                for r in g.coords
-            ]
-        return [_gj_coords(p) for p in g.coords]
-
-    def _to_geojson(g: Geom) -> str:
-        import json
-
-        if g.type == _m.GEOMETRYCOLLECTION:
-            return json.dumps(
-                {
-                    "type": "GeometryCollection",
-                    "geometries": [
-                        json.loads(_to_geojson(p)) for p in g.coords
-                    ],
-                },
-                separators=(",", ":"),
-            )
-        return json.dumps(
-            {"type": g.type, "coordinates": _gj_coords(g)},
-            separators=(",", ":"),
-        )
+    # pure converters shared with the io/geojson.py file source
+    from geomesa_sql_spark.geom.geojson import (
+        geom_from_geojson as _gj_from,
+        geom_to_geojson as _to_geojson,
+    )
 
     def _from_geojson(obj) -> Geom:
-        t = obj["type"]
-        if t == "GeometryCollection":
-            return Geom(
-                _m.GEOMETRYCOLLECTION,
-                [_from_geojson(p) for p in obj["geometries"]],
-            )
-        c = obj["coordinates"]
-        if t == _m.POINT:
-            return Geom(_m.POINT, np.asarray(c[:2], dtype=np.float64))
-        if t == _m.LINESTRING:
-            return Geom(
-                _m.LINESTRING,
-                np.asarray([p[:2] for p in c], dtype=np.float64),
-            )
-        if t == _m.POLYGON:
-            return Geom(
-                _m.POLYGON,
-                [np.asarray([p[:2] for p in r], dtype=np.float64) for r in c],
-            )
-        part_type = {
-            _m.MULTIPOINT: _m.POINT,
-            _m.MULTILINESTRING: _m.LINESTRING,
-            _m.MULTIPOLYGON: _m.POLYGON,
-        }.get(t)
-        if part_type is None:
-            raise ValueError(f"unknown GeoJSON type {t!r}")
-        return Geom(
-            t,
-            [
-                _from_geojson({"type": part_type, "coordinates": pc})
-                for pc in c
-            ],
-        )
+        return _gj_from(obj)
 
     @F.pandas_udf(T.StringType())
     def _as_geojson(wkb: pd.Series) -> pd.Series:

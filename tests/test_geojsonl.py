@@ -1,0 +1,87 @@
+"""GeoJSONL source/sink (io/geojson.py): round-trip, malformed-line
+tolerance, flatten inference, ST_ surface interop."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.geom import model
+from geomesa_sql_spark.geom.geojson import geom_from_geojson, geom_to_geojson
+from geomesa_sql_spark.geom.wkb import geom_from_wkb, geom_to_wkb
+from geomesa_sql_spark.io.geojson import read_geojsonl, write_geojsonl
+
+
+def _src_df(spark):
+    rows = [
+        (0, bytes(geom_to_wkb(model.point(1.0, 2.0))), "alpha", 10),
+        (1, bytes(geom_to_wkb(model.box(0.0, 0.0, 2.0, 2.0))), "beta", 20),
+        (2, None, "gamma", 30),
+    ]
+    return spark.createDataFrame(rows, "fid int, geom binary, name string, score int")
+
+
+def test_write_read_round_trip(spark, tmp_path):
+    path = str(tmp_path / "gj")
+    write_geojsonl(_src_df(spark), path)
+    out = read_geojsonl(spark, path)
+    rows = {r.fid: r for r in out.collect()}
+    assert set(out.columns) == {"id", "geom", "fid", "name", "score"}
+    assert len(rows) == 3
+    g = geom_from_wkb(bytes(rows[0].geom))
+    assert g.type == "Point" and tuple(g.coords) == (1.0, 2.0)
+    assert geom_from_wkb(bytes(rows[1].geom)).envelope() == (0.0, 0.0, 2.0, 2.0)
+    assert rows[2].geom is None and rows[2].name == "gamma"
+
+
+def test_lines_are_valid_single_features(spark, tmp_path):
+    path = str(tmp_path / "gj")
+    write_geojsonl(_src_df(spark), path, id_col="fid")
+    lines = [
+        json.loads(ln)
+        for p in (tmp_path / "gj").glob("part-*")
+        for ln in p.read_text().splitlines()
+    ]
+    assert len(lines) == 3
+    by_id = {f["id"]: f for f in lines}
+    assert by_id[0]["type"] == "Feature"
+    assert by_id[0]["geometry"]["type"] == "Point"
+    assert by_id[2]["geometry"] is None
+    assert by_id[1]["properties"] == {"name": "beta", "score": 20}
+    assert "fid" not in by_id[1]["properties"]  # promoted to Feature id
+
+
+def test_malformed_and_bare_geometry_lines(spark, tmp_path):
+    p = tmp_path / "hand.jsonl"
+    p.write_text(
+        '{"type":"Point","coordinates":[3,4]}\n'
+        "not json at all\n"
+        '{"type":"Feature","geometry":{"type":"Point","coordinates":[5,6]},'
+        '"properties":{"k":1}}\n'
+    )
+    out = read_geojsonl(spark, str(p), flatten=False).collect()
+    assert len(out) == 3
+    geoms = [None if r.geom is None else geom_from_wkb(bytes(r.geom)) for r in out]
+    coords = sorted(tuple(g.coords) for g in geoms if g is not None)
+    assert coords == [(3.0, 4.0), (5.0, 6.0)]
+    assert sum(g is None for g in geoms) == 1
+
+
+def test_st_surface_on_read_result(spark, tmp_path):
+    path = str(tmp_path / "gj")
+    write_geojsonl(_src_df(spark), path)
+    from geomesa_sql_spark.functions.st import register_all
+
+    register_all(spark)
+    read_geojsonl(spark, path).createOrReplaceTempView("gj")
+    got = {
+        r.fid: r.a
+        for r in spark.sql(
+            "SELECT fid, ST_Area(geom) AS a FROM gj ORDER BY fid"
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 4.0, 2: None}
+
+
+def test_geojson_text_converter_parity():
+    g = model.box(1.0, 1.0, 3.0, 5.0)
+    assert geom_from_geojson(geom_to_geojson(g)).envelope() == g.envelope()
