@@ -60,12 +60,17 @@ class ModelSpec:
     schemas: list[SchemaSpec]
 
 
+_GEOJSONL_EXTS = (".geojsonl", ".geojsons", ".jsonl", ".ndjson")
+
+
 def _table_format(path: str) -> str:
     if os.path.isdir(path):
         # snapshot-table layout (io/dml.py) vs a plain parquet directory
         return "snapshot" if os.path.exists(os.path.join(path, "_CURRENT")) else "parquet"
     if path.endswith(".csv"):
         return "csv"
+    if path.endswith(_GEOJSONL_EXTS):
+        return "geojsonl"
     return "parquet"
 
 
@@ -114,7 +119,7 @@ def load_model(path: str) -> ModelSpec:
                 raise ValueError(f"schema {name!r}: dir operand {d!r} is not a directory")
             for fn in sorted(os.listdir(d)):
                 stem, ext = os.path.splitext(fn)
-                if ext == ".parquet" and _NAME_RE.match(stem):
+                if ext in (".parquet", *_GEOJSONL_EXTS) and _NAME_RE.match(stem):
                     p = os.path.join(d, fn)
                     spec.tables.append(TableSpec(stem, p, _table_format(p)))
         for t in s.get("tables") or []:
@@ -159,16 +164,20 @@ def apply_model(engine, path: str) -> ModelSpec:
                 if t.fmt == "csv":
                     df = spark.read.csv(t.path, header=True, inferSchema=True)
                     engine.register_view(t.name, df)
+                elif t.fmt == "geojsonl":
+                    from geomesa_sql_spark.io.geojson import read_geojsonl
+
+                    engine.register_view(t.name, read_geojsonl(spark, t.path))
                 else:  # parquet or snapshot — Engine._read dispatches
                     engine.register_table(t.name, t.path)
             continue
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema.name}")
         for t in schema.tables:
-            if t.fmt == "snapshot":
+            if t.fmt in ("snapshot", "geojsonl"):
                 raise ValueError(
-                    f"{schema.name}.{t.name}: snapshot tables are only "
+                    f"{schema.name}.{t.name}: {t.fmt} tables are only "
                     "supported in the default schema (they need the "
-                    "Engine's manifest reader, not an external table)"
+                    "Engine's reader, not a catalog external table)"
                 )
             spark.sql(f"DROP TABLE IF EXISTS {schema.name}.{t.name}")
             opts = f"path '{t.path}'"

@@ -208,3 +208,63 @@ def test_shell_spatial_sql_routes(shell_engine, sf_dir):
         "!plan SELECT n_name FROM nation WHERE n_nationkey < 3;\n",
     )
     assert "PushedFilters" in out or "Scan parquet" in out
+
+
+def test_model_geojsonl_tables(spark, tmp_path, sf_dir):
+    from geomesa_sql_spark.geom import model as gmodel
+    from geomesa_sql_spark.geom.geojson import geom_to_geojson
+
+    gj = tmp_path / "sites.geojsonl"
+    gj.write_text(
+        "\n".join(
+            '{"type":"Feature","geometry":%s,"properties":{"site":%d}}'
+            % (geom_to_geojson(gmodel.point(float(i), float(i))), i)
+            for i in range(5)
+        )
+        + "\n"
+    )
+    path = tmp_path / "m.yaml"
+    path.write_text(
+        f"""\
+defaultSchema: cat
+schemas:
+  - name: cat
+    operand:
+      dir: {tmp_path}
+"""
+    )
+    from geomesa_sql_spark.engine import Engine
+
+    engine = Engine.from_model(spark, str(path))
+    try:
+        assert "sites" in engine.tables()
+        got = engine.sql(
+            "SELECT site FROM sites WHERE ST_X(geom) >= 3.0 ORDER BY site"
+        ).collect()
+        assert [r.site for r in got] == [3, 4]
+    finally:
+        drop_model(spark, engine.model)
+        spark.catalog.dropTempView("sites")
+
+    # geojsonl outside the default schema has no external-table mapping
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        f"""\
+defaultSchema: cat
+schemas:
+  - name: cat
+    tables:
+      - name: sites
+        operand:
+          file: {gj}
+  - name: other
+    tables:
+      - name: sites2
+        operand:
+          file: {gj}
+"""
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="geojsonl"):
+        Engine.from_model(spark, str(bad))
