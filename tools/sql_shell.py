@@ -148,10 +148,18 @@ def main(argv: list[str] | None = None) -> int:
     else:
         engine = Engine(spark, fid_col=args.fid)
     if args.data:
+        from geomesa_sql_spark.io.model import _GEOJSONL_EXTS
+
         for fn in sorted(os.listdir(args.data)):
             stem, ext = os.path.splitext(fn)
             if ext == ".parquet":
                 engine.register_table(stem, os.path.join(args.data, fn))
+            elif ext in _GEOJSONL_EXTS:
+                from geomesa_sql_spark.io.geojson import read_geojsonl
+
+                engine.register_view(
+                    stem, read_geojsonl(spark, os.path.join(args.data, fn))
+                )
 
     if args.execute:
         for stmt in args.execute:
