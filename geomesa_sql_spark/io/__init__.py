@@ -14,3 +14,12 @@ from geomesa_sql_spark.io.fixtures import (  # noqa: F401
     supplier_points,
     supplier_points_sql,
 )
+from geomesa_sql_spark.io.geoparquet import (  # noqa: F401
+    geoparquet_meta,
+    read_geoparquet,
+    write_geoparquet,
+)
+from geomesa_sql_spark.io.geojson import (  # noqa: F401
+    read_geojsonl,
+    write_geojsonl,
+)
