@@ -31,7 +31,10 @@ _READ_SCHEMA = T.StructType(
 
 
 def read_geojsonl(
-    spark: SparkSession, path: str, flatten: bool = True
+    spark: SparkSession,
+    path: str,
+    flatten: bool = True,
+    stream: bool = False,
 ) -> DataFrame:
     """Read GeoJSONL → DataFrame [id, geom(WKB), <properties...>].
 
@@ -39,7 +42,12 @@ def read_geojsonl(
     properties). Malformed lines and unparseable geometries become
     NULL geom rows rather than killing a large ingest. With
     ``flatten=False`` properties stay as one JSON-text column (no
-    inference pass — single scan)."""
+    inference pass — single scan). With ``stream=True`` the source is
+    ``readStream.text`` (files appearing under ``path`` become
+    micro-batches — the drop-a-file ingest pattern); streaming cannot
+    run the batch inference pass, so properties stay JSON text
+    (``flatten`` ignored) — apply ``F.from_json`` with a known schema
+    downstream."""
     import json
 
     from geomesa_sql_spark.geom.geojson import geom_from_geojson
@@ -71,6 +79,8 @@ def read_geojsonl(
                 {"id": ids, "geom": geoms, "properties": props}
             )
 
+    if stream:
+        return spark.readStream.text(path).mapInPandas(parse, _READ_SCHEMA)
     lines = spark.read.text(path)
     out = lines.mapInPandas(parse, _READ_SCHEMA)
     if not flatten:

@@ -82,6 +82,36 @@ def test_st_surface_on_read_result(spark, tmp_path):
     assert got == {0: 0.0, 1: 4.0, 2: None}
 
 
+def test_streaming_read_matches_batch(spark, tmp_path):
+    """readStream over a GeoJSONL directory (available-now drain)
+    produces exactly the batch parse of the same files."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for part in range(3):
+        lines = "\n".join(
+            '{"type":"Feature","geometry":{"type":"Point","coordinates":[%d,%d]},'
+            '"properties":{"k":%d}}' % (i, part, i)
+            for i in range(part * 4, part * 4 + 4)
+        )
+        (src / f"f{part}.geojsonl").write_text(lines + "\n")
+    stream = read_geojsonl(spark, str(src), stream=True)
+    assert stream.isStreaming and stream.columns == ["id", "geom", "properties"]
+    q = (
+        stream.writeStream.format("memory").queryName("gj_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (geom_from_wkb(bytes(r.geom)).coords[0], json.loads(r.properties)["k"])
+        for r in spark.table("gj_stream").collect()
+    }
+    want = {
+        (geom_from_wkb(bytes(r.geom)).coords[0], json.loads(r.properties)["k"])
+        for r in read_geojsonl(spark, str(src), flatten=False).collect()
+    }
+    assert got == want and len(got) == 12
+
+
 def test_geojson_text_converter_parity():
     g = model.box(1.0, 1.0, 3.0, 5.0)
     assert geom_from_geojson(geom_to_geojson(g)).envelope() == g.envelope()
