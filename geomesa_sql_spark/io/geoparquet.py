@@ -50,17 +50,19 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
     os.replace (a killed task leaves the original file intact).
     Existing footer metadata (Spark's row metadata) is preserved.
     """
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from geomesa_sql_spark.geom.wkb import geom_from_wkb
 
-    tbl = pq.read_table(file_path)
+    # pass 1 (column-pruned): bbox + geometry_types. Footer key-value
+    # metadata is part of the schema a ParquetWriter is constructed
+    # with, so it must be known before the copy starts.
+    pf = pq.ParquetFile(file_path)
     minx = miny = float("inf")
     maxx = maxy = float("-inf")
     gtypes: set[str] = set()
-    for chunk in tbl.column(geometry).chunks:
-        for buf in chunk:
+    for batch in pf.iter_batches(columns=[geometry]):
+        for buf in batch.column(0):
             b = buf.as_py()
             if b is None:
                 continue
@@ -79,11 +81,16 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
         "primary_column": geometry,
         "columns": {geometry: col_meta},
     }
-    existing = dict(tbl.schema.metadata or {})
+    schema = pf.schema_arrow
+    existing = dict(schema.metadata or {})
     existing[_GEO_KEY] = json.dumps(geo).encode()
-    out = tbl.replace_schema_metadata(existing)
+    schema = schema.with_metadata(existing)
+    # pass 2: batch-wise copy — peak memory is one Arrow batch, not the
+    # whole file (a 1 GB parquet file decompresses to several GB)
     tmp = file_path + ".geo.tmp"
-    pq.write_table(out, tmp, compression="snappy")
+    with pq.ParquetWriter(tmp, schema, compression="snappy") as w:
+        for batch in pf.iter_batches():
+            w.write_batch(batch.cast(schema.remove_metadata()))
     os.replace(tmp, file_path)
     # Hadoop's LocalFileSystem keeps a .<name>.crc sidecar from the
     # Spark write; it no longer matches the rewritten bytes and would
