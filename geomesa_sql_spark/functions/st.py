@@ -1095,12 +1095,9 @@ def register_all(spark: SparkSession) -> None:
     # ---- GeoJSON text surface (RFC 7946 geometry objects, 2D) ----
     # pure converters shared with the io/geojson.py file source
     from geomesa_sql_spark.geom.geojson import (
-        geom_from_geojson as _gj_from,
+        geom_from_geojson as _from_geojson,
         geom_to_geojson as _to_geojson,
     )
-
-    def _from_geojson(obj) -> Geom:
-        return _gj_from(obj)
 
     @F.pandas_udf(T.StringType())
     def _as_geojson(wkb: pd.Series) -> pd.Series:

@@ -85,24 +85,38 @@ def read_geojsonl(
     out = lines.mapInPandas(parse, _READ_SCHEMA)
     if not flatten:
         return out
-    # distributed schema inference over the properties documents —
-    # the same pass spark.read.json would make; then one aligned
-    # from_json so geometry and properties stay on the same row
-    docs = out.select("properties").rdd.map(lambda r: r[0] or "{}")
-    schema = spark.read.json(docs).schema
+    # properties schema from Spark's own JVM json inference over the
+    # RAW FILES — zero Python, and crucially NOT a branch over the
+    # mapInPandas parse stage (which would re-run the whole geometry
+    # decode once for inference and again on first use — the
+    # mapInPandas-recompute trap, review r3c). The inferred top-level
+    # schema may type `geometry` inconsistently across rows; only the
+    # `properties` struct field is taken from it.
+    inferred = spark.read.json(path).schema
+    pfield = next((f for f in inferred.fields if f.name == "properties"), None)
+    if pfield is None or not isinstance(pfield.dataType, T.StructType):
+        return out  # bare-geometry lines only (or no properties at all)
+    schema = pfield.dataType
     flat_cols = [f.name for f in schema.fields if not f.name.startswith("_corrupt")]
     if not flat_cols:
         return out.drop("properties")
-    reserved = {"id", "geom"}
     parsed = out.withColumn("_p", F.from_json("properties", schema))
-    return parsed.select(
-        "id",
-        "geom",
-        *[
-            F.col(f"_p.{c}").alias(c if c not in reserved else f"prop_{c}")
-            for c in flat_cols
-        ],
-    )
+    # literal field access (getField — a dotted property name is NOT a
+    # nested path) + collision-proof output aliases
+    taken = {"id", "geom"} | set(flat_cols)
+    sel = [F.col("id"), F.col("geom")]
+    for c in flat_cols:
+        if c in ("id", "geom"):
+            # renamed away from the reserved outputs, never onto
+            # another real property's name
+            alias = f"prop_{c}"
+            while alias in taken:
+                alias = f"prop_{alias}"
+            taken.add(alias)
+        else:
+            alias = c
+        sel.append(parsed["_p"].getField(c).alias(alias))
+    return parsed.select(*sel)
 
 
 def write_geojsonl(
@@ -119,6 +133,8 @@ def write_geojsonl(
     null`` per RFC 7946."""
     if geometry not in df.columns:
         raise ValueError(f"write_geojsonl: no column {geometry!r}")
+    if id_col is not None and id_col not in df.columns:
+        raise ValueError(f"write_geojsonl: no id column {id_col!r}")
 
     from geomesa_sql_spark.geom.geojson import geom_to_geojson
     from geomesa_sql_spark.geom.wkb import geom_from_wkb
@@ -137,15 +153,12 @@ def write_geojsonl(
     parts = [F.lit('{"type":"Feature",')]
     if id_col is not None:
         # JSON-scalar encoding with proper string escaping: to_json only
-        # accepts containers, so wrap in a 1-array and strip the brackets
-        parts += [
-            F.lit('"id":'),
-            F.coalesce(F.expr(
-                f"substring(to_json(array({id_col})), 2, "
-                f"length(to_json(array({id_col}))) - 2)"
-            ), F.lit("null")),
-            F.lit(","),
-        ]
+        # accepts containers, so wrap in a 1-array and strip the
+        # brackets (Column API, not string SQL — an id column named
+        # `feature id` must not become a parse error)
+        arr = F.to_json(F.array(F.col(id_col)))
+        scalar = arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+        parts += [F.lit('"id":'), F.coalesce(scalar, F.lit("null")), F.lit(",")]
     parts += [
         F.lit('"geometry":'),
         F.coalesce(_gj(F.col(geometry)), F.lit("null")),

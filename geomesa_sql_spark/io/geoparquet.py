@@ -46,10 +46,17 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
     """Rewrite ONE parquet file with the ``geo`` footer entry added.
 
     Runs on an executor: reads the file, scans the geometry column once
-    for bbox + geometry_types, rewrites via a temp file + atomic
-    os.replace (a killed task leaves the original file intact).
-    Existing footer metadata (Spark's row metadata) is preserved.
+    for bbox + geometry_types, rewrites via a per-attempt temp file +
+    atomic os.replace (a killed task leaves the original file intact;
+    a speculative duplicate attempt writes its own temp, so the last
+    replace still installs a COMPLETE file). Files already carrying a
+    ``geo`` footer are skipped — parquet data files are immutable, so
+    their recorded bbox/types stay valid and appends stay O(new files),
+    not O(table). Existing footer metadata (Spark's row metadata) and
+    the original compression codec are preserved.
     """
+    import tempfile
+
     import pyarrow.parquet as pq
 
     from geomesa_sql_spark.geom.wkb import geom_from_wkb
@@ -58,6 +65,10 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
     # metadata is part of the schema a ParquetWriter is constructed
     # with, so it must be known before the copy starts.
     pf = pq.ParquetFile(file_path)
+    if _GEO_KEY in (pf.schema_arrow.metadata or {}):
+        geo = json.loads((pf.schema_arrow.metadata)[_GEO_KEY])
+        col = geo["columns"].get(geo["primary_column"], {})
+        return (file_path, col.get("bbox"), col.get("geometry_types"))
     minx = miny = float("inf")
     maxx = maxy = float("-inf")
     gtypes: set[str] = set()
@@ -85,13 +96,29 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
     existing = dict(schema.metadata or {})
     existing[_GEO_KEY] = json.dumps(geo).encode()
     schema = schema.with_metadata(existing)
+    # keep whatever codec the session's parquet writer used (a zstd
+    # table must not silently grow back into snappy)
+    codec = "snappy"
+    if pf.metadata.num_row_groups:
+        codec = pf.metadata.row_group(0).column(0).compression.lower()
+        if codec == "uncompressed":
+            codec = "none"
     # pass 2: batch-wise copy — peak memory is one Arrow batch, not the
     # whole file (a 1 GB parquet file decompresses to several GB)
-    tmp = file_path + ".geo.tmp"
-    with pq.ParquetWriter(tmp, schema, compression="snappy") as w:
-        for batch in pf.iter_batches():
-            w.write_batch(batch.cast(schema.remove_metadata()))
-    os.replace(tmp, file_path)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(file_path),
+        prefix=f".{os.path.basename(file_path)}.",
+        suffix=".geo.tmp",
+    )
+    os.close(fd)
+    try:
+        with pq.ParquetWriter(tmp, schema, compression=codec) as w:
+            for batch in pf.iter_batches():
+                w.write_batch(batch.cast(schema.remove_metadata()))
+        os.replace(tmp, file_path)
+    finally:
+        if os.path.exists(tmp):  # failed attempt: leave the original
+            os.remove(tmp)
     # Hadoop's LocalFileSystem keeps a .<name>.crc sidecar from the
     # Spark write; it no longer matches the rewritten bytes and would
     # fail every subsequent Spark read with ChecksumException
@@ -188,8 +215,10 @@ def read_geoparquet(
                 if _GEO_KEY in md
                 else None
             )
-            if fb is None or not (
-                fb[2] < qx0 or fb[0] > qx1 or fb[3] < qy0 or fb[1] > qy1
+            if (
+                fb is None
+                or fb[0] > fb[2]  # spec-legal antimeridian wrap: never prune
+                or not (fb[2] < qx0 or fb[0] > qx1 or fb[3] < qy0 or fb[1] > qy1)
             ):
                 keep.append(f)
         files = keep

@@ -60,7 +60,11 @@ class ModelSpec:
     schemas: list[SchemaSpec]
 
 
-_GEOJSONL_EXTS = (".geojsonl", ".geojsons", ".jsonl", ".ndjson")
+# only unambiguous extensions are auto-claimed: a generic .jsonl/.ndjson
+# may be plain (non-spatial) NDJSON, and parsing that as GeoJSON would
+# silently produce an all-NULL table (review r3c) — declare those
+# explicitly with `operand: {file: .., format: geojsonl}`
+_GEOJSONL_EXTS = (".geojsonl", ".geojsons")
 
 
 def _table_format(path: str) -> str:
@@ -129,7 +133,12 @@ def load_model(path: str) -> ModelSpec:
             if not p:
                 raise ValueError(f"table {name}.{tname}: no file/path operand")
             p = _resolve(p)
-            spec.tables.append(TableSpec(tname, p, _table_format(p)))
+            fmt = top.get("format") or _table_format(p)
+            if fmt not in ("parquet", "csv", "snapshot", "geojsonl"):
+                raise ValueError(
+                    f"table {name}.{tname}: unknown format {fmt!r}"
+                )
+            spec.tables.append(TableSpec(tname, p, fmt))
         seen: set[str] = set()
         for t in spec.tables:
             if t.name in seen:

@@ -115,3 +115,37 @@ def test_streaming_read_matches_batch(spark, tmp_path):
 def test_geojson_text_converter_parity():
     g = model.box(1.0, 1.0, 3.0, 5.0)
     assert geom_from_geojson(geom_to_geojson(g)).envelope() == g.envelope()
+
+
+def test_flatten_dotted_and_colliding_property_names(spark, tmp_path):
+    """Dotted property names are literal fields, not nested paths; a
+    property named like a reserved output column gets a unique alias
+    (review r3c)."""
+    p = tmp_path / "dotty.geojsonl"
+    p.write_text(
+        '{"type":"Feature","geometry":{"type":"Point","coordinates":[1,1]},'
+        '"properties":{"user.name":"bob","id":7,"prop_id":8}}\n'
+    )
+    out = read_geojsonl(spark, str(p))
+    row = out.collect()[0]
+    assert row["user.name"] == "bob"
+    # property "id" collides with the Feature-id column, then with the
+    # existing prop_id property → pushed to prop_prop_id
+    assert row["prop_id"] == 8 and row["prop_prop_id"] == 7
+    assert len(out.columns) == len(set(out.columns))
+
+
+def test_write_id_col_validation_and_odd_names(spark, tmp_path):
+    df = spark.createDataFrame([(1, None)], "`feature id` int, geom binary")
+    path = str(tmp_path / "odd")
+    write_geojsonl(df, path, id_col="feature id")
+    feats = [
+        json.loads(ln)
+        for p in (tmp_path / "odd").glob("part-*")
+        for ln in p.read_text().splitlines()
+    ]
+    assert feats[0]["id"] == 1 and feats[0]["properties"] == {}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no id column"):
+        write_geojsonl(df, path, id_col="nope")

@@ -117,3 +117,50 @@ def test_rejects_non_binary_and_non_geo(spark, tmp_path):
     spark.range(3).write.parquet(plain)
     with pytest.raises(ValueError, match="not GeoParquet"):
         geoparquet_meta(plain)
+
+
+def test_attach_is_idempotent_and_keeps_codec(spark, tmp_path):
+    """Already-attached files are skipped byte-identically (appends stay
+    O(new files)); the original compression codec survives the rewrite
+    (review r3c)."""
+    import pyarrow as pa
+
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+    from geomesa_sql_spark.geom import model as gm
+    from geomesa_sql_spark.io.geoparquet import _attach_geo_footer
+
+    f = str(tmp_path / "z.parquet")
+    tbl = pa.table({"id": [1, 2], "geom": [
+        geom_to_wkb(gm.point(1.0, 2.0)), geom_to_wkb(gm.point(3.0, 4.0))]})
+    pq.write_table(tbl, f, compression="gzip")
+    _attach_geo_footer(f, "geom")
+    assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression == "GZIP"
+    before = open(f, "rb").read()
+    r = _attach_geo_footer(f, "geom")  # second call: skip, same meta
+    assert open(f, "rb").read() == before
+    assert r[1] == [1.0, 2.0, 3.0, 4.0] and r[2] == ["Point"]
+
+
+def test_bbox_never_prunes_antimeridian_files(spark, tmp_path):
+    """A spec-legal wrap-around bbox (minx > maxx) in a foreign file is
+    never pruned (review r3c)."""
+    import pyarrow as pa
+
+    from geomesa_sql_spark.geom import model as gm
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+
+    f = tmp_path / "gpw"
+    f.mkdir()
+    fp = str(f / "fiji.parquet")
+    tbl = pa.table({"id": [1], "geom": [geom_to_wkb(gm.point(179.0, -15.0))]})
+    pq.write_table(tbl, fp)
+    # hand-author a wrap-around footer bbox like a foreign writer would
+    geo = {"version": "1.0.0", "primary_column": "geom",
+           "columns": {"geom": {"encoding": "WKB", "geometry_types": ["Point"],
+                                 "bbox": [170.0, -20.0, -170.0, -10.0]}}}
+    t = pq.read_table(fp)
+    md = dict(t.schema.metadata or {})
+    md[b"geo"] = json.dumps(geo).encode()
+    pq.write_table(t.replace_schema_metadata(md), fp)
+    got, _ = read_geoparquet(spark, str(f), bbox=(175.0, -20.0, 180.0, -10.0))
+    assert got.count() == 1
