@@ -281,3 +281,38 @@ def test_de9im_agrees_with_all_named_predicates(a, b):
     assert im_crosses == kernel.crosses(a, b), m
     assert im_overlaps == kernel.overlaps(a, b), m
     assert im_equals == kernel.geom_equals(a, b), m
+
+
+@settings(max_examples=80, deadline=None)
+@given(geoms)
+def test_geojson_roundtrip_property(g):
+    """GeoJSON text round-trip preserves type and coordinates exactly
+    (json.dumps emits full double precision; io/geojson.py and the
+    ST_AsGeoJSON/ST_GeomFromGeoJSON pair both ride these converters)."""
+    from geomesa_sql_spark.geom.geojson import geom_from_geojson, geom_to_geojson
+
+    g2 = geom_from_geojson(geom_to_geojson(g))
+    assert g2.type == g.type
+    assert np.array_equal(g2.all_coords(), g.all_coords())
+
+
+@settings(max_examples=60, deadline=None)
+@given(geoms)
+def test_geojson_multi_collection_roundtrip(g):
+    """Multi-geometries and collections round-trip too (wrap each drawn
+    simple geometry both ways)."""
+    from geomesa_sql_spark.geom import model as m
+    from geomesa_sql_spark.geom.geojson import geom_from_geojson, geom_to_geojson
+
+    multi_type = {
+        m.POINT: m.MULTIPOINT,
+        m.LINESTRING: m.MULTILINESTRING,
+        m.POLYGON: m.MULTIPOLYGON,
+    }[g.type]
+    for wrapped in (
+        m.Geom(multi_type, [g, g]),
+        m.Geom(m.GEOMETRYCOLLECTION, [g]),
+    ):
+        g2 = geom_from_geojson(geom_to_geojson(wrapped))
+        assert g2.type == wrapped.type
+        assert np.array_equal(g2.all_coords(), wrapped.all_coords())
