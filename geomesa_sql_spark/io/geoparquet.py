@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 GEO_VERSION = "1.0.0"
@@ -151,15 +152,61 @@ def write_geoparquet(
     path: str,
     geometry: str = "geom",
     mode: str = "overwrite",
+    cluster: bool = False,
+    partitions: int | None = None,
 ) -> None:
     """Write ``df`` as GeoParquet: plain distributed parquet write, then
-    a distributed one-task-per-file footer pass (see module doc)."""
+    a distributed one-task-per-file footer pass (see module doc).
+
+    ``cluster=True`` range-partitions rows by a Z-order cell of each
+    geometry's envelope centroid before writing (the WKB analog of
+    io/layout.write_geo_table). Spatially-random partitioning gives
+    every file a world-spanning footer bbox — standard-metadata bbox
+    pruning then prunes nothing; clustered files carry tight disjoint
+    bboxes, so foreign GeoParquet readers (and ``read_geoparquet``'s
+    bbox argument) skip most of a large table at file granularity.
+    NULL-geometry rows sort together under cell NULL and stay readable.
+    """
     if geometry not in df.columns:
         raise ValueError(f"write_geoparquet: no column {geometry!r} in df")
     if dict(df.dtypes)[geometry] != "binary":
         raise ValueError(
             f"write_geoparquet: {geometry!r} must be a WKB BinaryType "
             "column (use ST_AsBinary / geom_to_wkb)"
+        )
+    if cluster:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from geomesa_sql_spark.cells.curve import lonlat_to_cell
+
+        @F.pandas_udf(T.LongType())
+        def _centroid_cell(wkb: pd.Series) -> pd.Series:
+            import numpy as np
+
+            from geomesa_sql_spark.geom.wkb import geom_from_wkb
+
+            xs = np.full(len(wkb), np.nan)
+            ys = np.full(len(wkb), np.nan)
+            for i, b in enumerate(wkb):
+                if b is None:
+                    continue
+                x0, y0, x1, y1 = geom_from_wkb(bytes(b)).envelope()
+                if x0 == x0:
+                    xs[i] = (x0 + x1) / 2.0
+                    ys[i] = (y0 + y1) / 2.0
+            ok = ~np.isnan(xs)
+            cells = np.zeros(len(wkb), dtype=np.int64)
+            if ok.any():
+                cells[ok] = lonlat_to_cell(xs[ok], ys[ok], 12)
+            return pd.Series(pd.array(cells, dtype="Int64")).mask(~ok)
+
+        n = partitions or df.sparkSession.sparkContext.defaultParallelism
+        df = (
+            df.withColumn("__gp_cell", _centroid_cell(geometry))
+            .repartitionByRange(n, "__gp_cell")
+            .sortWithinPartitions("__gp_cell")
+            .drop("__gp_cell")
         )
     df.write.mode(mode).parquet(path)
     files = _data_files(path)

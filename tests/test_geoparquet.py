@@ -164,3 +164,34 @@ def test_bbox_never_prunes_antimeridian_files(spark, tmp_path):
     pq.write_table(t.replace_schema_metadata(md), fp)
     got, _ = read_geoparquet(spark, str(f), bbox=(175.0, -20.0, 180.0, -10.0))
     assert got.count() == 1
+
+
+def test_clustered_write_tightens_file_bboxes(spark, tmp_path):
+    """cluster=True range-partitions by envelope-centroid Z-cell: file
+    bboxes become tight bands instead of world-spanning, so footer-bbox
+    pruning actually prunes; row content is unchanged."""
+    # spatially shuffled input: every unclustered file spans the world
+    df = _square_df(spark, n=64).withColumn(
+        "shuf", F.xxhash64("id")
+    ).repartitionByRange(4, "shuf").drop("shuf")
+    plain, clus = str(tmp_path / "plain"), str(tmp_path / "clus")
+    write_geoparquet(df, plain)
+    write_geoparquet(df, clus, cluster=True, partitions=4)
+
+    def widths(path):
+        metas = [
+            json.loads((pq.ParquetFile(f).schema_arrow.metadata)[b"geo"])
+            for f in sorted(str(p) for p in __import__("pathlib").Path(path).glob("*.parquet"))
+        ]
+        return [
+            m["columns"]["geom"]["bbox"][2] - m["columns"]["geom"]["bbox"][0]
+            for m in metas
+            if "bbox" in m["columns"]["geom"]
+        ]
+    assert max(widths(clus)) < max(widths(plain)) / 2
+    got_all, _ = read_geoparquet(spark, clus)
+    assert {r.id for r in got_all.collect()} == set(range(64))
+    pruned, _ = read_geoparquet(spark, clus, bbox=(0.0, 0.0, 8.0, 1.0))
+    full, _ = read_geoparquet(spark, clus)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert {r.id for r in pruned.collect()} >= set(range(8))
