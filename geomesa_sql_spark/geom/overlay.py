@@ -187,9 +187,10 @@ def _split_pieces(segs: np.ndarray, pool: np.ndarray) -> list[tuple[np.ndarray, 
 
 
 def _snap_nodes(pts: np.ndarray, eps: float) -> tuple[np.ndarray, np.ndarray]:
-    """Cluster points within eps (union-find over the close-pair
-    graph); returns (representative_xy per cluster, cluster_id per
-    input point)."""
+    """Cluster points within eps (union-find over the close-pair graph,
+    discovered via eps-grid bucketing so complex inputs stay near-linear
+    instead of materializing an n×n close-pair matrix); returns
+    (representative_xy per cluster, cluster_id per input point)."""
     n = len(pts)
     parent = np.arange(n)
 
@@ -199,14 +200,36 @@ def _snap_nodes(pts: np.ndarray, eps: float) -> tuple[np.ndarray, np.ndarray]:
             i = parent[i]
         return i
 
-    close = (np.abs(pts[:, None, 0] - pts[None, :, 0]) <= eps) & (
-        np.abs(pts[:, None, 1] - pts[None, :, 1]) <= eps
-    )
-    ii, jj = np.nonzero(np.triu(close, 1))
-    for i, j in zip(ii, jj):
-        ri, rj = find(int(i)), find(int(j))
-        if ri != rj:
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:  # attach larger root to smaller: rep = min index,
+            if rj < ri:  # deterministic regardless of discovery order
+                ri, rj = rj, ri
             parent[rj] = ri
+
+    # two points within eps (Chebyshev) land in the same or an adjacent
+    # cell of an eps-sized grid; same-cell points are ALWAYS within eps,
+    # so they union without any pairwise test
+    gx = np.floor(pts[:, 0] / eps).astype(np.int64)
+    gy = np.floor(pts[:, 1] / eps).astype(np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        buckets.setdefault((int(gx[i]), int(gy[i])), []).append(i)
+    for (cx, cy), idxs in buckets.items():
+        for j in idxs[1:]:
+            union(idxs[0], j)
+        a = pts[idxs]
+        # half the 8-neighborhood so each cell pair is tested once
+        for dx, dy in ((1, -1), (1, 0), (1, 1), (0, 1)):
+            nb = buckets.get((cx + dx, cy + dy))
+            if not nb:
+                continue
+            b = pts[nb]
+            close = (np.abs(a[:, None, 0] - b[None, :, 0]) <= eps) & (
+                np.abs(a[:, None, 1] - b[None, :, 1]) <= eps
+            )
+            for ii, jj in zip(*np.nonzero(close)):
+                union(idxs[int(ii)], nb[int(jj)])
     roots = np.array([find(i) for i in range(n)], dtype=np.int64)
     uniq, ids = np.unique(roots, return_inverse=True)
     return pts[uniq], ids
@@ -228,9 +251,11 @@ def _assemble_rings(node_xy: np.ndarray, edges: list[tuple[int, int]]) -> list[n
         if used[start]:
             continue
         nodes: list[int] | None = []
+        walk: list[int] = []  # edges consumed by THIS walk, for rollback
         eid = start
         for _ in range(len(edges) + 1):
             used[eid] = True
+            walk.append(eid)
             u, v = edges[eid]
             nodes.append(u)
             best, best_th = -1, np.inf
@@ -255,6 +280,10 @@ def _assemble_rings(node_xy: np.ndarray, edges: list[tuple[int, int]]) -> list[n
         if nodes:
             ring = node_xy[np.asarray(nodes + [nodes[0]], dtype=np.int64)]
             rings.append(ring)
+        else:
+            # roll back the abandoned walk: a valid adjacent ring may
+            # still recover these edges from a different start
+            used[np.asarray(walk, dtype=np.int64)] = False
     return rings
 
 

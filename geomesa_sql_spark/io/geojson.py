@@ -163,7 +163,11 @@ def write_geojsonl(
         F.lit('"geometry":'),
         F.coalesce(_gj(F.col(geometry)), F.lit("null")),
         F.lit(',"properties":'),
-        F.to_json(F.struct(*prop_cols)) if prop_cols else F.lit("{}"),
+        # ignoreNullFields=false: null properties serialize as "k":null so
+        # a round-trip preserves the full schema even for all-null columns
+        F.to_json(F.struct(*prop_cols), {"ignoreNullFields": "false"})
+        if prop_cols
+        else F.lit("{}"),
         F.lit("}"),
     ]
     df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)

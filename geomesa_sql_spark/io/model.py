@@ -189,7 +189,9 @@ def apply_model(engine, path: str) -> ModelSpec:
                     "Engine's reader, not a catalog external table)"
                 )
             spark.sql(f"DROP TABLE IF EXISTS {schema.name}.{t.name}")
-            opts = f"path '{t.path}'"
+            # names are identifier-checked upstream; paths are free-form,
+            # so escape embedded single quotes SQL-style
+            opts = "path '{}'".format(t.path.replace("'", "''"))
             if t.fmt == "csv":
                 opts += ", header 'true', inferSchema 'true'"
             spark.sql(

@@ -246,10 +246,13 @@ def main() -> int:
               "per-query section (run once without --scale-only first)")
         r8 = r32 = skew = None
     else:
+        # this script already gated on calibration; don't let bench.py
+        # re-wait (and skip the heavy 10x entry in the per-level table)
+        bench_env = {"SPARK_GRAFT_CALIB_ATTEMPTS": "1", "SPARK_GRAFT_10X": "0"}
         r8 = spark_submit(str(REPO / "bench.py"), 8, zpath,
-                          {"SPARK_GRAFT_IMAGES": str(n_bench)})
+                          {"SPARK_GRAFT_IMAGES": str(n_bench), **bench_env})
         r32 = spark_submit(str(REPO / "bench.py"), 32, zpath,
-                           {"SPARK_GRAFT_IMAGES": str(n_bench)})
+                           {"SPARK_GRAFT_IMAGES": str(n_bench), **bench_env})
         skew = skew_stats(n_bench)
         state["bench"] = {"r8": r8, "r32": r32, "skew": skew,
                           "n_bench": n_bench}
