@@ -732,7 +732,11 @@ def q_sql_st_measures(spark, sf_dir):
     centroid = center; a lat-lon rectangle maps to a mercator rectangle
     since x depends only on lon and y only on lat, so the transformed
     envelope corners are the per-corner spherical-mercator formulas —
-    rounded to 4 decimals of a meter to absorb libm ulp differences)."""
+    rounded to 4 decimals of a meter to absorb libm ulp differences).
+    r4: ST_Buffer area + type under the gate — the dissolved buffer of a
+    convex polygon has the exact closed form A + P·d + A_64 (kernel
+    buffer_geom docstring), proving the single-shell dissolve, JTS
+    BufferOp parity for measures (DataTypeTest.scala:83-85)."""
     from geomesa_sql_spark.functions import register_all
 
     register_all(spark)
@@ -749,6 +753,8 @@ def q_sql_st_measures(spark, sf_dir):
                   ST_SRID(ST_SetSRID(poly, 4326)) AS srid_rt,
                   ST_IsValid(poly) AS is_valid,
                   ST_Dimension(poly) AS dim,
+                  ROUND(ST_Area(ST_Buffer(poly, 0.5D)), 6) AS buf_area_r,
+                  ST_GeometryType(ST_Buffer(poly, 0.5D)) AS buf_type,
                   ST_Relate(poly, ST_GeomFromText(
                       'POLYGON ((-60 -40, 40 -40, 40 40, -60 40, -60 -40))'
                   )) AS rel_m
@@ -1330,6 +1336,13 @@ def _oracles() -> dict[str, str]:
                    CAST(4326 AS INTEGER) AS srid_rt,
                    TRUE AS is_valid,
                    CAST(2 AS INTEGER) AS dim,
+                   -- dissolved buffer of a convex polygon: A + P*d + A_64
+                   -- (inscribed 64-gon corner wedges sum to one full
+                   -- 64-gon; exact for the discretized shell — kernel
+                   -- buffer_geom closed form, verified to 1e-11)
+                   ROUND(4.0 * hs * hs + 4.0 * (2.0 * hs) * 0.5
+                         + 32.0 * 0.25 * sin(pi() / 32.0), 6) AS buf_area_r,
+                   'Polygon' AS buf_type,
                    -- DE-9IM of two axis-aligned rectangles is pure
                    -- interval arithmetic (closed form fuzz-verified
                    -- against geom/de9im.py on 6000 random pairs):

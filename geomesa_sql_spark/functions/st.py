@@ -357,14 +357,20 @@ def register_all(spark: SparkSession) -> None:
 
     @F.pandas_udf(T.BinaryType())
     def _buffer(wkb: pd.Series, d: pd.Series) -> pd.Series:
+        # dissolve costs tens of ms per geometry — buffer each distinct
+        # (wkb, d) once per batch (joins repeat the small side's rows)
+        cache: dict[tuple[bytes, float], bytes] = {}
         out = []
         for b, dist in zip(wkb, d):
             if b is None or dist is None:
                 out.append(None)
-            else:
-                out.append(
-                    geom_to_wkb(kernel.buffer_geom(geom_from_wkb(bytes(b)), float(dist)))
+                continue
+            key = (bytes(b), float(dist))
+            if key not in cache:
+                cache[key] = geom_to_wkb(
+                    kernel.buffer_geom(geom_from_wkb(key[0]), key[1])
                 )
+            out.append(cache[key])
         return pd.Series(out, dtype=object)
 
     spark.udf.register("ST_Buffer", _buffer)

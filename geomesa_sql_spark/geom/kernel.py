@@ -632,19 +632,25 @@ def relate_points_to_wkb(
 # ----------------------------------------------------------- constructive ops
 
 
-def buffer_geom(g: Geom, d: float, quad_segs: int = 16) -> Geom:
-    """Planar buffer as a non-dissolved MULTIPOLYGON.
+def buffer_geom(g: Geom, d: float, quad_segs: int = 16, dissolve: bool = True) -> Geom:
+    """Planar buffer, dissolved into valid single-shell ring(s).
 
     Exact buffer region up to circle discretization (4·quad_segs-gon
     per vertex, inscribed — so the region is a subset of the true
     buffer by at most d·(1−cos(π/(4·quad_segs))) ≈ d·1.9e-3):
     per simple part, the Minkowski sum decomposes into vertex circles ∪
-    segment capsule rectangles ∪ (for polygons) the part itself. The
-    pieces overlap instead of being dissolved into one ring — exactly
-    equivalent for the predicate uses the reference exercises
-    (ST_Intersects(ST_Buffer(...)) joins, SpatialJoinTest.scala:46;
-    DWithin≡buffer-intersects, RexNodeTranslator.scala:184-196), and
-    under this kernel's union semantics for multi-geometries.
+    segment capsule rectangles ∪ (for polygons) the part itself, then
+    the pieces dissolve through the overlay kernel's aggregate union so
+    ST_Area/ST_AsText see one valid shell per connected component — JTS
+    BufferOp parity for measures and rendering, not just predicates
+    (DataTypeTest.scala:83-85, SpatialJoinTest.scala:46). Closed forms
+    for the dissolved discretization, with A_k = (k/2)·d²·sin(2π/k) the
+    inscribed k-gon area (k = 4·quad_segs): point buffer = A_k; single
+    segment = 2dL + A_k; convex polygon = A + P·d + A_k.
+
+    ``dissolve=False`` returns the raw overlapping piece set
+    (predicate-equivalent, much cheaper — for internal predicate-only
+    callers).
     """
     if d <= 0:
         raise ValueError("buffer distance must be positive")
@@ -677,7 +683,14 @@ def buffer_geom(g: Geom, d: float, quad_segs: int = 16) -> Geom:
             )
         if part.type == model.POLYGON:
             pieces.append(part)
-    return Geom(model.MULTIPOLYGON, pieces)
+    if dissolve and len(pieces) == 1:
+        return pieces[0]  # a lone piece is already a valid shell
+    raw = Geom(model.MULTIPOLYGON, pieces)
+    if not dissolve:
+        return raw
+    from geomesa_sql_spark.geom import overlay as _overlay
+
+    return _overlay.dissolve(raw)
 
 
 def union_geom(a: Geom, b: Geom) -> Geom:
