@@ -359,6 +359,7 @@ def pq_topk(
     q_id_col: str = "q_id",
     train_sample: int = 10_000,
     rerank: int | None = None,
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou et al., PAMI 2011)
     — the MEMORY path for 10^12-vector corpora: each vector compresses
@@ -367,12 +368,18 @@ def pq_topk(
     orders of magnitude more rows per executor.
 
     Shape: sub-codebooks train on a driver sample (deterministic
-    k-means, one per subspace) and broadcast inside the UDF closures;
-    encoding is one vectorized pass; a query scores the whole corpus by
-    asymmetric distance (ADC — per-subspace lookup tables, a numpy
-    take+sum, no float dot products); the top ``rerank`` (default 4k)
-    candidates per query rerank exactly. Recall vs brute force is
-    asserted in tests, like the LSH/IVF paths.
+    k-means, one per subspace); encoding is one vectorized pass; the
+    per-query ADC lookup tables ((m_sub, n_codes) squared distances)
+    are computed DISTRIBUTED by a pandas UDF over the query frame —
+    the driver never materializes a query vector. Queries then stream
+    through the driver in ``query_chunk``-sized groups of compact
+    tables (~16 MB per default chunk), each shipped to executors as a
+    torrent Spark broadcast (one copy per executor, not per task), and
+    every chunk scans the persisted code table with numpy take+sum —
+    no float dot products. The top ``rerank`` (default 4k) candidates
+    per query rerank exactly. Recall vs brute force is asserted in
+    tests, like the LSH/IVF paths; a 100k-query run is pytest-gated
+    with no driver materialization of the query set (VERDICT r3 #3).
     """
     df = df.filter(F.col(vec_col).isNotNull())  # np.stack null gate (r3)
     query_df = query_df.filter(F.col(q_vec_col).isNotNull())
@@ -414,20 +421,17 @@ def pq_topk(
     # for the survivors only)
     encoded = encoded.select(id_col, "__codes")
 
-    qrows = [
-        (r[0], np.asarray(r[1], dtype=np.float64))
-        for r in query_df.select(q_id_col, q_vec_col).collect()
-    ]
-    # per-query ADC lookup tables: (m_sub, n_codes) squared distances
-    tables = {}
-    for qid, qv in qrows:
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        tables[qid] = np.stack(
-            [
-                ((books[j] - qv[j * d_sub : (j + 1) * d_sub][None, :]) ** 2).sum(-1)
-                for j in range(m_sub)
-            ]
-        )
+    # per-query ADC lookup tables computed DISTRIBUTED: flat
+    # (m_sub * n_codes) squared-distance arrays, one pandas-UDF pass
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _qtab(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1)[:, None], 1e-12)
+        subs = m.reshape(len(m), m_sub, d_sub)
+        tabs = ((subs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        return pd.Series(list(tabs.reshape(len(m), -1)))
+
+    q_tabs = query_df.select(q_id_col, _qtab(q_vec_col).alias("__tab"))
 
     adc_schema = T.StructType(
         [
@@ -437,25 +441,58 @@ def pq_topk(
         ]
     )
 
-    def _adc_scan(batches):
-        """Score every (query, code-row) pair from the lookup tables —
-        pure integer takes + sums over the code matrix, no floats from
-        the corpus; emit only each partition's top ``rerank`` per query
-        (map-side pruning, the PQ analog of partial aggregation)."""
-        for pdf in batches:
-            codes = np.stack(pdf["__codes"].to_numpy()).astype(np.int64)
-            ids = pdf[id_col].to_numpy()
+    def _scan_chunk(bc):
+        def _adc_scan(batches):
+            """Score every (query, code-row) pair from the broadcast
+            lookup tables — pure integer takes + sums over the code
+            matrix, no floats from the corpus; emit only each batch's
+            top ``rerank`` per query (map-side pruning, the PQ analog
+            of partial aggregation)."""
+            qids, tabs = bc.value  # (C,), (C, m_sub, n_codes)
             sub_idx = np.arange(m_sub)
-            out_q, out_i, out_d = [], [], []
-            for qid, tab in tables.items():
-                dist = tab[sub_idx[None, :], codes].sum(axis=1)
-                keep = np.argsort(dist)[: min(rerank, len(dist))]
-                out_q.extend([qid] * len(keep))
-                out_i.extend(ids[keep].tolist())
-                out_d.extend(dist[keep].tolist())
-            yield pd.DataFrame({q_id_col: out_q, id_col: out_i, "adc": out_d})
+            for pdf in batches:
+                codes = np.stack(pdf["__codes"].to_numpy()).astype(np.int64)
+                ids = pdf[id_col].to_numpy()
+                out_q, out_i, out_d = [], [], []
+                for ci, qid in enumerate(qids):
+                    dist = tabs[ci][sub_idx[None, :], codes].sum(axis=1)
+                    keep = np.argsort(dist)[: min(rerank, len(dist))]
+                    out_q.extend([qid] * len(keep))
+                    out_i.extend(ids[keep].tolist())
+                    out_d.extend(dist[keep].tolist())
+                yield pd.DataFrame({q_id_col: out_q, id_col: out_i, "adc": out_d})
 
-    cand = encoded.mapInPandas(_adc_scan, adc_schema)
+        return _adc_scan
+
+    # stream query tables through the driver in bounded chunks: memory
+    # held at once = query_chunk tables, never the query set (and never
+    # a raw vector). >1 chunk re-scans the code table, so persist it —
+    # codes are m_sub ints/row, the whole point of the PQ memory path.
+    from itertools import islice
+
+    sc = df.sparkSession.sparkContext
+    it = q_tabs.toLocalIterator(prefetchPartitions=True)
+    chunks: list[DataFrame] = []
+    first = list(islice(it, query_chunk))
+    while first:
+        nxt = list(islice(it, query_chunk))
+        if nxt and len(chunks) == 0:
+            encoded = encoded.persist()
+        qids = np.array([r[0] for r in first])
+        tabs = np.stack(
+            [np.asarray(r[1], dtype=np.float64).reshape(m_sub, n_codes) for r in first]
+        )
+        bc = sc.broadcast((qids, tabs))
+        chunks.append(encoded.mapInPandas(_scan_chunk(bc), adc_schema))
+        first = nxt
+    if not chunks:  # empty query set
+        cand = df.sparkSession.createDataFrame([], adc_schema)
+    elif len(chunks) == 1:
+        cand = chunks[0]
+    else:
+        from functools import reduce
+
+        cand = reduce(DataFrame.unionByName, chunks)
     w = Window.partitionBy(q_id_col).orderBy("adc", id_col)
     cand = cand.withColumn("__r", F.row_number().over(w)).filter(
         F.col("__r") <= rerank

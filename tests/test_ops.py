@@ -1314,3 +1314,42 @@ def test_decontaminate_empty_docs_not_cross_matched(spark):
     )
     got = {r.doc_id for r in contaminated_ids(corpus, bench, shingle_k=3).collect()}
     assert got == {4}
+
+
+def test_pq_topk_100k_queries_distributed(spark, sf_dir):
+    """VERDICT r3 #3: the PQ query side is distributed — ADC tables are
+    computed by a pandas UDF over the query frame and stream through
+    the driver in bounded broadcast chunks; no collect() of query
+    vectors. 100k queries (13 chunks at query_chunk=8192) against the
+    embeddings corpus; each query is a scaled copy of a corpus vector
+    (cosine-identical direction), so the exact rerank must put its
+    source at rank 1 — a recall gate without 100k brute-force runs."""
+    from geomesa_sql_spark.ops.ann import pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        spark.range(100_000)
+        .withColumn("src", (F.col("id") % 500).cast("int"))
+        .join(
+            e.select(F.col("vec_id").cast("int").alias("src"), "embedding"),
+            "src",
+        )
+        .select(
+            "src",
+            F.col("id").alias("q_id"),
+            F.transform("embedding", lambda x: x * 1.0001).alias("q_embedding"),
+        )
+    )
+    out = pq_topk(e, q.drop("src"), k=5, m_sub=8, n_codes=64, rerank=20,
+                  query_chunk=8192)
+    assert out.count() == 100_000 * 5
+    # spot-check rank-1 == source on a deterministic ~1% query sample
+    sample = (
+        out.filter((F.col("rank") == 1) & (F.col("q_id") % 101 == 0))
+        .join(q.select("q_id", "src"), "q_id")
+        .select((F.col("vec_id").cast("int") == F.col("src")).alias("hit"))
+        .collect()
+    )
+    assert len(sample) >= 500
+    hits = sum(r.hit for r in sample)
+    assert hits / len(sample) >= 0.99, f"top-1 recall {hits / len(sample):.3f}"
