@@ -40,10 +40,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 GEO_VERSION = "1.0.0"
+GEO_COVERING_VERSION = "1.1.0"  # covering (bbox column) is a 1.1 feature
 _GEO_KEY = b"geo"
 
 
-def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
+def _attach_geo_footer(file_path: str, geometry: str, covering: str | None = None) -> tuple:
     """Rewrite ONE parquet file with the ``geo`` footer entry added.
 
     Runs on an executor: reads the file, scans the geometry column once
@@ -88,8 +89,19 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
     col_meta = {"encoding": "WKB", "geometry_types": sorted(gtypes)}
     if bbox is not None:
         col_meta["bbox"] = bbox
+    if covering is not None and covering in pf.schema_arrow.names:
+        # GeoParquet 1.1 covering: point readers at the per-row bbox
+        # struct so they can prune ROW GROUPS from parquet column stats
+        col_meta["covering"] = {
+            "bbox": {
+                "xmin": [covering, "xmin"],
+                "ymin": [covering, "ymin"],
+                "xmax": [covering, "xmax"],
+                "ymax": [covering, "ymax"],
+            }
+        }
     geo = {
-        "version": GEO_VERSION,
+        "version": GEO_COVERING_VERSION if "covering" in col_meta else GEO_VERSION,
         "primary_column": geometry,
         "columns": {geometry: col_meta},
     }
@@ -104,8 +116,10 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
         codec = pf.metadata.row_group(0).column(0).compression.lower()
         if codec == "uncompressed":
             codec = "none"
-    # pass 2: batch-wise copy — peak memory is one Arrow batch, not the
-    # whole file (a 1 GB parquet file decompresses to several GB)
+    # pass 2: row-group-wise copy that PRESERVES the original row-group
+    # boundaries — they carry the min/max stats granularity the writer
+    # chose (and the covering column's row-group pruning depends on);
+    # peak memory is one decompressed row group, not the whole file
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(file_path),
         prefix=f".{os.path.basename(file_path)}.",
@@ -114,8 +128,8 @@ def _attach_geo_footer(file_path: str, geometry: str) -> tuple:
     os.close(fd)
     try:
         with pq.ParquetWriter(tmp, schema, compression=codec) as w:
-            for batch in pf.iter_batches():
-                w.write_batch(batch.cast(schema.remove_metadata()))
+            for rg in range(pf.metadata.num_row_groups):
+                w.write_table(pf.read_row_group(rg).cast(schema.remove_metadata()))
         os.replace(tmp, file_path)
     finally:
         if os.path.exists(tmp):  # failed attempt: leave the original
@@ -154,6 +168,7 @@ def write_geoparquet(
     mode: str = "overwrite",
     cluster: bool = False,
     partitions: int | None = None,
+    covering: bool | str = True,
 ) -> None:
     """Write ``df`` as GeoParquet: plain distributed parquet write, then
     a distributed one-task-per-file footer pass (see module doc).
@@ -166,6 +181,17 @@ def write_geoparquet(
     bboxes, so foreign GeoParquet readers (and ``read_geoparquet``'s
     bbox argument) skip most of a large table at file granularity.
     NULL-geometry rows sort together under cell NULL and stay readable.
+
+    ``covering`` (default on; pass a string for a custom column name,
+    False to disable) adds the GeoParquet 1.1 per-row bbox struct
+    column (xmin/ymin/xmax/ymax doubles) and declares it in the footer
+    ``covering`` entry. Parquet min/max column stats over those fields
+    are what let ANY reader — this engine's ``read_geoparquet(bbox=...)``,
+    DuckDB spatial, GDAL — skip whole ROW GROUPS inside multi-GB files,
+    the pruning lever at 100 TB (file-level footer bboxes only skip
+    whole files). Costs one envelope pass per batch, fused with the
+    write. With ``cluster=True`` the sorted layout makes those
+    per-row-group bboxes tight.
     """
     if geometry not in df.columns:
         raise ValueError(f"write_geoparquet: no column {geometry!r} in df")
@@ -174,6 +200,43 @@ def write_geoparquet(
             f"write_geoparquet: {geometry!r} must be a WKB BinaryType "
             "column (use ST_AsBinary / geom_to_wkb)"
         )
+    cov_col: str | None = None
+    if covering:
+        cov_col = covering if isinstance(covering, str) else "bbox"
+        if cov_col in df.columns:
+            raise ValueError(
+                f"write_geoparquet: covering column {cov_col!r} already "
+                "exists — pass covering='<other name>' or covering=False"
+            )
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        _bbox_schema = T.StructType(
+            [
+                T.StructField("xmin", T.DoubleType()),
+                T.StructField("ymin", T.DoubleType()),
+                T.StructField("xmax", T.DoubleType()),
+                T.StructField("ymax", T.DoubleType()),
+            ]
+        )
+
+        @F.pandas_udf(_bbox_schema)
+        def _envelope(wkb: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            from geomesa_sql_spark.geom.wkb import geom_from_wkb
+
+            out = np.full((len(wkb), 4), np.nan)
+            for i, b in enumerate(wkb):
+                if b is None:
+                    continue
+                env = geom_from_wkb(bytes(b)).envelope()
+                if env[0] == env[0]:  # empty geometry → NaN → null struct
+                    out[i] = env
+            pdf = pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
+            return pdf.where(pd.notna(pdf), None)
+
+        df = df.withColumn(cov_col, _envelope(geometry))
     if cluster:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
@@ -215,7 +278,7 @@ def write_geoparquet(
     # to its task; on object stores pyarrow's fs handles the URI
     results = (
         sc.parallelize(files, len(files))
-        .map(lambda f: _attach_geo_footer(f, geometry))
+        .map(lambda f: _attach_geo_footer(f, geometry, cov_col))
         .collect()  # tiny: (path, bbox, types) per FILE, not per row
     )
     if len(results) != len(files):  # pragma: no cover - job-level guard
@@ -243,9 +306,16 @@ def read_geoparquet(
     With ``bbox=(minx, miny, maxx, maxy)``, whole files whose footer
     bbox is disjoint from the query bbox are dropped from the scan at
     planning time (footer-only reads on the driver — the same cost the
-    parquet reader already pays for schema discovery). Rows are NOT
-    filtered: callers apply the exact predicate; pruning only shrinks
-    the file list, like partition pruning.
+    parquet reader already pays for schema discovery). If the table
+    declares a GeoParquet 1.1 ``covering`` bbox column, an
+    interval-overlap filter on its fields is ALSO applied — Catalyst
+    pushes those comparisons into the parquet reader, whose min/max
+    column stats then skip non-overlapping ROW GROUPS inside each kept
+    file (the pruning lever for multi-GB files; mirror of the cell
+    layout's prune in io/layout.py). The covering filter is exact on
+    envelopes, a superset of any intersects-family predicate — callers
+    still apply the precise geometry predicate; rows with a null bbox
+    (null/empty geometry) are retained.
     """
     import pyarrow.parquet as pq
 
@@ -274,4 +344,23 @@ def read_geoparquet(
         return spark.read.parquet(path).limit(0), meta
     # basePath keeps hive partition columns (write_tiled layouts) when
     # reading an explicit pruned file list
-    return spark.read.option("basePath", path).parquet(*files), meta
+    out = spark.read.option("basePath", path).parquet(*files)
+    if bbox is not None:
+        cov = meta["columns"].get(meta["primary_column"], {}).get("covering")
+        if cov and "bbox" in cov:
+            from pyspark.sql import functions as F
+
+            def _f(part: str) -> F.Column:
+                return F.col(".".join(f"`{p}`" for p in cov["bbox"][part]))
+
+            qx0, qy0, qx1, qy1 = bbox
+            overlap = (
+                (_f("xmin") <= qx1)
+                & (_f("xmax") >= qx0)
+                & (_f("ymin") <= qy1)
+                & (_f("ymax") >= qy0)
+            )
+            # null covering (null/empty geometry) rows are retained —
+            # exact predicates downstream decide their fate
+            out = out.filter(overlap | _f("xmin").isNull())
+    return out, meta

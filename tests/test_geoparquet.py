@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from geomesa_sql_spark.geom import model
 from geomesa_sql_spark.geom.wkb import geom_from_wkb, geom_to_wkb
 from geomesa_sql_spark.io.geoparquet import (
+    _data_files as _data_files_list,
     geoparquet_meta,
     read_geoparquet,
     write_geoparquet,
@@ -35,7 +36,7 @@ def test_write_marks_every_file(spark, tmp_path):
     for f in files:
         md = pq.ParquetFile(f).schema_arrow.metadata
         geo = json.loads(md[b"geo"])
-        assert geo["version"] == "1.0.0"
+        assert geo["version"] == "1.1.0"  # covering column present (r4)
         assert geo["primary_column"] == "geom"
         col = geo["columns"]["geom"]
         assert col["encoding"] == "WKB"
@@ -75,7 +76,7 @@ def test_bbox_prunes_files(spark, tmp_path):
     assert ids >= {0, 1, 2, 3}
     # disjoint bbox → empty frame, schema preserved
     empty, _ = read_geoparquet(spark, path, bbox=(500.0, 50.0, 600.0, 60.0))
-    assert empty.count() == 0 and empty.columns == ["id", "geom"]
+    assert empty.count() == 0 and empty.columns == ["id", "geom", "bbox"]
 
 
 def test_null_only_file_and_mixed_types(spark, tmp_path):
@@ -195,3 +196,66 @@ def test_clustered_write_tightens_file_bboxes(spark, tmp_path):
     full, _ = read_geoparquet(spark, clus)
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert {r.id for r in pruned.collect()} >= set(range(8))
+
+
+def test_covering_prunes_row_groups(spark, tmp_path):
+    """VERDICT r3 #4: GeoParquet 1.1 covering column → row-group-level
+    bbox pruning inside a file, mirroring bench.py's
+    _row_group_prune_stats for the engine's own cell layout. One file,
+    many small row groups over a clustered west-to-east layout: parquet
+    min/max stats on bbox.xmin/xmax must exclude most groups for a
+    narrow query bbox, and the Spark read must push the covering filter
+    into the scan."""
+    path = str(tmp_path / "gp_rg")
+    # 4000 squares marching east, sorted, one file, ~tiny row groups
+    df = _square_df(spark, n=4000).sort("id").coalesce(1)
+    # runtime spark.conf.set("spark.hadoop.*") doesn't reach the writer;
+    # set the live Hadoop conf (and restore) to force small row groups
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev_block = hconf.get("parquet.block.size")
+    prev_page = hconf.get("parquet.page.size")
+    hconf.set("parquet.block.size", str(16 * 1024))
+    hconf.set("parquet.page.size", str(4 * 1024))
+    try:
+        write_geoparquet(df, path, geometry="geom")
+    finally:
+        if prev_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev_block)
+        if prev_page is None:
+            hconf.unset("parquet.page.size")
+        else:
+            hconf.set("parquet.page.size", prev_page)
+
+    files = _data_files_list(path)
+    assert len(files) == 1
+    pf = pq.ParquetFile(files[0])
+    md = pf.metadata
+    assert md.num_row_groups >= 4, "need multiple row groups to prune"
+    # footer declares the covering paths
+    geo = json.loads(pf.schema_arrow.metadata[b"geo"])
+    cov = geo["columns"]["geom"]["covering"]["bbox"]
+    assert cov["xmin"] == ["bbox", "xmin"] and cov["ymax"] == ["bbox", "ymax"]
+
+    # stats-level prune count: same math the parquet reader applies
+    qx0, qx1 = 100.25, 140.75
+    sch = md.schema.to_arrow_schema()
+    names = [md.schema.column(i).path for i in range(md.num_columns)]
+    ix_min = names.index("bbox.xmin")
+    ix_max = names.index("bbox.xmax")
+    total = read = 0
+    for rg in range(md.num_row_groups):
+        st_min = md.row_group(rg).column(ix_min).statistics
+        st_max = md.row_group(rg).column(ix_max).statistics
+        total += 1
+        if st_min.min <= qx1 and st_max.max >= qx0:
+            read += 1
+    assert read < total, f"no row-group pruning possible ({read}/{total})"
+
+    # the Spark read pushes the covering comparison into the scan
+    out, _ = read_geoparquet(spark, path, bbox=(qx0, 0.0, qx1, 1.0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bbox.xmin" in plan, plan
+    ids = sorted(r.id for r in out.collect())
+    assert ids == list(range(100, 141))  # squares [i,i+1] overlapping bbox
