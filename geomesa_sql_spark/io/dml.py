@@ -175,9 +175,32 @@ class SnapshotTable:
         self._commit(m["dirs"] + [d], cols)
         return n
 
-    def update(self, set_exprs: dict[str, Column | str], where: Column | None = None) -> int:
+    def _hit_frame(self, fids: DataFrame) -> DataFrame:
+        """Normalize a fid-frame ``where`` (the subquery-predicate path:
+        Engine.sql plans ``WHERE k IN (SELECT ...)`` through spark.sql
+        and hands down the matching row ids) to a distinct single-column
+        frame keyed by the fid column. Consumed as a distributed
+        semi/anti join — never a collected id list; Catalyst/AQE
+        broadcasts it when small."""
+        if self.fid_col not in self.columns:
+            raise ValueError(
+                f"subquery-predicate DML needs the row-identity column "
+                f"{self.fid_col!r} on table {self.path!r}"
+            )
+        return fids.select(
+            F.col(fids.columns[0]).alias(self.fid_col)
+        ).distinct()
+
+    def update(
+        self,
+        set_exprs: dict[str, Column | str],
+        where: Column | DataFrame | None = None,
+    ) -> int:
         """Copy-on-write UPDATE. ``set_exprs`` maps column → new value
-        (Column or SQL string); ``where=None`` touches every row.
+        (Column or SQL string); ``where=None`` touches every row; a
+        DataFrame ``where`` is a frame of affected fids (subquery
+        predicates — see :meth:`_hit_frame`), applied as a left-join
+        marker so the rewrite stays one distributed pass.
 
         The affected count evaluates ``where`` separately from the
         rewrite, so a NON-DETERMINISTIC predicate (rand() etc.) can
@@ -193,7 +216,13 @@ class SnapshotTable:
         if unknown:
             raise ValueError(f"unknown columns in UPDATE: {sorted(unknown)}")
         current = self.read()
-        cond = F.lit(True) if where is None else where
+        if isinstance(where, DataFrame):
+            marker = "__dml_hit__"
+            hits = self._hit_frame(where).withColumn(marker, F.lit(True))
+            current = current.join(hits, self.fid_col, "left")
+            cond = F.col(marker).isNotNull()
+        else:
+            cond = F.lit(True) if where is None else where
         exprs = {
             k: (F.expr(v) if isinstance(v, str) else v) for k, v in set_exprs.items()
         }
@@ -404,16 +433,23 @@ class SnapshotTable:
         self._commit([d], self.columns)
         return len(_glob.glob(os.path.join(d, "*.parquet")))
 
-    def delete(self, where: Column | None = None) -> int:
-        """Copy-on-write DELETE; ``where=None`` empties the table.
-        The count derives from before/after row totals, so the (possibly
-        non-deterministic) predicate is only ever evaluated once — in
-        the rewrite that actually commits (review r3)."""
+    def delete(self, where: Column | DataFrame | None = None) -> int:
+        """Copy-on-write DELETE; ``where=None`` empties the table; a
+        DataFrame ``where`` is a frame of affected fids (subquery
+        predicates — see :meth:`_hit_frame`), applied as a left-anti
+        join. The count derives from before/after row totals, so the
+        (possibly non-deterministic) predicate is only ever evaluated
+        once — in the rewrite that actually commits (review r3)."""
         cols = self.columns
         current = self.read()
-        cond = F.lit(True) if where is None else where
         before = int(current.count())
-        remaining = current.filter(~cond | cond.isNull())
+        if isinstance(where, DataFrame):
+            remaining = current.join(
+                self._hit_frame(where), self.fid_col, "left_anti"
+            )
+        else:
+            cond = F.lit(True) if where is None else where
+            remaining = current.filter(~cond | cond.isNull())
         d = self._write_data_dir(remaining)
         n = before - int(self.spark.read.parquet(d).count())
         self._commit([d], cols)
