@@ -51,7 +51,10 @@ def _parse_dml(query: str):
       src.-qualified). Omitting both WHEN clauses means full upsert.
       Extra match predicates are not parsed — use Engine.merge.)
     Expressions inside SET/WHERE pass verbatim to Spark's expression
-    parser (F.expr) — the same surface as the reference's Calcite SQL.
+    parser (F.expr) — the same surface as the reference's Calcite SQL —
+    except UPDATE/DELETE WHERE clauses carrying a subquery
+    (IN/[NOT] EXISTS/scalar), which Engine.sql plans through spark.sql
+    over the registered view instead (see _where_arg).
     """
     q = query.strip().rstrip(";")
     m = _re.match(
