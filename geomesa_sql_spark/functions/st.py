@@ -220,6 +220,68 @@ def inverse_mercator_cols(x: Column, y: Column) -> tuple[Column, Column]:
     return lon, lat
 
 
+def utm_cols(lon: Column, lat: Column, epsg: int | str) -> tuple[Column, Column]:
+    """EPSG:4326 → a UTM zone as pure Column arithmetic (whole-stage
+    codegen, no Python) — the JVM fast path for reprojection of POINT
+    columns at the 100 TB scale, same Krüger series as geom/crs.py
+    (which stays the WKB-geometry/pandas path). ``epsg`` is any UTM
+    code resolve_crs accepts (32601-32760, 26901-26923).
+
+    The expression tree is a few hundred nodes (fixed-degree series,
+    two reuse stages — not a carry chain), well inside janino limits.
+    Agreement with the numpy path is asserted to 1e-6 m in tests.
+    """
+    import math
+
+    from geomesa_sql_spark.geom.crs import _kruger_coeffs, resolve_crs
+
+    crs = resolve_crs(epsg if isinstance(epsg, str) else f"EPSG:{epsg}")
+    if crs is None or crs.kind != "utm":
+        raise ValueError(f"utm_cols: {epsg!r} is not a supported UTM code")
+    rect_a, alpha, _, _ = _kruger_coeffs(crs.f)
+    big_a = crs.a * rect_a
+    e2 = crs.f * (2.0 - crs.f)
+    es = math.sqrt(e2)
+    phi = F.radians(lat)
+    dlam = F.radians(lon - F.lit(crs.lon0))
+    sphi = F.sin(phi)
+    t = F.sinh(F.atanh(sphi) - F.lit(es) * F.atanh(F.lit(es) * sphi))
+    xi_p = F.atan2(t, F.cos(dlam))
+    eta_p = F.asinh(F.sin(dlam) / F.sqrt(t * t + F.cos(dlam) * F.cos(dlam)))
+    xi, eta = xi_p, eta_p
+    for j in range(4):
+        w = 2.0 * (j + 1)
+        xi = xi + F.lit(alpha[j]) * F.sin(F.lit(w) * xi_p) * F.cosh(F.lit(w) * eta_p)
+        eta = eta + F.lit(alpha[j]) * F.cos(F.lit(w) * xi_p) * F.sinh(F.lit(w) * eta_p)
+    k0a = 0.9996 * big_a
+    return F.lit(500000.0) + F.lit(k0a) * eta, F.lit(crs.n0) + F.lit(k0a) * xi
+
+
+def inverse_utm_cols(x: Column, y: Column, epsg: int | str) -> tuple[Column, Column]:
+    """UTM zone → EPSG:4326 lon/lat as pure Column arithmetic (inverse
+    of :func:`utm_cols`; round-trips close <1e-9° in tests)."""
+    from geomesa_sql_spark.geom.crs import _kruger_coeffs, resolve_crs
+
+    crs = resolve_crs(epsg if isinstance(epsg, str) else f"EPSG:{epsg}")
+    if crs is None or crs.kind != "utm":
+        raise ValueError(f"inverse_utm_cols: {epsg!r} is not a supported UTM code")
+    rect_a, _, beta, delta = _kruger_coeffs(crs.f)
+    k0a = 0.9996 * crs.a * rect_a
+    xi = (y - F.lit(crs.n0)) / F.lit(k0a)
+    eta = (x - F.lit(500000.0)) / F.lit(k0a)
+    xi_p, eta_p = xi, eta
+    for j in range(4):
+        w = 2.0 * (j + 1)
+        xi_p = xi_p - F.lit(beta[j]) * F.sin(F.lit(w) * xi) * F.cosh(F.lit(w) * eta)
+        eta_p = eta_p - F.lit(beta[j]) * F.cos(F.lit(w) * xi) * F.sinh(F.lit(w) * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j in range(4):
+        phi = phi + F.lit(delta[j]) * F.sin(F.lit(2.0 * (j + 1)) * chi)
+    lon = F.lit(crs.lon0) + F.degrees(F.atan2(F.sinh(eta_p), F.cos(xi_p)))
+    return lon, F.degrees(phi)
+
+
 def st_cell(x: Column, y: Column, res: int, curve: str = "hilbert") -> Column:
     """Space-filling-curve cell id of lon/lat columns.
 

@@ -169,3 +169,50 @@ def test_st_transform_udf_utm(spark):
             "SELECT ST_Transform(ST_GeomFromText('POINT (0 0)'),"
             " 'EPSG:4326', 'EPSG:2154') AS g"
         ).collect()
+
+
+def test_utm_cols_jvm_fast_path(spark, sf_dir):
+    """The Column (whole-stage-codegen) UTM path must match the numpy
+    Krüger path to 1e-6 m, round-trip through inverse_utm_cols below
+    1e-9 deg, and keep Python entirely out of the plan."""
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.functions.st import inverse_utm_cols, utm_cols
+
+    pts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey"),
+            (-78.0 + (F.col("o_orderkey") * 7919 % 6000) / 1000.0)
+            .cast("double").alias("lon"),
+            (-40.0 + (F.col("o_orderkey") * 104729 % 80000) / 1000.0)
+            .cast("double").alias("lat"),
+        )
+    )
+    e, n = utm_cols(F.col("lon"), F.col("lat"), 32618)
+    lon2, lat2 = inverse_utm_cols(e, n, "EPSG:32618")
+    out = pts.select(
+        "lon", "lat", e.alias("e"), n.alias("n"),
+        lon2.alias("lon2"), lat2.alias("lat2"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # pure JVM, no pandas/py UDF stage
+    pdf = out.toPandas()
+    a, f = _WGS84
+    ex, en = tm_forward(pdf.lon.to_numpy(), pdf.lat.to_numpy(), -75.0, a, f)
+    assert np.max(np.abs(pdf.e.to_numpy() - ex)) < 1e-6
+    assert np.max(np.abs(pdf.n.to_numpy() - en)) < 1e-6
+    assert np.max(np.abs(pdf.lon2.to_numpy() - pdf.lon.to_numpy())) < 1e-9
+    assert np.max(np.abs(pdf.lat2.to_numpy() - pdf.lat.to_numpy())) < 1e-9
+
+    # south zone: false northing flows through both directions
+    es_, ns_ = utm_cols(F.lit(-74.0), F.lit(-33.5), 32718)
+    back = inverse_utm_cols(es_, ns_, 32718)
+    row = spark.range(1).select(
+        ns_.alias("n"), back[0].alias("lon"), back[1].alias("lat")
+    ).first()
+    assert row.n > 0 and abs(row.lon - -74.0) < 1e-9 and abs(row.lat - -33.5) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="utm_cols"):
+        utm_cols(F.lit(0.0), F.lit(0.0), 4326)
