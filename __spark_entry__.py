@@ -736,7 +736,10 @@ def q_sql_st_measures(spark, sf_dir):
     r4: ST_Buffer area + type under the gate — the dissolved buffer of a
     convex polygon has the exact closed form A + P·d + A_64 (kernel
     buffer_geom docstring), proving the single-shell dissolve, JTS
-    BufferOp parity for measures (DataTypeTest.scala:83-85)."""
+    BufferOp parity for measures (DataTypeTest.scala:83-85). Also r4:
+    ST_Transform to UTM 18N of the in-zone-mapped square center — the
+    geom/crs.py Krüger path vs a DuckDB exp/ln re-derivation of the
+    same series (_utm18n_parts)."""
     from geomesa_sql_spark.functions import register_all
 
     register_all(spark)
@@ -757,7 +760,13 @@ def q_sql_st_measures(spark, sf_dir):
                   ST_GeometryType(ST_Buffer(poly, 0.5D)) AS buf_type,
                   ST_Relate(poly, ST_GeomFromText(
                       'POLYGON ((-60 -40, 40 -40, 40 40, -60 40, -60 -40))'
-                  )) AS rel_m
+                  )) AS rel_m,
+                  ROUND(ST_X(ST_Transform(
+                      ST_Point(-78.0 + (cx + 170.0) * 6.0 / 340.0, cy * 0.98),
+                      'EPSG:4326', 'EPSG:32618')), 1) AS utm_e_r,
+                  ROUND(ST_Y(ST_Transform(
+                      ST_Point(-78.0 + (cx + 170.0) * 6.0 / 340.0, cy * 0.98),
+                      'EPSG:4326', 'EPSG:32618')), 1) AS utm_n_r
            FROM nsq_v"""
     )
 
@@ -995,10 +1004,54 @@ def q_tile_hilbert(spark, sf_dir):
 # ------------------------------------------------------------------- oracle
 
 
+def _utm18n_parts() -> tuple[str, str, str]:
+    """DuckDB-evaluable Krüger forward for UTM zone 18N, split into
+    (staged_columns_sql, easting_expr, northing_expr). Hyperbolics go
+    through exp/ln identities (DuckDB has no sinh/atanh); coefficients
+    are generated from geom/crs.py so the oracle and the engine share
+    one source — the implementation-parity gate convention the other
+    derived fixtures use. Stage columns rely on lateral column aliases
+    (supported by both DuckDB and the Spark parser). The nation-square
+    centers map into the zone via shared arithmetic (lon_z/lat_z), so
+    every row is well-conditioned; agreement with the numpy path
+    measured at ~2e-9 m, gated after ROUND(..., 1)."""
+    import math as _math
+
+    from geomesa_sql_spark.geom.crs import _WGS84, _kruger_coeffs
+
+    a, f = _WGS84
+    rect_a, alpha, _, _ = _kruger_coeffs(f)
+    k0a = repr(0.9996 * a * rect_a)
+    es = repr(_math.sqrt(f * (2.0 - f)))
+    stage = f"""
+                     -78.0 + (cx + 170.0) * 6.0 / 340.0 AS lon_z,
+                     cy * 0.98 AS lat_z,
+                     radians(lat_z) AS u_phi,
+                     radians(lon_z - (-75.0)) AS u_dl,
+                     sin(u_phi) AS u_s,
+                     0.5 * ln((1.0 + u_s) / (1.0 - u_s))
+                       - {es} * 0.5 * ln((1.0 + {es} * u_s) / (1.0 - {es} * u_s)) AS u_q,
+                     (exp(u_q) - exp(-u_q)) / 2.0 AS u_t,
+                     atan2(u_t, cos(u_dl)) AS u_xip,
+                     sin(u_dl) / sqrt(u_t * u_t + cos(u_dl) * cos(u_dl)) AS u_w,
+                     ln(u_w + sqrt(u_w * u_w + 1.0)) AS u_etap"""
+    series_n, series_e = "u_xip", "u_etap"
+    for j, aj in enumerate(alpha, start=1):
+        c, w = repr(float(aj)), repr(2.0 * j)
+        series_n += (
+            f" + {c}*sin({w}*u_xip)*((exp({w}*u_etap)+exp(-({w})*u_etap))/2.0)"
+        )
+        series_e += (
+            f" + {c}*cos({w}*u_xip)*((exp({w}*u_etap)-exp(-({w})*u_etap))/2.0)"
+        )
+    return stage, f"(500000.0 + {k0a}*({series_e}))", f"({k0a}*({series_n}))"
+
+
 def _oracles() -> dict[str, str]:
     opts = orders_points_sql()
     sup = supplier_points_sql()
     nsq = nation_squares_sql()
+    utm_stage, utm_e, utm_n = _utm18n_parts()
     return {
         "filter_range_like": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -1382,7 +1435,12 @@ def _oracles() -> dict[str, str]:
                        CASE WHEN b_in_a THEN 'F' ELSE '2' END,
                        CASE WHEN b_in_a THEN 'F' ELSE '1' END,
                        '2')
-                   END AS rel_m
+                   END AS rel_m,
+                   -- UTM 18N easting/northing of the in-zone-mapped
+                   -- center: the engine's numpy Krüger path vs this
+                   -- exp/ln re-derivation (see _utm18n_parts)
+                   ROUND({utm_e}, 1) AS utm_e_r,
+                   ROUND({utm_n}, 1) AS utm_n_r
             FROM (
               SELECT *,
                      LEAST(pmaxx, 40.0) - GREATEST(pminx, -60.0) AS ox,
@@ -1390,7 +1448,7 @@ def _oracles() -> dict[str, str]:
                      (pminx >= -60.0 AND pmaxx <= 40.0
                       AND pminy >= -40.0 AND pmaxy <= 40.0) AS a_in_b,
                      (pminx <= -60.0 AND pmaxx >= 40.0
-                      AND pminy <= -40.0 AND pmaxy >= 40.0) AS b_in_a
+                      AND pminy <= -40.0 AND pmaxy >= 40.0) AS b_in_a,{utm_stage}
               FROM ({nsq})
             )
         """,
