@@ -248,7 +248,8 @@ def main() -> int:
     else:
         # this script already gated on calibration; don't let bench.py
         # re-wait (and skip the heavy 10x entry in the per-level table)
-        bench_env = {"SPARK_GRAFT_CALIB_ATTEMPTS": "1", "SPARK_GRAFT_10X": "0"}
+        bench_env = {"SPARK_GRAFT_CALIB_ATTEMPTS": "1", "SPARK_GRAFT_10X": "0",
+                     "SPARK_GRAFT_BENCH_PASSES": "1"}
         r8 = spark_submit(str(REPO / "bench.py"), 8, zpath,
                           {"SPARK_GRAFT_IMAGES": str(n_bench), **bench_env})
         r32 = spark_submit(str(REPO / "bench.py"), 32, zpath,
