@@ -546,7 +546,14 @@ def main() -> None:
     max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     results, aux = _timed_suite()
     host["passes"] = [dict(host_calibration(cpus), when="after_pass_1")]
-    if host["parallel_efficiency"] < min_eff and max_passes > 1:
+    # decide on the WORST window seen around pass 1 — a run that started
+    # healthy but degraded mid-suite (the documented drift mode) still
+    # deserves the retry; the after-pass probe is the evidence in hand
+    eff_seen = min(
+        host["parallel_efficiency"],
+        host["passes"][0]["parallel_efficiency"],
+    )
+    if eff_seen < min_eff and max_passes > 1:
         print("bench: first pass ran in a degraded window -- running a "
               "second pass and keeping per-query minima", file=sys.stderr)
         res2, aux2 = _timed_suite()

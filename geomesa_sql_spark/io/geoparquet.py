@@ -118,8 +118,13 @@ def _attach_geo_footer(file_path: str, geometry: str, covering: str | None = Non
             codec = "none"
     # pass 2: row-group-wise copy that PRESERVES the original row-group
     # boundaries — they carry the min/max stats granularity the writer
-    # chose (and the covering column's row-group pruning depends on);
-    # peak memory is one decompressed row group, not the whole file
+    # chose (and the covering column's row-group pruning depends on).
+    # A row group of large binary payloads can decompress to several GB
+    # (total_byte_size is the decompressed footprint), so groups past
+    # the cap stream batch-wise instead: that SPLITS the oversized
+    # group into smaller ones, which only tightens stats granularity
+    # (pruning stays correct), and bounds peak memory either way.
+    _RG_BYTES_CAP = 256 << 20
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(file_path),
         prefix=f".{os.path.basename(file_path)}.",
@@ -128,8 +133,13 @@ def _attach_geo_footer(file_path: str, geometry: str, covering: str | None = Non
     os.close(fd)
     try:
         with pq.ParquetWriter(tmp, schema, compression=codec) as w:
+            plain = schema.remove_metadata()
             for rg in range(pf.metadata.num_row_groups):
-                w.write_table(pf.read_row_group(rg).cast(schema.remove_metadata()))
+                if pf.metadata.row_group(rg).total_byte_size <= _RG_BYTES_CAP:
+                    w.write_table(pf.read_row_group(rg).cast(plain))
+                else:
+                    for batch in pf.iter_batches(row_groups=[rg]):
+                        w.write_batch(batch.cast(plain))
         os.replace(tmp, file_path)
     finally:
         if os.path.exists(tmp):  # failed attempt: leave the original

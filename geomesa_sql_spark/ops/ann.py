@@ -473,18 +473,39 @@ def pq_topk(
     sc = df.sparkSession.sparkContext
     it = q_tabs.toLocalIterator(prefetchPartitions=True)
     chunks: list[DataFrame] = []
+    multi = False
+    w = Window.partitionBy(q_id_col).orderBy("adc", id_col)
     first = list(islice(it, query_chunk))
     while first:
         nxt = list(islice(it, query_chunk))
         if nxt and len(chunks) == 0:
             encoded = encoded.persist()
+            multi = True
         qids = np.array([r[0] for r in first])
         tabs = np.stack(
             [np.asarray(r[1], dtype=np.float64).reshape(m_sub, n_codes) for r in first]
         )
         bc = sc.broadcast((qids, tabs))
-        chunks.append(encoded.mapInPandas(_scan_chunk(bc), adc_schema))
+        chunk = encoded.mapInPandas(_scan_chunk(bc), adc_schema)
+        if multi:
+            # chunks partition the QUERY set, so per-query pruning is
+            # complete within a chunk: prune, materialize eagerly, and
+            # release this chunk's broadcast right away — otherwise a
+            # long session accumulates one ~16 MB broadcast per chunk
+            # plus the pinned code table until block-manager pressure
+            # (r4 review). The checkpoint also means nothing downstream
+            # can re-trigger the Python scan stage.
+            chunk = (
+                chunk.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= rerank)
+                .drop("__r")
+                .localCheckpoint(eager=True)
+            )
+            bc.destroy()
+        chunks.append(chunk)
         first = nxt
+    if multi:
+        encoded.unpersist()
     if not chunks:  # empty query set
         cand = df.sparkSession.createDataFrame([], adc_schema)
     elif len(chunks) == 1:
@@ -493,7 +514,6 @@ def pq_topk(
         from functools import reduce
 
         cand = reduce(DataFrame.unionByName, chunks)
-    w = Window.partitionBy(q_id_col).orderBy("adc", id_col)
     cand = cand.withColumn("__r", F.row_number().over(w)).filter(
         F.col("__r") <= rerank
     ).drop("__r", "adc")
