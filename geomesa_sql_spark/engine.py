@@ -54,7 +54,9 @@ def _parse_dml(query: str):
     parser (F.expr) — the same surface as the reference's Calcite SQL —
     except UPDATE/DELETE WHERE clauses carrying a subquery
     (IN/[NOT] EXISTS/scalar), which Engine.sql plans through spark.sql
-    over the registered view instead (see _where_arg).
+    over the registered view instead (see _where_arg). SET expressions
+    still go verbatim to F.expr — a scalar subquery THERE is not
+    planned (use Engine.update with a precomputed value).
     """
     q = query.strip().rstrip(";")
     m = _re.match(
