@@ -216,3 +216,32 @@ def test_utm_cols_jvm_fast_path(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="utm_cols"):
         utm_cols(F.lit(0.0), F.lit(0.0), 4326)
+
+
+def test_all_supported_pairs_roundtrip_law():
+    """Law: for every supported pair (s, d) whose zones contain the
+    test window, transform_fn(s,d) ∘ transform_fn(d,s) is the identity
+    (covers the multi-hop chains: UTM→3857, UTM N↔S, NAD83 mixes).
+    Far-out-of-zone codes are excluded by design: the truncated Krüger
+    series is only a self-inverse near its own zone — zone 31 at
+    dlam≈-78° reopens by ~2e-3°, which is projection math, not a bug
+    (its in-zone closure is test_roundtrip_closes_below_nanodegree)."""
+    rng = np.random.default_rng(11)
+    codes = ["EPSG:4326", "EPSG:4269", "EPSG:3857",
+             "EPSG:32618", "EPSG:32718", "EPSG:26918"]
+    # geographic points near zone 18 (in-zone for every UTM code above)
+    geo = np.column_stack([
+        rng.uniform(-77.9, -72.1, 64), rng.uniform(-79.0, 79.0, 64)
+    ])
+    for s in codes:
+        to_s = transform_fn("EPSG:4326", s)
+        pts_s = to_s(geo)
+        for d in codes:
+            if s == d:
+                continue
+            fwd = transform_fn(s, d)
+            back = transform_fn(d, s)
+            out = back(fwd(pts_s))
+            # tolerance in the source CRS's units (deg vs m)
+            tol = 1e-8 if s.endswith(("4326", "4269")) else 1e-5
+            assert np.max(np.abs(out - pts_s)) < tol, (s, d)
