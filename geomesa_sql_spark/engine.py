@@ -230,6 +230,47 @@ def _has_routable_spatial(q: str) -> bool:
     )
 
 
+_TRANSFORM_NAME_RE = _re.compile(r"(?i)\bST_Transform\s*\(")
+
+
+def _rewrite_two_arg_transform(query: str) -> str:
+    """Calcite's fun=spatial operator table exposes the PostGIS-style
+    ``ST_Transform(geom, srid INT)`` — source CRS from the geometry's
+    own SRID tag. Spark UDF names are single-arity, so 2-arg call
+    sites rewrite to ``ST_TransformSrid`` (functions/st.py) while this
+    engine's explicit 3-arg form is left alone. Literal-masked,
+    paren-aware (a comma inside a nested call or string never counts)."""
+    masked = _mask_literals(query)
+    out = query
+    # right-to-left so the longer replacement never shifts earlier spans
+    for m in reversed(list(_TRANSFORM_NAME_RE.finditer(masked))):
+        open_i = m.end() - 1
+        depth, commas, i, n = 0, 0, open_i, len(masked)
+        while i < n:
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                commas += 1
+            i += 1
+        if depth == 0 and commas == 1:
+            out = (
+                out[: m.start()]
+                + _re.sub(
+                    r"(?i)ST_Transform",
+                    "ST_TransformSrid",
+                    out[m.start() : m.end() - 1],
+                    count=1,
+                )
+                + out[m.end() - 1 :]
+            )
+    return out
+
+
 def _rewrite_spatial_predicates(query: str) -> str:
     """The SpatialFilterRule analog for SQL TEXT (reference:
     rules/GeoMesaSpatialFilterRule.scala translates RexNode ST_* calls
@@ -247,7 +288,11 @@ def _rewrite_spatial_predicates(query: str) -> str:
     DWithin expands the envelope by the literal distance. Geometries
     whose WKT fails to parse are left untouched (the bare UDF still
     answers exactly).
+
+    Also normalizes the Calcite 2-arg ST_Transform idiom first (see
+    _rewrite_two_arg_transform).
     """
+    query = _rewrite_two_arg_transform(query)
 
     def _bbox_and(whole: str, pred: str, x: str, y: str, wkt: str,
                   dist: str | None, point_first: bool) -> str:

@@ -899,6 +899,46 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_SetSRID", _set_srid)
 
     @F.pandas_udf(T.BinaryType())
+    def _transform_srid(wb: pd.Series, srid: pd.Series) -> pd.Series:
+        """ST_TransformSrid — the Calcite/PostGIS 2-arg ST_Transform
+        idiom (Calcite's fun=spatial table exposes
+        ST_Transform(geom, srid INT), the signature a migrating user
+        writes): source CRS comes from the geometry's EWKB SRID tag
+        (untagged = 4326), target from the integer arg; the result
+        carries the target tag so chained transforms compose. Spark
+        UDF names are single-arity, so Engine.sql rewrites 2-arg
+        ST_Transform(g, n) call sites to this name; plain spark.sql
+        users can call it directly."""
+        from geomesa_sql_spark.geom.crs import supported_crs_table, transform_fn
+        from geomesa_sql_spark.geom.wkb import wkb_srid
+
+        fns: dict[tuple[str, str], object] = {}
+        out = []
+        for b, s in zip(wb, srid):
+            if b is None or s is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            dst = int(s)
+            src = wkb_srid(b) or 4326
+            if src == dst:
+                out.append(geom_to_ewkb(geom_from_wkb(b), dst))
+                continue
+            key = (f"EPSG:{src}", f"EPSG:{dst}")
+            if key not in fns:
+                fns[key] = transform_fn(*key)
+            fn = fns[key]
+            if fn is None:
+                raise NotImplementedError(
+                    f"ST_Transform {key[0]}->{key[1]}; "
+                    f"supported: {supported_crs_table()}"
+                )
+            out.append(geom_to_ewkb(_map_coords(geom_from_wkb(b), fn), dst))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_TransformSrid", _transform_srid)
+
+    @F.pandas_udf(T.BinaryType())
     def _boundary(wb: pd.Series) -> pd.Series:
         out = []
         for g in _decode_series(wb):

@@ -245,3 +245,43 @@ def test_all_supported_pairs_roundtrip_law():
             # tolerance in the source CRS's units (deg vs m)
             tol = 1e-8 if s.endswith(("4326", "4269")) else 1e-5
             assert np.max(np.abs(out - pts_s)) < tol, (s, d)
+
+
+def test_two_arg_transform_calcite_idiom(spark, sf_dir, tmp_path):
+    """Calcite/PostGIS 2-arg ST_Transform(geom, srid): source from the
+    EWKB SRID tag (untagged = 4326), output tagged with the target so
+    chains compose; Engine.sql rewrites 2-arg call sites to
+    ST_TransformSrid while leaving the 3-arg form alone."""
+    from geomesa_sql_spark.engine import Engine, _rewrite_two_arg_transform
+
+    # pure-text rewrite unit checks
+    assert _rewrite_two_arg_transform(
+        "SELECT ST_Transform(g, 32618) FROM t"
+    ) == "SELECT ST_TransformSrid(g, 32618) FROM t"
+    three = "SELECT ST_Transform(g, 'EPSG:4326', 'EPSG:32618') FROM t"
+    assert _rewrite_two_arg_transform(three) == three
+    nested = "SELECT ST_Transform(ST_Point(a, b), 3857) FROM t"
+    assert (
+        _rewrite_two_arg_transform(nested)
+        == "SELECT ST_TransformSrid(ST_Point(a, b), 3857) FROM t"
+    )
+    lit = "SELECT ST_Transform(g, s, d), 'ST_Transform(x, 1)' FROM t"
+    assert _rewrite_two_arg_transform(lit) == lit  # 3-arg + literal kept
+
+    eng = Engine(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nat2t"
+    )
+    row = eng.sql(
+        """SELECT ST_SRID(ST_Transform(ST_Point(-74.0D, 40.7D), 32618)) AS out_srid,
+                  ST_X(ST_Transform(ST_Point(-74.0D, 40.7D), 32618)) AS e,
+                  ST_X(ST_Transform(
+                      ST_Transform(ST_Point(-74.0D, 40.7D), 3857), 4326)) AS lon_rt,
+                  ST_Transform(CAST(NULL AS BINARY), 32618) AS null_in
+           FROM nat2t LIMIT 1"""
+    ).first()
+    assert row.out_srid == 32618
+    want = transform_fn("EPSG:4326", "EPSG:32618")(np.array([[-74.0, 40.7]]))
+    assert abs(row.e - want[0, 0]) < 1e-6
+    assert abs(row.lon_rt - -74.0) < 1e-9  # tag-driven chain round-trip
+    assert row.null_in is None
