@@ -1078,6 +1078,102 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_MLineFromText", _typed_from_text(_m.MULTILINESTRING))
     spark.udf.register("ST_MPolyFromText", _typed_from_text(_m.MULTIPOLYGON))
 
+    def _typed_from_wkb(*want_types):
+        # VARBINARY twins of the *FromText family (Calcite fun=spatial
+        # table): canonicalize like ST_GeomFromWKB, NULL when the
+        # decoded type is not the requested one (H2GIS semantics)
+        @F.pandas_udf(T.BinaryType())
+        def _udf(wb: pd.Series) -> pd.Series:
+            out = []
+            for b in wb:
+                if b is None:
+                    out.append(None)
+                    continue
+                try:
+                    g = geom_from_wkb(bytes(b))
+                except Exception:
+                    out.append(None)
+                    continue
+                out.append(geom_to_wkb(g) if g.type in want_types else None)
+            return pd.Series(out, dtype=object)
+
+        return _udf
+
+    spark.udf.register("ST_PointFromWKB", _typed_from_wkb(_m.POINT))
+    spark.udf.register("ST_LineFromWKB", _typed_from_wkb(_m.LINESTRING))
+    spark.udf.register("ST_PolyFromWKB", _typed_from_wkb(_m.POLYGON))
+
+    # boundary-closure accessors (H2GIS/Calcite: defined for
+    # LINESTRING/MULTILINESTRING, NULL for every other type)
+    def _closed_parts(g):
+        if g.type == _m.LINESTRING:
+            parts = [g]
+        elif g.type == _m.MULTILINESTRING:
+            parts = g.flatten()
+        else:
+            return None
+        return all(
+            len(p.coords) > 1 and bool(np.all(p.coords[0] == p.coords[-1]))
+            for p in parts
+        )
+
+    spark.udf.register(
+        "ST_IsClosed", _measure(_closed_parts, T.BooleanType())
+    )
+    spark.udf.register(
+        "ST_IsRing",
+        _measure(
+            lambda g: (bool(_closed_parts(g)) and _is_simple_fn(g))
+            if g.type == _m.LINESTRING
+            else None,
+            T.BooleanType(),
+        ),
+    )
+
+    # ST_NPoints counts every coordinate of any geometry (ring-closure
+    # duplicates included) — same count our ST_NumPoints reports
+    spark.udf.register(
+        "ST_NPoints", _measure(lambda g: len(g.all_coords()), T.IntegerType())
+    )
+    # perimeter: boundary length of the polygonal parts; 0 otherwise
+    spark.udf.register(
+        "ST_Perimeter",
+        _measure(
+            lambda g: float(
+                sum(
+                    kernel.length(p)
+                    for p in g.flatten()
+                    if p.type == _m.POLYGON
+                )
+            )
+        ),
+    )
+    # 2D engine: coordinate dimension is always 2
+    spark.udf.register(
+        "ST_CoordDim", _measure(lambda g: 2, T.IntegerType())
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def _make_polygon(wb: pd.Series) -> pd.Series:
+        """ST_MakePolygon(shell): closed LineString ring -> Polygon
+        (single-arity form; holes variant not exposed — Spark UDF
+        names are single-arity). NULL for non-LineString or unclosed
+        input, mirroring the *FromText NULL-on-mismatch convention."""
+        out = []
+        for g in _decode_series(wb):
+            if (
+                g is None
+                or g.type != _m.LINESTRING
+                or len(g.coords) < 4
+                or not bool(np.all(g.coords[0] == g.coords[-1]))
+            ):
+                out.append(None)
+                continue
+            out.append(geom_to_wkb(Geom(_m.POLYGON, [g.coords])))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_MakePolygon", _make_polygon)
+
     # planar 2D engine: Z/M are honestly absent, not silently zero
     spark.udf.register(
         "ST_Is3D", _measure(lambda g: False, T.BooleanType())

@@ -611,3 +611,54 @@ def test_make_grid_and_grid_points(spark):
     assert abs(r.area - 8.0) < 1e-12
     assert r.centers == "MULTIPOINT ((1 1), (3 1))"
     assert r.degen is None
+
+
+def test_calcite_fillin_final_names(spark):
+    """r4: the last Calcite fun=spatial table names — closure/ring
+    accessors (NULL for non-line types), ST_NPoints/ST_Perimeter/
+    ST_CoordDim measures, ST_MakePolygon(shell), and the typed WKB
+    constructors (VARBINARY twins of *FromText)."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    ring = "LINESTRING (0 0, 3 0, 3 3, 0 0)"
+    bowtie = "LINESTRING (0 0, 2 2, 0 2, 2 0, 0 0)"  # closed, self-crossing
+    open_ls = "LINESTRING (0 0, 1 1)"
+    row = spark.sql(f"""
+        SELECT
+          ST_IsClosed(ST_GeomFromText('{ring}')) AS closed,
+          ST_IsClosed(ST_GeomFromText('{open_ls}')) AS open_l,
+          ST_IsClosed(ST_GeomFromText('MULTILINESTRING ((0 0, 1 0, 0 0), (5 5, 6 5, 5 5))')) AS mclosed,
+          ST_IsClosed(ST_GeomFromText('{poly}')) AS closed_poly,
+          ST_IsRing(ST_GeomFromText('{ring}')) AS is_ring,
+          ST_IsRing(ST_GeomFromText('{bowtie}')) AS bowtie_ring,
+          ST_IsRing(ST_GeomFromText('{open_ls}')) AS open_ring,
+          ST_IsRing(ST_GeomFromText('{poly}')) AS poly_ring,
+          ST_NPoints(ST_GeomFromText('{poly}')) AS np_poly,
+          ST_Perimeter(ST_GeomFromText('{poly}')) AS perim,
+          ST_Perimeter(ST_GeomFromText('{open_ls}')) AS perim_line,
+          ST_CoordDim(ST_GeomFromText('{poly}')) AS cdim,
+          ST_AsText(ST_MakePolygon(ST_GeomFromText('{ring}'))) AS mkpoly,
+          ST_MakePolygon(ST_GeomFromText('{open_ls}')) AS mkpoly_open,
+          ST_AsText(ST_PointFromWKB(ST_AsBinary(ST_MakePoint(1.0, 2.0)))) AS pwkb,
+          ST_PointFromWKB(ST_AsBinary(ST_GeomFromText('{poly}'))) AS pwkb_bad,
+          ST_AsText(ST_LineFromWKB(ST_AsBinary(ST_GeomFromText('{open_ls}')))) AS lwkb,
+          ST_AsText(ST_PolyFromWKB(ST_AsBinary(ST_GeomFromText('{poly}')))) AS plwkb,
+          ST_IsClosed(CAST(NULL AS BINARY)) AS closed_null
+    """).first()
+    assert row.closed is True and row.open_l is False
+    assert row.mclosed is True
+    assert row.closed_poly is None  # defined only for (multi)linestrings
+    assert row.is_ring is True
+    assert row.bowtie_ring is False  # closed but not simple
+    assert row.open_ring is False and row.poly_ring is None
+    assert row.np_poly == 5  # ring-closure duplicate counted
+    assert abs(row.perim - 16.0) < 1e-12
+    assert row.perim_line == 0.0  # polygonal parts only
+    assert row.cdim == 2
+    assert row.mkpoly.startswith("POLYGON") and row.mkpoly_open is None
+    assert row.pwkb == "POINT (1 2)" and row.pwkb_bad is None
+    assert row.lwkb.startswith("LINESTRING")
+    assert row.plwkb.startswith("POLYGON")
+    assert row.closed_null is None
