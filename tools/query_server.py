@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Network query endpoint: the JDBC-driver analog over HTTP/JSON.
+
+The reference's primary external surface is an Avatica-based JDBC
+driver (``jdbc:geomesa:`` URLs — jdbc/Driver.scala:37-122): a client
+outside the JVM sends SQL over Avatica's HTTP/JSON protocol and gets
+typed rows back. This engine's equivalent is a dependency-free
+HTTP/JSON server over ``Engine.sql`` — every request runs through the
+engine's SQL-text spatial planner (cell joins, bbox pushdown, EXISTS
+routing, DML/MERGE), which is exactly what Spark's own Thrift server
+could NOT provide (it would bypass the routing layer; see README
+"Connecting from outside Spark").
+
+    python tools/query_server.py -d /root/testdata/sf0.001 --port 8765
+    python tools/query_server.py -m model.yaml --token SECRET
+
+Protocol (all JSON):
+    GET  /tables                 -> {"tables": [...]}
+    GET  /schema?table=NAME      -> {"table": ..., "fields": [...]}
+    POST /sql  {"sql": "...", "max_rows": 1000}
+         -> {"columns": [{"name","type"}], "rows": [[...]],
+             "row_count": N, "truncated": bool, "elapsed_sec": t}
+
+Value encoding (documented, lossless where JSON allows): binary
+columns (WKB geometry, image payloads) serialize as lowercase hex
+strings — the PostGIS hex-WKB convention, so ``ST_GeomFromWKB`` of the
+unhexed bytes round-trips; timestamps/dates as ISO-8601 strings;
+Decimal as string; NaN/Inf as null (JSON has no literal for them).
+``--token T`` requires ``Authorization: Bearer T`` on every request.
+Row cap: ``max_rows`` (default 1000, server max 100000) — the server
+is a query endpoint, not a bulk-export path (use parquet/GeoParquet
+sinks for that).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import decimal
+import json
+import math
+import os
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_MAX_ROWS = 1000
+HARD_MAX_ROWS = 100_000
+
+
+def _json_value(v):
+    """JSON-safe scalar encoding (see module docstring for the table)."""
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_value(x) for k, x in v.items()}
+    # Row (struct column) and anything else stringifiable
+    try:
+        return {k: _json_value(x) for k, x in v.asDict().items()}
+    except AttributeError:
+        return str(v)
+
+
+def _execute(engine, sql: str, max_rows: int) -> dict:
+    t0 = time.monotonic()
+    df = engine.sql(sql)
+    rows = df.limit(max_rows + 1).collect()
+    truncated = len(rows) > max_rows
+    rows = rows[:max_rows]
+    return {
+        "columns": [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ],
+        "rows": [[_json_value(v) for v in r] for r in rows],
+        "row_count": len(rows),
+        "truncated": truncated,
+        "elapsed_sec": round(time.monotonic() - t0, 4),
+    }
+
+
+def make_handler(engine, token: str | None):
+    class Handler(BaseHTTPRequestHandler):
+        # one Engine, many threads: Spark supports concurrent actions
+        # from multiple driver threads; Engine.sql holds no per-query
+        # mutable state beyond uniquely-named transient views
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _authed(self) -> bool:
+            if token is None:
+                return True
+            got = self.headers.get("Authorization", "")
+            if got == f"Bearer {token}":
+                return True
+            self._send(401, {"error": "missing or bad bearer token"})
+            return False
+
+        def do_GET(self):  # noqa: N802 (stdlib handler API)
+            if not self._authed():
+                return
+            url = urlparse(self.path)
+            if url.path == "/tables":
+                self._send(200, {"tables": engine.tables()})
+            elif url.path == "/schema":
+                q = parse_qs(url.query)
+                name = (q.get("table") or [""])[0]
+                try:
+                    schema = engine.describe(name)
+                except Exception as ex:
+                    self._send(404, {"error": f"{type(ex).__name__}: {ex}"})
+                    return
+                self._send(
+                    200,
+                    {
+                        "table": name,
+                        "fields": [
+                            {
+                                "name": f.name,
+                                "type": f.dataType.simpleString(),
+                                "nullable": f.nullable,
+                            }
+                            for f in schema.fields
+                        ],
+                    },
+                )
+            else:
+                self._send(404, {"error": f"no such path: {url.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if not self._authed():
+                return
+            if urlparse(self.path).path != "/sql":
+                self._send(404, {"error": f"no such path: {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                sql = req["sql"]
+            except (ValueError, KeyError) as ex:
+                self._send(
+                    400, {"error": f"bad request body (need {{'sql': ...}}): {ex}"}
+                )
+                return
+            max_rows = min(
+                int(req.get("max_rows", DEFAULT_MAX_ROWS)), HARD_MAX_ROWS
+            )
+            try:
+                self._send(200, _execute(engine, sql, max_rows))
+            except Exception as ex:  # SQL errors -> structured 400
+                self._send(400, {"error": f"{type(ex).__name__}: {ex}"})
+
+        def log_message(self, fmt, *args):  # quiet by default
+            if os.environ.get("QUERY_SERVER_VERBOSE"):
+                super().log_message(fmt, *args)
+
+    return Handler
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8765,
+          token: str | None = None) -> ThreadingHTTPServer:
+    """Start the server (non-blocking); returns it for .shutdown()."""
+    srv = ThreadingHTTPServer((host, port), make_handler(engine, token))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("-d", "--dir", help="register every <name>.parquet in DIR")
+    ap.add_argument("-m", "--model", help="Calcite-style model file")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--token", help="require Authorization: Bearer TOKEN")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from geomesa_sql_spark import get_spark
+    from geomesa_sql_spark.engine import Engine
+
+    spark = get_spark("query-server", master=f"local[{args.cpus}]")
+    if args.model:
+        eng = Engine.from_model(spark, args.model)
+    else:
+        eng = Engine(spark)
+        if args.dir:
+            for fn in sorted(os.listdir(args.dir)):
+                if fn.endswith(".parquet"):
+                    eng.register_table(
+                        fn[: -len(".parquet")], os.path.join(args.dir, fn)
+                    )
+    srv = serve(eng, args.host, args.port, args.token)
+    print(f"listening on http://{args.host}:{args.port} "
+          f"({len(eng.tables())} tables)", flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
