@@ -111,6 +111,47 @@ def write_tiled(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str,
+    buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Bucketed layout: pay the shuffle ONCE at write time, then every
+    equi-join or aggregation on ``key`` between same-bucketed tables
+    plans with NO Exchange (Spark reads bucket files as pre-hashed
+    partitions; ``sortBy`` keeps row groups key-clustered for stats
+    pruning — Spark still re-sorts under a sort-merge join, since a
+    bucket spanning several files has no global order, but that sort is
+    per-partition and spill-free, not a shuffle). This is the persisted
+    analog of the reference's
+    attribute-index lookup join (GeoMesaIndexLookupJoinRule.scala:30-82
+    — keys pre-organized in the store so the join never re-shuffles the
+    big side): at 100 TB, fact tables keyed by ``image_id`` that are
+    joined repeatedly — metadata enrich, dedup-group join-back, caption
+    refresh — should live bucketed so only the delta side ever moves.
+
+    Registers ``name`` in the session catalog (bucket metadata lives
+    there, not in parquet); with the default in-memory catalog the
+    registration lasts the session — re-register on a new session, or
+    back the catalog with a metastore/Iceberg for durability. Returns
+    the registered table's DataFrame.
+
+    Both join sides must use the SAME bucket count (or a multiple, with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``) and the join
+    key must be the bucket key.
+    """
+    w = df.write.mode(mode).format("parquet").option("path", path)
+    w = w.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def tile_partition_filter(
     minx: float, miny: float, maxx: float, maxy: float, zoom: int = 4
 ):

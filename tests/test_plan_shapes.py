@@ -169,3 +169,46 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_bucketed_layout_joins_and_aggs_without_exchange(spark, sf_dir, tmp_path):
+    """write_bucketed: the shuffle is paid once at write; a same-key
+    same-bucket-count equi-join then plans as SortMergeJoin with NO
+    Exchange on either side, and a groupBy on the bucket key
+    aggregates without a shuffle (the persisted analog of the
+    reference's attribute-index lookup join,
+    GeoMesaIndexLookupJoinRule.scala:30-82)."""
+    from geomesa_sql_spark.io.layout import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = write_bucketed(
+            orders, "orders_bkt", str(tmp_path / "ob"), "o_custkey", buckets=8
+        )
+        cb = write_bucketed(
+            cust, "cust_bkt", str(tmp_path / "cb"), "c_custkey", buckets=8
+        )
+        j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides pre-hashed on disk
+        assert "Bucketed: true" in plan
+        # row parity with the plain (shuffling) join
+        assert j.count() == orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+
+        agg = ob.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        assert "Exchange" not in _plan(agg)
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS cust_bkt")
