@@ -85,3 +85,25 @@ def test_truncation_errors_and_auth(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(f"{server}/tables", token="wrong")
     assert e.value.code == 401
+
+
+def test_concurrent_requests_do_not_cross(server):
+    """Plan construction serializes under the server's lock (CTE
+    routing registers views under user-chosen names); distinct
+    concurrent queries must each get their own rows."""
+    import concurrent.futures as cf
+
+    def one(k):
+        out = _req(f"{server}/sql", {
+            "sql": f"""WITH picked AS (
+                         SELECT n_nationkey FROM nation_q
+                         WHERE ST_Within(
+                             ST_MakePoint(CAST(n_nationkey AS DOUBLE), 0.5),
+                             ST_GeomFromText(
+                                 'POLYGON ((-1 -1, {k}.5 -1, {k}.5 2, -1 2, -1 -1))')))
+                       SELECT COUNT(*) AS n FROM picked"""})
+        return k, out["rows"][0][0]
+
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
+        for k, n in ex.map(one, [2, 5, 8, 11, 14, 17]):
+            assert n == k + 1, (k, n)

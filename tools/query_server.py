@@ -51,6 +51,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_MAX_ROWS = 1000
 HARD_MAX_ROWS = 100_000
 
+# Engine.sql's routed-join views are uuid-suffixed (safe concurrently),
+# but CTE routing registers transient views under the USER'S cte names
+# (engine.py _route_with_ctes) — two concurrent queries sharing a CTE
+# name would race. Plan construction is cheap driver-side work, so it
+# runs under one lock; execution (collect) stays fully concurrent.
+_PLAN_LOCK = threading.Lock()
+
 
 def _json_value(v):
     """JSON-safe scalar encoding (see module docstring for the table)."""
@@ -77,7 +84,8 @@ def _json_value(v):
 
 def _execute(engine, sql: str, max_rows: int) -> dict:
     t0 = time.monotonic()
-    df = engine.sql(sql)
+    with _PLAN_LOCK:
+        df = engine.sql(sql)
     rows = df.limit(max_rows + 1).collect()
     truncated = len(rows) > max_rows
     rows = rows[:max_rows]
@@ -96,8 +104,8 @@ def _execute(engine, sql: str, max_rows: int) -> dict:
 def make_handler(engine, token: str | None):
     class Handler(BaseHTTPRequestHandler):
         # one Engine, many threads: Spark supports concurrent actions
-        # from multiple driver threads; Engine.sql holds no per-query
-        # mutable state beyond uniquely-named transient views
+        # from multiple driver threads; plan construction serializes
+        # under _PLAN_LOCK (see note there), execution does not
 
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
