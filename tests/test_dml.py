@@ -390,3 +390,83 @@ def test_fast_min_max_refuses_int96(spark, tmp_path):
     )
     assert fast_min_max(d, "ts") is None      # INT96: refused
     assert fast_min_max(d, "v") == (1, 2)     # INT64: still exact
+
+
+def test_dml_differential_fuzz(spark, sf_dir, tmp_path):
+    """Seeded random INSERT/UPDATE/DELETE statement sequences run
+    verbatim through BOTH Engine.sql and DuckDB on the same starting
+    table; final table states must match exactly (the ModificationTest
+    round-trip idea generalized to a generator — covers SET expression
+    evaluation, LIKE/IN/MOD predicates, subquery WHERE forms, and
+    duplicate-key inserts)."""
+    import random
+
+    import duckdb
+
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    eng.create_table("natf", str(tmp_path / "natf"), base)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE natf AS SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+
+    rng = random.Random(424242)
+
+    def gen(i: int) -> str:
+        kind = rng.random()
+        if kind < 0.3:
+            k = rng.choice([100 + i, rng.randrange(0, 25)])  # dup keys too
+            return (
+                f"INSERT INTO natf VALUES ({k}, 'FUZZ_{i}', "
+                f"{rng.randrange(0, 5)})"
+            )
+        if kind < 0.65:
+            set_expr = rng.choice(
+                [
+                    "n_name = UPPER(n_name)",
+                    "n_name = n_name || '_X'",
+                    "n_regionkey = n_regionkey + 1",
+                    "n_regionkey = MOD(n_regionkey * 3, 5)",
+                ]
+            )
+            pred = rng.choice(
+                [
+                    f"n_regionkey = {rng.randrange(0, 5)}",
+                    "n_name LIKE '%A%'",
+                    f"n_nationkey IN ({rng.randrange(0, 25)}, "
+                    f"{rng.randrange(0, 25)})",
+                    f"MOD(n_nationkey, 7) = {rng.randrange(0, 7)}",
+                ]
+            )
+            return f"UPDATE natf SET {set_expr} WHERE {pred}"
+        pred = rng.choice(
+            [
+                f"MOD(n_nationkey, 11) = {rng.randrange(0, 11)}",
+                f"n_regionkey = {rng.randrange(0, 5)} AND n_name LIKE 'F%'",
+                "n_nationkey IN (SELECT n_nationkey FROM natf "
+                f"WHERE n_regionkey = {rng.randrange(0, 5)} "
+                "AND MOD(n_nationkey, 2) = 0)",
+            ]
+        )
+        return f"DELETE FROM natf WHERE {pred}"
+
+    def state_eng():
+        return sorted(
+            tuple(str(v) for v in r) for r in eng.df("natf").collect()
+        )
+
+    def state_duck():
+        return sorted(
+            tuple(str(v) for v in r)
+            for r in con.execute("SELECT * FROM natf").fetchall()
+        )
+
+    for i in range(14):
+        stmt = gen(i)
+        eng.sql(stmt)
+        con.execute(stmt)
+        if i % 5 == 4 or i == 13:
+            assert state_eng() == state_duck(), f"diverged after: {stmt}"
