@@ -43,11 +43,18 @@ def build_pyfiles_zip() -> str:
     return zpath
 
 
-def spark_submit(script: str, cpus: int, zpath: str, env_extra: dict) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **env_extra)
+def spark_submit(script: str, cpus: int, zpath: str, env_extra: dict,
+                 master: str | None = None) -> dict:
+    """Submit ``script`` via spark-submit. ``cpus`` is the TOTAL core
+    count (sizes shuffle partitions inside the job); ``master`` defaults
+    to local[cpus] — executor mode passes local-cluster[E,C,M] and the
+    job picks it up via SPARK_GRAFT_MASTER."""
+    master = master or f"local[{cpus}]"
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_MASTER=master, **env_extra)
     cmd = [
         shutil.which("spark-submit") or "spark-submit",
-        "--master", f"local[{cpus}]",
+        "--master", master,
         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "--py-files", zpath,
         script,
@@ -141,6 +148,81 @@ def os_ceiling_control(n_imgs: int, rounds: int = 2) -> dict:
     }
 
 
+def executor_mode(zpath: str, quick: bool, state: dict) -> dict:
+    """North-rule executor-count evidence with REAL separate executor
+    JVMs: `local-cluster[E,C,M]` starts E worker JVMs of C cores each,
+    so N=1 executor → 4N=4 executors exercises the actual multi-executor
+    machinery — netty BlockManager shuffle fetches between processes,
+    torrent broadcast distribution, one Python worker pool per executor,
+    per-executor memory isolation — that thread-count scaling
+    (local[4] → local[16]) cannot. Same job, same input, same total-core
+    budget as the thread-mode headline pair, interleaved submissions,
+    per-level minima (host noise only ever slows runs)."""
+    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES",
+                                 200_000 if quick else 1_000_000))
+    exec_cores, exec_mem = 4, 5120
+    levels = {1: f"local-cluster[1,{exec_cores},{exec_mem}]",
+              4: f"local-cluster[4,{exec_cores},{exec_mem}]"}
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2" if quick else "3"))
+    key = "executors"
+    state.setdefault(key, [])
+    for _ in range(rounds):
+        for execs, master in levels.items():
+            r = spark_submit(
+                str(REPO / "tools/scale_job.py"), execs * exec_cores, zpath,
+                {"SPARK_GRAFT_SCALE_IMAGES": str(n_scale)}, master=master)
+            r["executors"] = execs
+            if r["n"] == n_scale:
+                state[key].append(r)
+            _save_state(state)
+    best, subs = {}, {}
+    for execs, master in levels.items():
+        allc = [r for r in state[key]
+                if r.get("master") == master and r["n"] == n_scale]
+        best[execs] = min(allc, key=lambda r: r["sec"])
+        subs[execs] = len(allc)
+    eff = (best[4]["rows_per_sec"] / best[1]["rows_per_sec"]) / 4.0
+    md = REPO / "BENCH" / "EXECUTORS.md"
+    os.makedirs(REPO / "BENCH", exist_ok=True)
+    md.write_text("\n".join([
+        "# Executor-count scaling (separate JVMs, N → 4N executors)",
+        "",
+        "The north rule asks for ≥0.8 throughput scaling from N to 4N",
+        "*executors*. BASELINE.md's headline pair scales thread counts",
+        "inside one JVM; this artifact scales the EXECUTOR COUNT with",
+        "Spark's `local-cluster[E,C,M]` master — E real worker JVMs of",
+        "C cores / M MiB each, launched by spark-submit exactly as a",
+        "standalone cluster would: code ships via `--py-files`, shuffle",
+        "blocks move between executor processes through netty",
+        "BlockManager fetches, broadcasts distribute via torrent, and",
+        "each executor runs its own Python worker pool. This is the",
+        "closest sandbox analog of adding machines.",
+        "",
+        f"Job: tools/scale_job.py (decode {n_scale:,} 64×64 PNGs →",
+        "featurize → broadcast spatial join → Hilbert tiles → rollup),",
+        f"identical input at both levels; {exec_cores} cores /",
+        f"{exec_mem} MiB per executor; interleaved submissions ×{rounds},",
+        "per-level minima.",
+        "",
+        "| executors | total cores | sec | rows/sec | submissions |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {e} (`{levels[e]}`) | {e * exec_cores} | {best[e]['sec']} | "
+        f"{best[e]['rows_per_sec']:,.0f} | {subs[e]} |"
+        for e in sorted(levels)
+    ] + [
+        "",
+        f"**Scaling efficiency 1 → 4 executors: {eff:.3f}** (target ≥ 0.8).",
+        "",
+        "```json",
+        json.dumps({"best": {str(e): best[e] for e in best},
+                    "efficiency_1_4_executors": round(eff, 3)}),
+        "```",
+        "",
+    ]))
+    return {"executor_efficiency": round(eff, 3), "out": str(md)}
+
+
 STATE = Path("/tmp/spark_graft_bench/scaling_state.json")
 
 
@@ -196,11 +278,17 @@ def main() -> int:
     bench_ver = _h(REPO / "bench.py")
     if state.get("scale_ver") != scale_ver:
         state["scale"] = []
+        state["executors"] = []
         state["os_ceiling"] = None
         state["scale_ver"] = scale_ver
     if state.get("bench_ver") != bench_ver:
         state["bench"] = {}
         state["bench_ver"] = bench_ver
+
+    if "--executors" in sys.argv:
+        out = executor_mode(zpath, quick, state)
+        print(json.dumps(out))
+        return 0
 
     levels_env = os.environ.get("SPARK_GRAFT_SCALE_CPUS", "4,16,8,32")
     nums = [int(x) for x in levels_env.split(",")]
@@ -313,6 +401,13 @@ def main() -> int:
         f"| 32 procs | {ceil['sec32']} | {ceil['efficiency_8_32']:.3f} |",
         "",
     ]
+    if (REPO / "BENCH" / "EXECUTORS.md").exists():
+        lines += [
+            "Separate-JVM executor-count evidence (1 → 4 real executor",
+            "processes via `local-cluster[E,4,5120]`, same job): see",
+            "`BENCH/EXECUTORS.md` (`tools/bench_scaling.py --executors`).",
+            "",
+        ]
     if r8 is not None:
         lines += [
             "## Throughput vs the reference execution model",

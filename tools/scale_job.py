@@ -36,6 +36,15 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "1000000"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # SPARK_GRAFT_MASTER overrides local[cpus] — used by bench_scaling's
+    # executor mode to submit the same job under local-cluster[E,C,M]
+    # (real separate executor JVMs: BlockManager shuffle fetches, torrent
+    # broadcast over the network stack, one Python worker pool per
+    # executor — the execution shape of a multi-node cluster).
+    # cpus must still be set to the TOTAL core count so shuffle
+    # partitions size correctly (get_spark falls back to it when the
+    # master string is not local[...]).
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
 
     from pyspark.sql import functions as F
 
@@ -47,7 +56,7 @@ def main() -> None:
     from geomesa_sql_spark.ops import image_stats
     from geomesa_sql_spark.tiles import assign_tiles
 
-    spark = get_spark("scale_job", master=f"local[{cpus}]")
+    spark = get_spark("scale_job", master=master)
     # 64×64 all-PNG: ~235 µs of zlib+unfilter decode per image, so the
     # job is CPU-bound (the regime where scaling is measurable), while
     # the synthetic gradient compresses to ~1.2 KB stored per image
@@ -80,7 +89,7 @@ def main() -> None:
     print(json.dumps({
         "n": n, "sec": round(sec, 2), "runs": [round(r, 2) for r in runs],
         "median_sec": round(statistics.median(runs), 2),
-        "rows_per_sec": round(n / sec, 1), "cpus": cpus,
+        "rows_per_sec": round(n / sec, 1), "cpus": cpus, "master": master,
     }))
 
 
