@@ -247,7 +247,10 @@ def main() -> int:
     # BASELINE.md unless the host is actually delivering its cores
     from bench import host_calibration
 
-    cal = host_calibration(32)
+    # executor mode tops out at 16 total cores — gate on what IT needs,
+    # not on the 32-proc window the full baseline run needs
+    cal_procs = 16 if "--executors" in sys.argv else 32
+    cal = host_calibration(cal_procs)
     print(f"host calibration: {cal}")
     if cal["parallel_efficiency"] < 0.5 and not os.environ.get(
         "SPARK_GRAFT_FORCE_BASELINE"
