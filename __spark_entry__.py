@@ -739,7 +739,11 @@ def q_sql_st_measures(spark, sf_dir):
     BufferOp parity for measures (DataTypeTest.scala:83-85). Also r4:
     ST_Transform to UTM 18N of the in-zone-mapped square center — the
     geom/crs.py Krüger path vs a DuckDB exp/ln re-derivation of the
-    same series (_utm18n_parts)."""
+    same series (_utm18n_parts). Late r4: the closure/WKB-constructor
+    batch under the gate too — ST_NPoints (5), ST_Perimeter (8·hs),
+    ST_IsClosed/ST_IsRing of the exterior ring, ST_CoordDim,
+    ST_MakePolygon(ring) area round-trip, ST_PointFromWKB round-trip
+    X, and ST_LineFromWKB's NULL-on-type-mismatch contract."""
     from geomesa_sql_spark.functions import register_all
 
     register_all(spark)
@@ -766,7 +770,17 @@ def q_sql_st_measures(spark, sf_dir):
                       'EPSG:4326', 'EPSG:32618')), 1) AS utm_e_r,
                   ROUND(ST_Y(ST_Transform(
                       ST_Point(-78.0 + (cx + 170.0) * 6.0 / 340.0, cy * 0.98),
-                      'EPSG:4326', 'EPSG:32618')), 1) AS utm_n_r
+                      'EPSG:4326', 'EPSG:32618')), 1) AS utm_n_r,
+                  ST_NPoints(poly) AS npts,
+                  ROUND(ST_Perimeter(poly), 6) AS perim_r,
+                  ST_IsClosed(ST_ExteriorRing(poly)) AS ring_closed,
+                  ST_IsRing(ST_ExteriorRing(poly)) AS ring_is_ring,
+                  ST_CoordDim(poly) AS coord_dim,
+                  ROUND(ST_Area(ST_MakePolygon(ST_ExteriorRing(poly))), 6)
+                      AS mkpoly_area_r,
+                  ROUND(ST_X(ST_PointFromWKB(ST_AsBinary(ST_Centroid(poly)))), 6)
+                      AS pfwkb_x_r,
+                  (ST_LineFromWKB(ST_AsBinary(poly)) IS NULL) AS lfwkb_null
            FROM nsq_v"""
     )
 
@@ -1440,7 +1454,16 @@ def _oracles() -> dict[str, str]:
                    -- center: the engine's numpy Krüger path vs this
                    -- exp/ln re-derivation (see _utm18n_parts)
                    ROUND({utm_e}, 1) AS utm_e_r,
-                   ROUND({utm_n}, 1) AS utm_n_r
+                   ROUND({utm_n}, 1) AS utm_n_r,
+                   -- r4 closure batch: all closed-form on the square
+                   CAST(5 AS INTEGER) AS npts,
+                   ROUND(8.0 * hs, 6) AS perim_r,
+                   TRUE AS ring_closed,
+                   TRUE AS ring_is_ring,
+                   CAST(2 AS INTEGER) AS coord_dim,
+                   ROUND(4.0 * hs * hs, 6) AS mkpoly_area_r,
+                   ROUND(cx, 6) AS pfwkb_x_r,
+                   TRUE AS lfwkb_null
             FROM (
               SELECT *,
                      LEAST(pmaxx, 40.0) - GREATEST(pminx, -60.0) AS ox,

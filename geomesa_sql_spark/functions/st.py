@@ -1112,6 +1112,10 @@ def register_all(spark: SparkSession) -> None:
             parts = g.flatten()
         else:
             return None
+        if not parts:
+            # JTS MultiLineString.isClosed(): empty -> false, not
+            # vacuously true
+            return False
         return all(
             len(p.coords) > 1 and bool(np.all(p.coords[0] == p.coords[-1]))
             for p in parts

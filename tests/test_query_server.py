@@ -13,9 +13,16 @@ from geomesa_sql_spark.engine import Engine
 
 @pytest.fixture(scope="module")
 def server(spark, sf_dir):
+    import os
     import sys
-    sys.path.insert(0, "tools")
-    from query_server import serve
+
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    try:
+        from query_server import serve
+    finally:
+        sys.path.remove(tools_dir)
 
     eng = Engine(spark, fid_col="n_nationkey")
     eng.register_table("nation_q", f"{sf_dir}/nation.parquet")
@@ -107,3 +114,27 @@ def test_concurrent_requests_do_not_cross(server):
     with cf.ThreadPoolExecutor(max_workers=6) as ex:
         for k, n in ex.map(one, [2, 5, 8, 11, 14, 17]):
             assert n == k + 1, (k, n)
+
+
+def test_malformed_bodies_get_structured_400(server):
+    """Review r4c: valid-JSON non-object bodies, non-string sql, and
+    bad max_rows must all return a structured 400, never a connection
+    reset from a dead handler thread."""
+    for body in ([1, 2, 3], "just a string", 123,
+                 {"sql": 42},
+                 {"sql": "SELECT 1", "max_rows": "lots"},
+                 {"sql": "SELECT 1", "max_rows": None},
+                 {"sql": "SELECT 1", "max_rows": -5},
+                 {"nosql": "SELECT 1"}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(f"{server}/sql", body)
+        assert e.value.code == 400, body
+        assert "error" in json.loads(e.value.read()), body
+
+
+def test_struct_columns_keep_field_names(server):
+    """Review r4c: Row subclasses tuple — struct values must serialize
+    as {'field': value} objects, not positional arrays."""
+    out = _req(f"{server}/sql",
+               {"sql": "SELECT named_struct('a', 1, 'b', 'x') AS s"})
+    assert out["rows"][0][0] == {"a": 1, "b": "x"}

@@ -645,10 +645,14 @@ def test_calcite_fillin_final_names(spark):
           ST_PointFromWKB(ST_AsBinary(ST_GeomFromText('{poly}'))) AS pwkb_bad,
           ST_AsText(ST_LineFromWKB(ST_AsBinary(ST_GeomFromText('{open_ls}')))) AS lwkb,
           ST_AsText(ST_PolyFromWKB(ST_AsBinary(ST_GeomFromText('{poly}')))) AS plwkb,
-          ST_IsClosed(CAST(NULL AS BINARY)) AS closed_null
+          ST_IsClosed(CAST(NULL AS BINARY)) AS closed_null,
+          ST_IsClosed(ST_GeomFromText('MULTILINESTRING EMPTY')) AS mls_empty
     """).first()
     assert row.closed is True and row.open_l is False
     assert row.mclosed is True
+    # JTS: empty geometries are NOT closed (review r4c — all([]) was
+    # vacuously true)
+    assert row.mls_empty is False
     assert row.closed_poly is None  # defined only for (multi)linestrings
     assert row.is_ring is True
     assert row.bowtie_ring is False  # closed but not simple

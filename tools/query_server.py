@@ -37,6 +37,8 @@ from __future__ import annotations
 import argparse
 import datetime
 import decimal
+import hmac
+import itertools
 import json
 import math
 import os
@@ -71,22 +73,28 @@ def _json_value(v):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return str(v)
+    # Row (struct column) subclasses tuple — field-name check must come
+    # BEFORE the list/tuple branch or structs flatten to positional
+    # arrays and clients lose the field names
+    if hasattr(v, "asDict"):
+        return {k: _json_value(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_json_value(x) for x in v]
     if isinstance(v, dict):
         return {str(k): _json_value(x) for k, x in v.items()}
-    # Row (struct column) and anything else stringifiable
-    try:
-        return {k: _json_value(x) for k, x in v.asDict().items()}
-    except AttributeError:
-        return str(v)
+    return str(v)
 
 
 def _execute(engine, sql: str, max_rows: int) -> dict:
     t0 = time.monotonic()
     with _PLAN_LOCK:
         df = engine.sql(sql)
-    rows = df.limit(max_rows + 1).collect()
+    # toLocalIterator + islice, NOT df.limit(): GlobalLimit funnels
+    # every candidate row through one partition — over binary columns
+    # (image payloads, WKB) that single task serializes the whole
+    # result; the iterator streams partitions as they finish instead
+    it = itertools.islice(df.toLocalIterator(), max_rows + 1)
+    rows = list(it)
     truncated = len(rows) > max_rows
     rows = rows[:max_rows]
     return {
@@ -119,7 +127,9 @@ def make_handler(engine, token: str | None):
             if token is None:
                 return True
             got = self.headers.get("Authorization", "")
-            if got == f"Bearer {token}":
+            # constant-time compare: plain == short-circuits on the
+            # first differing byte (byte-at-a-time token recovery)
+            if hmac.compare_digest(got, f"Bearer {token}"):
                 return True
             self._send(401, {"error": "missing or bad bearer token"})
             return False
@@ -164,15 +174,20 @@ def make_handler(engine, token: str | None):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError(f"body is {type(req).__name__}, not object")
                 sql = req["sql"]
-            except (ValueError, KeyError) as ex:
+                if not isinstance(sql, str):
+                    raise ValueError("'sql' must be a string")
+                max_rows = req.get("max_rows", DEFAULT_MAX_ROWS)
+                max_rows = min(int(max_rows), HARD_MAX_ROWS)
+                if max_rows < 1:
+                    raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+            except (ValueError, KeyError, TypeError) as ex:
                 self._send(
                     400, {"error": f"bad request body (need {{'sql': ...}}): {ex}"}
                 )
                 return
-            max_rows = min(
-                int(req.get("max_rows", DEFAULT_MAX_ROWS)), HARD_MAX_ROWS
-            )
             try:
                 self._send(200, _execute(engine, sql, max_rows))
             except Exception as ex:  # SQL errors -> structured 400
