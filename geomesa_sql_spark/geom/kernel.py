@@ -651,9 +651,44 @@ def buffer_geom(g: Geom, d: float, quad_segs: int = 16, dissolve: bool = True) -
     ``dissolve=False`` returns the raw overlapping piece set
     (predicate-equivalent, much cheaper — for internal predicate-only
     callers).
+
+    JTS/PostGIS parity for d ≤ 0 (late r4): buffer(0) passes polygonal
+    parts through and collapses points/lines to POLYGON EMPTY; d < 0
+    erodes — P ⊖ |d| = P − dilate(∂P, |d|), exact along straight edges
+    (convex erosion = the inner offset polygon exactly), with holes
+    growing by the dilated-ring closed form.
     """
-    if d <= 0:
-        raise ValueError("buffer distance must be positive")
+    if d == 0.0:
+        # JTS BufferOp(0): polygonal parts pass through (the buffer(0)
+        # fix idiom); points/lines collapse to POLYGON EMPTY
+        polys = [p for p in g.flatten() if p.type == model.POLYGON]
+        if not polys:
+            return Geom(model.POLYGON, [])
+        if len(polys) == 1:
+            return polys[0]
+        from geomesa_sql_spark.geom import overlay as _overlay
+
+        return _overlay.dissolve(Geom(model.MULTIPOLYGON, polys))
+    if d < 0:
+        # negative buffer = erosion (JTS/PostGIS semantics): polygonal
+        # parts shrink by |d|, points/lines erode to POLYGON EMPTY.
+        # P ⊖ |d| = P − dilate(∂P, |d|): exact along straight edges
+        # (the capsule rectangles dominate the inscribed-k-gon vertex
+        # circles on the interior side), so convex-polygon erosion has
+        # the exact closed form of the inner offset polygon.
+        polys = [p for p in g.flatten() if p.type == model.POLYGON]
+        if not polys:
+            return Geom(model.POLYGON, [])
+        from geomesa_sql_spark.geom import overlay as _overlay
+
+        area_g = (
+            polys[0]
+            if len(polys) == 1
+            else _overlay.dissolve(Geom(model.MULTIPOLYGON, polys))
+        )
+        rings = boundary(area_g)
+        shrink = buffer_geom(rings, -d, quad_segs, dissolve=True)
+        return _overlay.overlay(area_g, shrink, "difference")
     k = 4 * quad_segs
     ang = np.linspace(0.0, 2 * np.pi, k, endpoint=False)
     circ = np.column_stack([np.cos(ang), np.sin(ang)]) * d

@@ -318,12 +318,25 @@ def _build_area(rings: list[np.ndarray]) -> Geom:
         pt = _ring_interior_point(h)
         if pt is None:
             continue
-        best, best_area = -1, np.inf
+        # the parent shell must CONTAIN the hole, not merely the test
+        # point: a shell nested INSIDE the hole (a donut's inner island
+        # band) also contains the hole's interior point and, being
+        # smaller, would steal it. Rings of a planar arrangement never
+        # cross, so envelope containment separates hole ⊂ shell from
+        # shell ⊂ hole (equal-envelope contact degenerates aside).
+        env_tol = de9im._EPS
+        cands = []
         for i, (s, a) in enumerate(shells):
-            if kernel._pip_rings(pt[:1], pt[1:2], [s])[0] and a < best_area:
-                best, best_area = i, a
-        if best >= 0:
-            groups[best].append(h)
+            if (
+                s[:, 0].min() <= h[:, 0].min() + env_tol
+                and s[:, 1].min() <= h[:, 1].min() + env_tol
+                and s[:, 0].max() >= h[:, 0].max() - env_tol
+                and s[:, 1].max() >= h[:, 1].max() - env_tol
+                and kernel._pip_rings(pt[:1], pt[1:2], [s])[0]
+            ):
+                cands.append((a, i))
+        if cands:
+            groups[min(cands)[1]].append(h)
     parts = [Geom(model.POLYGON, rs) for rs in groups]
     return parts[0] if len(parts) == 1 else Geom(model.MULTIPOLYGON, parts)
 

@@ -241,3 +241,46 @@ def test_buffer_dissolved_closed_forms():
     )
     assert mp.type == model.MULTIPOLYGON
     assert abs(kernel.area(mp) - 2 * a64(1.0)) < 1e-9
+
+
+def test_buffer_zero_and_negative():
+    """JTS/PostGIS parity for d <= 0 (late r4): buffer(0) passes
+    polygonal parts through and collapses points/lines to POLYGON
+    EMPTY; negative distance = erosion, exact along straight edges
+    (P minus the dilated boundary), with the discretized closed form
+    for the grown hole of a donut: dilate(hole) = A_h + P_h*|d| + A_k."""
+    from geomesa_sql_spark.geom import kernel, model
+
+    k = 64
+    a64 = lambda d: k / 2 * d * d * np.sin(2 * np.pi / k)  # noqa: E731
+
+    sq = model.polygon([[0, 0], [4, 0], [4, 4], [0, 4]])
+    # zero: polygon passes through, point/line collapse to empty
+    assert kernel.area(kernel.buffer_geom(sq, 0.0)) == 16.0
+    assert kernel.buffer_geom(model.point(1.0, 2.0), 0.0).type == model.POLYGON
+    assert kernel.area(kernel.buffer_geom(model.point(1.0, 2.0), 0.0)) == 0.0
+    ln = model.linestring([[0, 0], [5, 0]])
+    assert kernel.area(kernel.buffer_geom(ln, 0.0)) == 0.0
+
+    # erosion of a convex polygon is the exact inner offset
+    assert abs(kernel.area(kernel.buffer_geom(sq, -1.0)) - 4.0) < 1e-9
+    # over-erosion empties
+    assert kernel.area(kernel.buffer_geom(sq, -3.0)) == 0.0
+    # points/lines erode to empty
+    assert kernel.area(kernel.buffer_geom(ln, -0.5)) == 0.0
+
+    # donut: outer shrinks exactly, hole grows by the dilated-ring
+    # closed form (regression for the _build_area nested-shell fix —
+    # the hole band's shell used to steal the outer band's hole)
+    dn = model.polygon(
+        [[0, 0], [10, 0], [10, 10], [0, 10]],
+        [[4, 4], [6, 4], [6, 6], [4, 6]],
+    )
+    got = kernel.area(kernel.buffer_geom(dn, -1.0))
+    want = 8 * 8 - (4 + 8 * 1.0 + a64(1.0))
+    assert abs(got - want) < 1e-9
+    # and the positive donut buffer stays sane: outer grows, hole
+    # shrinks to 1x1
+    got_pos = kernel.area(kernel.buffer_geom(dn, 0.5))
+    want_pos = (100 + 40 * 0.5 + a64(0.5)) - 1.0
+    assert abs(got_pos - want_pos) < 1e-9
