@@ -780,7 +780,8 @@ def q_sql_st_measures(spark, sf_dir):
                       AS mkpoly_area_r,
                   ROUND(ST_X(ST_PointFromWKB(ST_AsBinary(ST_Centroid(poly)))), 6)
                       AS pfwkb_x_r,
-                  (ST_LineFromWKB(ST_AsBinary(poly)) IS NULL) AS lfwkb_null
+                  (ST_LineFromWKB(ST_AsBinary(poly)) IS NULL) AS lfwkb_null,
+                  ROUND(ST_Area(ST_Buffer(poly, -1.0D)), 6) AS ebuf_area_r
            FROM nsq_v"""
     )
 
@@ -1463,7 +1464,10 @@ def _oracles() -> dict[str, str]:
                    CAST(2 AS INTEGER) AS coord_dim,
                    ROUND(4.0 * hs * hs, 6) AS mkpoly_area_r,
                    ROUND(cx, 6) AS pfwkb_x_r,
-                   TRUE AS lfwkb_null
+                   TRUE AS lfwkb_null,
+                   -- erosion of a convex polygon is the exact inner
+                   -- offset: the square shrinks to side 2*hs - 2
+                   ROUND((2.0 * hs - 2.0) * (2.0 * hs - 2.0), 6) AS ebuf_area_r
             FROM (
               SELECT *,
                      LEAST(pmaxx, 40.0) - GREATEST(pminx, -60.0) AS ox,
