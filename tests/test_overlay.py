@@ -418,3 +418,76 @@ def test_line_symdifference_lengths():
     l2 = model.linestring([[5, 0], [15, 0]])
     sd = overlay.overlay(l1, l2, "symdifference")
     assert kernel.length(sd) == pytest.approx(10.0)
+
+
+def test_randomized_nested_band_dissolve_and_erosion():
+    """Regression class for the r4c _build_area fix: shapes whose ring
+    tree nests shell-in-hole-in-shell (band with an island inside its
+    hole, the island holding its own sub-hole). The hole used to attach
+    to the smallest shell containing one of its interior points — a
+    shell nested INSIDE the hole steals it, yielding negative-area
+    parts. 40 randomized configurations: exact membership law, exact
+    area arithmetic, positive part areas, and the negative-buffer
+    closed form over the multi-component result."""
+    rng = np.random.default_rng(20260818)
+
+    def jbox(cx, cy, hx, hy):
+        return model.box(cx - hx, cy - hy, cx + hx, cy + hy), 4 * hx * hy
+
+    for trial in range(40):
+        cx, cy = rng.uniform(-3, 3, 2)
+        h1 = rng.uniform(8, 10)
+        h2 = h1 * rng.uniform(0.55, 0.68)
+        h3 = h2 * rng.uniform(0.5, 0.65)
+        h4 = h3 * rng.uniform(0.3, 0.45)
+        # jitter inner centers within the nesting margin so the hole's
+        # sampled interior point lands in varying components
+        j2 = rng.uniform(-0.05, 0.05, 2) * h1
+        j3 = rng.uniform(-0.05, 0.05, 2) * h2
+        big, a_big = jbox(cx, cy, h1, h1 * rng.uniform(0.8, 1.0))
+        hole, a_hole = jbox(cx + j2[0], cy + j2[1], h2, h2)
+        island, a_isl = jbox(cx + j3[0], cy + j3[1], h3, h3)
+        sub, a_sub = jbox(cx + j3[0], cy + j3[1], h4, h4)
+
+        band = overlay.overlay(big, hole, "difference")
+        ring_island = overlay.overlay(island, sub, "difference")
+        res = overlay.overlay(band, ring_island, "union")
+
+        # every assembled part carries positive area (the bug produced
+        # a part whose stolen hole exceeded its shell)
+        for p in res.flatten():
+            assert kernel.area(p) > 0.0, trial
+
+        want_area = (a_big - a_hole) + (a_isl - a_sub)
+        assert abs(kernel.area(res) - want_area) < 1e-9 * want_area, trial
+
+        # exact membership at points clear of all boundaries
+        pts = rng.uniform(cx - h1, cx + h1, size=(300, 2))
+        edges = np.vstack([g.segments() for g in (big, hole, island, sub)])
+        pts = pts[
+            kernel._point_seg_dist_matrix(pts[:, 0], pts[:, 1], edges).min(axis=1)
+            > 1e-3
+        ]
+        want = (
+            overlay._in_area(pts, overlay._normalize_parts(big))
+            & ~overlay._in_area(pts, overlay._normalize_parts(hole))
+        ) | (
+            overlay._in_area(pts, overlay._normalize_parts(island))
+            & ~overlay._in_area(pts, overlay._normalize_parts(sub))
+        )
+        got = overlay._in_area(pts, overlay._normalize_parts(res))
+        assert (got == want).all(), trial
+
+        # erosion by d=0.25 (every band is wider than 2d by
+        # construction): each component erodes independently;
+        # rectangle holes grow by A + P*d + A_64(d)
+        d = 0.25
+        a64d = 32.0 * d * d * np.sin(2 * np.pi / 64.0)
+        ero = kernel.buffer_geom(res, -d)
+        ex1 = (big.coords[0][:, 0].max() - big.coords[0][:, 0].min()) / 2
+        ey1 = (big.coords[0][:, 1].max() - big.coords[0][:, 1].min()) / 2
+        want_ero = (
+            4 * (ex1 - d) * (ey1 - d) - (a_hole + 8 * h2 * d + a64d)
+            + 4 * (h3 - d) * (h3 - d) - (a_sub + 8 * h4 * d + a64d)
+        )
+        assert abs(kernel.area(ero) - want_ero) < 1e-7 * want_area, trial
