@@ -1005,14 +1005,33 @@ def q_resize(spark, sf_dir):
 def q_tile_hilbert(spark, sf_dir):
     """Hilbert tile ids. Oracle-gated since round 2: the xy2d rotate
     loop is unrolled into chained CTEs of integer CASE/bitwise SQL
-    (_hilbert_xy2d_sql), so the curve itself is relationally verified."""
-    from geomesa_sql_spark.tiles import assign_tiles
+    (_hilbert_xy2d_sql), so the curve itself is relationally verified.
+    Late r4, the raster→vector back-edge under the same gate: ix/iy
+    come from ``invert_tiles`` (hilbert_d2xy from the id ALONE) while
+    the oracle emits the forward (x, y) it fed into xy2d — hash
+    equality proves the inverse relationally; the tile lon/lat
+    envelope (pure Column arithmetic) is gated against the oracle's
+    closed forms, with per-tile closed-envelope containment of every
+    member point asserted on the Spark side."""
+    from geomesa_sql_spark.tiles import assign_tiles, invert_tiles, tile_envelope
 
     pts = orders_points(spark, sf_dir)
-    return (
-        assign_tiles(pts, zoom=6, with_hilbert=True)
-        .groupBy("tile_id")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+    t = tile_envelope(assign_tiles(pts, zoom=6, with_hilbert=True), 6)
+    agg = t.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(
+            (F.col("lon") >= F.col("tminx")) & (F.col("lon") <= F.col("tmaxx"))
+            & (F.col("lat") >= F.col("tminy")) & (F.col("lat") <= F.col("tmaxy"))
+        ).alias("contained"),
+    )
+    inv = tile_envelope(invert_tiles(agg, 6, out=("ix", "iy")), 6, x="ix", y="iy")
+    return inv.select(
+        "tile_id", "n_rows", "ix", "iy",
+        F.round("tminx", 6).alias("tminx_r"),
+        F.round("tminy", 6).alias("tminy_r"),
+        F.round("tmaxx", 6).alias("tmaxx_r"),
+        F.round("tmaxy", 6).alias("tmaxy_r"),
+        "contained",
     )
 
 
@@ -1620,10 +1639,16 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
     Each step uses fresh column names (x0,y0,d0 → x1,y1,d1 → ...) so
     DuckDB's lateral column aliasing can never bind to the new value."""
     n = 1 << zoom
+    # ox/oy carry the ORIGINAL grid coords through the rotate steps
+    # (the loop destroys x/y): the final select emits them as the
+    # inverse-Hilbert oracle — the Spark side recomputes them from the
+    # id alone via hilbert_d2xy, so hash equality proves d2xy ∘ xy2d=id
+    xexpr = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    yexpr = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((90.0 - lat) / 180.0 * {n}) AS BIGINT)))"
     base = (
         f"h0 AS (SELECT "
-        f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT))) AS x0, "
-        f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((90.0 - lat) / 180.0 * {n}) AS BIGINT))) AS y0, "
+        f"{xexpr} AS x0, {yexpr} AS y0, "
+        f"{xexpr} AS ox, {yexpr} AS oy, "
         f"CAST(0 AS BIGINT) AS d0 FROM ({opts}))"
     )
     steps = [base]
@@ -1646,11 +1671,22 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
         )
         steps.append(
             f"h{j} AS (SELECT d{i} + {s * s} * ({term}) AS d{j}, "
-            f"{new_x} AS x{j}, {new_y} AS y{j} FROM h{i})"
+            f"{new_x} AS x{j}, {new_y} AS y{j}, ox, oy FROM h{i})"
         )
     return (
         "WITH " + ", ".join(steps)
-        + f" SELECT d{zoom} AS tile_id, COUNT(*) AS n_rows FROM h{zoom} GROUP BY 1"
+        + f" SELECT d{zoom} AS tile_id, COUNT(*) AS n_rows, "
+        # one tile_id ↔ one (x, y): MIN is just the value
+        f"MIN(ox) AS ix, MIN(oy) AS iy, "
+        f"ROUND(MIN(ox) * (360.0 / {n}) - 180.0, 6) AS tminx_r, "
+        f"ROUND(90.0 - (MIN(oy) + 1) * (180.0 / {n}), 6) AS tminy_r, "
+        f"ROUND((MIN(ox) + 1) * (360.0 / {n}) - 180.0, 6) AS tmaxx_r, "
+        f"ROUND(90.0 - MIN(oy) * (180.0 / {n}), 6) AS tmaxy_r, "
+        # closed-envelope containment always holds under FLOOR
+        # assignment with edge clamping (lat = -90 clamps into row
+        # n-1, whose closed envelope still contains it)
+        f"TRUE AS contained "
+        f"FROM h{zoom} GROUP BY 1"
     )
 
 

@@ -553,6 +553,39 @@ def register_all(spark: SparkSession) -> None:
 
     spark.udf.register("ST_MakeEnvelope", _makeenv)
 
+    @F.pandas_udf(T.BinaryType())
+    def _tile_envelope(z: pd.Series, tx: pd.Series, ty: pd.Series) -> pd.Series:
+        # PostGIS ST_TileEnvelope(zoom, x, y): Web-Mercator XYZ tile
+        # bounds in EPSG:3857 (the PostGIS default grid — y grows
+        # south, origin top-left at (-A, A) with A = pi * 6378137)
+        from geomesa_sql_spark.geom.model import box
+
+        A = 20037508.342789244
+        out = []
+        for zz, xx, yy in zip(z, tx, ty):
+            if zz is None or xx is None or yy is None:
+                out.append(None)
+                continue
+            zz, xx, yy = int(zz), int(xx), int(yy)
+            n = 1 << zz
+            if not (0 <= xx < n and 0 <= yy < n):
+                out.append(None)
+                continue
+            size = 2.0 * A / n
+            out.append(
+                geom_to_wkb(
+                    box(
+                        -A + xx * size,
+                        A - (yy + 1) * size,
+                        -A + (xx + 1) * size,
+                        A - yy * size,
+                    )
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_TileEnvelope", _tile_envelope)
+
     def _measure(fn, dtype=T.DoubleType()):
         @F.pandas_udf(dtype)
         def _udf(wkb: pd.Series) -> pd.Series:

@@ -1,8 +1,10 @@
 from geomesa_sql_spark.tiles.assign import (  # noqa: F401
     assign_tiles,
     build_pyramid,
+    invert_tiles,
     merge_pyramids,
     pyramid_rollup,
+    tile_envelope,
     tile_mosaic,
     tile_stats,
 )

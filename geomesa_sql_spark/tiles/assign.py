@@ -198,3 +198,61 @@ def tile_mosaic(
     return rep.join(thumbs, on=id_col).select(
         "tile_x", "tile_y", id_col, "bytes", "w", "h", "px_sum"
     )
+
+
+def invert_tiles(
+    df: DataFrame,
+    zoom: int,
+    tile_id: str = "tile_id",
+    out: tuple[str, str] = ("tile_x", "tile_y"),
+) -> DataFrame:
+    """Inverse tile assignment: Hilbert ``tile_id`` → grid coords.
+
+    The raster→vector back-edge: a frame of per-tile aggregates (tile
+    server output, pyramid levels) keyed only by tile_id recovers its
+    grid position — and, through ``tile_envelope``, a geometry that can
+    re-enter ``spatial_join``. Vectorized ``hilbert_d2xy`` over Arrow
+    batches; exact inverse of ``assign_tiles`` (cells/curve.py d2xy ∘
+    xy2d = id, tested per-bit, and gated relationally: the driver
+    oracle emits the forward (x, y) while this path emits the inverse
+    from the id alone — hash equality proves them equal)."""
+    from geomesa_sql_spark.cells import hilbert_d2xy
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField(out[0], T.LongType()),
+                T.StructField(out[1], T.LongType()),
+            ]
+        )
+    )
+    def _d2xy(ids: pd.Series) -> pd.DataFrame:
+        x, y = hilbert_d2xy(ids.to_numpy(np.int64), zoom)
+        return pd.DataFrame({out[0]: x, out[1]: y})
+
+    tmp = "_inv_xy"
+    res = df.withColumn(tmp, _d2xy(tile_id))
+    for c in out:
+        res = res.withColumn(c, F.col(f"{tmp}.{c}"))
+    return res.drop(tmp)
+
+
+def tile_envelope(
+    df: DataFrame,
+    zoom: int,
+    x: str = "tile_x",
+    y: str = "tile_y",
+    prefix: str = "t",
+) -> DataFrame:
+    """Add the tile's lon/lat envelope (<prefix>minx/miny/maxx/maxy) as
+    pure Column arithmetic (JVM codegen, no UDF) — the inverse of the
+    FLOOR expressions in ``assign_tiles``. Feed the corners to
+    ST_MakeEnvelope for a WKB polygon that re-enters the spatial-join
+    surface (the raster→vector handoff's vector side)."""
+    n = 1 << zoom
+    return (
+        df.withColumn(f"{prefix}minx", F.col(x) * (360.0 / n) - 180.0)
+        .withColumn(f"{prefix}maxx", (F.col(x) + 1) * (360.0 / n) - 180.0)
+        .withColumn(f"{prefix}miny", 90.0 - (F.col(y) + 1) * (180.0 / n))
+        .withColumn(f"{prefix}maxy", 90.0 - F.col(y) * (180.0 / n))
+    )

@@ -196,6 +196,58 @@ def test_tiles_vs_floor_oracle(spark, sf_dir):
     assert n_pairs == n_ids
 
 
+def test_invert_tiles_and_envelope_roundtrip(spark, sf_dir):
+    """The raster→vector back-edge (late r4): hilbert_d2xy from the
+    tile_id alone recovers (tile_x, tile_y) for every assigned tile;
+    the tile envelope (pure Column arithmetic) contains each member
+    point under closed bounds; ST_TileEnvelope matches the PostGIS
+    Web-Mercator closed forms."""
+    from geomesa_sql_spark.functions import register_all
+    from geomesa_sql_spark.tiles import assign_tiles, invert_tiles, tile_envelope
+
+    z = 6
+    t = assign_tiles(orders_points(spark, sf_dir), z)
+    inv = invert_tiles(
+        t.select("tile_id", "tile_x", "tile_y").distinct(), z, out=("ix", "iy")
+    )
+    assert inv.filter(
+        (F.col("ix") != F.col("tile_x")) | (F.col("iy") != F.col("tile_y"))
+    ).count() == 0
+
+    env = tile_envelope(t, z)
+    outside = env.filter(
+        ~((F.col("lon") >= F.col("tminx")) & (F.col("lon") <= F.col("tmaxx"))
+          & (F.col("lat") >= F.col("tminy")) & (F.col("lat") <= F.col("tmaxy")))
+    )
+    assert outside.count() == 0
+
+    # envelope → WKB re-enters the ST_ surface (vector side of the
+    # handoff): rebuilt polygon areas match the grid cell size
+    register_all(spark)
+    env.limit(20).createOrReplaceTempView("tile_env_v")
+    areas = spark.sql(
+        """SELECT ST_Area(ST_MakeEnvelope(tminx, tminy, tmaxx, tmaxy)) AS a
+           FROM tile_env_v"""
+    ).collect()
+    cell = (360.0 / (1 << z)) * (180.0 / (1 << z))
+    assert all(abs(r.a - cell) < 1e-9 for r in areas)
+
+    # ST_TileEnvelope: PostGIS Web-Mercator closed forms
+    A = 20037508.342789244
+    row = spark.sql(
+        """SELECT ST_XMin(ST_TileEnvelope(0, 0, 0)) AS x0,
+                  ST_YMax(ST_TileEnvelope(0, 0, 0)) AS y0,
+                  ST_XMin(ST_TileEnvelope(2, 1, 1)) AS x2,
+                  ST_YMax(ST_TileEnvelope(2, 1, 1)) AS y2,
+                  ST_TileEnvelope(2, 4, 0) IS NULL AS oob
+        """
+    ).first()
+    assert abs(row.x0 + A) < 1e-6 and abs(row.y0 - A) < 1e-6
+    assert abs(row.x2 - (-A + A / 2)) < 1e-6
+    assert abs(row.y2 - (A - A / 2)) < 1e-6
+    assert row.oob is True
+
+
 def test_knn_adaptive_matches_bruteforce(spark, sf_dir):
     """Scale-path kNN (expanding-radius prune) ≡ brute force, including
     a probe in an empty region that forces multiple expansion rounds."""
