@@ -215,7 +215,13 @@ def invert_tiles(
     batches; exact inverse of ``assign_tiles`` (cells/curve.py d2xy ∘
     xy2d = id, tested per-bit, and gated relationally: the driver
     oracle emits the forward (x, y) while this path emits the inverse
-    from the id alone — hash equality proves them equal)."""
+    from the id alone — hash equality proves them equal).
+
+    Joining downstream? Join on ``tile_id`` itself, not on the
+    recovered coords: a Python-UDF-derived column used as an equi-join
+    key gets double-evaluated by Catalyst's inferred not-null
+    constraint (the repo-wide rule) — if you must key on (x, y),
+    localCheckpoint this frame first."""
     from geomesa_sql_spark.cells import hilbert_d2xy
 
     @F.pandas_udf(
