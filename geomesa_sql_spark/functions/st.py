@@ -61,11 +61,16 @@ def _point_wkb_array(x: np.ndarray, y: np.ndarray) -> list:
 
 @F.pandas_udf(T.BinaryType())
 def st_point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
-    """ST_MakePoint / ST_Point over lon/lat columns → WKB."""
-    return pd.Series(
-        _point_wkb_array(x.to_numpy(dtype=np.float64), y.to_numpy(dtype=np.float64)),
-        dtype=object,
-    )
+    """ST_MakePoint / ST_Point over lon/lat columns → WKB. NULL (or
+    NaN — Arrow's NULL encoding for numeric batches) coords → NULL,
+    PostGIS parity, instead of POINT (nan nan)."""
+    xs = x.to_numpy(dtype=np.float64)
+    ys = y.to_numpy(dtype=np.float64)
+    vals = _point_wkb_array(xs, ys)
+    bad = np.isnan(xs) | np.isnan(ys)
+    if bad.any():
+        vals = [None if m else v for v, m in zip(vals, bad)]
+    return pd.Series(vals, dtype=object)
 
 
 def _decode_series(wkb: pd.Series) -> list:
@@ -430,7 +435,9 @@ def register_all(spark: SparkSession) -> None:
         cache: dict[tuple[bytes, float], bytes] = {}
         out = []
         for b, dist in zip(wkb, d):
-            if b is None or dist is None:
+            # pd.isna for the numeric arg: Arrow delivers NULL doubles
+            # as NaN, and a NaN distance would poison every ring coord
+            if b is None or pd.isna(dist):
                 out.append(None)
                 continue
             key = (bytes(b), float(dist))
@@ -544,7 +551,7 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series(
             [
                 None
-                if a is None or b is None or c is None or e is None
+                if pd.isna(a) or pd.isna(b) or pd.isna(c) or pd.isna(e)
                 else geom_to_wkb(box(float(a), float(b), float(c), float(e)))
                 for a, b, c, e in zip(minx, miny, maxx, maxy)
             ],
@@ -563,10 +570,15 @@ def register_all(spark: SparkSession) -> None:
         A = 20037508.342789244
         out = []
         for zz, xx, yy in zip(z, tx, ty):
-            if zz is None or xx is None or yy is None:
+            # pd.isna, not `is None`: Arrow delivers NULL ints to the
+            # UDF as float NaN (review r4d)
+            if pd.isna(zz) or pd.isna(xx) or pd.isna(yy):
                 out.append(None)
                 continue
             zz, xx, yy = int(zz), int(xx), int(yy)
+            if not 0 <= zz <= 30:
+                out.append(None)
+                continue
             n = 1 << zz
             if not (0 <= xx < n and 0 <= yy < n):
                 out.append(None)
@@ -611,7 +623,7 @@ def register_all(spark: SparkSession) -> None:
     def _simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
         out = []
         for b, t in zip(wkb, tol):
-            if b is None or t is None:
+            if b is None or pd.isna(t):
                 out.append(None)
             else:
                 out.append(

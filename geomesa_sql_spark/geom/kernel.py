@@ -660,8 +660,11 @@ def buffer_geom(g: Geom, d: float, quad_segs: int = 16, dissolve: bool = True) -
     """
     if d == 0.0:
         # JTS BufferOp(0): polygonal parts pass through (the buffer(0)
-        # fix idiom); points/lines collapse to POLYGON EMPTY
-        polys = [p for p in g.flatten() if p.type == model.POLYGON]
+        # fix idiom); points/lines collapse to POLYGON EMPTY.
+        # Zero-ring (empty) polygons are excluded — boundary/overlay of
+        # an empty part would propagate NaN coords (review r4d)
+        polys = [p for p in g.flatten()
+                 if p.type == model.POLYGON and len(p.coords)]
         if not polys:
             return Geom(model.POLYGON, [])
         if len(polys) == 1:
@@ -676,7 +679,8 @@ def buffer_geom(g: Geom, d: float, quad_segs: int = 16, dissolve: bool = True) -
         # (the capsule rectangles dominate the inscribed-k-gon vertex
         # circles on the interior side), so convex-polygon erosion has
         # the exact closed form of the inner offset polygon.
-        polys = [p for p in g.flatten() if p.type == model.POLYGON]
+        polys = [p for p in g.flatten()
+                 if p.type == model.POLYGON and len(p.coords)]
         if not polys:
             return Geom(model.POLYGON, [])
         from geomesa_sql_spark.geom import overlay as _overlay

@@ -284,3 +284,17 @@ def test_buffer_zero_and_negative():
     got_pos = kernel.area(kernel.buffer_geom(dn, 0.5))
     want_pos = (100 + 40 * 0.5 + a64(0.5)) - 1.0
     assert abs(got_pos - want_pos) < 1e-9
+
+
+def test_buffer_empty_polygon_inputs():
+    """Review r4d: zero-ring (empty) polygon parts must not reach the
+    boundary/overlay path — buffer of POLYGON EMPTY at any distance is
+    POLYGON EMPTY, never POINT (nan nan)."""
+    from geomesa_sql_spark.geom import kernel, model
+
+    empty = model.Geom(model.POLYGON, [])
+    for d in (-1.0, 0.0, 0.5):
+        got = kernel.buffer_geom(empty, d)
+        assert got.type in (model.POLYGON, model.MULTIPOLYGON)
+        assert kernel.area(got) == 0.0
+        assert not len(got.all_coords()) or not np.isnan(got.all_coords()).any()

@@ -138,3 +138,13 @@ def test_struct_columns_keep_field_names(server):
     out = _req(f"{server}/sql",
                {"sql": "SELECT named_struct('a', 1, 'b', 'x') AS s"})
     assert out["rows"][0][0] == {"a": 1, "b": "x"}
+
+
+def test_non_ascii_auth_header_gets_401(server):
+    """Review r4d: hmac.compare_digest raises TypeError on non-ASCII
+    str — a latin-1 header byte must yield a clean 401, not a reset."""
+    req = urllib.request.Request(
+        f"{server}/tables", headers={"Authorization": "Bearer t\xf6ken"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 401

@@ -666,3 +666,23 @@ def test_calcite_fillin_final_names(spark):
     assert row.lwkb.startswith("LINESTRING")
     assert row.plwkb.startswith("POLYGON")
     assert row.closed_null is None
+
+
+def test_numeric_null_args_yield_null(spark):
+    """Review r4d: Arrow delivers NULL numeric UDF args as NaN, so
+    `is None` checks were dead — NULL coords/distances/zooms must
+    yield NULL, not NaN geometries or task crashes."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    row = spark.sql("""
+        SELECT ST_MakePoint(CAST(NULL AS DOUBLE), 1.0D) AS p,
+               ST_Buffer(ST_MakePoint(1.0D, 1.0D), CAST(NULL AS DOUBLE)) AS b,
+               ST_Simplify(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 0)'),
+                           CAST(NULL AS DOUBLE)) AS s,
+               ST_MakeEnvelope(0.0D, 0.0D, CAST(NULL AS DOUBLE), 1.0D) AS e,
+               ST_TileEnvelope(CAST(NULL AS INT), 0, 0) AS t_null,
+               ST_TileEnvelope(-1, 0, 0) AS t_neg
+    """).first()
+    assert row.p is None and row.b is None and row.s is None
+    assert row.e is None and row.t_null is None and row.t_neg is None

@@ -128,8 +128,13 @@ def make_handler(engine, token: str | None):
                 return True
             got = self.headers.get("Authorization", "")
             # constant-time compare: plain == short-circuits on the
-            # first differing byte (byte-at-a-time token recovery)
-            if hmac.compare_digest(got, f"Bearer {token}"):
+            # first differing byte (byte-at-a-time token recovery).
+            # Compare BYTES: compare_digest raises TypeError on
+            # non-ASCII str (http.server decodes headers as latin-1,
+            # so an attacker-sent non-ASCII header is reachable)
+            if hmac.compare_digest(
+                got.encode("utf-8"), f"Bearer {token}".encode("utf-8")
+            ):
                 return True
             self._send(401, {"error": "missing or bad bearer token"})
             return False
