@@ -7,10 +7,13 @@ metadata (image_id, w, h, fmt — BASELINE.json input_hint). Two formats:
 - ``png``: real PNG (zlib + struct), 8-bit RGB, filter 0 — losslessly
   decodable by any PNG reader; lets the PSNR≥40dB payload invariant be
   exercised through an actual encode→decode round trip.
+- ``jpeg``: from-scratch baseline JFIF codec (`io/jpeg.py`: numpy DCT,
+  canonical Huffman, 4:4:4/4:2:0, restart markers) — the LOSSY leg of
+  the invariant, measured ≥40 dB at quality 90 in tests.
 
 Per-row invariant vs the reference (BASELINE.json:15): decoded-pixel
-allclose (PSNR ≥ 40 dB for lossy; both codecs here are lossless so the
-check is exact) + caption equality.
+allclose (PSNR ≥ 40 dB for lossy — exercised by the jpeg codec; raw
+and png are lossless so their check is exact) + caption equality.
 """
 
 from __future__ import annotations
@@ -125,8 +128,15 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return decode_raw(data, w, h)
     if fmt == "png":
         return decode_png(data)
+    if fmt in ("jpeg", "jpg"):
+        # from-scratch baseline JFIF decoder (io/jpeg.py) — the lossy
+        # leg of the PSNR>=40dB payload invariant; lazy import keeps the
+        # lossless fast path import-light
+        from geomesa_sql_spark.io.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        f"fmt {fmt!r}: jpeg/webp decode needs PIL/cv2 (absent in this container); "
+        f"fmt {fmt!r}: webp decode needs PIL/cv2 (absent in this container); "
         "plumbing (schema, partitioning, batch shape) is format-agnostic"
     )
 

@@ -1,0 +1,527 @@
+"""Baseline JFIF JPEG codec — from scratch, numpy + stdlib only.
+
+Closes the one lossy-format stub in `io/images.py` (no PIL/cv2 in the
+environment): the north rule's per-row image invariant is
+"decoded-pixel allclose (PSNR ≥ 40 dB for lossy)" (BASELINE.json
+input_hint), and PNG/raw are lossless, so without this module nothing
+ever exercised the lossy leg of that contract.
+
+Decoder (`decode_jpeg`): baseline sequential DCT, 8-bit, 1 or 3
+components, any sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0),
+restart markers, multiple DQT/DHT segments — i.e. the shape libjpeg
+and cameras emit. It builds Huffman tables from the FILE's own DHT
+segments, so it decodes foreign baseline JPEGs, not just this
+encoder's output. Progressive (SOF2), arithmetic coding, 12-bit, and
+hierarchical modes raise loudly.
+
+Encoder (`encode_jpeg`): baseline 4:4:4, standard Annex-K quantization
+tables with the libjpeg quality scaling law, vectorized 2-D DCT over
+all blocks at once. Entropy tables are VALID canonical Huffman tables
+constructed programmatically (every DC size 0-11 at 4 bits, every AC
+(run, size) symbol plus EOB/ZRL at 9 bits — Kraft sums 0.75 and 0.32,
+both admissible) instead of a hand-transcribed Annex-K table: the
+decoder always reads tables from the stream, so interop is unaffected
+and a transcription typo cannot silently corrupt the bitstream. Costs
+~1.5× the optimal entropy size; pixels (and therefore PSNR) are
+identical to what the standard tables would give.
+
+Fidelity: quality 90 on the synthetic fixture images measures PSNR
+well above the 40 dB bar (smooth gradients); quality 50 sits in the
+30s — both asserted in tests, along with an IDCT∘DCT identity law and
+foreign-layout decoding via a 4:2:0 round trip.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# Annex K quantization tables (public, every JPEG article reproduces them)
+Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+
+Q_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# zigzag scan order: ZIGZAG[k] = flat (row*8+col) index of the k-th
+# zigzag position — derived, not transcribed
+def _zigzag_order() -> np.ndarray:
+    order = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        idx = [(s - j, j) for j in rng]
+        if s % 2 == 0:
+            idx.reverse()
+        order.extend(r * 8 + c for r, c in idx)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# 8x8 DCT-II matrix: dct(X) = A @ X @ A.T
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0) * 0.5
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+DCT_A = _dct_matrix()
+
+
+def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling law."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (tbl * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+# ------------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing
+    and restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartHit()
+            else:
+                # reached a real marker (EOI) — per spec, pad with 1s
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def restart(self) -> None:
+        """Byte-align, consume the RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        while d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartHit(Exception):
+    pass
+
+
+# ------------------------------------------------------ Huffman tables
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """(bits[1..16], values) → {symbol: (code, length)} canonical."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """{(length, code): symbol} for the reader."""
+    enc = _canonical_codes(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+# encoder tables: flat-length canonical codes (valid Huffman — see
+# module docstring). DC: 12 symbols × 4 bits; AC: 162 symbols × 9 bits.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0] * 16
+_AC_BITS[8] = len(_AC_VALS)  # all codes 9 bits long
+_ENC_DC = _canonical_codes(_DC_BITS, _DC_VALS)
+_ENC_AC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+def _size_of(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# ------------------------------------------------------------ encoder
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (edge-replicate) to 8-multiples, return (n,8,8) blocks +
+    block-grid dims."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, bh, bw
+
+
+def _encode_block(wtr: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    diff = int(zz[0]) - pred
+    s = _size_of(diff)
+    code, ln = _ENC_DC[s]
+    wtr.put(code, ln)
+    if s:
+        wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _ENC_AC[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+        s = _size_of(v)
+        code, ln = _ENC_AC[(run << 4) | s]
+        wtr.put(code, ln)
+        wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = _ENC_AC[0x00]
+        wtr.put(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes.
+
+    ``subsampling``: '444' (full chroma) or '420' (chroma box-averaged
+    2×2 — the layout cameras/libjpeg default to, and the path that
+    exercises the decoder's generic MCU walker + upsampler).
+    """
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = 2 if subsampling == "420" else 1
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = pixels.shape
+    ycc = _rgb_to_ycbcr(pixels)
+    qt = [_quality_scale(Q_LUM, quality), _quality_scale(Q_CHR, quality)]
+
+    # sampling factors per component; chroma planes box-downsampled
+    factors = [(sub, sub), (1, 1), (1, 1)]
+    mcu_px = 8 * sub
+    mh, mw = -h % mcu_px, -w % mcu_px
+    padded = np.pad(ycc, ((0, mh), (0, mw), (0, 0)), mode="edge")
+    planes = [padded[..., 0]]
+    if sub == 2:
+        ph, pw = padded.shape[0], padded.shape[1]
+        for ci in (1, 2):
+            p = padded[..., ci].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes.append(p)
+    else:
+        planes += [padded[..., 1], padded[..., 2]]
+
+    comp_coefs = []
+    grids = []
+    for ci, plane in enumerate(planes):
+        blocks, bh, bw = _plane_blocks(plane - 128.0)
+        grids.append((bh, bw))
+        coef = np.einsum("ij,njk,lk->nil", DCT_A, blocks, DCT_A)
+        q = qt[0 if ci == 0 else 1].astype(np.float64)
+        qc = np.round(coef / q).astype(np.int64)
+        comp_coefs.append(qc.reshape(-1, 64)[:, ZIGZAG])
+
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    mcuy = grids[0][0] // factors[0][1]
+    mcux = grids[0][1] // factors[0][0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                fh, fv = factors[ci]
+                bh, bw = grids[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        bi = (my * fv + by) * bw + (mx * fh + bx)
+                        pred[ci] = _encode_block(wtr, comp_coefs[ci][bi], pred[ci])
+    entropy = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qt):
+        out += seg(0xFFDB, bytes([tid]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in range(3):
+        fh, fv = factors[cid]
+        sof += bytes([cid + 1, (fh << 4) | fv, 0 if cid == 0 else 1])
+    out += seg(0xFFC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_BITS, _DC_VALS), (0, 1, _DC_BITS, _DC_VALS),
+        (1, 0, _AC_BITS, _AC_VALS), (1, 1, _AC_BITS, _AC_VALS),
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([3])
+    for cid in range(3):
+        t = 0 if cid == 0 else 1
+        sos += bytes([cid + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------ decoder
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as ex:
+        # running off the end of a truncated/corrupt stream surfaces as
+        # a clean ValueError, not a parser IndexError
+        raise ValueError(f"truncated or corrupt JPEG stream: {ex}") from ex
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+
+    while True:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        body = data[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tid = body[o] >> 4, body[o] & 15
+                o += 1
+                if pq:
+                    q = np.frombuffer(body[o:o + 128], dtype=">u2").astype(np.int32)
+                    o += 128
+                else:
+                    q = np.frombuffer(body[o:o + 64], dtype=np.uint8).astype(np.int32)
+                    o += 64
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = q
+                qtabs[tid] = tbl.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline / extended seq
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, qid = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "q": qid})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X}: only baseline sequential "
+                "(SOF0/SOF1) is supported (no progressive/arithmetic/lossless)"
+            )
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                cls, tid = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                htabs[(cls, tid)] = _decode_table(bits, vals)
+                o += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scomp = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                c = next(c for c in comps if c["id"] == cs)
+                scomp.append((c, tt >> 4, tt & 15))
+            pos += ln
+            break
+        pos += ln
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+
+    # decode lookup: longest JPEG code is 16 bits; walk length-by-length
+    def read_symbol(rdr: _BitReader, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rdr.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code in JPEG stream")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    rdr = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rdr.restart()
+                pred = {c["id"]: 0 for c in comps}
+            mcu_count += 1
+            try:
+                for c, dct, act in scomp:
+                    dtab, atab = htabs[(0, dct)], htabs[(1, act)]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = np.zeros(64, dtype=np.int32)
+                            s = read_symbol(rdr, dtab)
+                            diff = extend(rdr.bits(s), s) if s else 0
+                            pred[c["id"]] += diff
+                            zz[0] = pred[c["id"]]
+                            k = 1
+                            while k <= 63:
+                                rs = read_symbol(rdr, atab)
+                                if rs == 0x00:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                s = rs & 15
+                                if k > 63:
+                                    raise ValueError("AC index overrun")
+                                zz[k] = extend(rdr.bits(s), s)
+                                k += 1
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            c["coef"][row * c["bw"] + col] = zz
+            except _RestartHit:
+                raise ValueError("unexpected restart marker") from None
+
+    planes = []
+    for c in comps:
+        deq = np.zeros((len(c["coef"]), 64), dtype=np.float64)
+        deq[:, ZIGZAG] = c["coef"]
+        deq *= qtabs[c["q"]].reshape(-1)[None, :]
+        blocks = deq.reshape(-1, 8, 8)
+        px = np.einsum("ji,njk,kl->nil", DCT_A, blocks, DCT_A) + 128.0
+        plane = (
+            px.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full-res grid, crop
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

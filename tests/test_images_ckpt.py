@@ -72,7 +72,11 @@ def test_phash_and_resize(spark):
 
 
 def test_unsupported_format_raises():
+    # webp is the remaining honest stub (r4e implemented jpeg)
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBP", "webp", 4, 4)
+    # truncated jpeg: clean ValueError from the from-scratch decoder
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff", "jpeg", 4, 4)
 
 

@@ -1,0 +1,194 @@
+"""From-scratch baseline JPEG codec (io/jpeg.py) — the lossy leg of the
+north rule's image-payload invariant (input_hint: decoded-pixel
+allclose, PSNR >= 40 dB for lossy).
+
+The encoder is validated by decode round trips at closed thresholds;
+the decoder's foreign-file paths (4:2:0 MCU interleave + upsampling,
+restart markers, grayscale) are exercised with streams the public
+encoder cannot emit, hand-assembled from the module's own primitives.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.io.images import psnr
+from geomesa_sql_spark.io.jpeg import (
+    DCT_A,
+    ZIGZAG,
+    _BitWriter,
+    _encode_block,
+    _quality_scale,
+    Q_LUM,
+    _AC_BITS,
+    _AC_VALS,
+    _DC_BITS,
+    _DC_VALS,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_dct_identity():
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-128, 127, (16, 8, 8))
+    c = np.einsum("ij,njk,lk->nil", DCT_A, x, DCT_A)
+    back = np.einsum("ji,njk,kl->nil", DCT_A, c, DCT_A)
+    assert abs(back - x).max() < 1e-10
+
+
+def test_roundtrip_psnr_thresholds():
+    px = _gradient(48, 64)
+    assert psnr(px, decode_jpeg(encode_jpeg(px, 90))) >= 48.0
+    assert psnr(px, decode_jpeg(encode_jpeg(px, 50))) >= 40.0
+    assert psnr(px, decode_jpeg(encode_jpeg(px, 90, "420"))) >= 42.0
+    # noise is the worst case for DCT coding — still bounded
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    assert psnr(noisy, decode_jpeg(encode_jpeg(noisy, 90))) >= 28.0
+
+
+def test_odd_dimensions_and_tiny():
+    px = _gradient(41, 53)
+    assert psnr(px, decode_jpeg(encode_jpeg(px, 90))) >= 45.0
+    assert psnr(px, decode_jpeg(encode_jpeg(px, 90, "420"))) >= 40.0
+    one = _gradient(3, 5)  # single partial block
+    out = decode_jpeg(encode_jpeg(one, 95))
+    assert out.shape == (3, 5, 3) and psnr(one, out) >= 35.0
+
+
+def test_quality_monotone_size():
+    px = _gradient(64, 64)
+    sizes = [len(encode_jpeg(px, q)) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+
+
+def _seg(marker, payload):
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _headers_gray(h, w, q):
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDB, bytes([0]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    return out
+
+
+def _gray_blocks(plane, q):
+    ph = np.pad(
+        plane.astype(np.float64) - 128.0,
+        ((0, -plane.shape[0] % 8), (0, -plane.shape[1] % 8)),
+        mode="edge",
+    )
+    bh, bw = ph.shape[0] // 8, ph.shape[1] // 8
+    blocks = ph.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coef = np.einsum("ij,njk,lk->nil", DCT_A, blocks, DCT_A)
+    return np.round(coef / q.astype(np.float64)).astype(np.int64).reshape(-1, 64)[
+        :, ZIGZAG
+    ], bh, bw
+
+
+def test_decode_grayscale_single_component():
+    """1-component file (the decoder replicates Y into RGB) — a stream
+    shape the public encoder never emits."""
+    h, w = 24, 40
+    plane = ((np.mgrid[0:h, 0:w][1] * 4) % 256).astype(np.uint8)
+    q = _quality_scale(Q_LUM, 90)
+    zz, bh, bw = _gray_blocks(plane, q)
+    wtr = _BitWriter()
+    pred = 0
+    for bi in range(bh * bw):
+        pred = _encode_block(wtr, zz[bi], pred)
+    data = _headers_gray(h, w, q)
+    data += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    data += wtr.flush() + b"\xff\xd9"
+    out = decode_jpeg(bytes(data))
+    assert out.shape == (h, w, 3)
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 1] == out[..., 2]).all()
+    assert psnr(np.stack([plane] * 3, axis=-1), out) >= 45.0
+
+
+def test_decode_restart_markers():
+    """DRI + RSTn: byte-aligned restarts every MCU row, DC predictors
+    reset — the camera-file layout the public encoder never emits."""
+    h, w = 32, 48
+    plane = ((np.mgrid[0:h, 0:w][0] * 7) % 256).astype(np.uint8)
+    q = _quality_scale(Q_LUM, 90)
+    zz, bh, bw = _gray_blocks(plane, q)
+    data = _headers_gray(h, w, q)
+    data += _seg(0xFFDD, struct.pack(">H", bw))  # restart every MCU row
+    data += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    for row in range(bh):
+        wtr = _BitWriter()
+        pred = 0  # predictors reset at each restart
+        for col in range(bw):
+            pred = _encode_block(wtr, zz[row * bw + col], pred)
+        data += wtr.flush()
+        if row < bh - 1:
+            data += bytes([0xFF, 0xD0 + (row % 8)])
+    data += b"\xff\xd9"
+    out = decode_jpeg(bytes(data))
+    assert psnr(np.stack([plane] * 3, axis=-1), out) >= 45.0
+
+
+def test_garbage_and_unsupported_inputs():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    px = _gradient(16, 16)
+    good = bytearray(encode_jpeg(px, 90))
+    # flip SOF0 to SOF2 (progressive) -> loud NotImplementedError
+    i = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+
+def test_jpeg_through_spark_ops(spark):
+    """fmt='jpeg' rows flow through the Arrow-batched multimodal ops:
+    image_stats channel means within lossy tolerance, resize runs, and
+    the PSNR>=40dB invariant holds distributedly."""
+    from geomesa_sql_spark.ops import image_stats, resize_images
+
+    px = [_gradient(32, 32), _gradient(32, 32)[::-1].copy(), _gradient(24, 40)]
+    rows = [
+        (f"img{i}", encode_jpeg(p, 90), int(p.shape[1]), int(p.shape[0]), "jpeg")
+        for i, p in enumerate(px)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    stats = {r.image_id: r for r in image_stats(df).collect()}
+    for i, p in enumerate(px):
+        got = stats[f"img{i}"]
+        assert abs(got.mean_r - p[..., 0].mean()) < 1.5
+        assert abs(got.mean_g - p[..., 1].mean()) < 1.5
+        assert abs(got.mean_b - p[..., 2].mean()) < 1.5
+    rs = resize_images(df, out_size=8).collect()
+    assert len(rs) == 3 and all(r.w == 8 and r.h == 8 for r in rs)
+    # distributed PSNR law
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    from geomesa_sql_spark.io.images import decode_image
+
+    @F.pandas_udf(T.DoubleType())
+    def _psnr_vs_reencode(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        out = []
+        for blob, ww, hh in zip(b, w, h):
+            a = decode_image(bytes(blob), "jpeg", int(ww), int(hh))
+            out.append(psnr(a, decode_jpeg(encode_jpeg(a, 90))))
+        return pd.Series(out)
+
+    vals = df.select(_psnr_vs_reencode("bytes", "w", "h").alias("p")).collect()
+    assert all(r.p >= 40.0 for r in vals)
