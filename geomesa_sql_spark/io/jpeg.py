@@ -76,7 +76,6 @@ def _zigzag_order() -> np.ndarray:
 
 
 ZIGZAG = _zigzag_order()
-UNZIGZAG = np.argsort(ZIGZAG)
 
 # 8x8 DCT-II matrix: dct(X) = A @ X @ A.T
 def _dct_matrix() -> np.ndarray:
@@ -115,6 +114,9 @@ class _BitWriter:
             self.buf.append(b)
             if b == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # drop emitted bits — otherwise acc grows one byte per output
+        # byte and every put() shifts an ever-bigger int (O(n²) encode)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -157,6 +159,9 @@ class _BitReader:
             self._fill()
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
+        # truncate to live bits — otherwise acc grows with the whole
+        # entropy stream and each _fill shifts it (O(n²) decode)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def restart(self) -> None:
@@ -190,10 +195,25 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """{(length, code): symbol} for the reader."""
+_FAST_BITS = 9
+
+
+def _decode_table(bits: list[int], vals: list[int]):
+    """(walk, fast) pair for the reader: ``walk`` maps (length, code) →
+    symbol for the bit-by-bit path; ``fast`` maps every 9-bit prefix of
+    a code of length ≤ 9 → (symbol, length), resolving the vast
+    majority of symbols with ONE dict lookup (review r4e: the
+    walk-only reader cost ~9 Python calls per symbol — the decode hot
+    loop)."""
     enc = _canonical_codes(bits, vals)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+    walk = {(ln, code): sym for sym, (code, ln) in enc.items()}
+    fast: dict[int, tuple[int, int]] = {}
+    for sym, (code, ln) in enc.items():
+        if ln <= _FAST_BITS:
+            base = code << (_FAST_BITS - ln)
+            for suffix in range(1 << (_FAST_BITS - ln)):
+                fast[base + suffix] = (sym, ln)
+    return walk, fast
 
 
 # encoder tables: flat-length canonical codes (valid Huffman — see
@@ -367,10 +387,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as ex:
-        # running off the end of a truncated/corrupt stream surfaces as
-        # a clean ValueError, not a parser IndexError
-        raise ValueError(f"truncated or corrupt JPEG stream: {ex}") from ex
+    except (IndexError, struct.error, KeyError) as ex:
+        # running off the end of a truncated stream (IndexError/
+        # struct.error) or a scan referencing an undefined DHT/DQT id
+        # (KeyError) surfaces as a clean ValueError
+        raise ValueError(
+            f"truncated or corrupt JPEG stream: {type(ex).__name__}: {ex}"
+        ) from ex
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
@@ -381,16 +404,125 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
     h = w = 0
+    hmax = vmax = 1
+    mcux = mcuy = 0
     restart_interval = 0
+    scanned: set[int] = set()
+
+    def read_symbol(rdr: _BitReader, table) -> int:
+        walk, fast = table
+        # fast path: buffer 9 bits, resolve short codes in one lookup.
+        # _fill raises _RestartHit only BEFORE consuming the marker, so
+        # bailing to the walk path at a restart boundary is lossless.
+        try:
+            while rdr.n < _FAST_BITS:
+                rdr._fill()
+        except _RestartHit:
+            pass
+        if rdr.n >= _FAST_BITS:
+            hit = fast.get((rdr.acc >> (rdr.n - _FAST_BITS)) & ((1 << _FAST_BITS) - 1))
+            if hit is not None:
+                sym, ln = hit
+                rdr.n -= ln
+                rdr.acc &= (1 << rdr.n) - 1
+                return sym
+        # slow walk: long codes (10-16 bits) or a buffer cut short by a
+        # restart marker
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rdr.bits(1)
+            sym = walk.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code in JPEG stream")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def decode_block(rdr, dtab, atab, pred, cid) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int32)
+        s = read_symbol(rdr, dtab)
+        diff = extend(rdr.bits(s), s) if s else 0
+        pred[cid] += diff
+        zz[0] = pred[cid]
+        k = 1
+        while k <= 63:
+            rs = read_symbol(rdr, atab)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 15
+            if k > 63:
+                raise ValueError("AC index overrun")
+            zz[k] = extend(rdr.bits(s), s)
+            k += 1
+        return zz
+
+    def decode_scan(rdr: _BitReader, scomp, restart_interval) -> None:
+        # DC predictors reset at scan start and at every restart (spec)
+        pred = {c["id"]: 0 for c in comps}
+        try:
+            if len(scomp) > 1:
+                # interleaved scan: MCU = one (v x h) block group per
+                # component, raster order over the MCU grid
+                n_mcu = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (restart_interval and n_mcu
+                                and n_mcu % restart_interval == 0):
+                            rdr.restart()
+                            pred = {c["id"]: 0 for c in comps}
+                        n_mcu += 1
+                        for c, dct, act in scomp:
+                            dtab, atab = htabs[(0, dct)], htabs[(1, act)]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    zz = decode_block(rdr, dtab, atab,
+                                                      pred, c["id"])
+                                    row = my * c["v"] + by
+                                    col = mx * c["h"] + bx
+                                    c["coef"][row * c["bw"] + col] = zz
+            else:
+                # non-interleaved scan: data units are the component's
+                # OWN block raster (ceil of its scaled dims), not the
+                # MCU-padded grid — legal baseline (one SOS per
+                # component), which libjpeg can emit
+                c, dct, act = scomp[0]
+                dtab, atab = htabs[(0, dct)], htabs[(1, act)]
+                compw = -(-w * c["h"] // hmax)
+                comph = -(-h * c["v"] // vmax)
+                bw2, bh2 = -(-compw // 8), -(-comph // 8)
+                unit = 0
+                for row in range(bh2):
+                    for col in range(bw2):
+                        if (restart_interval and unit
+                                and unit % restart_interval == 0):
+                            rdr.restart()
+                            pred = {c["id"]: 0 for c in comps}
+                        unit += 1
+                        zz = decode_block(rdr, dtab, atab, pred, c["id"])
+                        c["coef"][row * c["bw"] + col] = zz
+        except _RestartHit:
+            raise ValueError("unexpected restart marker") from None
 
     while True:
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
-        pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker == 0xFF:
+            # fill byte (B.1.1.2: any number of 0xFF pads before a
+            # marker) — keep the second 0xFF as the candidate start
+            pos += 1
             continue
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
         ln = struct.unpack(">H", data[pos:pos + 2])[0]
         body = data[pos + 2:pos + ln]
         if marker == 0xDB:  # DQT
@@ -411,10 +543,23 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK?) not supported — "
+                    "only grayscale and YCbCr"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, qid = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "q": qid})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -432,77 +577,27 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 o += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scomp = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                c = next(c for c in comps if c["id"] == cs)
-                scomp.append((c, tt >> 4, tt & 15))
-            pos += ln
-            break
+                match = [c for c in comps if c["id"] == cs]
+                if not match:
+                    raise ValueError(f"SOS names unknown component {cs}")
+                scomp.append((match[0], tt >> 4, tt & 15))
+            rdr = _BitReader(data, pos + ln)
+            decode_scan(rdr, scomp, restart_interval)
+            scanned.update(c["id"] for c, _, _ in scomp)
+            pos = rdr.pos
+            continue
         pos += ln
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-
-    # decode lookup: longest JPEG code is 16 bits; walk length-by-length
-    def read_symbol(rdr: _BitReader, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | rdr.bits(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad Huffman code in JPEG stream")
-
-    def extend(v: int, s: int) -> int:
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-    rdr = _BitReader(data, pos)
-    pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                rdr.restart()
-                pred = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            try:
-                for c, dct, act in scomp:
-                    dtab, atab = htabs[(0, dct)], htabs[(1, act)]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = np.zeros(64, dtype=np.int32)
-                            s = read_symbol(rdr, dtab)
-                            diff = extend(rdr.bits(s), s) if s else 0
-                            pred[c["id"]] += diff
-                            zz[0] = pred[c["id"]]
-                            k = 1
-                            while k <= 63:
-                                rs = read_symbol(rdr, atab)
-                                if rs == 0x00:
-                                    break
-                                if rs == 0xF0:
-                                    k += 16
-                                    continue
-                                k += rs >> 4
-                                s = rs & 15
-                                if k > 63:
-                                    raise ValueError("AC index overrun")
-                                zz[k] = extend(rdr.bits(s), s)
-                                k += 1
-                            row = my * c["v"] + by
-                            col = mx * c["h"] + bx
-                            c["coef"][row * c["bw"] + col] = zz
-            except _RestartHit:
-                raise ValueError("unexpected restart marker") from None
+    missing = [c["id"] for c in comps if c["id"] not in scanned]
+    if not comps or missing:
+        raise ValueError(f"JPEG stream missing scans for components {missing}")
 
     planes = []
     for c in comps:

@@ -192,3 +192,89 @@ def test_jpeg_through_spark_ops(spark):
 
     vals = df.select(_psnr_vs_reencode("bytes", "w", "h").alias("p")).collect()
     assert all(r.p >= 40.0 for r in vals)
+
+
+def test_linear_time_bit_io():
+    """Review r4e: both bit accumulators must truncate to live bits —
+    unbounded big-int accumulators made encode/decode O(n²), hidden by
+    tiny test images. A 256×256 round trip (3× the entropy of anything
+    else in the suite) must complete promptly."""
+    import time
+
+    rng = np.random.default_rng(11)
+    base = _gradient(256, 256).astype(np.int32)
+    px = np.clip(base + rng.integers(-12, 13, base.shape), 0, 255).astype(np.uint8)
+    t0 = time.time()
+    data = encode_jpeg(px, 85)
+    out = decode_jpeg(data)
+    wall = time.time() - t0
+    assert psnr(px, out) >= 30.0  # ±12 noise at q85
+    assert wall < 30.0, f"bit I/O should be linear; took {wall:.1f}s"
+
+
+def test_fill_bytes_before_markers():
+    """B.1.1.2: any number of 0xFF pad bytes may precede a marker —
+    review r4e found the parser misread the pad as the marker."""
+    good = encode_jpeg(_gradient(16, 24), 90)
+    i = good.find(b"\xff\xdb")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert (decode_jpeg(padded) == decode_jpeg(good)).all()
+
+
+def test_multi_scan_non_interleaved():
+    """Baseline-legal multi-scan layout (one SOS per component, data
+    units in the component's own raster) must decode identically to
+    the interleaved single-scan file."""
+    px = _gradient(24, 40)
+    q_l = _quality_scale(Q_LUM, 90)
+    from geomesa_sql_spark.io.jpeg import Q_CHR, _rgb_to_ycbcr
+    q_c = _quality_scale(Q_CHR, 90)
+    ycc = _rgb_to_ycbcr(px)
+    h, w = px.shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDB, bytes([0]) + bytes(q_l.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xFFDB, bytes([1]) + bytes(q_c.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in range(3):
+        sof += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    for ci in range(3):
+        zz, bh, bw = _gray_blocks(
+            ycc[..., ci], q_l if ci == 0 else q_c
+        )
+        wtr = _BitWriter()
+        pred = 0
+        for bi in range(bh * bw):
+            pred = _encode_block(wtr, zz[bi], pred)
+        out += _seg(0xFFDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        out += wtr.flush()
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    want = decode_jpeg(encode_jpeg(px, 90))
+    assert (got == want).all()
+
+
+def test_unsupported_component_counts_and_bad_tables():
+    px = _gradient(16, 16)
+    good = bytearray(encode_jpeg(px, 90))
+    # rewrite SOF to claim 4 components (CMYK shape) -> loud raise at SOF
+    i = bytes(good).find(b"\xff\xc0")
+    assert good[i + 9] == 3
+    cmyk = bytes(good[:i + 9]) + bytes([4]) + bytes(good[i + 10:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(cmyk)
+    # SOS naming an unknown component id -> clean ValueError
+    j = bytes(good).find(b"\xff\xda")
+    bad_sos = bytearray(good)
+    bad_sos[j + 5] = 9  # first scan-component selector
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad_sos))
+    # scan selecting an undefined AC table id -> clean ValueError
+    bad_tab = bytearray(good)
+    bad_tab[j + 6] = 0x03  # dc=0, ac=3 (never defined)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad_tab))

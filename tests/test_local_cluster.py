@@ -78,14 +78,18 @@ def _submit(master: str, cpus: int, script: str, zpath: str, sf_dir: str) -> dic
     )
 
 
-def test_pipeline_matches_local_mode(tmp_path, sf_dir):
+def _pyfiles_zip() -> str:
     tools_dir = os.path.join(REPO, "tools")
     sys.path.insert(0, tools_dir)
     try:
         from bench_scaling import build_pyfiles_zip
     finally:
         sys.path.remove(tools_dir)
-    zpath = build_pyfiles_zip()
+    return build_pyfiles_zip()
+
+
+def test_pipeline_matches_local_mode(tmp_path, sf_dir):
+    zpath = _pyfiles_zip()
     script = tmp_path / "lc_job.py"
     script.write_text(_JOB)
 
@@ -157,13 +161,7 @@ def test_ckpt_resume_across_processes_multi_executor(tmp_path, sf_dir):
     completed cell, and the assembled output equals an un-checkpointed
     full run — per-partition lineage surviving process death, not just
     an in-process exception."""
-    tools_dir = os.path.join(REPO, "tools")
-    sys.path.insert(0, tools_dir)
-    try:
-        from bench_scaling import build_pyfiles_zip
-    finally:
-        sys.path.remove(tools_dir)
-    zpath = build_pyfiles_zip()
+    zpath = _pyfiles_zip()
     script = tmp_path / "lc_ckpt_job.py"
     script.write_text(_CKPT_JOB)
     ckpt_dir = str(tmp_path / "cells")
