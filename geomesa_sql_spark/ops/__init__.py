@@ -36,4 +36,5 @@ from geomesa_sql_spark.ops.multimodal import (  # noqa: F401
     near_dup_images,
     phash_images,
     resize_images,
+    transcode_images,
 )

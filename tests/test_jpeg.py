@@ -278,3 +278,39 @@ def test_unsupported_component_counts_and_bad_tables():
     bad_tab[j + 6] = 0x03  # dc=0, ac=3 (never defined)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad_tab))
+
+
+def test_transcode_images_op(spark):
+    """transcode_images (late r4): png/raw payloads re-encode as
+    quality-90 JPEG with per-row PSNR >= 40 recorded, compression is
+    real, null/corrupt rows survive as NULL, and a jpeg->png round
+    trip is lossless vs the jpeg-decoded pixels."""
+    from geomesa_sql_spark.io.images import decode_png, encode_png
+    from geomesa_sql_spark.ops import transcode_images
+
+    px0, px1 = _gradient(32, 48), _gradient(40, 40)[::-1].copy()
+    rows = [
+        ("a", encode_png(px0), 48, 32, "png"),
+        ("b", px1.tobytes(), 40, 40, "raw"),
+        ("n", None, 8, 8, "png"),
+        ("x", b"\x89PNG-corrupt", 8, 8, "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r.image_id: r for r in transcode_images(df, to="jpeg", quality=90).collect()}
+    for iid, src in (("a", px0), ("b", px1)):
+        r = got[iid]
+        assert r.fmt == "jpeg" and r.psnr_db >= 40.0
+        assert (r.w, r.h) == (src.shape[1], src.shape[0])
+        assert len(r.bytes) < len(encode_png(src))  # actually compresses
+        assert psnr(src, decode_jpeg(bytes(r.bytes))) >= 40.0
+    assert got["n"].bytes is None and got["n"].psnr_db is None
+    assert got["x"].bytes is None  # corrupt input -> null row, no crash
+
+    back = {r.image_id: r
+            for r in transcode_images(
+                transcode_images(df.filter("image_id = 'a'"), to="jpeg"),
+                to="png").collect()}
+    assert back["a"].psnr_db == float("inf")  # png leg is lossless
+    assert decode_png(bytes(back["a"].bytes)).shape == (32, 48, 3)
