@@ -135,8 +135,14 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from geomesa_sql_spark.io.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "webp":
+        # from-scratch VP8L lossless decoder (io/webp.py); lossy VP8
+        # streams raise loudly inside decode_webp
+        from geomesa_sql_spark.io.webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
-        f"fmt {fmt!r}: webp decode needs PIL/cv2 (absent in this container); "
+        f"fmt {fmt!r}: no decoder (PIL/cv2 absent in this container); "
         "plumbing (schema, partitioning, batch shape) is format-agnostic"
     )
 

@@ -263,7 +263,7 @@ def transcode_images(
     id_col: str = "image_id",
 ) -> DataFrame:
     """Re-encode image payloads: decode whatever ``fmt`` each row
-    carries → encode as ``to`` ('jpeg', 'png' or 'raw').
+    carries → encode as ``to`` ('jpeg', 'png', 'raw' or 'webp' — VP8L lossless).
 
     The storage-compression stage of a training-data pipeline (late
     r4, riding the from-scratch io/jpeg.py codec): a 100 TB raw/png
@@ -278,7 +278,7 @@ def transcode_images(
     resumable job can record fidelity as a per-partition metric next to
     the row counts (ckpt/manifest.py lineage discipline).
     """
-    if to not in ("jpeg", "png", "raw"):
+    if to not in ("jpeg", "png", "raw", "webp"):
         raise ValueError(f"unsupported target format {to!r}")
     schema = T.StructType(
         [
@@ -294,6 +294,7 @@ def transcode_images(
     def gen(batches):
         from geomesa_sql_spark.io.images import encode_png, psnr
         from geomesa_sql_spark.io.jpeg import decode_jpeg, encode_jpeg
+        from geomesa_sql_spark.io.webp import encode_webp
 
         for pdf in batches:
             ids, outs, ws, hs, qs = [], [], [], [], []
@@ -320,6 +321,9 @@ def transcode_images(
                     q = psnr(px, decode_jpeg(blob))
                 elif to == "png":
                     blob = encode_png(px)
+                    q = float("inf")
+                elif to == "webp":
+                    blob = encode_webp(px)  # VP8L lossless
                     q = float("inf")
                 else:
                     blob = encode_raw(px)

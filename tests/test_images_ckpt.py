@@ -72,8 +72,12 @@ def test_phash_and_resize(spark):
 
 
 def test_unsupported_format_raises():
-    # webp is the remaining honest stub (r4e implemented jpeg)
+    # every fixture fmt now decodes for real (raw/png/jpeg/webp);
+    # genuinely unknown formats stay a loud NotImplementedError
     with pytest.raises(NotImplementedError):
+        decode_image(b"II*\x00", "tiff", 4, 4)
+    # malformed webp: clean ValueError from the from-scratch decoder
+    with pytest.raises(ValueError):
         decode_image(b"RIFF....WEBP", "webp", 4, 4)
     # truncated jpeg: clean ValueError from the from-scratch decoder
     with pytest.raises(ValueError):
