@@ -63,33 +63,70 @@ class BitReader:
         self.nbits -= n
         return val
 
+    def peek(self, n: int) -> int:
+        """Next n stream bits without consuming; zero-padded at EOS."""
+        while self.nbits < n and self.pos < len(self.data):
+            self.buf |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.buf & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.nbits < n:
+            raise ValueError("truncated VP8L stream")
+        self.buf >>= n
+        self.nbits -= n
+
 
 class BitWriter:
-    __slots__ = ("out", "buf", "nbits")
+    """Collects (value, nbits) fields; packs them vectorized at the end.
+
+    Every field is ≤ 16 bits (headers ≤ 14, codes ≤ 15, extras ≤ 10), so
+    getvalue() expands fields to a bit matrix and np.packbits it — no
+    per-bit Python loop anywhere on the emit path (io/jpeg.py lesson).
+    ``write`` stores value bits LSB-first in stream order; ``write_code``
+    stores a prefix code MSB-first (pre-reversed into the same form).
+    """
+
+    __slots__ = ("chunks",)
 
     def __init__(self):
-        self.out = bytearray()
-        self.buf = 0
-        self.nbits = 0
+        self.chunks: list[tuple[np.ndarray, np.ndarray]] = []
 
     def write(self, val: int, n: int) -> None:
-        self.buf |= (val & ((1 << n) - 1)) << self.nbits
-        self.nbits += n
-        while self.nbits >= 8:
-            self.out.append(self.buf & 0xFF)
-            self.buf >>= 8
-            self.nbits -= 8
+        if n:
+            self.chunks.append(
+                (np.array([val], dtype=np.uint32), np.array([n], dtype=np.int64))
+            )
 
     def write_code(self, code: int, length: int) -> None:
         """Emit a prefix code MSB-first (stream bits are LSB-packed)."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        if length:
+            self.write(_bit_reverse(code, length), length)
+
+    def write_fields(self, vals: np.ndarray, ns: np.ndarray) -> None:
+        """Bulk append: vals already in LSB-first stream form."""
+        self.chunks.append(
+            (vals.astype(np.uint32, copy=False), ns.astype(np.int64, copy=False))
+        )
 
     def getvalue(self) -> bytes:
-        out = bytes(self.out)
-        if self.nbits:
-            out += bytes([self.buf & 0xFF])
-        return out
+        if not self.chunks:
+            return b""
+        vs = np.concatenate([c[0] for c in self.chunks])
+        ns = np.concatenate([c[1] for c in self.chunks])
+        bits = (vs[:, None] >> np.arange(16, dtype=np.uint32)) & 1
+        mask = np.arange(16) < ns[:, None]
+        flat = bits[mask].astype(np.uint8)  # row-major: field order preserved
+        return np.packbits(flat, bitorder="little").tobytes()
+
+
+def _bit_reverse(code: int, length: int) -> int:
+    out = 0
+    for _ in range(length):
+        out = (out << 1) | (code & 1)
+        code >>= 1
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -117,9 +154,10 @@ def _canonical_codes(lengths) -> dict[int, tuple[int, int]]:
 
 
 class _Decoder:
-    """Prefix-code decoder: bit-by-bit canonical walk (codes ≤ 15 bits)."""
+    """Prefix-code decoder: single-level LUT over the max code length —
+    one peek + one skip per symbol instead of a bit-by-bit walk."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("syms", "lens", "maxlen", "single")
 
     def __init__(self, lengths):
         used = [s for s, l in enumerate(lengths) if l]
@@ -130,34 +168,45 @@ class _Decoder:
         # length this way regardless of its value)
         if len(used) == 1:
             self.single = used[0]
-            self.table = None
+            self.syms = self.lens = None
+            self.maxlen = 0
             return
         self.single = None
-        self.table = {}
+        L = max(lengths)
+        self.maxlen = L
+        self.syms = np.zeros(1 << L, dtype=np.int32)
+        self.lens = np.zeros(1 << L, dtype=np.int32)
         for sym, (code, l) in _canonical_codes(lengths).items():
-            self.table[(l, code)] = sym
+            # stream bits arrive LSB-first; the code's MSB is read first,
+            # so the LUT key is the bit-reversed code in the low l bits
+            base = _bit_reverse(code, l)
+            idxs = base + (np.arange(1 << (L - l)) << l)
+            self.syms[idxs] = sym
+            self.lens[idxs] = l
 
     def read(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for l in range(1, 16):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((l, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid prefix code in VP8L stream")
+        v = br.peek(self.maxlen)
+        l = int(self.lens[v])
+        if l == 0:
+            raise ValueError("invalid prefix code in VP8L stream")
+        br.skip(l)
+        return int(self.syms[v])
 
 
 def _simple_decoder(symbols: list[int]) -> _Decoder:
     d = _Decoder.__new__(_Decoder)
     if len(symbols) == 1:
         d.single = symbols[0]
-        d.table = None
+        d.syms = d.lens = None
+        d.maxlen = 0
         return d
     # simple codes assign 0/1 by READ order, not by symbol value
     d.single = None
-    d.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+    d.maxlen = 1
+    d.syms = np.array(symbols, dtype=np.int32)
+    d.lens = np.ones(2, dtype=np.int32)
     return d
 
 
@@ -779,40 +828,63 @@ def encode_webp(
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta-Huffman
 
-    # tokenize: literals + distance-1 runs
-    tokens: list[tuple] = []  # ('lit', idx) | ('run', length)
-    green_f = [0] * (256 + _NUM_LENGTH_CODES)
-    red_f = [0] * 256
-    blue_f = [0] * 256
-    alpha_f = [0] * 256
-    dist_f = [0] * _NUM_DISTANCE_CODES
+    # tokenize: literals + distance-1 runs, vectorized — maximal blocks
+    # of equal consecutive pixels found in one numpy pass; only the
+    # (rare) per-block chunking walks in Python
     run_code = _DIST_TO_CODE[(1, 0)]  # distance 1
-
+    tokens: list[tuple] = []  # ('lits', index-array) | ('run', length)
     if use_runs and n > 1:
         same = np.all(p[1:] == p[:-1], axis=1)
+        edges = np.flatnonzero(
+            np.diff(np.concatenate(([False], same, [False])).astype(np.int8))
+        )
+        seg_starts, seg_ends = edges[::2], edges[1::2]  # same[j0:j1] all True
     else:
-        same = np.zeros(max(n - 1, 0), dtype=bool)
-    i = 0
-    while i < n:
-        if i > 0 and i - 1 < len(same) and same[i - 1]:
-            run = 1
-            while i + run - 1 < len(same) and same[i + run - 1] and run < 4096:
-                run += 1
-            if run >= 3:
-                tokens.append(("run", run))
-                code, _, _ = _prefix_encode(run)
-                green_f[256 + code] += 1
-                dcode, _, _ = _prefix_encode(run_code)
-                dist_f[dcode] += 1
-                i += run
-                continue
-        tokens.append(("lit", i))
-        a, r, g, b = (int(v) for v in p[i])
-        green_f[g] += 1
-        red_f[r] += 1
-        blue_f[b] += 1
-        alpha_f[a] += 1
-        i += 1
+        seg_starts = seg_ends = np.array([], dtype=np.int64)
+    lit_chunks: list[np.ndarray] = []
+    pos = 0
+    for j0, j1 in zip(seg_starts, seg_ends):
+        # pixels j0..j1 are all equal (block length j1 - j0 + 1 >= 2)
+        rem = int(j1 - j0)  # pixels after the block's first one
+        lead = np.arange(pos, j0 + 1, dtype=np.int64)  # gap lits + block head
+        cursor = int(j0) + 1
+        while rem:
+            c = min(rem, 4096)
+            if c >= 3:
+                if len(lead):
+                    tokens.append(("lits", lead))
+                    lit_chunks.append(lead)
+                    lead = np.array([], dtype=np.int64)
+                tokens.append(("run", c))
+            else:
+                lead = np.concatenate(
+                    [lead, np.arange(cursor, cursor + c, dtype=np.int64)]
+                )
+            cursor += c
+            rem -= c
+        if len(lead):
+            tokens.append(("lits", lead))
+            lit_chunks.append(lead)
+        pos = int(j1) + 1
+    if pos < n:
+        tail = np.arange(pos, n, dtype=np.int64)
+        tokens.append(("lits", tail))
+        lit_chunks.append(tail)
+
+    lit_idx = (
+        np.concatenate(lit_chunks) if lit_chunks else np.array([], dtype=np.int64)
+    )
+    green_f = np.bincount(p[lit_idx, 2], minlength=256 + _NUM_LENGTH_CODES)
+    red_f = np.bincount(p[lit_idx, 1], minlength=256)
+    blue_f = np.bincount(p[lit_idx, 3], minlength=256)
+    alpha_f = np.bincount(p[lit_idx, 0], minlength=256)
+    dist_f = [0] * _NUM_DISTANCE_CODES
+    for tok in tokens:
+        if tok[0] == "run":
+            code, _, _ = _prefix_encode(tok[1])
+            green_f[256 + code] += 1
+            dcode, _, _ = _prefix_encode(run_code)
+            dist_f[dcode] += 1
 
     green_c = _write_code(bw, green_f, 256 + _NUM_LENGTH_CODES)
     red_c = _write_code(bw, red_f, 256)
@@ -820,17 +892,31 @@ def encode_webp(
     alpha_c = _write_code(bw, alpha_f, 256)
     dist_c = _write_code(bw, dist_f, _NUM_DISTANCE_CODES)
 
+    # vectorized emission: literal stretches become one bulk field chunk
+    # (pre-reversed code tables indexed by channel value)
+    def _tables(codes, size):
+        v = np.zeros(size, dtype=np.uint32)
+        ln = np.zeros(size, dtype=np.int64)
+        for sym, (c, l) in codes.items():
+            v[sym] = _bit_reverse(c, l)
+            ln[sym] = l
+        return v, ln
+
+    gv, gn = _tables(green_c, 256 + _NUM_LENGTH_CODES)
+    rv, rn = _tables(red_c, 256)
+    bv, bn = _tables(blue_c, 256)
+    av, an = _tables(alpha_c, 256)
+
     for tok in tokens:
-        if tok[0] == "lit":
-            a, r, g, b = (int(v) for v in p[tok[1]])
-            c, l = green_c[g]
-            bw.write_code(c, l)
-            c, l = red_c[r]
-            bw.write_code(c, l)
-            c, l = blue_c[b]
-            bw.write_code(c, l)
-            c, l = alpha_c[a]
-            bw.write_code(c, l)
+        if tok[0] == "lits":
+            idx = tok[1]
+            g = p[idx, 2]
+            r = p[idx, 1]
+            b = p[idx, 3]
+            a = p[idx, 0]
+            vals = np.stack([gv[g], rv[r], bv[b], av[a]], axis=1).reshape(-1)
+            ns = np.stack([gn[g], rn[r], bn[b], an[a]], axis=1).reshape(-1)
+            bw.write_fields(vals, ns)
         else:
             length = tok[1]
             code, ev, eb = _prefix_encode(length)
