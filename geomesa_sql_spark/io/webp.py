@@ -94,6 +94,8 @@ class BitWriter:
         self.chunks: list[tuple[np.ndarray, np.ndarray]] = []
 
     def write(self, val: int, n: int) -> None:
+        if n > 16:
+            raise ValueError("BitWriter fields are <= 16 bits; split wider values")
         if n:
             self.chunks.append(
                 (np.array([val], dtype=np.uint32), np.array([n], dtype=np.int64))
@@ -115,10 +117,24 @@ class BitWriter:
             return b""
         vs = np.concatenate([c[0] for c in self.chunks])
         ns = np.concatenate([c[1] for c in self.chunks])
-        bits = (vs[:, None] >> np.arange(16, dtype=np.uint32)) & 1
-        mask = np.arange(16) < ns[:, None]
-        flat = bits[mask].astype(np.uint8)  # row-major: field order preserved
-        return np.packbits(flat, bitorder="little").tobytes()
+        # slice-wise expansion with a <8-bit carry between slices keeps
+        # peak memory O(slice) instead of O(total_fields * 16)
+        out = bytearray()
+        carry = np.zeros(0, dtype=np.uint8)
+        ar = np.arange(16, dtype=np.uint32)
+        step = 1 << 21
+        for s in range(0, len(vs), step):
+            v = vs[s : s + step]
+            n = ns[s : s + step]
+            bits = ((v[:, None] >> ar) & 1).astype(np.uint8)
+            flat = bits[ar < n[:, None]]  # row-major: field order preserved
+            flat = np.concatenate([carry, flat]) if len(carry) else flat
+            aligned = len(flat) & ~7
+            out += np.packbits(flat[:aligned], bitorder="little").tobytes()
+            carry = flat[aligned:]
+        if len(carry):
+            out += np.packbits(carry, bitorder="little").tobytes()
+        return bytes(out)
 
 
 def _bit_reverse(code: int, length: int) -> int:
@@ -174,6 +190,11 @@ class _Decoder:
         self.single = None
         L = max(lengths)
         self.maxlen = L
+        # reject over-subscribed codes up front (libwebp does too):
+        # canonical codes would overflow their bit width and silently
+        # alias LUT slots, mis-decoding corrupt streams without error
+        if sum(1 << (L - l) for l in lengths if l) > (1 << L):
+            raise ValueError("over-subscribed prefix code in VP8L stream")
         self.syms = np.zeros(1 << L, dtype=np.int32)
         self.lens = np.zeros(1 << L, dtype=np.int32)
         for sym, (code, l) in _canonical_codes(lengths).items():
@@ -365,7 +386,6 @@ def _write_code(bw: BitWriter, freqs, alphabet_size: int) -> dict[int, tuple[int
     # RLE-tokenize the length sequence (16=repeat prev non-zero, 17/18=zeros)
     tokens: list[tuple[int, int, int]] = []  # (symbol, extra_val, extra_bits)
     i = 0
-    prev_nz = 8
     n = alphabet_size
     while i < n:
         if lengths[i] == 0:
@@ -398,7 +418,6 @@ def _write_code(bw: BitWriter, freqs, alphabet_size: int) -> dict[int, tuple[int
                 run -= r
             for _ in range(run):
                 tokens.append((prev, 0, 0))
-            prev_nz = prev
     cl_freqs = [0] * 19
     for sym, _, _ in tokens:
         cl_freqs[sym] += 1
@@ -524,7 +543,10 @@ def _inv_predictor(
                         pred = []
                         for c in range(4):
                             avg = _avg2(int(L[c]), int(T[c]))
-                            pred.append(_clamp(avg + int(avg - int(TL[c])) // 2))
+                            d = avg - int(TL[c])
+                            # C truncation toward zero, NOT Python floor
+                            half = d // 2 if d >= 0 else -((-d) // 2)
+                            pred.append(_clamp(avg + half))
                     else:
                         raise ValueError(f"invalid predictor mode {mode}")
                     p[i] = (p[i] + np.asarray(pred, dtype=np.int32)) & 0xFF
@@ -675,6 +697,14 @@ def _decode_image_stream(
                 raise ValueError("LZ77 reference out of bounds")
             if cache is None and dist >= length:
                 px[idx : idx + length] = px[idx - dist : idx - dist + length]
+                idx += length
+            elif cache is None:
+                # overlapping copy (incl. every distance-1 run our own
+                # encoder emits): tile the dist-sized period
+                reps = -(-length // dist)
+                px[idx : idx + length] = np.tile(
+                    px[idx - dist : idx], (reps, 1)
+                )[:length]
                 idx += length
             else:
                 for _ in range(length):

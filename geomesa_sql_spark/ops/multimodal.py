@@ -310,24 +310,29 @@ def transcode_images(
                     continue
                 try:
                     px = decode_image(bytes(data), fmt, int(w), int(h))
+                    if to == "jpeg":
+                        blob = encode_jpeg(
+                            px, quality=quality, subsampling=subsampling
+                        )
+                        q = psnr(px, decode_jpeg(blob))
+                    elif to == "png":
+                        blob = encode_png(px)
+                        q = float("inf")
+                    elif to == "webp":
+                        blob = encode_webp(px)  # VP8L lossless
+                        q = float("inf")
+                    else:
+                        blob = encode_raw(px)
+                        q = float("inf")
                 except Exception:
-                    outs.append(None)  # corrupt blob: null row survives
+                    # corrupt blob OR un-encodable shape (e.g. VP8L's
+                    # 16384 dimension cap): null row survives — a single
+                    # bad image must not kill a 100 TB pass
+                    outs.append(None)
                     ws.append(None)
                     hs.append(None)
                     qs.append(None)
                     continue
-                if to == "jpeg":
-                    blob = encode_jpeg(px, quality=quality, subsampling=subsampling)
-                    q = psnr(px, decode_jpeg(blob))
-                elif to == "png":
-                    blob = encode_png(px)
-                    q = float("inf")
-                elif to == "webp":
-                    blob = encode_webp(px)  # VP8L lossless
-                    q = float("inf")
-                else:
-                    blob = encode_raw(px)
-                    q = float("inf")
                 outs.append(blob)
                 ws.append(px.shape[1])
                 hs.append(px.shape[0])

@@ -470,3 +470,95 @@ def test_transcode_to_webp_distributed(spark):
         assert (got == decode_png(blob)).all()
         assert out.loc[iid, "fmt"] == "webp"
         assert out.loc[iid, "psnr_db"] == float("inf")
+
+
+# ---------------------------------------------------------------------------
+# review-wave regressions
+
+
+def test_predictor_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf uses C truncation, not Python floor division:
+    avg(L,T) - TL negative and odd must round toward zero (off-by-one
+    pixel corruption on real libwebp files otherwise)."""
+    w, h = 2, 2
+    # decoded targets chosen so (1,1)'s red channel hits avg=10, TL=13
+    target = np.array(
+        [[[13, 0, 0], [11, 0, 0]], [[10, 0, 0], [50, 60, 70]]], dtype=np.uint8
+    )
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    # forward residuals under C semantics (the file a spec encoder writes)
+    res = np.zeros((h, w, 4), dtype=np.int64)  # a, r, g, b
+    px = np.concatenate([np.full((h, w, 1), 255), target], axis=2).astype(np.int64)
+    res[0, 0] = (px[0, 0] - np.array([255, 0, 0, 0])) & 0xFF  # black pred
+    res[0, 1] = (px[0, 1] - px[0, 0]) & 0xFF  # forced L
+    res[1, 0] = (px[1, 0] - px[0, 0]) & 0xFF  # forced T
+    L, T, TL = px[1, 0], px[0, 1], px[0, 0]
+    pred = []
+    for c in range(4):
+        avg = (int(L[c]) + int(T[c])) >> 1
+        d = avg - int(TL[c])
+        half = d // 2 if d >= 0 else -((-d) // 2)  # trunc toward zero
+        pred.append(clamp(avg + half))
+    res[1, 1] = (px[1, 1] - np.array(pred)) & 0xFF
+
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(0, 3)  # size_bits = 2 -> one 4x4 block
+    bw.write(0, 1)  # mode sub-image: no color cache
+    _write_argb_literals_body(bw, [(255, 0, 13, 0)])  # mode 13 in green
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta-Huffman
+    _write_argb_literals_body(
+        bw, [tuple(int(v) for v in res[y, x]) for y in range(h) for x in range(w)]
+    )
+    out = decode_webp(_vp8l_container(bw.getvalue()))
+    assert (out == target).all()
+
+
+def test_oversubscribed_code_rejected():
+    """A corrupt stream declaring 280 length-1 symbols must raise, not
+    silently alias LUT slots into garbage pixels."""
+    bw = BitWriter()
+    _header(bw, 2, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta-Huffman
+    bw.write(0, 1)  # green code: not simple
+    bw.write(0, 4)  # num_codes = 4 -> order [17, 18, 0, 1]
+    for v in (0, 0, 0, 1):
+        bw.write(v, 3)  # only code-length symbol 1 used -> trivial 0-bit
+    bw.write(0, 1)  # no max_symbol: all 280 entries read as length 1
+    with pytest.raises(ValueError, match="over-subscribed"):
+        decode_webp(_vp8l_container(bw.getvalue()))
+
+
+def test_bitwriter_field_width_guard():
+    bw = BitWriter()
+    with pytest.raises(ValueError, match="16 bits"):
+        bw.write(0, 17)
+
+
+def test_transcode_survives_unencodable_dimensions(spark):
+    """A 20000-px-wide image decodes fine but exceeds VP8L's 16384
+    dimension cap — it must become a NULL row, not kill the task."""
+    from geomesa_sql_spark.io.images import encode_raw
+    from geomesa_sql_spark.ops.multimodal import transcode_images
+
+    wide = np.zeros((2, 20000, 3), dtype=np.uint8)
+    ok = np.full((4, 4, 3), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("wide", encode_raw(wide), 20000, 2, "raw"),
+            ("ok", encode_raw(ok), 4, 4, "raw"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    out = transcode_images(df, to="webp").toPandas().set_index("image_id")
+    assert out.loc["wide", "bytes"] is None
+    assert (decode_webp(bytes(out.loc["ok", "bytes"])) == ok).all()
