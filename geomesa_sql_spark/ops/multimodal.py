@@ -360,12 +360,12 @@ def frame_sample(
     opaque video payload into (id, frame_idx, bytes raw, w, h).
 
     Container support mirrors decode_image's honesty contract:
-    ``rawv`` (concatenated raw RGB frames — the deterministic fake this
-    container can actually build; frame count = len/(w·h·3)) decodes for
-    real; mp4/webm/mkv raise NotImplementedError behind the SAME
-    plumbing (schema, Arrow batching, null-payload row survival), so
-    swapping in an ffmpeg-backed decoder changes one function, not the
-    pipeline. One input row fans out to ceil(frames/every_n) rows —
+    ``rawv`` (concatenated raw RGB frames; frame count = len/(w·h·3))
+    and ``mjpeg``/``avi`` (RIFF/AVI Motion-JPEG — every frame decoded
+    by the from-scratch io/jpeg.py codec) decode for real; mp4/webm/mkv
+    raise NotImplementedError behind the SAME plumbing (schema, Arrow
+    batching, null-payload row survival), so swapping in an
+    ffmpeg-backed decoder changes one function, not the pipeline. One input row fans out to ceil(frames/every_n) rows —
     run AFTER any filter so only surviving videos pay the explode.
     """
     schema = T.StructType(
@@ -392,6 +392,39 @@ def frame_sample(
                     outs.append(None)
                     ws.append(None)
                     hs.append(None)
+                    continue
+                if fmt in ("mjpeg", "avi"):
+                    # real video decode: RIFF/AVI walk + the from-scratch
+                    # baseline JPEG decoder per frame (io/containers.py)
+                    from geomesa_sql_spark.io.containers import mjpeg_avi_frames
+                    from geomesa_sql_spark.io.jpeg import decode_jpeg
+
+                    try:
+                        jf = mjpeg_avi_frames(bytes(data))
+                        if not jf:
+                            raise ValueError("AVI with no video frames")
+                        # decode fully before emitting: a corrupt frame
+                        # mid-stream must not leave partial rows beside
+                        # the null marker (atomic per video)
+                        decoded = [
+                            (fi, decode_jpeg(jf[fi]))
+                            for fi in range(0, len(jf), every_n)
+                        ]
+                        for fi, px in decoded:
+                            ids.append(vid)
+                            idxs.append(fi)
+                            outs.append(px.tobytes())
+                            ws.append(px.shape[1])
+                            hs.append(px.shape[0])
+                    except NotImplementedError:
+                        raise  # non-MJPG codec: loud, not a null row
+                    except Exception:
+                        # corrupt container/frame survives as one null row
+                        ids.append(vid)
+                        idxs.append(None)
+                        outs.append(None)
+                        ws.append(None)
+                        hs.append(None)
                     continue
                 if fmt != "rawv":
                     raise NotImplementedError(
@@ -446,9 +479,11 @@ def audio_features(
 ) -> DataFrame:
     """Audio feature-extraction template over opaque PCM payloads:
     (id, n_samples, rms, zero_crossings, peak) from ``raws16le``
-    (16-bit little-endian mono PCM — the deterministic fake); real
-    codecs (mp3/ogg/flac) raise NotImplementedError behind the same
-    plumbing. All reductions are vectorized numpy over Arrow batches.
+    (16-bit little-endian mono PCM) or ``wav`` (real RIFF/WAVE PCM
+    16-bit containers via io/containers.py — features over channel 0);
+    compressed codecs (mp3/ogg/flac) raise NotImplementedError behind
+    the same plumbing. All reductions are vectorized numpy over Arrow
+    batches.
     """
     schema = T.StructType(
         [
@@ -470,6 +505,29 @@ def audio_features(
                     rms.append(None)
                     zc.append(None)
                     pk.append(None)
+                    continue
+                if fmt == "wav":
+                    # real RIFF/WAVE parse (io/containers.py); features
+                    # over channel 0. Float/ADPCM WAVs raise loudly via
+                    # decode_wav; malformed containers survive null.
+                    from geomesa_sql_spark.io.containers import decode_wav
+
+                    try:
+                        ch, _rate = decode_wav(bytes(data))
+                        x = ch[:, 0].astype(np.float64)
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        ns.append(None)
+                        rms.append(None)
+                        zc.append(None)
+                        pk.append(None)
+                        continue
+                    ns.append(len(x))
+                    rms.append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
+                    s = np.signbit(x)
+                    zc.append(int((s[1:] != s[:-1]).sum()))
+                    pk.append(int(np.abs(x).max()) if len(x) else 0)
                     continue
                 if fmt != "raws16le":
                     raise NotImplementedError(
