@@ -479,9 +479,10 @@ def audio_features(
 ) -> DataFrame:
     """Audio feature-extraction template over opaque PCM payloads:
     (id, n_samples, rms, zero_crossings, peak) from ``raws16le``
-    (16-bit little-endian mono PCM) or ``wav`` (real RIFF/WAVE PCM
-    16-bit containers via io/containers.py — features over channel 0);
-    compressed codecs (mp3/ogg/flac) raise NotImplementedError behind
+    (16-bit little-endian mono PCM), ``wav`` (real RIFF/WAVE PCM 16-bit
+    containers via io/containers.py) or ``flac`` (real lossless decode
+    via the from-scratch io/flac.py codec) — features over channel 0;
+    transform codecs (mp3/ogg/opus) raise NotImplementedError behind
     the same plumbing. All reductions are vectorized numpy over Arrow
     batches.
     """
@@ -506,14 +507,16 @@ def audio_features(
                     zc.append(None)
                     pk.append(None)
                     continue
-                if fmt == "wav":
-                    # real RIFF/WAVE parse (io/containers.py); features
-                    # over channel 0. Float/ADPCM WAVs raise loudly via
-                    # decode_wav; malformed containers survive null.
+                if fmt in ("wav", "flac"):
+                    # real container/codec decode; features over
+                    # channel 0. Known-but-unsupported codec variants
+                    # raise loudly; malformed payloads survive null.
                     from geomesa_sql_spark.io.containers import decode_wav
+                    from geomesa_sql_spark.io.flac import decode_flac
 
                     try:
-                        ch, _rate = decode_wav(bytes(data))
+                        dec = decode_wav if fmt == "wav" else decode_flac
+                        ch, _rate = dec(bytes(data))
                         x = ch[:, 0].astype(np.float64)
                     except NotImplementedError:
                         raise
