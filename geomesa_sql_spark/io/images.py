@@ -123,6 +123,54 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → BMP bytes (BITMAPINFOHEADER, 24-bit BI_RGB,
+    bottom-up rows, BGR order, 4-byte row padding)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + info + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → (h, w, 3) uint8. Supports uncompressed (BI_RGB)
+    8-bit palette, 24-bit and 32-bit, bottom-up and top-down rows."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hsize, w, h = struct.unpack_from("<Iii", data, 14)
+    if hsize < 40:
+        raise ValueError("BMP core headers are not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if compression not in (0, 3) or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression}: only uncompressed "
+            "8/24/32-bit is implemented (RLE needs a run decoder)"
+        )
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * (bpp // 8) + 3) & ~3
+    if offset + stride * h > len(data):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data, np.uint8, stride * h, offset).reshape(h, stride)
+    if not topdown:
+        rows = rows[::-1]
+    if bpp == 8:
+        ncol = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(data, np.uint8, 4 * ncol, 14 + hsize).reshape(ncol, 4)
+        idx = rows[:, :w]
+        if int(idx.max()) >= ncol:
+            raise ValueError("BMP palette index out of range")
+        return pal[idx][:, :, 2::-1].copy()  # BGRA table → RGB
+    px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB
+
+
 def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "raw":
         return decode_raw(data, w, h)
@@ -141,6 +189,14 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from geomesa_sql_spark.io.webp import decode_webp
 
         return decode_webp(data)
+    if fmt == "gif":
+        # from-scratch LZW decoder (io/gif.py); first frame of
+        # animations, palettes/interlace/transparency handled
+        from geomesa_sql_spark.io.gif import decode_gif
+
+        return decode_gif(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
     raise NotImplementedError(
         f"fmt {fmt!r}: no decoder (PIL/cv2 absent in this container); "
         "plumbing (schema, partitioning, batch shape) is format-agnostic"

@@ -393,23 +393,31 @@ def frame_sample(
                     ws.append(None)
                     hs.append(None)
                     continue
-                if fmt in ("mjpeg", "avi"):
+                if fmt in ("mjpeg", "avi", "gif"):
                     # real video decode: RIFF/AVI walk + the from-scratch
-                    # baseline JPEG decoder per frame (io/containers.py)
+                    # baseline JPEG decoder per frame (io/containers.py),
+                    # or animated-GIF composited canvases (io/gif.py)
                     from geomesa_sql_spark.io.containers import mjpeg_avi_frames
+                    from geomesa_sql_spark.io.gif import gif_frames
                     from geomesa_sql_spark.io.jpeg import decode_jpeg
 
                     try:
-                        jf = mjpeg_avi_frames(bytes(data))
-                        if not jf:
-                            raise ValueError("AVI with no video frames")
-                        # decode fully before emitting: a corrupt frame
-                        # mid-stream must not leave partial rows beside
-                        # the null marker (atomic per video)
-                        decoded = [
-                            (fi, decode_jpeg(jf[fi]))
-                            for fi in range(0, len(jf), every_n)
-                        ]
+                        if fmt == "gif":
+                            gf = gif_frames(bytes(data))
+                            decoded = [
+                                (fi, gf[fi]) for fi in range(0, len(gf), every_n)
+                            ]
+                        else:
+                            jf = mjpeg_avi_frames(bytes(data))
+                            if not jf:
+                                raise ValueError("AVI with no video frames")
+                            # decode fully before emitting: a corrupt frame
+                            # mid-stream must not leave partial rows beside
+                            # the null marker (atomic per video)
+                            decoded = [
+                                (fi, decode_jpeg(jf[fi]))
+                                for fi in range(0, len(jf), every_n)
+                            ]
                         for fi, px in decoded:
                             ids.append(vid)
                             idxs.append(fi)

@@ -1,0 +1,171 @@
+"""GIF (io/gif.py) and BMP (io/images.py) codecs: lossless round trips,
+foreign decode-only paths via hand-assembled streams (interlace,
+transparency, disposal), rejection of malformed payloads, and the
+decode_image / frame_sample integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from geomesa_sql_spark.io.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+    gif_frames,
+)
+from geomesa_sql_spark.io.images import decode_bmp, decode_image, encode_bmp
+
+
+def _art(h=40, w=56, shift=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [((xx + shift) // 4 * 16) % 256, (yy // 4 * 32) % 256, ((xx + yy) // 8 * 8) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_lzw_roundtrip_growth_and_reset():
+    rng = np.random.default_rng(5)
+    # 300k random symbols force width growth to 12 bits and dictionary
+    # resets (the width-bump convention is asymmetric encoder/decoder)
+    idx = rng.integers(0, 16, 300000).astype(np.uint8)
+    assert (_lzw_decode(_lzw_encode(idx, 4), 4, len(idx)) == idx).all()
+    for nc, mcs in ((2, 2), (256, 8)):
+        ii = rng.integers(0, nc, 50000).astype(np.uint8)
+        assert (_lzw_decode(_lzw_encode(ii, mcs), mcs, len(ii)) == ii).all()
+
+
+def test_gif_roundtrip_single_and_animated():
+    img = _art()
+    enc = encode_gif(img)
+    assert (decode_gif(enc) == img).all()
+    assert len(enc) < img.nbytes * 0.6  # real compression
+    frames = [np.roll(img, i * 3, axis=1) for i in range(4)]
+    got = gif_frames(encode_gif(frames))
+    assert len(got) == 4
+    for a, b in zip(got, frames):
+        assert (a == b).all()
+
+
+def test_gif_256_colors_and_reject_more():
+    pal = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.stack([pal, pal[::-1], pal.T], axis=-1)
+    assert (decode_gif(encode_gif(img)) == img).all()
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (64, 64, 3)).astype(np.uint8))
+
+
+def test_gif_interlaced_hand_assembled():
+    # rows stored in 8/8/4/2 pass order with the interlace flag set:
+    # permute the input rows into storage order, flip the flag, and the
+    # decoder must hand back the original
+    img = _art(h=16, w=8)
+    storage_rows = [y for s, p in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(s, 16, p)]
+    enc = bytearray(encode_gif(img[storage_rows]))
+    at = enc.index(b"\x2c")  # image descriptor
+    enc[at + 9] |= 0x40  # interlace flag
+    assert (decode_gif(bytes(enc)) == img).all()
+
+
+def _manual_gif(frames_idx, pal, gce=None, disposal=0, transparent=None):
+    """Assemble a GIF from index rasters + palette with explicit GCEs."""
+    h, w = frames_idx[0].shape
+    nbits = max(int(len(pal) - 1).bit_length(), 1)
+    table = np.zeros((1 << nbits, 3), np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((nbits - 1) & 7), 0, 0)
+    out += table.tobytes()
+    for idx in frames_idx:
+        flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", flags, 0, transparent or 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        mcs = max(nbits, 2)
+        out += bytes([mcs])
+        lzw = _lzw_encode(idx.reshape(-1).astype(np.uint32), mcs)
+        for s in range(0, len(lzw), 255):
+            out += bytes([len(lzw[s : s + 255])]) + lzw[s : s + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    f1 = np.zeros((4, 6), np.uint8)  # all red
+    f2 = np.full((4, 6), 2, np.uint8)  # transparent index everywhere...
+    f2[0, :] = 1  # ...except the top row (green)
+    data = _manual_gif([f1, f2], pal, transparent=2)
+    frames = gif_frames(data)
+    assert (frames[0] == [255, 0, 0]).all()
+    assert (frames[1][0] == [0, 255, 0]).all()  # painted row
+    assert (frames[1][1:] == [255, 0, 0]).all()  # red shows through
+
+
+def test_gif_disposal_restore_background():
+    pal = np.array([[9, 9, 9], [0, 255, 0]], np.uint8)  # bg index 0
+    f1 = np.ones((3, 3), np.uint8)
+    f2 = np.zeros((3, 3), np.uint8)
+    data = _manual_gif([f1, f2], pal, disposal=2)
+    frames = gif_frames(data)
+    assert (frames[0] == [0, 255, 0]).all()
+    assert (frames[1] == [9, 9, 9]).all()
+
+
+def test_gif_rejections():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM" + b"\x00" * 20)
+    enc = bytearray(encode_gif(_art(8, 8)))
+    with pytest.raises(ValueError):
+        decode_gif(bytes(enc[: len(enc) // 2]))  # truncated LZW/blocks
+
+
+def test_bmp_roundtrip_and_variants():
+    rng = np.random.default_rng(3)
+    for shape in ((24, 31), (1, 1), (13, 4)):  # odd widths hit row padding
+        img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+    # top-down (negative height) variant, hand-flipped
+    img = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    enc = bytearray(encode_bmp(img[::-1]))
+    struct.pack_into("<i", enc, 22, -6)
+    assert (decode_bmp(bytes(enc)) == img[::-1][::-1]).all()
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"GIF89a" + b"\x00" * 60)
+    with pytest.raises(NotImplementedError, match="RLE|bpp"):
+        bad = bytearray(encode_bmp(img))
+        struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+        decode_bmp(bytes(bad))
+
+
+def test_decode_image_dispatch():
+    img = _art(12, 10)
+    assert (decode_image(encode_gif(img), "gif", 10, 12) == img).all()
+    assert (decode_image(encode_bmp(img), "bmp", 10, 12) == img).all()
+
+
+def test_frame_sample_gif_distributed(spark):
+    from geomesa_sql_spark.ops.multimodal import frame_sample
+
+    frames = [np.roll(_art(16, 12), i, axis=1) for i in range(5)]
+    gif = encode_gif(frames)
+    rows = [
+        ("g0", gif, 12, 16, "gif"),
+        ("g_corrupt", gif[:30], 12, 16, "gif"),
+        ("g_null", None, 12, 16, "gif"),
+    ]
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = frame_sample(df, every_n=2).toPandas()
+    good = out[out.video_id == "g0"].sort_values("frame_idx")
+    assert list(good.frame_idx) == [0, 2, 4]
+    for _, r in good.iterrows():
+        px = np.frombuffer(bytes(r["bytes"]), np.uint8).reshape(16, 12, 3)
+        assert (px == frames[int(r["frame_idx"])]).all()
+    for vid in ("g_corrupt", "g_null"):
+        sub = out[out.video_id == vid]
+        assert len(sub) == 1 and sub["bytes"].iloc[0] is None
