@@ -45,15 +45,122 @@ def test_wav_rejections():
     with pytest.raises(ValueError, match="RIFF/WAVE"):
         decode_wav(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 8)
     good = encode_wav(_tone(100), 8000)
-    # flip the audio format field to 3 (IEEE float): loud raise
+    # flip the audio format field to 6 (a-law): loud raise
     fmt_pos = good.index(b"fmt ") + 8
     bad = bytearray(good)
-    bad[fmt_pos] = 3
-    with pytest.raises(NotImplementedError, match="PCM 16-bit"):
+    bad[fmt_pos] = 6
+    with pytest.raises(NotImplementedError, match="a-law"):
         decode_wav(bytes(bad))
     # missing data chunk
     with pytest.raises(ValueError, match="missing"):
         decode_wav(good[: good.index(b"data")])
+
+
+def test_wav_sample_widths_and_float():
+    mono = _tone(500)
+    base = encode_wav(mono, 8000)
+    fmt_at = base.index(b"fmt ") + 8
+    data_at = base.index(b"data")
+
+    def rebuild(audio_format, bits, payload, block_align=None):
+        fmt = struct.pack(
+            "<HHIIHH", audio_format, 1, 8000, 8000, block_align or bits // 8, bits
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # 8-bit unsigned
+    x8 = ((mono.astype(np.int64) >> 8) + 128).astype(np.uint8)
+    got, _ = decode_wav(rebuild(1, 8, x8.tobytes()))
+    assert (got[:, 0] == x8.astype(np.int64) - 128).all()
+    # 24-bit signed (low 3 bytes of int32 LE)
+    x24 = mono.astype(np.int64) << 7
+    b32 = (x24.astype("<i4")).tobytes()
+    b24 = np.frombuffer(b32, np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    got, _ = decode_wav(rebuild(1, 24, b24))
+    assert (got[:, 0] == x24).all()
+    # 32-bit signed
+    got, _ = decode_wav(rebuild(1, 32, (mono.astype("<i4") * 65536).tobytes()))
+    assert (got[:, 0] == mono.astype(np.int64) * 65536).all()
+    # float32, scaled to the 16-bit range on decode
+    f32 = (mono.astype(np.float64) / 32767.0).astype("<f4")
+    got, _ = decode_wav(rebuild(3, 32, f32.tobytes()))
+    assert np.abs(got[:, 0] - mono).max() <= 1
+    # EXTENSIBLE wrapper around PCM-16
+    ext = struct.pack("<HHIIHHHHI", 0xFFFE, 1, 8000, 16000, 2, 16, 22, 16, 1)
+    ext += struct.pack("<H", 1) + b"\x00" * 14  # sub-format GUID leads with PCM
+    chunks = b"fmt " + struct.pack("<I", len(ext)) + ext
+    pay = mono.astype("<i2").tobytes()
+    chunks += b"data" + struct.pack("<I", len(pay)) + pay
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    got, _ = decode_wav(wav)
+    assert (got[:, 0] == mono).all()
+
+
+def _ima_encode_scalar(x, block_samples=505):
+    """Reference IMA ADPCM encoder (scalar, per-block) for test input."""
+    from geomesa_sql_spark.io.containers import _IMA_INDEX, _IMA_STEPS
+
+    out = bytearray()
+    for s in range(0, len(x) - (len(x) % block_samples), block_samples):
+        blk = x[s : s + block_samples].astype(np.int64)
+        pred, index = int(blk[0]), 0
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for v in blk[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(v) - pred
+            n = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            delta = (step >> 3) + (step >> 2 if n & 1 else 0) + \
+                (step >> 1 if n & 2 else 0) + (step if n & 4 else 0)
+            pred = int(np.clip(pred + (-delta if n & 8 else delta), -32768, 32767))
+            index = int(np.clip(index + _IMA_INDEX[n & 7], 0, 88))
+            nibbles.append(n)
+        for i in range(0, len(nibbles), 2):
+            out.append(nibbles[i] | (nibbles[i + 1] << 4))
+    return bytes(out)
+
+
+def test_wav_ima_adpcm_vectorized_matches_scalar():
+    from geomesa_sql_spark.io.containers import _decode_ima_adpcm
+
+    mono = _tone(505 * 4, freq=220.0)
+    payload = _ima_encode_scalar(mono)
+    block_align = 4 + 252  # header + 504 nibbles
+    got = _decode_ima_adpcm(payload, 1, block_align)
+    assert got.shape == (505 * 4, 1)
+    # lossy codec: reconstruction tracks the source closely
+    err = got[:, 0] - mono.astype(np.int64)
+    assert np.abs(err).mean() < 200
+    # scalar reference decode must match the vectorized one EXACTLY
+    from geomesa_sql_spark.io.containers import _IMA_INDEX, _IMA_STEPS
+
+    ref = []
+    for b in range(4):
+        blk = payload[b * block_align : (b + 1) * block_align]
+        pred, index = struct.unpack_from("<hB", blk)[0], blk[2]
+        ref.append(pred)
+        for byte in blk[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEPS[index])
+                delta = (step >> 3) + (step >> 2 if n & 1 else 0) + \
+                    (step >> 1 if n & 2 else 0) + (step if n & 4 else 0)
+                pred = int(np.clip(pred + (-delta if n & 8 else delta), -32768, 32767))
+                index = int(np.clip(index + int(_IMA_INDEX[n & 7]), 0, 88))
+                ref.append(pred)
+    assert (got[:, 0] == np.array(ref)).all()
 
 
 def test_mjpeg_avi_roundtrip_and_psnr():
@@ -133,13 +240,13 @@ def test_audio_features_wav_distributed(spark):
         assert out.loc[aid].isna().all()
 
 
-def test_audio_features_float_wav_raises(spark):
+def test_audio_features_unknown_wav_codec_raises(spark):
     from geomesa_sql_spark.ops.multimodal import audio_features
 
     good = bytearray(encode_wav(_tone(50), 8000))
-    good[good.index(b"fmt ") + 8] = 3  # IEEE float
+    good[good.index(b"fmt ") + 8] = 6  # a-law: genuinely unimplemented
     df = spark.createDataFrame(
         [("a", bytes(good), "wav")], "audio_id string, bytes binary, fmt string"
     )
-    with pytest.raises(Exception, match="PCM 16-bit"):
+    with pytest.raises(Exception, match="a-law"):
         audio_features(df).collect()
