@@ -55,8 +55,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     fmt = None
     ext_format = None
     samples = None
+    fact_samples = None
     for fourcc, start, size in _riff_chunks(data, 12, len(data)):
-        if fourcc == b"fmt ":
+        if fourcc == b"fact" and size >= 4 and start + 4 <= len(data):
+            (fact_samples,) = struct.unpack_from("<I", data, start)
+        elif fourcc == b"fmt ":
             if size < 16 or start + 16 > len(data):
                 raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", data, start)
@@ -108,7 +111,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if audio_format == 0x11:  # IMA ADPCM
         if bits != 4:
             raise NotImplementedError(f"IMA ADPCM with {bits}-bit nibbles")
-        return _decode_ima_adpcm(samples, channels, block_align), rate
+        x = _decode_ima_adpcm(samples, channels, block_align)
+        if fact_samples is not None:
+            # the fact chunk carries the true sample count; the final
+            # block is padded to block_align by encoders
+            if fact_samples > len(x):
+                raise ValueError("IMA ADPCM fact chunk exceeds decoded data")
+            x = x[:fact_samples]
+        return x, rate
     raise NotImplementedError(
         f"WAV format 0x{audio_format:x}: only PCM/float/IMA-ADPCM are "
         "implemented (a-law/mu-law/MS-ADPCM/mp3-in-WAV need codec tables)"
@@ -138,6 +148,10 @@ def _decode_ima_adpcm(payload: bytes, channels: int, block_align: int) -> np.nda
     """
     if block_align < 4 * channels or block_align % (4 * channels):
         raise ValueError("invalid IMA ADPCM block alignment")
+    if len(payload) % block_align:
+        # encoders emit whole (padded) blocks; a partial trailing block
+        # means the file was truncated — raise, don't drop audio
+        raise ValueError("IMA ADPCM payload is not a whole number of blocks")
     nblocks = len(payload) // block_align
     if nblocks == 0:
         return np.zeros((0, channels), dtype=np.int64)
@@ -182,12 +196,8 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     if x.ndim == 1:
         x = x[:, None]
     n, channels = x.shape
-    payload = x.tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
-    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    chunks += b"data" + struct.pack("<I", len(payload)) + payload
-    if len(payload) & 1:
-        chunks += b"\x00"
+    chunks = _chunk(b"fmt ", fmt) + _chunk(b"data", x.tobytes())
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
@@ -212,7 +222,8 @@ def mjpeg_avi_frames(data: bytes) -> list[bytes]:
             if fourcc == b"LIST":
                 list_type = data[start : start + 4]
                 if list_type in (b"hdrl", b"strl", b"movi", b"rec "):
-                    walk(start + 4, start + size)
+                    # clamp: a lying LIST size must not walk past the buffer
+                    walk(start + 4, min(start + size, len(data)))
             elif fourcc == b"strh":
                 # stream header: type 'vids' + codec fourcc
                 if data[start : start + 4] == b"vids":
@@ -223,7 +234,11 @@ def mjpeg_avi_frames(data: bytes) -> list[bytes]:
                             "implemented (H.264/VP9 need real decoders)"
                         )
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
-                if size and start + size <= len(data):
+                if start + size > len(data):
+                    # a truncated file must raise, not silently return a
+                    # shorter frame list that looks complete downstream
+                    raise ValueError("truncated AVI video chunk")
+                if size:
                     frames.append(data[start : start + size])
 
     walk(12, len(data))

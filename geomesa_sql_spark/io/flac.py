@@ -501,9 +501,12 @@ def _best_rice_k(resid: np.ndarray) -> tuple[int, int]:
         return 0, 0
     u = (resid << 1) ^ (resid >> 63)
     mean = float(u.mean())
-    k0 = max(int(mean).bit_length() - 1, 0)
+    # clamp into the representable Rice2 range FIRST — a 32-bit
+    # full-scale zigzag mean has bit_length 33+, and an empty search
+    # range here would fall back to k=0 (≈2^32-bit unary runs)
+    k0 = min(max(int(mean).bit_length() - 1, 0), 30)
     best = (1 << 62, 0)
-    for k in range(max(k0 - 1, 0), min(k0 + 3, 30)):
+    for k in range(max(k0 - 1, 0), min(k0 + 3, 31)):
         c = int((u >> k).sum()) + len(resid) * (k + 1)
         if c < best[0]:
             best = (c, k)
@@ -663,6 +666,12 @@ def encode_flac(
     n, channels = x.shape
     if channels > 8:
         raise ValueError("FLAC supports at most 8 channels")
+    if not 0 < rate < (1 << 20):
+        # the STREAMINFO rate field is 20 bits — BitWriter would
+        # silently truncate a DSD-grade rate into a wrong-but-valid file
+        raise ValueError(f"sample rate {rate} outside FLAC's 20-bit field")
+    if not 16 <= block_size <= 65535:
+        raise ValueError("block_size must be in [16, 65535]")
     lim = 1 << (bps - 1)
     if len(x) and (x.min() < -lim or x.max() >= lim):
         raise ValueError(f"samples exceed {bps}-bit range")

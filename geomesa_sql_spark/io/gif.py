@@ -190,12 +190,16 @@ def gif_frames(data: bytes) -> list[np.ndarray]:
             pos += 1  # terminator
             if label == 0xF9 and subs:  # graphics control
                 gce = subs[0]
+                if len(gce) < 4:
+                    raise ValueError("truncated GIF graphics-control block")
                 flags = gce[0]
                 disposal = (flags >> 2) & 7
                 transparent = gce[3] if flags & 1 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
         pal = gct
@@ -237,7 +241,9 @@ def gif_frames(data: bytes) -> list[np.ndarray]:
         canvas[top : top + h, left : left + w] = px
         frames.append(canvas.copy())
         if disposal == 2:  # restore background in the frame region
-            bgcol = pal[bg] if bg < len(pal) else np.zeros(3, np.uint8)
+            # the background index refers to the GLOBAL color table,
+            # not the current frame's local palette
+            bgcol = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
             canvas[top : top + h, left : left + w] = bgcol
         elif disposal == 3 and prev_canvas is not None:
             canvas = prev_canvas

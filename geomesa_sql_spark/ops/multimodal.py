@@ -500,7 +500,10 @@ def audio_features(
             T.StructField("n_samples", T.LongType()),
             T.StructField("rms", T.DoubleType()),
             T.StructField("zero_crossings", T.LongType()),
-            T.StructField("peak", T.IntegerType()),
+            # LONG: decode_flac handles 24/32-bit streams, and a
+            # full-scale 32-bit sample (-2^31 → |peak| 2^31) overflows
+            # a 32-bit column and would kill the whole task
+            T.StructField("peak", T.LongType()),
         ]
     )
 
@@ -566,7 +569,7 @@ def audio_features(
                     # r3 — rms IS NULL then missed corrupt rows)
                     "rms": pd.array(rms, dtype="Float64"),
                     "zero_crossings": pd.array(zc, dtype="Int64"),
-                    "peak": pd.array(pk, dtype="Int32"),
+                    "peak": pd.array(pk, dtype="Int64"),
                 }
             )
 

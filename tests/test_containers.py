@@ -250,3 +250,41 @@ def test_audio_features_unknown_wav_codec_raises(spark):
     )
     with pytest.raises(Exception, match="a-law"):
         audio_features(df).collect()
+
+
+def test_mjpeg_avi_truncated_mid_frame_raises():
+    # review r4f: a truncated final frame silently returned a shorter
+    # frame list that looked complete downstream
+    from geomesa_sql_spark.io.containers import mjpeg_avi_frames
+
+    frames = [_frame(i) for i in range(3)]
+    avi = encode_mjpeg_avi([encode_jpeg(f, quality=85) for f in frames], 32, 24)
+    with pytest.raises(ValueError, match="truncated"):
+        mjpeg_avi_frames(avi[: len(avi) - 10])
+
+
+def test_ima_adpcm_fact_trim_and_partial_block():
+    from geomesa_sql_spark.io.containers import decode_wav
+
+    mono = _tone(505 * 2)
+    payload = _ima_encode_scalar(mono)
+    block_align = 4 + 252
+
+    def wav(payload, fact=None):
+        fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, block_align, 4)
+        c = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if fact is not None:
+            c += b"fact" + struct.pack("<II", 4, fact)[:8]
+        c += b"data" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            c += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(c)) + b"WAVE" + c
+
+    # fact chunk trims encoder pad samples off the final block
+    got, _ = decode_wav(wav(payload, fact=1000))
+    assert got.shape == (1000, 1)
+    with pytest.raises(ValueError, match="fact"):
+        decode_wav(wav(payload, fact=99999))
+    # a partial trailing block is a truncation, not silent data loss
+    with pytest.raises(ValueError, match="whole number"):
+        decode_wav(wav(payload[:-7]))

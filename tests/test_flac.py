@@ -213,3 +213,38 @@ def test_audio_features_flac_distributed(spark):
         assert r["peak"] == int(np.abs(mono).max())
     for aid in ("f_corrupt", "f_null"):
         assert out.loc[aid].isna().all()
+
+
+def test_full_scale_32bit_noise_bounded_and_lossless():
+    # review r4f: a 32-bit full-scale zigzag mean used to fall outside
+    # the Rice-k search range, falling back to k=0 (≈2^32-bit unary
+    # runs — an effective hang); clamped now
+    rng = np.random.default_rng(11)
+    x = rng.integers(-(2**31), 2**31 - 2**20, 512).astype(np.int64)
+    x[0] = -(2**31)
+    x[1] = 2**31 - 1
+    dec, _ = decode_flac(encode_flac(x, 48000, bps=32, block_size=256))
+    assert (dec[:, 0].astype(np.int64) == x).all()
+
+
+def test_encode_rejects_out_of_field_rate_and_block():
+    x = _tone(100)
+    with pytest.raises(ValueError, match="20-bit"):
+        encode_flac(x, 2_822_400)  # DSD64 rate exceeds the field
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(x, 8000, block_size=8)
+
+
+def test_audio_features_32bit_peak_survives(spark):
+    # review r4f: full-scale 32-bit |peak| = 2^31 overflowed an Int32
+    # column and killed the task
+    from geomesa_sql_spark.ops.multimodal import audio_features
+
+    x = np.zeros(64, np.int64)
+    x[3] = -(2**31)
+    df = spark.createDataFrame(
+        [("deep", encode_flac(x, 8000, bps=32), "flac")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    out = audio_features(df).toPandas().set_index("audio_id")
+    assert int(out.loc["deep", "peak"]) == 2**31

@@ -169,3 +169,53 @@ def test_frame_sample_gif_distributed(spark):
     for vid in ("g_corrupt", "g_null"):
         sub = out[out.video_id == vid]
         assert len(sub) == 1 and sub["bytes"].iloc[0] is None
+
+
+def test_gif_disposal_2_restores_global_background():
+    # review r4f: the disposed region was painted from the current
+    # frame's LOCAL palette; the bg index refers to the GLOBAL table
+    gct = np.array([[1, 2, 3], [200, 200, 200]], np.uint8)  # bg = dark
+    lct = np.array([[250, 0, 0], [0, 250, 0]], np.uint8)  # local 0 = red
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 3, 3, 0x80, 0, 0)  # GCT of 2, bg index 0
+    out += gct.tobytes()
+    for _ in range(2):  # two frames, both with the local palette
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 2 << 2, 0, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 3, 0x80)
+        out += lct.tobytes()
+        out += b"\x02"
+        lzw = _lzw_encode(np.ones(9, np.uint32), 2)
+        out += bytes([len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    frames = gif_frames(bytes(out))
+    assert (frames[0] == [0, 250, 0]).all()  # painted from the LCT
+    # after disposal 2 the second frame paints over a GCT-bg canvas,
+    # which its own full-screen paint then covers — craft a peek via a
+    # partial second frame instead
+    out2 = bytearray(b"GIF89a")
+    out2 += struct.pack("<HHBBB", 3, 3, 0x80, 0, 0)
+    out2 += gct.tobytes()
+    # frame 1: full screen, local palette, disposal 2
+    out2 += b"\x21\xf9\x04" + struct.pack("<BHB", 2 << 2, 0, 0) + b"\x00"
+    out2 += b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 3, 0x80) + lct.tobytes()
+    lzw = _lzw_encode(np.ones(9, np.uint32), 2)
+    out2 += b"\x02" + bytes([len(lzw)]) + lzw + b"\x00"
+    # frame 2: 1x1 at origin, local palette
+    out2 += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x80) + lct.tobytes()
+    lzw = _lzw_encode(np.zeros(1, np.uint32), 2)
+    out2 += b"\x02" + bytes([len(lzw)]) + lzw + b"\x00"
+    out2 += b"\x3b"
+    frames = gif_frames(bytes(out2))
+    assert (frames[1][0, 0] == [250, 0, 0]).all()  # the 1x1 paint
+    assert (frames[1][1:, :] == [1, 2, 3]).all()  # GLOBAL bg, not LCT red
+
+
+def test_gif_truncated_gce_raises_valueerror():
+    pal = np.array([[0, 0, 0], [9, 9, 9]], np.uint8)
+    data = bytearray(_manual_gif([np.zeros((2, 2), np.uint8)], pal, transparent=1))
+    at = data.index(b"\x21\xf9")
+    # shrink the GCE sub-block to 1 byte with the transparency flag set
+    data[at + 2] = 1
+    data[at + 4 : at + 7] = b"\x00"  # terminator right after flags
+    with pytest.raises(ValueError):
+        gif_frames(bytes(data[: at + 5]) + bytes(data[at + 7 :]))
