@@ -574,3 +574,108 @@ def audio_features(
             )
 
     return df.select(id_col, "bytes", "fmt").mapInPandas(gen, schema)
+
+
+def transcode_audio(
+    df: DataFrame,
+    to: str = "flac",
+    id_col: str = "audio_id",
+    default_rate: int = 16000,
+) -> DataFrame:
+    """Re-encode audio payloads: decode whatever ``fmt`` each row
+    carries (wav/flac/raws16le) → encode as ``to`` ('flac' — lossless
+    compression via io/flac.py, or 'wav' — PCM-16 container).
+
+    The audio leg of the storage-compression pipeline stage (the image
+    leg is transcode_images): a PCM/WAV corpus shrinks ~2× as FLAC with
+    bit-exact decode guaranteed by the codec's STREAMINFO MD5. FLAC bps
+    is inferred from the sample range (16/24/32); WAV output clips
+    wider sources to 16-bit and reports lossless=false for them.
+    Arrow-batched mapInPandas, null/corrupt rows survive as NULL output
+    rows, ``bytes`` never rides a shuffle (narrow transformation).
+
+    Output: (id, bytes, n_samples, channels, fmt, ratio, lossless) —
+    ``ratio`` = encoded bytes / source bytes, the per-row metric a
+    resumable job records next to row counts.
+    """
+    if to not in ("flac", "wav"):
+        raise ValueError(f"unsupported audio target {to!r}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("ratio", T.DoubleType()),
+            T.StructField("lossless", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches):
+        from geomesa_sql_spark.io.containers import decode_wav, encode_wav
+        from geomesa_sql_spark.io.flac import decode_flac, encode_flac
+
+        for pdf in batches:
+            ids, outs, ns, ch, rat, ll = [], [], [], [], [], []
+            for aid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                ids.append(aid)
+                if data is None:
+                    outs.append(None)
+                    ns.append(None)
+                    ch.append(None)
+                    rat.append(None)
+                    ll.append(None)
+                    continue
+                try:
+                    if fmt == "wav":
+                        x, rate = decode_wav(bytes(data))
+                    elif fmt == "flac":
+                        x, rate = decode_flac(bytes(data))
+                    elif fmt == "raws16le":
+                        if len(data) % 2:
+                            raise ValueError("torn 16-bit payload")
+                        x = np.frombuffer(data, "<i2").astype(np.int64)[:, None]
+                        rate = default_rate
+                    else:
+                        raise NotImplementedError(
+                            f"fmt {fmt!r}: mp3/ogg decode needs codec libs"
+                        )
+                    x = x.astype(np.int64, copy=False)
+                    if to == "flac":
+                        peak = int(np.abs(x).max()) if x.size else 0
+                        bps = 16 if peak < 1 << 15 else (24 if peak < 1 << 23 else 32)
+                        blob = encode_flac(x, rate, bps=bps)
+                        exact = True
+                    else:
+                        clipped = np.clip(x, -32768, 32767)
+                        exact = bool((clipped == x).all())
+                        blob = encode_wav(clipped.astype(np.int16), rate)
+                except NotImplementedError:
+                    raise  # genuinely unsupported codec: loud
+                except Exception:
+                    # corrupt payload: null row survives the pass
+                    outs.append(None)
+                    ns.append(None)
+                    ch.append(None)
+                    rat.append(None)
+                    ll.append(None)
+                    continue
+                outs.append(blob)
+                ns.append(x.shape[0])
+                ch.append(x.shape[1])
+                rat.append(len(blob) / max(len(data), 1))
+                ll.append(exact)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "bytes": outs,
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "channels": pd.array(ch, dtype="Int32"),
+                    "fmt": [to] * len(ids),
+                    "ratio": pd.array(rat, dtype="Float64"),
+                    "lossless": pd.array(ll, dtype="boolean"),
+                }
+            )
+
+    return df.select(id_col, "bytes", "fmt").mapInPandas(gen, schema)

@@ -248,3 +248,35 @@ def test_audio_features_32bit_peak_survives(spark):
     )
     out = audio_features(df).toPandas().set_index("audio_id")
     assert int(out.loc["deep", "peak"]) == 2**31
+
+
+def test_transcode_audio_distributed(spark):
+    from geomesa_sql_spark.io.containers import encode_wav
+    from geomesa_sql_spark.ops.multimodal import transcode_audio
+
+    mono = _tone(8000)
+    stereo = np.stack([mono, (-mono // 2).astype(np.int16)], axis=1)
+    deep = mono.astype(np.int64) << 7  # needs 24-bit FLAC
+    rows = [
+        ("wav_in", encode_wav(stereo, 16000), "wav"),
+        ("raw_in", mono.astype("<i2").tobytes(), "raws16le"),
+        ("flac_in", encode_flac(deep, 16000, bps=24), "flac"),
+        ("corrupt", b"RIFFxxxxWAVE", "wav"),
+        ("nul", None, "wav"),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    out = transcode_audio(df, to="flac").toPandas().set_index("audio_id")
+    # wav→flac: real compression, lossless, bit-exact round trip
+    r = out.loc["wav_in"]
+    assert r["ratio"] < 0.8 and bool(r["lossless"])
+    back, rate = decode_flac(bytes(r["bytes"]))
+    assert rate == 16000 and (back == stereo).all()
+    assert out.loc["raw_in", "n_samples"] == 8000
+    # 24-bit source survives bit-exact through inferred bps
+    back, _ = decode_flac(bytes(out.loc["flac_in", "bytes"]))
+    assert (back[:, 0] == deep).all()
+    for aid in ("corrupt", "nul"):
+        assert out.loc[aid, "bytes"] is None
+    # flac→wav on a 24-bit source is NOT lossless (clipped) and says so
+    wavout = transcode_audio(df.where("audio_id = 'flac_in'"), to="wav").toPandas()
+    assert not bool(wavout["lossless"].iloc[0])
