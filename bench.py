@@ -145,13 +145,25 @@ def wait_for_calibration(
 
 def _bench_images_path(spark, n_images: int, size: int, fmt: str = "mixed") -> str:
     """Generate-once parquet of the synthetic image table (deterministic,
-    so safe to share between the local[8] and local[32] runs)."""
+    so safe to share between the local[8] and local[32] runs).
+
+    The file count is EXPLICIT and baked into the cache path: the
+    fixture writer's default sizes partitions from the *generating*
+    session's parallelism, so a fixture first materialized by a 4-core
+    spark-submit would be 2-4 files — and a parquet file here is one
+    row group, i.e. one usable input split. Every later consumer's
+    scan+decode stage (the stage scaling evidence measures) would then
+    run ≤4 tasks no matter how many cores it has. 64 files keeps the
+    decode stage's split count above any parallelism level this sandbox
+    measures (the observed failure: 1M images in 2 files flat-lined the
+    1→4 executor comparison at ~60 s per level)."""
     from geomesa_sql_spark.io.fixtures import images_table
 
+    parts = max(64, n_images // 100_000)
     suffix = "" if fmt == "mixed" else f"_{fmt}"
-    path = f"{IMAGES_CACHE}/images_n{n_images}_s{size}{suffix}"
+    path = f"{IMAGES_CACHE}/images_n{n_images}_s{size}{suffix}_p{parts}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        images_table(spark, n_images, size=size, fmt=fmt).write.mode(
+        images_table(spark, n_images, size=size, fmt=fmt, partitions=parts).write.mode(
             "overwrite"
         ).parquet(path)
     return path

@@ -277,7 +277,9 @@ def main() -> int:
             h.update(q.read_bytes())
         return h.hexdigest()[:16]
 
-    scale_ver = _h(REPO / "tools/scale_job.py")
+    # bench.py owns the image-fixture layout the scale job reads, so a
+    # bench.py change can change the job's input splits — include it
+    scale_ver = _h(REPO / "tools/scale_job.py", REPO / "bench.py")
     bench_ver = _h(REPO / "bench.py")
     if state.get("scale_ver") != scale_ver:
         state["scale"] = []
