@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 
+from geomesa_sql_spark.io.errors import clean_decode
+
 # ---------------------------------------------------------------------------
 # RIFF walking
 
@@ -40,6 +42,7 @@ def _riff_chunks(data: bytes, pos: int, end: int):
 # WAV
 
 
+@clean_decode
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> ((n, channels) int samples, sample_rate).
 
@@ -205,6 +208,7 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 # MJPEG AVI
 
 
+@clean_decode
 def mjpeg_avi_frames(data: bytes) -> list[bytes]:
     """AVI bytes -> list of JPEG frame payloads (video stream chunks).
 

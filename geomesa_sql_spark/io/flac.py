@@ -41,6 +41,8 @@ import struct
 
 import numpy as np
 
+from geomesa_sql_spark.io.errors import clean_decode
+
 # ---------------------------------------------------------------------------
 # bit I/O — FLAC packs bits MSB-first within bytes.
 
@@ -240,6 +242,7 @@ _RATE_CODE = {
 _BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+@clean_decode
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     """FLAC bytes -> ((n, channels) int32 samples, sample_rate).
 

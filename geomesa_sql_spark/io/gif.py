@@ -25,8 +25,15 @@ import struct
 
 import numpy as np
 
+from geomesa_sql_spark.io.errors import clean_decode
+
 # ---------------------------------------------------------------------------
 # LZW (variable width, LSB-first, dictionary capped at 4096 codes)
+
+# 64 MP per frame/canvas: far above any real-world GIF (palette formats
+# top out around single-digit megapixels) while refusing the spec-legal
+# 65535x65535 header that would allocate gigabytes inside a Spark task
+_MAX_PIXELS = 1 << 26
 
 
 def _lzw_decode(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
@@ -155,11 +162,18 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@clean_decode
 def gif_frames(data: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of composited (h, w, 3) uint8 canvases."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw * sh > _MAX_PIXELS:
+        # spec-legal dimensions reach 65535x65535 — a 12 GiB canvas from
+        # a 20-byte header. These decoders run per-row inside executor
+        # tasks, so an implausible claim is refused loudly instead of
+        # OOM-killing the worker (ValueError joins the null-row guard).
+        raise ValueError(f"implausible GIF canvas {sw}x{sh}")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -211,6 +225,13 @@ def gif_frames(data: bytes) -> list[np.ndarray]:
             raise ValueError("GIF image with no color table")
         mcs = data[pos]
         pos += 1
+        # palette-driven, so 1-8 by spec; a corrupt byte here would
+        # otherwise size the LZW dictionary as 1 << mcs (observed: a
+        # fuzzed mcs of 47 asking for a 128 TiB suffix table)
+        if not 1 <= mcs <= 8:
+            raise ValueError(f"GIF LZW min code size {mcs} out of range")
+        if w * h > _MAX_PIXELS:
+            raise ValueError(f"implausible GIF frame {w}x{h}")
         lzw = bytearray()
         while pos < len(data) and data[pos]:
             n = data[pos]

@@ -23,6 +23,8 @@ import zlib
 
 import numpy as np
 
+from geomesa_sql_spark.io.errors import clean_decode
+
 
 def encode_raw(pixels: np.ndarray) -> bytes:
     """(h, w, 3) uint8 → raw bytes."""
@@ -54,6 +56,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+@clean_decode
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8. Supports 8-bit RGB, filters 0-4."""
     if data[:8] != _PNG_SIG:
@@ -137,6 +140,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return hdr + info + body
 
 
+@clean_decode
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → (h, w, 3) uint8. Supports uncompressed (BI_RGB)
     8-bit palette, 24-bit and 32-bit, bottom-up and top-down rows."""

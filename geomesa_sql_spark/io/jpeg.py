@@ -387,10 +387,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error, KeyError) as ex:
+    except (IndexError, struct.error, KeyError, OverflowError) as ex:
         # running off the end of a truncated stream (IndexError/
-        # struct.error) or a scan referencing an undefined DHT/DQT id
-        # (KeyError) surfaces as a clean ValueError
+        # struct.error), a scan referencing an undefined DHT/DQT id
+        # (KeyError), or a mutated header overflowing a struct pack
+        # (OverflowError) surfaces as a clean ValueError
         raise ValueError(
             f"truncated or corrupt JPEG stream: {type(ex).__name__}: {ex}"
         ) from ex

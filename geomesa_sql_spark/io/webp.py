@@ -35,6 +35,8 @@ import struct
 
 import numpy as np
 
+from geomesa_sql_spark.io.errors import clean_decode
+
 # ---------------------------------------------------------------------------
 # bit I/O — VP8L packs bits LSB-first within bytes; prefix codes are read
 # bit-by-bit MSB-first (DEFLATE convention), i.e. each successive stream
@@ -751,6 +753,7 @@ def _decode_image_stream(
     return px, w
 
 
+@clean_decode
 def decode_vp8l(payload: bytes) -> np.ndarray:
     """VP8L chunk payload -> (h, w, 4) uint8 ARGB-channel array [a,r,g,b]."""
     if not payload or payload[0] != 0x2F:
@@ -767,6 +770,7 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, 4)
 
 
+@clean_decode
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes -> (h, w, 3) uint8 RGB. Lossless (VP8L) only; lossy VP8
     raises loudly (its decoder would be a full VP8 intra codec)."""

@@ -128,7 +128,10 @@ def _mutations(rng, blob, rounds):
     ],
 )
 def test_codec_robustness_law(name, decode, build):
-    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    # crc32, not hash(): str hashing is salted per process, which would
+    # make this law explore different mutations every run — a failure
+    # that can't be reproduced is a flake, not a gate
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     blob = build(rng)
     decode(blob)  # the unmutated stream must decode
     for mutated in _mutations(rng, blob, 60):

@@ -219,3 +219,30 @@ def test_gif_truncated_gce_raises_valueerror():
     data[at + 4 : at + 7] = b"\x00"  # terminator right after flags
     with pytest.raises(ValueError):
         gif_frames(bytes(data[: at + 5]) + bytes(data[at + 7 :]))
+
+
+def test_gif_allocation_bombs_rejected():
+    """A 20-byte header must not be able to buy a multi-GiB allocation:
+    out-of-range LZW min-code-size (observed fuzzed value 47 → 128 TiB
+    suffix table) and implausible canvas/frame dimensions all raise
+    ValueError before any array is sized."""
+    img = np.zeros((2, 2, 3), np.uint8)
+    blob = bytearray(encode_gif([img]))
+    # screen descriptor dims → 65535 x 65535
+    blob[6:10] = struct.pack("<HH", 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="implausible GIF canvas"):
+        gif_frames(bytes(blob))
+
+    blob = bytearray(encode_gif([img]))
+    at = blob.index(b"\x2c")  # image descriptor
+    blob[at + 5 : at + 9] = struct.pack("<HH", 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="implausible GIF frame"):
+        gif_frames(bytes(blob))
+
+    blob = bytearray(encode_gif([img]))
+    at = blob.index(b"\x2c")
+    mcs_at = at + 10  # descriptor (9 bytes, no LCT) + block byte
+    assert 1 <= blob[mcs_at] <= 8  # sanity: we found the right byte
+    blob[mcs_at] = 47
+    with pytest.raises(ValueError, match="min code size"):
+        gif_frames(bytes(blob))
