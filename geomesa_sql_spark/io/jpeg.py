@@ -6,20 +6,27 @@ environment): the north rule's per-row image invariant is
 input_hint), and PNG/raw are lossless, so without this module nothing
 ever exercised the lossy leg of that contract.
 
-Decoder (`decode_jpeg`): baseline sequential DCT, 8-bit, 1 or 3
+Decoder (`decode_jpeg`): baseline sequential DCT (SOF0/1) AND Huffman
+progressive (SOF2, T.81 Annex G: spectral selection + successive
+approximation, EOB runs, refinement correction bits), 8-bit, 1 or 3
 components, any sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0),
-restart markers, multiple DQT/DHT segments — i.e. the shape libjpeg
-and cameras emit. It builds Huffman tables from the FILE's own DHT
-segments, so it decodes foreign baseline JPEGs, not just this
-encoder's output. Progressive (SOF2), arithmetic coding, 12-bit, and
-hierarchical modes raise loudly.
+restart markers, multiple DQT/DHT segments — i.e. the shapes libjpeg,
+cameras, and the web emit (large web JPEGs are usually progressive).
+It builds Huffman tables from the FILE's own DHT segments, so it
+decodes foreign JPEGs, not just this encoder's output. Arithmetic
+coding, 12-bit, and hierarchical modes raise loudly.
 
-Encoder (`encode_jpeg`): baseline 4:4:4, standard Annex-K quantization
-tables with the libjpeg quality scaling law, vectorized 2-D DCT over
-all blocks at once. Entropy tables are VALID canonical Huffman tables
-constructed programmatically (every DC size 0-11 at 4 bits, every AC
-(run, size) symbol plus EOB/ZRL at 9 bits — Kraft sums 0.75 and 0.32,
-both admissible) instead of a hand-transcribed Annex-K table: the
+Encoder (`encode_jpeg`): baseline 4:4:4 / 4:2:0, standard Annex-K
+quantization tables with the libjpeg quality scaling law, vectorized
+2-D DCT over all blocks at once; `progressive=True` emits a SOF2
+stream through a libjpeg-style scan script (interleaved DC first, two
+AC bands per component, two successive-approximation refinement
+levels) that exercises every Annex-G code path, and is pinned by the
+law decode(progressive) == decode(baseline) BIT-EXACT (same quantized
+coefficients, same IDCT). Entropy tables are VALID canonical Huffman
+tables constructed programmatically (every DC size 0-11 at 4 bits,
+every AC (run, size) symbol plus EOB/ZRL at 9 bits — progressive adds
+the 14 EOBn symbols) instead of a hand-transcribed Annex-K table: the
 decoder always reads tables from the stream, so interop is unaffected
 and a transcription typo cannot silently corrupt the bitstream. Costs
 ~1.5× the optimal entropy size; pixels (and therefore PSNR) are
@@ -228,6 +235,17 @@ _AC_BITS[8] = len(_AC_VALS)  # all codes 9 bits long
 _ENC_DC = _canonical_codes(_DC_BITS, _DC_VALS)
 _ENC_AC = _canonical_codes(_AC_BITS, _AC_VALS)
 
+# progressive AC scans additionally need the EOBn symbols (run << 4 with
+# size 0, run 0-14: end-of-band run lengths 1..32767, T.81 G.1.2.2) that
+# Annex K's sequential tables don't define; same flat 9-bit canonical
+# construction (176 codes, Kraft 176/512)
+_AC_VALS_PROG = [r << 4 for r in range(15)] + [0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS_PROG = [0] * 16
+_AC_BITS_PROG[8] = len(_AC_VALS_PROG)
+_ENC_AC_PROG = _canonical_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+
 
 def _size_of(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -296,8 +314,192 @@ def _encode_block(wtr: _BitWriter, zz: np.ndarray, pred: int) -> int:
     return int(zz[0])
 
 
+# -------------------------------------------- progressive scan emitters
+#
+# T.81 Annex G spectral selection + successive approximation. Each
+# helper emits ONE scan's entropy bytes over the already-quantized
+# zigzag coefficients; the scan script itself lives in
+# _progressive_scans. Key stream invariants (G.1.2.2-3):
+#   - EOBn codes (run<<4, size 0) count end-of-band blocks; the count
+#     includes the block whose symbol loop the EOBn terminates.
+#   - In refinement scans, correction bits for already-nonzero
+#     coefficients ride AFTER the symbol whose run walks over them, in
+#     coefficient order — the decoder consumes them while walking.
+#   - ZRL (0xF0) in a refinement scan skips 16 ZERO-HISTORY positions;
+#     it must be emitted at the first nonzero coefficient reached with
+#     run > 15 so the pending correction bits stay inside its span.
+
+
+def _flush_eobrun(wtr: _BitWriter, eobrun: int, bitbuf: list[int]) -> int:
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        code, ln = _ENC_AC_PROG[nbits << 4]
+        wtr.put(code, ln)
+        if nbits:
+            wtr.put(eobrun - (1 << nbits), nbits)
+        for b in bitbuf:
+            wtr.put(b, 1)
+        bitbuf.clear()
+    return 0
+
+
+def _scan_dc_first(comp_coefs, mcu_order, ncomp: int, al: int) -> bytes:
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for ci, bi in mcu_order:
+        v = int(comp_coefs[ci][bi][0]) >> al  # DC point transform is
+        diff = v - preds[ci]                  # an arithmetic shift (G.1.1)
+        preds[ci] = v
+        s = _size_of(diff)
+        code, ln = _ENC_DC[s]
+        wtr.put(code, ln)
+        if s:
+            wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return wtr.flush()
+
+
+def _scan_dc_refine(comp_coefs, mcu_order, al: int) -> bytes:
+    wtr = _BitWriter()
+    for ci, bi in mcu_order:
+        wtr.put((int(comp_coefs[ci][bi][0]) >> al) & 1, 1)
+    return wtr.flush()
+
+
+def _scan_ac_first(coefs, order, ss: int, se: int, al: int) -> bytes:
+    wtr = _BitWriter()
+    eobrun = 0
+    for bi in order:
+        zz = coefs[bi]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            eobrun = _flush_eobrun(wtr, eobrun, [])
+            while r > 15:
+                code, ln = _ENC_AC_PROG[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+            s = t.bit_length()
+            code, ln = _ENC_AC_PROG[(r << 4) | s]
+            wtr.put(code, ln)
+            sv = t if v > 0 else -t
+            wtr.put(sv if sv > 0 else sv + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(wtr, eobrun, [])
+    _flush_eobrun(wtr, eobrun, [])
+    return wtr.flush()
+
+
+def _scan_ac_refine(coefs, order, ss: int, se: int, al: int) -> bytes:
+    wtr = _BitWriter()
+    eobrun = 0
+    bitbuf: list[int] = []  # correction bits owned by the pending EOBn
+    for bi in order:
+        zz = coefs[bi]
+        vals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_i = -1  # last newly-significant position in the band
+        for i, t in enumerate(vals):
+            if t == 1:
+                eob_i = i
+        r = 0
+        pend: list[int] = []  # correction bits since the last symbol
+        for i, t in enumerate(vals):
+            if t == 0:
+                r += 1
+                continue
+            if i <= eob_i:
+                # a run longer than 15 must be broken by ZRL *here*, at
+                # the first nonzero reached, so every buffered
+                # correction bit lies inside the emitted ZRL's span
+                while r > 15:
+                    eobrun = _flush_eobrun(wtr, eobrun, bitbuf)
+                    code, ln = _ENC_AC_PROG[0xF0]
+                    wtr.put(code, ln)
+                    for b in pend:
+                        wtr.put(b, 1)
+                    pend = []
+                    r -= 16
+            if t > 1:
+                pend.append(t & 1)  # history coefficient: correction bit
+                continue
+            # newly significant (+-1 at this precision)
+            eobrun = _flush_eobrun(wtr, eobrun, bitbuf)
+            code, ln = _ENC_AC_PROG[(r << 4) | 1]
+            wtr.put(code, ln)
+            wtr.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+            for b in pend:
+                wtr.put(b, 1)
+            pend = []
+            r = 0
+        if r or pend:
+            eobrun += 1
+            bitbuf.extend(pend)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(wtr, eobrun, bitbuf)
+    _flush_eobrun(wtr, eobrun, bitbuf)
+    return wtr.flush()
+
+
+def _progressive_scans(comp_coefs, grids, factors, w: int, h: int):
+    """The scan script: DC first (Al=1) interleaved, per-component AC
+    bands 1-5 / 6-63 first at Al=2, refined 2->1, DC refined to full
+    precision, AC refined 1->0 — i.e. two successive-approximation
+    levels so every first-scan and refinement code path is exercised.
+    Returns [(comp_indices, Ss, Se, Ah, Al, entropy_bytes)]."""
+    ncomp = len(comp_coefs)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    # non-interleaved scans walk the component's OWN ceil raster
+    # (B.2.3), not the MCU-padded grid the encoder allocates
+    orders = []
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        bh, bw = grids[ci]
+        compw, comph = -(-w * fh // hmax), -(-h * fv // vmax)
+        bw2, bh2 = -(-compw // 8), -(-comph // 8)
+        orders.append([row * bw + col
+                       for row in range(bh2) for col in range(bw2)])
+    mcuy = grids[0][0] // factors[0][1]
+    mcux = grids[0][1] // factors[0][0]
+    mcu_order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                fh, fv = factors[ci]
+                bw = grids[ci][1]
+                for by in range(fv):
+                    for bx in range(fh):
+                        mcu_order.append(
+                            (ci, (my * fv + by) * bw + (mx * fh + bx)))
+    scans = [(list(range(ncomp)), 0, 0, 0, 1,
+              _scan_dc_first(comp_coefs, mcu_order, ncomp, 1))]
+    bands = ((1, 5), (6, 63))
+    for ci in range(ncomp):
+        for ss, se in bands:
+            scans.append(([ci], ss, se, 0, 2,
+                          _scan_ac_first(comp_coefs[ci], orders[ci], ss, se, 2)))
+    for ci in range(ncomp):
+        for ss, se in bands:
+            scans.append(([ci], ss, se, 2, 1,
+                          _scan_ac_refine(comp_coefs[ci], orders[ci], ss, se, 1)))
+    scans.append((list(range(ncomp)), 0, 0, 1, 0,
+                  _scan_dc_refine(comp_coefs, mcu_order, 0)))
+    for ci in range(ncomp):
+        for ss, se in bands:
+            scans.append(([ci], ss, se, 1, 0,
+                          _scan_ac_refine(comp_coefs[ci], orders[ci], ss, se, 0)))
+    return scans
+
+
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes.
 
@@ -337,6 +539,41 @@ def encode_jpeg(
         qc = np.round(coef / q).astype(np.int64)
         comp_coefs.append(qc.reshape(-1, 64)[:, ZIGZAG])
 
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qt):
+        out += seg(0xFFDB, bytes([tid]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in range(3):
+        fh, fv = factors[cid]
+        sof += bytes([cid + 1, (fh << 4) | fv, 0 if cid == 0 else 1])
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
+    ac_bits, ac_vals = (
+        (_AC_BITS_PROG, _AC_VALS_PROG) if progressive else (_AC_BITS, _AC_VALS)
+    )
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_BITS, _DC_VALS), (0, 1, _DC_BITS, _DC_VALS),
+        (1, 0, ac_bits, ac_vals), (1, 1, ac_bits, ac_vals),
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    if progressive:
+        for cis, ss, se, ah, al, entropy in _progressive_scans(
+            comp_coefs, grids, factors, w, h
+        ):
+            sos = bytes([len(cis)])
+            for ci in cis:
+                t = 0 if ci == 0 else 1
+                sos += bytes([ci + 1, (t << 4) | t])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xFFDA, sos)
+            out += entropy
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     wtr = _BitWriter()
     pred = [0, 0, 0]
     mcuy = grids[0][0] // factors[0][1]
@@ -351,24 +588,6 @@ def encode_jpeg(
                         bi = (my * fv + by) * bw + (mx * fh + bx)
                         pred[ci] = _encode_block(wtr, comp_coefs[ci][bi], pred[ci])
     entropy = wtr.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, q in enumerate(qt):
-        out += seg(0xFFDB, bytes([tid]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid in range(3):
-        fh, fv = factors[cid]
-        sof += bytes([cid + 1, (fh << 4) | fv, 0 if cid == 0 else 1])
-    out += seg(0xFFC0, sof)
-    for cls, tid, bits, vals in (
-        (0, 0, _DC_BITS, _DC_VALS), (0, 1, _DC_BITS, _DC_VALS),
-        (1, 0, _AC_BITS, _AC_VALS), (1, 1, _AC_BITS, _AC_VALS),
-    ):
-        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     sos = bytes([3])
     for cid in range(3):
         t = 0 if cid == 0 else 1
@@ -397,6 +616,110 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         ) from ex
 
 
+def read_symbol(rdr: _BitReader, table) -> int:
+    walk, fast = table
+    # fast path: buffer 9 bits, resolve short codes in one lookup.
+    # _fill raises _RestartHit only BEFORE consuming the marker, so
+    # bailing to the walk path at a restart boundary is lossless.
+    try:
+        while rdr.n < _FAST_BITS:
+            rdr._fill()
+    except _RestartHit:
+        pass
+    if rdr.n >= _FAST_BITS:
+        hit = fast.get((rdr.acc >> (rdr.n - _FAST_BITS)) & ((1 << _FAST_BITS) - 1))
+        if hit is not None:
+            sym, ln = hit
+            rdr.n -= ln
+            rdr.acc &= (1 << rdr.n) - 1
+            return sym
+    # slow walk: long codes (10-16 bits) or a buffer cut short by a
+    # restart marker
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rdr.bits(1)
+        sym = walk.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code in JPEG stream")
+
+def extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+def _prog_ac_first_block(rdr, atab, zz, ss, se, al, eobrun) -> int:
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = read_symbol(rdr, atab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            # EOBn: (1 << r) + ext bits blocks end here, incl. this one
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rdr.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun")
+        zz[k] = extend(rdr.bits(s), s) << al
+        k += 1
+    return eobrun
+
+def _prog_ac_refine_block(rdr, atab, zz, ss, se, al, eobrun) -> int:
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(i: int) -> None:
+        # a set bit appends this scan's magnitude bit to a
+        # coefficient that was already nonzero (G.1.2.3)
+        if rdr.bits(1) and (int(zz[i]) & p1) == 0:
+            zz[i] += p1 if zz[i] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = read_symbol(rdr, atab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (rdr.bits(r) if r else 0)
+                    break
+                # ZRL: walk over 16 zero-history positions below
+            elif s == 1:
+                val = p1 if rdr.bits(1) else m1
+            else:
+                raise ValueError(
+                    "refinement scan magnitude must be 1")
+            # advance over r zero-history coefficients; nonzero ones
+            # along the way consume correction bits instead
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refine overrun")
+                zz[k] = val
+            k += 1
+    if eobrun:
+        # end-of-band: remaining nonzero coefficients still carry
+        # one correction bit each
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -408,37 +731,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     hmax = vmax = 1
     mcux = mcuy = 0
     restart_interval = 0
+    progressive = False
     scanned: set[int] = set()
-
-    def read_symbol(rdr: _BitReader, table) -> int:
-        walk, fast = table
-        # fast path: buffer 9 bits, resolve short codes in one lookup.
-        # _fill raises _RestartHit only BEFORE consuming the marker, so
-        # bailing to the walk path at a restart boundary is lossless.
-        try:
-            while rdr.n < _FAST_BITS:
-                rdr._fill()
-        except _RestartHit:
-            pass
-        if rdr.n >= _FAST_BITS:
-            hit = fast.get((rdr.acc >> (rdr.n - _FAST_BITS)) & ((1 << _FAST_BITS) - 1))
-            if hit is not None:
-                sym, ln = hit
-                rdr.n -= ln
-                rdr.acc &= (1 << rdr.n) - 1
-                return sym
-        # slow walk: long codes (10-16 bits) or a buffer cut short by a
-        # restart marker
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | rdr.bits(1)
-            sym = walk.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad Huffman code in JPEG stream")
-
-    def extend(v: int, s: int) -> int:
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     def decode_block(rdr, dtab, atab, pred, cid) -> np.ndarray:
         zz = np.zeros(64, dtype=np.int32)
@@ -509,6 +803,84 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         except _RestartHit:
             raise ValueError("unexpected restart marker") from None
 
+    # ---------------- progressive (SOF2) scan walkers, T.81 Annex G ----
+    # Scans deposit into the same per-component zigzag coefficient
+    # arrays the sequential path uses; only the entropy layer differs.
+
+    def decode_scan_prog(rdr, scomp, ss, se, ah, al, restart_interval):
+        pred = {c["id"]: 0 for c in comps}
+        eobrun = 0
+        n_unit = 0
+
+        def at_restart():
+            nonlocal pred, eobrun
+            rdr.restart()
+            pred = {c["id"]: 0 for c in comps}
+            eobrun = 0
+
+        try:
+            if ss == 0:  # DC scan (first or refinement), MCU-interleaved
+                if se != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                if len(scomp) > 1:
+                    units = []
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            group = []
+                            for c, dct, _act in scomp:
+                                for by in range(c["v"]):
+                                    for bx in range(c["h"]):
+                                        group.append(
+                                            (c, dct,
+                                             (my * c["v"] + by) * c["bw"]
+                                             + mx * c["h"] + bx))
+                            units.append(group)
+                else:
+                    c, dct, _act = scomp[0]
+                    compw = -(-w * c["h"] // hmax)
+                    comph = -(-h * c["v"] // vmax)
+                    bw2, bh2 = -(-compw // 8), -(-comph // 8)
+                    units = [[(c, dct, row * c["bw"] + col)]
+                             for row in range(bh2) for col in range(bw2)]
+                for group in units:
+                    if (restart_interval and n_unit
+                            and n_unit % restart_interval == 0):
+                        at_restart()
+                    n_unit += 1
+                    for c, dct, bi in group:
+                        zz = c["coef"][bi]
+                        if ah == 0:
+                            s = read_symbol(rdr, htabs[(0, dct)])
+                            diff = extend(rdr.bits(s), s) if s else 0
+                            pred[c["id"]] += diff
+                            zz[0] = pred[c["id"]] << al
+                        elif rdr.bits(1):
+                            zz[0] |= 1 << al
+            else:  # AC scan: single component over its own ceil raster
+                if len(scomp) > 1:
+                    raise ValueError(
+                        "progressive AC scan must be single-component")
+                c, _dct, act = scomp[0]
+                atab = htabs[(1, act)]
+                compw = -(-w * c["h"] // hmax)
+                comph = -(-h * c["v"] // vmax)
+                bw2, bh2 = -(-compw // 8), -(-comph // 8)
+                for row in range(bh2):
+                    for col in range(bw2):
+                        if (restart_interval and n_unit
+                                and n_unit % restart_interval == 0):
+                            at_restart()
+                        n_unit += 1
+                        zz = c["coef"][row * c["bw"] + col]
+                        if ah == 0:
+                            eobrun = _prog_ac_first_block(
+                                rdr, atab, zz, ss, se, al, eobrun)
+                        else:
+                            eobrun = _prog_ac_refine_block(
+                                rdr, atab, zz, ss, se, al, eobrun)
+        except _RestartHit:
+            raise ValueError("unexpected restart marker") from None
+
     while True:
         if data[pos] != 0xFF:
             pos += 1
@@ -540,7 +912,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = np.zeros(64, dtype=np.int32)
                 tbl[ZIGZAG] = q
                 qtabs[tid] = tbl.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline / extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -561,11 +934,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 c["bw"] = mcux * c["h"]
                 c["bh"] = mcuy * c["v"]
                 c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{marker:02X}: only baseline sequential "
-                "(SOF0/SOF1) is supported (no progressive/arithmetic/lossless)"
+                "(SOF0/SOF1) and Huffman progressive (SOF2) are supported "
+                "(no arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xC4:  # DHT
             o = 0
@@ -590,8 +964,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(f"SOS names unknown component {cs}")
                 scomp.append((match[0], tt >> 4, tt & 15))
             rdr = _BitReader(data, pos + ln)
-            decode_scan(rdr, scomp, restart_interval)
-            scanned.update(c["id"] for c, _, _ in scomp)
+            if progressive:
+                ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+                if not (ss <= se <= 63):
+                    raise ValueError("bad progressive spectral band")
+                decode_scan_prog(rdr, scomp, ss, se, ahal >> 4, ahal & 15,
+                                 restart_interval)
+                if ss == 0:
+                    # DC coverage is what makes a component renderable;
+                    # AC bands only sharpen it (Annex G display model)
+                    scanned.update(c["id"] for c, _, _ in scomp)
+            else:
+                decode_scan(rdr, scomp, restart_interval)
+                scanned.update(c["id"] for c, _, _ in scomp)
             pos = rdr.pos
             continue
         pos += ln

@@ -260,6 +260,7 @@ def transcode_images(
     to: str = "jpeg",
     quality: int = 90,
     subsampling: str = "420",
+    progressive: bool = False,
     id_col: str = "image_id",
 ) -> DataFrame:
     """Re-encode image payloads: decode whatever ``fmt`` each row
@@ -312,7 +313,8 @@ def transcode_images(
                     px = decode_image(bytes(data), fmt, int(w), int(h))
                     if to == "jpeg":
                         blob = encode_jpeg(
-                            px, quality=quality, subsampling=subsampling
+                            px, quality=quality, subsampling=subsampling,
+                            progressive=progressive,
                         )
                         q = psnr(px, decode_jpeg(blob))
                     elif to == "png":

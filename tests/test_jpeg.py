@@ -147,10 +147,15 @@ def test_garbage_and_unsupported_inputs():
         decode_jpeg(b"\x00\x01\x02")
     px = _gradient(16, 16)
     good = bytearray(encode_jpeg(px, 90))
-    # flip SOF0 to SOF2 (progressive) -> loud NotImplementedError
+    # flip SOF0 to SOF9 (arithmetic coding) -> loud NotImplementedError
+    # (SOF2 progressive is decoded for real since r4g; a baseline scan
+    # header under a progressive frame is instead a clean ValueError)
     i = bytes(good).find(b"\xff\xc0")
-    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2:])
+    arith = bytes(good[:i]) + b"\xff\xc9" + bytes(good[i + 2:])
     with pytest.raises(NotImplementedError):
+        decode_jpeg(arith)
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2:])
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
 
 
