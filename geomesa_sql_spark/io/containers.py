@@ -6,8 +6,8 @@ bxkftechteam/geomesa-sql, has no media code — this is graft-side):
 
 - ``wav``: RIFF/WAVE — `audio_features` runs on real .wav payloads
   instead of only bare ``raws16le`` sample dumps. Integer PCM
-  (8/16/24/32-bit), IEEE float, EXTENSIBLE wrappers and IMA ADPCM all
-  decode; a-law/mu-law/MS-ADPCM raise loudly.
+  (8/16/24/32-bit), IEEE float, EXTENSIBLE wrappers, IMA ADPCM and
+  G.711 a-law/mu-law all decode; MS-ADPCM raises loudly.
 - ``mjpeg``: RIFF/AVI whose video stream is Motion-JPEG — every frame
   is a baseline JFIF picture, so `io/jpeg.py` decodes real video.
   mp4/webm (H.264/VP9) still raise: those need real inter-frame
@@ -48,10 +48,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
     Covers the foreign-file surface: integer PCM (8-bit unsigned,
     16/24/32-bit signed), IEEE float (32/64-bit, scaled to the 16-bit
-    range), WAVE_FORMAT_EXTENSIBLE unwrapping, and IMA ADPCM (format
-    0x11, decoded vectorized across independent blocks). Unknown
-    codecs (mp3-in-WAV, a-law/mu-law, MS ADPCM) raise loudly;
-    malformed containers raise ValueError.
+    range), WAVE_FORMAT_EXTENSIBLE unwrapping, IMA ADPCM (format 0x11,
+    decoded vectorized across independent blocks), and G.711 a-law /
+    mu-law (telephony WAV, closed-form expansion). Unknown codecs
+    (mp3-in-WAV, MS ADPCM) raise loudly; malformed containers raise
+    ValueError.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV (RIFF/WAVE) container")
@@ -122,9 +123,28 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("IMA ADPCM fact chunk exceeds decoded data")
             x = x[:fact_samples]
         return x, rate
+    if audio_format in (6, 7):  # G.711 a-law / mu-law (telephony WAV)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with {bits}-bit samples")
+        n = len(samples) // channels
+        b = np.frombuffer(samples, np.uint8, n * channels).astype(np.int64)
+        if audio_format == 7:  # mu-law: closed form, G.711 table 2a/2b
+            u = ~b & 0xFF
+            exp, man = (u >> 4) & 7, u & 15
+            mag = (((man << 3) | 0x84) << exp) - 0x84
+            x = np.where(u & 0x80, -mag, mag)
+        else:  # a-law: even bits inverted on the wire, G.711 table 1a/1b
+            a = b ^ 0x55
+            exp, man = (a >> 4) & 7, a & 15
+            mag = np.where(exp == 0, (man << 4) + 8,
+                           ((man << 4) + 0x108) << np.maximum(exp - 1, 0))
+            # 13-bit a-law, pre-scaled <<3 by the closed form above to
+            # the 16-bit range; sign bit SET means positive
+            x = np.where(a & 0x80, mag, -mag)
+        return x.reshape(n, channels), rate
     raise NotImplementedError(
-        f"WAV format 0x{audio_format:x}: only PCM/float/IMA-ADPCM are "
-        "implemented (a-law/mu-law/MS-ADPCM/mp3-in-WAV need codec tables)"
+        f"WAV format 0x{audio_format:x}: only PCM/float/IMA-ADPCM/G.711 "
+        "are implemented (MS-ADPCM/mp3-in-WAV need codec tables)"
     )
 
 

@@ -45,11 +45,12 @@ def test_wav_rejections():
     with pytest.raises(ValueError, match="RIFF/WAVE"):
         decode_wav(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 8)
     good = encode_wav(_tone(100), 8000)
-    # flip the audio format field to 6 (a-law): loud raise
+    # flip the audio format field to 2 (MS ADPCM): loud raise
+    # (a-law/mu-law decode for real since r4g)
     fmt_pos = good.index(b"fmt ") + 8
     bad = bytearray(good)
-    bad[fmt_pos] = 6
-    with pytest.raises(NotImplementedError, match="a-law"):
+    bad[fmt_pos] = 2
+    with pytest.raises(NotImplementedError, match="MS-ADPCM"):
         decode_wav(bytes(bad))
     # missing data chunk
     with pytest.raises(ValueError, match="missing"):
@@ -244,11 +245,11 @@ def test_audio_features_unknown_wav_codec_raises(spark):
     from geomesa_sql_spark.ops.multimodal import audio_features
 
     good = bytearray(encode_wav(_tone(50), 8000))
-    good[good.index(b"fmt ") + 8] = 6  # a-law: genuinely unimplemented
+    good[good.index(b"fmt ") + 8] = 2  # MS ADPCM: genuinely unimplemented
     df = spark.createDataFrame(
         [("a", bytes(good), "wav")], "audio_id string, bytes binary, fmt string"
     )
-    with pytest.raises(Exception, match="a-law"):
+    with pytest.raises(Exception, match="MS-ADPCM"):
         audio_features(df).collect()
 
 
@@ -288,3 +289,72 @@ def test_ima_adpcm_fact_trim_and_partial_block():
     # a partial trailing block is a truncation, not silent data loss
     with pytest.raises(ValueError, match="whole number"):
         decode_wav(wav(payload[:-7]))
+
+
+def test_wav_g711_alaw_mulaw():
+    """G.711 decode law: an independent segment-search encoder (the
+    classic linear2ulaw/linear2alaw construction, written here against
+    the published segment tables) round-trips through decode_wav within
+    G.711 quantization error, and the canonical anchor codes decode to
+    their published values."""
+
+    def rebuild(audio_format, payload):
+        fmt = struct.pack("<HHIIHH", audio_format, 1, 8000, 8000, 1, 8)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    seg_ends_u = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
+    seg_ends_a = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
+
+    def lin2ulaw(x):
+        sign = 0x80 if x < 0 else 0
+        x = min(abs(x), 32635) + 0x84
+        seg = next(i for i, e in enumerate(seg_ends_u) if x <= e)
+        man = (x >> (seg + 3)) & 0xF
+        return (~(sign | (seg << 4) | man)) & 0xFF
+
+    def lin2alaw(x):
+        sign = 0x80 if x >= 0 else 0
+        x = min(abs(x), 32767) >> 3  # to the 13-bit a-law domain
+        if x < 0x20:
+            code = x >> 1  # segment 0: step 2
+        else:
+            seg = next(i for i, e in enumerate(seg_ends_a) if x * 8 <= e * 8) - 0
+            seg = max(1, (x.bit_length() - 5))
+            man = (x >> seg) & 0xF if seg else 0
+            code = (seg << 4) | man
+        return (sign | code) ^ 0x55
+
+    xs = np.concatenate([
+        np.array([0, 1, -1, 7, -8, 100, -100, 1000, -1000, 8000, -8000,
+                  32000, -32000, 32767, -32768]),
+        np.linspace(-32768, 32767, 301).astype(np.int64),
+    ])
+    mu_codes = bytes(lin2ulaw(int(v)) for v in xs)
+    got, rate = decode_wav(rebuild(7, mu_codes))
+    assert rate == 8000
+    err = np.abs(got[:, 0] - np.clip(xs, -32635, 32635))
+    # mu-law quantization interval at |x| is ~ (|x| + 132) / 16
+    assert (err <= (np.abs(xs) + 132) / 16 + 4).all()
+
+    a_codes = bytes(lin2alaw(int(v)) for v in xs)
+    got, _ = decode_wav(rebuild(6, a_codes))
+    err = np.abs(got[:, 0] - xs)
+    assert (err <= np.maximum(np.abs(xs) / 16, 16) + 8).all()
+
+    # published anchors: mu wire 0xFF -> 0, 0x7F -> 0 (negative zero),
+    # 0x00 -> -32124, 0x80 -> +32124; a wire 0x55 -> -8, 0xD5 -> +8,
+    # 0x2A -> -32256, 0xAA -> +32256
+    anchors_mu = {0xFF: 0, 0x7F: 0, 0x00: -32124, 0x80: 32124}
+    got, _ = decode_wav(rebuild(7, bytes(anchors_mu)))
+    assert got[:, 0].tolist() == list(anchors_mu.values())
+    anchors_a = {0x55: -8, 0xD5: 8, 0x2A: -32256, 0xAA: 32256}
+    got, _ = decode_wav(rebuild(6, bytes(anchors_a)))
+    assert got[:, 0].tolist() == list(anchors_a.values())
+
+    # G.711 with a non-8-bit width is corrupt, not unsupported
+    with pytest.raises(ValueError):
+        decode_wav(rebuild(7, mu_codes)[:20] + b"")  # truncated fmt
