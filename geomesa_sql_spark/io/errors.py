@@ -3,12 +3,15 @@
 Every public decode entry point must reject truncated or corrupt
 streams with ValueError (or NotImplementedError for honestly
 unsupported forms) — never a raw IndexError/KeyError/struct.error/
-OverflowError from some interior offset arithmetic. Those would escape
-the multimodal ops' per-row ``except (ValueError, NotImplementedError)``
-null-row guards and fail whole Spark tasks on one bad payload. The
-randomized mutation law in tests/test_codec_laws.py pins this contract
-for every codec; this decorator is the single place the conversion
-happens so a new decoder can't forget it.
+OverflowError from some interior offset arithmetic. The ops-layer
+per-row guards are ``except Exception`` so a raw escape still becomes
+a null row, but it surfaces in task logs as a bare KeyError from deep
+inside a parser — indistinguishable from an engine bug — instead of a
+one-line "truncated or corrupt stream" diagnosis, and any NEW call
+site that guards more narrowly inherits the crash. The randomized
+mutation law in tests/test_codec_laws.py pins this contract for every
+codec; this decorator is the single place the conversion happens so a
+new decoder can't forget it.
 """
 
 from __future__ import annotations

@@ -34,6 +34,10 @@ from geomesa_sql_spark.io.errors import clean_decode
 # top out around single-digit megapixels) while refusing the spec-legal
 # 65535x65535 header that would allocate gigabytes inside a Spark task
 _MAX_PIXELS = 1 << 26
+# ... and 256 MP summed across an animation's composited frames (~768
+# MB of RGB): the per-frame cap alone still lets a 10 KB payload claim
+# hundreds of near-cap canvases
+_MAX_TOTAL_PIXELS = 1 << 28
 
 
 def _lzw_decode(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
@@ -260,6 +264,15 @@ def gif_frames(data: bytes) -> list[np.ndarray]:
             mask = (idx != transparent)[:, :, None]
             px = np.where(mask, px, region)
         canvas[top : top + h, left : left + w] = px
+        # total-memory guard, not just per-array: a tiny payload can
+        # declare a near-cap canvas and hundreds of 1x1 frames, each
+        # appending a full canvas copy (review r4g) — bound the SUM of
+        # frame pixels the same way single allocations are bounded
+        if (len(frames) + 1) * sw * sh > _MAX_TOTAL_PIXELS:
+            raise ValueError(
+                f"implausible GIF: {len(frames) + 1} frames of "
+                f"{sw}x{sh} exceed the decode memory budget"
+            )
         frames.append(canvas.copy())
         if disposal == 2:  # restore background in the frame region
             # the background index refers to the GLOBAL color table,

@@ -44,6 +44,8 @@ import struct
 
 import numpy as np
 
+from geomesa_sql_spark.io.errors import clean_decode
+
 # ---------------------------------------------------------------- tables
 
 # Annex K quantization tables (public, every JPEG article reproduces them)
@@ -602,21 +604,18 @@ def encode_jpeg(
 # ------------------------------------------------------------ decoder
 
 
+@clean_decode
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
-    try:
-        return _decode_jpeg(data)
-    except (IndexError, struct.error, KeyError, OverflowError) as ex:
-        # running off the end of a truncated stream (IndexError/
-        # struct.error), a scan referencing an undefined DHT/DQT id
-        # (KeyError), or a mutated header overflowing a struct pack
-        # (OverflowError) surfaces as a clean ValueError
-        raise ValueError(
-            f"truncated or corrupt JPEG stream: {type(ex).__name__}: {ex}"
-        ) from ex
+    """JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Running off the end of a truncated stream (IndexError/struct.error),
+    a scan referencing an undefined DHT/DQT id (KeyError), or a mutated
+    header overflowing a struct pack (OverflowError) surfaces as a clean
+    ValueError via the shared clean_decode wrapper."""
+    return _decode_jpeg(data)
 
 
-def read_symbol(rdr: _BitReader, table) -> int:
+def _read_symbol(rdr: _BitReader, table) -> int:
     walk, fast = table
     # fast path: buffer 9 bits, resolve short codes in one lookup.
     # _fill raises _RestartHit only BEFORE consuming the marker, so
@@ -643,7 +642,7 @@ def read_symbol(rdr: _BitReader, table) -> int:
             return sym
     raise ValueError("bad Huffman code in JPEG stream")
 
-def extend(v: int, s: int) -> int:
+def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 def _prog_ac_first_block(rdr, atab, zz, ss, se, al, eobrun) -> int:
@@ -651,7 +650,7 @@ def _prog_ac_first_block(rdr, atab, zz, ss, se, al, eobrun) -> int:
         return eobrun - 1
     k = ss
     while k <= se:
-        rs = read_symbol(rdr, atab)
+        rs = _read_symbol(rdr, atab)
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r == 15:  # ZRL: sixteen zero coefficients
@@ -665,7 +664,7 @@ def _prog_ac_first_block(rdr, atab, zz, ss, se, al, eobrun) -> int:
         k += r
         if k > se:
             raise ValueError("AC index overrun")
-        zz[k] = extend(rdr.bits(s), s) << al
+        zz[k] = _extend(rdr.bits(s), s) << al
         k += 1
     return eobrun
 
@@ -681,7 +680,7 @@ def _prog_ac_refine_block(rdr, atab, zz, ss, se, al, eobrun) -> int:
     k = ss
     if eobrun == 0:
         while k <= se:
-            rs = read_symbol(rdr, atab)
+            rs = _read_symbol(rdr, atab)
             r, s = rs >> 4, rs & 15
             val = 0
             if s == 0:
@@ -736,13 +735,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
 
     def decode_block(rdr, dtab, atab, pred, cid) -> np.ndarray:
         zz = np.zeros(64, dtype=np.int32)
-        s = read_symbol(rdr, dtab)
-        diff = extend(rdr.bits(s), s) if s else 0
+        s = _read_symbol(rdr, dtab)
+        diff = _extend(rdr.bits(s), s) if s else 0
         pred[cid] += diff
         zz[0] = pred[cid]
         k = 1
         while k <= 63:
-            rs = read_symbol(rdr, atab)
+            rs = _read_symbol(rdr, atab)
             if rs == 0x00:
                 break
             if rs == 0xF0:
@@ -752,7 +751,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             s = rs & 15
             if k > 63:
                 raise ValueError("AC index overrun")
-            zz[k] = extend(rdr.bits(s), s)
+            zz[k] = _extend(rdr.bits(s), s)
             k += 1
         return zz
 
@@ -850,8 +849,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     for c, dct, bi in group:
                         zz = c["coef"][bi]
                         if ah == 0:
-                            s = read_symbol(rdr, htabs[(0, dct)])
-                            diff = extend(rdr.bits(s), s) if s else 0
+                            s = _read_symbol(rdr, htabs[(0, dct)])
+                            diff = _extend(rdr.bits(s), s) if s else 0
                             pred[c["id"]] += diff
                             zz[0] = pred[c["id"]] << al
                         elif rdr.bits(1):

@@ -306,13 +306,12 @@ def test_wav_g711_alaw_mulaw():
             chunks += b"\x00"
         return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
-    seg_ends_u = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
-    seg_ends_a = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
+    seg_ends = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
 
     def lin2ulaw(x):
         sign = 0x80 if x < 0 else 0
         x = min(abs(x), 32635) + 0x84
-        seg = next(i for i, e in enumerate(seg_ends_u) if x <= e)
+        seg = next(i for i, e in enumerate(seg_ends) if x <= e)
         man = (x >> (seg + 3)) & 0xF
         return (~(sign | (seg << 4) | man)) & 0xFF
 
@@ -322,10 +321,8 @@ def test_wav_g711_alaw_mulaw():
         if x < 0x20:
             code = x >> 1  # segment 0: step 2
         else:
-            seg = next(i for i, e in enumerate(seg_ends_a) if x * 8 <= e * 8) - 0
-            seg = max(1, (x.bit_length() - 5))
-            man = (x >> seg) & 0xF if seg else 0
-            code = (seg << 4) | man
+            seg = max(1, x.bit_length() - 5)
+            code = (seg << 4) | ((x >> seg) & 0xF)
         return (sign | code) ^ 0x55
 
     xs = np.concatenate([

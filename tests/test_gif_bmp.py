@@ -246,3 +246,22 @@ def test_gif_allocation_bombs_rejected():
     blob[mcs_at] = 47
     with pytest.raises(ValueError, match="min code size"):
         gif_frames(bytes(blob))
+
+
+def test_gif_total_frame_memory_bounded():
+    """A near-cap canvas with many tiny frames must not buy unbounded
+    memory through per-frame canvas copies (review r4g): the SUM of
+    frame pixels is bounded, not just each allocation."""
+    from geomesa_sql_spark.io.gif import _lzw_encode
+
+    pal = np.array([[0, 0, 0], [9, 9, 9]], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 8192, 8192, 0x80, 0, 0)  # 64 MP, 2-entry GCT
+    out += pal.tobytes()
+    lzw = _lzw_encode(np.zeros(1, np.uint32), 2)
+    frame = b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+    frame += b"\x02" + bytes([len(lzw)]) + lzw + b"\x00"
+    out += frame * 16  # 16 x 64 MP composited copies > 256 MP budget
+    out += b"\x3b"
+    with pytest.raises(ValueError, match="memory budget"):
+        gif_frames(bytes(out))
