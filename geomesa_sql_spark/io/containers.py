@@ -7,7 +7,8 @@ bxkftechteam/geomesa-sql, has no media code — this is graft-side):
 - ``wav``: RIFF/WAVE — `audio_features` runs on real .wav payloads
   instead of only bare ``raws16le`` sample dumps. Integer PCM
   (8/16/24/32-bit), IEEE float, EXTENSIBLE wrappers, IMA ADPCM and
-  G.711 a-law/mu-law all decode; MS-ADPCM raises loudly.
+  MS ADPCM and G.711 a-law/mu-law all decode; mp3-in-WAV raises
+  loudly.
 - ``mjpeg``: RIFF/AVI whose video stream is Motion-JPEG — every frame
   is a baseline JFIF picture, so `io/jpeg.py` decodes real video.
   mp4/webm (H.264/VP9) still raise: those need real inter-frame
@@ -49,9 +50,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     Covers the foreign-file surface: integer PCM (8-bit unsigned,
     16/24/32-bit signed), IEEE float (32/64-bit, scaled to the 16-bit
     range), WAVE_FORMAT_EXTENSIBLE unwrapping, IMA ADPCM (format 0x11,
-    decoded vectorized across independent blocks), and G.711 a-law /
-    mu-law (telephony WAV, closed-form expansion). Unknown codecs
-    (mp3-in-WAV, MS ADPCM) raise loudly; malformed containers raise
+    decoded vectorized across independent blocks), MS ADPCM (format 2,
+    two-tap predictor, same cross-block vectorization), and G.711
+    a-law / mu-law (telephony WAV, closed-form expansion). Unknown
+    codecs (mp3-in-WAV) raise loudly; malformed containers raise
     ValueError.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -123,6 +125,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("IMA ADPCM fact chunk exceeds decoded data")
             x = x[:fact_samples]
         return x, rate
+    if audio_format == 2:  # MS ADPCM
+        if bits != 4:
+            raise NotImplementedError(f"MS ADPCM with {bits}-bit nibbles")
+        x = _decode_ms_adpcm(samples, channels, block_align)
+        if fact_samples is not None:
+            if fact_samples > len(x):
+                raise ValueError("MS ADPCM fact chunk exceeds decoded data")
+            x = x[:fact_samples]
+        return x, rate
     if audio_format in (6, 7):  # G.711 a-law / mu-law (telephony WAV)
         if bits != 8:
             raise ValueError(f"G.711 WAV with {bits}-bit samples")
@@ -143,8 +154,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             x = np.where(a & 0x80, mag, -mag)
         return x.reshape(n, channels), rate
     raise NotImplementedError(
-        f"WAV format 0x{audio_format:x}: only PCM/float/IMA-ADPCM/G.711 "
-        "are implemented (MS-ADPCM/mp3-in-WAV need codec tables)"
+        f"WAV format 0x{audio_format:x}: only PCM/float/IMA-ADPCM/"
+        "MS-ADPCM/G.711 are implemented (mp3-in-WAV needs a real codec)"
     )
 
 
@@ -211,6 +222,79 @@ def _decode_ima_adpcm(payload: bytes, channels: int, block_align: int) -> np.nda
         out[:, :, i + 1] = pred
     # (nblocks, channels, spb) -> (nblocks*spb, channels)
     return out.transpose(0, 2, 1).reshape(-1, channels)
+
+
+# MS ADPCM adaptation tables (public: the Microsoft WAVE format spec /
+# multimedia registration; every ADPCM article reproduces them)
+_MS_COEFFS = np.array(
+    [[256, 0], [512, -256], [0, 0], [192, 64], [240, 0], [460, -208],
+     [392, -232]],
+    dtype=np.int64,
+)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+     230, 230, 230],
+    dtype=np.int64,
+)
+
+
+def _decode_ms_adpcm(payload: bytes, channels: int, block_align: int) -> np.ndarray:
+    """MS ADPCM blocks -> (n, channels) int16 samples.
+
+    Same shape as the IMA decoder: blocks are independent, so the
+    two-tap predictor recurrence runs vectorized ACROSS blocks. Block
+    layout: per-channel headers (predictor index u8, initial delta i16,
+    sample1 i16, sample2 i16 — each field channel-interleaved), then
+    4-bit nibbles channel-interleaved high-nibble first.
+    """
+    hdr_bytes = 7 * channels
+    if block_align <= hdr_bytes:
+        raise ValueError("invalid MS ADPCM block alignment")
+    if len(payload) % block_align:
+        raise ValueError("MS ADPCM payload is not a whole number of blocks")
+    nblocks = len(payload) // block_align
+    if nblocks == 0:
+        return np.zeros((0, channels), dtype=np.int64)
+    raw = np.frombuffer(payload, np.uint8, nblocks * block_align).reshape(
+        nblocks, block_align
+    )
+
+    def i16(at):  # channel-interleaved little-endian int16 field at `at`
+        v = (raw[:, at:at + 2 * channels:2].astype(np.int64)
+             | (raw[:, at + 1:at + 2 * channels:2].astype(np.int64) << 8))
+        return v - ((v >> 15) << 16)
+
+    pidx = raw[:, :channels].astype(np.int64)
+    if int(pidx.max()) >= len(_MS_COEFFS):
+        raise ValueError("MS ADPCM predictor index out of range")
+    c1 = _MS_COEFFS[pidx, 0]
+    c2 = _MS_COEFFS[pidx, 1]
+    delta = i16(channels)
+    s1 = i16(3 * channels)  # newer of the two seed samples
+    s2 = i16(5 * channels)
+    body = raw[:, hdr_bytes:]
+    # nibbles: high first, channel-interleaved in playback order
+    nib = np.empty((nblocks, body.shape[1] * 2), dtype=np.int64)
+    nib[:, 0::2] = body >> 4
+    nib[:, 1::2] = body & 0x0F
+    nch = (nib.shape[1] // channels) * channels
+    nib = nib[:, :nch].reshape(nblocks, -1, channels)
+    spb = nib.shape[1] + 2
+    out = np.empty((nblocks, spb, channels), dtype=np.int64)
+    out[:, 0, :] = s2  # older seed plays first
+    out[:, 1, :] = s1
+    for i in range(nib.shape[1]):
+        n = nib[:, i, :]
+        signed = n - ((n & 8) << 1)  # 4-bit two's complement
+        acc = s1 * c1 + s2 * c2
+        # the spec's "/ 256" is C integer division: truncation toward
+        # zero, which differs from Python floor for negative sums
+        pred = np.sign(acc) * (np.abs(acc) >> 8) + signed * delta
+        pred = np.clip(pred, -32768, 32767)
+        s2, s1 = s1, pred
+        delta = np.maximum((_MS_ADAPT[n] * delta) // 256, 16)
+        out[:, i + 2, :] = pred
+    return out.reshape(-1, channels)
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

@@ -45,12 +45,12 @@ def test_wav_rejections():
     with pytest.raises(ValueError, match="RIFF/WAVE"):
         decode_wav(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 8)
     good = encode_wav(_tone(100), 8000)
-    # flip the audio format field to 2 (MS ADPCM): loud raise
-    # (a-law/mu-law decode for real since r4g)
+    # flip the audio format to 0x55 (mp3-in-WAV): loud raise
+    # (a-law/mu-law and MS ADPCM decode for real since r4g)
     fmt_pos = good.index(b"fmt ") + 8
     bad = bytearray(good)
-    bad[fmt_pos] = 2
-    with pytest.raises(NotImplementedError, match="MS-ADPCM"):
+    bad[fmt_pos] = 0x55
+    with pytest.raises(NotImplementedError, match="0x55"):
         decode_wav(bytes(bad))
     # missing data chunk
     with pytest.raises(ValueError, match="missing"):
@@ -245,11 +245,11 @@ def test_audio_features_unknown_wav_codec_raises(spark):
     from geomesa_sql_spark.ops.multimodal import audio_features
 
     good = bytearray(encode_wav(_tone(50), 8000))
-    good[good.index(b"fmt ") + 8] = 2  # MS ADPCM: genuinely unimplemented
+    good[good.index(b"fmt ") + 8] = 0x55  # mp3-in-WAV: genuinely unimplemented
     df = spark.createDataFrame(
         [("a", bytes(good), "wav")], "audio_id string, bytes binary, fmt string"
     )
-    with pytest.raises(Exception, match="MS-ADPCM"):
+    with pytest.raises(Exception, match="0x55"):
         audio_features(df).collect()
 
 
@@ -355,3 +355,124 @@ def test_wav_g711_alaw_mulaw():
     # G.711 with a non-8-bit width is corrupt, not unsupported
     with pytest.raises(ValueError):
         decode_wav(rebuild(7, mu_codes)[:20] + b"")  # truncated fmt
+
+
+def _ms_decode_scalar(payload, channels, block_align):
+    """Independent per-sample reference decode of MS ADPCM, straight
+    from the spec pseudo-code (trunc division, per-channel state)."""
+    COEFFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+              (460, -208), (392, -232)]
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409,
+             307, 230, 230, 230]
+    out = []
+    for at in range(0, len(payload), block_align):
+        blk = payload[at:at + block_align]
+        ch = channels
+        pidx = [blk[c] for c in range(ch)]
+        def i16(o):
+            v = blk[o] | (blk[o + 1] << 8)
+            return v - ((v >> 15) << 16)
+        delta = [i16(ch + 2 * c) for c in range(ch)]
+        s1 = [i16(3 * ch + 2 * c) for c in range(ch)]
+        s2 = [i16(5 * ch + 2 * c) for c in range(ch)]
+        rows = [list(s2), list(s1)]
+        nibs = []
+        for b in blk[7 * ch:]:
+            nibs += [b >> 4, b & 0x0F]
+        nibs = nibs[: (len(nibs) // ch) * ch]
+        row = []
+        for i, n in enumerate(nibs):
+            c = i % ch
+            signed = n - 16 if n & 8 else n
+            acc = s1[c] * COEFFS[pidx[c]][0] + s2[c] * COEFFS[pidx[c]][1]
+            pred = (abs(acc) >> 8) * (1 if acc >= 0 else -1) + signed * delta[c]
+            pred = max(-32768, min(32767, pred))
+            s2[c], s1[c] = s1[c], pred
+            delta[c] = max((ADAPT[n] * delta[c]) >> 8, 16)
+            row.append(pred)
+            if c == ch - 1:
+                rows.append(row)
+                row = []
+        out += rows
+    return np.array(out, dtype=np.int64)
+
+
+def test_wav_ms_adpcm_vectorized_matches_scalar():
+    """Random valid MS-ADPCM blocks: the vectorized cross-block decode
+    equals a straight per-sample reference bit-for-bit, mono and
+    stereo, including negative-sum trunc division and delta floors."""
+    rng = np.random.default_rng(23)
+    for channels in (1, 2):
+        block_align = 7 * channels + 32 * channels  # 66 samples/block
+        nblocks = 12
+        payload = bytearray()
+        for _ in range(nblocks):
+            for c in range(channels):
+                payload.append(int(rng.integers(0, 7)))
+            for _ in range(3 * channels):  # delta, s1, s2 per channel
+                payload += int(rng.integers(-30000, 30000)).to_bytes(
+                    2, "little", signed=True)
+            payload += bytes(rng.integers(0, 256, 32 * channels,
+                                          ).astype(np.uint8).tobytes())
+        # deltas must start positive to be spec-valid
+        pb = bytearray(payload)
+        fmt = struct.pack("<HHIIHH", 2, channels, 8000,
+                          8000, block_align, 4)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(pb)) + bytes(pb)
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        got, rate = decode_wav(wav)
+        want = _ms_decode_scalar(bytes(pb), channels, block_align)
+        assert got.shape == want.shape
+        assert (got == want).all()
+
+    # predictor index > 6 is corrupt, not a table overrun
+    bad = bytearray(payload)
+    bad[0] = 9
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(bad)) + bytes(bad)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav(wav)
+
+
+def test_wav_ms_adpcm_tone_roundtrip():
+    """A simple spec-shaped encoder (predictor 0, adaptive delta) round
+    trips a tone through decode_wav within ADPCM quantization error."""
+    tone = _tone(660, freq=300.0, rate=8000, amp=9000)
+    spb, ch = 66, 1
+    block_align = 7 + (spb - 2) // 2
+    payload = bytearray()
+    i = 0
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409,
+             307, 230, 230, 230]
+    x = tone.astype(np.int64).tolist()
+    x += [0] * (-len(x) % spb)
+    while i < len(x):
+        blk = x[i:i + spb]
+        i += spb
+        s2, s1, delta = blk[0], blk[1], 128
+        payload.append(0)  # predictor 0: coeffs (256, 0)
+        payload += int(delta).to_bytes(2, "little", signed=True)
+        payload += int(s1).to_bytes(2, "little", signed=True)
+        payload += int(s2).to_bytes(2, "little", signed=True)
+        nibs = []
+        for v in blk[2:]:
+            pred = s1  # coeff (256, 0): prediction is s1
+            n = max(-8, min(7, round((v - pred) / delta)))
+            dec = max(-32768, min(32767, pred + n * delta))
+            s2, s1 = s1, dec
+            delta = max((ADAPT[n & 0xF] * delta) >> 8, 16)
+            nibs.append(n & 0xF)
+        for a, b in zip(nibs[0::2], nibs[1::2]):
+            payload.append((a << 4) | b)
+    fmt = struct.pack("<HHIIHH", 2, ch, 8000, 8000, block_align, 4)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + bytes(payload)
+    chunks += b""
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    got, rate = decode_wav(wav)
+    assert rate == 8000
+    dec = got[: len(tone), 0].astype(np.float64)
+    err = np.abs(dec - tone)
+    assert err.mean() < 200 and err.max() < 2000
