@@ -233,9 +233,67 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 @clean_decode
+def _bmp_rle(payload: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
+    """RLE8/RLE4 → (h, w) palette indexes in STORAGE order (row 0 =
+    bottom scanline; the caller flips). Escapes: 0=end-of-line,
+    1=end-of-bitmap, 2=delta, n≥3=absolute run (word-aligned)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    while i + 1 < len(payload):
+        n, v = payload[i], payload[i + 1]
+        i += 2
+        if n:  # encoded run: n pixels of v (RLE4 alternates nibbles)
+            if y >= h:
+                raise ValueError("BMP RLE run outside the bitmap")
+            take = min(n, w - x)
+            if take > 0:
+                if four_bit:
+                    pix = np.empty(take, np.uint8)
+                    pix[0::2] = v >> 4
+                    pix[1::2] = v & 0x0F
+                else:
+                    pix = np.full(take, v, np.uint8)
+                out[y, x : x + take] = pix
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 1 >= len(payload):
+                raise ValueError("truncated BMP RLE delta")
+            x += payload[i]
+            y += payload[i + 1]
+            i += 2
+        else:  # absolute mode: v literal pixels, padded to a word
+            nbytes = (v + 1) // 2 if four_bit else v
+            chunk = payload[i : i + nbytes]
+            if len(chunk) < nbytes:
+                raise ValueError("truncated BMP RLE absolute run")
+            i += nbytes + (nbytes & 1)
+            if y >= h:
+                raise ValueError("BMP RLE run outside the bitmap")
+            if four_bit:
+                b = np.frombuffer(chunk, np.uint8)
+                pix = np.empty(nbytes * 2, np.uint8)
+                pix[0::2] = b >> 4
+                pix[1::2] = b & 0x0F
+                pix = pix[:v]
+            else:
+                pix = np.frombuffer(chunk, np.uint8)
+            take = min(v, w - x)
+            if take > 0:
+                out[y, x : x + take] = pix[:take]
+            x += v
+    return out
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
-    """BMP bytes → (h, w, 3) uint8. Supports uncompressed (BI_RGB)
-    8-bit palette, 24-bit and 32-bit, bottom-up and top-down rows."""
+    """BMP bytes → (h, w, 3) uint8.
+
+    Foreign-file surface: uncompressed 1/4/8-bit palette, 16-bit
+    (RGB555 or BI_BITFIELDS masks), 24/32-bit, RLE8/RLE4 runs, bottom-up
+    and top-down rows."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP")
     (offset,) = struct.unpack_from("<I", data, 10)
@@ -243,26 +301,64 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if hsize < 40:
         raise ValueError("BMP core headers are not supported")
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
-    if compression not in (0, 3) or bpp not in (8, 24, 32):
+    if compression not in (0, 1, 2, 3) or bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(
-            f"BMP bpp={bpp} compression={compression}: only uncompressed "
-            "8/24/32-bit is implemented (RLE needs a run decoder)"
+            f"BMP bpp={bpp} compression={compression}: PNG/JPEG-embedded "
+            "BMPs (BI_PNG/BI_JPEG) are not implemented"
         )
     topdown = h < 0
     h = abs(h)
-    stride = (w * (bpp // 8) + 3) & ~3
+    if w * h > _PNG_MAX_PIXELS:  # same task-safety cap as png/gif
+        raise ValueError(f"implausible BMP dimensions {w}x{h}")
+
+    def palette():
+        ncol = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
+        pal = np.frombuffer(data, np.uint8, 4 * ncol, 14 + hsize).reshape(ncol, 4)
+        return pal, ncol
+
+    if compression in (1, 2):  # RLE8 / RLE4
+        if (compression == 1) != (bpp == 8) or (compression == 2) != (bpp == 4):
+            raise ValueError("BMP RLE compression/bpp mismatch")
+        pal, ncol = palette()
+        idx = _bmp_rle(data[offset:], w, h, four_bit=compression == 2)
+        if not topdown:
+            idx = idx[::-1]
+        if int(idx.max(initial=0)) >= ncol:
+            raise ValueError("BMP palette index out of range")
+        return pal[idx][:, :, 2::-1].copy()
+
+    stride = ((w * bpp + 31) // 32) * 4
     if offset + stride * h > len(data):
         raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(data, np.uint8, stride * h, offset).reshape(h, stride)
     if not topdown:
         rows = rows[::-1]
-    if bpp == 8:
-        ncol = struct.unpack_from("<I", data, 46)[0] or 256
-        pal = np.frombuffer(data, np.uint8, 4 * ncol, 14 + hsize).reshape(ncol, 4)
-        idx = rows[:, :w]
-        if int(idx.max()) >= ncol:
+    if bpp in (1, 4, 8):
+        pal, ncol = palette()
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            vals = bits.reshape(h, w, bpp)
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = (vals * weights).sum(axis=2).astype(np.uint8)
+        if int(idx.max(initial=0)) >= ncol:
             raise ValueError("BMP palette index out of range")
         return pal[idx][:, :, 2::-1].copy()  # BGRA table → RGB
+    if bpp == 16:
+        v = rows[:, : w * 2].copy().view("<u2").reshape(h, w).astype(np.uint32)
+        if compression == 3:
+            rm, gm, bm = struct.unpack_from("<III", data, 54)
+            if not (rm and gm and bm):
+                raise ValueError("BMP bitfields with a zero channel mask")
+        else:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # RGB555 default
+        chans = []
+        for m in (rm, gm, bm):
+            shift = (m & -m).bit_length() - 1
+            maxv = m >> shift
+            chans.append(((v & m) >> shift) * 255 // maxv)
+        return np.stack(chans, axis=2).astype(np.uint8)
     px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
     return px[:, :, 2::-1].copy()  # BGR(A) → RGB
 

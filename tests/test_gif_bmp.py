@@ -135,9 +135,14 @@ def test_bmp_roundtrip_and_variants():
     assert (decode_bmp(bytes(enc)) == img[::-1][::-1]).all()
     with pytest.raises(ValueError, match="not a BMP"):
         decode_bmp(b"GIF89a" + b"\x00" * 60)
-    with pytest.raises(NotImplementedError, match="RLE|bpp"):
+    with pytest.raises(NotImplementedError, match="BI_PNG"):
         bad = bytearray(encode_bmp(img))
-        struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+        struct.pack_into("<I", bad, 30, 5)  # BI_PNG (RLE decodes since r4g)
+        decode_bmp(bytes(bad))
+    # a 24-bit stream relabeled RLE8 is corrupt, not unsupported
+    with pytest.raises(ValueError, match="mismatch"):
+        bad = bytearray(encode_bmp(img))
+        struct.pack_into("<I", bad, 30, 1)  # BI_RLE8 on bpp=24
         decode_bmp(bytes(bad))
 
 
@@ -265,3 +270,107 @@ def test_gif_total_frame_memory_bounded():
     out += b"\x3b"
     with pytest.raises(ValueError, match="memory budget"):
         gif_frames(bytes(out))
+
+
+def _bmp_header(w, h, bpp, compression, pal=None, img_size=0):
+    hdr_size = 40
+    ncol = len(pal) if pal is not None else 0
+    offset = 14 + hdr_size + 4 * ncol
+    body = struct.pack("<IiiHHIIiiII", hdr_size, w, h, 1, bpp, compression,
+                       img_size, 0, 0, ncol, 0)
+    if pal is not None:
+        bgra = np.zeros((ncol, 4), np.uint8)
+        bgra[:, :3] = pal[:, ::-1]
+        body += bgra.tobytes()
+    return b"BM" + struct.pack("<IHHI", 0, 0, 0, offset) + body
+
+
+def test_bmp_subbyte_palettes():
+    rng = np.random.default_rng(41)
+    for bpp in (1, 4):
+        ncol = 1 << bpp
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        h, w = 5, 11
+        idx = rng.integers(0, ncol, (h, w)).astype(np.uint8)
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up storage
+            bits = ((idx[y][:, None] >> np.arange(bpp - 1, -1, -1)) & 1)
+            packed = np.packbits(bits.reshape(-1).astype(np.uint8)).tobytes()
+            rows += packed + b"\x00" * (stride - len(packed))
+        blob = _bmp_header(w, h, bpp, 0, pal) + bytes(rows)
+        assert (decode_bmp(blob) == pal[idx]).all(), bpp
+
+
+def test_bmp_rle8_and_rle4():
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    # RLE8: run of 5xA, absolute [1,2,3], EOL, delta(1,0), run 2xB, EOF
+    w, h = 8, 2
+    rle8 = bytes([5, 10, 0, 3, 1, 2, 3, 0,  # padded to word (3 -> 4 bytes)
+                  0, 0,                      # end of line
+                  0, 2, 1, 0,                # delta x+1
+                  2, 11,
+                  0, 1])
+    blob = _bmp_header(w, h, 8, 1, pal, img_size=len(rle8)) + rle8
+    got = decode_bmp(blob)
+    want_idx = np.zeros((h, w), np.uint8)
+    want_idx[1, :5] = 10          # bottom storage row = image row 1
+    want_idx[1, 5:8] = [1, 2, 3]
+    want_idx[0, 1:3] = 11         # next storage row after EOL + delta
+    assert (got == pal[want_idx]).all()
+    # RLE4: run of 6 alternating 0x2,0x7 then absolute 3 nibbles
+    rle4 = bytes([6, 0x27,
+                  0, 3, 0x45, 0x60, 0,       # absolute 4,5,6 (word pad)
+                  0, 1])
+    blob = _bmp_header(w, 1, 4, 2, pal, img_size=len(rle4)) + rle4
+    got = decode_bmp(blob)
+    want_idx = np.zeros((1, w), np.uint8)
+    want_idx[0, :6] = [2, 7, 2, 7, 2, 7]
+    want_idx[0, 6:8] = [4, 5]  # 6 only if w>8; clipped at w=8
+    assert (got == pal[want_idx]).all()
+
+
+def test_bmp_16bit_555_and_bitfields_565():
+    rng = np.random.default_rng(7)
+    h, w = 3, 5
+    r5 = rng.integers(0, 32, (h, w), dtype=np.uint32)
+    g5 = rng.integers(0, 32, (h, w), dtype=np.uint32)
+    b5 = rng.integers(0, 32, (h, w), dtype=np.uint32)
+    v555 = ((r5 << 10) | (g5 << 5) | b5).astype("<u2")
+    stride = ((w * 16 + 31) // 32) * 4
+    rows = b"".join(
+        v555[y].tobytes() + b"\x00" * (stride - w * 2)
+        for y in range(h - 1, -1, -1))
+    blob = _bmp_header(w, h, 16, 0) + rows
+    got = decode_bmp(blob)
+    assert (got[..., 0] == (r5 * 255 // 31).astype(np.uint8)).all()
+    assert (got[..., 2] == (b5 * 255 // 31).astype(np.uint8)).all()
+    # 565 via BI_BITFIELDS masks appended after the header
+    g6 = rng.integers(0, 64, (h, w), dtype=np.uint32)
+    v565 = ((r5 << 11) | (g6 << 5) | b5).astype("<u2")
+    rows = b"".join(
+        v565[y].tobytes() + b"\x00" * (stride - w * 2)
+        for y in range(h - 1, -1, -1))
+    hdr = bytearray(_bmp_header(w, h, 16, 3))
+    hdr += struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    # pixel offset moves past the masks
+    struct.pack_into("<I", hdr, 10, len(hdr))
+    blob = bytes(hdr) + rows
+    got = decode_bmp(blob)
+    assert (got[..., 1] == (g6 * 255 // 63).astype(np.uint8)).all()
+
+
+def test_bmp_rejections_widened():
+    pal = np.zeros((16, 3), np.uint8)
+    # RLE compression/bpp mismatch
+    blob = _bmp_header(4, 1, 8, 2, pal) + bytes([0, 1])
+    with pytest.raises(ValueError, match="mismatch"):
+        decode_bmp(blob)
+    # implausible dims
+    blob = _bmp_header(70000, 70000, 8, 0, pal)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_bmp(blob)
+    # BI_PNG stays loud
+    blob = _bmp_header(4, 1, 8, 5, pal)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(blob)
