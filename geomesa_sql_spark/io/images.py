@@ -389,6 +389,12 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return decode_gif(data)
     if fmt == "bmp":
         return decode_bmp(data)
+    if fmt in ("tiff", "tif"):
+        # from-scratch baseline TIFF 6.0 decoder (io/tiff.py): strips,
+        # none/LZW/deflate/PackBits, predictor, gray/RGB/palette, II/MM
+        from geomesa_sql_spark.io.tiff import decode_tiff
+
+        return decode_tiff(data)
     raise NotImplementedError(
         f"fmt {fmt!r}: no decoder (PIL/cv2 absent in this container); "
         "plumbing (schema, partitioning, batch shape) is format-agnostic"

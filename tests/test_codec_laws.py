@@ -31,6 +31,7 @@ from geomesa_sql_spark.io.images import (
     psnr,
 )
 from geomesa_sql_spark.io.jpeg import decode_jpeg, encode_jpeg
+from geomesa_sql_spark.io.tiff import decode_tiff, encode_tiff
 from geomesa_sql_spark.io.webp import decode_webp, encode_webp
 
 OK_ERRORS = (ValueError, NotImplementedError, zlib.error)
@@ -52,6 +53,9 @@ def test_lossless_image_roundtrip_law():
         assert (decode_png(encode_png(img)) == img).all()
         assert (decode_webp(encode_webp(img)) == img).all()
         assert (decode_bmp(encode_bmp(img)) == img).all()
+        comp = ("none", "packbits", "lzw", "deflate")[trial % 4]
+        assert (decode_tiff(encode_tiff(img, comp, predictor=trial % 2 == 0))
+                == img).all()
         gimg = _rand_img(rng, colors=int(rng.integers(2, 257)))
         assert (decode_gif(encode_gif(gimg)) == gimg).all()
 
@@ -117,6 +121,11 @@ def _mutations(rng, blob, rounds):
             lambda rng: encode_flac(
                 rng.integers(-32768, 32768, 700).astype(np.int16), 8000
             ),
+        ),
+        (
+            "tiff",
+            decode_tiff,
+            lambda rng: encode_tiff(_rand_img(rng), "lzw", predictor=True),
         ),
         ("wav", decode_wav, lambda rng: encode_wav(
             rng.integers(-32768, 32768, 700).astype(np.int16), 8000)),

@@ -1,0 +1,176 @@
+"""Baseline TIFF codec: round trips through the module's own encoder
+(none/PackBits/LZW/deflate x predictor), hand-assembled foreign layouts
+(big-endian, grayscale both polarities, palette ColorMap, sub-byte and
+16-bit depths), and rejection honesty."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from geomesa_sql_spark.io.images import decode_image
+from geomesa_sql_spark.io.tiff import (
+    _packbits_decode,
+    _packbits_encode,
+    _tiff_lzw_decode,
+    _tiff_lzw_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def test_packbits_known_vectors():
+    # the TIFF 6.0 spec's own PackBits example
+    src = bytes([0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA,
+                 0xAA, 0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA,
+                 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA])
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03,
+                 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    assert _packbits_decode(enc, len(src)) == src
+    assert _packbits_decode(_packbits_encode(src), len(src)) == src
+
+
+def test_primitive_roundtrips_with_width_growth():
+    rng = np.random.default_rng(9)
+    long = rng.integers(0, 256, 100_000).astype(np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(long), len(long)) == long
+    runs = rng.integers(0, 3, 20_000).astype(np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(runs), len(runs)) == runs
+    assert _packbits_decode(_packbits_encode(runs), len(runs)) == runs
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw", "deflate"])
+@pytest.mark.parametrize("predictor", [False, True])
+def test_rgb_roundtrip(comp, predictor):
+    rng = np.random.default_rng(hash((comp, predictor)) % 1000)
+    for shape in ((1, 1), (7, 13), (40, 23)):
+        px = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        blob = encode_tiff(px, comp, predictor, rows_per_strip=6)
+        assert (decode_tiff(blob) == px).all()
+        assert (decode_image(blob, "tiff", shape[1], shape[0]) == px).all()
+
+
+def _hand_tiff(bo, tags_vals, pixel_payloads):
+    """Minimal writer for foreign layouts: bo '<' or '>', tags_vals =
+    [(tag, type, [vals])], strips appended and offsets patched."""
+    out = bytearray((b"II*\x00" if bo == "<" else b"MM\x00*") + b"\x00" * 4)
+    entries = sorted(tags_vals)
+    struct.pack_into(bo + "I", out, 4, len(out))
+    out += struct.pack(bo + "H", len(entries))
+    extra = bytearray()
+    extra_base = len(out) + 12 * len(entries) + 4
+    fixups = {}
+    for tag, typ, vals in entries:
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        size = {1: 1, 3: 2, 4: 4}[typ] * len(vals)
+        packed = struct.pack(bo + str(len(vals)) + fmt, *vals)
+        if size <= 4:
+            if tag == 273:
+                fixups[273] = (len(out) + 8, typ, False)
+            vfield = packed + b"\x00" * (4 - size)
+        else:
+            if tag == 273:
+                fixups[273] = (extra_base + len(extra), typ, True)
+            vfield = struct.pack(bo + "I", extra_base + len(extra))
+            extra += packed
+        out += struct.pack(bo + "HHI", tag, typ, len(vals)) + vfield
+    out += b"\x00" * 4
+    out += extra
+    offs = []
+    for p in pixel_payloads:
+        offs.append(len(out))
+        out += p
+    at, typ, _ = fixups[273]
+    fmt = {3: "H", 4: "I"}[typ]
+    for k, o in enumerate(offs):
+        struct.pack_into(bo + fmt, out, at + {3: 2, 4: 4}[typ] * k, o)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_grayscale_both_polarities_and_orders(bo):
+    rng = np.random.default_rng(4)
+    h, w = 6, 9
+    g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    for photo in (0, 1):
+        blob = _hand_tiff(bo, [
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [8]), (259, 3, [1]),
+            (262, 3, [photo]), (273, 4, [0]), (277, 3, [1]),
+            (278, 4, [h]), (279, 4, [h * w]),
+        ], [g.tobytes()])
+        want = (255 - g) if photo == 0 else g
+        assert (decode_tiff(blob) == np.repeat(want[..., None], 3, 2)).all()
+
+
+def test_palette_and_subbyte_and_16bit():
+    rng = np.random.default_rng(6)
+    h, w = 5, 7
+    # 4-bit palette with a 16-bit ColorMap
+    idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    row_bytes = (w * 4 + 7) // 8
+    rows = b"".join(
+        np.packbits(((idx[y][:, None] >> np.arange(3, -1, -1)) & 1)
+                    .reshape(-1).astype(np.uint8)).tobytes()[:row_bytes]
+        for y in range(h))
+    cmap = rng.integers(0, 65536, 3 * 16).tolist()
+    blob = _hand_tiff("<", [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [4]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, [0]), (277, 3, [1]), (278, 4, [h]),
+        (279, 4, [len(rows)]), (320, 3, cmap),
+    ], [rows])
+    lut = (np.array(cmap, dtype=np.uint32).reshape(3, 16).T >> 8).astype(np.uint8)
+    assert (decode_tiff(blob) == lut[idx]).all()
+    # 16-bit grayscale big-endian: high byte survives
+    g16 = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    blob = _hand_tiff(">", [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, [0]), (277, 3, [1]), (278, 4, [h]),
+        (279, 4, [h * w * 2]),
+    ], [g16.astype(">u2").tobytes()])
+    want = (g16 >> 8).astype(np.uint8)
+    assert (decode_tiff(blob) == np.repeat(want[..., None], 3, 2)).all()
+
+
+def test_rgba_extra_sample_dropped_and_multi_strip_lzw():
+    rng = np.random.default_rng(11)
+    h, w = 11, 6
+    px = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    rows = px.reshape(h, -1)
+    strips, counts = [], []
+    for y0 in range(0, h, 3):
+        chunk = _tiff_lzw_encode(rows[y0:y0 + 3].tobytes())
+        strips.append(chunk)
+        counts.append(len(chunk))
+    blob = _hand_tiff("<", [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8, 8]),
+        (259, 3, [5]), (262, 3, [2]), (273, 4, [0] * len(strips)),
+        (277, 3, [4]), (278, 4, [3]), (279, 4, counts),
+    ], strips)
+    assert (decode_tiff(blob) == px[..., :3]).all()
+
+
+def test_tiff_rejections():
+    with pytest.raises(ValueError, match="II\\*"):
+        decode_tiff(b"NOTATIFF" * 4)
+    px = np.zeros((4, 4, 3), np.uint8)
+    good = bytearray(encode_tiff(px))
+    # tiled organization stays loud
+    blob = _hand_tiff("<", [
+        (256, 4, [4]), (257, 4, [4]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, [0]), (277, 3, [1]), (278, 4, [4]),
+        (279, 4, [16]), (322, 4, [16]),
+    ], [bytes(16)])
+    with pytest.raises(NotImplementedError, match="tiled"):
+        decode_tiff(blob)
+    # implausible dims
+    blob = _hand_tiff("<", [
+        (256, 4, [100000]), (257, 4, [100000]), (258, 3, [8]),
+        (259, 3, [1]), (262, 3, [1]), (273, 4, [0]), (277, 3, [1]),
+        (278, 4, [4]), (279, 4, [16]),
+    ], [bytes(16)])
+    with pytest.raises(ValueError, match="implausible"):
+        decode_tiff(blob)
+    # truncated strip
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(good[:40]))
