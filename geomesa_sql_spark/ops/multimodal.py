@@ -279,7 +279,7 @@ def transcode_images(
     resumable job can record fidelity as a per-partition metric next to
     the row counts (ckpt/manifest.py lineage discipline).
     """
-    if to not in ("jpeg", "png", "raw", "webp"):
+    if to not in ("jpeg", "png", "raw", "webp", "tiff"):
         raise ValueError(f"unsupported target format {to!r}")
     schema = T.StructType(
         [
@@ -322,6 +322,11 @@ def transcode_images(
                         q = float("inf")
                     elif to == "webp":
                         blob = encode_webp(px)  # VP8L lossless
+                        q = float("inf")
+                    elif to == "tiff":
+                        from geomesa_sql_spark.io.tiff import encode_tiff
+
+                        blob = encode_tiff(px, "lzw", predictor=True)
                         q = float("inf")
                     else:
                         blob = encode_raw(px)

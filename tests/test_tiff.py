@@ -174,3 +174,19 @@ def test_tiff_rejections():
     # truncated strip
     with pytest.raises(ValueError):
         decode_tiff(bytes(good[:40]))
+
+
+def test_transcode_images_tiff_target(spark):
+    """tiff joins the lossless storage targets of transcode_images."""
+    from geomesa_sql_spark.io.images import encode_png
+    from geomesa_sql_spark.ops import transcode_images
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (9, 12, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("a", bytes(encode_png(px)), 12, 9, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = transcode_images(df, to="tiff").collect()[0]
+    assert r.fmt == "tiff" and r.psnr_db == float("inf")
+    assert (decode_tiff(bytes(r.bytes)) == px).all()
