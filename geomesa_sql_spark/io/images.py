@@ -390,8 +390,9 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "bmp":
         return decode_bmp(data)
     if fmt in ("tiff", "tif"):
-        # from-scratch baseline TIFF 6.0 decoder (io/tiff.py): strips,
-        # none/LZW/deflate/PackBits, predictor, gray/RGB/palette, II/MM
+        # from-scratch TIFF 6.0 decoder (io/tiff.py): strips AND tiles,
+        # planar 1/2, none/LZW/deflate/PackBits/JPEG-in-TIFF, predictor,
+        # gray/RGB/palette/YCbCr, II/MM (float rasters: decode_tiff_raster)
         from geomesa_sql_spark.io.tiff import decode_tiff
 
         return decode_tiff(data)

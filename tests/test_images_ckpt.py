@@ -72,9 +72,12 @@ def test_phash_and_resize(spark):
 
 
 def test_unsupported_format_raises():
-    # every fixture fmt now decodes for real (raw/png/jpeg/webp);
+    # every fixture fmt now decodes for real (raw/png/jpeg/webp/tiff);
     # genuinely unknown formats stay a loud NotImplementedError
     with pytest.raises(NotImplementedError):
+        decode_image(b"v2.0", "exr", 4, 4)
+    # truncated tiff: clean ValueError from the from-scratch decoder
+    with pytest.raises(ValueError):
         decode_image(b"II*\x00", "tiff", 4, 4)
     # malformed webp: clean ValueError from the from-scratch decoder
     with pytest.raises(ValueError):

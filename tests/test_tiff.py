@@ -155,13 +155,13 @@ def test_tiff_rejections():
         decode_tiff(b"NOTATIFF" * 4)
     px = np.zeros((4, 4, 3), np.uint8)
     good = bytearray(encode_tiff(px))
-    # tiled organization stays loud
+    # TileWidth declared but no tile offset/count tables: malformed
     blob = _hand_tiff("<", [
         (256, 4, [4]), (257, 4, [4]), (258, 3, [8]), (259, 3, [1]),
         (262, 3, [1]), (273, 4, [0]), (277, 3, [1]), (278, 4, [4]),
         (279, 4, [16]), (322, 4, [16]),
     ], [bytes(16)])
-    with pytest.raises(NotImplementedError, match="tiled"):
+    with pytest.raises(ValueError, match="tiled TIFF missing"):
         decode_tiff(blob)
     # implausible dims
     blob = _hand_tiff("<", [
@@ -174,6 +174,146 @@ def test_tiff_rejections():
     # truncated strip
     with pytest.raises(ValueError):
         decode_tiff(bytes(good[:40]))
+
+
+def test_tiled_layouts_roundtrip():
+    """Tiled organization (the layout real GeoTIFFs ship in): every
+    compression, edge tiles cropped, uint8/uint16/float32 dtypes."""
+    from geomesa_sql_spark.io.tiff import decode_tiff_raster, encode_geotiff
+
+    rng = np.random.default_rng(21)
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        g = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+        blob = encode_geotiff(g, pixel_scale=(1, 1), tiepoint_xy=(0, 0),
+                              tile=16, compression=comp)
+        s, info = decode_tiff_raster(blob)
+        assert info["tiled"] and (s[..., 0] == g).all(), comp
+        # the RGB surface stitches the same tiles
+        assert (decode_tiff(blob)[..., 0] == g).all()
+    u16 = rng.integers(0, 65536, (18, 31)).astype(np.uint16)
+    blob = encode_geotiff(u16, pixel_scale=(1, 1), tiepoint_xy=(0, 0),
+                          tile=16, compression="lzw", predictor=True)
+    s, _ = decode_tiff_raster(blob)
+    assert s.dtype == np.uint16 and (s[..., 0] == u16).all()
+    f32 = rng.normal(size=(40, 16)).astype(np.float32)
+    blob = encode_geotiff(f32, pixel_scale=(1, 1), tiepoint_xy=(0, 0),
+                          tile=16, compression="deflate")
+    s, _ = decode_tiff_raster(blob)
+    assert s.dtype == np.float32 and (s[..., 0] == f32).all()
+    # float pixels are data, not pictures: the RGB surface stays loud
+    with pytest.raises(NotImplementedError, match="decode_tiff_raster"):
+        decode_tiff(blob)
+
+
+def test_planar_configuration_2():
+    """Separate component planes: strips ordered plane-major."""
+    rng = np.random.default_rng(22)
+    h, w, rps = 11, 7, 4
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    strips, counts = [], []
+    for p in range(3):
+        for y0 in range(0, h, rps):
+            chunk = px[y0:y0 + rps, :, p].tobytes()
+            strips.append(chunk)
+            counts.append(len(chunk))
+    blob = _hand_tiff("<", [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]), (259, 3, [1]),
+        (262, 3, [2]), (273, 4, [0] * len(strips)), (277, 3, [3]),
+        (278, 4, [rps]), (279, 4, counts), (284, 3, [2]),
+    ], strips)
+    assert (decode_tiff(blob) == px).all()
+
+
+def _split_jpeg_tables(jpg: bytes) -> tuple[bytes, bytes]:
+    """(tables stream SOI..EOI, abbreviated image stream) from a full
+    JFIF file — marker surgery moving DQT/DHT into JPEGTables."""
+    tables, body = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    i = 2
+    while i < len(jpg) - 1:
+        assert jpg[i] == 0xFF
+        m = jpg[i + 1]
+        ln = int.from_bytes(jpg[i + 2:i + 4], "big")
+        seg = jpg[i:i + 2 + ln]
+        if m in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            body += seg
+        if m == 0xDA:  # SOS: rest is entropy-coded data + EOI
+            body += jpg[i + 2 + ln:]
+            break
+        i += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(body)
+
+
+def test_jpeg_in_tiff_strips_and_tables():
+    """Compression 7: abbreviated per-strip JPEG streams with shared
+    tables in the JPEGTables tag, decoded via io/jpeg.py."""
+    from geomesa_sql_spark.io.jpeg import encode_jpeg
+    from geomesa_sql_spark.io.tiff import _write_ifd
+
+    h, w, rps = 32, 48, 16
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    px = (x * 2 + y * 2 + c * 20).astype(np.uint8)  # smooth, no wraps
+    strips, tables_blob = [], None
+    for y0 in range(0, h, rps):
+        jpg = encode_jpeg(px[y0:y0 + rps], quality=95)
+        tables, body = _split_jpeg_tables(jpg)
+        tables_blob = tables  # identical across strips by construction
+        strips.append(body)
+    blob = _write_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (273, 4, [0] * len(strips)), (277, 3, [3]),
+        (278, 4, [rps]), (279, 4, [len(s) for s in strips]),
+        (347, 7, tables_blob),
+    ], strips, 273)
+    got = decode_tiff(blob).astype(np.int64)
+    err = np.abs(got - px.astype(np.int64))
+    mse = float((err ** 2).mean())
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 40.0, psnr
+    # self-contained segments (no JPEGTables tag) decode too
+    full = [encode_jpeg(px[y0:y0 + rps], quality=95)
+            for y0 in range(0, h, rps)]
+    blob = _write_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (273, 4, [0] * len(full)), (277, 3, [3]),
+        (278, 4, [rps]), (279, 4, [len(s) for s in full]),
+    ], full, 273)
+    got2 = decode_tiff(blob)
+    assert (got2 == got).all()
+
+
+def test_geotiff_tags_roundtrip_and_lonlat():
+    from geomesa_sql_spark.io.tiff import (
+        encode_geotiff, geotiff_bbox_lonlat, geotiff_info)
+
+    g = np.zeros((20, 30), np.uint8)
+    blob = encode_geotiff(g, pixel_scale=(0.1, 0.2), tiepoint_xy=(10.0, 50.0),
+                          epsg=4326)
+    info = geotiff_info(blob)
+    assert info["epsg"] == 4326 and info["model_type"] == 2
+    assert info["transform"] == (0.1, 0.0, 10.0, 0.0, -0.2, 50.0)
+    assert np.allclose(info["bbox"], (10.0, 46.0, 13.0, 50.0))
+    assert geotiff_bbox_lonlat(info) == pytest.approx(info["bbox"])
+    # projected: UTM 18N footprint lands at ~(-75, 42) in lon/lat
+    blob = encode_geotiff(g, pixel_scale=(30.0, 30.0),
+                          tiepoint_xy=(500_000.0, 4_649_776.0), epsg=32618)
+    info = geotiff_info(blob)
+    assert info["epsg"] == 32618 and info["model_type"] == 1
+    ll = geotiff_bbox_lonlat(info)
+    assert ll is not None and -75.1 < ll[0] < -74.9 and 41.9 < ll[1] < 42.1
+    # unsupported EPSG: None, never a guess
+    blob = encode_geotiff(g, pixel_scale=(1.0, 1.0), tiepoint_xy=(0.0, 0.0),
+                          epsg=27700)
+    assert geotiff_bbox_lonlat(geotiff_info(blob)) is None
+    # PixelIsPoint pads the extent half a pixel on every side
+    blob = encode_geotiff(g, pixel_scale=(1.0, 1.0), tiepoint_xy=(5.0, 8.0),
+                          epsg=4326, raster_type=2)
+    info = geotiff_info(blob)
+    assert np.allclose(info["bbox"], (4.5, 8.0 - 20 + 0.5, 5.0 + 30 - 0.5, 8.5))
 
 
 def test_transcode_images_tiff_target(spark):
