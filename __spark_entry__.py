@@ -989,17 +989,69 @@ def q_image_stats(spark, sf_dir):
 
 
 def q_resize(spark, sf_dir):
-    """Multimodal resize/transcode template: decode → nearest-neighbour
-    resample → raw re-encode. Oracle-gated via the px_sum payload
-    checksum: the fixture pixel (i·31 + x·7 + y·13 + c·97) mod 256 is
-    closed-form, so DuckDB reproduces the resized sum exactly from
-    range() cross-products (FIXTURES.md F0; io/fixtures.py:image_pixels)."""
-    from geomesa_sql_spark.io.fixtures import images_table
-    from geomesa_sql_spark.ops import resize_images
+    """Multimodal resize/transcode template + the GeoTIFF raster-ingest
+    edge of the raster→vector handoff, unioned under one gate.
 
-    return resize_images(images_table(spark, 300, size=16), out_size=8).select(
-        "image_id", "w", "h", "px_sum"
+    Leg 1 (kind='resize'): decode → nearest-neighbour resample → raw
+    re-encode; oracle-gated via the px_sum payload checksum (fixture
+    pixel (i·31 + x·7 + y·13 + c·97) mod 256 is closed-form —
+    FIXTURES.md F0; io/fixtures.py:image_pixels).
+
+    Leg 2 (kind='geotiff'): real GeoTIFF payloads (strip AND tiled ×
+    none/lzw/deflate/packbits × predictor — io/fixtures.geotiff_table)
+    through ops/raster.py: header-only georeferencing (raster_info →
+    EPSG + lon/lat bbox), full band decode (raster_band_stats →
+    px_sum), and the covered-tile fan-out (raster_tiles at zoom 6,
+    JVM sequence/explode). DuckDB re-derives every column from the
+    closed-form pixel/anchor laws — bbox from the tiepoint affine,
+    tile range from the same FLOOR law the tile_hilbert oracle uses,
+    n_tiles as the closed-form range product the explode must match."""
+    from geomesa_sql_spark.io.fixtures import geotiff_table, images_table
+    from geomesa_sql_spark.ops import (
+        raster_band_stats,
+        raster_info,
+        raster_tiles,
+        resize_images,
     )
+
+    null_geo = [
+        F.lit(None).cast("int").alias("epsg"),
+        F.lit(None).cast("double").alias("minlon_r"),
+        F.lit(None).cast("double").alias("minlat_r"),
+        F.lit(None).cast("double").alias("maxlon_r"),
+        F.lit(None).cast("double").alias("maxlat_r"),
+        F.lit(None).cast("long").alias("tx0"),
+        F.lit(None).cast("long").alias("ty0"),
+        F.lit(None).cast("long").alias("n_tiles"),
+    ]
+    rs = resize_images(images_table(spark, 300, size=16), out_size=8).select(
+        F.col("image_id").alias("id"), F.lit("resize").alias("kind"),
+        "w", "h", "px_sum", *null_geo,
+    )
+    g = geotiff_table(spark, 200)
+    info = raster_info(g)
+    st = raster_band_stats(g)
+    tl = raster_tiles(info, zoom=6).groupBy("raster_id").agg(
+        F.min("tile_x").alias("tx0"),
+        F.min("tile_y").alias("ty0"),
+        F.count(F.lit(1)).alias("n_tiles"),
+    )
+    gt = (
+        info.join(st, "raster_id")
+        .join(tl, "raster_id")
+        .select(
+            F.col("raster_id").alias("id"), F.lit("geotiff").alias("kind"),
+            F.col("rw").alias("w"), F.col("rh").alias("h"),
+            F.col("px_sum").cast("long").alias("px_sum"),
+            "epsg",
+            F.round("minlon", 6).alias("minlon_r"),
+            F.round("minlat", 6).alias("minlat_r"),
+            F.round("maxlon", 6).alias("maxlon_r"),
+            F.round("maxlat", 6).alias("maxlat_r"),
+            "tx0", "ty0", "n_tiles",
+        )
+    )
+    return rs.unionByName(gt)
 
 
 def q_tile_hilbert(spark, sf_dir):
@@ -1368,14 +1420,57 @@ def _oracles() -> dict[str, str]:
              AND p.lat >= s.pminy AND p.lat <= s.pmaxy
         """,
         "resize": """
-            -- closed-form checksum of the nearest-neighbour 16->8 resize of
-            -- FIXTURES.md F0 pixels: sampled grid is (2x', 2y'), channels 0..2
-            SELECT image_id, w, h, CAST(SUM(v) AS BIGINT) AS px_sum FROM (
-                SELECT '#' || CAST(i AS VARCHAR) AS image_id,
-                       CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
-                       (i * 31 + 2 * x * 7 + 2 * y * 13 + c * 97) % 256 AS v
-                FROM range(300) t(i), range(8) tx(x), range(8) ty(y), range(3) tc(c)
-            ) GROUP BY 1, 2, 3
+            -- leg 1: closed-form checksum of the nearest-neighbour 16->8
+            -- resize of FIXTURES.md F0 pixels (sampled grid (2x', 2y'))
+            SELECT id, kind, w, h, px_sum,
+                   CAST(NULL AS INTEGER) AS epsg,
+                   CAST(NULL AS DOUBLE) AS minlon_r, CAST(NULL AS DOUBLE) AS minlat_r,
+                   CAST(NULL AS DOUBLE) AS maxlon_r, CAST(NULL AS DOUBLE) AS maxlat_r,
+                   CAST(NULL AS BIGINT) AS tx0, CAST(NULL AS BIGINT) AS ty0,
+                   CAST(NULL AS BIGINT) AS n_tiles
+            FROM (
+                SELECT id, kind, w, h, CAST(SUM(v) AS BIGINT) AS px_sum FROM (
+                    SELECT '#' || CAST(i AS VARCHAR) AS id, 'resize' AS kind,
+                           CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+                           (i * 31 + 2 * x * 7 + 2 * y * 13 + c * 97) % 256 AS v
+                    FROM range(300) t(i), range(8) tx(x), range(8) ty(y), range(3) tc(c)
+                ) GROUP BY 1, 2, 3, 4
+            )
+            UNION ALL
+            -- leg 2: GeoTIFF ingest closed forms (FIXTURES.md F10):
+            -- px law (i*31 + x*7 + y*13) % 4096, anchor lon0/lat0, bbox
+            -- from the tiepoint affine in the engine's evaluation order,
+            -- tile range via the tile_hilbert FLOOR law at zoom 6
+            SELECT 'r' || CAST(t.i AS VARCHAR) AS id, 'geotiff' AS kind,
+                   CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+                   s.px_sum, CAST(4326 AS INTEGER) AS epsg,
+                   ROUND(t.minlon, 6) AS minlon_r, ROUND(t.minlat, 6) AS minlat_r,
+                   ROUND(t.maxlon, 6) AS maxlon_r, ROUND(t.maxlat, 6) AS maxlat_r,
+                   t.tx0, t.ty0,
+                   (t.tx1 - t.tx0 + 1) * (t.ty1 - t.ty0 + 1) AS n_tiles
+            FROM (
+                SELECT i, minlon, minlat, maxlon, maxlat,
+                       GREATEST(0, LEAST(63, CAST(FLOOR((minlon + 180.0) / 360.0 * 64) AS BIGINT))) AS tx0,
+                       GREATEST(0, LEAST(63, CAST(FLOOR((maxlon + 180.0) / 360.0 * 64) AS BIGINT))) AS tx1,
+                       GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - maxlat) / 180.0 * 64) AS BIGINT))) AS ty0,
+                       GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - minlat) / 180.0 * 64) AS BIGINT))) AS ty1
+                FROM (
+                    SELECT i, lon0 AS minlon,
+                           (0.05 * 16.0 + 0.0 * 0.0) + lon0 AS maxlon,
+                           (0.0 * 0.0 + (-(0.1)) * 16.0) + lat0 AS minlat,
+                           lat0 AS maxlat
+                    FROM (
+                        SELECT CAST(range AS BIGINT) AS i,
+                               CAST(-170 + (range * 37) % 320 AS DOUBLE) AS lon0,
+                               CAST(-75 + (range * 53) % 160 AS DOUBLE) AS lat0
+                        FROM range(200)
+                    )
+                )
+            ) t JOIN (
+                SELECT i, CAST(SUM((i * 31 + x * 7 + y * 13) % 4096) AS BIGINT) AS px_sum
+                FROM range(200) t(i), range(16) tx(x), range(16) ty(y)
+                GROUP BY i
+            ) s ON s.i = t.i
         """,
         "tile_hilbert": _hilbert_xy2d_sql(6, opts),
         "image_stats": """

@@ -255,3 +255,71 @@ def images_table(
         partitions = max(1, min(spark.sparkContext.defaultParallelism, n // 256))
     rng = spark.range(0, n, 1, partitions)
     return rng.mapInPandas(gen, schema)
+
+
+# ----------------------------------------------------------- GeoTIFF fixture
+
+# closed-form georeferencing laws (FIXTURES.md F10) — the DuckDB oracle
+# re-derives these as SQL text, so keep engine and oracle in lockstep
+GEOTIFF_SIZE = 16
+GEOTIFF_SCALE = (0.05, 0.1)  # CRS units per pixel (sx, sy)
+
+
+def geotiff_pixels(i: int) -> np.ndarray:
+    """Deterministic uint16 band per raster: (i·31 + x·7 + y·13) mod 4096."""
+    x = np.arange(GEOTIFF_SIZE)[None, :]
+    y = np.arange(GEOTIFF_SIZE)[:, None]
+    return ((i * 31 + x * 7 + y * 13) % 4096).astype(np.uint16)
+
+
+def geotiff_anchor(i: int) -> tuple[float, float]:
+    """Upper-left tiepoint (lon0, lat0): integer-grid anchors inside
+    the valid range (bbox extends +0.8 lon, −1.6 lat from here)."""
+    return (-170.0 + (i * 37) % 320, -75.0 + (i * 53) % 160)
+
+
+def geotiff_table(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Synthesize the canonical GeoTIFF raster table (raster_id, bytes).
+
+    Every payload is a real GeoTIFF from io/tiff.encode_geotiff —
+    16×16 uint16 band with closed-form pixels and EPSG:4326
+    georeferencing — and the ORGANIZATION cycles through the decode
+    surface (strip vs tiled × none/lzw/deflate/packbits × predictor on
+    i%3==0), so the driver-gated query exercises every layout the
+    decoder claims, not just the writer's favourite."""
+    from geomesa_sql_spark.io.tiff import encode_geotiff
+
+    comps = ("none", "lzw", "deflate", "packbits")
+    schema = T.StructType(
+        [
+            T.StructField("raster_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy(np.int64)
+            ids, blobs = [], []
+            for i in idx.tolist():
+                lon0, lat0 = geotiff_anchor(i)
+                blob = encode_geotiff(
+                    geotiff_pixels(i),
+                    pixel_scale=GEOTIFF_SCALE,
+                    tiepoint_xy=(lon0, lat0),
+                    epsg=4326,
+                    tile=8 if i % 2 else None,
+                    compression=comps[i % 4],
+                    predictor=i % 3 == 0,
+                    rows_per_strip=6,
+                )
+                ids.append(f"r{i}")
+                blobs.append(blob)
+            yield pd.DataFrame({"raster_id": ids, "bytes": blobs})
+
+    if partitions is None:
+        partitions = max(1, min(spark.sparkContext.defaultParallelism, n // 64))
+    rng = spark.range(0, n, 1, partitions)
+    return rng.mapInPandas(gen, schema)

@@ -38,3 +38,8 @@ from geomesa_sql_spark.ops.multimodal import (  # noqa: F401
     resize_images,
     transcode_images,
 )
+from geomesa_sql_spark.ops.raster import (  # noqa: F401
+    raster_band_stats,
+    raster_info,
+    raster_tiles,
+)

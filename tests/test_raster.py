@@ -1,0 +1,130 @@
+"""GeoTIFF raster-ingest operators (ops/raster.py): header-only info,
+band stats, covered-tile fan-out — survival contracts and parity with
+brute-force twins."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.io.fixtures import (
+    GEOTIFF_SCALE,
+    GEOTIFF_SIZE,
+    geotiff_anchor,
+    geotiff_pixels,
+    geotiff_table,
+)
+from geomesa_sql_spark.io.tiff import encode_geotiff
+from geomesa_sql_spark.ops import raster_band_stats, raster_info, raster_tiles
+
+
+def test_raster_info_and_stats_match_closed_forms(spark):
+    n = 60
+    g = geotiff_table(spark, n)
+    info = raster_info(g).orderBy("raster_id").toPandas()
+    st = raster_band_stats(g).orderBy("raster_id").toPandas()
+    assert len(info) == n and len(st) == n
+    for _, r in info.iterrows():
+        i = int(r.raster_id[1:])
+        lon0, lat0 = geotiff_anchor(i)
+        assert r.epsg == 4326 and r.rw == GEOTIFF_SIZE and r.rh == GEOTIFF_SIZE
+        assert r.minlon == lon0 and r.maxlat == lat0
+        assert r.maxlon == pytest.approx(lon0 + GEOTIFF_SCALE[0] * GEOTIFF_SIZE)
+        assert r.minlat == pytest.approx(lat0 - GEOTIFF_SCALE[1] * GEOTIFF_SIZE)
+        # geographic CRS: lon/lat bbox equals the CRS bbox
+        assert r.minx == r.minlon and r.maxy == r.maxlat
+    for _, r in st.iterrows():
+        i = int(r.raster_id[1:])
+        px = geotiff_pixels(i).astype(np.int64)
+        assert r.px_sum == px.sum()
+        assert r.px_min == px.min() and r.px_max == px.max()
+
+
+def test_raster_corrupt_and_unsupported_crs_survive(spark):
+    g = np.zeros((8, 8), np.uint8)
+    rows = [
+        ("ok", bytearray(encode_geotiff(
+            g, pixel_scale=(1.0, 1.0), tiepoint_xy=(10.0, 20.0), epsg=4326))),
+        ("osgb", bytearray(encode_geotiff(
+            g, pixel_scale=(1.0, 1.0), tiepoint_xy=(0.0, 0.0), epsg=27700))),
+        ("nogeo", bytearray(b"II*\x00garbage")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "raster_id string, bytes binary")
+    info = raster_info(df).toPandas().set_index("raster_id")
+    assert info.loc["ok"].epsg == 4326 and info.loc["ok"].minlon == 10.0
+    # unsupported EPSG: CRS bbox present, lon/lat null — never a guess
+    assert info.loc["osgb"].epsg == 27700
+    assert info.loc["osgb"].minx == 0.0 and pd.isna(info.loc["osgb"].minlon)
+    assert pd.isna(info.loc["nogeo"].epsg) and pd.isna(info.loc["null"].rw)
+    st = raster_band_stats(df).toPandas().set_index("raster_id")
+    assert st.loc["ok"].px_sum == 0.0
+    assert pd.isna(st.loc["nogeo"].px_sum) and pd.isna(st.loc["null"].px_sum)
+    # null-bbox rows drop out of the fan-out instead of exploding NULLs
+    t = raster_tiles(raster_info(df), zoom=4).toPandas()
+    assert set(t.raster_id) == {"ok"}
+
+
+def test_raster_tiles_matches_bruteforce(spark):
+    """The sequence/explode fan-out equals a per-tile overlap scan."""
+    n = 40
+    zoom = 5
+    g = geotiff_table(spark, n)
+    info = raster_info(g)
+    got = (
+        raster_tiles(info, zoom=zoom, with_hilbert=True)
+        .select("raster_id", "tile_x", "tile_y", "tile_id")
+        .toPandas()
+    )
+    grid = 1 << zoom
+    want = set()
+    for i in range(n):
+        lon0, lat0 = geotiff_anchor(i)
+        minlon, maxlon = lon0, lon0 + GEOTIFF_SCALE[0] * GEOTIFF_SIZE
+        minlat, maxlat = lat0 - GEOTIFF_SCALE[1] * GEOTIFF_SIZE, lat0
+        for tx in range(grid):
+            for ty in range(grid):
+                t_minlon = tx * 360.0 / grid - 180.0
+                t_maxlon = (tx + 1) * 360.0 / grid - 180.0
+                t_maxlat = 90.0 - ty * 180.0 / grid
+                t_minlat = 90.0 - (ty + 1) * 180.0 / grid
+                if (minlon < t_maxlon and maxlon >= t_minlon
+                        and minlat < t_maxlat and maxlat >= t_minlat):
+                    want.add((f"r{i}", tx, ty))
+    assert set(zip(got.raster_id, got.tile_x, got.tile_y)) == want
+    # hilbert id agrees with the engine's curve
+    from geomesa_sql_spark.cells import hilbert_xy2d
+
+    ids = hilbert_xy2d(
+        got.tile_x.to_numpy(np.int64), got.tile_y.to_numpy(np.int64), zoom)
+    assert (got.tile_id.to_numpy(np.int64) == ids).all()
+
+
+def test_utm_raster_joins_vector_surface(spark):
+    """Projected (UTM 18N) rasters land at the right lon/lat and the
+    fan-out joins tile-keyed vector frames — the full raster→vector
+    handoff in one job."""
+    rows = []
+    for i in range(6):
+        f32 = np.full((16, 16), float(i), np.float32)
+        blob = encode_geotiff(
+            f32, pixel_scale=(30.0, 30.0),
+            tiepoint_xy=(500_000.0 + i * 5_000, 4_649_776.0),
+            epsg=32618, tile=16, compression="deflate")
+        rows.append((f"u{i}", bytearray(blob)))
+    df = spark.createDataFrame(rows, "raster_id string, bytes binary")
+    info = raster_info(df)
+    t = raster_tiles(info, zoom=6)
+    # vector side: one point inside the footprint of every raster
+    pts = spark.createDataFrame(
+        [(f"p{i}", -75.0 + i * 0.05, 42.0) for i in range(6)],
+        "pid string, lon double, lat double",
+    )
+    from geomesa_sql_spark.tiles import assign_tiles
+
+    vt = assign_tiles(pts, zoom=6, with_hilbert=False)
+    joined = t.join(vt, ["tile_x", "tile_y"]).select("raster_id", "pid")
+    assert joined.count() >= 6  # every point finds at least its raster
+    p = info.toPandas()
+    assert ((p.minlon > -75.2) & (p.maxlon < -74.3)).all()
+    assert ((p.minlat > 41.9) & (p.maxlat < 42.1)).all()
