@@ -367,9 +367,11 @@ def frame_sample(
     opaque video payload into (id, frame_idx, bytes raw, w, h).
 
     Container support mirrors decode_image's honesty contract:
-    ``rawv`` (concatenated raw RGB frames; frame count = len/(w·h·3))
-    and ``mjpeg``/``avi`` (RIFF/AVI Motion-JPEG — every frame decoded
-    by the from-scratch io/jpeg.py codec) decode for real; mp4/webm/mkv
+    ``rawv`` (concatenated raw RGB frames; frame count = len/(w·h·3)),
+    ``mjpeg``/``avi`` (RIFF/AVI Motion-JPEG) and ``mp4``/``mov``
+    (ISO BMFF with Motion-JPEG sample entries — io/mp4.py box walk) —
+    every frame decoded by the from-scratch io/jpeg.py codec — decode
+    for real; webm/mkv (and mp4 tracks carrying H.264/HEVC/VP9/AV1)
     raise NotImplementedError behind the SAME plumbing (schema, Arrow
     batching, null-payload row survival), so swapping in an
     ffmpeg-backed decoder changes one function, not the pipeline. One input row fans out to ceil(frames/every_n) rows —
@@ -400,13 +402,14 @@ def frame_sample(
                     ws.append(None)
                     hs.append(None)
                     continue
-                if fmt in ("mjpeg", "avi", "gif"):
-                    # real video decode: RIFF/AVI walk + the from-scratch
-                    # baseline JPEG decoder per frame (io/containers.py),
-                    # or animated-GIF composited canvases (io/gif.py)
+                if fmt in ("mjpeg", "avi", "gif", "mp4", "mov"):
+                    # real video decode: RIFF/AVI or ISO-BMFF walk + the
+                    # from-scratch JPEG decoder per frame (io/containers.py,
+                    # io/mp4.py), or animated-GIF canvases (io/gif.py)
                     from geomesa_sql_spark.io.containers import mjpeg_avi_frames
                     from geomesa_sql_spark.io.gif import gif_frames
                     from geomesa_sql_spark.io.jpeg import decode_jpeg
+                    from geomesa_sql_spark.io.mp4 import mp4_frames
 
                     try:
                         if fmt == "gif":
@@ -415,9 +418,11 @@ def frame_sample(
                                 (fi, gf[fi]) for fi in range(0, len(gf), every_n)
                             ]
                         else:
-                            jf = mjpeg_avi_frames(bytes(data))
+                            walk = (mp4_frames if fmt in ("mp4", "mov")
+                                    else mjpeg_avi_frames)
+                            jf = walk(bytes(data))
                             if not jf:
-                                raise ValueError("AVI with no video frames")
+                                raise ValueError("video container with no frames")
                             # decode fully before emitting: a corrupt frame
                             # mid-stream must not leave partial rows beside
                             # the null marker (atomic per video)
@@ -443,8 +448,9 @@ def frame_sample(
                     continue
                 if fmt != "rawv":
                     raise NotImplementedError(
-                        f"fmt {fmt!r}: mp4/webm decode needs ffmpeg (absent); "
-                        "plumbing is container-agnostic"
+                        f"fmt {fmt!r}: webm/mkv decode needs a real "
+                        "inter-frame codec (absent); plumbing is "
+                        "container-agnostic"
                     )
                 w, h = int(w), int(h)
                 fsize = w * h * 3
