@@ -445,7 +445,10 @@ def test_decode_image_dispatch():
     img = _gradient(8, 12)
     out = decode_image(encode_webp(img), "webp", 12, 8)
     assert (out == img).all()
+    # tiff decodes for real now; a genuinely unknown format stays loud
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 10, "exr", 1, 1)
+    with pytest.raises(ValueError):
         decode_image(b"\x00" * 10, "tiff", 1, 1)
 
 
