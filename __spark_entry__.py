@@ -1005,12 +1005,26 @@ def q_resize(spark, sf_dir):
     JVM sequence/explode). DuckDB re-derives every column from the
     closed-form pixel/anchor laws — bbox from the tiepoint affine,
     tile range from the same FLOOR law the tile_hilbert oracle uses,
-    n_tiles as the closed-form range product the explode must match."""
+    n_tiles as the closed-form range product the explode must match.
+
+    Leg 3 (kind='render'): the vector→raster back-edge — 2000
+    closed-form points rendered into per-tile uint32 count grids
+    written as REAL georeferenced GeoTIFF payloads (ops/raster.py
+    render_tiles, zoom 4 × 8px tiles), then DECODED back
+    (raster_checksum): px_sum carries the position-weighted band
+    checksum Σ cnt·(py·8+px+1), n_tiles the decoded count total, and
+    the bbox columns the georeferencing read back from the emitted
+    file. DuckDB recomputes the same counts from the FLOOR pixel law
+    and the bbox from the tile-envelope closed form — hash equality
+    proves render → GeoTIFF encode → decode preserved every pixel and
+    every geo tag."""
     from geomesa_sql_spark.io.fixtures import geotiff_table, images_table
     from geomesa_sql_spark.ops import (
         raster_band_stats,
+        raster_checksum,
         raster_info,
         raster_tiles,
+        render_tiles,
         resize_images,
     )
 
@@ -1051,7 +1065,25 @@ def q_resize(spark, sf_dir):
             "tx0", "ty0", "n_tiles",
         )
     )
-    return rs.unionByName(gt)
+    pts = spark.range(0, 2000).selectExpr(
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat",
+    )
+    rend = raster_checksum(render_tiles(pts, zoom=4, tile_px=8)).select(
+        F.concat(F.lit("t"), F.col("tile_x").cast("string"), F.lit("_"),
+                 F.col("tile_y").cast("string")).alias("id"),
+        F.lit("render").alias("kind"),
+        F.lit(8).cast("int").alias("w"), F.lit(8).cast("int").alias("h"),
+        F.col("checksum").alias("px_sum"),
+        "epsg",
+        F.round("minlon", 6).alias("minlon_r"),
+        F.round("minlat", 6).alias("minlat_r"),
+        F.round("maxlon", 6).alias("maxlon_r"),
+        F.round("maxlat", 6).alias("maxlat_r"),
+        F.col("tile_x").alias("tx0"), F.col("tile_y").alias("ty0"),
+        F.col("n_sum").alias("n_tiles"),
+    )
+    return rs.unionByName(gt).unionByName(rend)
 
 
 def q_tile_hilbert(spark, sf_dir):
@@ -1471,6 +1503,40 @@ def _oracles() -> dict[str, str]:
                 FROM range(200) t(i), range(16) tx(x), range(16) ty(y)
                 GROUP BY i
             ) s ON s.i = t.i
+            UNION ALL
+            -- leg 3: vector->raster render closed forms — per-pixel
+            -- counts from the FLOOR law at zoom 4 x 8px tiles, the
+            -- position-weighted checksum the decoded GeoTIFF must
+            -- reproduce, and the tile-envelope bbox the emitted file's
+            -- geo tags must carry (powers-of-two pixel scales: exact)
+            SELECT 't' || CAST(tile_x AS VARCHAR) || '_' || CAST(tile_y AS VARCHAR) AS id,
+                   'render' AS kind,
+                   CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+                   CAST(SUM(cnt * (py * 8 + px + 1)) AS BIGINT) AS px_sum,
+                   CAST(4326 AS INTEGER) AS epsg,
+                   ROUND(CAST(tile_x AS DOUBLE) * (360.0 / 16) - 180.0, 6) AS minlon_r,
+                   ROUND((0.0 * 0.0 + (-(180.0 / 128.0)) * 8.0)
+                         + (90.0 - CAST(tile_y AS DOUBLE) * (180.0 / 16)), 6) AS minlat_r,
+                   ROUND(((360.0 / 128.0) * 8.0 + 0.0 * 0.0)
+                         + (CAST(tile_x AS DOUBLE) * (360.0 / 16) - 180.0), 6) AS maxlon_r,
+                   ROUND(90.0 - CAST(tile_y AS DOUBLE) * (180.0 / 16), 6) AS maxlat_r,
+                   tile_x AS tx0, tile_y AS ty0,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tiles
+            FROM (
+                SELECT gx // 8 AS tile_x, gy // 8 AS tile_y,
+                       gx % 8 AS px, gy % 8 AS py, COUNT(*) AS cnt
+                FROM (
+                    SELECT GREATEST(0, LEAST(127, CAST(FLOOR((lon + 180.0) / 360.0 * 128) AS BIGINT))) AS gx,
+                           GREATEST(0, LEAST(127, CAST(FLOOR((90.0 - lat) / 180.0 * 128) AS BIGINT))) AS gy
+                    FROM (
+                        SELECT CAST((range * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+                               CAST((range * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat
+                        FROM range(2000)
+                    )
+                )
+                GROUP BY 1, 2, 3, 4
+            )
+            GROUP BY tile_x, tile_y
         """,
         "tile_hilbert": _hilbert_xy2d_sql(6, opts),
         "image_stats": """

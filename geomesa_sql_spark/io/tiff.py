@@ -812,7 +812,7 @@ def encode_geotiff(
 ) -> bytes:
     """(h, w) or (h, w, spp) samples → little-endian GeoTIFF bytes.
 
-    Sample dtypes: uint8, uint16, float32 (SampleFormat written
+    Sample dtypes: uint8, uint16, uint32, float32 (SampleFormat written
     accordingly). ``pixel_scale`` = (sx, sy) CRS units per pixel;
     ``tiepoint_xy`` anchors raster (0,0) at that CRS point (upper-left,
     Y decreasing downward). ``tile`` switches to tiled layout with
@@ -827,6 +827,8 @@ def encode_geotiff(
         depth, sfmt = 8, 1
     elif arr.dtype == np.uint16:
         depth, sfmt = 16, 1
+    elif arr.dtype == np.uint32:
+        depth, sfmt = 32, 1
     elif arr.dtype == np.float32:
         depth, sfmt = 32, 3
     else:

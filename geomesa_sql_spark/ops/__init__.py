@@ -40,6 +40,8 @@ from geomesa_sql_spark.ops.multimodal import (  # noqa: F401
 )
 from geomesa_sql_spark.ops.raster import (  # noqa: F401
     raster_band_stats,
+    raster_checksum,
     raster_info,
     raster_tiles,
+    render_tiles,
 )

@@ -121,6 +121,59 @@ def raster_band_stats(
     return df.select(id_col, "bytes").mapInPandas(gen, schema)
 
 
+def raster_checksum(
+    df: DataFrame, id_cols: tuple[str, ...] = ("tile_x", "tile_y"),
+    band: int = 0,
+) -> DataFrame:
+    """(…id_cols, checksum, n_sum, epsg, minlon/minlat/maxlon/maxlat)
+    per GeoTIFF payload: a position-weighted band checksum
+    Σ v[r,c]·(r·W + c + 1) plus the plain sum and the DECODED
+    georeferencing — the relational gate for rendered rasters (the
+    DuckDB oracle recomputes both sums from closed-form counts and the
+    bbox from the tile-envelope law, so hash equality proves the
+    encode→decode loop preserved every pixel AND the geo tags)."""
+    from geomesa_sql_spark.io.tiff import decode_tiff_raster
+
+    schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("checksum", T.LongType()),
+            T.StructField("n_sum", T.LongType()),
+            T.StructField("epsg", T.IntegerType()),
+            T.StructField("minlon", T.DoubleType()),
+            T.StructField("minlat", T.DoubleType()),
+            T.StructField("maxlon", T.DoubleType()),
+            T.StructField("maxlat", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in range(len(pdf)):
+                ids = tuple(pdf[c].iloc[k] for c in id_cols)
+                blob = pdf["bytes"].iloc[k]
+                try:
+                    arr, info = decode_tiff_raster(bytes(blob))
+                    b = arr[..., min(band, arr.shape[2] - 1)].astype(np.int64)
+                    h, w = b.shape
+                    wgt = (np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1)
+                    bbox = info.get("bbox") or (None,) * 4
+                    rows.append(
+                        ids + (int((b * wgt).sum()), int(b.sum()),
+                               info.get("epsg"), *bbox))
+                except Exception:
+                    rows.append(ids + (None,) * 7)
+            yield pd.DataFrame(
+                rows,
+                columns=list(id_cols)
+                + ["checksum", "n_sum", "epsg",
+                   "minlon", "minlat", "maxlon", "maxlat"],
+            )
+
+    return df.select(*id_cols, "bytes").mapInPandas(gen, schema)
+
+
 def raster_tiles(
     info_df: DataFrame,
     zoom: int,
@@ -180,3 +233,102 @@ def raster_tiles(
 
         out = out.withColumn("tile_id", _hilbert("tile_x", "tile_y"))
     return out
+
+
+def render_tiles(
+    df: DataFrame,
+    zoom: int,
+    tile_px: int = 64,
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Vector→raster render: aggregate points into per-tile count grids
+    written as REAL georeferenced GeoTIFF payloads — the tile-server
+    render stage of the raster↔vector handoff.
+
+    Output: (tile_x, tile_y, n_points, bytes) where ``bytes`` is a
+    deflate GeoTIFF (uint32 counts, EPSG:4326, pixel scale = tile
+    extent / ``tile_px``, tiepoint at the tile's NW corner) that
+    ``raster_info``/``decode_tiff_raster`` — or any GeoTIFF reader —
+    round-trips.
+
+    Plan shape (the part that matters at 10^12 points):
+    1. global pixel index (gx, gy) at zoom+log2(tile_px) as pure Column
+       FLOOR arithmetic (same law as tiles.assign_tiles, JVM codegen);
+    2. groupBy(gx, gy).count() — map-side partial agg collapses the
+       point set to ≤ (2^z·tile_px)² pixel rows BEFORE any wide
+       exchange carries coordinates;
+    3. groupBy(tile) over the pixel counts (≤ tile_px² rows per tile)
+       assembles the grid and encodes in applyInPandas — payload bytes
+       are BORN in the last stage and never shuffle.
+
+    ``tile_px`` must be a power of two so tile/pixel split is exact bit
+    arithmetic on the shared global index (no float re-derivation that
+    could disagree with assign_tiles at ulp boundaries)."""
+    if tile_px < 1 or tile_px & (tile_px - 1):
+        raise ValueError("tile_px must be a power of two")
+    p2 = tile_px.bit_length() - 1
+    n = 1 << zoom
+    m = n * tile_px
+    gx = F.least(
+        F.greatest(
+            F.floor((F.col(x) + F.lit(180.0)) / F.lit(360.0) * m), F.lit(0)
+        ),
+        F.lit(m - 1),
+    ).cast("long")
+    gy = F.least(
+        F.greatest(
+            F.floor((F.lit(90.0) - F.col(y)) / F.lit(180.0) * m), F.lit(0)
+        ),
+        F.lit(m - 1),
+    ).cast("long")
+    counts = (
+        df.select(gx.alias("gx"), gy.alias("gy"))
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.shiftright("gx", p2).alias("tile_x"),
+            F.shiftright("gy", p2).alias("tile_y"),
+            (F.col("gx") % F.lit(tile_px)).cast("int").alias("px"),
+            (F.col("gy") % F.lit(tile_px)).cast("int").alias("py"),
+            "cnt",
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("tile_x", T.LongType()),
+            T.StructField("tile_y", T.LongType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+
+    def build(key, pdf):
+        from geomesa_sql_spark.io.tiff import encode_geotiff
+
+        tx, ty = int(key[0]), int(key[1])
+        grid = np.zeros((tile_px, tile_px), dtype=np.uint32)
+        grid[pdf["py"].to_numpy(np.int64), pdf["px"].to_numpy(np.int64)] = (
+            pdf["cnt"].to_numpy(np.uint32))
+        # NW-corner tiepoint per the tile_envelope law (same expression
+        # text the DuckDB oracle re-derives)
+        tminx = tx * (360.0 / n) - 180.0
+        tmaxy = 90.0 - ty * (180.0 / n)
+        blob = encode_geotiff(
+            grid,
+            pixel_scale=(360.0 / m, 180.0 / m),
+            tiepoint_xy=(tminx, tmaxy),
+            epsg=4326,
+            tile=tile_px if tile_px >= 16 else None,
+            compression="deflate",
+        )
+        return pd.DataFrame(
+            {
+                "tile_x": [tx],
+                "tile_y": [ty],
+                "n_points": [int(pdf["cnt"].sum())],
+                "bytes": [blob],
+            }
+        )
+
+    return counts.groupBy("tile_x", "tile_y").applyInPandas(build, schema)

@@ -128,3 +128,49 @@ def test_utm_raster_joins_vector_surface(spark):
     p = info.toPandas()
     assert ((p.minlon > -75.2) & (p.maxlon < -74.3)).all()
     assert ((p.minlat > 41.9) & (p.maxlat < 42.1)).all()
+
+
+def test_render_tiles_grid_exact_and_roundtrip(spark):
+    """Vector→raster render: every tile's decoded count grid equals a
+    numpy brute-force twin, totals conserve, and the emitted GeoTIFFs
+    round-trip through raster_info with the tile envelope."""
+    from geomesa_sql_spark.io.tiff import decode_tiff_raster
+    from geomesa_sql_spark.ops import render_tiles
+
+    n_pts, zoom, P = 2000, 4, 8
+    pts = spark.range(0, n_pts).selectExpr(
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat",
+    )
+    pdf = render_tiles(pts, zoom=zoom, tile_px=P).toPandas()
+    assert pdf.n_points.sum() == n_pts
+    ks = np.arange(n_pts)
+    lon = (ks * 7919 % 36000) / 100.0 - 180.0
+    lat = (ks * 104729 % 18000) / 100.0 - 90.0
+    M = (1 << zoom) * P
+    gx = np.clip(np.floor((lon + 180.0) / 360.0 * M), 0, M - 1).astype(np.int64)
+    gy = np.clip(np.floor((90.0 - lat) / 180.0 * M), 0, M - 1).astype(np.int64)
+    for _, row in pdf.iterrows():
+        arr, info = decode_tiff_raster(bytes(row["bytes"]))
+        tx, ty = int(row.tile_x), int(row.tile_y)
+        m = (gx // P == tx) & (gy // P == ty)
+        want = np.zeros((P, P), np.int64)
+        np.add.at(want, (gy[m] % P, gx[m] % P), 1)
+        assert (arr[..., 0] == want).all(), (tx, ty)
+        assert arr.dtype == np.uint32 and info["epsg"] == 4326
+        # georeferencing == the tile envelope law
+        grid = 1 << zoom
+        assert info["bbox"] == pytest.approx((
+            tx * 360.0 / grid - 180.0, 90.0 - (ty + 1) * 180.0 / grid,
+            (tx + 1) * 360.0 / grid - 180.0, 90.0 - ty * 180.0 / grid))
+    # emitted payloads re-enter the raster ingest surface
+    from geomesa_sql_spark.ops import raster_info
+
+    df = spark.createDataFrame(
+        [(f"t{r.tile_x}_{r.tile_y}", bytes(r["bytes"]))
+         for _, r in pdf.iterrows()],
+        "raster_id string, bytes binary")
+    ri = raster_info(df).toPandas()
+    assert (ri.epsg == 4326).all() and len(ri) == len(pdf)
+    with pytest.raises(ValueError, match="power of two"):
+        render_tiles(pts, zoom=4, tile_px=12)
