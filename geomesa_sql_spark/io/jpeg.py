@@ -8,12 +8,14 @@ ever exercised the lossy leg of that contract.
 
 Decoder (`decode_jpeg`): baseline sequential DCT (SOF0/1) AND Huffman
 progressive (SOF2, T.81 Annex G: spectral selection + successive
-approximation, EOB runs, refinement correction bits), 8-bit, 1 or 3
+approximation, EOB runs, refinement correction bits), 8-bit, 1/3/4
 components, any sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0),
 restart markers, multiple DQT/DHT segments — i.e. the shapes libjpeg,
 cameras, and the web emit (large web JPEGs are usually progressive).
-It builds Huffman tables from the FILE's own DHT segments, so it
-decodes foreign JPEGs, not just this encoder's output. Arithmetic
+4-component files decode per the Adobe APP14 convention (transform 2 =
+YCCK, else direct CMYK; samples stored ink-inverted) — the print/scan
+shape. It builds Huffman tables from the FILE's own DHT segments, so
+it decodes foreign JPEGs, not just this encoder's output. Arithmetic
 coding, 12-bit, and hierarchical modes raise loudly.
 
 Encoder (`encode_jpeg`): baseline 4:4:4 / 4:2:0, standard Annex-K
@@ -732,6 +734,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     scanned: set[int] = set()
+    adobe_transform: int | None = None
 
     def decode_block(rdr, dtab, atab, pred, cid) -> np.ndarray:
         zz = np.zeros(64, dtype=np.int32)
@@ -916,11 +919,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{nc}-component JPEG (CMYK/YCCK?) not supported — "
-                    "only grayscale and YCbCr"
+                    f"{nc}-component JPEG not supported — grayscale, "
+                    "YCbCr and CMYK/YCCK only"
                 )
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF shorter than its component list")
             comps = []
             for i in range(nc):
                 cid, hv, qid = body[6 + 3 * i:9 + 3 * i]
@@ -951,6 +956,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 o += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xEE:  # APP14: Adobe color-transform flag
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("SOS before SOF")
@@ -1004,4 +1012,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(planes) == 1:
         y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
+    if len(planes) == 4:
+        # Adobe CMYK convention: stored samples are INVERTED ink
+        # (255 = no ink). APP14 transform 2 = YCCK (first three
+        # channels YCbCr-coded); transform 0 / absent = direct CMYK.
+        if adobe_transform == 2:
+            cmy = _ycbcr_to_rgb(planes[0], planes[1], planes[2]).astype(
+                np.float64)
+        else:
+            cmy = np.clip(
+                np.stack(planes[:3], axis=-1).round(), 0, 255)
+        k = np.clip(planes[3].round(), 0, 255)
+        # R = (255−C)(255−K)/255 over real ink = c'·k'/255 over the
+        # stored inverted samples
+        return np.clip(
+            (cmy * k[..., None] / 255.0).round(), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -266,12 +266,21 @@ def test_multi_scan_non_interleaved():
 def test_unsupported_component_counts_and_bad_tables():
     px = _gradient(16, 16)
     good = bytearray(encode_jpeg(px, 90))
-    # rewrite SOF to claim 4 components (CMYK shape) -> loud raise at SOF
+    # rewrite SOF to claim 4 components without the 4th spec bytes ->
+    # clean ValueError (CMYK itself decodes now, see the YCCK tests)
     i = bytes(good).find(b"\xff\xc0")
     assert good[i + 9] == 3
     cmyk = bytes(good[:i + 9]) + bytes([4]) + bytes(good[i + 10:])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(cmyk)
+    # 5 components: loud NotImplementedError at SOF
+    ln = int.from_bytes(good[i + 2:i + 4], "big")
+    body = bytes(good[i + 4:i + 2 + ln])  # prec, h, w, nc, specs...
+    newbody = body[:5] + bytes([5]) + body[6:] + bytes([4, 0x11, 1, 5, 0x11, 1])
+    five = (bytes(good[:i + 2]) + struct.pack(">H", len(newbody) + 2)
+            + newbody + bytes(good[i + 2 + ln:]))
+    with pytest.raises(NotImplementedError, match="5-component"):
+        decode_jpeg(five)
     # SOS naming an unknown component id -> clean ValueError
     j = bytes(good).find(b"\xff\xda")
     bad_sos = bytearray(good)
@@ -319,3 +328,60 @@ def test_transcode_images_op(spark):
                 to="png").collect()}
     assert back["a"].psnr_db == float("inf")  # png leg is lossless
     assert decode_png(bytes(back["a"].bytes)).shape == (32, 48, 3)
+
+
+def _cmyk_stream(planes4, q, transform):
+    """4-component file (Adobe APP14 transform flag), one scan per
+    component — the print/scan shape the public encoder never emits."""
+    h, w = planes4[0].shape
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform))
+    out += _seg(0xFFDB, bytes([0]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for cid in range(4):
+        sof += bytes([cid + 1, 0x11, 0])
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    for ci, plane in enumerate(planes4):
+        zz, bh, bw = _gray_blocks(plane, q)
+        wtr = _BitWriter()
+        pred = 0
+        for bi in range(bh * bw):
+            pred = _encode_block(wtr, zz[bi], pred)
+        out += _seg(0xFFDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_cmyk_direct_and_ycck():
+    """Adobe 4-component JPEGs: transform 0 (direct inverted CMYK) and
+    transform 2 (YCCK) both land within PSNR 40 of the closed-form
+    RGB = c'·k'/255 expectation."""
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    cp = np.clip(60 + xx * 5, 0, 255).astype(np.float64)   # inverted C
+    mp = np.clip(80 + yy * 5, 0, 255).astype(np.float64)
+    yp = np.clip(100 + (xx + yy) * 2, 0, 255).astype(np.float64)
+    kp = np.clip(150 + xx * 2, 0, 255).astype(np.float64)  # inverted K
+    want = np.clip(
+        (np.stack([cp, mp, yp], axis=-1) * kp[..., None] / 255.0).round(),
+        0, 255).astype(np.uint8)
+    q = _quality_scale(Q_LUM, 95)
+    got = decode_jpeg(_cmyk_stream([cp, mp, yp, kp], q, transform=0))
+    assert got.shape == (h, w, 3) and psnr(want, got) >= 40.0
+    # YCCK: the first three channels ride the YCbCr transform
+    from geomesa_sql_spark.io.jpeg import _rgb_to_ycbcr
+
+    ycc = _rgb_to_ycbcr(np.stack([cp, mp, yp], axis=-1))
+    got = decode_jpeg(_cmyk_stream(
+        [ycc[..., 0], ycc[..., 1], ycc[..., 2], kp], q, transform=2))
+    assert psnr(want, got) >= 40.0
+    # without APP14 the 4-component default is direct CMYK
+    stream = _cmyk_stream([cp, mp, yp, kp], q, transform=0)
+    app14_at = stream.find(b"\xff\xee")
+    ln = int.from_bytes(stream[app14_at + 2:app14_at + 4], "big")
+    no_app14 = stream[:app14_at] + stream[app14_at + 2 + ln:]
+    got2 = decode_jpeg(no_app14)
+    assert psnr(want, got2) >= 40.0
