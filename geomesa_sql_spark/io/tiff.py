@@ -70,13 +70,36 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
               11: 4, 12: 8}
 
 
-def _read_ifd(data: bytes, bo: str):
-    """First IFD → {tag: [values...]} (offsets resolved).
+def _ifd_offsets(data: bytes, bo: str) -> list[int]:
+    """Offsets of every IFD in the file's next-IFD chain (multi-page
+    TIFF: GeoTIFF overview pyramids ship reduced-resolution pages this
+    way). Cycles and implausible chains terminate the walk."""
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    offs: list[int] = []
+    seen: set[int] = set()
+    while off and off not in seen and len(offs) < 64:
+        if off + 2 > len(data):
+            raise ValueError("TIFF IFD offset runs off the end of the file")
+        seen.add(off)
+        offs.append(off)
+        (n,) = struct.unpack_from(bo + "H", data, off)
+        nxt_at = off + 2 + 12 * n
+        if nxt_at + 4 > len(data):
+            break  # no next-IFD pointer: chain ends here
+        (off,) = struct.unpack_from(bo + "I", data, nxt_at)
+    if not offs:
+        raise ValueError("TIFF with no IFD")
+    return offs
+
+
+def _read_ifd(data: bytes, bo: str, off: int | None = None):
+    """IFD at ``off`` (default: first) → {tag: [values...]}.
 
     Integer and float types decode to Python numbers, rationals to
     floats, ASCII (2) and UNDEFINED (7) to a single raw ``bytes``
     value — the GeoTIFF/JPEGTables tags need the latter three."""
-    (off,) = struct.unpack_from(bo + "I", data, 4)
+    if off is None:
+        (off,) = struct.unpack_from(bo + "I", data, 4)
     if off + 2 > len(data):
         raise ValueError("TIFF IFD offset runs off the end of the file")
     (n,) = struct.unpack_from(bo + "H", data, off)
@@ -275,11 +298,25 @@ def _decompress(chunk: bytes, comp: int, expect: int) -> bytes:
         "(no CCITT fax or old-style JPEG)")
 
 
-def _parse_header(data: bytes):
+def _parse_header(data: bytes, page: int = 0):
     if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF (no II*/MM* header)")
     bo = "<" if data[:2] == b"II" else ">"
-    return bo, _read_ifd(data, bo)
+    if page == 0:
+        return bo, _read_ifd(data, bo)
+    offs = _ifd_offsets(data, bo)
+    if page < 0 or page >= len(offs):
+        raise ValueError(f"TIFF page {page} out of range (file has {len(offs)})")
+    return bo, _read_ifd(data, bo, offs[page])
+
+
+@clean_decode
+def tiff_page_count(data: bytes) -> int:
+    """Number of IFDs in the chain (1 + overview/extra pages)."""
+    if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF (no II*/MM* header)")
+    bo = "<" if data[:2] == b"II" else ">"
+    return len(_ifd_offsets(data, bo))
 
 
 def _segment_grid(tags, w: int, h: int, planes: int):
@@ -364,10 +401,10 @@ def _apply_predictor(seg: np.ndarray, depth: int, sfmt: int) -> np.ndarray:
     return out
 
 
-def _decode_samples(data: bytes):
+def _decode_samples(data: bytes, page: int = 0):
     """Header + sample plane decode shared by the RGB and raster
     surfaces → ((h, w, spp) native-dtype samples, tags, bo)."""
-    bo, tags = _parse_header(data)
+    bo, tags = _parse_header(data, page)
     try:
         w = int(tags[_T_WIDTH][0])
         h = int(tags[_T_HEIGHT][0])
@@ -465,7 +502,7 @@ def _decode_jpeg_tiff(data: bytes, bo: str, tags, w: int, h: int,
     if int(tags.get(_T_PLANAR, [1])[0]) != 1:
         raise NotImplementedError("JPEG-in-TIFF with planar configuration 2")
     photo = int(tags.get(_T_PHOTometric, [6])[0])
-    if photo not in (0, 1, 2, 6):
+    if photo not in (0, 1, 2, 5, 6):
         raise NotImplementedError(f"JPEG-in-TIFF photometric {photo}")
     tables = b""
     if _T_JPEG_TABLES in tags:
@@ -551,15 +588,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 
 @clean_decode
-def decode_tiff_raster(data: bytes) -> tuple[np.ndarray, dict]:
+def decode_tiff_raster(data: bytes, page: int = 0) -> tuple[np.ndarray, dict]:
     """TIFF bytes → ((h, w, spp) native-dtype samples, info dict).
 
     The raster/GeoTIFF surface: samples keep their file dtype
     (uint8/16/32, int8/16/32, float32/64 — DEMs, masks, analytic
     bands); no photometric coercion (the info dict carries it). The
     info dict is ``geotiff_info``'s (georeferencing resolved when the
-    geo tags are present)."""
-    samples, tags, bo = _decode_samples(data)
+    geo tags are present). ``page`` selects an IFD from the chain —
+    GeoTIFF overview pyramids are pages 1..n-1."""
+    samples, tags, bo = _decode_samples(data, page)
     info = _geo_info(tags, samples.shape[1], samples.shape[0])
     info["photometric"] = int(tags.get(_T_PHOTometric, [1])[0])
     info["bits"] = int(tags.get(_T_BITS, [1])[0])
@@ -661,10 +699,11 @@ def _geo_info(tags, w: int, h: int) -> dict:
 
 
 @clean_decode
-def geotiff_info(data: bytes) -> dict:
+def geotiff_info(data: bytes, page: int = 0) -> dict:
     """Georeferencing WITHOUT decoding pixels: header + IFD only, so a
-    100 TB catalog pass can prune by bbox before paying decompression."""
-    bo, tags = _parse_header(data)
+    100 TB catalog pass can prune by bbox before paying decompression.
+    ``page`` selects an IFD (overview pages carry their own scale)."""
+    bo, tags = _parse_header(data, page)
     try:
         w = int(tags[_T_WIDTH][0])
         h = int(tags[_T_HEIGHT][0])
@@ -697,52 +736,60 @@ def geotiff_bbox_lonlat(info: dict) -> tuple[float, float, float, float] | None:
 # encoders
 
 
-def _write_ifd(entries, seg_payloads, seg_offset_tag):
-    """Shared little-endian writer: ``entries`` = [(tag, typ, values)]
-    with typ in {3:SHORT, 4:LONG, 12:DOUBLE, 7:UNDEFINED(bytes)};
-    ``seg_payloads`` appended after the IFD with ``seg_offset_tag``'s
-    values patched to their real offsets."""
+def _write_tiff_pages(pages):
+    """Little-endian multi-IFD writer: ``pages`` = [(entries,
+    seg_payloads, seg_offset_tag)] with entry typ in {3:SHORT, 4:LONG,
+    12:DOUBLE, 7:UNDEFINED(bytes)}; each page's IFD is chained through
+    the next-IFD pointer (page 1+ = overview/extra pages)."""
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
-    entries = sorted(entries)
-    ifd_at = len(out)
-    struct.pack_into("<I", out, 4, ifd_at)
-    out += struct.pack("<H", len(entries))
-    extra = bytearray()
-    extra_base = ifd_at + 2 + 12 * len(entries) + 4
-    offsets_at = None
-    for tag, typ, vals in entries:
-        if typ == 7:  # UNDEFINED: vals is a bytes payload
-            packed = bytes(vals)
-            count = len(packed)
-        elif typ == 12:
-            packed = struct.pack("<" + str(len(vals)) + "d", *vals)
-            count = len(vals)
-        else:
-            fmt = {3: "H", 4: "I"}[typ]
-            packed = struct.pack("<" + str(len(vals)) + fmt, *vals)
-            count = len(vals)
-        if len(packed) <= 4:
-            if tag == seg_offset_tag:
-                offsets_at = (len(out) + 8, typ)
-            vfield = packed + b"\x00" * (4 - len(packed))
-        else:
-            if tag == seg_offset_tag:
-                offsets_at = (extra_base + len(extra), typ)
-            vfield = struct.pack("<I", extra_base + len(extra))
-            extra += packed
-        out += struct.pack("<HHI", tag, typ, count) + vfield
-    out += b"\x00\x00\x00\x00"  # next-IFD terminator
-    out += extra
-    seg_offsets = []
-    for s in seg_payloads:
-        seg_offsets.append(len(out))
-        out += s
-    at, typ = offsets_at
-    step = {3: 2, 4: 4}[typ]
-    pfmt = {3: "<H", 4: "<I"}[typ]
-    for k, so in enumerate(seg_offsets):
-        struct.pack_into(pfmt, out, at + step * k, so)
+    next_ptr_at = 4  # header's first-IFD offset field
+    for entries, seg_payloads, seg_offset_tag in pages:
+        entries = sorted(entries)
+        ifd_at = len(out)
+        struct.pack_into("<I", out, next_ptr_at, ifd_at)
+        out += struct.pack("<H", len(entries))
+        extra = bytearray()
+        extra_base = ifd_at + 2 + 12 * len(entries) + 4
+        offsets_at = None
+        for tag, typ, vals in entries:
+            if typ == 7:  # UNDEFINED: vals is a bytes payload
+                packed = bytes(vals)
+                count = len(packed)
+            elif typ == 12:
+                packed = struct.pack("<" + str(len(vals)) + "d", *vals)
+                count = len(vals)
+            else:
+                fmt = {3: "H", 4: "I"}[typ]
+                packed = struct.pack("<" + str(len(vals)) + fmt, *vals)
+                count = len(vals)
+            if len(packed) <= 4:
+                if tag == seg_offset_tag:
+                    offsets_at = (len(out) + 8, typ)
+                vfield = packed + b"\x00" * (4 - len(packed))
+            else:
+                if tag == seg_offset_tag:
+                    offsets_at = (extra_base + len(extra), typ)
+                vfield = struct.pack("<I", extra_base + len(extra))
+                extra += packed
+            out += struct.pack("<HHI", tag, typ, count) + vfield
+        next_ptr_at = len(out)
+        out += b"\x00\x00\x00\x00"  # next-IFD pointer (0 = chain end)
+        out += extra
+        seg_offsets = []
+        for s in seg_payloads:
+            seg_offsets.append(len(out))
+            out += s
+        at, typ = offsets_at
+        step = {3: 2, 4: 4}[typ]
+        pfmt = {3: "<H", 4: "<I"}[typ]
+        for k, so in enumerate(seg_offsets):
+            struct.pack_into(pfmt, out, at + step * k, so)
     return bytes(out)
+
+
+def _write_ifd(entries, seg_payloads, seg_offset_tag):
+    """Single-page writer (see _write_tiff_pages)."""
+    return _write_tiff_pages([(entries, seg_payloads, seg_offset_tag)])
 
 
 def _compress_segment(chunk: bytes, compression: str) -> bytes:
@@ -809,6 +856,7 @@ def encode_geotiff(
     tile: int | None = None,
     rows_per_strip: int = 64,
     predictor: bool = False,
+    overviews: int = 0,
 ) -> bytes:
     """(h, w) or (h, w, spp) samples → little-endian GeoTIFF bytes.
 
@@ -816,13 +864,15 @@ def encode_geotiff(
     accordingly). ``pixel_scale`` = (sx, sy) CRS units per pixel;
     ``tiepoint_xy`` anchors raster (0,0) at that CRS point (upper-left,
     Y decreasing downward). ``tile`` switches to tiled layout with
-    square tiles of that size (TIFF wants multiples of 16). The writer
-    exists so round-trip tests exercise the tiled/planar/float/geo
+    square tiles of that size (TIFF wants multiples of 16).
+    ``overviews`` appends that many reduced-resolution pages (2×
+    decimation each, NewSubfileType=1, pixel scale doubled — the
+    GeoTIFF overview-pyramid convention). The writer exists so
+    round-trip tests exercise the tiled/planar/float/geo/multi-page
     decode paths against streams this module can actually build."""
     arr = np.asarray(samples)
     if arr.ndim == 2:
         arr = arr[..., None]
-    h, w, spp = arr.shape
     if arr.dtype == np.uint8:
         depth, sfmt = 8, 1
     elif arr.dtype == np.uint16:
@@ -846,57 +896,71 @@ def encode_geotiff(
             block = v.astype(arr.dtype)
         return _compress_segment(block.tobytes(), compression)
 
-    entries = [
-        (_T_WIDTH, 4, [w]),
-        (_T_HEIGHT, 4, [h]),
-        (_T_BITS, 3, [depth] * spp),
-        (_T_COMPRESSION, 3, [_COMP_ID[compression]]),
-        (_T_PHOTometric, 3, [2 if spp >= 3 else 1]),
-        (_T_SPP, 3, [spp]),
-        (_T_SAMPLE_FORMAT, 3, [sfmt] * spp),
-    ]
-    if predictor:
-        entries.append((_T_PREDICTOR, 3, [2]))
-    if tile:
-        if tile <= 0:
-            raise ValueError("tile size must be positive")
-        segs = []
-        for ty in range(0, h, tile):
-            for tx in range(0, w, tile):
-                block = np.zeros((tile, tile, spp), dtype=arr.dtype)
-                sub = arr[ty : ty + tile, tx : tx + tile, :]
-                block[: sub.shape[0], : sub.shape[1], :] = sub
-                segs.append(seg_bytes(block))
-        entries += [
-            (_T_TILE_WIDTH, 4, [tile]),
-            (_T_TILE_LENGTH, 4, [tile]),
-            (_T_TILE_OFFSETS, 4, [0] * len(segs)),
-            (_T_TILE_COUNTS, 4, [len(s) for s in segs]),
+    def build_page(page_arr: np.ndarray, scale_mult: int, reduced: bool):
+        h, w, spp = page_arr.shape
+        entries = [
+            (_T_WIDTH, 4, [w]),
+            (_T_HEIGHT, 4, [h]),
+            (_T_BITS, 3, [depth] * spp),
+            (_T_COMPRESSION, 3, [_COMP_ID[compression]]),
+            (_T_PHOTometric, 3, [2 if spp >= 3 else 1]),
+            (_T_SPP, 3, [spp]),
+            (_T_SAMPLE_FORMAT, 3, [sfmt] * spp),
         ]
-        seg_tag = _T_TILE_OFFSETS
-    else:
-        segs = [
-            seg_bytes(arr[y0 : y0 + rows_per_strip])
-            for y0 in range(0, h, rows_per_strip)
-        ]
-        entries += [
-            (_T_STRIP_OFFSETS, 4, [0] * len(segs)),
-            (_T_ROWS_PER_STRIP, 4, [rows_per_strip]),
-            (_T_STRIP_COUNTS, 4, [len(s) for s in segs]),
-        ]
-        seg_tag = _T_STRIP_OFFSETS
+        if reduced:  # NewSubfileType: reduced-resolution page
+            entries.append((254, 4, [1]))
+        if predictor:
+            entries.append((_T_PREDICTOR, 3, [2]))
+        if tile:
+            if tile <= 0:
+                raise ValueError("tile size must be positive")
+            segs = []
+            for ty in range(0, h, tile):
+                for tx in range(0, w, tile):
+                    block = np.zeros((tile, tile, spp), dtype=arr.dtype)
+                    sub = page_arr[ty : ty + tile, tx : tx + tile, :]
+                    block[: sub.shape[0], : sub.shape[1], :] = sub
+                    segs.append(seg_bytes(block))
+            entries += [
+                (_T_TILE_WIDTH, 4, [tile]),
+                (_T_TILE_LENGTH, 4, [tile]),
+                (_T_TILE_OFFSETS, 4, [0] * len(segs)),
+                (_T_TILE_COUNTS, 4, [len(s) for s in segs]),
+            ]
+            seg_tag = _T_TILE_OFFSETS
+        else:
+            segs = [
+                seg_bytes(page_arr[y0 : y0 + rows_per_strip])
+                for y0 in range(0, h, rows_per_strip)
+            ]
+            entries += [
+                (_T_STRIP_OFFSETS, 4, [0] * len(segs)),
+                (_T_ROWS_PER_STRIP, 4, [rows_per_strip]),
+                (_T_STRIP_COUNTS, 4, [len(s) for s in segs]),
+            ]
+            seg_tag = _T_STRIP_OFFSETS
+        sx, sy = pixel_scale
+        x0, y0 = tiepoint_xy
+        entries.append(
+            (_T_MODEL_PIXEL_SCALE, 12,
+             [float(sx) * scale_mult, float(sy) * scale_mult, 0.0]))
+        entries.append(
+            (_T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, float(x0), float(y0), 0.0]))
+        if epsg is not None:
+            model = 2 if epsg in _GEOGRAPHIC_EPSG else 1
+            code_key = _GK_GEOGRAPHIC_TYPE if model == 2 else _GK_PROJECTED_TYPE
+            kd = [1, 1, 0, 3,
+                  _GK_MODEL_TYPE, 0, 1, model,
+                  _GK_RASTER_TYPE, 0, 1, raster_type,
+                  code_key, 0, 1, int(epsg)]
+            entries.append((_T_GEO_KEYS, 3, kd))
+        return entries, segs, seg_tag
 
-    sx, sy = pixel_scale
-    x0, y0 = tiepoint_xy
-    entries.append((_T_MODEL_PIXEL_SCALE, 12, [float(sx), float(sy), 0.0]))
-    entries.append(
-        (_T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, float(x0), float(y0), 0.0]))
-    if epsg is not None:
-        model = 2 if epsg in _GEOGRAPHIC_EPSG else 1
-        code_key = _GK_GEOGRAPHIC_TYPE if model == 2 else _GK_PROJECTED_TYPE
-        kd = [1, 1, 0, 3,
-              _GK_MODEL_TYPE, 0, 1, model,
-              _GK_RASTER_TYPE, 0, 1, raster_type,
-              code_key, 0, 1, int(epsg)]
-        entries.append((_T_GEO_KEYS, 3, kd))
-    return _write_ifd(entries, segs, seg_tag)
+    pages = [build_page(arr, 1, False)]
+    cur = arr
+    for k in range(overviews):
+        if min(cur.shape[0], cur.shape[1]) < 2:
+            break
+        cur = cur[::2, ::2, :]  # 2x decimation per overview level
+        pages.append(build_page(np.ascontiguousarray(cur), 1 << (k + 1), True))
+    return _write_tiff_pages(pages)

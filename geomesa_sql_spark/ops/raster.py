@@ -43,6 +43,7 @@ _INFO_FIELDS = [
     ("minlat", T.DoubleType()),
     ("maxlon", T.DoubleType()),
     ("maxlat", T.DoubleType()),
+    ("pages", T.IntegerType()),
 ]
 
 
@@ -52,8 +53,13 @@ def raster_info(df: DataFrame, id_col: str = "raster_id") -> DataFrame:
     Header-only (io/tiff.geotiff_info): IFD + GeoKey parse, zero
     decompression. lon/lat columns are null when the CRS is absent or
     outside geom/crs.py's registry (never a guess); a corrupt payload
-    survives as one null row."""
-    from geomesa_sql_spark.io.tiff import geotiff_bbox_lonlat, geotiff_info
+    survives as one null row. ``pages`` counts the IFD chain (1 +
+    overview-pyramid levels — decode_tiff_raster(page=k) reads them)."""
+    from geomesa_sql_spark.io.tiff import (
+        geotiff_bbox_lonlat,
+        geotiff_info,
+        tiff_page_count,
+    )
 
     schema = T.StructType(
         [T.StructField(id_col, T.StringType())]
@@ -75,7 +81,8 @@ def raster_info(df: DataFrame, id_col: str = "raster_id") -> DataFrame:
                 bbox = info.get("bbox") or (None, None, None, None)
                 ll = geotiff_bbox_lonlat(info) or (None, None, None, None)
                 rows.append(
-                    (rid, info["w"], info["h"], info.get("epsg"), *bbox, *ll))
+                    (rid, info["w"], info["h"], info.get("epsg"), *bbox, *ll,
+                     tiff_page_count(bytes(blob))))
             yield pd.DataFrame(rows, columns=[id_col] + [n for n, _ in _INFO_FIELDS])
 
     return df.select(id_col, "bytes").mapInPandas(gen, schema)

@@ -330,3 +330,60 @@ def test_transcode_images_tiff_target(spark):
     r = transcode_images(df, to="tiff").collect()[0]
     assert r.fmt == "tiff" and r.psnr_db == float("inf")
     assert (decode_tiff(bytes(r.bytes)) == px).all()
+
+
+def test_overview_pyramid_pages():
+    """Multi-IFD chains (the GeoTIFF overview-pyramid convention):
+    every page decodes at its own scale with its own geo tags."""
+    from geomesa_sql_spark.io.tiff import (
+        decode_tiff_raster, encode_geotiff, geotiff_info, tiff_page_count)
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 4096, (64, 48)).astype(np.uint16)
+    blob = encode_geotiff(g, pixel_scale=(0.01, 0.01), tiepoint_xy=(10.0, 50.0),
+                          epsg=4326, compression="lzw", overviews=3)
+    assert tiff_page_count(blob) == 4
+    s0, i0 = decode_tiff_raster(blob)
+    assert (s0[..., 0] == g).all()
+    for k in (1, 2, 3):
+        sk, ik = decode_tiff_raster(blob, page=k)
+        assert (sk[..., 0] == g[:: 1 << k, :: 1 << k]).all()
+        assert ik["pixel_scale"][0] == 0.01 * (1 << k)
+        assert ik["epsg"] == 4326
+        # overview bboxes cover the same upper-left anchor
+        assert ik["bbox"][0] == i0["bbox"][0] and ik["bbox"][3] == i0["bbox"][3]
+    info2 = geotiff_info(blob, page=2)
+    assert (info2["w"], info2["h"]) == (12, 16)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_tiff_raster(blob, page=9)
+    # single-page files still report one page
+    one = encode_geotiff(g, pixel_scale=(1, 1), tiepoint_xy=(0, 0))
+    assert tiff_page_count(one) == 1
+
+
+def test_jpeg_in_tiff_cmyk_photometric_5():
+    """Separated (CMYK) JPEG-in-TIFF rides the 4-component decode of
+    io/jpeg.py (Adobe inverted-ink convention)."""
+    from geomesa_sql_spark.io.jpeg import Q_LUM, _quality_scale
+    from geomesa_sql_spark.io.tiff import _write_ifd
+    from tests.test_jpeg import _cmyk_stream
+
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    cp = np.clip(60 + xx * 5, 0, 255).astype(np.float64)
+    mp = np.clip(80 + yy * 5, 0, 255).astype(np.float64)
+    yp = np.clip(100 + (xx + yy) * 2, 0, 255).astype(np.float64)
+    kp = np.clip(150 + xx * 2, 0, 255).astype(np.float64)
+    want = np.clip(
+        (np.stack([cp, mp, yp], axis=-1) * kp[..., None] / 255.0).round(),
+        0, 255).astype(np.uint8)
+    q = _quality_scale(Q_LUM, 95)
+    seg = _cmyk_stream([cp, mp, yp, kp], q, transform=0)
+    blob = _write_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8, 8]), (259, 3, [7]),
+        (262, 3, [5]), (273, 4, [0]), (277, 3, [4]), (278, 4, [h]),
+        (279, 4, [len(seg)]),
+    ], [seg], 273)
+    got = decode_tiff(blob).astype(np.int64)
+    mse = float(((got - want.astype(np.int64)) ** 2).mean())
+    assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-12)) >= 40.0
