@@ -231,12 +231,20 @@ def test_frame_sample_video_template(spark):
 
     import pytest as _pytest
 
+    # mp4 is a real container walk now (io/mp4.py): a corrupt payload
+    # survives as one null row; webm stays a loud stub
     bad = spark.createDataFrame(
         [("x", b"\x00", w, h, "mp4")],
         "video_id string, bytes binary, w int, h int, fmt string",
     )
-    with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
-        frame_sample(bad).collect()
+    rows = frame_sample(bad).collect()
+    assert len(rows) == 1 and rows[0].bytes is None
+    webm = spark.createDataFrame(
+        [("x", b"\x1a\x45\xdf\xa3", w, h, "webm")],
+        "video_id string, bytes binary, w int, h int, fmt string",
+    )
+    with _pytest.raises(Exception, match="webm|NotImplemented"):
+        frame_sample(webm).collect()
 
 
 def test_audio_features_template(spark):
