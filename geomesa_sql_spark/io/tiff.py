@@ -9,6 +9,9 @@ the raster half of the engine's raster↔vector tiling (north-star
 surface), parsed per the public OGC GeoTIFF 1.1 spec.
 
 Decoder surface: II (little-endian) and MM (big-endian) headers,
+classic (version 42) AND BigTIFF (version 43, 8-byte offsets — what
+multi-GB GeoTIFFs actually are), multi-page IFD chains (GeoTIFF
+overview pyramids; ``page=`` selects, ``tiff_page_count`` counts),
 strip layout (RowsPerStrip / StripOffsets / StripByteCounts) AND tiled
 layout (TileWidth/TileLength/TileOffsets/TileByteCounts — the layout
 real GeoTIFFs ship in), PlanarConfiguration 1 (chunky) and 2
@@ -18,7 +21,8 @@ MSB-first, early-change), 8/32946 (deflate), 32773 (PackBits) and 7
 tables spliced from the JPEGTables tag, decoded by ``io/jpeg.py``),
 horizontal-differencing Predictor 2, PhotometricInterpretation 0/1
 (grayscale, either polarity), 2 (RGB, extra samples dropped), 3
-(palette via the 16-bit ColorMap) and 6 (YCbCr, JPEG-compressed),
+(palette via the 16-bit ColorMap), 5 (separated/CMYK,
+JPEG-compressed) and 6 (YCbCr, JPEG-compressed),
 BitsPerSample 1/4/8/16 for the RGB surface; the raster surface
 (``decode_tiff_raster``) additionally decodes 32-bit integers (signed
 or unsigned) and 32/64-bit IEEE floats in their native dtype — the
@@ -34,9 +38,9 @@ pixel→CRS affine and the image's CRS-unit bbox.
 
 Encoders: ``encode_tiff`` (RGB strips, compression
 none/packbits/lzw/deflate, optional predictor) and ``encode_geotiff``
-(gray/RGB, uint8/uint16/float32, strip or tiled, geo tags), so round
-trips exercise every decode path against streams this module can
-actually build.
+(gray/RGB, uint8/uint16/uint32/float32, strip or tiled, geo tags,
+overview pyramids, classic or BigTIFF), so round trips exercise every
+decode path against streams this module can actually build.
 """
 
 from __future__ import annotations
@@ -67,68 +71,107 @@ _T_GEO_DOUBLES = 34736
 _T_GEO_ASCII = 34737
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
-              11: 4, 12: 8}
+              11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 
 
-def _ifd_offsets(data: bytes, bo: str) -> list[int]:
+def _header(data: bytes):
+    """(byte order, bigtiff?, first IFD offset). Classic TIFF is
+    version 42 with 4-byte offsets; BigTIFF is version 43 with 8-byte
+    offsets (the format multi-GB GeoTIFFs actually ship in)."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF (no II*/MM* header)")
+    bo = "<" if data[:2] == b"II" else ">"
+    (version,) = struct.unpack_from(bo + "H", data, 2)
+    if version == 42:
+        (off,) = struct.unpack_from(bo + "I", data, 4)
+        return bo, False, off
+    if version == 43:
+        if len(data) < 16:
+            raise ValueError("truncated BigTIFF header")
+        osize, zero = struct.unpack_from(bo + "HH", data, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError("BigTIFF header with non-8-byte offsets")
+        (off,) = struct.unpack_from(bo + "Q", data, 8)
+        return bo, True, off
+    raise ValueError("not a TIFF (no II*/MM* header)")
+
+
+def _ifd_offsets(data: bytes, bo: str, big: bool, first: int) -> list[int]:
     """Offsets of every IFD in the file's next-IFD chain (multi-page
     TIFF: GeoTIFF overview pyramids ship reduced-resolution pages this
     way). Cycles and implausible chains terminate the walk."""
-    (off,) = struct.unpack_from(bo + "I", data, 4)
+    off = first
+    cnt_sz, ent_sz, ptr_fmt = (8, 20, "Q") if big else (2, 12, "I")
     offs: list[int] = []
     seen: set[int] = set()
     while off and off not in seen and len(offs) < 64:
-        if off + 2 > len(data):
+        if off + cnt_sz > len(data):
             raise ValueError("TIFF IFD offset runs off the end of the file")
         seen.add(off)
         offs.append(off)
-        (n,) = struct.unpack_from(bo + "H", data, off)
-        nxt_at = off + 2 + 12 * n
-        if nxt_at + 4 > len(data):
+        (n,) = struct.unpack_from(bo + ("Q" if big else "H"), data, off)
+        nxt_at = off + cnt_sz + ent_sz * n
+        if nxt_at + struct.calcsize(ptr_fmt) > len(data):
             break  # no next-IFD pointer: chain ends here
-        (off,) = struct.unpack_from(bo + "I", data, nxt_at)
+        (off,) = struct.unpack_from(bo + ptr_fmt, data, nxt_at)
     if not offs:
         raise ValueError("TIFF with no IFD")
     return offs
 
 
-def _read_ifd(data: bytes, bo: str, off: int | None = None):
+def _read_ifd(data: bytes, bo: str, off: int | None = None,
+              big: bool = False):
     """IFD at ``off`` (default: first) → {tag: [values...]}.
 
     Integer and float types decode to Python numbers, rationals to
     floats, ASCII (2) and UNDEFINED (7) to a single raw ``bytes``
-    value — the GeoTIFF/JPEGTables tags need the latter three."""
+    value — the GeoTIFF/JPEGTables tags need the latter three.
+    BigTIFF IFDs use 8-byte counts/offsets and 20-byte entries."""
     if off is None:
-        (off,) = struct.unpack_from(bo + "I", data, 4)
-    if off + 2 > len(data):
+        bo, big, off = _header(data)
+    cnt_sz, ent_sz = (8, 20) if big else (2, 12)
+    inline = 8 if big else 4
+    if off + cnt_sz > len(data):
         raise ValueError("TIFF IFD offset runs off the end of the file")
-    (n,) = struct.unpack_from(bo + "H", data, off)
+    (n,) = struct.unpack_from(bo + ("Q" if big else "H"), data, off)
+    if n > 4096:
+        raise ValueError("implausible TIFF IFD entry count")
     tags: dict[int, list] = {}
-    for i in range(n):
-        at = off + 2 + 12 * i
-        if at + 12 > len(data):
+    for i in range(int(n)):
+        at = off + cnt_sz + ent_sz * i
+        if at + ent_sz > len(data):
             raise ValueError("TIFF IFD runs off the end of the file")
-        tag, typ, count = struct.unpack_from(bo + "HHI", data, at)
+        if big:
+            tag, typ, count = struct.unpack_from(bo + "HHQ", data, at)
+            vfield_at = at + 12
+        else:
+            tag, typ, count = struct.unpack_from(bo + "HHI", data, at)
+            vfield_at = at + 8
         size = _TYPE_SIZE.get(typ)
         if size is None:
             continue
+        if count > (1 << 26):
+            raise ValueError("implausible TIFF tag count")
         total = size * count
-        vat = at + 8
-        if total > 4:
-            (vat,) = struct.unpack_from(bo + "I", data, at + 8)
+        vat = vfield_at
+        if total > inline:
+            (vat,) = struct.unpack_from(bo + ("Q" if big else "I"), data,
+                                        vfield_at)
         if vat + total > len(data):
             raise ValueError("TIFF tag value runs off the end of the file")
         fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
-               11: "f", 12: "d"}.get(typ)
+               11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}.get(typ)
         if fmt:
-            tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, data, vat))
+            tags[tag] = list(
+                struct.unpack_from(bo + str(int(count)) + fmt, data, vat))
         elif typ in (2, 7):  # ASCII / UNDEFINED: keep the raw bytes
-            tags[tag] = [data[vat : vat + count]]
+            tags[tag] = [data[vat : vat + int(count)]]
         elif typ == 5 or typ == 10:  # rationals → floats
-            vals = struct.unpack_from(bo + str(2 * count) + "Ii"[typ == 10], data, vat)
+            vals = struct.unpack_from(
+                bo + str(2 * int(count)) + "Ii"[typ == 10], data, vat)
             tags[tag] = [
                 (vals[2 * k] / vals[2 * k + 1]) if vals[2 * k + 1] else 0.0
-                for k in range(count)
+                for k in range(int(count))
             ]
     return tags
 
@@ -299,24 +342,20 @@ def _decompress(chunk: bytes, comp: int, expect: int) -> bytes:
 
 
 def _parse_header(data: bytes, page: int = 0):
-    if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
-        raise ValueError("not a TIFF (no II*/MM* header)")
-    bo = "<" if data[:2] == b"II" else ">"
+    bo, big, first = _header(data)
     if page == 0:
-        return bo, _read_ifd(data, bo)
-    offs = _ifd_offsets(data, bo)
+        return bo, _read_ifd(data, bo, first, big)
+    offs = _ifd_offsets(data, bo, big, first)
     if page < 0 or page >= len(offs):
         raise ValueError(f"TIFF page {page} out of range (file has {len(offs)})")
-    return bo, _read_ifd(data, bo, offs[page])
+    return bo, _read_ifd(data, bo, offs[page], big)
 
 
 @clean_decode
 def tiff_page_count(data: bytes) -> int:
     """Number of IFDs in the chain (1 + overview/extra pages)."""
-    if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
-        raise ValueError("not a TIFF (no II*/MM* header)")
-    bo = "<" if data[:2] == b"II" else ">"
-    return len(_ifd_offsets(data, bo))
+    bo, big, first = _header(data)
+    return len(_ifd_offsets(data, bo, big, first))
 
 
 def _segment_grid(tags, w: int, h: int, planes: int):
@@ -736,20 +775,35 @@ def geotiff_bbox_lonlat(info: dict) -> tuple[float, float, float, float] | None:
 # encoders
 
 
-def _write_tiff_pages(pages):
+def _write_tiff_pages(pages, bigtiff: bool = False):
     """Little-endian multi-IFD writer: ``pages`` = [(entries,
     seg_payloads, seg_offset_tag)] with entry typ in {3:SHORT, 4:LONG,
-    12:DOUBLE, 7:UNDEFINED(bytes)}; each page's IFD is chained through
-    the next-IFD pointer (page 1+ = overview/extra pages)."""
-    out = bytearray(b"II*\x00\x00\x00\x00\x00")
-    next_ptr_at = 4  # header's first-IFD offset field
+    12:DOUBLE, 7:UNDEFINED(bytes), 16:LONG8}; each page's IFD is
+    chained through the next-IFD pointer (page 1+ = overview/extra
+    pages). ``bigtiff`` writes the version-43 layout (8-byte counts
+    and offsets, 20-byte entries; segment offsets become LONG8)."""
+    if bigtiff:
+        out = bytearray(b"II+\x00\x08\x00\x00\x00" + b"\x00" * 8)
+        next_ptr_at, inline, ent_sz = 8, 8, 20
+        ptr_fmt, ent_hdr = "<Q", "<HHQ"
+    else:
+        out = bytearray(b"II*\x00\x00\x00\x00\x00")
+        next_ptr_at, inline, ent_sz = 4, 4, 12
+        ptr_fmt, ent_hdr = "<I", "<HHI"
+    ptr_sz = struct.calcsize(ptr_fmt)
     for entries, seg_payloads, seg_offset_tag in pages:
+        if bigtiff:  # segment offsets may exceed 4 GiB: LONG8
+            entries = [
+                (t, 16 if t == seg_offset_tag and ty == 4 else ty, v)
+                for t, ty, v in entries
+            ]
         entries = sorted(entries)
         ifd_at = len(out)
-        struct.pack_into("<I", out, next_ptr_at, ifd_at)
-        out += struct.pack("<H", len(entries))
+        struct.pack_into(ptr_fmt, out, next_ptr_at, ifd_at)
+        out += struct.pack(ptr_fmt if bigtiff else "<H", len(entries))
+        cnt_sz = 8 if bigtiff else 2
         extra = bytearray()
-        extra_base = ifd_at + 2 + 12 * len(entries) + 4
+        extra_base = ifd_at + cnt_sz + ent_sz * len(entries) + ptr_sz
         offsets_at = None
         for tag, typ, vals in entries:
             if typ == 7:  # UNDEFINED: vals is a bytes payload
@@ -759,29 +813,29 @@ def _write_tiff_pages(pages):
                 packed = struct.pack("<" + str(len(vals)) + "d", *vals)
                 count = len(vals)
             else:
-                fmt = {3: "H", 4: "I"}[typ]
+                fmt = {3: "H", 4: "I", 16: "Q"}[typ]
                 packed = struct.pack("<" + str(len(vals)) + fmt, *vals)
                 count = len(vals)
-            if len(packed) <= 4:
+            if len(packed) <= inline:
                 if tag == seg_offset_tag:
-                    offsets_at = (len(out) + 8, typ)
-                vfield = packed + b"\x00" * (4 - len(packed))
+                    offsets_at = (len(out) + ent_sz - inline, typ)
+                vfield = packed + b"\x00" * (inline - len(packed))
             else:
                 if tag == seg_offset_tag:
                     offsets_at = (extra_base + len(extra), typ)
-                vfield = struct.pack("<I", extra_base + len(extra))
+                vfield = struct.pack(ptr_fmt, extra_base + len(extra))
                 extra += packed
-            out += struct.pack("<HHI", tag, typ, count) + vfield
+            out += struct.pack(ent_hdr, tag, typ, count) + vfield
         next_ptr_at = len(out)
-        out += b"\x00\x00\x00\x00"  # next-IFD pointer (0 = chain end)
+        out += b"\x00" * ptr_sz  # next-IFD pointer (0 = chain end)
         out += extra
         seg_offsets = []
         for s in seg_payloads:
             seg_offsets.append(len(out))
             out += s
         at, typ = offsets_at
-        step = {3: 2, 4: 4}[typ]
-        pfmt = {3: "<H", 4: "<I"}[typ]
+        step = {3: 2, 4: 4, 16: 8}[typ]
+        pfmt = {3: "<H", 4: "<I", 16: "<Q"}[typ]
         for k, so in enumerate(seg_offsets):
             struct.pack_into(pfmt, out, at + step * k, so)
     return bytes(out)
@@ -857,6 +911,7 @@ def encode_geotiff(
     rows_per_strip: int = 64,
     predictor: bool = False,
     overviews: int = 0,
+    bigtiff: bool = False,
 ) -> bytes:
     """(h, w) or (h, w, spp) samples → little-endian GeoTIFF bytes.
 
@@ -869,7 +924,9 @@ def encode_geotiff(
     decimation each, NewSubfileType=1, pixel scale doubled — the
     GeoTIFF overview-pyramid convention). The writer exists so
     round-trip tests exercise the tiled/planar/float/geo/multi-page
-    decode paths against streams this module can actually build."""
+    decode paths against streams this module can actually build.
+    ``bigtiff`` writes the version-43 8-byte-offset layout (what
+    multi-GB GeoTIFFs actually are)."""
     arr = np.asarray(samples)
     if arr.ndim == 2:
         arr = arr[..., None]
@@ -963,4 +1020,4 @@ def encode_geotiff(
             break
         cur = cur[::2, ::2, :]  # 2x decimation per overview level
         pages.append(build_page(np.ascontiguousarray(cur), 1 << (k + 1), True))
-    return _write_tiff_pages(pages)
+    return _write_tiff_pages(pages, bigtiff=bigtiff)

@@ -387,3 +387,37 @@ def test_jpeg_in_tiff_cmyk_photometric_5():
     got = decode_tiff(blob).astype(np.int64)
     mse = float(((got - want.astype(np.int64)) ** 2).mean())
     assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-12)) >= 40.0
+
+
+def test_bigtiff_roundtrip_and_rejections():
+    """BigTIFF (version 43, 8-byte offsets): the layout multi-GB
+    GeoTIFFs actually ship in — strip/tiled, overview chains, and the
+    full geo-tag surface, plus malformed-header honesty."""
+    from geomesa_sql_spark.io.tiff import (
+        decode_tiff_raster, encode_geotiff, tiff_page_count)
+
+    rng = np.random.default_rng(41)
+    g = rng.integers(0, 4096, (50, 37)).astype(np.uint16)
+    for tile, comp, ov in ((None, "lzw", 0), (16, "deflate", 2)):
+        blob = encode_geotiff(
+            g, pixel_scale=(0.01, 0.02), tiepoint_xy=(5.0, 40.0), epsg=4326,
+            tile=tile, compression=comp, overviews=ov, bigtiff=True)
+        assert blob[:4] == b"II+\x00"
+        s, info = decode_tiff_raster(blob)
+        assert (s[..., 0] == g).all() and info["epsg"] == 4326
+        assert info["bbox"][0] == 5.0 and info["bbox"][3] == 40.0
+        assert tiff_page_count(blob) == 1 + ov
+        if ov:
+            s1, _ = decode_tiff_raster(blob, page=1)
+            assert (s1[..., 0] == g[::2, ::2]).all()
+        assert decode_tiff(blob).shape == (50, 37, 3)
+    # malformed BigTIFF header: offset size must be 8
+    blob = bytearray(encode_geotiff(
+        g, pixel_scale=(1, 1), tiepoint_xy=(0, 0), bigtiff=True))
+    blob[4] = 4
+    with pytest.raises(ValueError, match="non-8-byte"):
+        decode_tiff(bytes(blob))
+    # unknown version: not a TIFF
+    blob[2:4] = b"\x2c\x00"
+    with pytest.raises(ValueError, match="II\\*"):
+        decode_tiff(bytes(blob))
