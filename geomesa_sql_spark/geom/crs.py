@@ -156,6 +156,18 @@ class _Crs:
                 360.0 / np.pi
             )
             return out
+        if self.kind == "merc":
+            # ellipsoidal Mercator inverse: φ from the isometric
+            # latitude ψ = y/a by fixed-point iteration (quadratic
+            # convergence; 6 rounds ≈ 1e-12 rad)
+            e = np.sqrt(self.f * (2.0 - self.f))
+            psi = c[:, 1] / self.a
+            phi = np.arcsin(np.tanh(psi))
+            for _ in range(6):
+                phi = np.arcsin(np.tanh(psi + e * np.arctanh(e * np.sin(phi))))
+            out[:, 0] = c[:, 0] / (self.a * np.pi / 180.0)
+            out[:, 1] = np.degrees(phi)
+            return out
         out[:, 0], out[:, 1] = tm_inverse(
             c[:, 0], c[:, 1], self.lon0, self.a, self.f, n0=self.n0
         )
@@ -170,6 +182,14 @@ class _Crs:
             out[:, 1] = (
                 np.log(np.tan(np.pi / 4.0 + np.radians(c[:, 1]) / 2.0)) * self.a
             )
+            return out
+        if self.kind == "merc":
+            # ellipsoidal Mercator (EPSG:3395): y = a·(atanh sin φ −
+            # e·atanh(e·sin φ)) — the isometric latitude scaled by a
+            e = np.sqrt(self.f * (2.0 - self.f))
+            s = np.sin(np.radians(c[:, 1]))
+            out[:, 0] = c[:, 0] * (self.a * np.pi / 180.0)
+            out[:, 1] = self.a * (np.arctanh(s) - e * np.arctanh(e * s))
             return out
         out[:, 0], out[:, 1] = tm_forward(
             c[:, 0], c[:, 1], self.lon0, self.a, self.f, n0=self.n0
@@ -199,6 +219,16 @@ def resolve_crs(code: str) -> _Crs | None:
         )
     if 26901 <= epsg <= 26923:
         return _Crs("utm", _GRS80, lon0=-183.0 + 6.0 * (epsg - 26900))
+    if epsg == 4258:
+        # ETRS89 geographic (GRS80; datum shift vs WGS84 < 1 m — the
+        # module-wide identity-datum convention applies)
+        return _Crs("geographic", _GRS80)
+    if 25828 <= epsg <= 25838:
+        # ETRS89 / UTM zones 28N-38N — the standard European grid
+        return _Crs("utm", _GRS80, lon0=-183.0 + 6.0 * (epsg - 25800))
+    if epsg == 3395:
+        # WGS84 world Mercator (ellipsoidal, unlike spherical 3857)
+        return _Crs("merc", _WGS84)
     return None
 
 
@@ -220,6 +250,9 @@ def supported_crs_table() -> str:
     """Human-readable supported-CRS summary (README/describe surface)."""
     return (
         "EPSG:4326 (WGS84 lon/lat), EPSG:4269 (NAD83 lon/lat), "
-        "EPSG:3857 (web mercator), EPSG:32601-32660/32701-32760 "
-        "(UTM N/S on WGS84), EPSG:26901-26923 (UTM N on NAD83)"
+        "EPSG:4258 (ETRS89 lon/lat), EPSG:3857 (web mercator), "
+        "EPSG:3395 (world mercator, ellipsoidal), "
+        "EPSG:32601-32660/32701-32760 (UTM N/S on WGS84), "
+        "EPSG:26901-26923 (UTM N on NAD83), "
+        "EPSG:25828-25838 (UTM N on ETRS89)"
     )

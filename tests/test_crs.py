@@ -227,8 +227,8 @@ def test_all_supported_pairs_roundtrip_law():
     dlam≈-78° reopens by ~2e-3°, which is projection math, not a bug
     (its in-zone closure is test_roundtrip_closes_below_nanodegree)."""
     rng = np.random.default_rng(11)
-    codes = ["EPSG:4326", "EPSG:4269", "EPSG:3857",
-             "EPSG:32618", "EPSG:32718", "EPSG:26918"]
+    codes = ["EPSG:4326", "EPSG:4269", "EPSG:4258", "EPSG:3857",
+             "EPSG:3395", "EPSG:32618", "EPSG:32718", "EPSG:26918"]
     # geographic points near zone 18 (in-zone for every UTM code above)
     geo = np.column_stack([
         rng.uniform(-77.9, -72.1, 64), rng.uniform(-79.0, 79.0, 64)
@@ -285,3 +285,32 @@ def test_two_arg_transform_calcite_idiom(spark, sf_dir, tmp_path):
     assert abs(row.e - want[0, 0]) < 1e-6
     assert abs(row.lon_rt - -74.0) < 1e-9  # tag-driven chain round-trip
     assert row.null_in is None
+
+
+def test_etrs89_utm_and_world_mercator():
+    """r4h registry widening: ETRS89 (4258 geographic + 25828-38 UTM)
+    and EPSG:3395 ellipsoidal world Mercator."""
+    import numpy as np
+
+    from geomesa_sql_spark.geom.crs import transform_fn
+
+    # 3395 round trips close and hits the published sample value
+    fn = transform_fn("EPSG:4326", "EPSG:3395")
+    inv = transform_fn("EPSG:3395", "EPSG:4326")
+    pts = np.array([[0.0, 0.0], [12.0, 55.0], [-75.0, -42.0], [179.0, 80.0]])
+    xy = fn(pts)
+    assert np.abs(inv(xy) - pts).max() < 1e-9
+    assert abs(xy[0, 1]) < 1e-9
+    assert xy[1, 1] == pytest.approx(7326837.715, abs=0.01)  # 55°N anchor
+    # ellipsoidal y is strictly below the spherical (3857) y
+    sph = 6378137.0 * np.log(np.tan(np.pi / 4 + np.radians(55.0) / 2))
+    assert xy[1, 1] < sph
+    # ETRS89 UTM 32N: Munich lands at the known grid square
+    f2 = transform_fn("EPSG:4258", "EPSG:25832")
+    e, n = f2(np.array([[11.575, 48.1375]]))[0]
+    assert 691_000 < e < 693_000 and 5_333_000 < n < 5_336_000
+    # zone chaining through geographic still closes
+    f3 = transform_fn("EPSG:25832", "EPSG:32632")
+    back = f3(np.array([[691_565.465, 5_334_789.899]]))[0]
+    # GRS80 vs WGS84 flattening differs at 1e-10: sub-mm here
+    assert abs(back[0] - 691_565.465) < 1e-3 and abs(back[1] - 5_334_789.899) < 1e-3
