@@ -201,6 +201,52 @@ def main() -> int:
         plan,
     ))
 
+    # 8. raster fan-out: covered tiles expand JVM-side (sequence/explode
+    # Generators), never through a Python stage, over the tiny info frame
+    from geomesa_sql_spark.io.fixtures import geotiff_table
+    from geomesa_sql_spark.ops import raster_info, raster_tiles, render_tiles
+
+    gdir = "/tmp/plan_audit_rasters"
+    geotiff_table(spark, 64).write.mode("overwrite").parquet(gdir)
+    info = raster_info(spark.read.parquet(gdir))
+    rt = raster_tiles(info, zoom=6)
+    plan = _fmt(rt)
+    assert "Generate" in plan and "explode" in plan, plan
+    # exactly ONE Python stage (the header parse); the explode itself
+    # is JVM codegen (count in the tree block — details repeat nodes)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") + tree.count("MapInPandas") == 1, plan
+    sections.append((
+        "Raster covered-tile fan-out (raster_tiles)",
+        "GeoTIFF headers parse once in a single Arrow stage "
+        "(raster_info — no pixel decompression), then the covered-tile "
+        "fan-out is pure JVM sequence/explode over the tiny info frame: "
+        "payload bytes never enter the explode, and the FLOOR tile law "
+        "is the same whole-stage-codegen arithmetic assign_tiles uses.",
+        plan,
+    ))
+
+    # 9. vector->raster render: pixel-level partial aggregation BEFORE
+    # any wide exchange; payload bytes are born in the last stage
+    pts2 = spark.range(0, 100_000).selectExpr(
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat")
+    rd = render_tiles(pts2, zoom=5, tile_px=16)
+    plan = _fmt(rd)
+    assert "partial_count" in plan, plan
+    assert plan.split("\n\n")[0].count("FlatMapGroupsInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
+    sections.append((
+        "Vector→raster render (render_tiles)",
+        "Points collapse to per-pixel counts with a map-side "
+        "partial_count before the pixel-key exchange, the tile split is "
+        "bit arithmetic on the shared global index, and the ONLY Python "
+        "stage is the final per-tile grid assembly/GeoTIFF encode "
+        "(FlatMapGroupsInPandas) — payload bytes are born in the last "
+        "stage and never shuffle.",
+        plan,
+    ))
+
     out = REPO / "BENCH" / "PLANS.md"
     lines = [
         "# Plan audit — explain('formatted') of the plans that matter at 100 TB",
