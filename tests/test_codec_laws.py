@@ -127,6 +127,21 @@ def _mutations(rng, blob, rounds):
             decode_tiff,
             lambda rng: encode_tiff(_rand_img(rng), "lzw", predictor=True),
         ),
+        ("bigtiff", lambda b: __import__(
+            "geomesa_sql_spark.io.tiff", fromlist=["decode_tiff_raster"]
+        ).decode_tiff_raster(b), lambda rng: __import__(
+            "geomesa_sql_spark.io.tiff", fromlist=["encode_geotiff"]
+        ).encode_geotiff(
+            _rand_img(rng)[..., 0], pixel_scale=(0.1, 0.1),
+            tiepoint_xy=(1.0, 2.0), epsg=4326, tile=16,
+            compression="deflate", overviews=1, bigtiff=True)),
+        ("mp4", lambda b: __import__(
+            "geomesa_sql_spark.io.mp4", fromlist=["mp4_frames"]
+        ).mp4_frames(b), lambda rng: __import__(
+            "geomesa_sql_spark.io.mp4", fromlist=["encode_mjpeg_mp4"]
+        ).encode_mjpeg_mp4(
+            [encode_jpeg(_rand_img(rng, 17), quality=80) for _ in range(2)],
+            8, 8)),
         ("wav", decode_wav, lambda rng: encode_wav(
             rng.integers(-32768, 32768, 700).astype(np.int16), 8000)),
         ("avi", mjpeg_avi_frames, lambda rng: __import__(
