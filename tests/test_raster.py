@@ -174,3 +174,32 @@ def test_render_tiles_grid_exact_and_roundtrip(spark):
     assert (ri.epsg == 4326).all() and len(ri) == len(pdf)
     with pytest.raises(ValueError, match="power of two"):
         render_tiles(pts, zoom=4, tile_px=12)
+
+
+def test_streaming_raster_ingest_equals_batch(spark, tmp_path):
+    """Structured-Streaming raster ingest: raster_info + the tile
+    fan-out run unchanged on a file stream (mapInPandas is
+    stream-capable) and produce exactly the batch result — the shape a
+    continuously-arriving imagery catalog uses."""
+    from geomesa_sql_spark.ops import raster_info, raster_tiles
+
+    src = str(tmp_path / "rasters")
+    geotiff_table(spark, 40).repartition(4).write.parquet(src)
+    batch = spark.read.parquet(src)
+    want = {
+        (r.raster_id, r.tile_x, r.tile_y)
+        for r in raster_tiles(raster_info(batch), zoom=5).collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = raster_tiles(raster_info(stream), zoom=5)
+    q = (
+        out.select("raster_id", "tile_x", "tile_y")
+        .writeStream.format("memory").queryName("raster_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.raster_id, r.tile_x, r.tile_y)
+        for r in spark.table("raster_sink").collect()
+    }
+    assert got == want and len(got) > 40
