@@ -43,5 +43,6 @@ from geomesa_sql_spark.ops.raster import (  # noqa: F401
     raster_checksum,
     raster_info,
     raster_tiles,
+    render_pyramid,
     render_tiles,
 )

@@ -272,11 +272,16 @@ def render_tiles(
     ``tile_px`` must be a power of two so tile/pixel split is exact bit
     arithmetic on the shared global index (no float re-derivation that
     could disagree with assign_tiles at ulp boundaries)."""
+    counts = _pixel_counts(df, zoom, tile_px, x, y)
+    return _assemble_tiles(counts, zoom, tile_px)
+
+
+def _pixel_counts(df: DataFrame, zoom: int, tile_px: int, x: str, y: str
+                  ) -> DataFrame:
+    """(gx, gy, cnt) at the global pixel grid of zoom+log2(tile_px)."""
     if tile_px < 1 or tile_px & (tile_px - 1):
         raise ValueError("tile_px must be a power of two")
-    p2 = tile_px.bit_length() - 1
-    n = 1 << zoom
-    m = n * tile_px
+    m = (1 << zoom) * tile_px
     gx = F.least(
         F.greatest(
             F.floor((F.col(x) + F.lit(180.0)) / F.lit(360.0) * m), F.lit(0)
@@ -289,25 +294,34 @@ def render_tiles(
         ),
         F.lit(m - 1),
     ).cast("long")
-    counts = (
+    return (
         df.select(gx.alias("gx"), gy.alias("gy"))
         .groupBy("gx", "gy")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.shiftright("gx", p2).alias("tile_x"),
-            F.shiftright("gy", p2).alias("tile_y"),
-            (F.col("gx") % F.lit(tile_px)).cast("int").alias("px"),
-            (F.col("gy") % F.lit(tile_px)).cast("int").alias("py"),
-            "cnt",
-        )
     )
-    schema = T.StructType(
-        [
-            T.StructField("tile_x", T.LongType()),
-            T.StructField("tile_y", T.LongType()),
-            T.StructField("n_points", T.LongType()),
-            T.StructField("bytes", T.BinaryType()),
-        ]
+
+
+_RENDER_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+
+def _assemble_tiles(counts: DataFrame, zoom: int, tile_px: int) -> DataFrame:
+    """(gx, gy, cnt) pixel counts → per-tile GeoTIFF rows at ``zoom``."""
+    p2 = tile_px.bit_length() - 1
+    n = 1 << zoom
+    m = n * tile_px
+    split = counts.select(
+        F.shiftright("gx", p2).alias("tile_x"),
+        F.shiftright("gy", p2).alias("tile_y"),
+        (F.col("gx") % F.lit(tile_px)).cast("int").alias("px"),
+        (F.col("gy") % F.lit(tile_px)).cast("int").alias("py"),
+        "cnt",
     )
 
     def build(key, pdf):
@@ -338,4 +352,47 @@ def render_tiles(
             }
         )
 
-    return counts.groupBy("tile_x", "tile_y").applyInPandas(build, schema)
+    return split.groupBy("tile_x", "tile_y").applyInPandas(build, _RENDER_SCHEMA)
+
+
+def render_pyramid(
+    df: DataFrame,
+    zoom: int,
+    min_zoom: int = 0,
+    tile_px: int = 64,
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Multi-zoom render: (zoom, tile_x, tile_y, n_points, bytes) for
+    every level from ``zoom`` down to ``min_zoom`` — the full tile-server
+    pyramid from ONE pass over the points.
+
+    The point set collapses to finest-grid pixel counts once (the
+    expensive shuffle); each coarser level is one integer-shift rollup
+    of the previous level's pixel counts (gx>>1, gy>>1 — the same
+    shared-work shape as tiles.build_pyramid), so total shuffle volume
+    is Σ_z |pixels at z| ≤ 4/3·|pixels at max zoom|, independent of the
+    input row count. Each level's pixel frame is the next level's
+    input, so Spark reuses the lineage; for very deep pyramids persist
+    the finest counts first."""
+    if min_zoom < 0 or min_zoom > zoom:
+        raise ValueError("need 0 <= min_zoom <= zoom")
+    cur = _pixel_counts(df, zoom, tile_px, x, y)
+    frames = []
+    for z in range(zoom, min_zoom - 1, -1):
+        frames.append(
+            _assemble_tiles(cur, z, tile_px).withColumn("zoom", F.lit(z)))
+        if z > min_zoom:
+            cur = (
+                cur.select(
+                    F.shiftright("gx", 1).alias("gx"),
+                    F.shiftright("gy", 1).alias("gy"),
+                    "cnt",
+                )
+                .groupBy("gx", "gy")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("zoom", "tile_x", "tile_y", "n_points", "bytes")

@@ -203,3 +203,42 @@ def test_streaming_raster_ingest_equals_batch(spark, tmp_path):
         for r in spark.table("raster_sink").collect()
     }
     assert got == want and len(got) > 40
+
+
+def test_render_pyramid_levels_consistent(spark):
+    """One-pass pyramid: every level's decoded tile grids sum to the
+    point count, parent tiles equal the 2x2 sum of their children, and
+    level `zoom` is bit-identical to a direct render_tiles call."""
+    from geomesa_sql_spark.io.tiff import decode_tiff_raster
+    from geomesa_sql_spark.ops import render_pyramid, render_tiles
+
+    n_pts, zoom, P = 3000, 4, 8
+    pts = spark.range(0, n_pts).selectExpr(
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat",
+    )
+    pyr = render_pyramid(pts, zoom=zoom, min_zoom=2, tile_px=P).toPandas()
+    assert sorted(pyr.zoom.unique()) == [2, 3, 4]
+    for z in (2, 3, 4):
+        assert pyr[pyr.zoom == z].n_points.sum() == n_pts
+    # level 'zoom' == direct render (same payload bytes)
+    direct = render_tiles(pts, zoom=zoom, tile_px=P).toPandas()
+    lv = pyr[pyr.zoom == zoom]
+    a = {(r.tile_x, r.tile_y): bytes(r["bytes"]) for _, r in lv.iterrows()}
+    b = {(r.tile_x, r.tile_y): bytes(r["bytes"]) for _, r in direct.iterrows()}
+    assert a == b
+    # parent grid == 2x2 child sum (decode both levels)
+    grids = {}
+    for _, r in pyr.iterrows():
+        arr, _ = decode_tiff_raster(bytes(r["bytes"]))
+        grids[(int(r.zoom), int(r.tile_x), int(r.tile_y))] = arr[..., 0].astype(np.int64)
+    for (z, tx, ty), g in grids.items():
+        if z == 2:
+            continue
+        pz, ptx, pty = z - 1, tx >> 1, ty >> 1
+        parent = grids[(pz, ptx, pty)]
+        # this tile maps into quadrant ((ty&1)*P/2, (tx&1)*P/2), each
+        # parent pixel the sum of a 2x2 child block
+        sub = g.reshape(P // 2, 2, P // 2, 2).sum(axis=(1, 3))
+        qy, qx = (ty & 1) * (P // 2), (tx & 1) * (P // 2)
+        assert (parent[qy:qy + P // 2, qx:qx + P // 2] == sub).all(), (z, tx, ty)
