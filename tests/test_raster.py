@@ -242,3 +242,35 @@ def test_render_pyramid_levels_consistent(spark):
         sub = g.reshape(P // 2, 2, P // 2, 2).sum(axis=(1, 3))
         qy, qx = (ty & 1) * (P // 2), (tx & 1) * (P // 2)
         assert (parent[qy:qy + P // 2, qx:qx + P // 2] == sub).all(), (z, tx, ty)
+
+
+def test_raster_catalog_as_geoparquet(spark, tmp_path):
+    """Composition: the raster_info catalog writes as clustered
+    GeoParquet (footprint envelopes as WKB) and bbox reads prune to the
+    matching rasters — the 100 TB imagery-catalog shape."""
+    from geomesa_sql_spark.functions.st import register_all
+    from geomesa_sql_spark.io.geoparquet import read_geoparquet, write_geoparquet
+    from geomesa_sql_spark.ops import raster_info
+
+    register_all(spark)
+    cat = raster_info(geotiff_table(spark, 120)).withColumn(
+        "geom", F.expr("ST_MakeEnvelope(minlon, minlat, maxlon, maxlat)"))
+    path = str(tmp_path / "raster_catalog")
+    write_geoparquet(cat, path, geometry="geom", cluster=True)
+    full, meta = read_geoparquet(spark, path)
+    assert full.count() == 120 and meta["columns"]["geom"]
+    # bbox read returns exactly the rasters whose footprint overlaps
+    box = (-60.0, -30.0, -20.0, 10.0)
+    got = {r.raster_id for r in read_geoparquet(
+        spark, path, bbox=box)[0].select("raster_id").collect()}
+    want = set()
+    for i in range(120):
+        lon0, lat0 = geotiff_anchor(i)
+        minlon, maxlon = lon0, lon0 + GEOTIFF_SCALE[0] * GEOTIFF_SIZE
+        minlat, maxlat = lat0 - GEOTIFF_SCALE[1] * GEOTIFF_SIZE, lat0
+        if (minlon <= box[2] and maxlon >= box[0]
+                and minlat <= box[3] and maxlat >= box[1]):
+            want.add(f"r{i}")
+    assert got >= want and all(r in got for r in want)
+    # the bbox filter must not return the whole catalog
+    assert len(got) < 120
