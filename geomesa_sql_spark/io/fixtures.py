@@ -287,8 +287,9 @@ def geotiff_table(
     16×16 uint16 band with closed-form pixels and EPSG:4326
     georeferencing — and the ORGANIZATION cycles through the decode
     surface (strip vs tiled × none/lzw/deflate/packbits × predictor on
-    i%3==0), so the driver-gated query exercises every layout the
-    decoder claims, not just the writer's favourite."""
+    i%3==0 × BigTIFF on i%5==0), so the driver-gated query exercises
+    every layout the decoder claims, not just the writer's
+    favourite."""
     from geomesa_sql_spark.io.tiff import encode_geotiff
 
     comps = ("none", "lzw", "deflate", "packbits")
@@ -314,6 +315,7 @@ def geotiff_table(
                     compression=comps[i % 4],
                     predictor=i % 3 == 0,
                     rows_per_strip=6,
+                    bigtiff=i % 5 == 0,
                 )
                 ids.append(f"r{i}")
                 blobs.append(blob)
