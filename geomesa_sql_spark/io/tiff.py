@@ -332,10 +332,13 @@ def _decompress(chunk: bytes, comp: int, expect: int) -> bytes:
     if comp == 5:
         return _tiff_lzw_decode(chunk, expect)
     if comp in (8, 32946):
-        d = zlib.decompress(chunk)
+        # bounded inflate: a crafted deflate bomb must not materialize
+        # gigabytes before the [:expect] slice (decompressobj stops at
+        # max_length; the tail stays compressed and is discarded)
+        d = zlib.decompressobj().decompress(chunk, expect)
         if len(d) < expect:
             raise ValueError("TIFF deflate segment ended early")
-        return d[:expect]
+        return d
     raise NotImplementedError(
         f"TIFF compression {comp}: none/LZW/deflate/PackBits/JPEG only "
         "(no CCITT fax or old-style JPEG)")
@@ -373,6 +376,11 @@ def _segment_grid(tags, w: int, h: int, planes: int):
             raise ValueError(f"tiled TIFF missing required tag {ex}") from ex
         if tw <= 0 or th <= 0:
             raise ValueError("TIFF tile dimensions must be positive")
+        if tw * th > _MAX_PIXELS:
+            # a tile cannot plausibly exceed the whole-image cap — and
+            # unbounded tile dims would let PackBits/LZW amplification
+            # defeat the task-safety cap via `expect`
+            raise ValueError(f"implausible TIFF tile dimensions {tw}x{th}")
         ta = -(-w // tw)
         td = -(-h // th)
         if len(offsets) != len(counts):
@@ -755,7 +763,13 @@ def geotiff_bbox_lonlat(info: dict) -> tuple[float, float, float, float] | None:
     """CRS-unit bbox → EPSG:4326 lon/lat bbox via geom/crs.py (the
     engine's single source of CRS math). None when the CRS is absent or
     outside the supported registry — callers surface that as a null
-    row, never a guess."""
+    row, never a guess.
+
+    The bbox PERIMETER is densified (33 samples per edge) before the
+    transform: for projected CRSs the lat/lon extremes sit mid-edge,
+    not at the corners (a zone-wide UTM raster's top edge peaks at the
+    central meridian ~2 km above the corner latitude), and a
+    corner-only bbox would under-cover the raster→vector fan-out."""
     if not info.get("bbox") or not info.get("epsg"):
         return None
     from geomesa_sql_spark.geom.crs import transform_fn
@@ -764,9 +778,16 @@ def geotiff_bbox_lonlat(info: dict) -> tuple[float, float, float, float] | None:
     if fn is None:
         return None
     minx, miny, maxx, maxy = info["bbox"]
-    corners = np.array(
-        [[minx, miny], [maxx, miny], [minx, maxy], [maxx, maxy]], np.float64)
-    ll = fn(corners)
+    t = np.linspace(0.0, 1.0, 33)
+    xs = minx + (maxx - minx) * t
+    ys = miny + (maxy - miny) * t
+    perim = np.concatenate([
+        np.column_stack([xs, np.full_like(xs, miny)]),
+        np.column_stack([xs, np.full_like(xs, maxy)]),
+        np.column_stack([np.full_like(ys, minx), ys]),
+        np.column_stack([np.full_like(ys, maxx), ys]),
+    ])
+    ll = fn(perim)
     return (float(ll[:, 0].min()), float(ll[:, 1].min()),
             float(ll[:, 0].max()), float(ll[:, 1].max()))
 

@@ -73,16 +73,23 @@ def raster_info(df: DataFrame, id_col: str = "raster_id") -> DataFrame:
                 if blob is None:
                     rows.append((rid,) + (None,) * len(_INFO_FIELDS))
                     continue
+                b = bytes(blob)
                 try:
-                    info = geotiff_info(bytes(blob))
+                    info = geotiff_info(b)
                 except Exception:
                     rows.append((rid,) + (None,) * len(_INFO_FIELDS))
                     continue
+                try:
+                    # a corrupt next-IFD CHAIN must not kill the row:
+                    # page 0 parsed fine, so keep it and null the count
+                    pages = tiff_page_count(b)
+                except Exception:
+                    pages = None
                 bbox = info.get("bbox") or (None, None, None, None)
                 ll = geotiff_bbox_lonlat(info) or (None, None, None, None)
                 rows.append(
                     (rid, info["w"], info["h"], info.get("epsg"), *bbox, *ll,
-                     tiff_page_count(bytes(blob))))
+                     pages))
             yield pd.DataFrame(rows, columns=[id_col] + [n for n, _ in _INFO_FIELDS])
 
     return df.select(id_col, "bytes").mapInPandas(gen, schema)
@@ -94,7 +101,9 @@ def raster_band_stats(
     """(id, px_sum, px_min, px_max, px_mean) over one band — the
     full-decode pass (decode_tiff_raster: strips or tiles, any native
     dtype). Integer sums are exact (int64 accumulator); float bands
-    sum in float64. Corrupt payloads survive as null rows."""
+    sum in float64. Corrupt payloads — and rows whose file has fewer
+    bands than ``band`` asks for — survive as null rows (never
+    another band's numbers)."""
     from geomesa_sql_spark.io.tiff import decode_tiff_raster
 
     schema = T.StructType(
@@ -113,7 +122,9 @@ def raster_band_stats(
             for rid, blob in zip(pdf[id_col], pdf["bytes"]):
                 try:
                     arr, _info = decode_tiff_raster(bytes(blob))
-                    b = arr[..., min(band, arr.shape[2] - 1)]
+                    if band >= arr.shape[2]:
+                        raise ValueError("band index beyond file bands")
+                    b = arr[..., band]
                     if b.dtype.kind in "ui":
                         s = float(b.sum(dtype=np.int64))
                     else:
@@ -162,13 +173,28 @@ def raster_checksum(
                 blob = pdf["bytes"].iloc[k]
                 try:
                     arr, info = decode_tiff_raster(bytes(blob))
-                    b = arr[..., min(band, arr.shape[2] - 1)].astype(np.int64)
+                    if band >= arr.shape[2]:
+                        raise ValueError("band index beyond file bands")
+                    b = arr[..., band].astype(np.int64)
                     h, w = b.shape
                     wgt = (np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1)
+                    # int64 wraps silently above ~2^63; big-value rasters
+                    # near the pixel cap go through exact Python ints,
+                    # and a result that doesn't FIT the BIGINT column is
+                    # reported null — never a wrapped number
+                    if float(np.abs(b).max(initial=0)) * (h * w + 1) * b.size \
+                            > 2**62:
+                        cks = sum(int(v) * int(g)
+                                  for v, g in zip(b.reshape(-1), wgt.reshape(-1)))
+                        tot = sum(int(v) for v in b.reshape(-1))
+                    else:
+                        cks = int((b * wgt).sum())
+                        tot = int(b.sum())
+                    i64 = 2**63
+                    cks = cks if -i64 <= cks < i64 else None
+                    tot = tot if -i64 <= tot < i64 else None
                     bbox = info.get("bbox") or (None,) * 4
-                    rows.append(
-                        ids + (int((b * wgt).sum()), int(b.sum()),
-                               info.get("epsg"), *bbox))
+                    rows.append(ids + (cks, tot, info.get("epsg"), *bbox))
                 except Exception:
                     rows.append(ids + (None,) * 7)
             yield pd.DataFrame(
@@ -198,23 +224,15 @@ def raster_tiles(
     explode — callers keep them from ``raster_info`` if they need the
     audit trail. ``with_hilbert`` adds the Hilbert ``tile_id`` so the
     fan-out range-partitions like every other tile frame."""
+    from geomesa_sql_spark.tiles.assign import lat_tile_col, lon_tile_col
+
     n = 1 << zoom
 
     def _tx(col):
-        return F.least(
-            F.greatest(
-                F.floor((F.col(col) + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)
-            ),
-            F.lit(n - 1),
-        ).cast("long")
+        return lon_tile_col(col, n)
 
     def _ty(col):
-        return F.least(
-            F.greatest(
-                F.floor((F.lit(90.0) - F.col(col)) / F.lit(180.0) * n), F.lit(0)
-            ),
-            F.lit(n - 1),
-        ).cast("long")
+        return lat_tile_col(col, n)
 
     out = (
         info_df.where(
@@ -278,24 +296,16 @@ def render_tiles(
 
 def _pixel_counts(df: DataFrame, zoom: int, tile_px: int, x: str, y: str
                   ) -> DataFrame:
-    """(gx, gy, cnt) at the global pixel grid of zoom+log2(tile_px)."""
+    """(gx, gy, cnt) at the global pixel grid of zoom+log2(tile_px) —
+    the pixel grid IS the tile law at a deeper zoom, built from the
+    same single-source expressions (tiles/assign.py)."""
+    from geomesa_sql_spark.tiles.assign import lat_tile_col, lon_tile_col
+
     if tile_px < 1 or tile_px & (tile_px - 1):
         raise ValueError("tile_px must be a power of two")
     m = (1 << zoom) * tile_px
-    gx = F.least(
-        F.greatest(
-            F.floor((F.col(x) + F.lit(180.0)) / F.lit(360.0) * m), F.lit(0)
-        ),
-        F.lit(m - 1),
-    ).cast("long")
-    gy = F.least(
-        F.greatest(
-            F.floor((F.lit(90.0) - F.col(y)) / F.lit(180.0) * m), F.lit(0)
-        ),
-        F.lit(m - 1),
-    ).cast("long")
     return (
-        df.select(gx.alias("gx"), gy.alias("gy"))
+        df.select(lon_tile_col(x, m).alias("gx"), lat_tile_col(y, m).alias("gy"))
         .groupBy("gx", "gy")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -329,8 +339,12 @@ def _assemble_tiles(counts: DataFrame, zoom: int, tile_px: int) -> DataFrame:
 
         tx, ty = int(key[0]), int(key[1])
         grid = np.zeros((tile_px, tile_px), dtype=np.uint32)
+        # SATURATE at the uint32 ceiling instead of wrapping: a zoom-0
+        # pixel over 10^12 points can exceed 2^32 counts, and a wrapped
+        # value is silent corruption (n_points stays exact int64)
+        cnt = np.minimum(pdf["cnt"].to_numpy(np.int64), 0xFFFFFFFF)
         grid[pdf["py"].to_numpy(np.int64), pdf["px"].to_numpy(np.int64)] = (
-            pdf["cnt"].to_numpy(np.uint32))
+            cnt.astype(np.uint32))
         # NW-corner tiepoint per the tile_envelope law (same expression
         # text the DuckDB oracle re-derives)
         tminx = tx * (360.0 / n) - 180.0

@@ -31,6 +31,22 @@ from pyspark.sql import types as T
 from geomesa_sql_spark.cells import hilbert_xy2d
 
 
+def lon_tile_col(x: str, n: int):
+    """THE clamped-FLOOR lon→tile_x law, as a Column. Single source:
+    every consumer (assign_tiles, ops/raster's fan-out and pixel
+    grids) must build the expression HERE — a re-derived copy that
+    diverges at a ulp would break the raster↔vector handoff keys at
+    tile boundaries."""
+    tx = F.floor((F.col(x) + F.lit(180.0)) / F.lit(360.0) * n).cast("long")
+    return F.least(F.greatest(tx, F.lit(0)), F.lit(n - 1))
+
+
+def lat_tile_col(y: str, n: int):
+    """lat→tile_y twin of ``lon_tile_col`` (row 0 at lat=+90)."""
+    ty = F.floor((F.lit(90.0) - F.col(y)) / F.lit(180.0) * n).cast("long")
+    return F.least(F.greatest(ty, F.lit(0)), F.lit(n - 1))
+
+
 def assign_tiles(
     df: DataFrame,
     zoom: int,
@@ -40,11 +56,8 @@ def assign_tiles(
 ) -> DataFrame:
     """Add tile_x, tile_y (+ tile_id: Hilbert index) at ``zoom``."""
     n = 1 << zoom
-    tx = F.floor((F.col(x) + F.lit(180.0)) / F.lit(360.0) * n).cast("long")
-    ty = F.floor((F.lit(90.0) - F.col(y)) / F.lit(180.0) * n).cast("long")
-    out = df.withColumn(
-        "tile_x", F.least(F.greatest(tx, F.lit(0)), F.lit(n - 1))
-    ).withColumn("tile_y", F.least(F.greatest(ty, F.lit(0)), F.lit(n - 1)))
+    out = df.withColumn("tile_x", lon_tile_col(x, n)).withColumn(
+        "tile_y", lat_tile_col(y, n))
     if with_hilbert:
 
         @F.pandas_udf(T.LongType())
