@@ -8,8 +8,9 @@ audio format that is fully tractable from scratch: lossless, integer
 LPC + Rice coding, public spec (RFC 9639, "Free Lossless Audio Codec").
 The reference engine (bxkftechteam/geomesa-sql) has no media code —
 this sits on the payload side of the graft, same as ``io/jpeg.py`` and
-``io/webp.py``. mp3/ogg/opus stay loud stubs: those need psychoacoustic
-transform codecs, not a container walk.
+``io/webp.py``. The Ogg container walk lives in ``io/ogg.py`` (FLAC-
+in-Ogg feeds this module); mp3/vorbis/opus stay loud stubs: those need
+psychoacoustic transform codecs, not a container walk.
 
 Decoder — the general foreign-file surface:
   - STREAMINFO + all metadata blocks (skipped except STREAMINFO)

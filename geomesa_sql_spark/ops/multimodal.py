@@ -501,11 +501,12 @@ def audio_features(
     """Audio feature-extraction template over opaque PCM payloads:
     (id, n_samples, rms, zero_crossings, peak) from ``raws16le``
     (16-bit little-endian mono PCM), ``wav`` (real RIFF/WAVE PCM 16-bit
-    containers via io/containers.py) or ``flac`` (real lossless decode
-    via the from-scratch io/flac.py codec) — features over channel 0;
-    transform codecs (mp3/ogg/opus) raise NotImplementedError behind
-    the same plumbing. All reductions are vectorized numpy over Arrow
-    batches.
+    containers via io/containers.py), ``flac`` (real lossless decode
+    via the from-scratch io/flac.py codec) or ``ogg``/``oga`` (Ogg
+    page walk via io/ogg.py — FLAC-in-Ogg decodes for real;
+    Vorbis/Opus raise loudly) — features over channel 0; transform
+    codecs (mp3/vorbis/opus) raise NotImplementedError behind the same
+    plumbing. All reductions are vectorized numpy over Arrow batches.
     """
     schema = T.StructType(
         [
@@ -531,15 +532,17 @@ def audio_features(
                     zc.append(None)
                     pk.append(None)
                     continue
-                if fmt in ("wav", "flac"):
+                if fmt in ("wav", "flac", "ogg", "oga"):
                     # real container/codec decode; features over
                     # channel 0. Known-but-unsupported codec variants
                     # raise loudly; malformed payloads survive null.
                     from geomesa_sql_spark.io.containers import decode_wav
                     from geomesa_sql_spark.io.flac import decode_flac
+                    from geomesa_sql_spark.io.ogg import decode_ogg
 
                     try:
-                        dec = decode_wav if fmt == "wav" else decode_flac
+                        dec = {"wav": decode_wav, "flac": decode_flac}.get(
+                            fmt, decode_ogg)
                         ch, _rate = dec(bytes(data))
                         x = ch[:, 0].astype(np.float64)
                     except NotImplementedError:
@@ -558,7 +561,7 @@ def audio_features(
                     continue
                 if fmt != "raws16le":
                     raise NotImplementedError(
-                        f"fmt {fmt!r}: mp3/ogg decode needs codec libs (absent)"
+                        f"fmt {fmt!r}: mp3 decode needs codec libs (absent)"
                     )
                 if len(data) % 2:
                     # torn 16-bit payload: corrupt row, survives null
@@ -596,8 +599,9 @@ def transcode_audio(
     default_rate: int = 16000,
 ) -> DataFrame:
     """Re-encode audio payloads: decode whatever ``fmt`` each row
-    carries (wav/flac/raws16le) → encode as ``to`` ('flac' — lossless
-    compression via io/flac.py, or 'wav' — PCM-16 container).
+    carries (wav/flac/ogg/raws16le) → encode as ``to`` ('flac' —
+    lossless compression via io/flac.py, 'ogg' — the same frames in
+    Ogg-FLAC pages, or 'wav' — PCM-16 container).
 
     The audio leg of the storage-compression pipeline stage (the image
     leg is transcode_images): a PCM/WAV corpus shrinks ~2× as FLAC with
@@ -611,7 +615,7 @@ def transcode_audio(
     ``ratio`` = encoded bytes / source bytes, the per-row metric a
     resumable job records next to row counts.
     """
-    if to not in ("flac", "wav"):
+    if to not in ("flac", "wav", "ogg"):
         raise ValueError(f"unsupported audio target {to!r}")
     schema = T.StructType(
         [
@@ -628,6 +632,7 @@ def transcode_audio(
     def gen(batches):
         from geomesa_sql_spark.io.containers import decode_wav, encode_wav
         from geomesa_sql_spark.io.flac import decode_flac, encode_flac
+        from geomesa_sql_spark.io.ogg import decode_ogg, encode_ogg_flac
 
         for pdf in batches:
             ids, outs, ns, ch, rat, ll = [], [], [], [], [], []
@@ -645,6 +650,8 @@ def transcode_audio(
                         x, rate = decode_wav(bytes(data))
                     elif fmt == "flac":
                         x, rate = decode_flac(bytes(data))
+                    elif fmt in ("ogg", "oga"):
+                        x, rate = decode_ogg(bytes(data))
                     elif fmt == "raws16le":
                         if len(data) % 2:
                             raise ValueError("torn 16-bit payload")
@@ -652,13 +659,14 @@ def transcode_audio(
                         rate = default_rate
                     else:
                         raise NotImplementedError(
-                            f"fmt {fmt!r}: mp3/ogg decode needs codec libs"
+                            f"fmt {fmt!r}: mp3 decode needs codec libs"
                         )
                     x = x.astype(np.int64, copy=False)
-                    if to == "flac":
+                    if to in ("flac", "ogg"):
                         peak = int(np.abs(x).max()) if x.size else 0
                         bps = 16 if peak < 1 << 15 else (24 if peak < 1 << 23 else 32)
-                        blob = encode_flac(x, rate, bps=bps)
+                        enc = encode_flac if to == "flac" else encode_ogg_flac
+                        blob = enc(x, rate, bps=bps)
                         exact = True
                     else:
                         clipped = np.clip(x, -32768, 32767)

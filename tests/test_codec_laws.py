@@ -85,6 +85,10 @@ def test_audio_roundtrip_law():
         bs = int(rng.integers(16, 4097))
         dec, _ = decode_flac(encode_flac(x, 8000, block_size=bs))
         assert (dec == x).all()
+        from geomesa_sql_spark.io.ogg import decode_ogg, encode_ogg_flac
+
+        dec, _ = decode_ogg(encode_ogg_flac(x, 8000, block_size=bs))
+        assert (dec == x).all()
 
 
 def _mutations(rng, blob, rounds):
@@ -143,6 +147,12 @@ def _mutations(rng, blob, rounds):
             [encode_jpeg(_rand_img(rng, 17), quality=80) for _ in range(2)],
             8, 8)),
         ("wav", decode_wav, lambda rng: encode_wav(
+            rng.integers(-32768, 32768, 700).astype(np.int16), 8000)),
+        ("ogg", lambda b: __import__(
+            "geomesa_sql_spark.io.ogg", fromlist=["decode_ogg"]
+        ).decode_ogg(b), lambda rng: __import__(
+            "geomesa_sql_spark.io.ogg", fromlist=["encode_ogg_flac"]
+        ).encode_ogg_flac(
             rng.integers(-32768, 32768, 700).astype(np.int16), 8000)),
         ("avi", mjpeg_avi_frames, lambda rng: __import__(
             "geomesa_sql_spark.io.containers", fromlist=["encode_mjpeg_avi"]
