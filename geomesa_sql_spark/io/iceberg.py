@@ -44,17 +44,33 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
-    """Catalog identifier (``cat.db.tbl``) when Iceberg is active and
-    the name is not a filesystem path; parquet path otherwise."""
+def read_table(
+    spark: SparkSession, name_or_path: str, **iceberg_kwargs
+) -> DataFrame:
+    """Catalog identifier (``cat.db.tbl``) when the Iceberg jar is
+    active and the name is not a filesystem path; an on-disk Iceberg
+    table directory through the from-scratch pure-Python format reader
+    (``io/iceberg_meta.py`` — snapshot time travel via
+    ``snapshot_id=``/``as_of_ms=``, manifest-bounds file pruning via
+    ``bounds=``, v2 merge-on-read deletes applied); bare parquet path
+    otherwise."""
     looks_like_path = "/" in name_or_path
     if not looks_like_path and iceberg_available(spark):
         return spark.read.table(name_or_path)
+    from geomesa_sql_spark.io.iceberg_meta import IcebergTable
+
+    if IcebergTable.is_iceberg_dir(name_or_path):
+        return IcebergTable.load(name_or_path).read(spark, **iceberg_kwargs)
     return spark.read.parquet(name_or_path)
 
 
 def append(df: DataFrame, name_or_path: str) -> None:
     if "/" not in name_or_path and iceberg_available(df.sparkSession):
         df.writeTo(name_or_path).append()
+        return
+    from geomesa_sql_spark.io import iceberg_meta
+
+    if iceberg_meta.IcebergTable.is_iceberg_dir(name_or_path):
+        iceberg_meta.append(df, name_or_path)
         return
     df.write.mode("append").parquet(name_or_path)

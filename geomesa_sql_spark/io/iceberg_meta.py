@@ -1,0 +1,749 @@
+"""Pure-Python Apache Iceberg table format v2 (read AND write).
+
+The graft input is specified as *Iceberg tables* of image+caption rows
+(BASELINE.json input_hint); this container has no Iceberg runtime jar,
+so ``io/iceberg.py`` could only document the production catalog conf
+and fall back to bare parquet paths. This module closes that gap from
+scratch at the *table format* level (the Iceberg spec is a file-layout
+spec, not a jar): metadata JSON + Avro manifest lists + Avro manifests
+(via ``io/avro.py``), so the engine plans scans the way an Iceberg
+runtime does —
+
+- **Snapshot isolation + time travel**: every commit writes immutable
+  data files plus a new ``vN.metadata.json`` whose snapshot log keeps
+  all prior snapshots addressable by id or timestamp.
+- **Manifest-level file pruning**: per-file column ``lower_bounds`` /
+  ``upper_bounds`` (Iceberg single-value little-endian serialization)
+  are recorded at write and consulted at plan time, so a bounded scan
+  (e.g. a bbox over x/y or a cell range) opens only overlapping files
+  — the manifest is the 100 TB lever that makes file listing O(files
+  matched), not O(files total).
+- **v2 row-level deletes, merge-on-read**: position delete files
+  (``file_path, pos``) apply distributed via an anti-join against
+  ``_metadata.file_path``/``row_index`` — no driver materialization —
+  and equality deletes apply to strictly-older data files per the
+  spec's sequence-number rule. Copy-on-write ``delete_where`` rewrites
+  only the files that contain matching rows.
+
+Planning is driver-light: the manifest list is one small Avro file;
+manifests decode distributed over ``spark`` when a snapshot carries
+many, driver-side below that threshold. Data files are then handed to
+``spark.read.parquet`` — Catalyst still does row-group pruning and
+column projection below the file-level pruning this layer adds.
+
+Layout written here follows the Hadoop-catalog convention the spec
+documents (``metadata/version-hint.text`` → ``vN.metadata.json``):
+
+    table/
+      metadata/version-hint.text, v1.metadata.json, ...,
+               snap-<id>.avro (manifest lists), <uuid>-m0.avro
+      data/<commit-uuid>/part-*.parquet
+
+Reference parity: the reference engine's GeoMesa DataStores expose
+snapshot-versioned feature collections through GeoTools transactions
+(``ModificationTest.scala`` surface); here the same role is played by
+Iceberg snapshots so the layout is readable by any Iceberg runtime.
+Self-round-trip + generic-Avro decode are the gates (no jar in this
+environment to cross-check against; documented decision).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.io.avro import read_avro, write_avro
+
+_FMT_VERSION = 2
+
+# ------------------------------------------------------------ bounds
+
+_NUM_PACK = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
+
+
+def _encode_bound(ice_type: str, v) -> bytes:
+    """Iceberg single-value binary serialization (little-endian)."""
+    if ice_type in _NUM_PACK:
+        return struct.pack(_NUM_PACK[ice_type], v)
+    if ice_type == "string":
+        return str(v).encode("utf-8")[:16]
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"unsupported bound type {ice_type}")
+
+
+def _decode_bound(ice_type: str, b: bytes):
+    if ice_type in _NUM_PACK:
+        return struct.unpack(_NUM_PACK[ice_type], b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8", "replace")
+    if ice_type == "boolean":
+        return b != b"\x00"
+    return None
+
+
+_SPARK_TO_ICE = {
+    "integer": "int",
+    "int": "int",
+    "bigint": "long",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+}
+
+
+def _ice_schema(df: DataFrame) -> dict:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        t = _SPARK_TO_ICE.get(f.dataType.simpleString())
+        if t is None:
+            t = "binary"  # opaque passthrough (arrays/structs stay in parquet)
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": t}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# --------------------------------------------------- manifest schemas
+# Spec-faithful subset: every field Iceberg requires for v2 plus the
+# stats this planner consumes. Field-ids match the spec's assignments.
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "lower_bounds",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "logicalType": "map",
+                    "items": {
+                        "type": "record",
+                        "name": "k126_v127",
+                        "fields": [
+                            {"name": "key", "type": "int", "field-id": 126},
+                            {"name": "value", "type": "bytes", "field-id": 127},
+                        ],
+                    },
+                },
+            ],
+            "field-id": 125,
+        },
+        {
+            "name": "upper_bounds",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "logicalType": "map",
+                    "items": {
+                        "type": "record",
+                        "name": "k129_v130",
+                        "fields": [
+                            {"name": "key", "type": "int", "field-id": 129},
+                            {"name": "value", "type": "bytes", "field-id": 130},
+                        ],
+                    },
+                },
+            ],
+            "field-id": 128,
+        },
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "field-id": 135,
+        },
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _as_map(v) -> dict:
+    """Iceberg bounds arrive as a real Avro map or the array-of-k/v
+    records encoding (logicalType map) depending on the writer."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return {int(k): val for k, val in v.items()}
+    return {int(e["key"]): e["value"] for e in v}
+
+
+# ------------------------------------------------------- file stats
+
+
+def _parquet_file_stats(path: str, ice_fields: list[dict]) -> dict:
+    """record_count + per-column min/max bounds from the parquet
+    footer (no data read). Runs on executors at write time."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    by_name = {f["name"]: f for f in ice_fields}
+    lo: dict[int, bytes] = {}
+    hi: dict[int, bytes] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            f = by_name.get(name)
+            if f is None or f["type"] not in (
+                "int", "long", "float", "double", "string", "boolean"
+            ):
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            fid = f["id"]
+            mn, mx = st.min, st.max
+            cur = lo.get(fid)
+            if cur is None or _decode_bound(f["type"], cur) > mn:
+                lo[fid] = _encode_bound(f["type"], mn)
+            cur = hi.get(fid)
+            if cur is None or _decode_bound(f["type"], cur) < mx:
+                hi[fid] = _encode_bound(f["type"], mx)
+    return {
+        "record_count": md.num_rows,
+        "file_size_in_bytes": os.path.getsize(path),
+        "lower_bounds": [{"key": k, "value": v} for k, v in sorted(lo.items())],
+        "upper_bounds": [{"key": k, "value": v} for k, v in sorted(hi.items())],
+    }
+
+
+# ------------------------------------------------------------ table
+
+
+class IcebergTable:
+    """Handle over an on-disk Iceberg table directory."""
+
+    def __init__(self, path: str, metadata: dict, version: int):
+        self.path = os.path.abspath(path)
+        self.metadata = metadata
+        self.version = version
+
+    # -- loading ----------------------------------------------------
+
+    @classmethod
+    def load(cls, path: str) -> "IcebergTable":
+        meta_dir = os.path.join(path, "metadata")
+        hint = os.path.join(meta_dir, "version-hint.text")
+        version = None
+        if os.path.exists(hint):
+            with open(hint) as f:
+                version = int(f.read().strip())
+        else:
+            vs = [
+                int(os.path.basename(p).split(".")[0][1:])
+                for p in glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+            ]
+            if vs:
+                version = max(vs)
+        if version is None:
+            raise ValueError(f"no Iceberg metadata under {path!r}")
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+            metadata = json.load(f)
+        if metadata.get("format-version") not in (1, 2):
+            raise ValueError(
+                f"Iceberg format-version {metadata.get('format-version')}"
+            )
+        return cls(path, metadata, version)
+
+    @staticmethod
+    def is_iceberg_dir(path: str) -> bool:
+        return bool(
+            os.path.exists(os.path.join(path, "metadata", "version-hint.text"))
+            or glob.glob(os.path.join(path, "metadata", "v*.metadata.json"))
+        )
+
+    # -- snapshots --------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata.get("snapshots", [])
+
+    def snapshot(self, snapshot_id=None, as_of_ms=None) -> dict:
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError("Iceberg table with no snapshots")
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot-id"] == snapshot_id:
+                    return s
+            raise ValueError(f"unknown snapshot id {snapshot_id}")
+        if as_of_ms is not None:
+            older = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+            if not older:
+                raise ValueError(f"no snapshot at or before {as_of_ms}")
+            return max(older, key=lambda s: s["timestamp-ms"])
+        cur = self.metadata["current-snapshot-id"]
+        return next(s for s in snaps if s["snapshot-id"] == cur)
+
+    def schema_fields(self) -> list[dict]:
+        schemas = self.metadata.get("schemas")
+        if schemas:
+            sid = self.metadata.get("current-schema-id", 0)
+            for s in schemas:
+                if s.get("schema-id") == sid:
+                    return s["fields"]
+        return self.metadata.get("schema", {}).get("fields", [])
+
+    # -- planning ---------------------------------------------------
+
+    def plan_files(
+        self,
+        snapshot_id=None,
+        as_of_ms=None,
+        bounds: dict[str, tuple] | None = None,
+        spark: SparkSession | None = None,
+    ) -> tuple[list[dict], list[dict], dict]:
+        """-> (data_files, delete_files, plan_stats).
+
+        ``bounds`` maps column name -> (lo, hi) inclusive; files whose
+        recorded bound range misses it are pruned without opening them.
+        Manifests decode distributed when a snapshot carries many.
+        """
+        snap = self.snapshot(snapshot_id, as_of_ms)
+        _, manifests, _ = read_avro(_read(snap["manifest-list"]))
+        fields = self.schema_fields()
+        fid_by_name = {f["name"]: f["id"] for f in fields}
+        type_by_id = {f["id"]: f["type"] for f in fields}
+        want = None
+        if bounds:
+            want = {}
+            for name, rng in bounds.items():
+                if name not in fid_by_name:
+                    raise ValueError(f"unknown column {name!r} in bounds")
+                want[fid_by_name[name]] = rng
+
+        paths = [m["manifest_path"] for m in manifests]
+        if spark is not None and len(paths) > 16:
+            rows = (
+                spark.sparkContext.parallelize(paths, min(len(paths), 64))
+                .flatMap(_manifest_entries)
+                .collect()
+            )
+        else:
+            rows = [e for p in paths for e in _manifest_entries(p)]
+
+        data, deletes = [], []
+        scanned = kept = 0
+        for entry in rows:
+            if entry["status"] == 2:  # deleted entry
+                continue
+            f = entry["data_file"]
+            seq = entry.get("sequence_number") or 0
+            rec = {
+                "path": f["file_path"],
+                "seq": seq,
+                "record_count": f["record_count"],
+                "content": f.get("content", 0),
+                "equality_ids": f.get("equality_ids"),
+            }
+            if rec["content"] == 0:
+                scanned += 1
+                if want and not _overlaps(f, want, type_by_id):
+                    continue
+                kept += 1
+                data.append(rec)
+            else:
+                deletes.append(rec)
+        return data, deletes, {"files_total": scanned, "files_kept": kept}
+
+    # -- reading ----------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id=None,
+        as_of_ms=None,
+        bounds: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        data, deletes, _ = self.plan_files(
+            snapshot_id, as_of_ms, bounds, spark=spark
+        )
+        if not data:
+            fields = self.schema_fields()
+            ddl = ", ".join(
+                f"{f['name']} {_ICE_TO_SPARK.get(f['type'], 'binary')}"
+                for f in fields
+            )
+            return spark.createDataFrame([], ddl)
+        df = spark.read.parquet(*[f["path"] for f in data])
+        if not deletes:
+            return df
+        # attach provenance for merge-on-read delete application
+        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+        df = df.withColumn("__file", norm).withColumn(
+            "__pos", F.col("_metadata.row_index")
+        )
+        seq_df = spark.createDataFrame(
+            [(d["path"], d["seq"]) for d in data], "__file string, __seq long"
+        )
+        df = df.join(F.broadcast(seq_df), "__file", "left")
+
+        pos_files = [d for d in deletes if d["content"] == 1]
+        eq_files = [d for d in deletes if d["content"] == 2]
+        if pos_files:
+            pos = spark.read.parquet(*[d["path"] for d in pos_files]).select(
+                F.regexp_replace("file_path", "^file:/*", "/").alias("__file"),
+                F.col("pos").alias("__pos"),
+            )
+            df = df.join(pos, ["__file", "__pos"], "left_anti")
+        for d in eq_files:
+            ids = d["equality_ids"] or []
+            names = [
+                f["name"] for f in self.schema_fields() if f["id"] in ids
+            ]
+            eq = spark.read.parquet(d["path"]).select(*names).dropDuplicates()
+            # equality deletes hit strictly-older data files (spec rule)
+            older = df.filter(F.col("__seq") < F.lit(d["seq"]))
+            newer = df.filter(~(F.col("__seq") < F.lit(d["seq"])))
+            df = older.join(F.broadcast(eq), names, "left_anti").unionByName(
+                newer
+            )
+        return df.drop("__file", "__pos", "__seq")
+
+
+_ICE_TO_SPARK = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "binary",
+}
+
+
+def _read(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _manifest_entries(path: str) -> list[dict]:
+    _, entries, _ = read_avro(_read(path))
+    for e in entries:
+        f = e["data_file"]
+        f["lower_bounds"] = _as_map(f.get("lower_bounds"))
+        f["upper_bounds"] = _as_map(f.get("upper_bounds"))
+    return entries
+
+
+def _overlaps(data_file: dict, want: dict, type_by_id: dict) -> bool:
+    lo_map = data_file.get("lower_bounds") or {}
+    hi_map = data_file.get("upper_bounds") or {}
+    for fid, (qlo, qhi) in want.items():
+        t = type_by_id.get(fid)
+        flo, fhi = lo_map.get(fid), hi_map.get(fid)
+        if flo is None or fhi is None or t is None:
+            continue  # no stats for this column: cannot prune on it
+        if _decode_bound(t, flo) > qhi or _decode_bound(t, fhi) < qlo:
+            return False
+    return True
+
+
+# ----------------------------------------------------------- writing
+
+
+def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
+    commit = uuid.uuid4().hex[:16]
+    out_dir = os.path.join(os.path.abspath(table_path), "data", commit)
+    df.write.mode("error").parquet(out_dir)
+    return sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+
+
+def _next_ids(meta: dict | None) -> tuple[int, int, int]:
+    """(version, snapshot_id, sequence_number) for the next commit."""
+    if meta is None:
+        return 1, 1, 1
+    seq = meta.get("last-sequence-number", 0) + 1
+    sid = max((s["snapshot-id"] for s in meta.get("snapshots", [])), default=0) + 1
+    return None, sid, seq  # version filled by caller
+
+
+def _commit(
+    table_path: str,
+    prev: "IcebergTable | None",
+    new_entries: list[dict],
+    carried_manifests: list[dict],
+    schema: dict,
+    operation: str,
+    content: int = 0,
+) -> "IcebergTable":
+    """Write a manifest for ``new_entries``, a manifest list carrying
+    ``carried_manifests`` + the new one, and the next metadata.json."""
+    table_path = os.path.abspath(table_path)
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    prev_meta = prev.metadata if prev else None
+    _, snapshot_id, seq = _next_ids(prev_meta)
+    version = (prev.version + 1) if prev else 1
+
+    manifests = list(carried_manifests)
+    if new_entries:
+        for e in new_entries:
+            e.setdefault("snapshot_id", snapshot_id)
+            e.setdefault("sequence_number", seq)
+            e.setdefault("file_sequence_number", seq)
+        mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex[:16]}-m0.avro")
+        blob = write_avro(
+            _MANIFEST_ENTRY_SCHEMA,
+            new_entries,
+            meta={
+                "schema": json.dumps(schema),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": str(_FMT_VERSION),
+                "content": "data" if content == 0 else "deletes",
+            },
+        )
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        added_rows = sum(
+            e["data_file"]["record_count"] for e in new_entries if e["status"] == 1
+        )
+        manifests.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": sum(
+                    1 for e in new_entries if e["status"] == 1
+                ),
+                "existing_files_count": sum(
+                    1 for e in new_entries if e["status"] == 0
+                ),
+                "deleted_files_count": sum(
+                    1 for e in new_entries if e["status"] == 2
+                ),
+                "added_rows_count": added_rows,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in new_entries
+                    if e["status"] == 0
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in new_entries
+                    if e["status"] == 2
+                ),
+            }
+        )
+
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    with open(list_path, "wb") as f:
+        f.write(write_avro(_MANIFEST_FILE_SCHEMA, manifests))
+
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "summary": {"operation": operation},
+        "manifest-list": list_path,
+        "schema-id": 0,
+    }
+    metadata = {
+        "format-version": _FMT_VERSION,
+        "table-uuid": (prev_meta or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": table_path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(
+            (f["id"] for f in schema["fields"]), default=0
+        ),
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (prev_meta or {}).get("snapshots", []) + [snapshot],
+        "snapshot-log": (prev_meta or {}).get("snapshot-log", [])
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return IcebergTable(table_path, metadata, version)
+
+
+def _entries_for(paths: list[str], fields: list[dict], status: int = 1,
+                 content: int = 0, **extra) -> list[dict]:
+    out = []
+    for p in paths:
+        st = _parquet_file_stats(p, fields)
+        out.append(
+            {
+                "status": status,
+                "data_file": {
+                    "content": content,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "equality_ids": extra.get("equality_ids"),
+                    **st,
+                },
+            }
+        )
+    return out
+
+
+def create_table(df: DataFrame, path: str) -> IcebergTable:
+    """Write ``df`` as a brand-new Iceberg v2 table (snapshot 1)."""
+    if IcebergTable.is_iceberg_dir(path):
+        raise ValueError(f"{path!r} is already an Iceberg table")
+    schema = _ice_schema(df)
+    files = _write_data_files(df, path)
+    entries = _entries_for(files, schema["fields"])
+    return _commit(path, None, entries, [], schema, "append")
+
+
+def append(df: DataFrame, path: str) -> IcebergTable:
+    """Commit ``df`` as a new snapshot; prior manifests are carried."""
+    t = IcebergTable.load(path)
+    snap = t.snapshot()
+    _, carried, _ = read_avro(_read(snap["manifest-list"]))
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": t.schema_fields(),
+    }
+    files = _write_data_files(df, path)
+    entries = _entries_for(files, schema["fields"])
+    return _commit(path, t, entries, carried, schema, "append")
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> IcebergTable:
+    """Copy-on-write DELETE: rewrite only files containing matches.
+
+    ``predicate`` is a Column or SQL string selecting rows to REMOVE.
+    Untouched files survive as ``existing`` entries (no data copied);
+    every prior snapshot stays time-travelable.
+    """
+    t = IcebergTable.load(path)
+    data, deletes, _ = t.plan_files(spark=spark)
+    if deletes:
+        raise ValueError("copy-on-write over merge-on-read deletes: compact first")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = spark.read.parquet(*[f["path"] for f in data]).withColumn(
+        "__file", F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+    )
+    hit_files = [
+        r["__file"]
+        for r in df.filter(pred).select("__file").distinct().collect()
+    ]
+    schema = {"type": "struct", "schema-id": 0, "fields": t.schema_fields()}
+    cols = [f["name"] for f in schema["fields"]]
+    survivors_src = df.filter(F.col("__file").isin(hit_files)).filter(
+        ~F.coalesce(pred, F.lit(False))
+    )
+    new_files = (
+        _write_data_files(survivors_src.select(*cols), path)
+        if hit_files
+        else []
+    )
+    entries = _entries_for(new_files, schema["fields"], status=1)
+    kept = [f["path"] for f in data if f["path"] not in set(hit_files)]
+    entries += _entries_for(kept, schema["fields"], status=0)
+    return _commit(path, t, entries, [], schema, "delete")
+
+
+def add_position_deletes(
+    spark: SparkSession, path: str, rows: DataFrame
+) -> IcebergTable:
+    """Merge-on-read DELETE: commit a position-delete file.
+
+    ``rows`` must have columns ``file_path string, pos long`` (Iceberg
+    delete-file schema); ``IcebergTable.read`` applies them via a
+    distributed anti-join on parquet ``_metadata`` provenance.
+    """
+    t = IcebergTable.load(path)
+    snap = t.snapshot()
+    _, carried, _ = read_avro(_read(snap["manifest-list"]))
+    schema = {"type": "struct", "schema-id": 0, "fields": t.schema_fields()}
+    files = _write_data_files(rows.select("file_path", "pos"), path)
+    del_fields = [
+        {"id": 2147483546, "name": "file_path", "required": True,
+         "type": "string"},
+        {"id": 2147483545, "name": "pos", "required": True, "type": "long"},
+    ]
+    entries = _entries_for(files, del_fields, status=1, content=1)
+    return _commit(path, t, entries, carried, schema, "delete", content=1)
+
+
+def add_equality_deletes(
+    spark: SparkSession, path: str, rows: DataFrame, on: list[str]
+) -> IcebergTable:
+    """Merge-on-read DELETE by key: rows matching ``on`` columns in any
+    data file with a strictly older sequence number are dropped at read
+    (the spec's equality-delete rule)."""
+    t = IcebergTable.load(path)
+    snap = t.snapshot()
+    _, carried, _ = read_avro(_read(snap["manifest-list"]))
+    fields = t.schema_fields()
+    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    ids = [f["id"] for f in fields if f["name"] in on]
+    if len(ids) != len(on):
+        raise ValueError(f"equality columns {on} not all in schema")
+    files = _write_data_files(rows.select(*on), path)
+    entries = _entries_for(
+        files, fields, status=1, content=2, equality_ids=ids
+    )
+    return _commit(path, t, entries, carried, schema, "delete", content=1)

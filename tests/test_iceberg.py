@@ -1,0 +1,255 @@
+"""Pure-Python Iceberg table format (io/avro.py + io/iceberg_meta.py):
+generic Avro OCF round trips + mutation robustness, Iceberg create/
+append/time-travel, manifest-bounds file pruning, v2 position and
+equality deletes (merge-on-read, sequence-number rule), copy-on-write
+delete_where, and the io/iceberg.py seam dispatch. Oracles are plain
+parquet reads of the same rows."""
+
+import glob
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from geomesa_sql_spark.io.avro import read_avro, write_avro
+from geomesa_sql_spark.io import iceberg_meta as im
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- avro
+
+
+def test_avro_roundtrip_all_types():
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "bo", "type": "boolean"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "fx", "type": {"type": "fixed", "name": "fx8", "size": 4}},
+            {"name": "e", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["R", "G", "B"]}},
+            {"name": "nested", "type": {
+                "type": "record", "name": "inner",
+                "fields": [{"name": "x", "type": "double"}]}},
+            {"name": "ref", "type": ["null", "inner"]},  # named-type ref
+        ],
+    }
+    rows = [
+        {"l": -(1 << 40), "i": 7, "s": "héllo", "b": b"\x00\xff", "f": 1.5,
+         "d": -2.25, "bo": True, "u": None, "arr": [1, -2, 3],
+         "m": {"a": "x", "b": "y"}, "fx": b"abcd", "e": "G",
+         "nested": {"x": 9.0}, "ref": None},
+        {"l": 0, "i": -1, "s": "", "b": b"", "f": 0.0, "d": 0.0, "bo": False,
+         "u": 42, "arr": [], "m": {}, "fx": b"zzzz", "e": "B",
+         "nested": {"x": -1.0}, "ref": {"x": 3.5}},
+    ]
+    for codec in ("null", "deflate"):
+        got_schema, got, meta = read_avro(write_avro(schema, rows, codec))
+        assert got[0]["l"] == -(1 << 40) and got[0]["fx"] == b"abcd"
+        assert got[1]["ref"] == {"x": 3.5} and got[1]["u"] == 42
+        assert got[0]["m"] == {"a": "x", "b": "y"}
+        assert abs(got[0]["f"] - 1.5) < 1e-9
+        assert meta["avro.codec"].decode() == codec
+    # empty file and multi-block
+    _, got, _ = read_avro(write_avro(schema, []))
+    assert got == []
+    many = [dict(rows[0], l=k) for k in range(2500)]
+    _, got, _ = read_avro(write_avro(schema, many, block_rows=1000))
+    assert [r["l"] for r in got] == list(range(2500))
+
+
+def test_avro_foreign_negative_block_counts():
+    """Writers may emit array/map blocks with negative counts (size
+    follows) — decode must honor that form even though ours doesn't
+    emit it."""
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "arr", "type": {"type": "array", "items": "long"}}]}
+    base = write_avro(schema, [{"arr": [5, 6]}], codec="null")
+    # body of the single block encodes: count=2 (zigzag 4), 5, 6, end 0
+    # rewrite as count=-2 + bytesize=2 + items + 0
+    body = bytes([3, 2, 10, 12, 0])  # zigzag(-2)=3, zigzag(1)? no:
+    # zigzag: -2 -> 3, size 2 -> 4, 5 -> 10, 6 -> 12, 0 -> 0
+    body = bytes([3, 4, 10, 12, 0])
+    sync = base[-16:]
+    head_end = base.index(sync) + 16
+    blob = base[:head_end] + bytes([2, len(body) * 2]) + body + sync
+    # count=1 (zigzag 2), size=len(body) (zigzag = 2*len)
+    _, rows, _ = read_avro(blob)
+    assert rows == [{"arr": [5, 6]}]
+
+
+def test_avro_mutation_robustness():
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "v", "type": {"type": "array", "items": "double"}}]}
+    rows = [{"s": "x" * 50, "v": [1.0, 2.0]} for _ in range(30)]
+    blob = write_avro(schema, rows)
+    rng = np.random.default_rng(zlib.crc32(b"avro"))
+    for _ in range(120):
+        b = bytearray(blob)
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            for _ in range(int(rng.integers(1, 5))):
+                b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        elif kind == 1:
+            b = b[: int(rng.integers(0, len(b)))]
+        else:
+            at = int(rng.integers(0, len(b)))
+            b = b[:at] + bytearray(rng.bytes(20)) + b[at:]
+        try:
+            read_avro(bytes(b))
+        except (ValueError, NotImplementedError, UnicodeDecodeError):
+            pass
+        except (IndexError, KeyError, OverflowError, MemoryError) as ex:
+            raise AssertionError(f"raw escape: {type(ex).__name__}: {ex}")
+
+
+# ---------------------------------------------------------- iceberg
+
+
+def _mkdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("x"),
+        F.concat(F.lit("cap-"), F.col("id")).alias("caption"),
+    )
+
+
+def test_iceberg_create_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    df = _mkdf(spark, 0, 1000).repartition(4)
+    t = im.create_table(df, path)
+    assert im.IcebergTable.is_iceberg_dir(path)
+    got = t.read(spark).orderBy("k").toPandas()
+    assert list(got["k"]) == list(range(1000))
+    assert got["caption"][5] == "cap-5"
+    # generic avro decode of the manifest exposes spec fields
+    snap = t.snapshot()
+    _, manifests, _ = read_avro(open(snap["manifest-list"], "rb").read())
+    assert manifests[0]["added_files_count"] == 4
+    _, entries, meta = read_avro(
+        open(manifests[0]["manifest_path"], "rb").read()
+    )
+    assert len(entries) == 4
+    assert all(e["data_file"]["file_format"] == "PARQUET" for e in entries)
+    assert sum(e["data_file"]["record_count"] for e in entries) == 1000
+    assert json.loads(meta["schema"])["fields"][0]["name"] == "k"
+
+
+def test_iceberg_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    t1 = im.create_table(_mkdf(spark, 0, 100), path)
+    s1 = t1.snapshot()["snapshot-id"]
+    t2 = im.append(_mkdf(spark, 100, 250), path)
+    assert t2.read(spark).count() == 250
+    assert t2.read(spark, snapshot_id=s1).count() == 100
+    # as-of timestamp resolves to the older snapshot
+    ts1 = t1.snapshot()["timestamp-ms"]
+    assert t2.read(spark, as_of_ms=ts1).count() == 100
+    # the seam routes a table dir through this reader
+    from geomesa_sql_spark.io.iceberg import read_table
+
+    assert read_table(spark, path).count() == 250
+    assert read_table(spark, path, snapshot_id=s1).count() == 100
+
+
+def test_iceberg_bounds_pruning(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    df = _mkdf(spark, 0, 10000).repartitionByRange(8, "k")
+    t = im.create_table(df, path)
+    data, _, stats = t.plan_files(bounds={"k": (100, 200)})
+    assert stats["files_total"] == 8
+    assert stats["files_kept"] < 8  # manifest bounds pruned files
+    got = t.read(spark, bounds={"k": (100, 200)})
+    # pruning is conservative: a residual filter gives exact rows
+    assert got.filter("k between 100 and 200").count() == 101
+    # every pruned-out file really had no rows in range
+    assert got.filter("k between 100 and 200").count() == \
+        t.read(spark).filter("k between 100 and 200").count()
+    # double bounds prune on x too
+    _, _, s2 = t.plan_files(bounds={"x": (0.0, 50.0)})
+    assert s2["files_kept"] < 8
+
+
+def test_iceberg_position_deletes(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    t = im.create_table(_mkdf(spark, 0, 500).repartition(3), path)
+    s1 = t.snapshot()["snapshot-id"]
+    data, _, _ = t.plan_files()
+    kill = (
+        spark.read.parquet(*[f["path"] for f in data])
+        .select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+            .alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "k",
+        )
+        .filter(F.col("k") % 7 == 0)
+        .drop("k")
+    )
+    t2 = im.add_position_deletes(spark, path, kill)
+    got = t2.read(spark)
+    assert got.count() == 500 - len([k for k in range(500) if k % 7 == 0])
+    assert got.filter("k % 7 = 0").count() == 0
+    # prior snapshot unaffected
+    assert t2.read(spark, snapshot_id=s1).filter("k % 7 = 0").count() > 0
+
+
+def test_iceberg_equality_deletes_sequence_rule(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    im.create_table(_mkdf(spark, 0, 100), path)
+    dels = spark.createDataFrame([(10,), (20,), (999,)], "k long")
+    im.add_equality_deletes(spark, path, dels, on=["k"])
+    # rows appended AFTER the delete carry a newer sequence number and
+    # must survive an identical key (the spec's strictly-older rule)
+    t3 = im.append(_mkdf(spark, 10, 11), path)
+    got = t3.read(spark)
+    assert got.filter("k = 20").count() == 0
+    assert got.filter("k = 10").count() == 1  # only the re-added row
+    assert got.count() == 100 - 2 + 1
+
+
+def test_iceberg_delete_where_copy_on_write(spark, tmp_path):
+    path = str(tmp_path / "t6")
+    t1 = im.create_table(
+        _mkdf(spark, 0, 1000).repartitionByRange(5, "k"), path
+    )
+    s1 = t1.snapshot()["snapshot-id"]
+    before = {f["path"] for f in t1.plan_files()[0]}
+    t2 = im.delete_where(spark, path, "k between 0 and 99")
+    got = t2.read(spark)
+    assert got.count() == 900 and got.filter("k < 100").count() == 0
+    after = {f["path"] for f in t2.plan_files()[0]}
+    # only the file(s) containing k<100 were rewritten
+    assert len(before & after) >= 3
+    assert t2.read(spark, snapshot_id=s1).count() == 1000
+    # NULL predicate rows are kept (SQL DELETE semantics)
+    t3 = im.delete_where(
+        spark, path, F.when(F.col("k") < 150, True).otherwise(F.lit(None))
+    )
+    assert t3.read(spark).count() == 850
+
+
+def test_iceberg_load_rejections(spark, tmp_path):
+    with pytest.raises(ValueError, match="no Iceberg metadata"):
+        im.IcebergTable.load(str(tmp_path / "nope"))
+    path = str(tmp_path / "t7")
+    im.create_table(_mkdf(spark, 0, 10), path)
+    with pytest.raises(ValueError, match="already an Iceberg table"):
+        im.create_table(_mkdf(spark, 0, 10), path)
+    t = im.IcebergTable.load(path)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.snapshot(snapshot_id=424242)
+    with pytest.raises(ValueError, match="unknown column"):
+        t.plan_files(bounds={"nope": (0, 1)})
