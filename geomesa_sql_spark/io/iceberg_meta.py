@@ -747,3 +747,19 @@ def add_equality_deletes(
         files, fields, status=1, content=2, equality_ids=ids
     )
     return _commit(path, t, entries, carried, schema, "delete", content=1)
+
+
+def compact(spark: SparkSession, path: str) -> IcebergTable:
+    """Rewrite the current snapshot as plain data files: applies all
+    merge-on-read position/equality deletes and collapses small files,
+    so copy-on-write ``delete_where`` is usable again afterwards. Prior
+    snapshots (including the pre-compaction delete files) stay
+    time-travelable — compaction adds a snapshot, it never erases one.
+    """
+    t = IcebergTable.load(path)
+    df = t.read(spark)
+    schema = {"type": "struct", "schema-id": 0, "fields": t.schema_fields()}
+    cols = [f["name"] for f in schema["fields"]]
+    files = _write_data_files(df.select(*cols), path)
+    entries = _entries_for(files, schema["fields"], status=1)
+    return _commit(path, t, entries, [], schema, "replace")

@@ -253,3 +253,21 @@ def test_iceberg_load_rejections(spark, tmp_path):
         t.snapshot(snapshot_id=424242)
     with pytest.raises(ValueError, match="unknown column"):
         t.plan_files(bounds={"nope": (0, 1)})
+
+
+def test_iceberg_compact_after_mor_deletes(spark, tmp_path):
+    path = str(tmp_path / "t8")
+    im.create_table(_mkdf(spark, 0, 300).repartition(4), path)
+    dels = spark.createDataFrame([(k,) for k in range(0, 300, 3)], "k long")
+    im.add_equality_deletes(spark, path, dels, on=["k"])
+    with pytest.raises(ValueError, match="compact first"):
+        im.delete_where(spark, path, "k = 1")
+    t = im.compact(spark, path)
+    assert t.read(spark).count() == 200
+    data, deletes, _ = t.plan_files()
+    assert not deletes  # MoR deletes folded into plain data files
+    # CoW delete usable again; pre-compaction snapshots still readable
+    t2 = im.delete_where(spark, path, "k = 1")
+    assert t2.read(spark).count() == 199
+    first = min(s["snapshot-id"] for s in t2.snapshots())
+    assert t2.read(spark, snapshot_id=first).count() == 300
