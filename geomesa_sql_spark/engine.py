@@ -437,6 +437,13 @@ class Engine:
     def _read(self, path: str) -> DataFrame:
         if os.path.exists(os.path.join(path, "_CURRENT")):
             return SnapshotTable(self.spark, path, self.fid_col).read()
+        if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
+            # on-disk Iceberg table dir → the pure-Python format reader
+            # (snapshot isolation + v2 deletes applied); catalog-jar
+            # identifiers don't reach here (they aren't paths)
+            from geomesa_sql_spark.io.iceberg_meta import IcebergTable
+
+            return IcebergTable.load(path).read(self.spark)
         return self.spark.read.parquet(path)
 
     # -------------------------------------------------------------- query

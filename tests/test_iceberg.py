@@ -271,3 +271,33 @@ def test_iceberg_compact_after_mor_deletes(spark, tmp_path):
     assert t2.read(spark).count() == 199
     first = min(s["snapshot-id"] for s in t2.snapshots())
     assert t2.read(spark, snapshot_id=first).count() == 300
+
+
+def test_engine_sql_over_iceberg_dir(spark, tmp_path):
+    """Engine.register_table on an Iceberg dir: SQL (incl. the spatial
+    surface) runs over the snapshot view with v2 deletes applied."""
+    from geomesa_sql_spark.engine import Engine
+
+    path = str(tmp_path / "t9")
+    df = _mkdf(spark, 0, 400).withColumn(
+        "lon", (F.col("k") % 360 - 180.0).cast("double")
+    ).withColumn("lat", (F.col("k") % 20 - 10.0).cast("double"))
+    im.create_table(df, path)
+    im.add_equality_deletes(
+        spark, path, spark.createDataFrame([(5,), (6,)], "k long"), on=["k"]
+    )
+    eng = Engine(spark, fid_col="k")
+    eng.register_table("pts", path)
+    assert eng.sql("SELECT COUNT(*) AS n FROM pts").collect()[0]["n"] == 398
+    got = eng.sql(
+        "SELECT k FROM pts WHERE ST_Contains("
+        "ST_MakeEnvelope(-10.0, -10.0, 10.0, 10.0), "
+        "ST_MakePoint(lon, lat)) ORDER BY k"
+    )
+    ks = [r["k"] for r in got.collect()]
+    want = [
+        k for k in range(400)
+        if k not in (5, 6)
+        and -10 < (k % 360 - 180) < 10 and -10 < (k % 20 - 10) < 10
+    ]
+    assert ks == want and len(ks) > 0
