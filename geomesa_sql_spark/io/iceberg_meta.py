@@ -68,12 +68,32 @@ _FMT_VERSION = 2
 _NUM_PACK = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
 
 
-def _encode_bound(ice_type: str, v) -> bytes:
-    """Iceberg single-value binary serialization (little-endian)."""
+def _encode_bound(ice_type: str, v, upper: bool = False) -> bytes | None:
+    """Iceberg single-value binary serialization (little-endian).
+
+    Strings truncate to 16 CHARS (never mid-codepoint). A truncated
+    LOWER bound is still a valid lower bound (prefix sorts first), but
+    a truncated UPPER bound would undercut the real max and prune
+    files that match — so the last kept char is bumped (Iceberg's
+    ``truncate`` transform rule); if every kept char is already
+    U+10FFFF, no sound upper bound exists and None drops the stat."""
     if ice_type in _NUM_PACK:
         return struct.pack(_NUM_PACK[ice_type], v)
     if ice_type == "string":
-        return str(v).encode("utf-8")[:16]
+        s = str(v)
+        if len(s) > 16:
+            s = s[:16]
+            if upper:
+                for i in range(len(s) - 1, -1, -1):
+                    cp = ord(s[i]) + 1
+                    if 0xD800 <= cp <= 0xDFFF:
+                        cp = 0xE000  # skip the surrogate gap
+                    if cp <= 0x10FFFF:
+                        s = s[:i] + chr(cp)
+                        break
+                else:
+                    return None
+        return s.encode("utf-8")
     if ice_type == "boolean":
         return b"\x01" if v else b"\x00"
     raise ValueError(f"unsupported bound type {ice_type}")
@@ -230,6 +250,7 @@ def _parquet_file_stats(path: str, ice_fields: list[dict]) -> dict:
     by_name = {f["name"]: f for f in ice_fields}
     lo: dict[int, bytes] = {}
     hi: dict[int, bytes] = {}
+    dead: set[int] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -248,9 +269,15 @@ def _parquet_file_stats(path: str, ice_fields: list[dict]) -> dict:
             cur = lo.get(fid)
             if cur is None or _decode_bound(f["type"], cur) > mn:
                 lo[fid] = _encode_bound(f["type"], mn)
-            cur = hi.get(fid)
-            if cur is None or _decode_bound(f["type"], cur) < mx:
-                hi[fid] = _encode_bound(f["type"], mx)
+            if fid not in dead:
+                cur = hi.get(fid)
+                if cur is None or _decode_bound(f["type"], cur) < mx:
+                    enc = _encode_bound(f["type"], mx, upper=True)
+                    if enc is None:  # no sound upper bound exists
+                        dead.add(fid)
+                        hi.pop(fid, None)
+                    else:
+                        hi[fid] = enc
     return {
         "record_count": md.num_rows,
         "file_size_in_bytes": os.path.getsize(path),
@@ -627,9 +654,21 @@ def _commit(
 
 def _entries_for(paths: list[str], fields: list[dict], status: int = 1,
                  content: int = 0, **extra) -> list[dict]:
+    # footer-stat collection distributes past a handful of files — at
+    # scale a commit adds thousands, and a driver loop over footers
+    # would serialize the commit path
+    spark = SparkSession.getActiveSession()
+    if spark is not None and len(paths) > 32:
+        stats = dict(
+            spark.sparkContext.parallelize(paths, min(len(paths), 64)).map(
+                lambda p, _f=list(fields): (p, _parquet_file_stats(p, _f))
+            ).collect()
+        )
+    else:
+        stats = {p: _parquet_file_stats(p, fields) for p in paths}
     out = []
     for p in paths:
-        st = _parquet_file_stats(p, fields)
+        st = stats[p]
         out.append(
             {
                 "status": status,

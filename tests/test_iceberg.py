@@ -301,3 +301,46 @@ def test_engine_sql_over_iceberg_dir(spark, tmp_path):
         and -10 < (k % 360 - 180) < 10 and -10 < (k % 20 - 10) < 10
     ]
     assert ks == want and len(ks) > 0
+
+
+def test_iceberg_string_upper_bound_truncation_sound(spark, tmp_path):
+    """A >16-char string max must not yield an upper bound below the
+    real max (Iceberg truncate rule: bump the last kept char) — else
+    bounds pruning silently drops matching files."""
+    path = str(tmp_path / "t10")
+    p16 = "p" * 16
+    df = spark.createDataFrame(
+        [(p16 + "aaa",), (p16 + "zzz",)], "caption string"
+    ).coalesce(1)
+    t = im.create_table(df, path)
+    data, _, stats = t.plan_files(
+        bounds={"caption": (p16 + "yy", p16 + "zzzz")}
+    )
+    assert stats["files_kept"] == 1  # naive truncation would prune it
+    got = t.read(spark, bounds={"caption": (p16 + "yy", p16 + "zzzz")})
+    assert got.filter(F.col("caption") == p16 + "zzz").count() == 1
+    # recorded bound really is >= the true max
+    entries = [
+        e
+        for m in read_avro(
+            open(t.snapshot()["manifest-list"], "rb").read()
+        )[1]
+        for e in read_avro(open(m["manifest_path"], "rb").read())[1]
+    ]
+    ub = dict(
+        (kv["key"], kv["value"])
+        for kv in entries[0]["data_file"]["upper_bounds"]
+    )[1].decode()
+    assert ub >= p16 + "zzz" and len(ub) <= 16
+
+
+def test_iceberg_distributed_stats_commit(spark, tmp_path):
+    """Past 32 files the commit collects footer stats on executors,
+    not in a driver loop; bounds still recorded per file."""
+    path = str(tmp_path / "t11")
+    t = im.create_table(_mkdf(spark, 0, 4000).repartition(40), path)
+    data, _, _ = t.plan_files()
+    assert len(data) == 40
+    assert t.read(spark).count() == 4000
+    _, _, stats = t.plan_files(bounds={"k": (0, 3999)})
+    assert stats["files_kept"] == 40  # hash-partitioned: none prunable
