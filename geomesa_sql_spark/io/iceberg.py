@@ -74,3 +74,88 @@ def append(df: DataFrame, name_or_path: str) -> None:
         iceberg_meta.append(df, name_or_path)
         return
     df.write.mode("append").parquet(name_or_path)
+
+
+def write_geo_iceberg(
+    df: DataFrame,
+    path: str,
+    x: str = "lon",
+    y: str = "lat",
+    res: int = 12,
+    partitions: int | None = None,
+):
+    """Cell-clustered Iceberg table: the GeoMesa-Z-index analog of
+    ``io/layout.write_geo_table``, persisted as a real Iceberg v2
+    table.
+
+    The Z-order ``cell`` column is added JVM-side, files are
+    range-partitioned + sorted by it, so every data file gets a TIGHT
+    ``cell`` range in its manifest entry — a bbox query then prunes at
+    the MANIFEST level (``read_geo_iceberg``), before any file footer
+    (or even file listing) is touched. At 100 TB that means a spatial
+    query's planning cost scales with files *matched*, not files
+    *stored*; row-group pruning inside the surviving files still
+    applies via the same sorted ``cell`` parquet stats. The layout res
+    rides in table properties (the Iceberg home of `_GEO_META.json`).
+    """
+    from geomesa_sql_spark.io import iceberg_meta
+    from geomesa_sql_spark.io.layout import add_cell
+
+    if "cell" in df.columns:
+        raise ValueError(
+            "df already carries a 'cell' column — drop it and let "
+            "write_geo_iceberg encode at `res` (same rule as "
+            "write_geo_table, review r3b)"
+        )
+    out = add_cell(df, x, y, res)
+    n = partitions or out.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import functions as F
+
+    clustered = out.repartitionByRange(n, F.col("cell")).sortWithinPartitions(
+        "cell"
+    )
+    return iceberg_meta.create_table(
+        clustered,
+        path,
+        properties={"geo.cell.res": str(res), "geo.x": x, "geo.y": y},
+    )
+
+
+def read_geo_iceberg(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple | None = None,
+    exact: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Bbox read over a ``write_geo_iceberg`` table with three pruning
+    tiers: manifest-level file pruning (Z-order cell ranges vs per-file
+    cell bounds), row-group pruning (the same cell-range predicate
+    against sorted parquet stats), then the exact x/y box filter
+    (``exact=False`` returns the cell-cover superset for callers doing
+    their own refinement). Time travel kwargs pass through."""
+    from geomesa_sql_spark.io.iceberg_meta import IcebergTable
+    from geomesa_sql_spark.plan.filter import (
+        _ranges_predicate,
+        cell_prune_ranges,
+    )
+    from pyspark.sql import functions as F
+
+    t = IcebergTable.load(path)
+    props = t.metadata.get("properties", {})
+    if bbox is None:
+        return t.read(spark, **kwargs)
+    if "geo.cell.res" not in props:
+        raise ValueError(f"{path!r} was not written by write_geo_iceberg")
+    res = int(props["geo.cell.res"])
+    x, y = props.get("geo.x", "lon"), props.get("geo.y", "lat")
+    minx, miny, maxx, maxy = bbox
+    ranges = cell_prune_ranges(minx, miny, maxx, maxy, res)
+    df = t.read(spark, bounds={"cell": ranges}, **kwargs)
+    df = df.filter(_ranges_predicate("cell", ranges))
+    if exact:
+        df = df.filter(
+            (F.col(x) >= minx) & (F.col(x) <= maxx)
+            & (F.col(y) >= miny) & (F.col(y) <= maxy)
+        )
+    return df

@@ -507,12 +507,16 @@ def _manifest_entries(path: str) -> list[dict]:
 def _overlaps(data_file: dict, want: dict, type_by_id: dict) -> bool:
     lo_map = data_file.get("lower_bounds") or {}
     hi_map = data_file.get("upper_bounds") or {}
-    for fid, (qlo, qhi) in want.items():
+    for fid, rng in want.items():
         t = type_by_id.get(fid)
         flo, fhi = lo_map.get(fid), hi_map.get(fid)
         if flo is None or fhi is None or t is None:
             continue  # no stats for this column: cannot prune on it
-        if _decode_bound(t, flo) > qhi or _decode_bound(t, fhi) < qlo:
+        lo, hi = _decode_bound(t, flo), _decode_bound(t, fhi)
+        # a single (lo, hi) pair or a list of disjoint ranges (e.g. the
+        # Z-order covering of a bbox) — keep the file if ANY overlaps
+        ranges = rng if isinstance(rng, list) else [rng]
+        if not any(lo <= qhi and hi >= qlo for qlo, qhi in ranges):
             return False
     return True
 
@@ -544,9 +548,12 @@ def _commit(
     schema: dict,
     operation: str,
     content: int = 0,
+    properties: dict | None = None,
 ) -> "IcebergTable":
     """Write a manifest for ``new_entries``, a manifest list carrying
-    ``carried_manifests`` + the new one, and the next metadata.json."""
+    ``carried_manifests`` + the new one, and the next metadata.json.
+    ``properties`` replaces the table properties; None carries the
+    previous commit's forward."""
     table_path = os.path.abspath(table_path)
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -638,7 +645,11 @@ def _commit(
         "last-partition-id": 999,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "properties": {},
+        "properties": (
+            properties
+            if properties is not None
+            else (prev_meta or {}).get("properties", {})
+        ),
         "current-snapshot-id": snapshot_id,
         "snapshots": (prev_meta or {}).get("snapshots", []) + [snapshot],
         "snapshot-log": (prev_meta or {}).get("snapshot-log", [])
@@ -684,14 +695,18 @@ def _entries_for(paths: list[str], fields: list[dict], status: int = 1,
     return out
 
 
-def create_table(df: DataFrame, path: str) -> IcebergTable:
+def create_table(
+    df: DataFrame, path: str, properties: dict | None = None
+) -> IcebergTable:
     """Write ``df`` as a brand-new Iceberg v2 table (snapshot 1)."""
     if IcebergTable.is_iceberg_dir(path):
         raise ValueError(f"{path!r} is already an Iceberg table")
     schema = _ice_schema(df)
     files = _write_data_files(df, path)
     entries = _entries_for(files, schema["fields"])
-    return _commit(path, None, entries, [], schema, "append")
+    return _commit(
+        path, None, entries, [], schema, "append", properties=properties
+    )
 
 
 def append(df: DataFrame, path: str) -> IcebergTable:

@@ -344,3 +344,52 @@ def test_iceberg_distributed_stats_commit(spark, tmp_path):
     assert t.read(spark).count() == 4000
     _, _, stats = t.plan_files(bounds={"k": (0, 3999)})
     assert stats["files_kept"] == 40  # hash-partitioned: none prunable
+
+
+def test_geo_iceberg_manifest_bbox_pruning(spark, tmp_path):
+    """Spatial x Iceberg: a bbox read prunes files at the manifest
+    level via Z-order cell bounds, and matches a plain filter oracle."""
+    from geomesa_sql_spark.io.iceberg import (
+        read_geo_iceberg,
+        write_geo_iceberg,
+    )
+    from geomesa_sql_spark.io.iceberg_meta import IcebergTable
+    from geomesa_sql_spark.plan.filter import cell_prune_ranges
+
+    path = str(tmp_path / "tg")
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 17000) / 100.0 - 85.0).alias("lat"),
+    )
+    write_geo_iceberg(df, path, partitions=16)
+    bbox = (10.0, 10.0, 30.0, 25.0)
+    t = IcebergTable.load(path)
+    ranges = cell_prune_ranges(*bbox, 12)
+    _, _, stats = t.plan_files(bounds={"cell": ranges})
+    assert stats["files_total"] == 16
+    assert stats["files_kept"] < 16  # manifest-level spatial pruning
+    got = read_geo_iceberg(spark, path, bbox=bbox).orderBy("k")
+    want = df.filter(
+        (F.col("lon") >= 10.0) & (F.col("lon") <= 30.0)
+        & (F.col("lat") >= 10.0) & (F.col("lat") <= 25.0)
+    ).orderBy("k")
+    assert [r["k"] for r in got.collect()] == [r["k"] for r in want.collect()]
+    assert got.count() > 0
+    # superset mode: cover >= exact
+    cover = read_geo_iceberg(spark, path, bbox=bbox, exact=False)
+    assert cover.count() >= got.count()
+    # properties survive an append (carried forward)
+    from geomesa_sql_spark.io import iceberg_meta as im2
+
+    im2.append(
+        df.limit(10).withColumn(
+            "cell",
+            __import__(
+                "geomesa_sql_spark.cells.column", fromlist=["zorder_cell_col"]
+            ).zorder_cell_col(F.col("lon"), F.col("lat"), 12),
+        ),
+        path,
+    )
+    t2 = IcebergTable.load(path)
+    assert t2.metadata["properties"]["geo.cell.res"] == "12"
