@@ -817,3 +817,71 @@ def compact(spark: SparkSession, path: str) -> IcebergTable:
     files = _write_data_files(df.select(*cols), path)
     entries = _entries_for(files, schema["fields"], status=1)
     return _commit(path, t, entries, [], schema, "replace")
+
+
+def expire_snapshots(
+    path: str, keep_last: int = 1, older_than_ms: int | None = None
+) -> dict:
+    """Snapshot expiration + orphan cleanup (the vacuum every real
+    table needs: time travel means nothing is ever deleted until this
+    runs). Keeps the current snapshot plus the most recent
+    ``keep_last`` (and anything newer than ``older_than_ms``); deletes
+    data/delete/manifest files referenced ONLY by expired snapshots.
+    Metadata-only commit — no new snapshot, version bumps so readers
+    pinned to an old metadata file are unaffected mid-flight.
+
+    Returns {"expired": n, "kept": n, "files_removed": n}.
+    """
+    t = IcebergTable.load(path)
+    snaps = sorted(t.snapshots(), key=lambda s: s["timestamp-ms"])
+    cur = t.metadata["current-snapshot-id"]
+    keep = set(s["snapshot-id"] for s in snaps[-max(keep_last, 1):])
+    keep.add(cur)
+    if older_than_ms is not None:
+        keep |= {
+            s["snapshot-id"]
+            for s in snaps
+            if s["timestamp-ms"] > older_than_ms
+        }
+
+    def _refs(snapshot: dict) -> set[str]:
+        files = {snapshot["manifest-list"]}
+        _, manifests, _ = read_avro(_read(snapshot["manifest-list"]))
+        for m in manifests:
+            files.add(m["manifest_path"])
+            for e in _manifest_entries(m["manifest_path"]):
+                files.add(e["data_file"]["file_path"])
+        return files
+
+    kept_refs: set[str] = set()
+    dead_refs: set[str] = set()
+    expired = 0
+    for s in snaps:
+        if s["snapshot-id"] in keep:
+            kept_refs |= _refs(s)
+        else:
+            dead_refs |= _refs(s)
+            expired += 1
+    removable = dead_refs - kept_refs
+    for f in sorted(removable):
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+
+    meta = dict(t.metadata)
+    meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep]
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in keep
+    ]
+    version = t.version + 1
+    meta_dir = os.path.join(os.path.abspath(path), "metadata")
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return {
+        "expired": expired,
+        "kept": len(keep & {s["snapshot-id"] for s in snaps}),
+        "files_removed": len(removable),
+    }

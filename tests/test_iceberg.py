@@ -393,3 +393,25 @@ def test_geo_iceberg_manifest_bbox_pruning(spark, tmp_path):
     )
     t2 = IcebergTable.load(path)
     assert t2.metadata["properties"]["geo.cell.res"] == "12"
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    path = str(tmp_path / "t12")
+    im.create_table(_mkdf(spark, 0, 100), path)
+    im.append(_mkdf(spark, 100, 200), path)
+    t3 = im.delete_where(spark, path, "k < 50")
+    all_snaps = [s["snapshot-id"] for s in t3.snapshots()]
+    stats = im.expire_snapshots(path, keep_last=1)
+    assert stats["expired"] == 2 and stats["files_removed"] > 0
+    t = im.IcebergTable.load(path)
+    # current snapshot intact, reads fine
+    assert t.read(spark).count() == 150
+    assert [s["snapshot-id"] for s in t.snapshots()] == [all_snaps[-1]]
+    # expired snapshots no longer addressable
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(spark, snapshot_id=all_snaps[0])
+    # kept-referenced files survive: snapshot-3 carries snapshot-2's
+    # untouched data files as existing entries, so those still read
+    data, _, _ = t.plan_files()
+    for f in data:
+        assert os.path.exists(f["path"])
