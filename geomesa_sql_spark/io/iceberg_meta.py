@@ -246,8 +246,18 @@ def _parquet_file_stats(path: str, ice_fields: list[dict]) -> dict:
     footer (no data read). Runs on executors at write time."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
     by_name = {f["name"]: f for f in ice_fields}
+    by_id = {f["id"]: f for f in ice_fields}
+    # a file written before a rename carries the OLD column name but
+    # the same field-id — resolve by the file's embedded ids first so
+    # its stats still land on the right Iceberg field
+    name_to_fid: dict[str, int] = {}
+    for af in pf.schema_arrow:
+        fid_b = (af.metadata or {}).get(b"PARQUET:field_id")
+        if fid_b is not None:
+            name_to_fid[af.name] = int(fid_b)
     lo: dict[int, bytes] = {}
     hi: dict[int, bytes] = {}
     dead: set[int] = set()
@@ -256,7 +266,8 @@ def _parquet_file_stats(path: str, ice_fields: list[dict]) -> dict:
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema.split(".")[0]
-            f = by_name.get(name)
+            f = by_id.get(name_to_fid[name]) if name in name_to_fid \
+                else by_name.get(name)
             if f is None or f["type"] not in (
                 "int", "long", "float", "double", "string", "boolean"
             ):
@@ -362,6 +373,47 @@ class IcebergTable:
                     return s["fields"]
         return self.metadata.get("schema", {}).get("fields", [])
 
+    def current_schema(self) -> dict:
+        return {
+            "type": "struct",
+            "schema-id": self.metadata.get("current-schema-id", 0),
+            "fields": self.schema_fields(),
+        }
+
+    def all_schemas(self) -> list[dict]:
+        schemas = self.metadata.get("schemas")
+        if schemas:
+            return schemas
+        return [self.current_schema()]
+
+    @property
+    def field_ids(self) -> bool:
+        """True when every data file carries parquet field-id
+        annotations (set at create_table) — the precondition for
+        id-resolved reads and schema evolution."""
+        props = self.metadata.get("properties", {})
+        return props.get("geomesa.field-ids") == "true"
+
+    def _requested_schema(self, fields: list[dict] | None = None):
+        """Spark schema with parquet.field.id metadata for id-resolved
+        parquet reads (renames transparent, retired ids never read)."""
+        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import _parse_datatype_string
+
+        return StructType(
+            [
+                StructField(
+                    f["name"],
+                    _parse_datatype_string(
+                        _ICE_TO_SPARK.get(f["type"], "binary")
+                    ),
+                    True,
+                    {"parquet.field.id": f["id"]},
+                )
+                for f in (fields or self.schema_fields())
+            ]
+        )
+
     # -- planning ---------------------------------------------------
 
     def plan_files(
@@ -426,6 +478,28 @@ class IcebergTable:
 
     # -- reading ----------------------------------------------------
 
+    def _read_parquet(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        fields: list[dict] | None = None,
+    ) -> DataFrame:
+        """Read data-file parquet. Field-id tables read with an
+        explicit id-annotated schema so columns resolve by Iceberg
+        field-id, not name — files written before a rename still land
+        in the renamed column, and a dropped-then-readded name gets
+        NULLs instead of resurrecting retired data. The two confs are
+        session-global but inert for schemas without id metadata."""
+        if self.field_ids:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+            )
+            return spark.read.schema(self._requested_schema(fields)).parquet(
+                *paths
+            )
+        return spark.read.parquet(*paths)
+
     def read(
         self,
         spark: SparkSession,
@@ -443,7 +517,7 @@ class IcebergTable:
                 for f in fields
             )
             return spark.createDataFrame([], ddl)
-        df = spark.read.parquet(*[f["path"] for f in data])
+        df = self._read_parquet(spark, [f["path"] for f in data])
         if not deletes:
             return df
         # attach provenance for merge-on-read delete application
@@ -466,10 +540,13 @@ class IcebergTable:
             df = df.join(pos, ["__file", "__pos"], "left_anti")
         for d in eq_files:
             ids = d["equality_ids"] or []
-            names = [
-                f["name"] for f in self.schema_fields() if f["id"] in ids
-            ]
-            eq = spark.read.parquet(d["path"]).select(*names).dropDuplicates()
+            sub = [f for f in self.schema_fields() if f["id"] in ids]
+            names = [f["name"] for f in sub]
+            # id-resolved so a delete file written pre-rename still
+            # matches the current column names
+            eq = self._read_parquet(
+                spark, [d["path"]], fields=sub
+            ).dropDuplicates()
             # equality deletes hit strictly-older data files (spec rule)
             older = df.filter(F.col("__seq") < F.lit(d["seq"]))
             newer = df.filter(~(F.col("__seq") < F.lit(d["seq"])))
@@ -487,6 +564,8 @@ _ICE_TO_SPARK = {
     "string": "string",
     "boolean": "boolean",
     "binary": "binary",
+    "date": "date",
+    "timestamptz": "timestamp",
 }
 
 
@@ -524,7 +603,28 @@ def _overlaps(data_file: dict, want: dict, type_by_id: dict) -> bool:
 # ----------------------------------------------------------- writing
 
 
-def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
+def _write_data_files(
+    df: DataFrame, table_path: str, fields: list[dict] | None = None
+) -> list[str]:
+    """Write ``df`` as parquet data files; when ``fields`` (Iceberg
+    schema fields) is given, each parquet column is annotated with its
+    Iceberg field-id (Spark's ``parquet.field.id`` metadata), which is
+    what makes schema evolution sound: readers resolve columns by id,
+    so renames are transparent and a dropped-then-readded name cannot
+    resurrect old data."""
+    if fields:
+        fid = {f["name"]: f["id"] for f in fields}
+        df = df.select(
+            *[
+                F.col(c).alias(c, metadata={"parquet.field.id": fid[c]})
+                if c in fid
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
     commit = uuid.uuid4().hex[:16]
     out_dir = os.path.join(os.path.abspath(table_path), "data", commit)
     df.write.mode("error").parquet(out_dir)
@@ -549,11 +649,13 @@ def _commit(
     operation: str,
     content: int = 0,
     properties: dict | None = None,
+    schemas: list[dict] | None = None,
 ) -> "IcebergTable":
     """Write a manifest for ``new_entries``, a manifest list carrying
     ``carried_manifests`` + the new one, and the next metadata.json.
     ``properties`` replaces the table properties; None carries the
-    previous commit's forward."""
+    previous commit's forward. ``schemas`` is the full historical
+    schema list (evolved tables); defaults to just ``schema``."""
     table_path = os.path.abspath(table_path)
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -627,8 +729,9 @@ def _commit(
         "sequence-number": seq,
         "summary": {"operation": operation},
         "manifest-list": list_path,
-        "schema-id": 0,
+        "schema-id": schema.get("schema-id", 0),
     }
+    all_schemas = schemas if schemas is not None else [schema]
     metadata = {
         "format-version": _FMT_VERSION,
         "table-uuid": (prev_meta or {}).get("table-uuid", str(uuid.uuid4())),
@@ -636,10 +739,14 @@ def _commit(
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": max(
-            (f["id"] for f in schema["fields"]), default=0
+            max(
+                (f["id"] for s in all_schemas for f in s["fields"]),
+                default=0,
+            ),
+            (prev_meta or {}).get("last-column-id", 0),
         ),
-        "schemas": [schema],
-        "current-schema-id": 0,
+        "schemas": all_schemas,
+        "current-schema-id": schema.get("schema-id", 0),
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
         "last-partition-id": 999,
@@ -702,10 +809,22 @@ def create_table(
     if IcebergTable.is_iceberg_dir(path):
         raise ValueError(f"{path!r} is already an Iceberg table")
     schema = _ice_schema(df)
-    files = _write_data_files(df, path)
+    # field-id discipline (and with it schema evolution) requires every
+    # column to map to a real Iceberg primitive — opaque passthrough
+    # columns (arrays/structs stored as-is in parquet) would be
+    # misdeclared by an explicit binary read schema
+    all_primitive = all(
+        f.dataType.simpleString() in _SPARK_TO_ICE for f in df.schema.fields
+    )
+    props = dict(properties or {})
+    if all_primitive:
+        props.setdefault("geomesa.field-ids", "true")
+        files = _write_data_files(df, path, fields=schema["fields"])
+    else:
+        files = _write_data_files(df, path)
     entries = _entries_for(files, schema["fields"])
     return _commit(
-        path, None, entries, [], schema, "append", properties=properties
+        path, None, entries, [], schema, "append", properties=props
     )
 
 
@@ -714,14 +833,19 @@ def append(df: DataFrame, path: str) -> IcebergTable:
     t = IcebergTable.load(path)
     snap = t.snapshot()
     _, carried, _ = read_avro(_read(snap["manifest-list"]))
-    schema = {
-        "type": "struct",
-        "schema-id": 0,
-        "fields": t.schema_fields(),
-    }
-    files = _write_data_files(df, path)
+    schema = t.current_schema()
+    names = [f["name"] for f in schema["fields"]]
+    if sorted(df.columns) != sorted(names):
+        raise ValueError(
+            f"append schema {sorted(df.columns)} != table {sorted(names)}"
+        )
+    files = _write_data_files(
+        df.select(*names), path, fields=schema["fields"] if t.field_ids else None
+    )
     entries = _entries_for(files, schema["fields"])
-    return _commit(path, t, entries, carried, schema, "append")
+    return _commit(
+        path, t, entries, carried, schema, "append", schemas=t.all_schemas()
+    )
 
 
 def delete_where(spark: SparkSession, path: str, predicate) -> IcebergTable:
@@ -736,27 +860,33 @@ def delete_where(spark: SparkSession, path: str, predicate) -> IcebergTable:
     if deletes:
         raise ValueError("copy-on-write over merge-on-read deletes: compact first")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    df = spark.read.parquet(*[f["path"] for f in data]).withColumn(
+    df = t._read_parquet(spark, [f["path"] for f in data]).withColumn(
         "__file", F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
     )
     hit_files = [
         r["__file"]
         for r in df.filter(pred).select("__file").distinct().collect()
     ]
-    schema = {"type": "struct", "schema-id": 0, "fields": t.schema_fields()}
+    schema = t.current_schema()
     cols = [f["name"] for f in schema["fields"]]
     survivors_src = df.filter(F.col("__file").isin(hit_files)).filter(
         ~F.coalesce(pred, F.lit(False))
     )
     new_files = (
-        _write_data_files(survivors_src.select(*cols), path)
+        _write_data_files(
+            survivors_src.select(*cols),
+            path,
+            fields=schema["fields"] if t.field_ids else None,
+        )
         if hit_files
         else []
     )
     entries = _entries_for(new_files, schema["fields"], status=1)
     kept = [f["path"] for f in data if f["path"] not in set(hit_files)]
     entries += _entries_for(kept, schema["fields"], status=0)
-    return _commit(path, t, entries, [], schema, "delete")
+    return _commit(
+        path, t, entries, [], schema, "delete", schemas=t.all_schemas()
+    )
 
 
 def add_position_deletes(
@@ -771,15 +901,20 @@ def add_position_deletes(
     t = IcebergTable.load(path)
     snap = t.snapshot()
     _, carried, _ = read_avro(_read(snap["manifest-list"]))
-    schema = {"type": "struct", "schema-id": 0, "fields": t.schema_fields()}
-    files = _write_data_files(rows.select("file_path", "pos"), path)
+    schema = t.current_schema()
     del_fields = [
         {"id": 2147483546, "name": "file_path", "required": True,
          "type": "string"},
         {"id": 2147483545, "name": "pos", "required": True, "type": "long"},
     ]
+    files = _write_data_files(
+        rows.select("file_path", "pos"), path, fields=del_fields
+    )
     entries = _entries_for(files, del_fields, status=1, content=1)
-    return _commit(path, t, entries, carried, schema, "delete", content=1)
+    return _commit(
+        path, t, entries, carried, schema, "delete", content=1,
+        schemas=t.all_schemas(),
+    )
 
 
 def add_equality_deletes(
@@ -792,15 +927,21 @@ def add_equality_deletes(
     snap = t.snapshot()
     _, carried, _ = read_avro(_read(snap["manifest-list"]))
     fields = t.schema_fields()
-    schema = {"type": "struct", "schema-id": 0, "fields": fields}
-    ids = [f["id"] for f in fields if f["name"] in on]
+    schema = t.current_schema()
+    sub = [f for f in fields if f["name"] in on]
+    ids = [f["id"] for f in sub]
     if len(ids) != len(on):
         raise ValueError(f"equality columns {on} not all in schema")
-    files = _write_data_files(rows.select(*on), path)
+    files = _write_data_files(
+        rows.select(*on), path, fields=sub if t.field_ids else None
+    )
     entries = _entries_for(
         files, fields, status=1, content=2, equality_ids=ids
     )
-    return _commit(path, t, entries, carried, schema, "delete", content=1)
+    return _commit(
+        path, t, entries, carried, schema, "delete", content=1,
+        schemas=t.all_schemas(),
+    )
 
 
 def compact(spark: SparkSession, path: str) -> IcebergTable:
@@ -812,11 +953,118 @@ def compact(spark: SparkSession, path: str) -> IcebergTable:
     """
     t = IcebergTable.load(path)
     df = t.read(spark)
-    schema = {"type": "struct", "schema-id": 0, "fields": t.schema_fields()}
+    schema = t.current_schema()
     cols = [f["name"] for f in schema["fields"]]
-    files = _write_data_files(df.select(*cols), path)
+    files = _write_data_files(
+        df.select(*cols),
+        path,
+        fields=schema["fields"] if t.field_ids else None,
+    )
     entries = _entries_for(files, schema["fields"], status=1)
-    return _commit(path, t, entries, [], schema, "replace")
+    return _commit(
+        path, t, entries, [], schema, "replace", schemas=t.all_schemas()
+    )
+
+
+def _metadata_only_commit(t: IcebergTable, meta: dict) -> IcebergTable:
+    """Write the next metadata.json version with no new snapshot.
+    Readers pinned to the previous version file are unaffected."""
+    meta = dict(meta)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    version = t.version + 1
+    meta_dir = os.path.join(t.path, "metadata")
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return IcebergTable(t.path, meta, version)
+
+
+def _evolve_schema(path: str, mutate) -> IcebergTable:
+    """Metadata-only schema commit: ``mutate(fields, last_column_id)``
+    returns the new field list + new last-column-id; the new schema is
+    appended to the historical list and becomes current. Existing data
+    files are never touched — id-resolved reads do the mapping."""
+    t = IcebergTable.load(path)
+    if not t.field_ids:
+        raise ValueError(
+            "schema evolution requires a field-id table (create_table "
+            "over all-primitive columns); this table resolves columns "
+            "by name only"
+        )
+    schemas = t.all_schemas()
+    cur_fields = [dict(f) for f in t.schema_fields()]
+    last_col = t.metadata.get(
+        "last-column-id", max((f["id"] for f in cur_fields), default=0)
+    )
+    new_fields, last_col = mutate(cur_fields, last_col)
+    if not new_fields:
+        raise ValueError("schema evolution cannot remove every column")
+    new_schema = {
+        "type": "struct",
+        "schema-id": max(s.get("schema-id", 0) for s in schemas) + 1,
+        "fields": new_fields,
+    }
+    meta = dict(t.metadata)
+    meta["schemas"] = list(schemas) + [new_schema]
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["last-column-id"] = last_col
+    return _metadata_only_commit(t, meta)
+
+
+def add_column(path: str, name: str, ice_type: str) -> IcebergTable:
+    """ADD COLUMN: existing rows read back NULL. The new field gets a
+    never-before-used id, so it can share a name with a dropped column
+    without resurrecting that column's data."""
+    if ice_type not in _ICE_TO_SPARK:
+        raise ValueError(
+            f"unsupported type {ice_type!r}; one of {sorted(_ICE_TO_SPARK)}"
+        )
+
+    def mutate(fields, last_col):
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        fields.append(
+            {
+                "id": last_col + 1,
+                "name": name,
+                "required": False,
+                "type": ice_type,
+            }
+        )
+        return fields, last_col + 1
+
+    return _evolve_schema(path, mutate)
+
+
+def rename_column(path: str, old: str, new: str) -> IcebergTable:
+    """RENAME COLUMN: metadata-only; files written under the old name
+    keep resolving through the shared field-id."""
+
+    def mutate(fields, last_col):
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        hits = [f for f in fields if f["name"] == old]
+        if not hits:
+            raise ValueError(f"unknown column {old!r}")
+        hits[0]["name"] = new
+        return fields, last_col
+
+    return _evolve_schema(path, mutate)
+
+
+def drop_column(path: str, name: str) -> IcebergTable:
+    """DROP COLUMN: metadata-only; the retired field-id is never
+    reused (last-column-id is monotone), so the data becomes
+    unreachable without rewriting any file."""
+
+    def mutate(fields, last_col):
+        kept = [f for f in fields if f["name"] != name]
+        if len(kept) == len(fields):
+            raise ValueError(f"unknown column {name!r}")
+        return kept, last_col
+
+    return _evolve_schema(path, mutate)
 
 
 def expire_snapshots(
@@ -874,12 +1122,7 @@ def expire_snapshots(
     meta["snapshot-log"] = [
         e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in keep
     ]
-    version = t.version + 1
-    meta_dir = os.path.join(os.path.abspath(path), "metadata")
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version))
+    _metadata_only_commit(t, meta)
     return {
         "expired": expired,
         "kept": len(keep & {s["snapshot-id"] for s in snaps}),

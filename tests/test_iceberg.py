@@ -415,3 +415,107 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
     data, _, _ = t.plan_files()
     for f in data:
         assert os.path.exists(f["path"])
+
+
+# -------------------------------------------------- schema evolution
+
+
+def test_iceberg_rename_column_id_resolution(spark, tmp_path):
+    """Files written before AND after a rename resolve through the
+    shared field-id: one read sees one column with all the data."""
+    path = str(tmp_path / "ev1")
+    im.create_table(_mkdf(spark, 0, 100), path)
+    assert im.IcebergTable.load(path).field_ids
+    im.rename_column(path, "caption", "title")
+    t = im.IcebergTable.load(path)
+    assert [f["name"] for f in t.schema_fields()] == ["k", "x", "title"]
+    # old files' data lands in the renamed column
+    got = t.read(spark).orderBy("k").toPandas()
+    assert list(got.columns) == ["k", "x", "title"]
+    assert got["title"].iloc[7] == "cap-7"
+    # append after the rename (new files carry the new name + same id)
+    im.append(
+        _mkdf(spark, 100, 200).withColumnRenamed("caption", "title"), path
+    )
+    got = im.IcebergTable.load(path).read(spark).orderBy("k").toPandas()
+    assert len(got) == 200 and got["title"].iloc[150] == "cap-150"
+    # copy-on-write delete across the mixed-name files still works
+    im.delete_where(spark, path, "title = 'cap-50'")
+    assert im.IcebergTable.load(path).read(spark).count() == 199
+
+
+def test_iceberg_add_drop_column_no_resurrection(spark, tmp_path):
+    path = str(tmp_path / "ev2")
+    im.create_table(_mkdf(spark, 0, 50), path)
+    # ADD: existing rows read NULL
+    im.add_column(path, "score", "double")
+    t = im.IcebergTable.load(path)
+    got = t.read(spark).toPandas()
+    assert got["score"].isna().all()
+    # DROP then re-ADD the same name: fresh field-id, old data must
+    # NOT come back
+    im.drop_column(path, "caption")
+    assert im.IcebergTable.load(path).read(spark).columns == [
+        "k", "x", "score"
+    ]
+    im.add_column(path, "caption", "string")
+    t = im.IcebergTable.load(path)
+    ids = {f["name"]: f["id"] for f in t.schema_fields()}
+    assert ids["caption"] > ids["score"]  # retired id never reused
+    got = t.read(spark).toPandas()
+    assert got["caption"].isna().all()
+    # appends under the evolved schema carry real values
+    im.append(
+        _mkdf(spark, 50, 60).withColumn("score", F.lit(1.5))
+        .select("k", "x", "score", "caption"), path
+    )
+    got = im.IcebergTable.load(path).read(spark).orderBy("k").toPandas()
+    assert got["caption"].iloc[55] == "cap-55"
+    assert got["score"].iloc[55] == 1.5 and np.isnan(got["score"].iloc[5])
+
+
+def test_iceberg_evolution_validation(spark, tmp_path):
+    path = str(tmp_path / "ev3")
+    im.create_table(_mkdf(spark, 0, 10), path)
+    with pytest.raises(ValueError, match="already exists"):
+        im.add_column(path, "k", "long")
+    with pytest.raises(ValueError, match="unsupported type"):
+        im.add_column(path, "z", "struct")
+    with pytest.raises(ValueError, match="unknown column"):
+        im.rename_column(path, "nope", "x2")
+    with pytest.raises(ValueError, match="already exists"):
+        im.rename_column(path, "k", "x")
+    with pytest.raises(ValueError, match="unknown column"):
+        im.drop_column(path, "nope")
+    # non-primitive table: no field ids, evolution refuses
+    path2 = str(tmp_path / "ev4")
+    arr_df = spark.range(5).select(
+        F.col("id").alias("k"), F.array(F.lit(1.0)).alias("emb")
+    )
+    im.create_table(arr_df, path2)
+    assert not im.IcebergTable.load(path2).field_ids
+    with pytest.raises(ValueError, match="field-id"):
+        im.rename_column(path2, "k", "key")
+    # name-based read still round-trips the opaque table
+    assert im.IcebergTable.load(path2).read(spark).count() == 5
+
+
+def test_iceberg_pruning_survives_rename(spark, tmp_path):
+    """File bounds recorded pre-rename are keyed by field-id, so a
+    bounds query on the NEW name still prunes the old files."""
+    path = str(tmp_path / "ev5")
+    im.create_table(_mkdf(spark, 0, 100).repartition(1), path)
+    im.append(_mkdf(spark, 100, 200).repartition(1), path)
+    im.rename_column(path, "k", "key")
+    t = im.IcebergTable.load(path)
+    data, _, stats = t.plan_files(bounds={"key": (150, 160)})
+    assert stats["files_total"] == 2 and stats["files_kept"] == 1
+    got = t.read(spark, bounds={"key": (150, 160)})
+    assert got.filter("key = 155").count() == 1
+    # stats of files REWRITTEN post-rename (delete_where existing
+    # entries) also key by id via the embedded parquet field ids
+    im.delete_where(spark, path, "key >= 190")
+    data, _, stats = im.IcebergTable.load(path).plan_files(
+        bounds={"key": (0, 50)}
+    )
+    assert stats["files_kept"] == 1
