@@ -1546,15 +1546,35 @@ class Engine:
 
     def _snapshot(self, name: str) -> SnapshotTable:
         path = self._tables[name]
-        if not os.path.exists(os.path.join(path, "_CURRENT")):
-            raise ValueError(
-                f"table {name!r} is not a snapshot table; "
-                "create it with Engine.create_table"
-            )
-        return SnapshotTable(self.spark, path, self.fid_col)
+        if os.path.exists(os.path.join(path, "_CURRENT")):
+            return SnapshotTable(self.spark, path, self.fid_col)
+        from geomesa_sql_spark.io.dml import IcebergDmlTable
+        from geomesa_sql_spark.io.iceberg_meta import IcebergTable
 
-    def create_table(self, name: str, path: str, df: DataFrame) -> None:
-        SnapshotTable(self.spark, path, self.fid_col).create(df)
+        if IcebergTable.is_iceberg_dir(path):
+            # on-disk Iceberg dirs take the same DML surface: every
+            # verb commits a real Iceberg snapshot
+            return IcebergDmlTable(self.spark, path, self.fid_col)
+        raise ValueError(
+            f"table {name!r} is not a snapshot or Iceberg table; "
+            "create it with Engine.create_table"
+        )
+
+    def create_table(
+        self, name: str, path: str, df: DataFrame, format: str = "snapshot"
+    ) -> None:
+        """Create a DML-capable table: ``format='snapshot'`` (the local
+        manifest format) or ``'iceberg'`` (pure-Python Iceberg v2 —
+        readable by any Iceberg runtime, schema-evolvable via
+        io.iceberg_meta add/rename/drop_column)."""
+        if format == "iceberg":
+            from geomesa_sql_spark.io.dml import IcebergDmlTable
+
+            IcebergDmlTable(self.spark, path, self.fid_col).create(df)
+        elif format == "snapshot":
+            SnapshotTable(self.spark, path, self.fid_col).create(df)
+        else:
+            raise ValueError(f"unknown table format {format!r}")
         self.register_table(name, path)
 
     def insert(self, name: str, rows: DataFrame) -> int:

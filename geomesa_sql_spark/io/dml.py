@@ -122,6 +122,30 @@ class SnapshotTable:
         df.write.mode("errorifexists").parquet(d)
         return d
 
+    # The two storage template methods every verb commits through —
+    # subclasses (IcebergDmlTable) swap the snapshot format by
+    # overriding ONLY these plus read/columns/create/compact.
+
+    def _commit_append(self, aligned: DataFrame) -> int:
+        """Append ``aligned`` (already cast to the table schema) as a
+        new snapshot; returns the exact row count from the WRITTEN
+        files (never recomputes a possibly non-deterministic plan)."""
+        d = self._write_data_dir(aligned)
+        n = int(self.spark.read.parquet(d).count())
+        m = self._load_manifest(self._current_version())
+        self._commit(m["dirs"] + [d], self.columns)
+        return n
+
+    def _commit_rewrite(self, df: DataFrame, count: bool = False) -> int | None:
+        """Commit ``df`` as the table's full new contents; with
+        ``count`` returns the written row count (same written-files
+        discipline as _commit_append)."""
+        cols = self.columns
+        d = self._write_data_dir(df)
+        n = int(self.spark.read.parquet(d).count()) if count else None
+        self._commit([d], cols)
+        return n
+
     # -------------------------------------------------------------- surface
 
     def create(self, df: DataFrame) -> "SnapshotTable":
@@ -167,13 +191,7 @@ class SnapshotTable:
             raise ValueError(
                 f"INSERT rows not coercible to table schema: {ex}"
             ) from ex
-        d = self._write_data_dir(aligned)
-        # count from the written files: exact, and never recomputes the
-        # (possibly non-deterministic) input plan
-        n = int(self.spark.read.parquet(d).count())
-        m = self._load_manifest(self._current_version())
-        self._commit(m["dirs"] + [d], cols)
-        return n
+        return self._commit_append(aligned)
 
     def _hit_frame(self, fids: DataFrame) -> DataFrame:
         """Normalize a fid-frame ``where`` (the subquery-predicate path:
@@ -239,8 +257,7 @@ class SnapshotTable:
             ]
         )
         n = int(current.filter(cond).count())
-        d = self._write_data_dir(updated)
-        self._commit([d], cols)
+        self._commit_rewrite(updated)
         return n
 
     def merge(
@@ -407,8 +424,7 @@ class SnapshotTable:
             n_ins = 0
             final = updated
 
-        d = self._write_data_dir(final)
-        self._commit([d], cols)
+        self._commit_rewrite(final)
         return n_upd, n_ins
 
     def compact(self, target_files: int | None = None) -> int:
@@ -440,7 +456,6 @@ class SnapshotTable:
         join. The count derives from before/after row totals, so the
         (possibly non-deterministic) predicate is only ever evaluated
         once — in the rewrite that actually commits (review r3)."""
-        cols = self.columns
         current = self.read()
         before = int(current.count())
         if isinstance(where, DataFrame):
@@ -450,7 +465,80 @@ class SnapshotTable:
         else:
             cond = F.lit(True) if where is None else where
             remaining = current.filter(~cond | cond.isNull())
-        d = self._write_data_dir(remaining)
-        n = before - int(self.spark.read.parquet(d).count())
-        self._commit([d], cols)
-        return n
+        return before - self._commit_rewrite(remaining, count=True)
+
+
+class IcebergDmlTable(SnapshotTable):
+    """The same verb semantics (INSERT alignment/casts, copy-on-write
+    UPDATE, ANSI MERGE cardinality, subquery-fid frames) committing
+    real Iceberg v2 snapshots instead of the local manifest format —
+    so an Engine table registered as an on-disk Iceberg dir takes DML
+    through both the API and SQL-text surfaces. Only the storage
+    template methods differ; every verb body is inherited."""
+
+    def _table(self):
+        from geomesa_sql_spark.io import iceberg_meta as im
+
+        return im.IcebergTable.load(self.path)
+
+    def create(self, df: DataFrame) -> "IcebergDmlTable":
+        from geomesa_sql_spark.io import iceberg_meta as im
+
+        im.create_table(df, self.path)
+        return self
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self._table().read(self.spark, snapshot_id=version)
+
+    @property
+    def columns(self) -> list[str]:
+        return [f["name"] for f in self._table().schema_fields()]
+
+    def _commit_append(self, aligned: DataFrame) -> int:
+        from geomesa_sql_spark.io import iceberg_meta as im
+
+        return im.added_rows(im.append(aligned, self.path))
+
+    def _commit_rewrite(self, df: DataFrame, count: bool = False) -> int | None:
+        from geomesa_sql_spark.io import iceberg_meta as im
+
+        t = im.overwrite(self.spark, self.path, df)
+        return im.added_rows(t) if count else None
+
+    def delete(self, where=None) -> int:
+        """Column predicates route through the file-targeted
+        copy-on-write path (only files CONTAINING matches are
+        rewritten — at scale a keyed DELETE touches a handful of files,
+        not the table); fid-frame and delete-all forms use the generic
+        rewrite."""
+        from geomesa_sql_spark.io import iceberg_meta as im
+
+        if where is None or isinstance(where, DataFrame):
+            return super().delete(where)
+        t = self._table()
+        before = int(t.read(self.spark).count())
+        try:
+            t1 = im.delete_where(self.spark, self.path, where)
+        except ValueError:
+            # merge-on-read delete files present: CoW file targeting
+            # is unsound there — fall back to the full rewrite
+            return super().delete(where)
+        return before - int(t1.read(self.spark).count())
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Rewrite the current snapshot (folding any merge-on-read
+        delete files) into ``target_files`` parquet files."""
+        import glob as _glob
+        import math as _math
+
+        from geomesa_sql_spark.io import iceberg_meta as im
+
+        t = self._table()
+        if target_files is None:
+            data, _, _ = t.plan_files()
+            nbytes = sum(os.path.getsize(d["path"]) for d in data)
+            target_files = max(1, _math.ceil(nbytes / (128 << 20)))
+        df = t.read(self.spark).repartition(int(target_files))
+        t1 = im.overwrite(self.spark, self.path, df)
+        data, _, _ = t1.plan_files()
+        return len(data)

@@ -966,6 +966,34 @@ def compact(spark: SparkSession, path: str) -> IcebergTable:
     )
 
 
+def overwrite(spark: SparkSession, path: str, df: DataFrame) -> IcebergTable:
+    """Commit ``df`` as the table's full new contents (one snapshot;
+    history stays time-travelable). The storage half of UPDATE/MERGE —
+    callers compute the new contents, this makes them durable."""
+    t = IcebergTable.load(path)
+    schema = t.current_schema()
+    cols = [f["name"] for f in schema["fields"]]
+    files = _write_data_files(
+        df.select(*cols), path, fields=schema["fields"] if t.field_ids else None
+    )
+    entries = _entries_for(files, schema["fields"], status=1)
+    return _commit(
+        path, t, entries, [], schema, "overwrite", schemas=t.all_schemas()
+    )
+
+
+def added_rows(t: IcebergTable) -> int:
+    """Exact row count the current snapshot's commit added, from the
+    manifest-list stats (no data read, no plan recompute)."""
+    snap = t.snapshot()
+    _, manifests, _ = read_avro(_read(snap["manifest-list"]))
+    return sum(
+        m["added_rows_count"]
+        for m in manifests
+        if m["added_snapshot_id"] == snap["snapshot-id"]
+    )
+
+
 def _metadata_only_commit(t: IcebergTable, meta: dict) -> IcebergTable:
     """Write the next metadata.json version with no new snapshot.
     Readers pinned to the previous version file are unaffected."""

@@ -519,3 +519,81 @@ def test_iceberg_pruning_survives_rename(spark, tmp_path):
         bounds={"key": (0, 50)}
     )
     assert stats["files_kept"] == 1
+
+
+# ---------------------------------------------- Engine DML over Iceberg
+
+
+def test_engine_dml_over_iceberg_table(spark, tmp_path):
+    """Every Engine DML verb (API + SQL text) commits real Iceberg
+    snapshots when the registered table is an Iceberg dir."""
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark, fid_col="k")
+    path = str(tmp_path / "dml_ice")
+    eng.create_table(
+        "tice", path, _mkdf(spark, 0, 100).repartitionByRange(4, "k"),
+        format="iceberg",
+    )
+    # INSERT (SQL text, VALUES form)
+    n = eng.sql(
+        "INSERT INTO tice VALUES (100, 200.0, 'cap-100')"
+    ).collect()[0][0]
+    assert n == 1
+    # UPDATE with predicate
+    n = eng.sql("UPDATE tice SET x = x + 0.5 WHERE k >= 50").collect()[0][0]
+    assert n == 51
+    got = eng.sql("SELECT x FROM tice WHERE k = 60").collect()[0][0]
+    assert got == 120.5
+    # DELETE with subquery predicate (fid-frame path)
+    n = eng.sql(
+        "DELETE FROM tice WHERE k IN (SELECT k FROM tice WHERE k < 10)"
+    ).collect()[0][0]
+    assert n == 10
+    # MERGE upsert
+    src = spark.createDataFrame(
+        [(20, 9.0, "new-20"), (500, 1.0, "new-500")], "k long, x double, caption string"
+    )
+    n_upd, n_ins = eng.merge("tice", src)
+    assert (n_upd, n_ins) == (1, 1)
+    df = eng.df("tice")
+    assert df.count() == 92  # 101 - 10 + 1
+    assert df.filter("k = 20").collect()[0]["caption"] == "new-20"
+    # the whole history is real Iceberg: time travel to snapshot 1
+    t = im.IcebergTable.load(path)
+    assert len(t.snapshots()) == 5  # create+insert+update+delete+merge
+    first = t.snapshots()[0]["snapshot-id"]
+    assert t.read(spark, snapshot_id=first).count() == 100
+
+
+def test_engine_iceberg_delete_is_file_targeted(spark, tmp_path):
+    """A Column-predicate DELETE rewrites only the files containing
+    matches — untouched files survive into the new snapshot."""
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark, fid_col="k")
+    path = str(tmp_path / "dml_ice2")
+    eng.create_table(
+        "tice2", path, _mkdf(spark, 0, 1000).repartitionByRange(8, "k"),
+        format="iceberg",
+    )
+    t0 = im.IcebergTable.load(path)
+    files0 = {d["path"] for d in t0.plan_files()[0]}
+    n = eng.delete("tice2", F.col("k") < 100)
+    assert n == 100
+    t1 = im.IcebergTable.load(path)
+    files1 = {d["path"] for d in t1.plan_files()[0]}
+    assert files0 & files1, "expected untouched files to be carried over"
+    assert eng.df("tice2").count() == 900
+
+
+def test_engine_iceberg_compact_counts(spark, tmp_path):
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark, fid_col="k")
+    path = str(tmp_path / "dml_ice3")
+    eng.create_table(
+        "tice3", path, _mkdf(spark, 0, 200).repartition(6), format="iceberg"
+    )
+    assert eng.compact("tice3", target_files=2) == 2
+    assert eng.df("tice3").count() == 200
