@@ -521,6 +521,54 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             results["headline_10x"] = round(best, 3)
 
+        # Input-surface evidence (north rule: "over Iceberg tables of
+        # image + caption pairs"): the SAME headline pipeline with the
+        # image table stored as a cell-clustered Iceberg v2 table —
+        # manifest-planned, field-id-resolved read — plus the
+        # manifest-level file-prune counts a bbox query gets before any
+        # footer or even file-listing I/O (at 100 TB, planning cost
+        # scales with files MATCHED, not files stored).
+        from geomesa_sql_spark.io.iceberg import write_geo_iceberg
+        from geomesa_sql_spark.io.iceberg_meta import IcebergTable
+        from geomesa_sql_spark.plan.filter import cell_prune_ranges
+
+        ice_path = f"{IMAGES_CACHE}/iceberg_n{n_images}_s8_p64"
+        if not IcebergTable.is_iceberg_dir(ice_path):
+            write_geo_iceberg(
+                spark.read.parquet(img_path), ice_path, partitions=64
+            )
+        t_ice = IcebergTable.load(ice_path)
+
+        def headline_iceberg():
+            pts = t_ice.read(spark).select("image_id", "lon", "lat")
+            joined = spatial_join(
+                pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+                predicate="intersects", res=6, broadcast=True,
+            )
+            return (
+                assign_tiles(joined, zoom=8)
+                .groupBy("n_nationkey", "tile_x", "tile_y")
+                .count()
+            )
+
+        headline_iceberg().count()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            headline_iceberg().count()
+            best = min(best, time.time() - t0)
+        results["headline_iceberg"] = round(best, 3)
+        res_ice = int(t_ice.metadata["properties"]["geo.cell.res"])
+        _, _, ice_stats = t_ice.plan_files(
+            bounds={
+                "cell": cell_prune_ranges(
+                    -10.005, -10.005, 50.005, 40.005, res_ice
+                )
+            }
+        )
+        results["iceberg_files_total"] = ice_stats["files_total"]
+        results["iceberg_files_kept"] = ice_stats["files_kept"]
+
         # big×big: 2M-point DWithin self-join through the repartition path
         # (auto-broadcast off — the plan shape of a two-large-sides join on
         # a 1000-executor cluster: both sides shuffle on the cell key)
