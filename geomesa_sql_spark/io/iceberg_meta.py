@@ -101,6 +101,13 @@ def _encode_bound(ice_type: str, v, upper: bool = False) -> bytes | None:
 
 def _decode_bound(ice_type: str, b: bytes):
     if ice_type in _NUM_PACK:
+        # bounds recorded BEFORE a type promotion (int→long,
+        # float→double) are 4-byte payloads under an 8-byte current
+        # type — decode at the width the file actually wrote
+        if len(b) == 4 and ice_type == "long":
+            return struct.unpack("<i", b)[0]
+        if len(b) == 4 and ice_type == "double":
+            return struct.unpack("<f", b)[0]
         return struct.unpack(_NUM_PACK[ice_type], b)[0]
     if ice_type == "string":
         return b.decode("utf-8", "replace")
@@ -1076,6 +1083,29 @@ def rename_column(path: str, old: str, new: str) -> IcebergTable:
         if not hits:
             raise ValueError(f"unknown column {old!r}")
         hits[0]["name"] = new
+        return fields, last_col
+
+    return _evolve_schema(path, mutate)
+
+
+def promote_column(path: str, name: str, ice_type: str) -> IcebergTable:
+    """Spec-legal type promotion (int→long, float→double): metadata
+    only — Spark's parquet reader widens old files' physical values to
+    the requested type, and pre-promotion bounds decode at the width
+    the file wrote (_decode_bound)."""
+    legal = {("int", "long"), ("float", "double")}
+
+    def mutate(fields, last_col):
+        hits = [f for f in fields if f["name"] == name]
+        if not hits:
+            raise ValueError(f"unknown column {name!r}")
+        cur = hits[0]["type"]
+        if (cur, ice_type) not in legal:
+            raise ValueError(
+                f"illegal promotion {cur!r} → {ice_type!r}; legal: "
+                f"{sorted(legal)}"
+            )
+        hits[0]["type"] = ice_type
         return fields, last_col
 
     return _evolve_schema(path, mutate)

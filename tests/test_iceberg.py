@@ -597,3 +597,81 @@ def test_engine_iceberg_compact_counts(spark, tmp_path):
     )
     assert eng.compact("tice3", target_files=2) == 2
     assert eng.df("tice3").count() == 200
+
+
+def test_iceberg_promote_column(spark, tmp_path):
+    """int→long / float→double promotion: metadata-only; old 4-byte
+    files widen on read and their recorded bounds still prune."""
+    path = str(tmp_path / "ev6")
+    df = spark.range(0, 100).selectExpr(
+        "cast(id as int) as k", "cast(id as float) as v"
+    )
+    im.create_table(df.repartitionByRange(2, "k"), path)
+    with pytest.raises(ValueError, match="illegal promotion"):
+        im.promote_column(path, "v", "long")
+    im.promote_column(path, "k", "long")
+    im.promote_column(path, "v", "double")
+    t = im.IcebergTable.load(path)
+    got = t.read(spark)
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    assert got.count() == 100
+    # wide appends coexist with narrow files
+    im.append(
+        spark.range(100, 200).selectExpr(
+            "id as k", "cast(id as double) as v"
+        ),
+        path,
+    )
+    t = im.IcebergTable.load(path)
+    assert t.read(spark).agg(F.sum("k")).collect()[0][0] == sum(range(200))
+    # pre-promotion 4-byte bounds decode + prune under the wide type
+    _, _, stats = t.plan_files(bounds={"k": (10, 20)})
+    assert stats["files_kept"] == 1 and stats["files_total"] >= 3
+
+
+def test_streaming_upsert_drains_into_iceberg(spark, sf_dir, tmp_path):
+    """drain_merge_into over an Iceberg-backed Engine table: each
+    micro-batch MERGE commits a real Iceberg snapshot; the final table
+    equals the batch aggregate."""
+    from geomesa_sql_spark.engine import Engine
+    from geomesa_sql_spark.io.dml import IcebergDmlTable
+    from geomesa_sql_spark.streaming import (
+        drain_merge_into,
+        stateful_running_totals,
+    )
+
+    eng = Engine(spark, fid_col="event_type")
+    d = str(tmp_path / "ev")
+    t_path = str(tmp_path / "tot_ice")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(d)
+    empty = spark.createDataFrame(
+        [], "event_type string, total_n long, total_value double"
+    )
+    IcebergDmlTable(spark, t_path, fid_col="event_type").create(empty)
+    eng.register_table("totals_ice", t_path)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = drain_merge_into(
+        stateful_running_totals(stream), eng, "totals_ice", on="event_type"
+    )
+    want = {
+        r.event_type: (r.n, round(r.v, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    res = {
+        r.event_type: (r.total_n, round(r.total_value, 6))
+        for r in got.collect()
+    }
+    assert res == want
+    # one real Iceberg snapshot per non-empty micro-batch + create
+    t = im.IcebergTable.load(t_path)
+    assert len(t.snapshots()) >= 3
