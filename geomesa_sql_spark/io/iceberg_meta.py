@@ -1015,6 +1015,26 @@ def _metadata_only_commit(t: IcebergTable, meta: dict) -> IcebergTable:
     return IcebergTable(t.path, meta, version)
 
 
+def rollback(path: str, snapshot_id=None, as_of_ms=None) -> IcebergTable:
+    """Restore the table to an earlier snapshot (metadata-only: the
+    current-snapshot pointer moves; nothing is deleted, the rolled-past
+    snapshots stay time-travelable until expire_snapshots)."""
+    t = IcebergTable.load(path)
+    snap = t.snapshot(snapshot_id, as_of_ms)
+    cur = t.metadata.get("current-snapshot-id")
+    if snap["snapshot-id"] == cur:
+        return t
+    meta = dict(t.metadata)
+    meta["current-snapshot-id"] = snap["snapshot-id"]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {
+            "snapshot-id": snap["snapshot-id"],
+            "timestamp-ms": int(time.time() * 1000),
+        }
+    ]
+    return _metadata_only_commit(t, meta)
+
+
 def _evolve_schema(path: str, mutate) -> IcebergTable:
     """Metadata-only schema commit: ``mutate(fields, last_column_id)``
     returns the new field list + new last-column-id; the new schema is

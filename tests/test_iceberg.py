@@ -675,3 +675,20 @@ def test_streaming_upsert_drains_into_iceberg(spark, sf_dir, tmp_path):
     # one real Iceberg snapshot per non-empty micro-batch + create
     t = im.IcebergTable.load(t_path)
     assert len(t.snapshots()) >= 3
+
+
+def test_iceberg_rollback(spark, tmp_path):
+    path = str(tmp_path / "rb")
+    im.create_table(_mkdf(spark, 0, 100), path)
+    im.append(_mkdf(spark, 100, 200), path)
+    im.delete_where(spark, path, "k < 150")
+    snaps = im.IcebergTable.load(path).snapshots()
+    assert im.IcebergTable.load(path).read(spark).count() == 50
+    # restore to the post-append snapshot
+    t = im.rollback(path, snapshot_id=snaps[1]["snapshot-id"])
+    assert t.read(spark).count() == 200
+    # nothing deleted: the rolled-past delete stays time-travelable
+    assert t.read(spark, snapshot_id=snaps[2]["snapshot-id"]).count() == 50
+    # new commits build on the restored state
+    im.append(_mkdf(spark, 200, 210), path)
+    assert im.IcebergTable.load(path).read(spark).count() == 210
