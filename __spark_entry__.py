@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql.window import Window  # noqa: E402
 
@@ -1088,6 +1090,17 @@ def q_resize(spark, sf_dir):
     return rs.unionByName(gt).unionByName(rend)
 
 
+# S2 gate leg: a vector derived RATIONALLY from the row (no trig), so
+# every step from xyz to the curve position is IEEE-exact in both
+# engines — division/sqrt/floor are correctly rounded, and the Hilbert
+# descent is integer. The c component is an odd numerator over 17, so
+# the vector is never all-zero. Same text evaluated by Spark (F.expr)
+# and DuckDB (oracle CTE).
+S2_A_SQL = "lon / 180.0"
+S2_B_SQL = "lat / 90.0"
+S2_C_SQL = "CAST((o_orderkey % 19) * 2 - 17 AS DOUBLE) / 17.0"
+
+
 def q_tile_hilbert(spark, sf_dir):
     """Hilbert tile ids. Oracle-gated since round 2: the xy2d rotate
     loop is unrolled into chained CTEs of integer CASE/bitwise SQL
@@ -1098,10 +1111,37 @@ def q_tile_hilbert(spark, sf_dir):
     equality proves the inverse relationally; the tile lon/lat
     envelope (pure Column arithmetic) is gated against the oracle's
     closed forms, with per-tile closed-envelope containment of every
-    member point asserted on the Spark side."""
+    member point asserted on the Spark side.
+
+    r4 adds the S2 leg (cells/s2.py — the north rule's named H3/S2
+    index): per point, a trig-free rational vector (S2_A/B/C_SQL) maps
+    through cube-face selection, the quadratic ST projection and the
+    30-level Hilbert descent to the canonical S2 leaf id; face and
+    61-bit position are XOR-folded per tile. The oracle replays the
+    WHOLE pipeline from the primitive 4×4 traversal tables
+    (_s2_leaf_sql) — face CASE, uv ratios, sqrt ST, floor ij, 30
+    unrolled descent stages — so the S2 curve itself is relationally
+    verified on live data, the same standard the zoom-6 Hilbert gate
+    set."""
+    from geomesa_sql_spark.cells import s2 as s2mod
     from geomesa_sql_spark.tiles import assign_tiles, invert_tiles, tile_envelope
 
-    pts = orders_points(spark, sf_dir)
+    @F.pandas_udf("long")
+    def _s2leaf(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            s2mod.xyz_to_leaf_id(
+                a.to_numpy(np.float64), b.to_numpy(np.float64), c.to_numpy(np.float64)
+            )
+        )
+
+    pts = (
+        orders_points(spark, sf_dir)
+        .withColumn(
+            "s2id", _s2leaf(F.expr(S2_A_SQL), F.expr(S2_B_SQL), F.expr(S2_C_SQL))
+        )
+        .withColumn("s2f", F.expr("shiftrightunsigned(s2id, 61)"))
+        .withColumn("s2p", F.expr("s2id & 2305843009213693951"))
+    )
     t = tile_envelope(assign_tiles(pts, zoom=6, with_hilbert=True), 6)
     agg = t.groupBy("tile_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1109,6 +1149,8 @@ def q_tile_hilbert(spark, sf_dir):
             (F.col("lon") >= F.col("tminx")) & (F.col("lon") <= F.col("tmaxx"))
             & (F.col("lat") >= F.col("tminy")) & (F.col("lat") <= F.col("tmaxy"))
         ).alias("contained"),
+        F.expr("bit_xor(s2f)").alias("s2fx"),
+        F.expr("bit_xor(s2p)").alias("s2px"),
     )
     inv = tile_envelope(invert_tiles(agg, 6, out=("ix", "iy")), 6, x="ix", y="iy")
     return inv.select(
@@ -1117,7 +1159,7 @@ def q_tile_hilbert(spark, sf_dir):
         F.round("tminy", 6).alias("tminy_r"),
         F.round("tmaxx", 6).alias("tmaxx_r"),
         F.round("tmaxy", 6).alias("tmaxy_r"),
-        "contained",
+        "contained", "s2fx", "s2px",
     )
 
 
@@ -1795,12 +1837,84 @@ def _oracles() -> dict[str, str]:
     }
 
 
+def _s2_leaf_sql(opts: str) -> str:
+    """DuckDB replay of the FULL S2 leaf-id pipeline (cells/s2.py) for
+    the rational gate vector (S2_A/B/C_SQL): cube-face CASE → per-face
+    uv ratios → quadratic-ST sqrt → floor ij → the 30-level Hilbert
+    descent unrolled into chained stages driven by the PRIMITIVE 4×4
+    traversal tables (_POS_TO_IJ/_POS_TO_ORIENT — the same single
+    source the engine's lookup tables are built from). Emits per-row
+    (…input columns…, s2_face, s2_pos) where s2_pos is the 61-bit
+    position word (pos<<1 | 1) — faces 4-5 would push the full id
+    negative, so face and position gate as separate BIGINTs."""
+    from geomesa_sql_spark.cells.s2 import _POS_TO_IJ, _POS_TO_ORIENT
+
+    # invert the traversal table: orientation × (ibit*2+jbit) → pos
+    ij2pos = [[0] * 4 for _ in range(4)]
+    for o in range(4):
+        for pos in range(4):
+            ij2pos[o][_POS_TO_IJ[o][pos]] = pos
+    st = (
+        "GREATEST(0, LEAST(1073741823, CAST(FLOOR((CASE WHEN {c} >= 0.0 "
+        "THEN 0.5 * sqrt(1.0 + 3.0 * {c}) "
+        "ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {c}) END) * 1073741824.0) AS BIGINT)))"
+    )
+    u_case = (
+        "CASE face WHEN 0 THEN sb / sa WHEN 1 THEN -sa / sb WHEN 2 THEN -sa / sc "
+        "WHEN 3 THEN sc / sa WHEN 4 THEN sc / sb ELSE -sb / sc END"
+    )
+    v_case = (
+        "CASE face WHEN 0 THEN sc / sa WHEN 1 THEN sc / sb WHEN 2 THEN -sb / sc "
+        "WHEN 3 THEN sb / sa WHEN 4 THEN -sa / sb ELSE -sa / sc END"
+    )
+    stages = [
+        f"sb0 AS (SELECT *, {S2_A_SQL} AS sa, {S2_B_SQL} AS sb, {S2_C_SQL} AS sc "
+        f"FROM ({opts}))",
+        "sf0 AS (SELECT *, "
+        "CASE WHEN abs(sa) > abs(sb) AND abs(sa) > abs(sc) THEN "
+        "(CASE WHEN sa < 0.0 THEN 3 ELSE 0 END) "
+        "WHEN abs(sb) > abs(sc) THEN (CASE WHEN sb < 0.0 THEN 4 ELSE 1 END) "
+        "ELSE (CASE WHEN sc < 0.0 THEN 5 ELSE 2 END) END AS face FROM sb0)",
+        f"sij AS (SELECT *, {st.format(c=u_case)} AS si, {st.format(c=v_case)} AS sj "
+        "FROM sf0)",
+        "w0 AS (SELECT *, CAST(face & 1 AS BIGINT) AS o0, CAST(0 AS BIGINT) AS n0 "
+        "FROM sij)",
+    ]
+    for k in range(29, -1, -1):
+        i, j = 29 - k, 30 - k
+        pos_arms = " ".join(
+            f"WHEN {o * 4 + ij} THEN {ij2pos[o][ij]}"
+            for o in range(4)
+            for ij in range(4)
+        )
+        orient_arms = " ".join(
+            f"WHEN {p} THEN xor(o{i}, {_POS_TO_ORIENT[p]})"
+            for p in range(4)
+            if _POS_TO_ORIENT[p]
+        )
+        stages.append(
+            f"w{j} AS (SELECT *, "
+            f"CASE o{i} * 4 + (((si >> {k}) & 1) * 2 + ((sj >> {k}) & 1)) "
+            f"{pos_arms} END AS p{j}, "
+            f"n{i} * 4 + p{j} AS n{j}, "
+            f"CASE p{j} {orient_arms} ELSE o{i} END AS o{j} FROM w{i})"
+        )
+    return (
+        ", ".join(stages)
+        + ", s2done AS (SELECT *, CAST(face AS BIGINT) AS s2_face, "
+        "n30 * 2 + 1 AS s2_pos FROM w30)"
+    )
+
+
 def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
     """Exact relational oracle for the Hilbert tile ids: the standard
     rotate-and-accumulate xy2d loop (cells/curve.py:89-116) UNROLLED
     into ``zoom`` chained CTE steps of pure integer CASE/bitwise SQL.
     Each step uses fresh column names (x0,y0,d0 → x1,y1,d1 → ...) so
-    DuckDB's lateral column aliasing can never bind to the new value."""
+    DuckDB's lateral column aliasing can never bind to the new value.
+    r4: the base relation first runs the S2 leaf pipeline
+    (_s2_leaf_sql) and the h-steps carry (s2_face, s2_pos) through to
+    per-tile XOR folds, gating the S2 curve alongside the zoom grid."""
     n = 1 << zoom
     # ox/oy carry the ORIGINAL grid coords through the rotate steps
     # (the loop destroys x/y): the final select emits them as the
@@ -1812,9 +1926,10 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
         f"h0 AS (SELECT "
         f"{xexpr} AS x0, {yexpr} AS y0, "
         f"{xexpr} AS ox, {yexpr} AS oy, "
-        f"CAST(0 AS BIGINT) AS d0 FROM ({opts}))"
+        f"s2_face, s2_pos, "
+        f"CAST(0 AS BIGINT) AS d0 FROM s2done)"
     )
-    steps = [base]
+    steps = [_s2_leaf_sql(opts), base]
     for k in range(zoom):
         s = 1 << (zoom - 1 - k)
         i, j = k, k + 1
@@ -1834,7 +1949,7 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
         )
         steps.append(
             f"h{j} AS (SELECT d{i} + {s * s} * ({term}) AS d{j}, "
-            f"{new_x} AS x{j}, {new_y} AS y{j}, ox, oy FROM h{i})"
+            f"{new_x} AS x{j}, {new_y} AS y{j}, ox, oy, s2_face, s2_pos FROM h{i})"
         )
     return (
         "WITH " + ", ".join(steps)
@@ -1848,7 +1963,8 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
         # closed-envelope containment always holds under FLOOR
         # assignment with edge clamping (lat = -90 clamps into row
         # n-1, whose closed envelope still contains it)
-        f"TRUE AS contained "
+        f"TRUE AS contained, "
+        f"bit_xor(s2_face) AS s2fx, bit_xor(s2_pos) AS s2px "
         f"FROM h{zoom} GROUP BY 1"
     )
 

@@ -10,3 +10,4 @@ from geomesa_sql_spark.cells.curve import (  # noqa: F401
     morton_encode,
     xy_to_lonlat,
 )
+from geomesa_sql_spark.cells import s2  # noqa: F401

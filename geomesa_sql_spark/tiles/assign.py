@@ -275,3 +275,66 @@ def tile_envelope(
         .withColumn(f"{prefix}miny", 90.0 - (F.col(y) + 1) * (180.0 / n))
         .withColumn(f"{prefix}maxy", 90.0 - F.col(y) * (180.0 / n))
     )
+
+
+def assign_s2_cells(
+    df: DataFrame,
+    level: int,
+    x: str = "lon",
+    y: str = "lat",
+    out: str = "s2_cell",
+) -> DataFrame:
+    """Add the canonical S2 cell id (cells/s2.py) at ``level``.
+
+    The S2 grid is the north rule's named "H3/S2 index": the
+    quadrilateralized-cube Hilbert layout, whose cells are near-equal
+    area on the SPHERE (the equirect Z grid's cells shrink by cos(lat)
+    toward the poles), so range-partitioning imagery by s2_cell keeps
+    per-partition ground coverage uniform at any latitude — the right
+    layout key for polar/global datasets.
+
+    Encoding needs the table-driven Hilbert walk, so this is an
+    Arrow-batched pandas UDF, NOT Column arithmetic. Per the engine's
+    join-key rule (Catalyst double-evaluates UDF join keys through its
+    inferred not-null constraint), do not feed ``out`` straight into a
+    join key: materialize first (localCheckpoint / write) — the
+    intended use is layout (repartitionByRange / writer sort),
+    pruning (s2_range_predicate) and rollups, where the column is
+    evaluated exactly once anyway."""
+    from geomesa_sql_spark.cells import s2 as _s2
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        return pd.Series(
+            _s2.lonlat_to_cell_id(
+                lons.to_numpy(np.float64), lats.to_numpy(np.float64), level
+            )
+        )
+
+    return df.withColumn(out, _enc(x, y))
+
+
+def s2_range_predicate(
+    col: str,
+    minlon: float,
+    minlat: float,
+    maxlon: float,
+    maxlat: float,
+    max_cells: int = 64,
+):
+    """Sargable bbox predicate over an S2 cell column: OR of BETWEEN
+    ranges from the adaptive covering (cells/s2.cover_rect_ranges).
+    Plain comparisons on an int64 column, so parquet/Iceberg min-max
+    stats prune row groups/files when the data is s2-clustered —
+    exactly how the engine's Z ``cell`` column prunes, but on the
+    spherical grid. NOTE: S2 ids of faces 4-5 are NEGATIVE int64s
+    (two's complement); ranges never straddle the sign flip because a
+    cell's children share its face bits, so BETWEEN stays correct."""
+    from geomesa_sql_spark.cells import s2 as _s2
+
+    ranges = _s2.cover_rect_ranges(minlon, minlat, maxlon, maxlat, max_cells)
+    pred = None
+    for lo, hi in ranges:
+        p = F.col(col).between(F.lit(int(lo)), F.lit(int(hi)))
+        pred = p if pred is None else pred | p
+    return pred if pred is not None else F.lit(False)
