@@ -600,15 +600,18 @@ def q_knn(spark, sf_dir):
 
 
 def q_tile_assign(spark, sf_dir):
-    """Tile assignment (raster↔vector handoff), zoom 6, with rollup."""
-    from geomesa_sql_spark.tiles import assign_tiles
+    """Tile assignment (raster↔vector handoff), zoom 6, with rollup —
+    r4: routed through the from-scratch MVT vector-tile codec
+    (io/mvt.py, ops/vector_tiles.py): points are quantized to
+    tile-local pixels, encoded as real Mapbox Vector Tile protobuf
+    blobs (one per tile), then DECODED back; n_rows/spx/spy come from
+    the decoded command stream, so the oracle's FLOOR-law replay gates
+    tile assignment AND the protobuf/zigzag/varint round trip
+    relationally."""
+    from geomesa_sql_spark.ops import mvt_stats, render_mvt
 
     pts = orders_points(spark, sf_dir)
-    return (
-        assign_tiles(pts, zoom=6, with_hilbert=False)
-        .groupBy("tile_x", "tile_y")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
+    return mvt_stats(render_mvt(pts, zoom=6, extent=4096))
 
 
 def q_tile_pyramid(spark, sf_dir):
@@ -1457,10 +1460,21 @@ def _oracles() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) FROM t6 GROUP BY 2, 3
         """,
         "tile_assign": f"""
-            SELECT GREATEST(0, LEAST(63, CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT))) AS tile_x,
-                   GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - lat) / 180.0 * 64) AS BIGINT))) AS tile_y,
-                   COUNT(*) AS n_rows
-            FROM ({opts}) GROUP BY 1, 2
+            -- r4: the Spark side now routes through the MVT vector-tile
+            -- codec (render_mvt -> mvt_stats): spx/spy are sums of pixel
+            -- coords DECODED from the protobuf command stream, so hash
+            -- equality proves encode . decode == the FLOOR quantization
+            -- closed form replayed here (spans 5.625 / 2.8125 are exact
+            -- binary doubles; op order mirrored in ops/vector_tiles.py)
+            SELECT tile_x, tile_y, COUNT(*) AS n_rows,
+                   CAST(SUM(GREATEST(0, LEAST(4095, CAST(FLOOR((lon - (tile_x * 5.625 - 180.0)) / 5.625 * 4096.0) AS BIGINT)))) AS BIGINT) AS spx,
+                   CAST(SUM(GREATEST(0, LEAST(4095, CAST(FLOOR(((90.0 - tile_y * 2.8125) - lat) / 2.8125 * 4096.0) AS BIGINT)))) AS BIGINT) AS spy
+            FROM (
+                SELECT lon, lat,
+                       GREATEST(0, LEAST(63, CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT))) AS tile_x,
+                       GREATEST(0, LEAST(63, CAST(FLOOR((90.0 - lat) / 180.0 * 64) AS BIGINT))) AS tile_y
+                FROM ({opts})
+            ) GROUP BY 1, 2
         """,
         "sql_st_intersects": f"""
             SELECT o_orderkey FROM ({opts}) WHERE {_penta_halfplane_sql()}

@@ -46,3 +46,7 @@ from geomesa_sql_spark.ops.raster import (  # noqa: F401
     render_pyramid,
     render_tiles,
 )
+from geomesa_sql_spark.ops.vector_tiles import (  # noqa: F401
+    mvt_stats,
+    render_mvt,
+)

@@ -159,6 +159,13 @@ def _mutations(rng, blob, rounds):
         ).encode_mjpeg_avi(
             [encode_jpeg(_rand_img(rng, 17), quality=80) for _ in range(2)], 8, 8
         )),
+        ("mvt", lambda b: __import__(
+            "geomesa_sql_spark.io.mvt", fromlist=["decode_tile"]
+        ).decode_tile(b), lambda rng: __import__(
+            "geomesa_sql_spark.io.mvt", fromlist=["encode_point_layer"]
+        ).encode_point_layer(
+            "p", rng.integers(0, 4096, 40), rng.integers(0, 4096, 40),
+            ids=np.arange(40))),
     ],
 )
 def test_codec_robustness_law(name, decode, build):

@@ -1,0 +1,175 @@
+"""MVT codec (io/mvt.py) + vector-tile ops (ops/vector_tiles.py).
+
+The encode∘decode identity over the live quantization law is ALSO
+hash-gated in the driver contract (tile_assign routes through
+render_mvt → mvt_stats against DuckDB's FLOOR replay); these tests pin
+the codec surface the gate can't see: geometry command semantics,
+ring orientation, typed properties, the bulk varint encoder, and the
+per-tile Spark plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_sql_spark.io import mvt
+
+
+def test_varints_bulk_matches_scalar():
+    rng = np.random.default_rng(4)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 128, 50),
+            rng.integers(128, 1 << 20, 50),
+            rng.integers(0, 1 << 62, 50),
+            np.array([0, 1, 127, 128, (1 << 64) - 1], dtype=np.uint64).astype(np.int64),
+        ]
+    ).astype(np.uint64)
+    bulk = mvt.varints(vals)
+    scalar = b"".join(mvt._varint(int(v)) for v in vals)
+    assert bulk == scalar
+    # and they parse back
+    r = mvt._Reader(bulk)
+    got = [r.varint() for _ in range(len(vals))]
+    assert got == [int(v) for v in vals]
+
+
+def test_zigzag_roundtrip():
+    v = np.array([0, -1, 1, -2, 2, 2**62, -(2**62)], dtype=np.int64)
+    z = mvt.zigzag(v)
+    back = np.array([mvt._unzigzag(int(u)) for u in z])
+    assert (back == v).all()
+
+
+def test_point_layer_roundtrip_with_ids():
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 4096, 200)
+    py = rng.integers(0, 4096, 200)
+    blob = mvt.encode_point_layer("pts", px, py, ids=np.arange(200), extent=4096)
+    t = mvt.decode_tile(blob)
+    fs = t["pts"]["features"]
+    assert t["pts"]["version"] == 2 and t["pts"]["extent"] == 4096
+    got = np.array([f["parts"][0][0] for f in fs])
+    assert (got[:, 0] == px).all() and (got[:, 1] == py).all()
+    assert [f["id"] for f in fs] == list(range(200))
+    assert all(f["type"] == mvt.GEOM_POINT for f in fs)
+
+
+def test_polygon_orientation_and_props():
+    ext = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]])
+    hole = np.array([[20, 20], [20, 40], [40, 40], [40, 20], [20, 20]])
+    feats = [
+        {
+            "id": 7,
+            "type": mvt.GEOM_POLYGON,
+            "parts": [ext, hole],
+            "props": {"name": "sq", "area": 9600.0, "rank": -3, "ok": True},
+        }
+    ]
+    t = mvt.decode_tile(mvt.encode_tile({"geo": feats}, extent=512))
+    f = t["geo"]["features"][0]
+    assert f["props"] == {"name": "sq", "area": 9600.0, "rank": -3, "ok": True}
+    r0, r1 = f["parts"]
+    # rings decode closed; spec orientation: exterior CW (positive
+    # screen area), interior CCW
+    assert (r0[0] == r0[-1]).all() and (r1[0] == r1[-1]).all()
+    assert mvt._ring_signed_area2(r0[:-1]) > 0
+    assert mvt._ring_signed_area2(r1[:-1]) < 0
+    # same vertex sets as the inputs
+    assert set(map(tuple, r0[:-1])) == set(map(tuple, ext[:-1]))
+    assert set(map(tuple, r1[:-1])) == set(map(tuple, hole[:-1]))
+
+
+def test_linestring_and_multipoint():
+    line = np.array([[5, 5], [50, 60], [80, 10]])
+    feats = [
+        {"id": 1, "type": mvt.GEOM_LINESTRING, "parts": [line], "props": {"n": 1}},
+        {"id": 2, "type": mvt.GEOM_POINT, "parts": [np.array([[7, 8], [9, 10]])],
+         "props": {}},
+    ]
+    t = mvt.decode_tile(mvt.encode_tile({"v": feats}))
+    ln = t["v"]["features"][0]["parts"][0]
+    assert (ln == line).all()
+    mp = t["v"]["features"][1]["parts"]
+    assert [tuple(p[0]) for p in mp] == [(7, 8), (9, 10)]
+
+
+def test_value_dedup_across_features():
+    feats = [
+        {"id": i, "type": mvt.GEOM_POINT, "parts": [np.array([[i, i]])],
+         "props": {"cls": "road"}}
+        for i in range(50)
+    ]
+    blob = mvt.encode_tile({"l": feats})
+    # the shared "road" value must be stored once, not 50 times
+    assert blob.count(b"road") == 1
+    t = mvt.decode_tile(blob)
+    assert all(f["props"] == {"cls": "road"} for f in t["l"]["features"])
+
+
+def test_malformed_rejection():
+    blob = mvt.encode_point_layer("p", np.array([1, 2]), np.array([3, 4]))
+    for bad in [blob[:-3], b"\x1a\x05xxx", bytes([0x1a, 200]), blob + b"\xff"]:
+        with pytest.raises(ValueError):
+            mvt.decode_tile(bad)
+
+
+def test_geometry_param_bomb_rejected():
+    # MoveTo with a huge count but no parameters must raise, not hang
+    words = mvt.varints(np.array([mvt._cmd(mvt.CMD_MOVE, 1 << 40)], dtype=np.uint64))
+    fb = mvt._varint_field(3, mvt.GEOM_POINT) + mvt._len_field(4, words)
+    layer = (
+        mvt._varint_field(15, 2)
+        + mvt._len_field(1, b"l")
+        + mvt._len_field(2, fb)
+        + mvt._varint_field(5, 4096)
+    )
+    with pytest.raises(ValueError, match="truncated geometry"):
+        mvt.decode_tile(mvt._len_field(3, layer))
+
+
+def test_render_mvt_spark_pipeline(spark):
+    from geomesa_sql_spark.ops import mvt_stats, render_mvt
+
+    df = spark.range(0, 3000).selectExpr(
+        "id",
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat",
+    )
+    tiles = render_mvt(df, zoom=4, extent=256, id_col="id")
+    pt = tiles.toPandas()
+    assert pt["n_features"].sum() == 3000
+    assert (pt["tile_x"] < 16).all() and (pt["tile_y"] < 16).all()
+    # every blob is a valid standalone tile whose ids partition range(3000)
+    seen = set()
+    for blob in pt["mvt"]:
+        t = mvt.decode_tile(bytes(blob))
+        for f in t["points"]["features"]:
+            seen.add(f["id"])
+    assert seen == set(range(3000))
+    # stats equal a plain quantization rollup computed in Spark SQL
+    st = mvt_stats(tiles).toPandas().sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    n = 16
+    spanx, spany, ext = 360.0 / n, 180.0 / n, 256
+    want = (
+        df.selectExpr(
+            f"GREATEST(0, LEAST({n-1}, CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT))) AS tile_x",
+            f"GREATEST(0, LEAST({n-1}, CAST(FLOOR((90.0 - lat) / 180.0 * {n}) AS BIGINT))) AS tile_y",
+            "lon", "lat",
+        )
+        .selectExpr(
+            "tile_x", "tile_y",
+            f"GREATEST(0, LEAST({ext-1}, CAST(FLOOR((lon - (tile_x * {spanx} - 180.0)) / {spanx} * {float(ext)}) AS BIGINT))) AS px",
+            f"GREATEST(0, LEAST({ext-1}, CAST(FLOOR(((90.0 - tile_y * {spany}) - lat) / {spany} * {float(ext)}) AS BIGINT))) AS py",
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("px").alias("spx"),
+            F.sum("py").alias("spy"),
+        )
+        .toPandas()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    assert (st[["tile_x", "tile_y", "n_rows", "spx", "spy"]].to_numpy()
+            == want.to_numpy()).all()
