@@ -732,6 +732,9 @@ def _commit(
     now_ms = int(time.time() * 1000)
     snapshot = {
         "snapshot-id": snapshot_id,
+        # spec-standard lineage pointer (history/ancestry inspection
+        # and rollback audits walk it)
+        "parent-snapshot-id": (prev_meta or {}).get("current-snapshot-id"),
         "timestamp-ms": now_ms,
         "sequence-number": seq,
         "summary": {"operation": operation},

@@ -1,0 +1,182 @@
+"""Iceberg Python Data Source (io/iceberg_stream.py): native batch
+reads with manifest-level filter pushdown, incremental append-scan
+streaming, and the metadata inspection tables."""
+
+import shutil
+
+import pytest
+from pyspark.sql.datasource import GreaterThan, In
+
+from geomesa_sql_spark.io import iceberg_meta as im
+from geomesa_sql_spark.io.iceberg_stream import (
+    IcebergBatchReader,
+    files_df,
+    history_df,
+    manifests_df,
+    register_iceberg_source,
+    snapshots_df,
+)
+
+
+def _mk(spark, a, b):
+    return spark.range(a, b).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "CAST(id AS STRING) AS s"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "ice")
+    shutil.rmtree(path, ignore_errors=True)
+    im.create_table(_mk(spark, 0, 100), path)
+    im.append(_mk(spark, 100, 180), path)
+    register_iceberg_source(spark)
+    return path
+
+
+def test_batch_read_matches_table(spark, table):
+    df = spark.read.format("geomesa_iceberg").load(table)
+    assert df.count() == 180
+    assert set(df.columns) == {"id", "v", "s"}
+    want = im.IcebergTable.load(table).read(spark).toPandas()
+    got = df.toPandas()
+    assert sorted(got["id"]) == sorted(want["id"])
+
+
+def test_filter_pushdown_prunes_files(spark, table):
+    r = IcebergBatchReader(table, {})
+    n_all = len(r.partitions())
+    list(r.pushFilters([GreaterThan(("id",), 150)]))
+    assert len(r.partitions()) < n_all
+    # IN-list pruning
+    r2 = IcebergBatchReader(table, {})
+    list(r2.pushFilters([In(("id",), (3, 5))]))
+    assert len(r2.partitions()) < n_all
+    # and the pruned plan still returns exact results (residual
+    # re-evaluation by Spark — pruning is conservative)
+    got = spark.read.format("geomesa_iceberg").load(table).filter("id > 150")
+    assert got.count() == 29
+    assert got.selectExpr("min(id)").collect()[0][0] == 151
+
+
+def test_batch_read_respects_snapshot_option(spark, table):
+    sid = snapshots_df(spark, table).orderBy("sequence_number").collect()[0]
+    df = (
+        spark.read.format("geomesa_iceberg")
+        .option("snapshot_id", int(sid.snapshot_id))
+        .load(table)
+    )
+    assert df.count() == 100
+
+
+def test_mor_deletes_raise_in_batch_source(spark, table):
+    t = im.IcebergTable.load(table)
+    data, _, _ = t.plan_files()
+    im.add_position_deletes(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(data[0]["path"], 0)], "file_path string, pos long"
+        ),
+    )
+    with pytest.raises(Exception, match="merge-on-read|MoR|compact"):
+        spark.read.format("geomesa_iceberg").load(table).count()
+
+
+def test_metadata_tables(spark, table):
+    sn = snapshots_df(spark, table).toPandas()
+    assert list(sn["operation"]) == ["append", "append"]
+    assert list(sn["sequence_number"]) == [1, 2]
+    assert sn["parent_id"].iloc[1] == sn["snapshot_id"].iloc[0]
+    h = history_df(spark, table)
+    assert h.filter("is_current_ancestor").count() == 2
+    f = files_df(spark, table).toPandas()
+    assert (f["content"] == 0).all() and f["record_count"].sum() == 180
+    m = manifests_df(spark, table)
+    assert m.count() == 2
+
+
+def test_stream_reads_all_then_increments(spark, table):
+    q = (
+        spark.readStream.format("geomesa_iceberg")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("ice_all")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) c from ice_all").collect()[0].c == 180
+
+    im.append(_mk(spark, 180, 220), table)
+    q2 = (
+        spark.readStream.format("geomesa_iceberg")
+        .option("starting_seq", 2)
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("ice_inc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    inc = spark.sql("select * from ice_inc").toPandas()
+    assert len(inc) == 40 and inc["id"].min() == 180
+
+
+def test_stream_starting_snapshot_id(spark, table):
+    first = snapshots_df(spark, table).orderBy("sequence_number").collect()[0]
+    q = (
+        spark.readStream.format("geomesa_iceberg")
+        .option("starting_snapshot_id", int(first.snapshot_id))
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("ice_from_snap")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ice_from_snap").toPandas()
+    assert len(got) == 80 and got["id"].min() == 100
+
+
+def test_stream_non_append_raises(spark, table):
+    im.delete_where(spark, table, "id < 10")
+    q = (
+        spark.readStream.format("geomesa_iceberg")
+        .option("starting_seq", 2)
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("ice_bad")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="appends only"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_stream_schema_evolution_field_ids(spark, tmp_path):
+    """Files written before a rename stream into the renamed column."""
+    path = str(tmp_path / "ice_evolve")
+    im.create_table(_mk(spark, 0, 50), path)
+    im.rename_column(path, "v", "value")
+    im.append(
+        spark.range(50, 80).selectExpr(
+            "id", "CAST(id * 2 AS DOUBLE) AS value", "CAST(id AS STRING) AS s"
+        ),
+        path,
+    )
+    register_iceberg_source(spark)
+    q = (
+        spark.readStream.format("geomesa_iceberg")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("ice_evo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ice_evo").toPandas()
+    assert len(got) == 80 and "value" in got.columns
+    assert (got["value"] == got["id"] * 2.0).all()
