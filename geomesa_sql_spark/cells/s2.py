@@ -568,8 +568,13 @@ def cover_rect_ranges(
     order = np.argsort(lo)
     lo, hi = lo[order], hi[order]
     merged: list[tuple[int, int]] = []
+    wall = 1 << 63  # int64 sign flip: faces 3|4 are uint64-adjacent,
+    # but a merged range straddling the wall breaks signed BETWEEN
+    # predicates over the id column — never merge across it
     for a, b in zip(lo.tolist(), hi.tolist()):
-        if merged and a <= merged[-1][1] + 1:
+        if merged and a <= merged[-1][1] + 1 and not (
+            merged[-1][1] < wall <= b
+        ):
             merged[-1] = (merged[-1][0], max(merged[-1][1], b))
         else:
             merged.append((a, b))

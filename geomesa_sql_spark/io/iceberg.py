@@ -83,41 +83,61 @@ def write_geo_iceberg(
     y: str = "lat",
     res: int = 12,
     partitions: int | None = None,
+    cell_system: str = "z",
 ):
     """Cell-clustered Iceberg table: the GeoMesa-Z-index analog of
     ``io/layout.write_geo_table``, persisted as a real Iceberg v2
     table.
 
-    The Z-order ``cell`` column is added JVM-side, files are
-    range-partitioned + sorted by it, so every data file gets a TIGHT
-    ``cell`` range in its manifest entry — a bbox query then prunes at
-    the MANIFEST level (``read_geo_iceberg``), before any file footer
-    (or even file listing) is touched. At 100 TB that means a spatial
-    query's planning cost scales with files *matched*, not files
-    *stored*; row-group pruning inside the surviving files still
-    applies via the same sorted ``cell`` parquet stats. The layout res
-    rides in table properties (the Iceberg home of `_GEO_META.json`).
-    """
+    The cell column is added, files are range-partitioned + sorted by
+    it, so every data file gets a TIGHT cell range in its manifest
+    entry — a bbox query then prunes at the MANIFEST level
+    (``read_geo_iceberg``), before any file footer (or even file
+    listing) is touched. At 100 TB that means a spatial query's
+    planning cost scales with files *matched*, not files *stored*;
+    row-group pruning inside the surviving files still applies via the
+    same sorted cell parquet stats. Layout metadata rides in table
+    properties (the Iceberg home of `_GEO_META.json`).
+
+    ``cell_system``: ``"z"`` (default) — the equirect Z-order ``cell``
+    column, added JVM-side (cells/column.py); ``"s2"`` — the canonical
+    S2 grid (cells/s2.py) at level ``res``, sphere-uniform cell areas
+    (the right layout for polar/global imagery; Arrow-batched encode —
+    a LAYOUT column evaluated once at write, so the UDF-join-key rule
+    doesn't bite)."""
     from geomesa_sql_spark.io import iceberg_meta
     from geomesa_sql_spark.io.layout import add_cell
 
-    if "cell" in df.columns:
+    cell_col = "cell" if cell_system == "z" else "s2_cell"
+    if cell_col in df.columns:
         raise ValueError(
-            "df already carries a 'cell' column — drop it and let "
+            f"df already carries a {cell_col!r} column — drop it and let "
             "write_geo_iceberg encode at `res` (same rule as "
             "write_geo_table, review r3b)"
         )
-    out = add_cell(df, x, y, res)
+    if cell_system == "z":
+        out = add_cell(df, x, y, res)
+    elif cell_system == "s2":
+        from geomesa_sql_spark.tiles import assign_s2_cells
+
+        out = assign_s2_cells(df, level=res, x=x, y=y, out="s2_cell")
+    else:
+        raise ValueError(f"unknown cell_system {cell_system!r} (z|s2)")
     n = partitions or out.sparkSession.sparkContext.defaultParallelism
     from pyspark.sql import functions as F
 
-    clustered = out.repartitionByRange(n, F.col("cell")).sortWithinPartitions(
-        "cell"
-    )
+    clustered = out.repartitionByRange(
+        n, F.col(cell_col)
+    ).sortWithinPartitions(cell_col)
     return iceberg_meta.create_table(
         clustered,
         path,
-        properties={"geo.cell.res": str(res), "geo.x": x, "geo.y": y},
+        properties={
+            "geo.cell.res": str(res),
+            "geo.x": x,
+            "geo.y": y,
+            "geo.cell.system": cell_system,
+        },
     )
 
 
@@ -150,9 +170,16 @@ def read_geo_iceberg(
     res = int(props["geo.cell.res"])
     x, y = props.get("geo.x", "lon"), props.get("geo.y", "lat")
     minx, miny, maxx, maxy = bbox
-    ranges = cell_prune_ranges(minx, miny, maxx, maxy, res)
-    df = t.read(spark, bounds={"cell": ranges}, **kwargs)
-    df = df.filter(_ranges_predicate("cell", ranges))
+    if props.get("geo.cell.system", "z") == "s2":
+        from geomesa_sql_spark.cells import s2 as _s2
+
+        ranges = _s2.cover_rect_ranges(minx, miny, maxx, maxy, max_cells=64)
+        cell_col = "s2_cell"
+    else:
+        ranges = cell_prune_ranges(minx, miny, maxx, maxy, res)
+        cell_col = "cell"
+    df = t.read(spark, bounds={cell_col: ranges}, **kwargs)
+    df = df.filter(_ranges_predicate(cell_col, ranges))
     if exact:
         df = df.filter(
             (F.col(x) >= minx) & (F.col(x) <= maxx)

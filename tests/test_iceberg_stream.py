@@ -180,3 +180,39 @@ def test_stream_schema_evolution_field_ids(spark, tmp_path):
     got = spark.sql("select * from ice_evo").toPandas()
     assert len(got) == 80 and "value" in got.columns
     assert (got["value"] == got["id"] * 2.0).all()
+
+
+def test_geo_iceberg_s2_layout(spark, tmp_path):
+    """S2 x Iceberg: the sphere-uniform layout — s2-clustered files
+    get tight s2_cell bounds in manifests, a bbox read prunes at the
+    manifest level via cover_rect_ranges and matches a plain filter."""
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.cells import s2 as s2m
+    from geomesa_sql_spark.io.iceberg import (
+        read_geo_iceberg,
+        write_geo_iceberg,
+    )
+
+    path = str(tmp_path / "s2g")
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 17000) / 100.0 - 85.0).alias("lat"),
+    )
+    write_geo_iceberg(df, path, res=10, partitions=16, cell_system="s2")
+    bbox = (20.0, 10.0, 40.0, 30.0)
+    t = im.IcebergTable.load(path)
+    assert t.metadata["properties"]["geo.cell.system"] == "s2"
+    ranges = s2m.cover_rect_ranges(*bbox, max_cells=64)
+    # no merged range may straddle the int64 sign wall (faces 3|4 are
+    # uint64-adjacent; BETWEEN over signed ids would break)
+    assert all((lo >= 0) == (hi >= 0) for lo, hi in ranges)
+    _, _, stats = t.plan_files(bounds={"s2_cell": ranges})
+    assert stats["files_total"] == 16 and stats["files_kept"] < 16
+    got = read_geo_iceberg(spark, path, bbox=bbox).toPandas()
+    want = df.filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+    ).toPandas()
+    assert sorted(got["k"]) == sorted(want["k"]) and len(got) > 0
