@@ -1772,3 +1772,50 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series(out, dtype=object)
 
     spark.udf.register("ST_Snap", _snap)
+
+    # ----- S2 cell surface (cells/s2.py — the north rule's H3/S2
+    # index, exposed to SQL text like the rest of the fun=spatial
+    # names; BigQuery/DuckDB-spatial use the same S2_* convention)
+    @F.pandas_udf(T.LongType())
+    def _s2_cellid(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.cells import s2 as _s2
+
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        lv = level.to_numpy()
+        bad = pd.isna(lon) | pd.isna(lat) | pd.isna(level)
+        # levels are near-always a constant literal: one vectorized
+        # call per distinct level in the batch
+        out = np.zeros(len(lo), dtype=np.int64)
+        for l_ in np.unique(lv[~bad.to_numpy()]):
+            m = (lv == l_) & ~bad.to_numpy()
+            out[m] = _s2.lonlat_to_cell_id(lo[m], la[m], int(l_))
+        res = pd.Series(out).astype("Int64")
+        res[bad.to_numpy()] = None
+        return res
+
+    spark.udf.register("S2_CellId", _s2_cellid)
+
+    @F.pandas_udf(T.StringType())
+    def _s2_token(cid: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.cells import s2 as _s2
+
+        bad = pd.isna(cid)
+        vals = cid.fillna(1).to_numpy(np.int64)
+        out = pd.Series(_s2.token(vals), dtype=object)
+        out[bad.to_numpy()] = None
+        return out
+
+    spark.udf.register("S2_Token", _s2_token)
+
+    @F.pandas_udf(T.IntegerType())
+    def _s2_level(cid: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.cells import s2 as _s2
+
+        bad = pd.isna(cid)
+        vals = cid.fillna(1 << 60).to_numpy(np.int64)
+        out = pd.Series(_s2.cell_level(vals)).astype("Int32")
+        out[bad.to_numpy()] = None
+        return out
+
+    spark.udf.register("S2_Level", _s2_level)

@@ -26,6 +26,16 @@ def server(spark, sf_dir):
 
     eng = Engine(spark, fid_col="n_nationkey")
     eng.register_table("nation_q", f"{sf_dir}/nation.parquet")
+    # a lon/lat point table for the /tiles MVT endpoint
+    import tempfile
+
+    pts_dir = tempfile.mkdtemp(prefix="qs_pts_") + "/pts.parquet"
+    spark.range(0, 2000).selectExpr(
+        "id",
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat",
+    ).write.mode("overwrite").parquet(pts_dir)
+    eng.register_table("pts_q", pts_dir)
     srv = serve(eng, port=0, token="sekrit")
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
@@ -148,3 +158,49 @@ def test_non_ascii_auth_header_gets_401(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 401
+
+
+def test_mvt_tile_endpoint(server, spark):
+    """GET /tiles/z/x/y.mvt returns a real vector tile whose decoded
+    feature count equals the tile's row count, served with the MVT
+    content type; bad coords/tables get structured errors."""
+    import urllib.request
+
+    from geomesa_sql_spark.io.mvt import decode_tile
+
+    def get(path):
+        req = urllib.request.Request(
+            f"{server}{path}", headers={"Authorization": "Bearer sekrit"}
+        )
+        return urllib.request.urlopen(req)
+
+    # zoom 2 tile (2,1): lon in [0,90), lat in [0,45] (equirect grid)
+    with get("/tiles/2/2/1.mvt?table=pts_q") as resp:
+        assert resp.headers["Content-Type"] == "application/vnd.mapbox-vector-tile"
+        tile = decode_tile(resp.read())
+    feats = tile["points"]["features"]
+    # oracle: recompute the tile membership from the same laws
+    cnt = (
+        spark.range(0, 2000)
+        .selectExpr(
+            "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+            "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat",
+        )
+        .filter("lon >= 0.0 AND lon < 90.0 AND lat > 0.0 AND lat <= 45.0")
+        .count()
+    )
+    assert len(feats) == cnt > 0
+    assert all(
+        0 <= f["parts"][0][0][0] < 4096 and 0 <= f["parts"][0][0][1] < 4096
+        for f in feats
+    )
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get("/tiles/2/9/0.mvt?table=pts_q").read()
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get("/tiles/2/1/1.mvt?table=nope").read()
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get("/tiles/2/1/1.mvt?table=pts_q&extent=zap").read()
+    assert e.value.code == 400

@@ -230,3 +230,27 @@ def test_assign_s2_cells_and_range_predicate(spark):
     ).toPandas()
     assert set(inside["id"]).issubset(set(got["id"]))
     assert len(got) < 4 * max(1, len(inside))  # coarse covering ring
+
+
+def test_s2_sql_functions(spark):
+    """S2_CellId / S2_Token / S2_Level registered alongside the ST_*
+    surface (BigQuery/DuckDB-spatial naming convention)."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        """SELECT S2_CellId(12.3D, 45.6D, 12) AS c,
+                  S2_Token(S2_CellId(12.3D, 45.6D, 12)) AS t,
+                  S2_Level(S2_CellId(12.3D, 45.6D, 12)) AS l,
+                  S2_CellId(CAST(NULL AS DOUBLE), 1.0D, 12) AS nl"""
+    ).first()
+    assert r.c == int(s2.lonlat_to_cell_id([12.3], [45.6], 12)[0])
+    assert r.l == 12 and r.nl is None and 1 <= len(r.t) <= 16
+    # mixed levels in one batch take the per-distinct-level path
+    got = spark.sql(
+        """SELECT id, S2_CellId(1.0D, 2.0D, CAST(id % 3 + 4 AS INT)) AS c
+           FROM range(30)"""
+    ).toPandas()
+    for lvl in (4, 5, 6):
+        want = int(s2.lonlat_to_cell_id([1.0], [2.0], lvl)[0])
+        assert (got[got["id"] % 3 == lvl - 4]["c"] == want).all()

@@ -42,6 +42,7 @@ import itertools
 import json
 import math
 import os
+import re
 import sys
 import threading
 import time
@@ -52,6 +53,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_MAX_ROWS = 1000
 HARD_MAX_ROWS = 100_000
+# /tiles endpoint: slippy path + per-tile feature cap (a vector tile
+# past ~100k points is unrenderable anyway; pre-render a pyramid)
+_TILE_RE = re.compile(r"^/tiles/(\d{1,2})/(\d+)/(\d+)\.mvt$")
+MAX_TILE_FEATURES = 100_000
 
 # Engine.sql's routed-join views are uuid-suffixed (safe concurrently),
 # but CTE routing registers transient views under the USER'S cte names
@@ -139,11 +144,94 @@ def make_handler(engine, token: str | None):
             self._send(401, {"error": "missing or bad bearer token"})
             return False
 
+        def _send_mvt(self, blob: bytes) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "application/vnd.mapbox-vector-tile")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def _tile(self, url) -> None:
+            """GET /tiles/{z}/{x}/{y}.mvt?table=T[&x=lon&y=lat]
+            [&extent=4096] — one Mapbox Vector Tile rendered on demand
+            from a registered table (the engine's equirect XYZ grid,
+            tiles/assign.py laws). The tile filter is a sargable
+            lon/lat range (parquet/Iceberg pushdown applies); only the
+            single tile's quantized int coords reach the driver,
+            capped at MAX_TILE_FEATURES (413 beyond — pre-render a
+            pyramid with ops.render_mvt for dense zoom levels)."""
+            m = _TILE_RE.match(url.path)
+            q = parse_qs(url.query)
+            name = (q.get("table") or [""])[0]
+            xcol = (q.get("x") or ["lon"])[0]
+            ycol = (q.get("y") or ["lat"])[0]
+            try:
+                extent = int((q.get("extent") or ["4096"])[0])
+            except ValueError:
+                self._send(400, {"error": "extent must be an integer"})
+                return
+            z, tx, ty = (int(m.group(i)) for i in (1, 2, 3))
+            n = 1 << z
+            if not (0 <= tx < n and 0 <= ty < n) or not (1 <= extent <= 65536):
+                self._send(400, {"error": "tile coords/extent out of range"})
+                return
+            try:
+                df = engine.df(name)
+            except Exception as ex:
+                self._send(404, {"error": f"{type(ex).__name__}: {ex}"})
+                return
+            spanx, spany = 360.0 / n, 180.0 / n
+            tminx = tx * spanx - 180.0
+            tmaxy = 90.0 - ty * spany
+            try:
+                from pyspark.sql import functions as F
+
+                sub = df.filter(
+                    (F.col(xcol) >= tminx) & (F.col(xcol) < tminx + spanx)
+                    & (F.col(ycol) > tmaxy - spany) & (F.col(ycol) <= tmaxy)
+                ).select(
+                    F.least(
+                        F.greatest(
+                            F.floor((F.col(xcol) - tminx) / spanx * extent), F.lit(0)
+                        ),
+                        F.lit(extent - 1),
+                    ).alias("px"),
+                    F.least(
+                        F.greatest(
+                            F.floor((tmaxy - F.col(ycol)) / spany * extent), F.lit(0)
+                        ),
+                        F.lit(extent - 1),
+                    ).alias("py"),
+                ).limit(MAX_TILE_FEATURES + 1)
+                pdf = sub.toPandas()
+            except Exception as ex:
+                self._send(400, {"error": f"{type(ex).__name__}: {ex}"})
+                return
+            if len(pdf) > MAX_TILE_FEATURES:
+                self._send(
+                    413,
+                    {"error": f"tile exceeds {MAX_TILE_FEATURES} features; "
+                              "pre-render with ops.render_mvt"},
+                )
+                return
+            from geomesa_sql_spark.io.mvt import encode_point_layer
+
+            self._send_mvt(
+                encode_point_layer(
+                    "points",
+                    pdf["px"].to_numpy("int64"),
+                    pdf["py"].to_numpy("int64"),
+                    extent=extent,
+                )
+            )
+
         def do_GET(self):  # noqa: N802 (stdlib handler API)
             if not self._authed():
                 return
             url = urlparse(self.path)
-            if url.path == "/tables":
+            if _TILE_RE.match(url.path):
+                self._tile(url)
+            elif url.path == "/tables":
                 self._send(200, {"tables": engine.tables()})
             elif url.path == "/schema":
                 q = parse_qs(url.query)
