@@ -247,6 +247,48 @@ def main() -> int:
         plan,
     ))
 
+    # 10. vector tiles: quantization is whole-stage-codegen arithmetic,
+    # ONE exchange on the tile key, and the only Python stage is the
+    # per-tile MVT encode; payload bytes are born in the last stage
+    from geomesa_sql_spark.ops import render_mvt
+
+    mv = render_mvt(pts2, zoom=5, extent=4096)
+    plan = _fmt(mv)
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1, plan
+    assert body.count("FlatMapGroupsInPandas") == 1, plan
+    assert "ArrowEvalPython" not in body, plan
+    sections.append((
+        "Vector tiles (render_mvt)",
+        "Pixel quantization shares assign_tiles' FLOOR Column laws "
+        "(whole-stage codegen), exactly one exchange keyed on the tile, "
+        "and the single Python stage is the per-tile protobuf encode — "
+        "the MVT blob is born in the last stage, so payload bytes never "
+        "ride a shuffle.",
+        plan,
+    ))
+
+    # 11. S2 layout encode: one Arrow stage, NO shuffle of its own —
+    # the column is a layout key (repartitionByRange/write sort), never
+    # a raw join key (UDF-join-key rule)
+    from geomesa_sql_spark.tiles import assign_s2_cells
+
+    s2df = assign_s2_cells(pts2, level=12)
+    plan = _fmt(s2df)
+    body = plan.split("\n\n")[0]
+    assert body.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in body, plan
+    sections.append((
+        "S2 cell encode (assign_s2_cells)",
+        "The canonical S2 id needs the table-driven Hilbert walk, so "
+        "encode is ONE Arrow-batched Python stage and nothing else — no "
+        "exchange is introduced; downstream layout writers "
+        "(write_geo_iceberg cell_system='s2') range-partition on the "
+        "materialized column, so it is evaluated exactly once and never "
+        "used as a raw UDF join key.",
+        plan,
+    ))
+
     out = REPO / "BENCH" / "PLANS.md"
     lines = [
         "# Plan audit — explain('formatted') of the plans that matter at 100 TB",
