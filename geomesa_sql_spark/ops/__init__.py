@@ -49,4 +49,5 @@ from geomesa_sql_spark.ops.raster import (  # noqa: F401
 from geomesa_sql_spark.ops.vector_tiles import (  # noqa: F401
     mvt_stats,
     render_mvt,
+    render_mvt_wkb,
 )

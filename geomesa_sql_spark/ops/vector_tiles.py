@@ -115,3 +115,124 @@ def mvt_stats(tiles: DataFrame, layer: str = "points") -> DataFrame:
             )
 
     return tiles.mapInPandas(_dec, "tile_x long, tile_y long, n_rows long, spx long, spy long")
+
+
+def render_mvt_wkb(
+    df: DataFrame,
+    zoom: int,
+    wkb: str = "geom",
+    id_col: str | None = None,
+    extent: int = 4096,
+    layer: str = "shapes",
+    max_tiles_per_row: int = 4096,
+) -> DataFrame:
+    """Geometry (WKB) → MVT: one tile per (geometry, covered tile).
+
+    Scale shape mirrors raster_tiles: envelopes come from ONE Arrow
+    stage and the tile fan-out is JVM ``sequence``+``explode`` on the
+    shared FLOOR law; one shuffle groups per tile and the single
+    Python stage decodes + quantizes + encodes. Unlike the point path,
+    the WKB column DOES ride that shuffle, duplicated once per
+    covering tile — inherent to whole-geometry encoding (every tile
+    needs the coords), bounded by ``max_tiles_per_row``; a geometry
+    covering more raises (``raise_error`` in the plan — silently
+    capping would drop tiles; such a geometry belongs at a coarser
+    zoom). Geometries are encoded WHOLE per covering tile with
+    tile-local coordinates (legally outside [0, extent) — renderers
+    clip; the MVT producer-clipping tradeoff, documented in
+    io/mvt.py)."""
+    from geomesa_sql_spark.geom.wkb import geom_from_wkb
+    from geomesa_sql_spark.tiles.assign import lat_tile_col, lon_tile_col
+
+    n = 1 << zoom
+    spanx, spany = 360.0 / n, 180.0 / n
+
+    @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+    def _env(wb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in wb:
+            if b is None:
+                rows.append((None, None, None, None))
+                continue
+            try:
+                rows.append(geom_from_wkb(bytes(b)).envelope())
+            except Exception:
+                rows.append((None, None, None, None))
+        out = pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+        return out
+
+    keep = [wkb] + ([id_col] if id_col else [])
+    env = df.select(*keep, _env(wkb).alias("_e")).select(
+        *keep, "_e.minx", "_e.miny", "_e.maxx", "_e.maxy"
+    )
+    fan = (
+        env.where(F.col("minx").isNotNull())
+        .withColumn("_tx0", lon_tile_col("minx", n))
+        .withColumn("_tx1", lon_tile_col("maxx", n))
+        .withColumn("_ty0", lat_tile_col("maxy", n))
+        .withColumn("_ty1", lat_tile_col("miny", n))
+        # the cap check must gate a column the plan actually CONSUMES
+        # (an unused check column gets pruned by Catalyst and the
+        # raise_error never evaluates): fold it into the sequence's
+        # upper bound
+        .withColumn(
+            "_tx1",
+            F.when(
+                (F.col("_tx1") - F.col("_tx0") + 1)
+                * (F.col("_ty1") - F.col("_ty0") + 1)
+                > max_tiles_per_row,
+                F.raise_error(F.lit(
+                    f"geometry covers more than {max_tiles_per_row} tiles "
+                    f"at zoom {zoom}; render at a coarser zoom"
+                )).cast("long"),
+            ).otherwise(F.col("_tx1")),
+        )
+        .withColumn("tile_x", F.explode(F.sequence("_tx0", "_tx1")))
+        .withColumn("tile_y", F.explode(F.sequence("_ty0", "_ty1")))
+        .drop("_tx0", "_tx1", "_ty0", "_ty1", "minx", "miny", "maxx", "maxy")
+    )
+
+    schema = "tile_x long, tile_y long, n_features long, mvt binary"
+
+    def _encode(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        tminx = tx * spanx - 180.0
+        tmaxy = 90.0 - ty * spany
+        feats = []
+        ids = pdf[id_col] if id_col else None
+        for i, b in enumerate(pdf[wkb]):
+            if b is None:
+                continue
+            try:
+                g = geom_from_wkb(bytes(b))
+            except Exception:
+                continue
+            for part in g.flatten():
+                if part.type == "Point":
+                    gtype, parts = mvt.GEOM_POINT, [part.coords.reshape(1, 2)]
+                elif part.type == "LineString":
+                    if len(part.coords) < 2:
+                        continue
+                    gtype, parts = mvt.GEOM_LINESTRING, [part.coords]
+                else:  # Polygon
+                    gtype, parts = mvt.GEOM_POLYGON, list(part.coords)
+                q = [
+                    np.column_stack([
+                        np.floor((p[:, 0] - tminx) / spanx * extent),
+                        np.floor((tmaxy - p[:, 1]) / spany * extent),
+                    ]).astype(np.int64)
+                    for p in parts
+                ]
+                feats.append({
+                    "id": int(ids.iloc[i]) if ids is not None else None,
+                    "type": gtype,
+                    "parts": q,
+                    "props": {},
+                })
+        blob = mvt.encode_tile({layer: feats}, extent=extent)
+        return pd.DataFrame(
+            {"tile_x": [tx], "tile_y": [ty],
+             "n_features": [len(feats)], "mvt": [blob]}
+        )
+
+    return fan.groupBy("tile_x", "tile_y").applyInPandas(_encode, schema)

@@ -173,3 +173,72 @@ def test_render_mvt_spark_pipeline(spark):
     )
     assert (st[["tile_x", "tile_y", "n_rows", "spx", "spy"]].to_numpy()
             == want.to_numpy()).all()
+
+
+def test_render_mvt_wkb_polygons(spark):
+    """WKB polygons fan out to every covered tile; each tile's decoded
+    geometry carries tile-local coords (possibly outside the extent —
+    whole-geometry encoding), orientation spec-valid, ids preserved."""
+    import pandas as pd
+
+    from geomesa_sql_spark.geom.model import box
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+    from geomesa_sql_spark.ops import render_mvt_wkb
+
+    # zoom 3: 45°x22.5° tiles. A square spanning 2x2 tiles + a tiny one.
+    rows = [
+        (1, geom_to_wkb(box(10.0, 10.0, 50.0, 30.0))),   # crosses 45° lon and 22.5° lat
+        (2, geom_to_wkb(box(-3.0, -3.0, -1.0, -1.0))),   # single tile
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["gid", "geom"]), "gid long, geom binary"
+    )
+    tiles = render_mvt_wkb(df, zoom=3, wkb="geom", id_col="gid").toPandas()
+    # geometry 1 covers tiles x in {4,5}, y in {2,3} per the FLOOR law;
+    # geometry 2 covers exactly (3, 4)
+    got = {(r.tile_x, r.tile_y) for r in tiles.itertuples()}
+    assert got == {(4, 2), (4, 3), (5, 2), (5, 3), (3, 4)}, got
+    for r in tiles.itertuples():
+        t = mvt.decode_tile(bytes(r.mvt))
+        feats = t["shapes"]["features"]
+        assert r.n_features == len(feats) == 1
+        f = feats[0]
+        assert f["type"] == mvt.GEOM_POLYGON
+        ring = f["parts"][0]
+        assert (ring[0] == ring[-1]).all()
+        assert mvt._ring_signed_area2(ring[:-1]) > 0  # exterior CW
+        if (r.tile_x, r.tile_y) == (3, 4):
+            assert f["id"] == 2
+            # fully inside: all coords within the extent
+            assert (ring >= 0).all() and (ring < 4096).all()
+        else:
+            assert f["id"] == 1
+    # width in pixels across the whole geometry: 40° of lon at 45°/tile
+    # and 4096 px/tile → ~3641 px; check via the (4,2) tile's x-range
+    r42 = next(r for r in tiles.itertuples() if (r.tile_x, r.tile_y) == (4, 2))
+    ring = mvt.decode_tile(bytes(r42.mvt))["shapes"]["features"][0]["parts"][0]
+    xs = ring[:, 0]
+    # tile (4,2) spans lon [0,45): same FLOOR law as the encoder
+    import math
+
+    want = math.floor(50.0 / 45.0 * 4096) - math.floor(10.0 / 45.0 * 4096)
+    assert xs.max() - xs.min() == want
+    assert xs.max() >= 4096  # whole-geometry encoding exceeds the tile
+
+
+def test_render_mvt_wkb_oversize_raises(spark):
+    import pandas as pd
+
+    from geomesa_sql_spark.geom.model import box
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+    from geomesa_sql_spark.ops import render_mvt_wkb
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, geom_to_wkb(box(-170.0, -80.0, 170.0, 80.0)))],
+            columns=["gid", "geom"],
+        ),
+        "gid long, geom binary",
+    )
+    with pytest.raises(Exception, match="coarser zoom"):
+        render_mvt_wkb(df, zoom=6, wkb="geom", max_tiles_per_row=16).count()
