@@ -16,7 +16,9 @@ Three surfaces over the pure-Python Iceberg layer (io/iceberg_meta.py):
    - streaming: ``spark.readStream.format("geomesa_iceberg")`` is an
      incremental APPEND scan: offsets are Iceberg sequence numbers,
      each micro-batch reads exactly the data files added by snapshots
-     in (start, end] (path-diff of the two snapshots' manifests), one
+     in (start, end] — planned from only the manifests those snapshots
+     ADDED (entry provenance), so per-batch metadata cost is O(files
+     added), with a full path-diff fallback for foreign writers — one
      InputPartition per file, executor-side pyarrow reads yielding
      Arrow batches (no row-at-a-time Python). Non-append snapshots
      (delete/overwrite/replace) in the range raise, matching Iceberg's
@@ -113,46 +115,63 @@ class _FilePartition(InputPartition):
 # ------------------------------------------------------------------- batch
 
 
-def _bounds_from_filters(filters, fields: list[dict]):
-    """Supported comparison filters → plan_files ``bounds`` ranges.
-    Conservative: unsupported shapes are ignored here (Spark
-    re-evaluates everything anyway)."""
-    names = {f["name"] for f in fields}
-    bounds: dict[str, list] = {}
+_NUMERIC_ICE = {"int", "long", "float", "double"}
 
-    def add(col, lo, hi):
-        bounds.setdefault(col, []).append((lo, hi))
+
+def _bounds_from_filters(filters, fields: list[dict]):
+    """Supported comparison filters -> (plan_files ``bounds``, empty).
+
+    Semantics (review r4l -- the naive max(lo)/min(hi) fold inverted
+    mixed IN+range filters into a range that PRUNED matching files):
+    per column, point sets (=, IN) and range bounds (>, >=, <, <=) are
+    ANDed properly -- points get clipped by the range; an empty
+    intersection returns ``empty=True`` (zero partitions), never an
+    inverted range. Only NUMERIC columns with numeric literals
+    participate: file bounds decode to the column's type, so the
+    +/-inf sentinels and cross-type comparisons would raise on
+    str/date columns -- those filters are simply not pushed (Spark
+    re-evaluates every filter anyway; pruning here is a pure fast
+    path)."""
+    types = {f["name"]: f["type"] for f in fields}
+    pts: dict[str, set] = {}
+    los: dict[str, object] = {}
+    his: dict[str, object] = {}
+
+    def _num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
 
     for flt in filters:
         try:
             col = flt.attribute[0] if len(flt.attribute) == 1 else None
         except Exception:
             col = None
-        if col is None or col not in names:
+        if col is None or types.get(col) not in _NUMERIC_ICE:
             continue
-        if isinstance(flt, EqualTo):
-            add(col, flt.value, flt.value)
-        elif isinstance(flt, In):
-            for v in flt.value:
-                add(col, v, v)
-        elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
-            add(col, flt.value, float("inf"))
-        elif isinstance(flt, (LessThan, LessThanOrEqual)):
-            add(col, float("-inf"), flt.value)
-    # intersect multiple ranges per column into one envelope per filter
-    # set; plan_files treats a LIST as OR, so collapse ANDed
-    # single-ranges into their intersection
-    out = {}
-    for col, ranges in bounds.items():
-        if len(ranges) == 1:
-            out[col] = ranges[0]
-        elif all(r[0] == r[1] for r in ranges) and len(set(ranges)) > 1:
-            out[col] = ranges  # IN-list: OR of point ranges
+        if isinstance(flt, EqualTo) and _num(flt.value):
+            pts.setdefault(col, set()).add(flt.value)
+        elif isinstance(flt, In) and all(_num(v) for v in flt.value):
+            s = set(flt.value)
+            # ANDed IN lists intersect
+            pts[col] = pts[col] & s if col in pts else s
+        elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)) and _num(flt.value):
+            los[col] = max(los.get(col, flt.value), flt.value)
+        elif isinstance(flt, (LessThan, LessThanOrEqual)) and _num(flt.value):
+            his[col] = min(his.get(col, flt.value), flt.value)
+
+    out: dict[str, object] = {}
+    for col in set(pts) | set(los) | set(his):
+        lo = los.get(col, float("-inf"))
+        hi = his.get(col, float("inf"))
+        if col in pts:
+            alive = sorted(v for v in pts[col] if lo <= v <= hi)
+            if not alive:
+                return {}, True
+            out[col] = [(v, v) for v in alive]
         else:
-            lo = max(r[0] for r in ranges)
-            hi = min(r[1] for r in ranges)
+            if lo > hi:
+                return {}, True
             out[col] = (lo, hi)
-    return out
+    return out, False
 
 
 class IcebergBatchReader(DataSourceReader):
@@ -162,15 +181,21 @@ class IcebergBatchReader(DataSourceReader):
         if self.snapshot_id is not None:
             self.snapshot_id = int(self.snapshot_id)
         self._bounds = None
+        self._empty = False
         self.fields = self.table.schema_fields()
 
     def pushFilters(self, filters):
-        self._bounds = _bounds_from_filters(filters, self.fields) or None
+        self._bounds, self._empty = _bounds_from_filters(filters, self.fields)
+        self._bounds = self._bounds or None
         # conservative stats pruning: every filter still re-applied by
         # Spark, so yield them all back as unhandled
         yield from filters
 
     def partitions(self):
+        if self._empty:
+            # provably-empty filter intersection (e.g. x IN (1) AND
+            # x > 5): one no-op partition, no metadata decode
+            return [_FilePartition(None, self.fields)]
         data, deletes, _ = self.table.plan_files(
             snapshot_id=self.snapshot_id, bounds=self._bounds
         )
@@ -180,9 +205,13 @@ class IcebergBatchReader(DataSourceReader):
                 "delete files; read via iceberg_meta.IcebergTable.read "
                 "(distributed MoR) or compact() first"
             )
+        if not data:
+            return [_FilePartition(None, self.fields)]
         return [_FilePartition(d["path"], self.fields) for d in data]
 
     def read(self, partition: _FilePartition):
+        if partition.path is None:
+            return
         yield from _read_file_by_field_id(partition.path, partition.fields)
 
 
@@ -199,6 +228,41 @@ def _ordered_snapshots(t: IcebergTable) -> list[dict]:
 def _files_at(t: IcebergTable, snapshot_id) -> set[str]:
     data, _, _ = t.plan_files(snapshot_id=snapshot_id)
     return {d["path"] for d in data}
+
+
+def _added_files(t: IcebergTable, snap: dict) -> list[str] | None:
+    """Data files ADDED by one snapshot, reading only the manifests
+    that snapshot added (entry status==1 + matching snapshot ids) —
+    per-batch cost O(files added), not O(files stored) (review r4l:
+    the path-diff fallback decodes every manifest of two full
+    snapshots). Returns None when provenance fields are missing
+    (foreign writers) so the caller can fall back to the path diff."""
+    from geomesa_sql_spark.io.avro import read_avro
+    from geomesa_sql_spark.io.iceberg_meta import _manifest_entries, _read
+
+    sid = snap["snapshot-id"]
+    _, manifests, _ = read_avro(_read(snap["manifest-list"]))
+    added: list[str] = []
+    saw_provenance = False
+    for m in manifests:
+        if m.get("added_snapshot_id") is None:
+            return None
+        if m["added_snapshot_id"] != sid:
+            continue
+        saw_provenance = True
+        for e in _manifest_entries(m["manifest_path"]):
+            if e["status"] != 1 or e["data_file"].get("content", 0) != 0:
+                continue
+            esid = e.get("snapshot_id")
+            if esid in (None, sid):
+                added.append(e["data_file"]["file_path"])
+    if not saw_provenance and manifests:
+        # an append snapshot that added no new manifest is legal only
+        # for empty appends; treat as no files
+        summary = snap.get("summary") or {}
+        if summary.get("added-data-files") not in (None, "0", 0):
+            return None
+    return added
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -233,11 +297,8 @@ class IcebergStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return []
         t = IcebergTable.load(self.path)
-        snaps = [
-            s
-            for s in _ordered_snapshots(t)
-            if lo < s.get("sequence-number", 0) <= hi
-        ]
+        ordered = _ordered_snapshots(t)
+        snaps = [s for s in ordered if lo < s.get("sequence-number", 0) <= hi]
         for s in snaps:
             op = (s.get("summary") or {}).get("operation", "append")
             if op not in ("append",):
@@ -249,15 +310,30 @@ class IcebergStreamReader(DataSourceStreamReader):
                 )
         if not snaps:
             return []
-        # files added in (lo, hi]: path-diff of the two snapshot plans
-        after = _files_at(t, snaps[-1]["snapshot-id"])
-        before_snaps = [
-            s for s in _ordered_snapshots(t) if s.get("sequence-number", 0) <= lo
-        ]
-        before = (
-            _files_at(t, before_snaps[-1]["snapshot-id"]) if before_snaps else set()
-        )
-        added = sorted(after - before)
+        # fast path: read only the manifests each snapshot ADDED —
+        # per-batch metadata cost scales with files added, not stored
+        added: list[str] = []
+        for s in snaps:
+            a = _added_files(t, s)
+            if a is None:
+                # foreign writer without provenance fields: fall back
+                # to the path-diff of the two snapshot plans
+                after = _files_at(t, snaps[-1]["snapshot-id"])
+                before_snaps = [
+                    s2
+                    for s2 in ordered
+                    if s2.get("sequence-number", 0) <= lo
+                ]
+                before = (
+                    _files_at(t, before_snaps[-1]["snapshot-id"])
+                    if before_snaps
+                    else set()
+                )
+                added = sorted(after - before)
+                break
+            added.extend(a)
+        else:
+            added = sorted(set(added))
         return [_FilePartition(p, self.fields) for p in added]
 
     def read(self, partition: _FilePartition):
@@ -387,14 +463,22 @@ def manifests_df(spark: SparkSession, path: str, snapshot_id=None) -> DataFrame:
     snap = t.snapshot(snapshot_id=snapshot_id)
     with open(snap["manifest-list"], "rb") as f:
         _, manifests, _ = read_avro(f.read())
+    def _first(m, *keys):
+        # explicit None check — `or` would turn a legitimate 0 count
+        # into the other key's value / NULL (review r4l)
+        for k in keys:
+            if m.get(k) is not None:
+                return m[k]
+        return None
+
     rows = [
         (
             m["manifest_path"],
             m.get("manifest_length"),
             int(m.get("content", 0)),
             m.get("added_snapshot_id"),
-            m.get("added_files_count") or m.get("added_data_files_count"),
-            m.get("existing_files_count") or m.get("existing_data_files_count"),
+            _first(m, "added_files_count", "added_data_files_count"),
+            _first(m, "existing_files_count", "existing_data_files_count"),
         )
         for m in manifests
     ]

@@ -115,7 +115,13 @@ def _encode_value(v) -> bytes:
     if isinstance(v, (float, np.floating)):
         return _key(3, _I64) + struct.pack("<d", float(v))
     if isinstance(v, bytes):
-        return _len_field(1, v)
+        # MVT 2.1 has no bytes value type; silently stuffing raw bytes
+        # into string_value makes the tile's own decode raise
+        # UnicodeDecodeError (review r4l) — reject loudly instead
+        raise ValueError(
+            "mvt: bytes property values are not representable in MVT 2.1 "
+            "(hex-encode or drop the column)"
+        )
     return _len_field(1, str(v).encode("utf-8"))
 
 
@@ -133,14 +139,17 @@ def _ring_signed_area2(xy: np.ndarray) -> float:
     return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
 
 
-def encode_geometry(geom_type: int, parts: list[np.ndarray]) -> np.ndarray:
+def encode_geometry(geom_type: int, parts) -> np.ndarray:
     """Command-word stream (uint64 array, pre-varint) for one feature.
 
     ``parts``: for POINT one (n,2) array (n>1 = multipoint); for
-    LINESTRING each part a (n,2) path; for POLYGON each part one RING
-    (first = exterior per polygon, spec infers polygon grouping from
-    ring orientation — callers pass rings in [ext, hole..., ext, ...]
-    order and this function enforces CW/CCW)."""
+    LINESTRING each part a (n,2) path; for POLYGON a list of POLYGONS,
+    each a list of rings with ring 0 the exterior (a flat list of
+    arrays is accepted as one polygon). Ring roles are POSITIONAL —
+    the spec's orientation rule (exterior CW in screen coords, holes
+    CCW) is ENFORCED from the structure, never inferred from input
+    winding (review r4l: a hole wound like its exterior must not
+    become a second filled polygon)."""
     words: list[np.ndarray] = []
     cx = cy = 0
     if geom_type == GEOM_POINT:
@@ -149,25 +158,27 @@ def encode_geometry(geom_type: int, parts: list[np.ndarray]) -> np.ndarray:
         words.append(np.array([_cmd(CMD_MOVE, len(pts))], dtype=np.uint64))
         words.append(zigzag(d.ravel()))
         return np.concatenate(words)
-    first_ring = True
-    ext_cw = True
-    for part in parts:
+    if geom_type == GEOM_POLYGON:
+        polygons = (
+            [parts] if parts and isinstance(parts[0], np.ndarray) else parts
+        )
+        ring_iter = [
+            (ring, hole_idx > 0)
+            for poly in polygons
+            for hole_idx, ring in enumerate(poly)
+        ]
+    else:
+        ring_iter = [(p, False) for p in parts]
+    for part, is_hole in ring_iter:
         p = part.astype(np.int64)
         if geom_type == GEOM_POLYGON:
             # drop a duplicated closing vertex; ClosePath implies it
             if len(p) > 1 and (p[0] == p[-1]).all():
                 p = p[:-1]
             area2 = _ring_signed_area2(p)
-            if first_ring:
-                ext_cw = area2 >= 0
-            # exterior rings CW (positive screen area), holes CCW; the
-            # first ring of each polygon is exterior — a ring matching
-            # the exterior orientation starts a new polygon
-            is_ext = (area2 >= 0) == ext_cw
-            want_pos = is_ext
+            want_pos = not is_hole  # exterior CW (positive screen area)
             if (area2 >= 0) != want_pos:
                 p = p[::-1]
-            first_ring = False
         d = np.diff(np.vstack([[[cx, cy]], p]), axis=0)
         words.append(np.array([_cmd(CMD_MOVE, 1)], dtype=np.uint64))
         words.append(zigzag(d[:1].ravel()))
@@ -241,15 +252,26 @@ def encode_point_layer(
     name: str,
     px: np.ndarray,
     py: np.ndarray,
-    ids: np.ndarray | None = None,
+    ids=None,
     extent: int = 4096,
 ) -> bytes:
     """Vectorized fast path: one POINT feature per row. All command
     words for all features are computed in one numpy pass; only the
-    protobuf framing loops per feature."""
+    protobuf framing loops per feature. ``ids`` may carry NULLs
+    (pandas NA / NaN — Arrow delivers NULL longs as float NaN): those
+    features omit the optional id field, per the pd.isna UDF rule."""
     px = np.asarray(px, dtype=np.int64)
     py = np.asarray(py, dtype=np.int64)
     n = len(px)
+    id_mask = None
+    if ids is not None:
+        import pandas as pd
+
+        isna = pd.isna(ids)
+        id_mask = ~np.asarray(isna)
+        ids = np.where(id_mask, np.asarray(pd.Series(ids).fillna(0)), 0).astype(
+            np.int64
+        )
     move = np.uint64(_cmd(CMD_MOVE, 1))
     words = np.empty((n, 3), dtype=np.uint64)
     words[:, 0] = move
@@ -262,7 +284,7 @@ def encode_point_layer(
     for i in range(n):
         geo = varints(words[i])
         fb = bytearray()
-        if ids is not None:
+        if ids is not None and id_mask[i]:
             fb += _varint_field(1, int(ids[i]))
         fb += type_f
         fb += _len_field(4, geo)
@@ -306,10 +328,14 @@ class _Reader:
         if wt == _VARINT:
             self.varint()
         elif wt == _I64:
+            if self.pos + 8 > len(self.b):
+                raise ValueError("mvt: truncated fixed64 field")
             self.pos += 8
         elif wt == _LEN:
             self.bytes_()
         elif wt == _I32:
+            if self.pos + 4 > len(self.b):
+                raise ValueError("mvt: truncated fixed32 field")
             self.pos += 4
         else:
             raise ValueError(f"mvt: unknown wire type {wt}")
@@ -341,7 +367,13 @@ def _decode_value(buf: bytes):
             v = struct.unpack("<d", r.b[r.pos : r.pos + 8])[0]
             r.pos += 8
             return v
-        if f in (4, 5):
+        if f == 4:
+            # int_value is a signed 64-bit varint: reinterpret the
+            # raw two's-complement word (review r4l: -1 decoded as
+            # 2^64-1 from foreign tiles)
+            v = r.varint()
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if f == 5:
             return r.varint()
         if f == 6:
             return _unzigzag(r.varint())

@@ -216,3 +216,111 @@ def test_geo_iceberg_s2_layout(spark, tmp_path):
         & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
     ).toPandas()
     assert sorted(got["k"]) == sorted(want["k"]) and len(got) > 0
+
+
+# ---- review r4l regression tests ----------------------------------
+
+
+def test_mixed_in_and_range_filters_do_not_prune_matches(spark, table):
+    """The naive max(lo)/min(hi) fold turned `x IN (1,10) AND x >= 2`
+    into the inverted range (10, 1) and pruned files containing x=10 —
+    silent data loss (r4l finding)."""
+    got = (
+        spark.read.format("geomesa_iceberg")
+        .load(table)
+        .filter("id IN (1, 150) AND id >= 2")
+        .toPandas()
+    )
+    assert sorted(got["id"]) == [150]
+
+
+def test_bounds_from_filters_semantics():
+    from geomesa_sql_spark.io.iceberg_stream import _bounds_from_filters
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+    )
+
+    fields = [
+        {"name": "x", "type": "long", "id": 1},
+        {"name": "s", "type": "string", "id": 2},
+    ]
+    # IN clipped by range → surviving points only
+    b, empty = _bounds_from_filters(
+        [In(("x",), (1, 150)), GreaterThanOrEqual(("x",), 2)], fields
+    )
+    assert not empty and b == {"x": [(150, 150)]}
+    # empty intersection → empty scan, never an inverted range
+    b, empty = _bounds_from_filters(
+        [In(("x",), (1,)), GreaterThan(("x",), 5)], fields
+    )
+    assert empty
+    b, empty = _bounds_from_filters(
+        [GreaterThan(("x",), 9), LessThan(("x",), 3)], fields
+    )
+    assert empty
+    # string columns never push (inf sentinels / str bounds mismatch)
+    b, empty = _bounds_from_filters([GreaterThan(("s",), "m")], fields)
+    assert not empty and b == {}
+    # range-only AND folds to the intersection
+    b, empty = _bounds_from_filters(
+        [GreaterThan(("x",), 3), LessThan(("x",), 9)], fields
+    )
+    assert b == {"x": (3, 9)} and not empty
+
+
+def test_string_filter_does_not_crash_batch_read(spark, table):
+    got = (
+        spark.read.format("geomesa_iceberg")
+        .load(table)
+        .filter("s > '15'")  # string column: not pushed, re-evaluated
+        .count()
+    )
+    want = (
+        im.IcebergTable.load(table).read(spark).filter("s > '15'").count()
+    )
+    assert got == want
+
+
+def test_empty_intersection_returns_zero_rows(spark, table):
+    got = (
+        spark.read.format("geomesa_iceberg")
+        .load(table)
+        .filter("id IN (5) AND id > 50")
+        .count()
+    )
+    assert got == 0
+
+
+def test_stream_plans_only_added_manifests(spark, table):
+    """The incremental scan must plan from the added-manifest
+    provenance, not a full two-snapshot path diff (r4l finding)."""
+    from geomesa_sql_spark.io.iceberg_stream import _added_files
+
+    t = im.IcebergTable.load(table)
+    snaps = sorted(t.snapshots(), key=lambda s: s["sequence-number"])
+    first, second = snaps
+    a1 = _added_files(t, first)
+    a2 = _added_files(t, second)
+    assert a1 is not None and a2 is not None
+    assert len(a1) > 0 and len(a2) > 0
+    assert not (set(a1) & set(a2))
+    # provenance plan == path-diff plan
+    from geomesa_sql_spark.io.iceberg_stream import _files_at
+
+    diff = _files_at(t, second["snapshot-id"]) - _files_at(
+        t, first["snapshot-id"]
+    )
+    assert set(a2) == diff
+
+
+def test_manifests_df_zero_counts_stay_zero(spark, table):
+    from geomesa_sql_spark.io.iceberg_stream import manifests_df
+
+    m = manifests_df(spark, table).toPandas()
+    # the carried first-snapshot manifest adds 0 files in snapshot 2's
+    # list; a falsy `or` would have reported NULL
+    assert m["added_files"].notna().all()

@@ -242,3 +242,102 @@ def test_render_mvt_wkb_oversize_raises(spark):
     )
     with pytest.raises(Exception, match="coarser zoom"):
         render_mvt_wkb(df, zoom=6, wkb="geom", max_tiles_per_row=16).count()
+
+
+# ---- review r4l regression tests ----------------------------------
+
+
+def test_hole_wound_like_exterior_still_a_hole():
+    """Ring roles are positional: a hole wound the SAME way as its
+    exterior must still encode as a hole (CCW), not a second filled
+    polygon (r4l finding)."""
+    ext_cw = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]])
+    hole_cw = np.array([[20, 20], [40, 20], [40, 40], [20, 40], [20, 20]])
+    # both rings wound the SAME way (the degenerate input the old
+    # winding-inference misread as two exteriors)
+    a_ext = mvt._ring_signed_area2(ext_cw[:-1])
+    a_hole = mvt._ring_signed_area2(hole_cw[:-1])
+    assert (a_ext > 0) == (a_hole > 0)
+    t = mvt.decode_tile(mvt.encode_tile({"g": [
+        {"id": 1, "type": mvt.GEOM_POLYGON,
+         "parts": [[ext_cw, hole_cw]], "props": {}}
+    ]}))
+    r0, r1 = t["g"]["features"][0]["parts"]
+    assert mvt._ring_signed_area2(r0[:-1]) > 0   # exterior stays CW
+    assert mvt._ring_signed_area2(r1[:-1]) < 0   # hole forced CCW
+
+
+def test_multipolygon_nested_parts():
+    p1 = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    p2 = np.array([[50, 50], [60, 50], [60, 60], [50, 60], [50, 50]])
+    t = mvt.decode_tile(mvt.encode_tile({"g": [
+        {"id": 1, "type": mvt.GEOM_POLYGON, "parts": [[p1], [p2]], "props": {}}
+    ]}))
+    rings = t["g"]["features"][0]["parts"]
+    assert len(rings) == 2
+    assert all(mvt._ring_signed_area2(r[:-1]) > 0 for r in rings)
+
+
+def test_negative_int_property_roundtrip():
+    t = mvt.decode_tile(mvt.encode_tile({"g": [
+        {"id": 1, "type": mvt.GEOM_POINT, "parts": [np.array([[1, 1]])],
+         "props": {"neg": -1, "big_neg": -(2**40), "pos": 7}}
+    ]}))
+    assert t["g"]["features"][0]["props"] == {
+        "neg": -1, "big_neg": -(2**40), "pos": 7}
+
+
+def test_bytes_property_rejected():
+    with pytest.raises(ValueError, match="bytes"):
+        mvt.encode_tile({"g": [
+            {"id": 1, "type": mvt.GEOM_POINT, "parts": [np.array([[1, 1]])],
+             "props": {"blob": b"\xff\xfe"}}
+        ]})
+
+
+def test_truncated_fixed_width_field_raises():
+    # a layer with an unknown fixed64 field truncated mid-value
+    inner = mvt._varint_field(15, 2) + mvt._len_field(1, b"l") + mvt._key(
+        20, 1) + b"\x01\x02"  # unknown fixed64 field with only 2 bytes
+    with pytest.raises(ValueError, match="truncated fixed"):
+        mvt.decode_tile(mvt._len_field(3, inner + mvt._varint_field(5, 4096)))
+
+
+def test_null_feature_ids_omitted(spark):
+    """NULL ids (Arrow NaN) must omit the id field, never encode
+    INT64_MIN garbage (r4l finding)."""
+    import pandas as pd
+
+    from geomesa_sql_spark.ops import render_mvt
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": [1.0, None, 3.0],
+                      "lon": [1.0, 2.0, 3.0], "lat": [1.0, 2.0, 3.0]}),
+        "fid long, lon double, lat double",
+    )
+    tiles = render_mvt(df, zoom=2, id_col="fid").toPandas()
+    ids = []
+    for blob in tiles["mvt"]:
+        for f in mvt.decode_tile(bytes(blob))["points"]["features"]:
+            ids.append(f["id"])
+    assert sorted(i for i in ids if i is not None) == [1, 3]
+    assert ids.count(None) == 1
+
+
+def test_render_mvt_group_spans_arrow_batches(spark):
+    """The mapInPandas carry must reassemble a tile whose rows span
+    Arrow batch boundaries (8192-row batches)."""
+    from geomesa_sql_spark.ops import mvt_stats, render_mvt
+
+    # 20k rows all landing in ONE tile, single partition → 3 batches
+    df = spark.range(0, 20000).selectExpr(
+        "id",
+        "10.0 + CAST(id % 100 AS DOUBLE) / 1000.0 AS lon",
+        "10.0 + CAST(id % 77 AS DOUBLE) / 1000.0 AS lat",
+    )
+    tiles = render_mvt(df, zoom=4, id_col="id", partitions=1).toPandas()
+    assert len(tiles) == 1 and tiles["n_features"].iloc[0] == 20000
+    st = mvt_stats(
+        spark.createDataFrame(tiles[["tile_x", "tile_y", "mvt"]])
+    ).toPandas()
+    assert st["n_rows"].iloc[0] == 20000

@@ -256,14 +256,18 @@ def main() -> int:
     plan = _fmt(mv)
     body = plan.split("\n\n")[0]
     assert body.count("Exchange") == 1, plan
-    assert body.count("FlatMapGroupsInPandas") == 1, plan
+    assert body.count("MapInPandas") == 1, plan
+    assert "FlatMapGroupsInPandas" not in body, plan
     assert "ArrowEvalPython" not in body, plan
     sections.append((
         "Vector tiles (render_mvt)",
         "Pixel quantization shares assign_tiles' FLOOR Column laws "
         "(whole-stage codegen), exactly one exchange keyed on the tile, "
-        "and the single Python stage is the per-tile protobuf encode — "
-        "the MVT blob is born in the last stage, so payload bytes never "
+        "and the single Python stage is ONE mapInPandas pass per "
+        "partition walking sorted tile groups with a carry across Arrow "
+        "batches (NOT per-tile applyInPandas — that costs ~2 ms of "
+        "Python dispatch per tile, ~8 s over 4011 tiles at sf0.01). "
+        "The MVT blob is born in the last stage, so payload bytes never "
         "ride a shuffle.",
         plan,
     ))
