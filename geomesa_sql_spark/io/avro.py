@@ -319,10 +319,10 @@ def write_avro(
     head.write(_zigzag(0))
     head.write(sync)
     resolved = _resolve(json.loads(schema_json), {})
-    for start in range(0, max(len(rows), 1), block_rows):
+    # empty row list → header with ZERO blocks (the spec-clean empty
+    # file; a count=0 block trips strict readers — review r4m)
+    for start in range(0, len(rows), block_rows):
         blk = rows[start : start + block_rows]
-        if not blk and rows:
-            break
         body = io.BytesIO()
         for row in blk:
             _encode(body, resolved, row)
@@ -331,6 +331,4 @@ def write_avro(
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             raw = c.compress(raw) + c.flush()
         head.write(_zigzag(len(blk)) + _zigzag(len(raw)) + raw + sync)
-        if not rows:
-            break
     return head.getvalue()

@@ -56,11 +56,26 @@ def read_table(
     otherwise."""
     looks_like_path = "/" in name_or_path
     if not looks_like_path and iceberg_available(spark):
+        if iceberg_kwargs:
+            # spark.read.table cannot honor snapshot_id/as_of_ms/bounds
+            # — silently returning current/full data would make a
+            # time-travel query read the wrong snapshot (review r4m)
+            raise ValueError(
+                "read_table(catalog identifier): "
+                f"{sorted(iceberg_kwargs)} are only supported for "
+                "on-disk Iceberg table dirs; use SQL time-travel "
+                "(VERSION AS OF) through the catalog instead"
+            )
         return spark.read.table(name_or_path)
     from geomesa_sql_spark.io.iceberg_meta import IcebergTable
 
     if IcebergTable.is_iceberg_dir(name_or_path):
         return IcebergTable.load(name_or_path).read(spark, **iceberg_kwargs)
+    if iceberg_kwargs:
+        raise ValueError(
+            f"read_table: {name_or_path!r} is not an Iceberg table dir — "
+            f"{sorted(iceberg_kwargs)} cannot apply to bare parquet"
+        )
     return spark.read.parquet(name_or_path)
 
 

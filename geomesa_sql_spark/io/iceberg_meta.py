@@ -449,15 +449,23 @@ class IcebergTable:
                     raise ValueError(f"unknown column {name!r} in bounds")
                 want[fid_by_name[name]] = rng
 
-        paths = [m["manifest_path"] for m in manifests]
-        if spark is not None and len(paths) > 16:
+        # (path, manifest sequence number) pairs: entries with a null
+        # sequence_number INHERIT the manifest's (spec inheritance —
+        # real writers record null for entries added by the manifest;
+        # review r4m: `or 0` made foreign equality deletes apply to
+        # nothing because every data file decoded as seq=0)
+        pairs = [
+            (m["manifest_path"], m.get("sequence_number") or 0)
+            for m in manifests
+        ]
+        if spark is not None and len(pairs) > 16:
             rows = (
-                spark.sparkContext.parallelize(paths, min(len(paths), 64))
-                .flatMap(_manifest_entries)
+                spark.sparkContext.parallelize(pairs, min(len(pairs), 64))
+                .flatMap(lambda ps: _manifest_entries(ps[0], ps[1]))
                 .collect()
             )
         else:
-            rows = [e for p in paths for e in _manifest_entries(p)]
+            rows = [e for p, ms in pairs for e in _manifest_entries(p, ms)]
 
         data, deletes = [], []
         scanned = kept = 0
@@ -528,10 +536,9 @@ class IcebergTable:
         if not deletes:
             return df
         # attach provenance for merge-on-read delete application
-        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
-        df = df.withColumn("__file", norm).withColumn(
-            "__pos", F.col("_metadata.row_index")
-        )
+        df = df.withColumn(
+            "__file", _norm_file_path(F.col("_metadata.file_path"))
+        ).withColumn("__pos", F.col("_metadata.row_index"))
         seq_df = spark.createDataFrame(
             [(d["path"], d["seq"]) for d in data], "__file string, __seq long"
         )
@@ -541,25 +548,44 @@ class IcebergTable:
         eq_files = [d for d in deletes if d["content"] == 2]
         if pos_files:
             pos = spark.read.parquet(*[d["path"] for d in pos_files]).select(
-                F.regexp_replace("file_path", "^file:/*", "/").alias("__file"),
+                _norm_file_path(F.col("file_path")).alias("__file"),
                 F.col("pos").alias("__pos"),
             )
             df = df.join(pos, ["__file", "__pos"], "left_anti")
         for d in eq_files:
             ids = d["equality_ids"] or []
             sub = [f for f in self.schema_fields() if f["id"] in ids]
+            if not ids or len(sub) != len(set(ids)):
+                # a key column was dropped (or the file declares no
+                # keys): the delete can no longer identify its rows —
+                # reading would silently resurrect deleted data, so
+                # fail loudly (review r4m; compact() folds MoR deletes
+                # in BEFORE dropping their key columns)
+                raise ValueError(
+                    f"equality-delete file {d['path']!r} keys on field "
+                    f"ids {ids}, not all present in the current schema "
+                    "— compact() before dropping equality-delete key "
+                    "columns"
+                )
             names = [f["name"] for f in sub]
             # id-resolved so a delete file written pre-rename still
             # matches the current column names
             eq = self._read_parquet(
                 spark, [d["path"]], fields=sub
             ).dropDuplicates()
-            # equality deletes hit strictly-older data files (spec rule)
-            older = df.filter(F.col("__seq") < F.lit(d["seq"]))
-            newer = df.filter(~(F.col("__seq") < F.lit(d["seq"])))
-            df = older.join(F.broadcast(eq), names, "left_anti").unionByName(
-                newer
+            eq = eq.select(
+                *[F.col(n).alias(f"__eq_{n}") for n in names]
             )
+            # ONE null-safe anti join per delete file: the spec's
+            # strictly-older rule rides in the join condition, so df is
+            # referenced once (review r4m: the old older/newer split +
+            # union embedded the whole prior plan TWICE per delete file
+            # — exponential plan growth, the CLAUDE.md-banned class);
+            # eqNullSafe because Iceberg matches null keys to null
+            cond = F.col("__seq") < F.lit(d["seq"])
+            for n in names:
+                cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
+            df = df.join(F.broadcast(eq), cond, "left_anti")
         return df.drop("__file", "__pos", "__seq")
 
 
@@ -581,9 +607,29 @@ def _read(path: str) -> bytes:
         return f.read()
 
 
-def _manifest_entries(path: str) -> list[dict]:
+def _carried(t: "IcebergTable") -> list:
+    """Current snapshot's manifest-list rows, for carrying through a
+    commit unchanged (one source for the append/MoR-delete verbs)."""
+    return read_avro(_read(t.snapshot()["manifest-list"]))[1]
+
+
+def _norm_file_path(col):
+    """One source of truth for `_metadata.file_path` ↔ manifest path
+    identity (file:/ scheme stripped). read() and delete_where MUST
+    agree on this normalization or MoR anti-joins and CoW hit-file
+    targeting silently diverge (review r4m dedup)."""
+    return F.regexp_replace(col, "^file:/*", "/")
+
+
+def _manifest_entries(path: str, manifest_seq: int | None = None) -> list[dict]:
+    """Decode one manifest. ``manifest_seq`` (the manifest-list row's
+    sequence number) fills entries whose ``sequence_number`` is null —
+    spec inheritance: writers record null for entries the manifest
+    itself added."""
     _, entries, _ = read_avro(_read(path))
     for e in entries:
+        if e.get("sequence_number") is None and manifest_seq is not None:
+            e["sequence_number"] = manifest_seq
         f = e["data_file"]
         f["lower_bounds"] = _as_map(f.get("lower_bounds"))
         f["upper_bounds"] = _as_map(f.get("upper_bounds"))
@@ -841,8 +887,7 @@ def create_table(
 def append(df: DataFrame, path: str) -> IcebergTable:
     """Commit ``df`` as a new snapshot; prior manifests are carried."""
     t = IcebergTable.load(path)
-    snap = t.snapshot()
-    _, carried, _ = read_avro(_read(snap["manifest-list"]))
+    carried = _carried(t)
     schema = t.current_schema()
     names = [f["name"] for f in schema["fields"]]
     if sorted(df.columns) != sorted(names):
@@ -871,7 +916,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> IcebergTable:
         raise ValueError("copy-on-write over merge-on-read deletes: compact first")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     df = t._read_parquet(spark, [f["path"] for f in data]).withColumn(
-        "__file", F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+        "__file", _norm_file_path(F.col("_metadata.file_path"))
     )
     hit_files = [
         r["__file"]
@@ -892,10 +937,43 @@ def delete_where(spark: SparkSession, path: str, predicate) -> IcebergTable:
         else []
     )
     entries = _entries_for(new_files, schema["fields"], status=1)
-    kept = [f["path"] for f in data if f["path"] not in set(hit_files)]
-    entries += _entries_for(kept, schema["fields"], status=0)
+    # untouched manifests carry forward verbatim; only manifests that
+    # CONTAIN a hit file are rewritten, re-emitting their decoded
+    # entries (status=2 tombstones for hits, status=0 for survivors) —
+    # commit cost is proportional to files rewritten, never a
+    # whole-table footer re-scan (review r4m)
+    hit = set(hit_files)
+    snap = t.snapshot()
+    _, manifests, _ = read_avro(_read(snap["manifest-list"]))
+    carried = []
+    for m in manifests:
+        ents = _manifest_entries(
+            m["manifest_path"], m.get("sequence_number") or 0
+        )
+        live = [e for e in ents if e["status"] != 2]
+        if not any(e["data_file"]["file_path"] in hit for e in live):
+            carried.append(m)
+            continue
+        for e in live:
+            f = dict(e["data_file"])
+            # bounds decoded to dicts for pruning; the writer schema
+            # stores the array-of-k/v map encoding
+            for b in ("lower_bounds", "upper_bounds"):
+                f[b] = [
+                    {"key": k, "value": v}
+                    for k, v in sorted((f.get(b) or {}).items())
+                ]
+            entries.append(
+                {
+                    "status": 2 if f["file_path"] in hit else 0,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": e.get("sequence_number"),
+                    "file_sequence_number": e.get("file_sequence_number"),
+                    "data_file": f,
+                }
+            )
     return _commit(
-        path, t, entries, [], schema, "delete", schemas=t.all_schemas()
+        path, t, entries, carried, schema, "delete", schemas=t.all_schemas()
     )
 
 
@@ -909,8 +987,7 @@ def add_position_deletes(
     distributed anti-join on parquet ``_metadata`` provenance.
     """
     t = IcebergTable.load(path)
-    snap = t.snapshot()
-    _, carried, _ = read_avro(_read(snap["manifest-list"]))
+    carried = _carried(t)
     schema = t.current_schema()
     del_fields = [
         {"id": 2147483546, "name": "file_path", "required": True,
@@ -934,8 +1011,7 @@ def add_equality_deletes(
     data file with a strictly older sequence number are dropped at read
     (the spec's equality-delete rule)."""
     t = IcebergTable.load(path)
-    snap = t.snapshot()
-    _, carried, _ = read_avro(_read(snap["manifest-list"]))
+    carried = _carried(t)
     fields = t.schema_fields()
     schema = t.current_schema()
     sub = [f for f in fields if f["name"] in on]
