@@ -57,6 +57,7 @@ def render_mvt(
     id_col: str | None = None,
     layer: str = "points",
     partitions: int | None = None,
+    props: list[str] | None = None,
 ) -> DataFrame:
     """→ (tile_x, tile_y, n_features, mvt binary), one row per
     non-empty tile at ``zoom``.
@@ -69,7 +70,12 @@ def render_mvt(
     contiguous tile groups with a carry across Arrow batch boundaries.
     Same single shuffle, per-tile cost drops to a pandas groupby
     slice. NULL ids are legal: those features are emitted without the
-    optional id field (never cast NaN→INT64_MIN garbage)."""
+    optional id field (never cast NaN→INT64_MIN garbage).
+
+    ``props``: optional column names carried as typed per-feature MVT
+    properties (string/int/double/bool; NULL values dropped from the
+    feature's tag list) — takes the per-feature framing path instead
+    of the vectorized one, so prefer id-only tiles for the hot path."""
     n = 1 << zoom
     base = df.withColumn("tile_x", lon_tile_col(x, n)).withColumn(
         "tile_y", lat_tile_col(y, n)
@@ -78,6 +84,8 @@ def render_mvt(
     sel = [F.col("tile_x"), F.col("tile_y"), px.alias("px"), py.alias("py")]
     if id_col is not None:
         sel.append(F.col(id_col).cast("long").alias("fid"))
+    for p in props or []:
+        sel.append(F.col(p))
     quant = base.select(*sel)
     nparts = (
         partitions
@@ -93,13 +101,39 @@ def render_mvt(
         rows = []
         for (tx, ty), g in pdf.groupby(["tile_x", "tile_y"], sort=False):
             ids = g["fid"] if "fid" in g.columns else None
-            blob = mvt.encode_point_layer(
-                layer,
-                g["px"].to_numpy(np.int64),
-                g["py"].to_numpy(np.int64),
-                ids=ids,
-                extent=extent,
-            )
+            if props:
+                feats = []
+                px_a = g["px"].to_numpy(np.int64)
+                py_a = g["py"].to_numpy(np.int64)
+                for i in range(len(g)):
+                    fid = None
+                    if ids is not None and not pd.isna(ids.iloc[i]):
+                        fid = int(ids.iloc[i])
+                    fp = {}
+                    for p in props:
+                        v = g[p].iloc[i]
+                        if v is None or (
+                            isinstance(v, float) and v != v
+                        ) or v is pd.NaT:
+                            continue
+                        fp[p] = v.item() if hasattr(v, "item") else v
+                    feats.append(
+                        {
+                            "id": fid,
+                            "type": mvt.GEOM_POINT,
+                            "parts": [np.array([[px_a[i], py_a[i]]])],
+                            "props": fp,
+                        }
+                    )
+                blob = mvt.encode_tile({layer: feats}, extent=extent)
+            else:
+                blob = mvt.encode_point_layer(
+                    layer,
+                    g["px"].to_numpy(np.int64),
+                    g["py"].to_numpy(np.int64),
+                    ids=ids,
+                    extent=extent,
+                )
             rows.append((int(tx), int(ty), len(g), blob))
         return pd.DataFrame(
             rows, columns=["tile_x", "tile_y", "n_features", "mvt"]

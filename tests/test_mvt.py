@@ -341,3 +341,37 @@ def test_render_mvt_group_spans_arrow_batches(spark):
         spark.createDataFrame(tiles[["tile_x", "tile_y", "mvt"]])
     ).toPandas()
     assert st["n_rows"].iloc[0] == 20000
+
+
+def test_render_mvt_typed_props(spark):
+    """Optional props columns ride as typed MVT properties; NULLs
+    drop from the feature's tag list."""
+    import pandas as pd
+
+    from geomesa_sql_spark.ops import render_mvt
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fid": [1, 2, 3],
+                "lon": [1.0, 2.0, 3.0],
+                "lat": [1.0, 2.0, 3.0],
+                "name": ["a", None, "c"],
+                "score": [0.5, 1.5, None],
+                "rank": [7, 8, 9],
+                "ok": [True, False, True],
+            }
+        ),
+        "fid long, lon double, lat double, name string, score double, "
+        "rank long, ok boolean",
+    )
+    tiles = render_mvt(
+        df, zoom=2, id_col="fid", props=["name", "score", "rank", "ok"]
+    ).toPandas()
+    got = {}
+    for blob in tiles["mvt"]:
+        for f in mvt.decode_tile(bytes(blob))["points"]["features"]:
+            got[f["id"]] = f["props"]
+    assert got[1] == {"name": "a", "score": 0.5, "rank": 7, "ok": True}
+    assert got[2] == {"score": 1.5, "rank": 8, "ok": False}  # null name dropped
+    assert got[3] == {"name": "c", "rank": 9, "ok": True}  # null score dropped
