@@ -295,9 +295,12 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):
             q0 = time.time()
+            # .count() twice: GroupedData.count() is a TRANSFORMATION
+            # (review r4n caught the first version timing ~0 jobs);
+            # the outer DataFrame.count() is the action
             assign_tiles(pts_b, zoom=6, with_hilbert=False).groupBy(
                 "tile_x", "tile_y"
-            ).count()
+            ).count().count()
             best = min(best, time.time() - q0)
         results["tile_assign"] = round(best, 3)
 
@@ -319,7 +322,13 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):
             q0 = time.time()
-            assign_s2_cells(pts_b, level=16).count()
+            # aggregate OVER the UDF column: a bare .count() lets
+            # Catalyst prune the unused s2_cell and skip the encode
+            # entirely (review r4n — the first version timed a plain
+            # parquet count)
+            assign_s2_cells(pts_b, level=16).agg(
+                F.sum("s2_cell")
+            ).collect()
             best = min(best, time.time() - q0)
         results["s2_encode"] = round(best, 3)
 

@@ -529,7 +529,18 @@ def cover_rect_ranges(
     [(range_min, range_max)] — the prune-predicate shape (cell BETWEEN
     lo AND hi OR …) an Iceberg/parquet scan consumes. Subdivides
     breadth-first until the frontier would exceed ``max_cells``,
-    keeping every intersecting cell (superset guarantee as above)."""
+    keeping every intersecting cell (superset guarantee as above).
+    Rejects non-normalized rects like cover_rect does (review r4n: an
+    inverted or antimeridian-crossing bbox would silently produce an
+    under-inclusive predicate — split dateline queries into two
+    rects)."""
+    if not (
+        -180.0 <= minlon <= maxlon <= 180.0 and -90.0 <= minlat <= maxlat <= 90.0
+    ):
+        raise ValueError(
+            "cover_rect_ranges expects a normalized lon/lat rectangle "
+            "(split antimeridian-crossing queries into two rects)"
+        )
     cur_face = np.arange(6, dtype=np.int64)
     cur_i = np.zeros(6, dtype=np.int64)
     cur_j = np.zeros(6, dtype=np.int64)

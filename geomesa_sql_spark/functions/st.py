@@ -1796,26 +1796,30 @@ def register_all(spark: SparkSession) -> None:
 
     spark.udf.register("S2_CellId", _s2_cellid)
 
-    @F.pandas_udf(T.StringType())
-    def _s2_token(cid: pd.Series) -> pd.Series:
+    # S2_Token/S2_Level take an int64 CELL ID: a pandas UDF is wrong
+    # here — one NULL in an Arrow batch converts the whole int64 series
+    # to float64, silently losing bits above 2^53 and corrupting every
+    # id in the batch (review r4n reproduced a wrong token). Arrow-
+    # optimized row UDFs keep Python ints exact; these are metadata
+    # helpers, never a hot path.
+    def _s2_token_one(cid):
+        if cid is None:
+            return None
         from geomesa_sql_spark.cells import s2 as _s2
 
-        bad = pd.isna(cid)
-        vals = cid.fillna(1).to_numpy(np.int64)
-        out = pd.Series(_s2.token(vals), dtype=object)
-        out[bad.to_numpy()] = None
-        return out
+        return str(_s2.token(np.array([cid], dtype=np.int64))[0])
 
-    spark.udf.register("S2_Token", _s2_token)
+    spark.udf.register(
+        "S2_Token", F.udf(_s2_token_one, T.StringType(), useArrow=True)
+    )
 
-    @F.pandas_udf(T.IntegerType())
-    def _s2_level(cid: pd.Series) -> pd.Series:
+    def _s2_level_one(cid):
+        if cid is None:
+            return None
         from geomesa_sql_spark.cells import s2 as _s2
 
-        bad = pd.isna(cid)
-        vals = cid.fillna(1 << 60).to_numpy(np.int64)
-        out = pd.Series(_s2.cell_level(vals)).astype("Int32")
-        out[bad.to_numpy()] = None
-        return out
+        return int(_s2.cell_level(np.array([cid], dtype=np.int64))[0])
 
-    spark.udf.register("S2_Level", _s2_level)
+    spark.udf.register(
+        "S2_Level", F.udf(_s2_level_one, T.IntegerType(), useArrow=True)
+    )

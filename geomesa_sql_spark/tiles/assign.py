@@ -305,11 +305,16 @@ def assign_s2_cells(
 
     @F.pandas_udf(T.LongType())
     def _enc(lons: pd.Series, lats: pd.Series) -> pd.Series:
-        return pd.Series(
-            _s2.lonlat_to_cell_id(
-                lons.to_numpy(np.float64), lats.to_numpy(np.float64), level
-            )
-        )
+        # pd.isna guard (CLAUDE.md NaN-encoded-NULL rule): NaN coords
+        # would flow through the face CASE as face 2 / corner cell —
+        # a valid-LOOKING id that mislocates the row (review r4n);
+        # NULL in → NULL out, matching the registered S2_CellId UDF
+        bad = (pd.isna(lons) | pd.isna(lats)).to_numpy()
+        lo = lons.fillna(0.0).to_numpy(np.float64)
+        la = lats.fillna(0.0).to_numpy(np.float64)
+        res = pd.Series(_s2.lonlat_to_cell_id(lo, la, level)).astype("Int64")
+        res[bad] = None
+        return res
 
     return df.withColumn(out, _enc(x, y))
 

@@ -204,3 +204,41 @@ def test_mvt_tile_endpoint(server, spark):
     with pytest.raises(urllib.error.HTTPError) as e:
         get("/tiles/2/1/1.mvt?table=pts_q&extent=zap").read()
     assert e.value.code == 400
+
+
+def test_mvt_tile_edge_points_and_z_bound(server, spark):
+    """Review r4n: tile membership must follow the clamped FLOOR law —
+    the corner point (lon=-180, lat=-90) clamps into tile (0, n-1) and
+    must appear in that tile's response; z > 30 gets a 400."""
+    import urllib.request
+
+    from geomesa_sql_spark.io.mvt import decode_tile
+
+    def get(path):
+        req = urllib.request.Request(
+            f"{server}{path}", headers={"Authorization": "Bearer sekrit"}
+        )
+        return urllib.request.urlopen(req)
+
+    # pts_q id=0 sits exactly at (-180.0, -90.0) → law tile (0, 3) at z=2
+    with get("/tiles/2/0/3.mvt?table=pts_q") as resp:
+        tile = decode_tile(resp.read())
+    n_feats = len(tile["points"]["features"])
+    cnt = (
+        spark.range(0, 2000)
+        .selectExpr(
+            "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+            "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat",
+        )
+        .selectExpr(
+            "GREATEST(0, LEAST(3, CAST(FLOOR((lon + 180.0) / 360.0 * 4) AS BIGINT))) AS tx",
+            "GREATEST(0, LEAST(3, CAST(FLOOR((90.0 - lat) / 180.0 * 4) AS BIGINT))) AS ty",
+        )
+        .filter("tx = 0 AND ty = 3")
+        .count()
+    )
+    assert n_feats == cnt > 0
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get("/tiles/40/0/0.mvt?table=pts_q").read()
+    assert e.value.code == 400

@@ -254,3 +254,46 @@ def test_s2_sql_functions(spark):
     for lvl in (4, 5, 6):
         want = int(s2.lonlat_to_cell_id([1.0], [2.0], lvl)[0])
         assert (got[got["id"] % 3 == lvl - 4]["c"] == want).all()
+
+
+# ---- review r4n regression tests ----------------------------------
+
+
+def test_s2_token_level_exact_with_null_in_batch(spark):
+    """One NULL in an Arrow batch converts an int64 pandas series to
+    float64 (bits above 2^53 lost) — S2_Token/S2_Level must stay exact
+    for the non-null ids in the same batch (r4n reproduced a corrupt
+    token under the old pandas-UDF path)."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    leaf = int(s2.lonlat_to_cell_id([12.3], [45.6])[0])  # level 30: low bits live
+    got = spark.sql(
+        f"""SELECT S2_Token(c) AS t, S2_Level(c) AS l
+            FROM VALUES (CAST({leaf} AS BIGINT)), (CAST(NULL AS BIGINT)) v(c)
+            ORDER BY c IS NULL"""
+    ).collect()
+    want_token = str(s2.token(np.array([leaf], dtype=np.int64))[0])
+    assert got[0].t == want_token and got[0].l == 30
+    assert got[1].t is None and got[1].l is None
+
+
+def test_assign_s2_cells_null_coords(spark):
+    import pandas as pd
+
+    from geomesa_sql_spark.tiles import assign_s2_cells
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lon": [1.0, None, 3.0], "lat": [1.0, 2.0, None]}),
+        "lon double, lat double",
+    )
+    out = assign_s2_cells(df, level=10).toPandas()
+    assert out["s2_cell"].isna().tolist() == [False, True, True]
+    assert out["s2_cell"].iloc[0] == s2.lonlat_to_cell_id([1.0], [1.0], 10)[0]
+
+
+def test_cover_rect_ranges_rejects_bad_bbox():
+    with pytest.raises(ValueError, match="normalized"):
+        s2.cover_rect_ranges(170, 10, -170, 20)  # antimeridian-crossing
+    with pytest.raises(ValueError, match="normalized"):
+        s2.cover_rect_ranges(10, 30, 20, 10)  # inverted lat

@@ -172,8 +172,15 @@ def make_handler(engine, token: str | None):
                 return
             z, tx, ty = (int(m.group(i)) for i in (1, 2, 3))
             n = 1 << z
-            if not (0 <= tx < n and 0 <= ty < n) or not (1 <= extent <= 65536):
-                self._send(400, {"error": "tile coords/extent out of range"})
+            # z > 30: tile spans fall below ulp(180) and the range
+            # filter degenerates to empty — reject instead of silently
+            # serving empty tiles (review r4n)
+            if (
+                z > 30
+                or not (0 <= tx < n and 0 <= ty < n)
+                or not (1 <= extent <= 65536)
+            ):
+                self._send(400, {"error": "tile z/x/y/extent out of range"})
                 return
             try:
                 df = engine.df(name)
@@ -186,9 +193,24 @@ def make_handler(engine, token: str | None):
             try:
                 from pyspark.sql import functions as F
 
+                from geomesa_sql_spark.tiles.assign import (
+                    lat_tile_col,
+                    lon_tile_col,
+                )
+
+                # sargable ranges for pushdown, CONJOINED with the
+                # single-source FLOOR law so membership matches
+                # assign_tiles/render_mvt bit-for-bit — edge points
+                # (lat=-90, lon=180) clamp into the last row/column
+                # under the law but fall outside the open ranges
+                # (review r4n)
                 sub = df.filter(
-                    (F.col(xcol) >= tminx) & (F.col(xcol) < tminx + spanx)
-                    & (F.col(ycol) > tmaxy - spany) & (F.col(ycol) <= tmaxy)
+                    (F.col(xcol) >= tminx - 1e-9)
+                    & (F.col(xcol) <= tminx + spanx + 1e-9)
+                    & (F.col(ycol) >= tmaxy - spany - 1e-9)
+                    & (F.col(ycol) <= tmaxy + 1e-9)
+                    & (lon_tile_col(xcol, n) == tx)
+                    & (lat_tile_col(ycol, n) == ty)
                 ).select(
                     F.least(
                         F.greatest(
