@@ -325,9 +325,10 @@ def main() -> None:
             # aggregate OVER the UDF column: a bare .count() lets
             # Catalyst prune the unused s2_cell and skip the encode
             # entirely (review r4n — the first version timed a plain
-            # parquet count)
+            # parquet count); bit_xor, not sum — ids reach 2^63 and
+            # ANSI SUM overflows
             assign_s2_cells(pts_b, level=16).agg(
-                F.sum("s2_cell")
+                F.expr("bit_xor(s2_cell)")
             ).collect()
             best = min(best, time.time() - q0)
         results["s2_encode"] = round(best, 3)

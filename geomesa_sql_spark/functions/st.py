@@ -1823,3 +1823,52 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register(
         "S2_Level", F.udf(_s2_level_one, T.IntegerType(), useArrow=True)
     )
+
+    # PostGIS ST_AsMVTGeom (no-clip form): geometry → tile-local
+    # integer coordinates (y grows DOWN from the envelope top), the
+    # SQL-surface twin of ops/vector_tiles quantization. Coordinates
+    # may exceed [0, extent) — clipping is the renderer's job (the
+    # same producer-clipping tradeoff io/mvt.py documents).
+    @F.pandas_udf(T.BinaryType())
+    def _as_mvt_geom(
+        wkb: pd.Series,
+        bminx: pd.Series,
+        bminy: pd.Series,
+        bmaxx: pd.Series,
+        bmaxy: pd.Series,
+        ext: pd.Series,
+    ) -> pd.Series:
+        from geomesa_sql_spark.geom.model import Geom
+
+        def _q(g, x0, y0, x1, y1, e):
+            sx = e / (x1 - x0)
+            sy = e / (y1 - y0)
+
+            def qc(c):
+                out = np.empty_like(np.asarray(c, dtype=np.float64))
+                cc = np.asarray(c, dtype=np.float64)
+                out[..., 0] = np.floor((cc[..., 0] - x0) * sx)
+                out[..., 1] = np.floor((y1 - cc[..., 1]) * sy)
+                return out
+
+            if g.type in ("Point", "LineString"):
+                return Geom(g.type, qc(g.coords))
+            if g.type == "Polygon":
+                return Geom(g.type, [qc(r) for r in g.coords])
+            return Geom(g.type, [_q(p, x0, y0, x1, y1, e) for p in g.coords])
+
+        out = []
+        for b, x0, y0, x1, y1, e in zip(wkb, bminx, bminy, bmaxx, bmaxy, ext):
+            if (
+                b is None
+                or pd.isna(x0) or pd.isna(y0) or pd.isna(x1) or pd.isna(y1)
+                or pd.isna(e) or x1 <= x0 or y1 <= y0 or e < 1
+            ):
+                out.append(None)
+                continue
+            g = geom_from_wkb(bytes(b))
+            out.append(geom_to_wkb(_q(g, float(x0), float(y0), float(x1),
+                                      float(y1), float(int(e)))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("ST_AsMVTGeom", _as_mvt_geom)

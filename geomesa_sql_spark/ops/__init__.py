@@ -47,6 +47,7 @@ from geomesa_sql_spark.ops.raster import (  # noqa: F401
     render_tiles,
 )
 from geomesa_sql_spark.ops.vector_tiles import (  # noqa: F401
+    mvt_features,
     mvt_stats,
     render_mvt,
     render_mvt_wkb,

@@ -313,3 +313,64 @@ def render_mvt_wkb(
         )
 
     return fan.groupBy("tile_x", "tile_y").applyInPandas(_encode, schema)
+
+
+def mvt_features(
+    tiles: DataFrame,
+    layer: str | None = None,
+    zoom: int | None = None,
+) -> DataFrame:
+    """Foreign-tile INPUT surface: decode MVT blobs → one row per
+    feature: (tile_x, tile_y, layer, feature_id, geom_type, n_parts,
+    n_points, px, py[, lon, lat]) with (px, py) the first vertex in
+    tile-local coords; when ``zoom`` is given, point features also get
+    lon/lat re-projected through the tile envelope (the inverse of the
+    render quantization, cell-center convention). Strict decode —
+    malformed blobs raise (io/errors.py convention), they do not
+    silently drop."""
+
+    def _dec(it):
+        for pdf in it:
+            rows = []
+            for tx, ty, blob in zip(pdf["tile_x"], pdf["tile_y"], pdf["mvt"]):
+                t = mvt.decode_tile(bytes(blob))
+                for lname, ldata in t.items():
+                    if layer is not None and lname != layer:
+                        continue
+                    ext = ldata["extent"]
+                    for f in ldata["features"]:
+                        p0 = f["parts"][0][0] if f["parts"] else (None, None)
+                        npts = sum(len(p) for p in f["parts"])
+                        lon = lat = None
+                        if zoom is not None and p0[0] is not None:
+                            n = 1 << zoom
+                            spanx, spany = 360.0 / n, 180.0 / n
+                            lon = (tx * spanx - 180.0) + (
+                                (float(p0[0]) + 0.5) / ext * spanx
+                            )
+                            lat = (90.0 - ty * spany) - (
+                                (float(p0[1]) + 0.5) / ext * spany
+                            )
+                        rows.append(
+                            (
+                                int(tx), int(ty), lname, f["id"],
+                                int(f["type"]), len(f["parts"]), int(npts),
+                                int(p0[0]) if p0[0] is not None else None,
+                                int(p0[1]) if p0[1] is not None else None,
+                                lon, lat,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tile_x", "tile_y", "layer", "feature_id", "geom_type",
+                    "n_parts", "n_points", "px", "py", "lon", "lat",
+                ],
+            )
+
+    return tiles.mapInPandas(
+        _dec,
+        "tile_x long, tile_y long, layer string, feature_id long, "
+        "geom_type int, n_parts int, n_points long, px long, py long, "
+        "lon double, lat double",
+    )

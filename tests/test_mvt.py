@@ -375,3 +375,47 @@ def test_render_mvt_typed_props(spark):
     assert got[1] == {"name": "a", "score": 0.5, "rank": 7, "ok": True}
     assert got[2] == {"score": 1.5, "rank": 8, "ok": False}  # null name dropped
     assert got[3] == {"name": "c", "rank": 9, "ok": True}  # null score dropped
+
+
+def test_mvt_features_roundtrip(spark):
+    """Foreign-tile input surface: decode MVT blobs into feature rows;
+    point lon/lat re-projection inverts the quantization to within a
+    half-pixel of the original coordinates."""
+    from geomesa_sql_spark.ops import mvt_features, render_mvt
+
+    df = spark.range(0, 2000).selectExpr(
+        "id",
+        "CAST((id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon",
+        "CAST((id * 104729) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat",
+    )
+    tiles = render_mvt(df, zoom=5, id_col="id")
+    feats = mvt_features(tiles, layer="points", zoom=5).toPandas()
+    assert len(feats) == 2000
+    assert set(feats["feature_id"]) == set(range(2000))
+    assert (feats["geom_type"] == 1).all() and (feats["n_points"] == 1).all()
+    orig = df.toPandas().set_index("id")
+    merged = feats.set_index("feature_id").join(
+        orig, lsuffix="_dec", rsuffix="_orig"
+    )
+    # half-pixel tolerance: span/extent/2 at zoom 5 = 11.25/4096/2
+    tol = 11.25 / 4096
+    assert (merged["lon_dec"] - merged["lon_orig"]).abs().max() <= tol
+    assert (merged["lat_dec"] - merged["lat_orig"]).abs().max() <= tol
+
+
+def test_st_as_mvt_geom_sql(spark):
+    """PostGIS-parity ST_AsMVTGeom: tile-local integer coords, y-down,
+    NULL/degenerate bounds → NULL."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        """SELECT ST_AsText(ST_AsMVTGeom(
+               ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+               0.0D, 0.0D, 40.0D, 40.0D, 4096)) AS t,
+           ST_AsMVTGeom(CAST(NULL AS BINARY), 0D, 0D, 1D, 1D, 256) AS n,
+           ST_AsMVTGeom(ST_GeomFromText('POINT (5 5)'),
+                        0D, 0D, 0D, 1D, 256) AS degenerate"""
+    ).first()
+    assert r.n is None and r.degenerate is None
+    assert "0 4096" in r.t and "1024 3072" in r.t  # y-down quantization
