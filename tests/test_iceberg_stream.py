@@ -453,3 +453,46 @@ def test_avro_empty_rows_zero_blocks():
     # no data block after the header: the file ends at the header sync
     hdr_only = write_avro(schema, [])
     assert blob == hdr_only and blob.endswith(write_avro(schema, [])[-16:])
+
+
+def test_stream_checkpoint_restart_resumes_offsets(spark, tmp_path):
+    """Offsets persist through Spark's checkpoint: a restarted query
+    (same checkpointLocation) reads ONLY snapshots committed after the
+    offsets it already processed — the kill-resume law for the Iceberg
+    source (north rule: resumable from checkpoint)."""
+    path = str(tmp_path / "ice_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+    im.create_table(_mk(spark, 0, 60), path)
+    register_iceberg_source(spark)
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # parquet sink: the memory sink does not support checkpoint
+        # recovery; the file sink gives exactly-once restart semantics
+        q = (
+            spark.readStream.format("geomesa_iceberg")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 60
+
+    im.append(_mk(spark, 60, 90), path)
+    im.append(_mk(spark, 90, 100), path)
+    run_once()
+    got = spark.read.parquet(out).toPandas()
+    # the restarted query resumes from the checkpointed offset: the
+    # two new snapshots' 40 rows appended exactly once, never the
+    # first 60 again
+    assert len(got) == 100 and sorted(got["id"]) == list(range(100))
+
+    # a third restart with nothing new appends nothing
+    run_once()
+    assert spark.read.parquet(out).count() == 100
