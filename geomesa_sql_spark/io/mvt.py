@@ -150,6 +150,13 @@ def encode_geometry(geom_type: int, parts) -> np.ndarray:
     CCW) is ENFORCED from the structure, never inferred from input
     winding (review r4l: a hole wound like its exterior must not
     become a second filled polygon)."""
+    if not parts or any(len(p) == 0 for p in (
+        parts if parts and isinstance(parts[0], np.ndarray)
+        else [r for poly in parts for r in poly]
+    )):
+        raise ValueError(
+            "mvt: empty geometry (a MoveTo with count 0 is spec-invalid)"
+        )
     words: list[np.ndarray] = []
     cx = cy = 0
     if geom_type == GEOM_POINT:

@@ -419,3 +419,67 @@ def test_st_as_mvt_geom_sql(spark):
     ).first()
     assert r.n is None and r.degenerate is None
     assert "0 4096" in r.t and "1024 3072" in r.t  # y-down quantization
+
+
+def test_empty_geometry_rejected():
+    with pytest.raises(ValueError, match="empty geometry"):
+        mvt.encode_geometry(mvt.GEOM_POINT, [np.empty((0, 2), dtype=np.int64)])
+    with pytest.raises(ValueError, match="empty geometry"):
+        mvt.encode_geometry(mvt.GEOM_LINESTRING, [])
+    with pytest.raises(ValueError, match="empty geometry"):
+        mvt.encode_geometry(
+            mvt.GEOM_POLYGON, [[np.empty((0, 2), dtype=np.int64)]]
+        )
+
+
+def test_randomized_geometry_roundtrip_law():
+    """Random mixed-type features survive encode→decode with exact
+    vertex sets (rings may reverse for orientation, never mutate)."""
+    rng = np.random.default_rng(123)
+    for trial in range(40):
+        feats = []
+        for fid in range(int(rng.integers(1, 8))):
+            kind = int(rng.integers(0, 3))
+            if kind == 0:  # multipoint
+                pts = rng.integers(-500, 4600, (int(rng.integers(1, 6)), 2))
+                feats.append({"id": fid, "type": mvt.GEOM_POINT,
+                              "parts": [pts], "props": {}})
+            elif kind == 1:  # linestring(s)
+                nparts = int(rng.integers(1, 3))
+                parts = [
+                    rng.integers(-500, 4600, (int(rng.integers(2, 9)), 2))
+                    for _ in range(nparts)
+                ]
+                feats.append({"id": fid, "type": mvt.GEOM_LINESTRING,
+                              "parts": parts, "props": {}})
+            else:  # polygon with optional hole
+                cx, cy = rng.integers(500, 3500, 2)
+                w, h = rng.integers(100, 500, 2)
+                ext = np.array([[cx - w, cy - h], [cx + w, cy - h],
+                                [cx + w, cy + h], [cx - w, cy + h],
+                                [cx - w, cy - h]])
+                rings = [ext]
+                if rng.integers(0, 2):
+                    hw = max(1, w // 3)
+                    rings.append(np.array(
+                        [[cx - hw, cy - hw], [cx + hw, cy - hw],
+                         [cx + hw, cy + hw], [cx - hw, cy + hw],
+                         [cx - hw, cy - hw]]))
+                feats.append({"id": fid, "type": mvt.GEOM_POLYGON,
+                              "parts": [rings], "props": {}})
+        t = mvt.decode_tile(mvt.encode_tile({"g": feats}))
+        dec = t["g"]["features"]
+        assert len(dec) == len(feats)
+        for orig, got in zip(feats, dec):
+            assert got["type"] == orig["type"]
+            if orig["type"] == mvt.GEOM_POINT:
+                want = {tuple(p) for p in orig["parts"][0]}
+                have = {tuple(p[0]) for p in got["parts"]}
+            elif orig["type"] == mvt.GEOM_LINESTRING:
+                want = {tuple(v) for part in orig["parts"] for v in part}
+                have = {tuple(v) for part in got["parts"] for v in part}
+            else:
+                want = {tuple(v) for ring in orig["parts"][0]
+                        for v in ring[:-1]}
+                have = {tuple(v) for ring in got["parts"] for v in ring[:-1]}
+            assert want == have, (trial, orig["type"])
