@@ -251,32 +251,48 @@ def write_geoparquet(
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        from geomesa_sql_spark.cells.curve import lonlat_to_cell
-
-        @F.pandas_udf(T.LongType())
-        def _centroid_cell(wkb: pd.Series) -> pd.Series:
-            import numpy as np
-
-            from geomesa_sql_spark.geom.wkb import geom_from_wkb
-
-            xs = np.full(len(wkb), np.nan)
-            ys = np.full(len(wkb), np.nan)
-            for i, b in enumerate(wkb):
-                if b is None:
-                    continue
-                x0, y0, x1, y1 = geom_from_wkb(bytes(b)).envelope()
-                if x0 == x0:
-                    xs[i] = (x0 + x1) / 2.0
-                    ys[i] = (y0 + y1) / 2.0
-            ok = ~np.isnan(xs)
-            cells = np.zeros(len(wkb), dtype=np.int64)
-            if ok.any():
-                cells[ok] = lonlat_to_cell(xs[ok], ys[ok], 12)
-            return pd.Series(pd.array(cells, dtype="Int64")).mask(~ok)
-
         n = partitions or df.sparkSession.sparkContext.defaultParallelism
+        if covering:
+            # the covering struct already holds every envelope — derive
+            # the layout cell JVM-side from its center instead of a
+            # second full WKB-decode UDF (review r4o: the old twin UDF
+            # decoded every geometry again, and repartitionByRange's
+            # sampling pass re-executed it a third time; a Column expr
+            # makes that sampling re-evaluation a cheap JVM eval)
+            from geomesa_sql_spark.cells.column import zorder_cell_col
+
+            cell_expr = zorder_cell_col(
+                (F.col(f"{cov_col}.xmin") + F.col(f"{cov_col}.xmax")) / 2.0,
+                (F.col(f"{cov_col}.ymin") + F.col(f"{cov_col}.ymax")) / 2.0,
+                12,
+            )
+        else:
+            from geomesa_sql_spark.cells.curve import lonlat_to_cell
+
+            @F.pandas_udf(T.LongType())
+            def _centroid_cell(wkb: pd.Series) -> pd.Series:
+                import numpy as np
+
+                from geomesa_sql_spark.geom.wkb import geom_from_wkb
+
+                xs = np.full(len(wkb), np.nan)
+                ys = np.full(len(wkb), np.nan)
+                for i, b in enumerate(wkb):
+                    if b is None:
+                        continue
+                    x0, y0, x1, y1 = geom_from_wkb(bytes(b)).envelope()
+                    if x0 == x0:
+                        xs[i] = (x0 + x1) / 2.0
+                        ys[i] = (y0 + y1) / 2.0
+                ok = ~np.isnan(xs)
+                cells = np.zeros(len(wkb), dtype=np.int64)
+                if ok.any():
+                    cells[ok] = lonlat_to_cell(xs[ok], ys[ok], 12)
+                return pd.Series(pd.array(cells, dtype="Int64")).mask(~ok)
+
+            cell_expr = _centroid_cell(geometry)
         df = (
-            df.withColumn("__gp_cell", _centroid_cell(geometry))
+            df.withColumn("__gp_cell", cell_expr)
             .repartitionByRange(n, "__gp_cell")
             .sortWithinPartitions("__gp_cell")
             .drop("__gp_cell")
@@ -285,7 +301,10 @@ def write_geoparquet(
     files = _data_files(path)
     sc = df.sparkSession.sparkContext
     # one partition per file: each executor rewrites only files local
-    # to its task; on object stores pyarrow's fs handles the URI
+    # to its task. LOCAL/shared-filesystem only: the footer-attach
+    # rewrite uses os-level temp+rename — an object-store (s3://)
+    # deployment needs a pyarrow.fs port of _attach_geo_footer
+    # (documented limitation, review r4o)
     results = (
         sc.parallelize(files, len(files))
         .map(lambda f: _attach_geo_footer(f, geometry, cov_col))

@@ -81,6 +81,7 @@ def write_tiled(
     x: str = "lon",
     y: str = "lat",
     mode: str = "overwrite",
+    res: int = DEFAULT_DATA_RES,
 ) -> None:
     """Write a table PARTITIONED BY coarse tile (hive-style directories)
     — the raster↔vector handoff layout: a tile server (or a downstream
@@ -95,8 +96,17 @@ def write_tiled(
     """
     from geomesa_sql_spark.tiles import assign_tiles
 
+    if "cell" in df.columns:
+        # same r3b rule as write_geo_table: silently trusting a
+        # pre-existing cell of unknown res makes plan/filter emit
+        # res-12 range predicates against differently-scaled values —
+        # pruning then silently DROPS matching rows (review r4o)
+        raise ValueError(
+            "df already carries a 'cell' column — drop it and let "
+            "write_tiled encode at `res` (same rule as write_geo_table)"
+        )
     n = 1 << zoom
-    out = df if "cell" in df.columns else add_cell(df, x, y)
+    out = add_cell(df, x, y, res)
     out = (
         assign_tiles(out, zoom=zoom, x=x, y=y, with_hilbert=False)
         .withColumn("tile_p", F.col("tile_y") * n + F.col("tile_x"))
@@ -104,11 +114,22 @@ def write_tiled(
     )
     (
         out.repartition(F.col("tile_p"))
-        .sortWithinPartitions("cell")
+        # sort by (tile_p, cell): a partitioned write REQUIRES ordering
+        # on the partition column — sorting by cell alone made Spark
+        # inject its own SortExec(tile_p) AFTER ours, destroying the
+        # cell clustering inside each tile directory (review r4o);
+        # leading with tile_p satisfies the required ordering so the
+        # cell order survives into the row groups
+        .sortWithinPartitions("tile_p", "cell")
         .write.mode(mode)
         .partitionBy("tile_p")
         .parquet(path)
     )
+    import json as _json
+
+    # record the encode res like write_geo_table (plan/scan reads it)
+    with open(f"{path.rstrip('/')}/_GEO_META.json", "w") as f:
+        _json.dump({"res": int(res), "x": x, "y": y}, f)
 
 
 def write_bucketed(

@@ -239,6 +239,33 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
+def band_key_expr(bands: int, rows_per_band: int):
+    """The LSH band→bucket key as ONE Column expression: explode of
+    (band, xxhash64(sig slice)) structs. Single source for the batch
+    pair join (lsh_near_dup_pairs) and the streaming bucketer
+    (streaming/dedup.banded_signatures) — their correctness contract
+    is identical bucketing, so the expression must not fork (review
+    r4o dedup)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.col("sig")[j]
+                            for j in range(
+                                i * rows_per_band, (i + 1) * rows_per_band
+                            )
+                        ]
+                    ).alias("bh"),
+                )
+                for i in range(bands)
+            ]
+        )
+    ).alias("e")
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -263,23 +290,7 @@ def lsh_near_dup_pairs(
         df, text_col, id_col, num_hashes, shingle_k
     ).localCheckpoint(eager=True)
     banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[j]
-                                for j in range(i * rows_per_band, (i + 1) * rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("e"),
+        id_col, band_key_expr(bands, rows_per_band)
     ).select(id_col, "e.band", "e.bh")
     left = banded.withColumnRenamed(id_col, "id_a")
     right = banded.withColumnRenamed(id_col, "id_b")

@@ -55,28 +55,40 @@ class DbscanMaintainer:
         self._seen: DataFrame | None = None
         self._state: DataFrame | None = None
         self.labels: DataFrame | None = None
+        self._last_batch_id: int | None = None
         #: per-batch upsert rows (r3): MERGE these on the key into a
         #: label sink to track ``labels`` writing O(delta), not
         #: O(state), rows per batch
         self.delta: DataFrame | None = None
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch replays a batch when a sink throws or the query
+        # restarts before the epoch commits; unioning the SAME batch
+        # into _seen twice would duplicate points and inflate
+        # eps-neighborhood counts (fake cores) for the rest of the
+        # stream (review r4o). Replays re-run the SINKS only, against
+        # the state already computed for this batch.
         key, x, y = self._args
         cols = [key, x, y]
-        batch = batch.select(*cols).localCheckpoint(eager=True)
-        if self._seen is None:
-            self._seen = batch
-            self.labels, self._state = dbscan(
-                batch, key, x, y, return_state=True, **self._kw
-            )
-        else:
-            self._seen = self._seen.unionByName(batch).localCheckpoint(
-                eager=True
-            )
-            self.labels, self._state = dbscan_incremental(
-                self._seen, batch, self._state, key, x, y, **self._kw
-            )
-        self.delta = self._state.get("delta")
+        if batch_id != self._last_batch_id:
+            batch = batch.select(*cols).localCheckpoint(eager=True)
+            if self._seen is None:
+                seen = batch
+                labels, state = dbscan(
+                    batch, key, x, y, return_state=True, **self._kw
+                )
+            else:
+                seen = self._seen.unionByName(batch).localCheckpoint(
+                    eager=True
+                )
+                labels, state = dbscan_incremental(
+                    seen, batch, self._state, key, x, y, **self._kw
+                )
+            # mutate state only after the incremental step succeeded,
+            # so a failure above leaves a replayable maintainer
+            self._seen, self.labels, self._state = seen, labels, state
+            self.delta = self._state.get("delta")
+            self._last_batch_id = batch_id
         if self._on_update is not None:
             self._on_update(self.labels)
         if self._on_delta is not None and self.delta is not None:
@@ -92,13 +104,17 @@ def streaming_dbscan(
     min_pts: int,
     coarse_cell: float | None = None,
     on_update: Callable[[DataFrame], None] | None = None,
+    on_delta: Callable[[DataFrame], None] | None = None,
 ) -> tuple["DbscanMaintainer", "DataFrame"]:
     """Wire a streaming point source into incremental DBSCAN
     maintenance. Returns (maintainer, writer-ready stream): start it
     with ``maintainer, q = streaming_dbscan(...);
     q.writeStream.foreachBatch(maintainer)...start()`` — split so the
-    caller owns trigger/output options."""
+    caller owns trigger/output options. ``on_delta`` receives the
+    per-batch upsert rows (the O(delta) production sink path)."""
     return (
-        DbscanMaintainer(key, x, y, eps, min_pts, coarse_cell, on_update),
+        DbscanMaintainer(
+            key, x, y, eps, min_pts, coarse_cell, on_update, on_delta
+        ),
         stream_points,
     )

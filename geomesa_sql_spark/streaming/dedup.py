@@ -76,31 +76,16 @@ def banded_signatures(
 
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
-    return (
-        sigs.select(
-            F.col(id_col).alias("id"),
-            F.col("sig"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.col("sig")[j]
-                                    for j in range(
-                                        i * rows_per_band, (i + 1) * rows_per_band
-                                    )
-                                ]
-                            ).alias("bh"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .select("id", "e.band", "e.bh", "sig")
-    )
+    # band keys through the SHARED expression builder — the streaming
+    # contract is bucket-identical to the batch operator, so the
+    # expression must have one source (review r4o)
+    from geomesa_sql_spark.ops.dedup import band_key_expr
+
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("sig"),
+        band_key_expr(bands, rows_per_band),
+    ).select("id", "e.band", "e.bh", "sig")
 
 
 def streaming_lsh_near_dup(

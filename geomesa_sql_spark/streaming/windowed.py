@@ -300,10 +300,23 @@ def stream_stream_dwithin_join(
     rt = right.withColumn(ts2, F.col(ts2).cast("timestamp")).withWatermark(
         ts2, watermark
     )
+    # neighbor cells via INTEGER grid shifts of the home cell, not by
+    # shifting raw coordinates (review r4o: float rounding of
+    # x1 + step_x at a cell boundary can land the shifted coordinate
+    # one cell past the true neighbor, skipping the cell a qualifying
+    # pair actually sits in — exact integer ±1 arithmetic cannot)
+    from geomesa_sql_spark.cells.column import _spread_bits, grid_xy_cols
+
+    gx, gy = grid_xy_cols(F.col(x1), F.col(y1), res)
+    nmax = (1 << res) - 1
+
+    def _clamp(c):
+        return F.greatest(F.lit(0), F.least(F.lit(nmax), c))
+
     neighbors = F.array(
         *[
-            zorder_cell_col(
-                F.col(x1) + F.lit(dx * step_x), F.col(y1) + F.lit(dy * step_y), res
+            _spread_bits(_clamp(gx + F.lit(dx))).bitwiseOR(
+                F.shiftleft(_spread_bits(_clamp(gy + F.lit(dy))), 1)
             )
             for dx in (-1, 0, 1)
             for dy in (-1, 0, 1)

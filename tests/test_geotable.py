@@ -170,3 +170,37 @@ def test_geotable_honors_written_res(spark, sf_dir, tmp_path):
         .count()
     )
     assert want > 0 and got == want
+
+
+def test_write_tiled_cell_order_survives_and_meta(spark, sf_dir, tmp_path):
+    """Review r4o: a partitioned write REQUIRES ordering on the
+    partition column — sorting by cell alone let Spark inject its own
+    SortExec(tile_p) AFTER ours, scrambling cell order inside tile
+    directories. Rows within each written file must now be
+    non-decreasing in cell, _GEO_META.json must record the res, and a
+    pre-existing cell column must raise."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from geomesa_sql_spark.io.fixtures import orders_points
+    from geomesa_sql_spark.io.layout import add_cell, write_tiled
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    path = str(tmp_path / "tiled_order")
+    write_tiled(pts, path, zoom=3)
+    meta = json.load(open(f"{path}/_GEO_META.json"))
+    assert meta["res"] == 12 and meta["x"] == "lon"
+    files = glob.glob(f"{path}/tile_p=*/part-*.parquet")
+    assert files
+    checked = 0
+    for f in files[:10]:
+        cells = pq.read_table(f, columns=["cell"]).column("cell").to_pylist()
+        if len(cells) > 1:
+            assert all(a <= b for a, b in zip(cells, cells[1:])), f
+            checked += 1
+    assert checked > 0
+    with _pytest.raises(ValueError, match="already carries"):
+        write_tiled(add_cell(pts, res=8), str(tmp_path / "t2"), zoom=3)

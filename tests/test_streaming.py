@@ -440,3 +440,35 @@ def test_drain_upsert_nullable_long_columns(spark, tmp_path):
     vals = {r.k: r.n for r in got.collect()}
     assert vals == {"a": 3, "b": None, "c": None}
     assert dict(got.dtypes)["n"] == "bigint"
+
+
+def test_dbscan_maintainer_replay_is_idempotent(spark):
+    """foreachBatch replays a batch on sink failure/restart — the
+    maintainer must not union the same batch twice (review r4o: a
+    duplicated point counts as its own eps-neighbor, minting fake
+    cores). Replays re-run the sinks against the already-computed
+    state."""
+    from geomesa_sql_spark.streaming.cluster import DbscanMaintainer
+
+    pts = [(i, float(i % 7) * 0.1, float(i % 5) * 0.1) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    calls = []
+    m = DbscanMaintainer(
+        "id", "x", "y", eps=0.5, min_pts=3,
+        on_update=lambda lab: calls.append(lab.count()),
+    )
+    m(df, 0)
+    first = m.labels.orderBy("id").toPandas()
+    n_seen = m._seen.count()
+    m(df, 0)  # replay of the SAME batch id
+    assert m._seen.count() == n_seen  # not unioned twice
+    again = m.labels.orderBy("id").toPandas()
+    assert (first == again).all().all()
+    assert len(calls) == 2  # the sink DID re-run (at-least-once sinks)
+    # a genuinely new batch still advances state
+    df2 = spark.createDataFrame(
+        [(100 + i, 5.0 + i * 0.01, 5.0) for i in range(10)],
+        "id long, x double, y double",
+    )
+    m(df2, 1)
+    assert m._seen.count() == n_seen + 10
