@@ -1872,3 +1872,50 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series(out, dtype=object)
 
     spark.udf.register("ST_AsMVTGeom", _as_mvt_geom)
+
+    # id-taking S2 family — Arrow row UDFs per the null-int rule above
+    def _s2_parent_one(cid, level):
+        if cid is None or level is None:
+            return None
+        from geomesa_sql_spark.cells import s2 as _s2
+
+        arr = np.array([cid], dtype=np.int64)
+        if not (0 <= level <= _s2.MAX_LEVEL) or int(
+            _s2.cell_level(arr)[0]
+        ) < level:
+            return None  # coarser-than-requested cell: no such parent
+        return int(_s2.parent_id(arr, int(level))[0])
+
+    spark.udf.register(
+        "S2_Parent", F.udf(_s2_parent_one, T.LongType(), useArrow=True)
+    )
+
+    def _s2_contains_one(a, b):
+        if a is None or b is None:
+            return None
+        from geomesa_sql_spark.cells import s2 as _s2
+
+        return bool(
+            _s2.contains_id(
+                np.array([a], dtype=np.int64), np.array([b], dtype=np.int64)
+            )[0]
+        )
+
+    spark.udf.register(
+        "S2_Contains", F.udf(_s2_contains_one, T.BooleanType(), useArrow=True)
+    )
+
+    def _s2_center_one(cid):
+        if cid is None:
+            return None
+        from geomesa_sql_spark.cells import s2 as _s2
+        from geomesa_sql_spark.geom.model import point as _point
+
+        lon, lat = _s2.cell_center_lonlat(np.array([cid], dtype=np.int64))
+        return geom_to_wkb(_point(float(lon[0]), float(lat[0])))
+
+    # WKB point: the center re-enters the ST_* surface (ST_X/ST_Y/
+    # distance/joins) like every other geometry producer
+    spark.udf.register(
+        "S2_CellCenter", F.udf(_s2_center_one, T.BinaryType(), useArrow=True)
+    )

@@ -297,3 +297,29 @@ def test_cover_rect_ranges_rejects_bad_bbox():
         s2.cover_rect_ranges(170, 10, -170, 20)  # antimeridian-crossing
     with pytest.raises(ValueError, match="normalized"):
         s2.cover_rect_ranges(10, 30, 20, 10)  # inverted lat
+
+
+def test_s2_sql_family_parent_contains_center(spark):
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    leaf = int(s2.lonlat_to_cell_id([12.3], [45.6])[0])
+    r = spark.sql(
+        f"""SELECT S2_Parent(CAST({leaf} AS BIGINT), 8) AS p,
+                   S2_Parent(CAST({leaf} AS BIGINT), 99) AS bad,
+                   S2_Contains(S2_Parent(CAST({leaf} AS BIGINT), 8),
+                               CAST({leaf} AS BIGINT)) AS c,
+                   S2_Contains(S2_Parent(CAST({leaf} AS BIGINT), 8),
+                               S2_CellId(-120.0D, -45.0D, 30)) AS far,
+                   ST_X(S2_CellCenter(S2_Parent(CAST({leaf} AS BIGINT), 8))) AS cx,
+                   S2_Parent(CAST(NULL AS BIGINT), 8) AS n"""
+    ).first()
+    assert r.p == int(s2.parent_id(np.array([leaf]), 8)[0])
+    assert r.bad is None and r.n is None
+    assert r.c is True and r.far is False
+    want_lon = float(s2.cell_center_lonlat(np.array([r.p]))[0][0])
+    assert abs(r.cx - want_lon) < 1e-12
+    # coarser cell has no deeper parent
+    lvl5 = int(s2.lonlat_to_cell_id([1.0], [1.0], 5)[0])
+    r2 = spark.sql(f"SELECT S2_Parent(CAST({lvl5} AS BIGINT), 10) AS p").first()
+    assert r2.p is None
