@@ -496,3 +496,38 @@ def test_stream_checkpoint_restart_resumes_offsets(spark, tmp_path):
     # a third restart with nothing new appends nothing
     run_once()
     assert spark.read.parquet(out).count() == 100
+
+
+def test_foreign_null_seq_equality_delete_end_to_end(spark, tmp_path):
+    """End-to-end twin of the seq-inheritance unit test: rewrite a
+    table's manifests the way foreign writers emit them (entry
+    sequence_number = null, inherited from the manifest list) and
+    prove equality deletes still apply (r4m: they were silent no-ops
+    at seq=0)."""
+    import glob
+
+    from geomesa_sql_spark.io.avro import read_avro, write_avro
+
+    path = str(tmp_path / "ice_foreign")
+    im.create_table(_mk(spark, 0, 30), path)
+    im.add_equality_deletes(
+        spark, path, spark.createDataFrame([(5,), (7,)], "id long"), on=["id"]
+    )
+    # null out every manifest entry's sequence numbers in place
+    for mp in glob.glob(f"{path}/metadata/*-m*.avro") + glob.glob(
+        f"{path}/metadata/*.avro"
+    ):
+        with open(mp, "rb") as f:
+            schema_meta, entries, meta = read_avro(f.read())
+        if not entries or "data_file" not in entries[0]:
+            continue  # manifest lists
+        for e in entries:
+            e["sequence_number"] = None
+            e["file_sequence_number"] = None
+        import json as _json
+
+        schema = _json.loads(meta["avro.schema"].decode())
+        with open(mp, "wb") as f:
+            f.write(write_avro(schema, entries))
+    got = im.IcebergTable.load(path).read(spark).toPandas()
+    assert sorted(got["id"]) == [i for i in range(30) if i not in (5, 7)]
