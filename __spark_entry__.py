@@ -1131,11 +1131,19 @@ def q_tile_hilbert(spark, sf_dir):
 
     @F.pandas_udf("long")
     def _s2leaf(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
-        return pd.Series(
+        # pd.isna guard per the r4n rule; the TPC-H fixture columns are
+        # non-null so the gate never exercises it, but a NaN flowing
+        # through would otherwise mint a valid-LOOKING garbage id
+        bad = (pd.isna(a) | pd.isna(b) | pd.isna(c)).to_numpy()
+        out = pd.Series(
             s2mod.xyz_to_leaf_id(
-                a.to_numpy(np.float64), b.to_numpy(np.float64), c.to_numpy(np.float64)
+                a.fillna(0.0).to_numpy(np.float64),
+                b.fillna(0.0).to_numpy(np.float64),
+                c.fillna(1.0).to_numpy(np.float64),
             )
-        )
+        ).astype("Int64")
+        out[bad] = None
+        return out
 
     pts = (
         orders_points(spark, sf_dir)
@@ -1928,7 +1936,10 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
     DuckDB's lateral column aliasing can never bind to the new value.
     r4: the base relation first runs the S2 leaf pipeline
     (_s2_leaf_sql) and the h-steps carry (s2_face, s2_pos) through to
-    per-tile XOR folds, gating the S2 curve alongside the zoom grid."""
+    per-tile XOR folds, gating the S2 curve alongside the zoom grid.
+    NOTE: that S2 prefix references o_orderkey (S2_C_SQL), so this
+    builder is ORDERS-ONLY now — a reuse against another relation
+    needs the S2 leg threaded in as a parameter."""
     n = 1 << zoom
     # ox/oy carry the ORIGINAL grid coords through the rotate steps
     # (the loop destroys x/y): the final select emits them as the
