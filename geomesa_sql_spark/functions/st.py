@@ -1919,3 +1919,32 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register(
         "S2_CellCenter", F.udf(_s2_center_one, T.BinaryType(), useArrow=True)
     )
+
+    # S2_Covering(wkb, level): fixed-level S2 cells covering the
+    # geometry's lon/lat envelope (array<long>) — the SQL building
+    # block for user-side prune predicates (arrays_overlap /
+    # array_contains against an s2-indexed column). Capped like
+    # cells/s2.cover_rect: an oversized cover raises rather than
+    # silently truncating (dropping cells would drop matches).
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _s2_covering(wkb: pd.Series, level: pd.Series) -> pd.Series:
+        from geomesa_sql_spark.cells import s2 as _s2
+
+        out = []
+        for b, lv in zip(wkb, level):
+            if b is None or pd.isna(lv):
+                out.append(None)
+                continue
+            env = geom_from_wkb(bytes(b)).envelope()
+            if env[0] != env[0]:  # empty geometry
+                out.append([])
+                continue
+            x0, y0, x1, y1 = env
+            x0, x1 = max(-180.0, x0), min(180.0, x1)
+            y0, y1 = max(-90.0, y0), min(90.0, y1)
+            out.append(
+                [int(c) for c in _s2.cover_rect(x0, y0, x1, y1, int(lv))]
+            )
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("S2_Covering", _s2_covering)

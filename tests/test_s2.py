@@ -323,3 +323,35 @@ def test_s2_sql_family_parent_contains_center(spark):
     lvl5 = int(s2.lonlat_to_cell_id([1.0], [1.0], 5)[0])
     r2 = spark.sql(f"SELECT S2_Parent(CAST({lvl5} AS BIGINT), 10) AS p").first()
     assert r2.p is None
+
+
+def test_s2_covering_sql(spark):
+    """S2_Covering: every point of the geometry's envelope falls in a
+    covering cell; NULL/empty handled."""
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    rows = spark.sql(
+        """SELECT S2_Covering(ST_GeomFromText(
+               'POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))'), 8) AS c,
+           S2_Covering(CAST(NULL AS BINARY), 8) AS n"""
+    ).first()
+    assert rows.n is None and len(rows.c) > 0
+    cover = np.array(rows.c, dtype=np.int64)
+    assert (s2.cell_level(cover) == 8).all()
+    rng = np.random.default_rng(5)
+    pts = s2.lonlat_to_cell_id(
+        rng.uniform(10, 20, 2000), rng.uniform(10, 20, 2000), 8
+    )
+    assert np.isin(pts, cover).all()
+    # usable as a prune predicate against an s2-indexed column
+    got = spark.sql(
+        f"""SELECT COUNT(*) AS n FROM (
+              SELECT S2_CellId(CAST((id*7919)%1000 AS DOUBLE)/100.0 + 10.0,
+                               CAST((id*104729)%1000 AS DOUBLE)/100.0 + 10.0,
+                               8) AS cell
+              FROM range(500))
+            WHERE array_contains(S2_Covering(ST_GeomFromText(
+              'POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))'), 8), cell)"""
+    ).first()
+    assert got.n == 500  # all generated points lie inside the polygon
