@@ -524,6 +524,7 @@ def cover_rect_ranges(
     maxlon: float,
     maxlat: float,
     max_cells: int = 64,
+    max_level: int | None = None,
 ) -> list[tuple[int, int]]:
     """Adaptive mixed-level covering as sorted, merged id ranges
     [(range_min, range_max)] — the prune-predicate shape (cell BETWEEN
@@ -533,7 +534,14 @@ def cover_rect_ranges(
     Rejects non-normalized rects like cover_rect does (review r4n: an
     inverted or antimeridian-crossing bbox would silently produce an
     under-inclusive predicate — split dateline queries into two
-    rects)."""
+    rects).
+
+    ``max_level`` caps subdivision depth and MUST be set to the stored
+    column's level when pruning a level-``res`` cell column: a stored
+    id is the midpoint of its own level-``res`` range, so ranges built
+    from cells finer than ``res`` exclude it and the predicate silently
+    drops matching rows (advice r4: a 0.001-degree bbox vs a level-10
+    column subdivided to level 18 and missed everything)."""
     if not (
         -180.0 <= minlon <= maxlon <= 180.0 and -90.0 <= minlat <= maxlat <= 90.0
     ):
@@ -561,7 +569,8 @@ def cover_rect_ranges(
             & _lon_overlap(lon_lo, lon_hi, full, minlon, maxlon)
         )
         cur_face, cur_i, cur_j = cur_face[keep], cur_i[keep], cur_j[keep]
-        if lvl >= MAX_LEVEL or len(cur_face) * 4 > max_cells:
+        floor = MAX_LEVEL if max_level is None else min(max_level, MAX_LEVEL)
+        if lvl >= floor or len(cur_face) * 4 > max_cells:
             break
         half = size >> 1
         n_prev = len(cur_i)

@@ -188,7 +188,12 @@ def read_geo_iceberg(
     if props.get("geo.cell.system", "z") == "s2":
         from geomesa_sql_spark.cells import s2 as _s2
 
-        ranges = _s2.cover_rect_ranges(minx, miny, maxx, maxy, max_cells=64)
+        # max_level=res: ranges from cells finer than the stored level
+        # exclude the stored ids themselves (advice r4 — silent misses
+        # on bboxes small relative to the cell size)
+        ranges = _s2.cover_rect_ranges(
+            minx, miny, maxx, maxy, max_cells=64, max_level=res
+        )
         cell_col = "s2_cell"
     else:
         ranges = cell_prune_ranges(minx, miny, maxx, maxy, res)

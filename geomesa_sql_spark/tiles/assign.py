@@ -326,6 +326,7 @@ def s2_range_predicate(
     maxlon: float,
     maxlat: float,
     max_cells: int = 64,
+    level: int | None = None,
 ):
     """Sargable bbox predicate over an S2 cell column: OR of BETWEEN
     ranges from the adaptive covering (cells/s2.cover_rect_ranges).
@@ -334,10 +335,18 @@ def s2_range_predicate(
     exactly how the engine's Z ``cell`` column prunes, but on the
     spherical grid. NOTE: S2 ids of faces 4-5 are NEGATIVE int64s
     (two's complement); ranges never straddle the sign flip because a
-    cell's children share its face bits, so BETWEEN stays correct."""
+    cell's children share its face bits, so BETWEEN stays correct.
+
+    Pass ``level`` = the level ``col`` was encoded at (assign_s2_cells'
+    ``level``): without it a bbox smaller than one stored cell covers
+    at a finer level whose ranges exclude the stored id (the id is the
+    midpoint of its own level-``level`` range) and the predicate drops
+    matching rows (advice r4)."""
     from geomesa_sql_spark.cells import s2 as _s2
 
-    ranges = _s2.cover_rect_ranges(minlon, minlat, maxlon, maxlat, max_cells)
+    ranges = _s2.cover_rect_ranges(
+        minlon, minlat, maxlon, maxlat, max_cells, max_level=level
+    )
     pred = None
     for lo, hi in ranges:
         p = F.col(col).between(F.lit(int(lo)), F.lit(int(hi)))

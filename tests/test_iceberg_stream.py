@@ -218,6 +218,37 @@ def test_geo_iceberg_s2_layout(spark, tmp_path):
     assert sorted(got["k"]) == sorted(want["k"]) and len(got) > 0
 
 
+def test_geo_iceberg_s2_small_bbox_matches_plain_filter(spark, tmp_path):
+    """Advice r4 (high): a bbox far smaller than one stored S2 cell
+    used to build prune ranges finer than the stored level, and the
+    stored ids fell outside every range — rows silently dropped. The
+    read path now caps the covering at geo.cell.res."""
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.io.iceberg import (
+        read_geo_iceberg,
+        write_geo_iceberg,
+    )
+
+    path = str(tmp_path / "s2small")
+    # 5000 points packed into ~0.005 deg around (20, 10): far smaller
+    # than one level-10 cell, so an uncapped covering descends past 10
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.lit(20.0) + (F.col("id") % 100) / 20000.0).alias("lon"),
+        (F.lit(10.0) + (F.col("id") % 97) / 19000.0).alias("lat"),
+    )
+    write_geo_iceberg(df, path, res=10, partitions=4, cell_system="s2")
+    bbox = (20.0, 10.0, 20.001, 10.001)
+    got = read_geo_iceberg(spark, path, bbox=bbox).toPandas()
+    want = df.filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+    ).toPandas()
+    assert len(want) > 0
+    assert sorted(got["k"]) == sorted(want["k"])
+
+
 # ---- review r4l regression tests ----------------------------------
 
 

@@ -191,6 +191,56 @@ def test_cover_rect_ranges_superset_and_bounded():
     assert covered.all()
 
 
+def test_cover_rect_ranges_level_floor_small_bbox():
+    """Advice r4 (high): a bbox small relative to the stored cell level
+    subdivides finer than the stored cells, and the stored id (midpoint
+    of its own range) falls outside every fine range — matching rows
+    silently dropped. max_level caps the descent at the stored level."""
+    cell = int(s2.lonlat_to_cell_id(np.array([20.0005]), np.array([10.0005]), 10)[0])
+    bbox = (20.0, 10.0, 20.001, 10.001)
+
+    def hits(rr):
+        return any(lo <= cell <= hi for lo, hi in rr)
+
+    # uncapped covering demonstrably misses the level-10 id...
+    assert not hits(s2.cover_rect_ranges(*bbox, max_cells=64))
+    # ...the capped one keeps it
+    capped = s2.cover_rect_ranges(*bbox, max_cells=64, max_level=10)
+    assert hits(capped)
+    # and capped ranges are still a superset cover for level-10 ids of
+    # random points inside the bbox
+    rng = np.random.default_rng(41)
+    pts = s2.lonlat_to_cell_id(
+        rng.uniform(20.0, 20.001, 500), rng.uniform(10.0, 10.001, 500), 10
+    )
+    for c in pts.tolist():
+        assert any(lo <= c <= hi for lo, hi in capped)
+
+
+def test_s2_range_predicate_small_bbox_vs_plain_filter(spark):
+    """End-to-end twin of the level-floor fix: s2_range_predicate with
+    level= must keep every row a plain lon/lat filter keeps, even when
+    the bbox is far smaller than one stored cell."""
+    from geomesa_sql_spark.tiles import assign_s2_cells, s2_range_predicate
+
+    df = spark.range(0, 3000).selectExpr(
+        "id",
+        "20.0 + CAST(id % 100 AS DOUBLE) / 20000.0 AS lon",
+        "10.0 + CAST(id % 97 AS DOUBLE) / 19000.0 AS lat",
+    )
+    stored = assign_s2_cells(df, level=10)
+    rect = (20.0, 10.0, 20.001, 10.001)
+    pred = s2_range_predicate("s2_cell", *rect, level=10)
+    got = set(stored.filter(pred).toPandas()["id"])
+    want = set(
+        stored.filter(
+            (F.col("lon") >= rect[0]) & (F.col("lon") <= rect[2])
+            & (F.col("lat") >= rect[1]) & (F.col("lat") <= rect[3])
+        ).toPandas()["id"]
+    )
+    assert want and want.issubset(got)
+
+
 def test_cover_cap_raises():
     with pytest.raises(ValueError, match="cover"):
         s2.cover_rect(-180, -90, 180, 90, 12, max_cells=100)
