@@ -52,6 +52,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -539,8 +540,14 @@ class IcebergTable:
         df = df.withColumn(
             "__file", _norm_file_path(F.col("_metadata.file_path"))
         ).withColumn("__pos", F.col("_metadata.row_index"))
+        # normalize the Python side too: a foreign table whose manifests
+        # record file: URIs must land on the same join key as the
+        # normalized _metadata.file_path, or __seq goes NULL and the
+        # '__seq < delete seq' condition silently skips equality
+        # deletes (advice r4)
         seq_df = spark.createDataFrame(
-            [(d["path"], d["seq"]) for d in data], "__file string, __seq long"
+            [(_norm_path_py(d["path"]), d["seq"]) for d in data],
+            "__file string, __seq long",
         )
         df = df.join(F.broadcast(seq_df), "__file", "left")
 
@@ -619,6 +626,13 @@ def _norm_file_path(col):
     agree on this normalization or MoR anti-joins and CoW hit-file
     targeting silently diverge (review r4m dedup)."""
     return F.regexp_replace(col, "^file:/*", "/")
+
+
+def _norm_path_py(p: str) -> str:
+    """Python twin of _norm_file_path — apply to every manifest-sourced
+    path that is compared against a normalized `__file` (read()'s
+    seq_df, delete_where's hit set)."""
+    return re.sub(r"^file:/*", "/", p)
 
 
 def _manifest_entries(path: str, manifest_seq: int | None = None) -> list[dict]:
@@ -951,7 +965,11 @@ def delete_where(spark: SparkSession, path: str, predicate) -> IcebergTable:
             m["manifest_path"], m.get("sequence_number") or 0
         )
         live = [e for e in ents if e["status"] != 2]
-        if not any(e["data_file"]["file_path"] in hit for e in live):
+        # hit paths are normalized (__file); normalize the manifest side
+        # so foreign file: URIs still target their manifests (advice r4)
+        if not any(
+            _norm_path_py(e["data_file"]["file_path"]) in hit for e in live
+        ):
             carried.append(m)
             continue
         for e in live:
@@ -965,7 +983,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> IcebergTable:
                 ]
             entries.append(
                 {
-                    "status": 2 if f["file_path"] in hit else 0,
+                    "status": 2 if _norm_path_py(f["file_path"]) in hit else 0,
                     "snapshot_id": e.get("snapshot_id"),
                     "sequence_number": e.get("sequence_number"),
                     "file_sequence_number": e.get("file_sequence_number"),

@@ -148,7 +148,11 @@ def _bounds_from_filters(filters, fields: list[dict]):
         if col is None or types.get(col) not in _NUMERIC_ICE:
             continue
         if isinstance(flt, EqualTo) and _num(flt.value):
-            pts.setdefault(col, set()).add(flt.value)
+            # EqualTo is a one-element In: ANDed equalities INTERSECT
+            # (x=1 AND x=2 is provably empty) — unioning them kept
+            # files containing either value (advice r4)
+            s = {flt.value}
+            pts[col] = pts[col] & s if col in pts else s
         elif isinstance(flt, In) and all(_num(v) for v in flt.value):
             s = set(flt.value)
             # ANDed IN lists intersect

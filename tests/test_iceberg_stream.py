@@ -301,6 +301,16 @@ def test_bounds_from_filters_semantics():
         [GreaterThan(("x",), 3), LessThan(("x",), 9)], fields
     )
     assert b == {"x": (3, 9)} and not empty
+    # ANDed equalities intersect like one-element INs (advice r4:
+    # x=1 AND x=2 used to keep files containing either)
+    b, empty = _bounds_from_filters(
+        [EqualTo(("x",), 1), EqualTo(("x",), 2)], fields
+    )
+    assert empty
+    b, empty = _bounds_from_filters(
+        [EqualTo(("x",), 1), In(("x",), (1, 2))], fields
+    )
+    assert not empty and b == {"x": [(1, 1)]}
 
 
 def test_string_filter_does_not_crash_batch_read(spark, table):
@@ -562,3 +572,56 @@ def test_foreign_null_seq_equality_delete_end_to_end(spark, tmp_path):
             f.write(write_avro(schema, entries))
     got = im.IcebergTable.load(path).read(spark).toPandas()
     assert sorted(got["id"]) == [i for i in range(30) if i not in (5, 7)]
+
+
+def _uri_rewrite_manifests(path):
+    """Rewrite every manifest's data_file.file_path to a file:// URI,
+    the way foreign (JVM) Iceberg writers record paths."""
+    import glob
+    import json as _json
+
+    from geomesa_sql_spark.io.avro import read_avro, write_avro
+
+    for mp in glob.glob(f"{path}/metadata/*.avro"):
+        with open(mp, "rb") as f:
+            _, entries, meta = read_avro(f.read())
+        if not entries or "data_file" not in entries[0]:
+            continue  # manifest lists keep plain paths (opened locally)
+        changed = False
+        for e in entries:
+            p = e["data_file"]["file_path"]
+            if not p.startswith("file:"):
+                e["data_file"]["file_path"] = "file://" + p
+                changed = True
+        if changed:
+            schema = _json.loads(meta["avro.schema"].decode())
+            with open(mp, "wb") as f:
+                f.write(write_avro(schema, entries))
+
+
+def test_foreign_file_uri_equality_delete_end_to_end(spark, tmp_path):
+    """Advice r4 (medium): manifests recording file: URIs made seq_df's
+    raw path miss the normalized __file join key, __seq went NULL, and
+    equality deletes silently resurrected rows. Both sides now share
+    _norm_path_py."""
+    path = str(tmp_path / "ice_uri")
+    im.create_table(_mk(spark, 0, 30), path)
+    im.add_equality_deletes(
+        spark, path, spark.createDataFrame([(5,), (7,)], "id long"), on=["id"]
+    )
+    _uri_rewrite_manifests(path)
+    got = im.IcebergTable.load(path).read(spark).toPandas()
+    assert sorted(got["id"]) == [i for i in range(30) if i not in (5, 7)]
+
+
+def test_foreign_file_uri_delete_where(spark, tmp_path):
+    """delete_where's hit-file targeting must also normalize the
+    manifest side: with file: URIs, the hit set (normalized __file)
+    never matched raw entry paths, so no manifest was rewritten and
+    the delete was a no-op."""
+    path = str(tmp_path / "ice_uri_dw")
+    im.create_table(_mk(spark, 0, 30), path)
+    _uri_rewrite_manifests(path)
+    im.delete_where(spark, path, "id < 5")
+    got = im.IcebergTable.load(path).read(spark).toPandas()
+    assert sorted(got["id"]) == list(range(5, 30))
