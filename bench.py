@@ -314,6 +314,42 @@ def main() -> None:
             best = min(best, time.time() - q0)
         results["mvt_render"] = round(best, 3)
 
+        # mvt_render_wkb: whole-geometry vector tiles (r5: the WKB leg
+        # now rides the same sorted-mapInPandas carry walk instead of
+        # per-group applyInPandas). Input WKB boxes are materialized
+        # BEFORE timing so the key measures envelope-parse + JVM
+        # fan-out + carry-walk encode, not input synthesis.
+        import pandas as _pd
+        from pyspark.sql import functions as _F
+
+        from geomesa_sql_spark.geom.model import box as _box
+        from geomesa_sql_spark.geom.wkb import geom_to_wkb as _g2w
+        from geomesa_sql_spark.ops import render_mvt_wkb
+
+        @_F.pandas_udf("binary")
+        def _bx(lon: _pd.Series, lat: _pd.Series) -> _pd.Series:
+            return _pd.Series(
+                [
+                    _g2w(_box(a - 0.2, b - 0.2, a + 0.2, b + 0.2))
+                    for a, b in zip(lon, lat)
+                ],
+                dtype=object,
+            )
+
+        wkb_src = pts_b.select(
+            _F.col("o_orderkey").alias("gid"),
+            _bx(
+                _F.greatest(_F.lit(-179.5), _F.least(_F.lit(179.5), _F.col("lon"))),
+                _F.greatest(_F.lit(-89.5), _F.least(_F.lit(89.5), _F.col("lat"))),
+            ).alias("geom"),
+        ).localCheckpoint(eager=True)
+        best = float("inf")
+        for _ in range(3):
+            q0 = time.time()
+            render_mvt_wkb(wkb_src, zoom=6, id_col="gid").count()
+            best = min(best, time.time() - q0)
+        results["mvt_render_wkb"] = round(best, 3)
+
         # s2_encode: canonical S2 leaf ids for every order point (r4's
         # H3/S2-index surface; Arrow-batched table-driven walk) — new
         # key, additional evidence like mvt_render

@@ -52,11 +52,12 @@ def _parse_dml(query: str):
       Extra match predicates are not parsed — use Engine.merge.)
     Expressions inside SET/WHERE pass verbatim to Spark's expression
     parser (F.expr) — the same surface as the reference's Calcite SQL —
-    except UPDATE/DELETE WHERE clauses carrying a subquery
-    (IN/[NOT] EXISTS/scalar), which Engine.sql plans through spark.sql
-    over the registered view instead (see _where_arg). SET expressions
-    still go verbatim to F.expr — a scalar subquery THERE is not
-    planned (use Engine.update with a precomputed value).
+    except subquery-carrying clauses, which Engine.sql plans through
+    spark.sql over the registered view instead: UPDATE/DELETE WHERE
+    (IN/[NOT] EXISTS/scalar — see _where_arg) and UPDATE SET-side
+    scalar subqueries (planned into a (fid, value) frame applied as a
+    distributed fid join; correlated forms resolve against the target
+    row like ANSI UPDATE, against the pre-update snapshot).
     """
     q = query.strip().rstrip(";")
     m = _re.match(
@@ -520,7 +521,19 @@ class Engine:
             n = n_upd + n_ins
         elif verb == "update":
             set_part, where = body
-            exprs = dict(_split_assignments(set_part))
+            exprs: dict = dict(_split_assignments(set_part))
+            # SET-side scalar subqueries (r4 verdict #8): F.expr can't
+            # plan them, so each such SET expression is planned by
+            # spark.sql over the registered view — Spark's subquery
+            # planner handles scalar/correlated forms for free — into a
+            # (fid, value) frame that io/dml.py applies as a fid join
+            where_sql = f" WHERE {where}" if where is not None else ""
+            for i, (col_, ex) in enumerate(exprs.items()):
+                if _re.search(r"(?is)\(\s*SELECT\b", _mask_literals(ex)):
+                    exprs[col_] = self.spark.sql(
+                        f"SELECT {self.fid_col}, ({ex}) AS __v{i} "
+                        f"FROM {table}{where_sql}"
+                    )
             n = self.update(table, exprs, self._where_arg(table, where))
         else:
             n = self.delete(table, self._where_arg(table, body))

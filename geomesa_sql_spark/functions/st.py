@@ -410,21 +410,20 @@ def register_all(spark: SparkSession) -> None:
         # per-ROW distance (review r3: the batch previously reused row
         # 0's radius for all 8192 rows); constant literals still hit
         # the vectorized path below because the values are equal
-        dvals = d.to_numpy()
         uniq = pd.unique(d.dropna())
         if len(uniq) == 1 and not d.isna().any():
             return pd.Series(
                 kernel.relate_many(list(wa), list(wb), "dwithin", float(uniq[0]))
             )
-        out = []
-        for a, b, dv in zip(wa, wb, dvals):
-            if a is None or b is None or dv is None or dv != dv:
-                out.append(None)
-                continue
-            out.append(bool(
-                kernel.relate_many([a], [b], "dwithin", float(dv))[0]
-            ))
-        return pd.Series(out, dtype=object)
+        # variable radii: ONE vectorized kernel call with the per-row
+        # distance array (r4 verdict #4: the old per-row loop re-decoded
+        # both WKBs every row); NULL geom/distance → SQL NULL
+        dvals = d.to_numpy(dtype=np.float64, na_value=np.nan)
+        res = kernel.relate_many(list(wa), list(wb), "dwithin", dvals)
+        out = pd.Series(list(res), dtype=object)
+        null = (wa.isna() | wb.isna() | d.isna()).to_numpy()
+        out[null] = None
+        return out
 
     spark.udf.register("ST_DWithin", _dwithin)
 

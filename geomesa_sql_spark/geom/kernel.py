@@ -558,7 +558,7 @@ def relate(a: Geom, b: Geom, pred: str, d: float | None = None) -> bool:
     return _PRED[pred](a, b)
 
 
-def relate_many(wkb_a: list, wkb_b: list, pred: str, d: float | None = None) -> np.ndarray:
+def relate_many(wkb_a: list, wkb_b: list, pred: str, d=None) -> np.ndarray:
     """Pairwise predicate over two aligned lists of WKB buffers.
 
     The spatial-join refine kernel: candidate pairs after cell pruning.
@@ -566,8 +566,17 @@ def relate_many(wkb_a: list, wkb_b: list, pred: str, d: float | None = None) -> 
     pairwise predicate. NULL geometry (None) → False, matching the
     reference's null handling (EnumerableSpatialJoinEnumerator.scala:80-104:
     null geoms are neither indexed nor probed).
+
+    ``d`` (dwithin distance) is a scalar OR a per-row array aligned
+    with the pair lists (r4 verdict #4: a join on a non-constant
+    ``ST_DWithin(a, b, r.radius)`` used to degrade to a per-row Python
+    loop that re-decoded both WKBs for every row); NaN rows → False.
     """
     from geomesa_sql_spark.geom.wkb import geom_from_wkb
+
+    d_arr = None
+    if d is not None and not isinstance(d, (int, float)):
+        d_arr = np.asarray(d, dtype=np.float64)
 
     cache: dict[bytes, Geom] = {}
 
@@ -585,7 +594,10 @@ def relate_many(wkb_a: list, wkb_b: list, pred: str, d: float | None = None) -> 
         gb = dec(bb)
         if ga is None or gb is None:
             continue
-        out[i] = relate(ga, gb, pred, d)
+        dd = float(d_arr[i]) if d_arr is not None else d
+        if dd is not None and dd != dd:  # NaN distance (Arrow NULL)
+            continue
+        out[i] = relate(ga, gb, pred, dd)
     return out
 
 

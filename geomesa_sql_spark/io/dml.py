@@ -215,10 +215,12 @@ class SnapshotTable:
         where: Column | DataFrame | None = None,
     ) -> int:
         """Copy-on-write UPDATE. ``set_exprs`` maps column → new value
-        (Column or SQL string); ``where=None`` touches every row; a
-        DataFrame ``where`` is a frame of affected fids (subquery
-        predicates — see :meth:`_hit_frame`), applied as a left-join
-        marker so the rewrite stays one distributed pass.
+        (Column, SQL string, or a DataFrame of ``(fid, value)`` — the
+        planned form of a SET-side scalar subquery, applied as a
+        distributed fid join; r4 verdict #8); ``where=None`` touches
+        every row; a DataFrame ``where`` is a frame of affected fids
+        (subquery predicates — see :meth:`_hit_frame`), applied as a
+        left-join marker so the rewrite stays one distributed pass.
 
         The affected count evaluates ``where`` separately from the
         rewrite, so a NON-DETERMINISTIC predicate (rand() etc.) can
@@ -241,9 +243,26 @@ class SnapshotTable:
             cond = F.col(marker).isNotNull()
         else:
             cond = F.lit(True) if where is None else where
-        exprs = {
-            k: (F.expr(v) if isinstance(v, str) else v) for k, v in set_exprs.items()
-        }
+        exprs: dict[str, Column] = {}
+        for k, v in set_exprs.items():
+            if isinstance(v, DataFrame):
+                # planned SET-side subquery: (fid, value) frame — join
+                # on fid; rows outside the frame keep their old value
+                # via the cond/otherwise below
+                vcol = [c for c in v.columns if c != self.fid_col][0]
+                current = current.join(
+                    v.select(
+                        F.col(self.fid_col),
+                        F.col(vcol).alias(f"__set_{k}"),
+                    ),
+                    self.fid_col,
+                    "left",
+                )
+                exprs[k] = F.col(f"__set_{k}")
+            elif isinstance(v, str):
+                exprs[k] = F.expr(v)
+            else:
+                exprs[k] = v
         updated = current.select(
             *[
                 (

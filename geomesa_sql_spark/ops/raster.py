@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geomesa_sql_spark.ops.tilewalk import tile_carry_map
+
 _INFO_FIELDS = [
     ("rw", T.IntegerType()),
     ("rh", T.IntegerType()),
@@ -283,9 +285,10 @@ def render_tiles(
     2. groupBy(gx, gy).count() — map-side partial agg collapses the
        point set to ≤ (2^z·tile_px)² pixel rows BEFORE any wide
        exchange carries coordinates;
-    3. groupBy(tile) over the pixel counts (≤ tile_px² rows per tile)
-       assembles the grid and encodes in applyInPandas — payload bytes
-       are BORN in the last stage and never shuffle.
+    3. one shuffle on the tile key over the pixel counts (≤ tile_px²
+       rows per tile), then the sorted mapInPandas carry walk
+       (ops/tilewalk.py) assembles the grid and encodes — payload
+       bytes are BORN in the last stage and never shuffle.
 
     ``tile_px`` must be a power of two so tile/pixel split is exact bit
     arithmetic on the shared global index (no float re-derivation that
@@ -334,10 +337,9 @@ def _assemble_tiles(counts: DataFrame, zoom: int, tile_px: int) -> DataFrame:
         "cnt",
     )
 
-    def build(key, pdf):
+    def build(tx, ty, pdf):
         from geomesa_sql_spark.io.tiff import encode_geotiff
 
-        tx, ty = int(key[0]), int(key[1])
         grid = np.zeros((tile_px, tile_px), dtype=np.uint32)
         # SATURATE at the uint32 ceiling instead of wrapping: a zoom-0
         # pixel over 10^12 points can exceed 2^32 counts, and a wrapped
@@ -357,16 +359,23 @@ def _assemble_tiles(counts: DataFrame, zoom: int, tile_px: int) -> DataFrame:
             tile=tile_px if tile_px >= 16 else None,
             compression="deflate",
         )
+        return (tx, ty, int(pdf["cnt"].sum()), blob)
+
+    # NOT groupBy().applyInPandas (the banned per-group dispatch shape,
+    # r4 verdict #1): a pyramid render hits millions of tiles and the
+    # ~2 ms/group Python dispatch dominates; the shared sorted carry
+    # walk pays one dispatch per Arrow batch. Rows per tile are already
+    # collapsed to ≤ tile_px² pixel counts before this shuffle.
+    def _encode_groups(pdf):
+        rows = [
+            build(int(tx), int(ty), g)
+            for (tx, ty), g in pdf.groupby(["tile_x", "tile_y"], sort=False)
+        ]
         return pd.DataFrame(
-            {
-                "tile_x": [tx],
-                "tile_y": [ty],
-                "n_points": [int(pdf["cnt"].sum())],
-                "bytes": [blob],
-            }
+            rows, columns=["tile_x", "tile_y", "n_points", "bytes"]
         )
 
-    return split.groupBy("tile_x", "tile_y").applyInPandas(build, _RENDER_SCHEMA)
+    return tile_carry_map(split, _encode_groups, _RENDER_SCHEMA)
 
 
 def render_pyramid(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geomesa_sql_spark.io import mvt
+from geomesa_sql_spark.ops.tilewalk import tile_carry_map
 from geomesa_sql_spark.tiles.assign import lat_tile_col, lon_tile_col
 
 
@@ -87,13 +88,6 @@ def render_mvt(
     for p in props or []:
         sel.append(F.col(p))
     quant = base.select(*sel)
-    nparts = (
-        partitions
-        or quant.sparkSession.sparkContext.defaultParallelism
-    )
-    part = quant.repartition(nparts, "tile_x", "tile_y").sortWithinPartitions(
-        "tile_x", "tile_y"
-    )
 
     schema = "tile_x long, tile_y long, n_features long, mvt binary"
 
@@ -139,27 +133,7 @@ def render_mvt(
             rows, columns=["tile_x", "tile_y", "n_features", "mvt"]
         )
 
-    def _enc_iter(it):
-        carry = None
-        for pdf in it:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            # rows are sorted by tile within the partition; the last
-            # tile may continue into the next Arrow batch — carry it
-            tail = (pdf["tile_x"] == pdf["tile_x"].iloc[-1]) & (
-                pdf["tile_y"] == pdf["tile_y"].iloc[-1]
-            )
-            carry = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                yield _encode_groups(body)
-        if carry is not None and len(carry):
-            yield _encode_groups(carry)
-
-    return part.mapInPandas(_enc_iter, schema)
+    return tile_carry_map(quant, _encode_groups, schema, partitions)
 
 
 def mvt_stats(tiles: DataFrame, layer: str = "points") -> DataFrame:
@@ -233,12 +207,21 @@ def render_mvt_wkb(
     env = df.select(*keep, _env(wkb).alias("_e")).select(
         *keep, "_e.minx", "_e.miny", "_e.maxx", "_e.maxy"
     )
+    # NULL/undecodable geometries drop WITHOUT a filter: a Filter on a
+    # UDF-struct field splits the plan and Catalyst re-evaluates the
+    # envelope UDF on both sides (caught by the r5 plan assertion —
+    # every WKB decoded twice). Instead NULL propagates into the tile
+    # bounds (the clamp's least/greatest SKIP nulls, so it must be
+    # gated explicitly), sequence(NULL, …) is NULL, and explode of a
+    # NULL array emits no rows.
+    def _guard(c):
+        return F.when(F.col("minx").isNotNull(), c)
+
     fan = (
-        env.where(F.col("minx").isNotNull())
-        .withColumn("_tx0", lon_tile_col("minx", n))
-        .withColumn("_tx1", lon_tile_col("maxx", n))
-        .withColumn("_ty0", lat_tile_col("maxy", n))
-        .withColumn("_ty1", lat_tile_col("miny", n))
+        env.withColumn("_tx0", _guard(lon_tile_col("minx", n)))
+        .withColumn("_tx1", _guard(lon_tile_col("maxx", n)))
+        .withColumn("_ty0", _guard(lat_tile_col("maxy", n)))
+        .withColumn("_ty1", _guard(lat_tile_col("miny", n)))
         # the cap check must gate a column the plan actually CONSUMES
         # (an unused check column gets pruned by Catalyst and the
         # raise_error never evaluates): fold it into the sequence's
@@ -262,8 +245,7 @@ def render_mvt_wkb(
 
     schema = "tile_x long, tile_y long, n_features long, mvt binary"
 
-    def _encode(key, pdf):
-        tx, ty = int(key[0]), int(key[1])
+    def _encode_tile(tx, ty, pdf):
         tminx = tx * spanx - 180.0
         tmaxy = 90.0 - ty * spany
         feats = []
@@ -307,12 +289,21 @@ def render_mvt_wkb(
                     "props": {},
                 })
         blob = mvt.encode_tile({layer: feats}, extent=extent)
+        return (tx, ty, len(feats), blob)
+
+    # NOT groupBy().applyInPandas (the banned per-group dispatch shape,
+    # r4 verdict #1): one shuffle on the tile key, then the shared
+    # sorted carry walk — per-tile cost is a pandas groupby slice
+    def _encode_groups(pdf):
+        rows = [
+            _encode_tile(int(tx), int(ty), g)
+            for (tx, ty), g in pdf.groupby(["tile_x", "tile_y"], sort=False)
+        ]
         return pd.DataFrame(
-            {"tile_x": [tx], "tile_y": [ty],
-             "n_features": [len(feats)], "mvt": [blob]}
+            rows, columns=["tile_x", "tile_y", "n_features", "mvt"]
         )
 
-    return fan.groupBy("tile_x", "tile_y").applyInPandas(_encode, schema)
+    return tile_carry_map(fan, _encode_groups, schema)
 
 
 def mvt_features(

@@ -204,6 +204,61 @@ def test_sql_dml_subquery_predicates(spark, sf_dir, tmp_path):
     assert r.first().affected == 0
 
 
+def test_sql_update_set_scalar_subquery(spark, sf_dir, tmp_path):
+    """SQL-text UPDATE with SET-side scalar subqueries (r4 verdict #8:
+    these used to fail in F.expr). Planned via spark.sql over the
+    registered view into a (fid, value) frame → distributed fid join;
+    correlated forms resolve per target row; self-referencing
+    subqueries see the PRE-update snapshot (ANSI semantics)."""
+    e = Engine(spark, fid_col="n_nationkey")
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    e.create_table("natset", str(tmp_path / "natset"), base)
+    e.register_table("regset", f"{sf_dir}/region.parquet")
+    n0 = base.count()
+
+    # uncorrelated scalar subquery, WHERE-restricted
+    exp = base.filter("n_regionkey = 1").count()
+    r = e.sql(
+        "UPDATE natset SET n_regionkey = "
+        "(SELECT MAX(r_regionkey) + 10 FROM regset) WHERE n_regionkey = 1"
+    )
+    assert r.first().affected == exp
+    assert (
+        e.sql("SELECT COUNT(*) AS c FROM natset WHERE n_regionkey = 14")
+        .first().c == exp
+    )
+    # rows outside the WHERE untouched
+    assert (
+        e.sql("SELECT COUNT(*) AS c FROM natset WHERE n_regionkey = 1")
+        .first().c == 0
+    )
+
+    # correlated scalar subquery mixed with a row column
+    r = e.sql(
+        "UPDATE natset SET n_name = concat(n_name, '/', "
+        "(SELECT r_name FROM regset WHERE r_regionkey = n_regionkey % 5))"
+    )
+    assert r.first().affected == n0
+    bad = e.sql(
+        "SELECT COUNT(*) AS c FROM natset n JOIN regset r "
+        "ON r.r_regionkey = n.n_regionkey % 5 "
+        "WHERE n.n_name NOT LIKE concat('%/', r.r_name)"
+    ).first().c
+    assert bad == 0
+
+    # self-referencing subquery evaluates against the pre-update rows
+    e.create_table("natself", str(tmp_path / "natself"), base)
+    r = e.sql(
+        "UPDATE natself SET n_name = "
+        "(SELECT MIN(n_name) FROM natself) WHERE n_regionkey = 0"
+    )
+    want = base.selectExpr("MIN(n_name) AS m").first().m
+    got = e.sql(
+        "SELECT DISTINCT n_name AS c FROM natself WHERE n_regionkey = 0"
+    ).collect()
+    assert [x.c for x in got] == [want]
+
+
 def test_sql_update_where_inside_string_literal(spark, sf_dir, tmp_path):
     """ADVICE r01: the DML recognizer must split on the TOP-LEVEL WHERE
     only — a SET string literal containing the word WHERE used to bind

@@ -343,6 +343,52 @@ def test_render_mvt_group_spans_arrow_batches(spark):
     assert st["n_rows"].iloc[0] == 20000
 
 
+def test_render_mvt_wkb_null_and_garbage_rows_drop(spark):
+    """NULL and undecodable WKB rows must vanish (r5: the isNotNull
+    filter on the UDF struct was replaced by NULL-propagating tile
+    bounds — least/greatest SKIP nulls, so an unguarded clamp would
+    have sent bad rows to tile 0)."""
+    import pandas as pd
+
+    from geomesa_sql_spark.geom.model import box
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+    from geomesa_sql_spark.ops import render_mvt_wkb
+
+    rows = [
+        (1, geom_to_wkb(box(100.0, 40.0, 101.0, 41.0))),  # one tile, not (0,0)
+        (2, None),
+        (3, b"\x01\x99garbage"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["gid", "geom"]), "gid long, geom binary"
+    )
+    tiles = render_mvt_wkb(df, zoom=3, wkb="geom", id_col="gid").toPandas()
+    assert len(tiles) == 1
+    assert (int(tiles.tile_x.iloc[0]), int(tiles.tile_y.iloc[0])) != (0, 0)
+    assert int(tiles.n_features.iloc[0]) == 1
+
+
+def test_render_mvt_wkb_group_spans_arrow_batches(spark):
+    """r5 rewrite twin: the WKB leg now rides the same carry walk —
+    a tile whose fanned rows span Arrow batches must still encode as
+    ONE tile with every feature."""
+    import pandas as pd
+
+    from geomesa_sql_spark.geom.model import box
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+    from geomesa_sql_spark.ops import render_mvt_wkb
+
+    # 10k tiny boxes all inside one zoom-3 tile (45°x22.5°): a single
+    # repartition(1) partition → two Arrow batches for the one group
+    wb = geom_to_wkb(box(1.0, 1.0, 1.5, 1.5))
+    df = spark.createDataFrame(
+        pd.DataFrame({"gid": range(10000), "geom": [wb] * 10000}),
+        "gid long, geom binary",
+    ).coalesce(1)
+    tiles = render_mvt_wkb(df, zoom=3, wkb="geom", id_col="gid").toPandas()
+    assert len(tiles) == 1 and tiles["n_features"].iloc[0] == 10000
+
+
 def test_render_mvt_typed_props(spark):
     """Optional props columns ride as typed MVT properties; NULLs
     drop from the feature's tag list."""

@@ -138,6 +138,40 @@ def test_broadcast_decision_runs_no_job(spark, sf_dir):
     assert list(sc.statusTracker().getJobIdsForGroup("bcast_probe")) == []
 
 
+def test_knn_adaptive_dispatch_runs_no_job(spark, sf_dir):
+    """r4 verdict #5: knn_join_adaptive's small-vs-large dispatch must
+    decide from Catalyst plan stats (like _should_broadcast), never an
+    eager limit().count() probe job."""
+    from geomesa_sql_spark.join import knn as knn_mod
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    q = spark.range(50_000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0).alias("qx"),
+        ((F.col("id") * 104729 % 1700) / 10.0 - 85.0).alias("qy"),
+    )
+
+    class _Routed(Exception):
+        pass
+
+    def _sentinel(*a, **kw):
+        raise _Routed
+
+    orig = knn_mod.knn_join_cells
+    sc = spark.sparkContext
+    knn_mod.knn_join_cells = _sentinel
+    sc.setJobGroup("knn_dispatch", "probe")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(_Routed):
+            knn_mod.knn_join_adaptive(pts, q, k=3)
+    finally:
+        knn_mod.knn_join_cells = orig
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup("knn_dispatch")) == []
+
+
 def test_knn_cells_no_cartesian(spark, sf_dir):
     """r3: the large-query-set kNN is a cell equi-join — no
     BroadcastNestedLoop/cartesian anywhere, and the per-query rank

@@ -176,6 +176,26 @@ def test_render_tiles_grid_exact_and_roundtrip(spark):
         render_tiles(pts, zoom=4, tile_px=12)
 
 
+def test_render_tiles_group_spans_arrow_batches(spark):
+    """r5 rewrite twin: the GeoTIFF assembly now rides the sorted
+    mapInPandas carry walk — a tile whose 16384 pixel rows span two
+    8192-row Arrow batches must still assemble ONE complete grid."""
+    from geomesa_sql_spark.io.tiff import decode_tiff_raster
+    from geomesa_sql_spark.ops import render_tiles
+
+    # zoom 0, tile_px 128: the single world tile holds 128x128 pixel
+    # rows; hit every pixel center once → 16384 rows in one group
+    P, M = 128, 128
+    pts = spark.range(0, P * P).selectExpr(
+        f"-180.0 + (CAST(id % {M} AS DOUBLE) + 0.5) * (360.0 / {M}) AS lon",
+        f"90.0 - (CAST(id DIV {M} AS DOUBLE) + 0.5) * (180.0 / {M}) AS lat",
+    )
+    pdf = render_tiles(pts, zoom=0, tile_px=P).toPandas()
+    assert len(pdf) == 1 and int(pdf.n_points.iloc[0]) == P * P
+    arr, _ = decode_tiff_raster(bytes(pdf["bytes"].iloc[0]))
+    assert (arr[..., 0] == 1).all()
+
+
 def test_streaming_raster_ingest_equals_batch(spark, tmp_path):
     """Structured-Streaming raster ingest: raster_info + the tile
     fan-out run unchanged on a file stream (mapInPandas is

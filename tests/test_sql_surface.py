@@ -84,6 +84,39 @@ def test_st_buffer_dwithin_equivalence(spark):
         assert r.via_buffer == r.via_dwithin, (r.px, r.py)
 
 
+def test_st_dwithin_variable_radius_vectorized(spark):
+    """Per-row radii (a join on ST_DWithin(a, b, r.radius)) take the
+    vectorized kernel path (r4 verdict #4: one relate_many call with a
+    distance array, not a per-row loop re-decoding WKBs). Semantics:
+    each row judged against ITS radius; NULL radius → NULL."""
+    register_all(spark)
+    # point at distance 5 from origin; radii straddle it per row
+    rows = [(i, 3.0, 4.0, r) for i, r in enumerate(
+        [4.9, 5.0, 5.1, 0.0, None, 100.0]
+    )]
+    df = spark.createDataFrame(rows, "id long, px double, py double, r double")
+    df.createOrReplaceTempView("var_r")
+    got = {
+        r.id: r.hit
+        for r in spark.sql(
+            "SELECT id, ST_DWithin(ST_MakePoint(px, py), "
+            "ST_GeomFromText('POINT (0 0)'), r) AS hit FROM var_r"
+        ).collect()
+    }
+    assert got == {0: False, 1: True, 2: True, 3: False, 4: None, 5: True}
+    # and the kernel accepts the array directly (the path the UDF takes)
+    import numpy as np
+
+    from geomesa_sql_spark.geom import kernel
+    from geomesa_sql_spark.geom.model import point
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+
+    a = [geom_to_wkb(point(3.0, 4.0))] * 4
+    b = [geom_to_wkb(point(0.0, 0.0))] * 4
+    res = kernel.relate_many(a, b, "dwithin", np.array([4.9, 5.0, np.nan, 6.0]))
+    assert res.tolist() == [False, True, False, True]
+
+
 def test_st_union_predicate_semantics(spark):
     """ST_Intersects(x, ST_Union(a, b)) ≡ intersects(x,a) OR intersects(x,b)
     — the only way the reference exercises ST_Union

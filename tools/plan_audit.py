@@ -234,16 +234,19 @@ def main() -> int:
     rd = render_tiles(pts2, zoom=5, tile_px=16)
     plan = _fmt(rd)
     assert "partial_count" in plan, plan
-    assert plan.split("\n\n")[0].count("FlatMapGroupsInPandas") == 1, plan
+    body = plan.split("\n\n")[0]
+    assert body.count("MapInPandas") == 1, plan
+    assert "FlatMapGroupsInPandas" not in body, plan
     assert "ArrowEvalPython" not in plan, plan
     sections.append((
         "Vector→raster render (render_tiles)",
         "Points collapse to per-pixel counts with a map-side "
         "partial_count before the pixel-key exchange, the tile split is "
         "bit arithmetic on the shared global index, and the ONLY Python "
-        "stage is the final per-tile grid assembly/GeoTIFF encode "
-        "(FlatMapGroupsInPandas) — payload bytes are born in the last "
-        "stage and never shuffle.",
+        "stage is the final per-tile grid assembly/GeoTIFF encode — ONE "
+        "mapInPandas carry walk over tile-sorted partitions (r5: was "
+        "per-tile applyInPandas, ~2 ms of dispatch per tile). Payload "
+        "bytes are born in the last stage and never shuffle.",
         plan,
     ))
 
@@ -269,6 +272,51 @@ def main() -> int:
         "Python dispatch per tile, ~8 s over 4011 tiles at sf0.01). "
         "The MVT blob is born in the last stage, so payload bytes never "
         "ride a shuffle.",
+        plan,
+    ))
+
+    # 10b. WKB vector tiles: envelope parse is the only Arrow stage,
+    # covered-tile fan-out is JVM sequence/explode, ONE exchange on the
+    # tile key, and the per-tile encode is the same mapInPandas carry
+    # walk (r5: was per-group applyInPandas — the banned shape)
+    import pandas as pd
+
+    from geomesa_sql_spark.geom.model import box
+    from geomesa_sql_spark.geom.wkb import geom_to_wkb
+    from geomesa_sql_spark.ops import render_mvt_wkb
+
+    rows = [
+        (
+            i,
+            geom_to_wkb(
+                box(
+                    (i * 79.19) % 300.0 - 150.0,
+                    (i * 10.4729) % 140.0 - 70.0,
+                    (i * 79.19) % 300.0 - 149.0,
+                    (i * 10.4729) % 140.0 - 69.0,
+                )
+            ),
+        )
+        for i in range(1000)
+    ]
+    shapes = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["gid", "geom"]), "gid long, geom binary"
+    )
+    mw = render_mvt_wkb(shapes, zoom=4, wkb="geom", id_col="gid")
+    plan = _fmt(mw)
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1, plan
+    assert body.count("MapInPandas") == 1, plan
+    assert "FlatMapGroupsInPandas" not in body, plan
+    assert body.count("ArrowEvalPython") == 1, plan  # envelope parse
+    assert "Generate" in body, plan  # JVM explode fan-out
+    sections.append((
+        "WKB vector tiles (render_mvt_wkb)",
+        "Geometry envelopes parse in ONE Arrow stage, the covered-tile "
+        "fan-out is JVM sequence/explode on the shared FLOOR law, "
+        "exactly one exchange keyed on the tile, and the per-tile "
+        "decode+quantize+encode is the shared sorted mapInPandas carry "
+        "walk (ops/tilewalk.py) — never per-group applyInPandas.",
         plan,
     ))
 
