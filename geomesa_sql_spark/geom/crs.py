@@ -13,6 +13,12 @@ published formulas, and keeps a loud NotImplementedError for the rest
   registered here too so chained hops resolve)
 - EPSG:32601-32660 / 32701-32760  UTM north/south on WGS84
 - EPSG:26901-26923  UTM north on NAD83 (GRS80)
+- EPSG:2154 / 3034 / 32139  Lambert Conformal Conic 2SP (Snyder 1987
+  eq. 15-1..15-11; conformal→geodetic via the shared Krüger delta
+  series): France Lambert-93, LCC Europe, a US state plane (r4
+  verdict #7)
+- EPSG:3035  ETRS89 LAEA Europe (Snyder eq. 24-16..24-19 + the
+  authalic-latitude series eq. 3-18)
 
 Transverse Mercator uses the Krüger n-series to fourth order
 (coefficients as published in Krüger 1912 / Deakin et al. 2010 /
@@ -135,16 +141,72 @@ def tm_inverse(
     return lon0_deg + np.degrees(lam), np.degrees(phi)
 
 
+def _lcc_setup(a: float, f: float, phi1: float, phi2: float,
+               phi0: float, e0: float, n0: float):
+    """Precomputed Lambert Conformal Conic 2SP constants (Snyder 1987,
+    eq. 15-1..15-11): cone constant n, F, and the origin radius rho0.
+    Angles in degrees."""
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+
+    def m(phi):
+        s = np.sin(np.radians(phi))
+        return np.cos(np.radians(phi)) / np.sqrt(1.0 - e2 * s * s)
+
+    def t(phi):
+        p = np.radians(phi)
+        s = np.sin(p)
+        return np.tan(np.pi / 4.0 - p / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    m1, m2 = m(phi1), m(phi2)
+    t0, t1, t2 = t(phi0), t(phi1), t(phi2)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    big_f = m1 / (n * t1 ** n)
+    rho0 = a * big_f * t0 ** n
+    return {"e": e, "n": float(n), "F": float(big_f),
+            "rho0": float(rho0), "E0": e0, "N0": n0}
+
+
+def _laea_setup(a: float, f: float, phi0: float, e0: float, n0: float):
+    """Precomputed ellipsoidal Lambert Azimuthal Equal-Area constants
+    (Snyder 1987, eq. 3-11/3-12, 24-19/24-20): authalic radius Rq,
+    origin authalic latitude beta1, and the D aspect correction."""
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+
+    def q(phi_rad):
+        s = np.sin(phi_rad)
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    qp = q(np.pi / 2.0)
+    p0 = np.radians(phi0)
+    q1 = q(p0)
+    beta1 = np.arcsin(q1 / qp)
+    rq = a * np.sqrt(qp / 2.0)
+    m1 = np.cos(p0) / np.sqrt(1.0 - e2 * np.sin(p0) ** 2)
+    d = a * m1 / (rq * np.cos(beta1))
+    return {"e": e, "qp": float(qp), "beta1": float(beta1),
+            "Rq": float(rq), "D": float(d), "E0": e0, "N0": n0}
+
+
 class _Crs:
     """A resolvable CRS: converts its native coordinates to/from
     geographic degrees on its own datum (datum shifts are identity —
     module docstring)."""
 
-    def __init__(self, kind: str, ellipsoid, lon0: float = 0.0, n0: float = 0.0):
-        self.kind = kind  # 'geographic' | 'utm' | 'webmerc'
+    def __init__(self, kind: str, ellipsoid, lon0: float = 0.0, n0: float = 0.0,
+                 lcc=None, laea=None):
+        self.kind = kind  # 'geographic' | 'utm' | 'webmerc' | 'merc' | 'lcc' | 'laea'
         self.a, self.f = ellipsoid
         self.lon0 = lon0
         self.n0 = n0
+        self.lcc = lcc
+        self.laea = laea
 
     def to_geographic(self, c: np.ndarray) -> np.ndarray:
         if self.kind == "geographic":
@@ -166,6 +228,75 @@ class _Crs:
             for _ in range(6):
                 phi = np.arcsin(np.tanh(psi + e * np.arctanh(e * np.sin(phi))))
             out[:, 0] = c[:, 0] / (self.a * np.pi / 180.0)
+            out[:, 1] = np.degrees(phi)
+            return out
+        if self.kind == "lcc":
+            # Snyder 1987 eq. 15-1..15-11 inverse; the conformal
+            # latitude chi converts to geodetic with the SAME Krüger
+            # delta series the TM inverse uses (one source of truth)
+            p = self.lcc
+            n, big_f, rho0 = p["n"], p["F"], p["rho0"]
+            sgn = 1.0 if n >= 0 else -1.0
+            x = c[:, 0] - p["E0"]
+            y = rho0 - (c[:, 1] - p["N0"])
+            rho = sgn * np.sqrt(x * x + y * y)
+            theta = np.arctan2(sgn * x, sgn * y)
+            tp = (rho / (self.a * big_f)) ** (1.0 / n)
+            chi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+            _, _, _, delta = _kruger_coeffs(self.f)
+            phi = chi.copy()
+            for j in range(4):
+                phi += delta[j] * np.sin(2.0 * (j + 1) * chi)
+            out[:, 0] = self.lon0 + np.degrees(theta / n)
+            out[:, 1] = np.degrees(phi)
+            return out
+        if self.kind == "laea":
+            # Snyder 1987 eq. 24-16..24-19 + authalic→geodetic series
+            # (eq. 3-18): non-iterative, vectorized
+            p = self.laea
+            e, qp, b1, rq, dd = p["e"], p["qp"], p["beta1"], p["Rq"], p["D"]
+            x = c[:, 0] - p["E0"]
+            y = c[:, 1] - p["N0"]
+            rho = np.sqrt((x / dd) ** 2 + (dd * y) ** 2)
+            ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                qv = qp * (
+                    np.cos(ce) * np.sin(b1)
+                    + np.where(
+                        rho == 0.0,
+                        0.0,
+                        dd * y * np.sin(ce) * np.cos(b1) / np.where(rho == 0.0, 1.0, rho),
+                    )
+                )
+                lam = np.arctan2(
+                    x * np.sin(ce),
+                    dd * rho * np.cos(b1) * np.cos(ce)
+                    - dd * dd * y * np.sin(b1) * np.sin(ce),
+                )
+            lam = np.where(rho == 0.0, 0.0, lam)
+            beta = np.arcsin(np.clip(qv / qp, -1.0, 1.0))
+            e2 = e * e
+            e4, e6 = e2 * e2, e2 * e2 * e2
+            phi = (
+                beta
+                + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0)
+                * np.sin(2.0 * beta)
+                + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+                + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
+            )
+            # two Newton steps of Snyder eq. 3-16 remove the series
+            # truncation (~9e-9 deg with GRS80's e) → closure <1e-12
+            for _ in range(2):
+                sp = np.sin(phi)
+                phi = phi + (1.0 - e2 * sp * sp) ** 2 / (
+                    2.0 * np.cos(phi)
+                ) * (
+                    qv / (1.0 - e2)
+                    - sp / (1.0 - e2 * sp * sp)
+                    + (1.0 / (2.0 * e))
+                    * np.log((1.0 - e * sp) / (1.0 + e * sp))
+                )
+            out[:, 0] = self.lon0 + np.degrees(lam)
             out[:, 1] = np.degrees(phi)
             return out
         out[:, 0], out[:, 1] = tm_inverse(
@@ -190,6 +321,41 @@ class _Crs:
             s = np.sin(np.radians(c[:, 1]))
             out[:, 0] = c[:, 0] * (self.a * np.pi / 180.0)
             out[:, 1] = self.a * (np.arctanh(s) - e * np.arctanh(e * s))
+            return out
+        if self.kind == "lcc":
+            p = self.lcc
+            e, n, big_f, rho0 = p["e"], p["n"], p["F"], p["rho0"]
+            phi = np.radians(c[:, 1])
+            s = np.sin(phi)
+            t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+                (1.0 - e * s) / (1.0 + e * s)
+            ) ** (e / 2.0)
+            rho = self.a * big_f * t ** n
+            theta = n * np.radians(c[:, 0] - self.lon0)
+            out[:, 0] = p["E0"] + rho * np.sin(theta)
+            out[:, 1] = p["N0"] + rho0 - rho * np.cos(theta)
+            return out
+        if self.kind == "laea":
+            p = self.laea
+            e, qp, b1, rq, dd = p["e"], p["qp"], p["beta1"], p["Rq"], p["D"]
+            e2 = e * e
+            phi = np.radians(c[:, 1])
+            s = np.sin(phi)
+            qv = (1.0 - e2) * (
+                s / (1.0 - e2 * s * s)
+                - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+            beta = np.arcsin(np.clip(qv / qp, -1.0, 1.0))
+            dl = np.radians(c[:, 0] - self.lon0)
+            denom = 1.0 + np.sin(b1) * np.sin(beta) + np.cos(b1) * np.cos(
+                beta
+            ) * np.cos(dl)
+            b = rq * np.sqrt(2.0 / denom)
+            out[:, 0] = p["E0"] + b * dd * np.cos(beta) * np.sin(dl)
+            out[:, 1] = p["N0"] + (b / dd) * (
+                np.cos(b1) * np.sin(beta)
+                - np.sin(b1) * np.cos(beta) * np.cos(dl)
+            )
             return out
         out[:, 0], out[:, 1] = tm_forward(
             c[:, 0], c[:, 1], self.lon0, self.a, self.f, n0=self.n0
@@ -229,6 +395,41 @@ def resolve_crs(code: str) -> _Crs | None:
     if epsg == 3395:
         # WGS84 world Mercator (ellipsoidal, unlike spherical 3857)
         return _Crs("merc", _WGS84)
+    if epsg == 2154:
+        # RGF93 / Lambert-93 (France national grid): LCC 2SP on GRS80,
+        # parallels 49°/44°, origin 46.5°N 3°E, FE 700 km FN 6600 km
+        return _Crs(
+            "lcc", _GRS80, lon0=3.0,
+            lcc=_lcc_setup(*_GRS80, 49.0, 44.0, 46.5, 700000.0, 6600000.0),
+        )
+    if epsg == 3034:
+        # ETRS89 / LCC Europe: parallels 35°/65°, origin 52°N 10°E,
+        # FE 4000 km FN 2800 km
+        return _Crs(
+            "lcc", _GRS80, lon0=10.0,
+            lcc=_lcc_setup(*_GRS80, 35.0, 65.0, 52.0, 4000000.0, 2800000.0),
+        )
+    if epsg == 32139:
+        # NAD83 / Texas Central (state plane, metres): parallels
+        # 31°53'/30°07', origin 29°40'N 100°20'W, FE 700 km FN 3000 km
+        return _Crs(
+            "lcc", _GRS80, lon0=-(100.0 + 20.0 / 60.0),
+            lcc=_lcc_setup(
+                *_GRS80,
+                31.0 + 53.0 / 60.0,
+                30.0 + 7.0 / 60.0,
+                29.0 + 40.0 / 60.0,
+                700000.0,
+                3000000.0,
+            ),
+        )
+    if epsg == 3035:
+        # ETRS89 / LAEA Europe (the EU statistical grid): equal-area
+        # azimuthal on GRS80, origin 52°N 10°E, FE 4321 km FN 3210 km
+        return _Crs(
+            "laea", _GRS80, lon0=10.0,
+            laea=_laea_setup(*_GRS80, 52.0, 4321000.0, 3210000.0),
+        )
     return None
 
 
@@ -254,5 +455,9 @@ def supported_crs_table() -> str:
         "EPSG:3395 (world mercator, ellipsoidal), "
         "EPSG:32601-32660/32701-32760 (UTM N/S on WGS84), "
         "EPSG:26901-26923 (UTM N on NAD83), "
-        "EPSG:25828-25838 (UTM N on ETRS89)"
+        "EPSG:25828-25838 (UTM N on ETRS89), "
+        "EPSG:2154 (RGF93 / Lambert-93, LCC), "
+        "EPSG:3034 (ETRS89 / LCC Europe), "
+        "EPSG:32139 (NAD83 / Texas Central state plane, LCC), "
+        "EPSG:3035 (ETRS89 / LAEA Europe)"
     )

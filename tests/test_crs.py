@@ -164,10 +164,12 @@ def test_st_transform_udf_utm(spark):
     assert np.allclose(g.coords, want[0], atol=1e-6)
     p = geom_from_wkb(bytes(row.p))
     assert p.type == "Polygon" and row.n is None
+    # EPSG:27700 (OSGB36 British National Grid) stays a loud raise —
+    # r5 added 2154/3034/32139/3035, the registry is still explicit
     with pytest.raises(Exception, match="ST_Transform"):
         spark.sql(
             "SELECT ST_Transform(ST_GeomFromText('POINT (0 0)'),"
-            " 'EPSG:4326', 'EPSG:2154') AS g"
+            " 'EPSG:4326', 'EPSG:27700') AS g"
         ).collect()
 
 
@@ -314,3 +316,131 @@ def test_etrs89_utm_and_world_mercator():
     back = f3(np.array([[691_565.465, 5_334_789.899]]))[0]
     # GRS80 vs WGS84 flattening differs at 1e-10: sub-mm here
     assert abs(back[0] - 691_565.465) < 1e-3 and abs(back[1] - 5_334_789.899) < 1e-3
+
+
+# ---- r5: Lambert Conformal Conic + LAEA Europe ---------------------
+
+
+def test_lcc_scale_unity_on_both_standard_parallels():
+    """Defining property of LCC 2SP (Snyder eq. 15-4/15-5): the point
+    scale factor k = n·rho / (a·m(phi)) is EXACTLY 1 on both standard
+    parallels, <1 between them, >1 outside — pins n, F and the t/m
+    algebra jointly; a slip in any constant breaks equality at one or
+    both parallels."""
+    from geomesa_sql_spark.geom.crs import resolve_crs
+
+    cases = {
+        "EPSG:2154": (49.0, 44.0),
+        "EPSG:3034": (35.0, 65.0),
+        "EPSG:32139": (31.0 + 53.0 / 60.0, 30.0 + 7.0 / 60.0),
+    }
+    for code, (p1, p2) in cases.items():
+        crs = resolve_crs(code)
+        p = crs.lcc
+        e2 = crs.f * (2.0 - crs.f)
+        e = np.sqrt(e2)
+
+        def k_at(phi_deg):
+            phi = np.radians(np.asarray(phi_deg, dtype=np.float64))
+            s = np.sin(phi)
+            t = np.tan(np.pi / 4 - phi / 2) / (
+                (1 - e * s) / (1 + e * s)
+            ) ** (e / 2)
+            rho = crs.a * p["F"] * t ** p["n"]
+            m = np.cos(phi) / np.sqrt(1 - e2 * s * s)
+            return p["n"] * rho / (crs.a * m)
+
+        assert abs(k_at(p1) - 1.0) < 1e-12, code
+        assert abs(k_at(p2) - 1.0) < 1e-12, code
+        lo, hi = sorted((p1, p2))
+        assert k_at((lo + hi) / 2.0) < 1.0, code
+        assert k_at(hi + 5.0) > 1.0 and k_at(lo - 5.0) > 1.0, code
+
+
+def test_lcc_laea_false_origin_and_axis_orientation():
+    """(lon0, phi0) maps EXACTLY to the false origin (definitional),
+    due north from it raises N at constant E, due east raises E —
+    catches axis swaps/sign flips that scale and round-trip laws are
+    blind to."""
+    from geomesa_sql_spark.geom.crs import transform_fn
+
+    cases = {
+        "EPSG:2154": (3.0, 46.5, 700000.0, 6600000.0),
+        "EPSG:3034": (10.0, 52.0, 4000000.0, 2800000.0),
+        "EPSG:32139": (-(100.0 + 20.0 / 60.0), 29.0 + 40.0 / 60.0,
+                       700000.0, 3000000.0),
+        "EPSG:3035": (10.0, 52.0, 4321000.0, 3210000.0),
+    }
+    for code, (lon0, phi0, fe, fn_) in cases.items():
+        fwd = transform_fn("EPSG:4326", code)
+        o = fwd(np.array([[lon0, phi0]]))[0]
+        assert abs(o[0] - fe) < 1e-6 and abs(o[1] - fn_) < 1e-6, code
+        north = fwd(np.array([[lon0, phi0 + 1.0]]))[0]
+        east = fwd(np.array([[lon0 + 1.0, phi0]]))[0]
+        assert north[1] > fn_ + 50_000 and abs(north[0] - fe) < 1e-6, code
+        assert east[0] > fe + 50_000, code
+
+
+def test_lcc_laea_roundtrip_closes():
+    """forward∘inverse closes below 1e-9 degrees across each grid's
+    service area (the UTM closure law, extended to the new kinds)."""
+    from geomesa_sql_spark.geom.crs import transform_fn
+
+    rng = np.random.default_rng(7)
+    domains = {
+        "EPSG:2154": (-5.0, 10.0, 41.0, 51.5),
+        "EPSG:3034": (-10.0, 35.0, 35.0, 70.0),
+        "EPSG:32139": (-106.0, -94.0, 28.0, 32.3),
+        "EPSG:3035": (-10.0, 35.0, 35.0, 70.0),
+    }
+    for code, (lo, hi, s, n_) in domains.items():
+        geo = np.column_stack(
+            [rng.uniform(lo, hi, 256), rng.uniform(s, n_, 256)]
+        )
+        fwd = transform_fn("EPSG:4326", code)
+        inv = transform_fn(code, "EPSG:4326")
+        assert np.abs(inv(fwd(geo)) - geo).max() < 1e-9, code
+
+
+def test_lcc_matches_isometric_latitude_rederivation():
+    """Independent re-derivation of the LCC radius: t(phi) is also
+    exp(-psi) with psi the isometric latitude atanh(sin phi) -
+    e*atanh(e sin phi) — a different code path for the same quantity
+    (the recipe the UTM work used: two formulations must agree)."""
+    from geomesa_sql_spark.geom.crs import resolve_crs
+
+    crs = resolve_crs("EPSG:2154")
+    p = crs.lcc
+    e = p["e"]
+    rng = np.random.default_rng(3)
+    phi = np.radians(rng.uniform(41.0, 51.5, 512))
+    s = np.sin(phi)
+    psi = np.arctanh(s) - e * np.arctanh(e * s)
+    rho_iso = crs.a * p["F"] * np.exp(-p["n"] * psi)
+    t = np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+    rho_tan = crs.a * p["F"] * t ** p["n"]
+    assert np.abs(rho_iso / rho_tan - 1.0).max() < 1e-14
+
+
+def test_laea_area_element_preserved():
+    """Equal-area law: the numeric Jacobian |d(x,y)/d(lon,lat)| of the
+    EPSG:3035 forward equals the ellipsoid's area element
+    a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 per radian^2 at every
+    sample point — the property that DEFINES the projection, checked
+    without any projection code in the oracle."""
+    from geomesa_sql_spark.geom.crs import transform_fn
+
+    fwd = transform_fn("EPSG:4326", "EPSG:3035")
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2.0 - f)
+    rng = np.random.default_rng(5)
+    pts = np.column_stack(
+        [rng.uniform(-8.0, 30.0, 128), rng.uniform(36.0, 68.0, 128)]
+    )
+    h = 1e-5  # degrees
+    dx = (fwd(pts + [h, 0.0]) - fwd(pts - [h, 0.0])) / (2 * np.radians(h))
+    dy = (fwd(pts + [0.0, h]) - fwd(pts - [0.0, h])) / (2 * np.radians(h))
+    jac = np.abs(dx[:, 0] * dy[:, 1] - dx[:, 1] * dy[:, 0])
+    s = np.sin(np.radians(pts[:, 1]))
+    want = a * a * (1 - e2) * np.cos(np.radians(pts[:, 1])) / (1 - e2 * s * s) ** 2
+    assert np.abs(jac / want - 1.0).max() < 1e-5
