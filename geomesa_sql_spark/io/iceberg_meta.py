@@ -155,6 +155,16 @@ _DATA_FILE_SCHEMA = {
         {"name": "content", "type": "int", "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
         {"name": "file_format", "type": "string", "field-id": 101},
+        # REQUIRED by the v2 spec even for unpartitioned tables (empty
+        # struct, zero Avro bytes): a strict foreign reader resolves
+        # the file schema against the spec's required field list and
+        # rejects a data_file without field 102 (r4 verdict #3 —
+        # golden-fixture pass caught the omission)
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
         {
@@ -736,6 +746,9 @@ def _commit(
             e.setdefault("snapshot_id", snapshot_id)
             e.setdefault("sequence_number", seq)
             e.setdefault("file_sequence_number", seq)
+            # unpartitioned tuple for entries built before the field
+            # existed (carried rewrites of pre-r5 tables)
+            e["data_file"].setdefault("partition", {})
         mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex[:16]}-m0.avro")
         blob = write_avro(
             _MANIFEST_ENTRY_SCHEMA,

@@ -389,6 +389,7 @@ def test_null_entry_seq_inherits_manifest_seq(tmp_path):
             "content": 0,
             "file_path": "/x.parquet",
             "file_format": "PARQUET",
+            "partition": {},  # required v2 tuple (r5)
             "record_count": 1,
             "file_size_in_bytes": 10,
             "lower_bounds": None,
