@@ -168,12 +168,23 @@ def executor_mode(zpath: str, quick: bool, state: dict) -> dict:
     state.setdefault(key, [])
     from bench import host_calibration
 
+    from bench import wait_for_calibration
+
+    min_pair_cal = float(os.environ.get("SPARK_GRAFT_PAIR_MIN_CAL", "0"))
     for _ in range(rounds):
         # one calibration per interleaved pair: both levels of a pair run
         # in (approximately) the same host window, so the pair's ratio is
         # the strongest form of the comparison — same job, same input,
-        # same host state, only the executor count differs
-        cal = host_calibration(16)["parallel_efficiency"]
+        # same host state, only the executor count differs. r5 (verdict
+        # #2): optionally WAIT for a ≥min_pair_cal window before burning
+        # a pair — a pair started degraded can never become the
+        # calibration-stamped ≥0.8 evidence the north rule asks for.
+        if min_pair_cal > 0:
+            cal = wait_for_calibration(16, min_eff=min_pair_cal)[0][
+                "parallel_efficiency"
+            ]
+        else:
+            cal = host_calibration(16)["parallel_efficiency"]
         for execs, master in levels.items():
             r = spark_submit(
                 str(REPO / "tools/scale_job.py"), execs * exec_cores, zpath,
