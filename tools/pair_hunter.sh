@@ -1,0 +1,78 @@
+#!/bin/bash
+# Calibration-gated executor-pair accumulator (r5 verdict #2).
+#
+# The north rule needs ONE same-window 1-exec vs 4-exec pair with
+# efficiency >= 0.8 whose host-calibration stamp is >= 0.7. Burning a
+# pair costs ~4 min of 16-proc compute, and a pair started in a
+# degraded window can never become that evidence — so this loop probes
+# the host cheaply (host_calibration(16), ~5 s) and only invokes the
+# real harness when a healthy window is open.
+#
+# Coordination files (under /tmp/spark_graft_bench/):
+#   PAUSE   — created by the operator: skip burning (e.g. while pytest
+#             or bench.py owns the cores); probing continues.
+#   BURNING — created by this loop while a pair is in flight so the
+#             operator knows not to launch heavy work.
+#   hunter.log — one line per probe/burn.
+set -u
+cd "$(dirname "$0")/.."
+BDIR=/tmp/spark_graft_bench
+mkdir -p "$BDIR"
+LOG="$BDIR/hunter.log"
+GATE="${PAIR_HUNTER_GATE:-0.68}"
+MAX_ITER="${PAIR_HUNTER_MAX_ITER:-400}"
+
+probe() {
+  python - <<'EOF' 2>/dev/null
+from bench import host_calibration
+print(host_calibration(16)["parallel_efficiency"])
+EOF
+}
+
+done_yet() {
+  python - <<'EOF' 2>/dev/null
+import json
+from pathlib import Path
+p = Path("/tmp/spark_graft_bench/scaling_state.json")
+try:
+    runs = [r for r in json.loads(p.read_text()).get("executors", [])
+            if r.get("n") == 1000000]
+except Exception:
+    runs = []
+ok = 0
+for i in range(0, len(runs) - 1, 2):
+    a, b = runs[i], runs[i + 1]
+    if a.get("executors") == 1 and b.get("executors") == 4:
+        eff = a["sec"] / (4.0 * b["sec"])
+        cal = a.get("cal")
+        if cal is not None and cal >= 0.7 and eff >= 0.8:
+            ok = 1
+print(ok)
+EOF
+}
+
+for i in $(seq 1 "$MAX_ITER"); do
+  if [ "$(done_yet)" = "1" ]; then
+    echo "$(date +%T) DONE: calibrated >=0.8 pair recorded" >> "$LOG"
+    exit 0
+  fi
+  if [ -f "$BDIR/PAUSE" ]; then
+    echo "$(date +%T) paused" >> "$LOG"
+    sleep 30
+    continue
+  fi
+  eff=$(probe)
+  [ -z "$eff" ] && eff=0
+  good=$(python -c "print(1 if float('$eff' or 0) >= float('$GATE') else 0)")
+  echo "$(date +%T) probe eff=$eff gate=$GATE good=$good" >> "$LOG"
+  if [ "$good" = "1" ]; then
+    touch "$BDIR/BURNING"
+    SPARK_GRAFT_PAIR_MIN_CAL=0.7 SPARK_GRAFT_CALIB_ATTEMPTS=3 \
+      SPARK_GRAFT_CALIB_SLEEP=10 SPARK_GRAFT_SCALE_ROUNDS=1 \
+      python tools/bench_scaling.py --executors >> "$LOG" 2>&1
+    rm -f "$BDIR/BURNING"
+  else
+    sleep 45
+  fi
+done
+echo "$(date +%T) max iterations reached" >> "$LOG"

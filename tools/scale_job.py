@@ -56,7 +56,19 @@ def main() -> None:
     from geomesa_sql_spark.ops import image_stats
     from geomesa_sql_spark.tiles import assign_tiles
 
-    spark = get_spark("scale_job", master=master)
+    # Split sizing (r5): the 64 × ~19 MB fixture files pack into 128 MB
+    # default splits → only 16 scan+decode tasks, i.e. ONE wave at 16
+    # cores. A single-wave stage has no straggler smoothing, so any
+    # slow task extends the 4-executor wall directly while the 4-core
+    # level (4 waves) self-levels — the stage profile showed 92.5%
+    # utilization lost to exactly this. 32 MB splits keep one file per
+    # task (64 tasks → ≥4 waves at every level measured), which is the
+    # same rule a real cluster job follows: size input splits so each
+    # core sees several task waves.
+    spark = get_spark(
+        "scale_job", master=master,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+    )
     # 64×64 all-PNG: ~235 µs of zlib+unfilter decode per image, so the
     # job is CPU-bound (the regime where scaling is measurable), while
     # the synthetic gradient compresses to ~1.2 KB stored per image
