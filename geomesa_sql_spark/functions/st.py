@@ -412,9 +412,15 @@ def register_all(spark: SparkSession) -> None:
         # the vectorized path below because the values are equal
         uniq = pd.unique(d.dropna())
         if len(uniq) == 1 and not d.isna().any():
-            return pd.Series(
-                kernel.relate_many(list(wa), list(wb), "dwithin", float(uniq[0]))
-            )
+            # same NULL contract as the variable path below: a NULL
+            # geometry yields SQL NULL, not False — otherwise the same
+            # row's result would depend on which radii share its Arrow
+            # batch (r5 review: batch-composition-dependent semantics)
+            res = kernel.relate_many(list(wa), list(wb), "dwithin", float(uniq[0]))
+            out = pd.Series(list(res), dtype=object)
+            null = (wa.isna() | wb.isna()).to_numpy()
+            out[null] = None
+            return out
         # variable radii: ONE vectorized kernel call with the per-row
         # distance array (r4 verdict #4: the old per-row loop re-decoded
         # both WKBs every row); NULL geom/distance → SQL NULL

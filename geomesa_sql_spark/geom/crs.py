@@ -285,17 +285,25 @@ class _Crs:
                 + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
             )
             # two Newton steps of Snyder eq. 3-16 remove the series
-            # truncation (~9e-9 deg with GRS80's e) → closure <1e-12
+            # truncation (~9e-9 deg with GRS80's e) → closure <1e-12.
+            # Pole guard (r5 review): the step divides by 2·cos(φ) and
+            # dq/dφ → 0 at the pole, so within ~1e-5 deg of ±90° Newton
+            # jumps to a wrong root (observed: lat 90 → 59.11). The
+            # series value is already exact to ~9e-9 deg there — keep it.
             for _ in range(2):
                 sp = np.sin(phi)
-                phi = phi + (1.0 - e2 * sp * sp) ** 2 / (
-                    2.0 * np.cos(phi)
-                ) * (
-                    qv / (1.0 - e2)
-                    - sp / (1.0 - e2 * sp * sp)
-                    + (1.0 / (2.0 * e))
-                    * np.log((1.0 - e * sp) / (1.0 + e * sp))
-                )
+                cp = np.cos(phi)
+                safe = cp > 1e-6
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    step = (1.0 - e2 * sp * sp) ** 2 / (
+                        2.0 * np.where(safe, cp, 1.0)
+                    ) * (
+                        qv / (1.0 - e2)
+                        - sp / (1.0 - e2 * sp * sp)
+                        + (1.0 / (2.0 * e))
+                        * np.log((1.0 - e * sp) / (1.0 + e * sp))
+                    )
+                phi = np.where(safe, phi + step, phi)
             out[:, 0] = self.lon0 + np.degrees(lam)
             out[:, 1] = np.degrees(phi)
             return out

@@ -574,9 +574,14 @@ def relate_many(wkb_a: list, wkb_b: list, pred: str, d=None) -> np.ndarray:
     """
     from geomesa_sql_spark.geom.wkb import geom_from_wkb
 
+    # np.ndim, not isinstance: np.float32/np.int64 scalars are not
+    # Python int/float, and np.asarray on them yields a 0-d array whose
+    # [i] indexing raises (r5 review)
     d_arr = None
-    if d is not None and not isinstance(d, (int, float)):
+    if d is not None and np.ndim(d) != 0:
         d_arr = np.asarray(d, dtype=np.float64)
+    elif d is not None:
+        d = float(d)
 
     cache: dict[bytes, Geom] = {}
 

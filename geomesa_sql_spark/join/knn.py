@@ -113,7 +113,20 @@ def knn_join_adaptive(
             return knn_join_cells(
                 points, queries, k, x, y, query_id, qx, qy, world=world
             )
-        qrows = [(r[0], float(r[1]), float(r[2])) for r in queries.collect()]
+        # Belt-and-suspenders row cap (r5 review): sizeInBytes is the
+        # COMPRESSED size for a parquet-backed frame, so a highly
+        # compressible million-row query table can slip under the
+        # stats budget. The stats decision stays zero-job; this cap
+        # rides the collect the driver path was about to do anyway,
+        # and overflow re-routes to the cells path instead of pulling
+        # an unbounded query set onto the driver.
+        cap = max(large_query_threshold, 1) * 10
+        collected = queries.limit(cap + 1).collect()
+        if len(collected) > cap:
+            return knn_join_cells(
+                points, queries, k, x, y, query_id, qx, qy, world=world
+            )
+        qrows = [(r[0], float(r[1]), float(r[2])) for r in collected]
     else:
         qrows = [(q[0], float(q[1]), float(q[2])) for q in queries]
 

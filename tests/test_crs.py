@@ -444,3 +444,21 @@ def test_laea_area_element_preserved():
     s = np.sin(np.radians(pts[:, 1]))
     want = a * a * (1 - e2) * np.cos(np.radians(pts[:, 1])) / (1 - e2 * s * s) ** 2
     assert np.abs(jac / want - 1.0).max() < 1e-5
+
+
+def test_laea_pole_inverse_no_wrong_root():
+    """r5 review: the EPSG:3035 inverse's Newton refinement divides by
+    2·cos(φ), and dq/dφ → 0 at the pole, so coordinates within ~1e-5°
+    of ±90° jumped to a wrong root (lat 90 came back as 59.11 —
+    silent large corruption, no NaN). The step is now gated on
+    cos(φ) > 1e-6, where the series value is already ~9e-9° exact."""
+    from geomesa_sql_spark.geom.crs import transform_fn
+
+    fwd = transform_fn("EPSG:4326", "EPSG:3035")
+    inv = transform_fn("EPSG:3035", "EPSG:4326")
+    pts = np.array([
+        [10.0, 90.0], [10.0, 89.9999999], [10.0, 89.99999],
+        [10.0, -90.0], [10.0, -89.9999999], [10.0, 52.0],
+    ])
+    rt = inv(fwd(pts.copy()))
+    assert np.abs(rt[:, 1] - pts[:, 1]).max() < 1e-6

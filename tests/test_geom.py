@@ -298,3 +298,15 @@ def test_buffer_empty_polygon_inputs():
         assert got.type in (model.POLYGON, model.MULTIPOLYGON)
         assert kernel.area(got) == 0.0
         assert not len(got.all_coords()) or not np.isnan(got.all_coords()).any()
+
+
+def test_relate_many_numpy_scalar_distance():
+    """r5 review: np.float32/np.int64 scalars are not Python
+    int/float, and np.asarray on them yields a 0-d array whose [i]
+    indexing raised IndexError; the scalar test is now np.ndim."""
+    a = [geom_to_wkb(W("POINT (3 4)"))]
+    b = [geom_to_wkb(W("POINT (0 0)"))]
+    for d in (np.float32(5.0), np.int64(5), np.float64(5.0), 5, 5.0):
+        assert relate_many(a, b, "dwithin", d).tolist() == [True], type(d)
+    for d in (np.float32(4.9), np.int64(4), 4.9):
+        assert relate_many(a, b, "dwithin", d).tolist() == [False], type(d)

@@ -246,3 +246,41 @@ def test_bucketed_layout_joins_and_aggs_without_exchange(spark, sf_dir, tmp_path
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS cust_bkt")
+
+
+def test_knn_adaptive_row_cap_reroutes_compressible_queries(spark, sf_dir):
+    """r5 review: Catalyst sizeInBytes is the COMPRESSED size for a
+    parquet-backed frame, so a highly compressible huge query table
+    can slip under the stats budget and pass _should_broadcast. The
+    driver path's collect is now capped (10× the threshold); overflow
+    re-routes to the cells path instead of collecting unbounded."""
+    from geomesa_sql_spark.join import knn as knn_mod
+    from geomesa_sql_spark.join import spatial as spatial_mod
+
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    q = spark.range(500).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0).alias("qx"),
+        ((F.col("id") * 104729 % 1700) / 10.0 - 85.0).alias("qy"),
+    )
+
+    class _Routed(Exception):
+        pass
+
+    def _sentinel(*a, **kw):
+        raise _Routed
+
+    orig_cells = knn_mod.knn_join_cells
+    orig_bcast = spatial_mod._should_broadcast
+    # force the under-estimate: stats say "small" for a 500-row set
+    spatial_mod._should_broadcast = lambda df, budget: True
+    knn_mod.knn_join_cells = _sentinel
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(_Routed):
+            # threshold 10 → cap 100 < 500 rows → must re-route
+            knn_mod.knn_join_adaptive(pts, q, k=3, large_query_threshold=10)
+    finally:
+        knn_mod.knn_join_cells = orig_cells
+        spatial_mod._should_broadcast = orig_bcast

@@ -719,3 +719,23 @@ def test_numeric_null_args_yield_null(spark):
     """).first()
     assert row.p is None and row.b is None and row.s is None
     assert row.e is None and row.t_null is None and row.t_neg is None
+
+
+def test_st_dwithin_null_geom_constant_radius_is_null(spark):
+    """r5 review: the constant-radius fast path returned False for a
+    NULL geometry while the variable-radius path returns SQL NULL —
+    the same row's result depended on which radii shared its Arrow
+    batch. Both paths now yield NULL for NULL geometries."""
+    register_all(spark)
+    rows = [(0, 3.0, 4.0), (1, None, None)]
+    df = spark.createDataFrame(rows, "id long, px double, py double")
+    df.createOrReplaceTempView("null_geom_const_r")
+    got = {
+        r.id: r.hit
+        for r in spark.sql(
+            "SELECT id, ST_DWithin(ST_MakePoint(px, py), "
+            "ST_GeomFromText('POINT (0 0)'), 6.0) AS hit "
+            "FROM null_geom_const_r"
+        ).collect()
+    }
+    assert got == {0: True, 1: None}

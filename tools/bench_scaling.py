@@ -185,6 +185,13 @@ def executor_mode(zpath: str, quick: bool, state: dict) -> dict:
             ]
         else:
             cal = host_calibration(16)["parallel_efficiency"]
+        if (min_pair_cal > 0 and cal < min_pair_cal
+                and os.environ.get("SPARK_GRAFT_PAIR_SKIP_DEGRADED")):
+            # the bounded wait gave up without seeing a healthy window:
+            # don't burn ~4 min of 16-proc compute on a pair that can
+            # never be the calibration-stamped evidence (the hunter
+            # loop re-probes and comes back)
+            continue
         for execs, master in levels.items():
             r = spark_submit(
                 str(REPO / "tools/scale_job.py"), execs * exec_cores, zpath,
@@ -201,10 +208,14 @@ def executor_mode(zpath: str, quick: bool, state: dict) -> dict:
         best[execs] = min(allc, key=lambda r: r["sec"])
         subs[execs] = len(allc)
     eff = (best[4]["rows_per_sec"] / best[1]["rows_per_sec"]) / 4.0
-    # same-window pairs: consecutive (1-exec, 4-exec) submissions
+    # same-window pairs: consecutive (1-exec, 4-exec) submissions.
+    # Stride 1, not 2: a failed/dropped leg leaves an unpaired entry,
+    # and a stride-2 scan would then mis-align every later real pair
+    # (r5 review). A (4,1) adjacency is rejected by the filter, so
+    # overlap cannot double-count.
     runs = [r for r in state[key] if r["n"] == n_scale]
     pairs = [
-        (runs[i], runs[i + 1]) for i in range(0, len(runs) - 1, 2)
+        (runs[i], runs[i + 1]) for i in range(len(runs) - 1)
         if runs[i]["executors"] == 1 and runs[i + 1]["executors"] == 4
     ]
     pair_rows = [

@@ -40,7 +40,8 @@ try:
 except Exception:
     runs = []
 ok = 0
-for i in range(0, len(runs) - 1, 2):
+# stride 1: a dropped/failed leg must not mis-align later real pairs
+for i in range(len(runs) - 1):
     a, b = runs[i], runs[i + 1]
     if a.get("executors") == 1 and b.get("executors") == 4:
         eff = a["sec"] / (4.0 * b["sec"])
@@ -69,6 +70,7 @@ for i in $(seq 1 "$MAX_ITER"); do
     touch "$BDIR/BURNING"
     SPARK_GRAFT_PAIR_MIN_CAL=0.7 SPARK_GRAFT_CALIB_ATTEMPTS=3 \
       SPARK_GRAFT_CALIB_SLEEP=10 SPARK_GRAFT_SCALE_ROUNDS=1 \
+      SPARK_GRAFT_PAIR_SKIP_DEGRADED=1 \
       python tools/bench_scaling.py --executors >> "$LOG" 2>&1
     rm -f "$BDIR/BURNING"
   else

@@ -38,8 +38,14 @@ def main() -> None:
     from geomesa_sql_spark.ops import image_stats
     from geomesa_sql_spark.tiles import assign_tiles
 
-    spark = get_spark("profile_scale", master=master,
-                      extra_conf={"spark.ui.enabled": "true"})
+    split_mb = int(os.environ.get("SPARK_GRAFT_MAX_SPLIT_MB", "32"))
+    spark = get_spark(
+        "profile_scale", master=master,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": str(split_mb * 1024 * 1024),
+        },
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     img_path = _bench_images_path(spark, n, size=64, fmt="png")
     polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
@@ -117,6 +123,8 @@ def main() -> None:
     first_sub = ts(rows[0]["submit"]) if rows else None
     pre = (first_sub - t0) if first_sub else None
     post = (t0 + wall - ts(rows[-1]["done"])) if rows and ts(rows[-1]["done"]) else None
+    pre = -1.0 if pre is None else pre
+    post = -1.0 if post is None else post
     print(
         f"  pre-first-stage={pre:.2f}s inter-stage-gaps={gap_total:.2f}s "
         f"post-last-stage={post:.2f}s stage-span-sum={stage_span:.2f}s"

@@ -56,18 +56,23 @@ def main() -> None:
     from geomesa_sql_spark.ops import image_stats
     from geomesa_sql_spark.tiles import assign_tiles
 
-    # Split sizing (r5): the 64 × ~19 MB fixture files pack into 128 MB
-    # default splits → only 16 scan+decode tasks, i.e. ONE wave at 16
-    # cores. A single-wave stage has no straggler smoothing, so any
-    # slow task extends the 4-executor wall directly while the 4-core
-    # level (4 waves) self-levels — the stage profile showed 92.5%
-    # utilization lost to exactly this. 32 MB splits keep one file per
-    # task (64 tasks → ≥4 waves at every level measured), which is the
-    # same rule a real cluster job follows: size input splits so each
-    # core sees several task waves.
+    # Split sizing (r5): Spark's maxSplitBytes formula clamps to
+    # totalBytes/defaultParallelism, so the ~320 MB fixture scans as
+    # EXACTLY one task per core at every level (4 tasks at 4 cores, 16
+    # at 16) — single-wave scheduling, where the wall time is the
+    # SLOWEST task and the measurement is straggler luck, not scaling.
+    # Worse, a cap between those sizes (e.g. 32 MB → 10 tasks at 4
+    # cores) creates ceil-imbalance waves (4,4,2) costing +25% at the
+    # N level only, which would fake the N→4N ratio. 8 MB caps below
+    # the ~5 MB per-file size, pinning one task per file: 64 tasks at
+    # BOTH levels (16 waves at 4 cores, 4 waves at 16), so both levels
+    # get straggler smoothing and neither is handicapped — the same
+    # 2-4-tasks-per-core rule a production job uses. Verified A/B at
+    # the 1-exec level: 8 MB ≈ 128 MB wall (within noise), 32 MB +25%.
+    split_mb = int(os.environ.get("SPARK_GRAFT_MAX_SPLIT_MB", "8"))
     spark = get_spark(
         "scale_job", master=master,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(split_mb * 1024 * 1024)},
     )
     # 64×64 all-PNG: ~235 µs of zlib+unfilter decode per image, so the
     # job is CPU-bound (the regime where scaling is measurable), while
