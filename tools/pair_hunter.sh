@@ -55,6 +55,15 @@ EOF
 for i in $(seq 1 "$MAX_ITER"); do
   if [ "$(done_yet)" = "1" ]; then
     echo "$(date +%T) DONE: calibrated >=0.8 pair recorded" >> "$LOG"
+    # same-session follow-up: the r4 verdict #6 drift confirmation
+    # wants the same rare healthy windows this loop was hunting, so
+    # run it now instead of competing with the pair burns earlier
+    if [ ! -f "$(dirname "$0")/../BENCH/DRIFT_r5.md" ]; then
+      echo "$(date +%T) running drift_check" >> "$LOG"
+      touch "$BDIR/BURNING"
+      python tools/drift_check.py >> "$LOG" 2>&1
+      rm -f "$BDIR/BURNING"
+    fi
     exit 0
   fi
   if [ -f "$BDIR/PAUSE" ]; then
