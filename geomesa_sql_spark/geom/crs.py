@@ -19,6 +19,8 @@ published formulas, and keeps a loud NotImplementedError for the rest
   verdict #7)
 - EPSG:3035  ETRS89 LAEA Europe (Snyder eq. 24-16..24-19 + the
   authalic-latitude series eq. 3-18)
+- EPSG:5070  NAD83 Conus Albers (Snyder eq. 14-1..14-21; shares the
+  authalic-latitude inverse with LAEA)
 
 Transverse Mercator uses the Krüger n-series to fourth order
 (coefficients as published in Krüger 1912 / Deakin et al. 2010 /
@@ -194,19 +196,87 @@ def _laea_setup(a: float, f: float, phi0: float, e0: float, n0: float):
             "Rq": float(rq), "D": float(d), "E0": e0, "N0": n0}
 
 
+def _aea_setup(a: float, f: float, phi1: float, phi2: float,
+               phi0: float, e0: float, n0: float):
+    """Precomputed Albers Equal-Area Conic 2SP constants (Snyder 1987,
+    eq. 14-3..14-8 over the authalic q of eq. 3-12): cone constant n,
+    C, the origin radius rho0, and qp for the shared authalic inverse.
+    Angles in degrees."""
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+
+    def m(phi):
+        s = np.sin(np.radians(phi))
+        return np.cos(np.radians(phi)) / np.sqrt(1.0 - e2 * s * s)
+
+    def q(phi):
+        s = np.sin(np.radians(phi))
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    m1, m2 = m(phi1), m(phi2)
+    q0, q1, q2 = q(phi0), q(phi1), q(phi2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    big_c = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(big_c - n * q0) / n
+    return {"e": e, "n": float(n), "C": float(big_c),
+            "rho0": float(rho0), "qp": float(q(90.0)), "E0": e0, "N0": n0}
+
+
+def _authalic_phi(qv, qp: float, e: float):
+    """Authalic q → geodetic latitude (radians): the series of Snyder
+    eq. 3-18 followed by two Newton steps of eq. 3-16 to remove the
+    series truncation (~9e-9 deg with GRS80's e) → closure <1e-12.
+    Shared by the LAEA and Albers inverses.
+
+    Pole guard (r5 review): the Newton step divides by 2·cos(φ) and
+    dq/dφ → 0 at the pole, so within ~1e-5 deg of ±90° it jumps to a
+    wrong root (observed: lat 90 → 59.11). The series value is
+    already exact to ~9e-9 deg there — keep it."""
+    beta = np.arcsin(np.clip(qv / qp, -1.0, 1.0))
+    e2 = e * e
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        beta
+        + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0)
+        * np.sin(2.0 * beta)
+        + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+        + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
+    )
+    for _ in range(2):
+        sp = np.sin(phi)
+        cp = np.cos(phi)
+        safe = cp > 1e-6
+        with np.errstate(invalid="ignore", divide="ignore"):
+            step = (1.0 - e2 * sp * sp) ** 2 / (
+                2.0 * np.where(safe, cp, 1.0)
+            ) * (
+                qv / (1.0 - e2)
+                - sp / (1.0 - e2 * sp * sp)
+                + (1.0 / (2.0 * e))
+                * np.log((1.0 - e * sp) / (1.0 + e * sp))
+            )
+        phi = np.where(safe, phi + step, phi)
+    return phi
+
+
 class _Crs:
     """A resolvable CRS: converts its native coordinates to/from
     geographic degrees on its own datum (datum shifts are identity —
     module docstring)."""
 
     def __init__(self, kind: str, ellipsoid, lon0: float = 0.0, n0: float = 0.0,
-                 lcc=None, laea=None):
-        self.kind = kind  # 'geographic' | 'utm' | 'webmerc' | 'merc' | 'lcc' | 'laea'
+                 lcc=None, laea=None, aea=None):
+        # 'geographic' | 'utm' | 'webmerc' | 'merc' | 'lcc' | 'laea' | 'aea'
+        self.kind = kind
         self.a, self.f = ellipsoid
         self.lon0 = lon0
         self.n0 = n0
         self.lcc = lcc
         self.laea = laea
+        self.aea = aea
 
     def to_geographic(self, c: np.ndarray) -> np.ndarray:
         if self.kind == "geographic":
@@ -274,37 +344,26 @@ class _Crs:
                     - dd * dd * y * np.sin(b1) * np.sin(ce),
                 )
             lam = np.where(rho == 0.0, 0.0, lam)
-            beta = np.arcsin(np.clip(qv / qp, -1.0, 1.0))
-            e2 = e * e
-            e4, e6 = e2 * e2, e2 * e2 * e2
-            phi = (
-                beta
-                + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0)
-                * np.sin(2.0 * beta)
-                + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
-                + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
-            )
-            # two Newton steps of Snyder eq. 3-16 remove the series
-            # truncation (~9e-9 deg with GRS80's e) → closure <1e-12.
-            # Pole guard (r5 review): the step divides by 2·cos(φ) and
-            # dq/dφ → 0 at the pole, so within ~1e-5 deg of ±90° Newton
-            # jumps to a wrong root (observed: lat 90 → 59.11). The
-            # series value is already exact to ~9e-9 deg there — keep it.
-            for _ in range(2):
-                sp = np.sin(phi)
-                cp = np.cos(phi)
-                safe = cp > 1e-6
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    step = (1.0 - e2 * sp * sp) ** 2 / (
-                        2.0 * np.where(safe, cp, 1.0)
-                    ) * (
-                        qv / (1.0 - e2)
-                        - sp / (1.0 - e2 * sp * sp)
-                        + (1.0 / (2.0 * e))
-                        * np.log((1.0 - e * sp) / (1.0 + e * sp))
-                    )
-                phi = np.where(safe, phi + step, phi)
+            phi = _authalic_phi(qv, qp, e)
             out[:, 0] = self.lon0 + np.degrees(lam)
+            out[:, 1] = np.degrees(phi)
+            return out
+        if self.kind == "aea":
+            # Albers Equal-Area Conic inverse (Snyder 1987 eq.
+            # 14-19..14-21): q from the cone radius, then the shared
+            # authalic→geodetic inverse
+            p = self.aea
+            e, n, big_c, rho0, qp = (
+                p["e"], p["n"], p["C"], p["rho0"], p["qp"],
+            )
+            x = c[:, 0] - p["E0"]
+            y = rho0 - (c[:, 1] - p["N0"])
+            sgn = 1.0 if n >= 0 else -1.0  # southern cone flips signs
+            rho = np.hypot(x, y) * sgn
+            theta = np.arctan2(x * sgn, y * sgn)
+            qv = (big_c - (rho * n / self.a) ** 2) / n
+            phi = _authalic_phi(qv, qp, e)
+            out[:, 0] = self.lon0 + np.degrees(theta / n)
             out[:, 1] = np.degrees(phi)
             return out
         out[:, 0], out[:, 1] = tm_inverse(
@@ -339,6 +398,25 @@ class _Crs:
                 (1.0 - e * s) / (1.0 + e * s)
             ) ** (e / 2.0)
             rho = self.a * big_f * t ** n
+            theta = n * np.radians(c[:, 0] - self.lon0)
+            out[:, 0] = p["E0"] + rho * np.sin(theta)
+            out[:, 1] = p["N0"] + rho0 - rho * np.cos(theta)
+            return out
+        if self.kind == "aea":
+            # Albers Equal-Area Conic forward (Snyder 1987 eq.
+            # 14-1..14-4): rho from the authalic q of eq. 3-12
+            p = self.aea
+            e, n, big_c, rho0 = p["e"], p["n"], p["C"], p["rho0"]
+            e2 = e * e
+            phi = np.radians(c[:, 1])
+            s = np.sin(phi)
+            qv = (1.0 - e2) * (
+                s / (1.0 - e2 * s * s)
+                - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+            # C - n·q ≥ 0 on the cone's valid side; clamp the ~1e-17
+            # negative residue at the exact pole
+            rho = self.a * np.sqrt(np.maximum(big_c - n * qv, 0.0)) / n
             theta = n * np.radians(c[:, 0] - self.lon0)
             out[:, 0] = p["E0"] + rho * np.sin(theta)
             out[:, 1] = p["N0"] + rho0 - rho * np.cos(theta)
@@ -431,6 +509,14 @@ def resolve_crs(code: str) -> _Crs | None:
                 3000000.0,
             ),
         )
+    if epsg == 5070:
+        # NAD83 / Conus Albers — the standard US continental
+        # equal-area analytics grid (lat0 23, lon0 -96, standard
+        # parallels 29.5/45.5, no false origin)
+        return _Crs(
+            "aea", _GRS80, lon0=-96.0,
+            aea=_aea_setup(*_GRS80, 29.5, 45.5, 23.0, 0.0, 0.0),
+        )
     if epsg == 3035:
         # ETRS89 / LAEA Europe (the EU statistical grid): equal-area
         # azimuthal on GRS80, origin 52°N 10°E, FE 4321 km FN 3210 km
@@ -467,5 +553,6 @@ def supported_crs_table() -> str:
         "EPSG:2154 (RGF93 / Lambert-93, LCC), "
         "EPSG:3034 (ETRS89 / LCC Europe), "
         "EPSG:32139 (NAD83 / Texas Central state plane, LCC), "
-        "EPSG:3035 (ETRS89 / LAEA Europe)"
+        "EPSG:3035 (ETRS89 / LAEA Europe), "
+        "EPSG:5070 (NAD83 / Conus Albers, AEA)"
     )

@@ -462,3 +462,52 @@ def test_laea_pole_inverse_no_wrong_root():
     ])
     rt = inv(fwd(pts.copy()))
     assert np.abs(rt[:, 1] - pts[:, 1]).max() < 1e-6
+
+
+def test_aea_conus_albers_structural_laws():
+    """EPSG:5070 (NAD83 / Conus Albers, Snyder eq. 14-1..14-21),
+    pinned by the same independent structural recipe as the LCC/LAEA
+    work: exact false-origin identity, parallel scale k = 1 exactly on
+    BOTH standard parallels (and <1 between them — the property that
+    places the cone), round-trip closure at survey tolerance including
+    the pole (shared guarded authalic inverse), and the numeric-
+    Jacobian equal-area law that DEFINES the projection."""
+    from geomesa_sql_spark.geom.crs import transform_fn
+
+    fwd = transform_fn("EPSG:4326", "EPSG:5070")
+    inv = transform_fn("EPSG:5070", "EPSG:4326")
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2.0 - f)
+
+    # false origin: (lon0 -96, lat0 23) → (0, 0) exactly
+    assert np.abs(fwd(np.array([[-96.0, 23.0]]))).max() < 1e-9
+
+    # parallel scale: unity on 29.5/45.5, below unity midway
+    h = 1e-6
+    ks = {}
+    for lat in (29.5, 45.5, 37.0):
+        p = np.array([[-100.0, lat]])
+        d = (fwd(p + [h, 0.0]) - fwd(p - [h, 0.0])) / (2 * np.radians(h))
+        s = np.sin(np.radians(lat))
+        m = a * np.cos(np.radians(lat)) / np.sqrt(1 - e2 * s * s)
+        ks[lat] = float(np.hypot(d[0, 0], d[0, 1]) / m)
+    assert abs(ks[29.5] - 1.0) < 1e-7 and abs(ks[45.5] - 1.0) < 1e-7
+    assert ks[37.0] < 0.995
+
+    # round-trip closure over CONUS + the guarded pole
+    rng = np.random.default_rng(3)
+    pts = np.column_stack(
+        [rng.uniform(-125, -66, 512), rng.uniform(24, 49, 512)]
+    )
+    assert np.abs(inv(fwd(pts.copy())) - pts).max() < 1e-9
+    rt = inv(fwd(np.array([[-96.0, 90.0], [-96.0, 89.9999999]])))
+    assert np.abs(rt[:, 1] - [90.0, 90.0]).max() < 1e-6
+
+    # equal-area law: |Jacobian| == ellipsoid area element everywhere
+    hd = 1e-5
+    dx = (fwd(pts + [hd, 0.0]) - fwd(pts - [hd, 0.0])) / (2 * np.radians(hd))
+    dy = (fwd(pts + [0.0, hd]) - fwd(pts - [0.0, hd])) / (2 * np.radians(hd))
+    jac = np.abs(dx[:, 0] * dy[:, 1] - dx[:, 1] * dy[:, 0])
+    s = np.sin(np.radians(pts[:, 1]))
+    want = a * a * (1 - e2) * np.cos(np.radians(pts[:, 1])) / (1 - e2 * s * s) ** 2
+    assert np.abs(jac / want - 1.0).max() < 1e-5
