@@ -26,11 +26,15 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# r4 BASELINE.md local[32] minima for the two keys + headline control
+# r4 BASELINE.md local[32] minima for the two keys + headline control.
+# big_join_10m rides along (r5): it read 1.59x in BENCH_r04 — the
+# largest residual ratio of any key — with byte-identical code, the
+# same window-noise hypothesis, and it costs ~10 s inside the window.
 BASELINE = {
     "headline_spatial_join_tiles": 1.491,
     "image_stats_full": 0.685,
     "spatial_join_repartition_salted": 1.536,
+    "big_join_10m": 1.244,
 }
 
 
@@ -91,9 +95,31 @@ def main() -> None:
             hot_cell_threshold=50_000,
         ).count()
 
+    # bench.py's big_join_10m, byte-for-byte (same cached fixture path)
+    from bench import IMAGES_CACHE
+
+    big_path = f"{IMAGES_CACHE}/points_n10000000"
+
+    def big_join():
+        pts = spark.read.parquet(big_path)
+        joined = spatial_join(
+            pts, polys, point_side("lon", "lat"), wkb_side("poly"),
+            predicate="intersects", res=6, broadcast=True,
+        )
+        (
+            assign_tiles(joined, zoom=8)
+            .groupBy("n_nationkey", "tile_x", "tile_y")
+            .count()
+            .count()
+        )
+
     timed("headline_spatial_join_tiles", headline)
     timed("image_stats_full", stats_full)
     timed("spatial_join_repartition_salted", salted)
+    if os.path.exists(f"{big_path}/_SUCCESS"):
+        timed("big_join_10m", big_join)
+    else:
+        del BASELINE["big_join_10m"]
     cal_end = host_calibration(32)
     spark.stop()
 
@@ -122,6 +148,8 @@ def main() -> None:
         "hypothesis was host-window noise. This artifact re-times",
         "exactly those keys with bench.py's protocol inside a",
         "calibration-gated window, stamped before and after.",
+        "`big_join_10m` (1.59× in r4, the largest residual ratio,",
+        "same unchanged-code situation) rides along as a third probe.",
         "",
         "| key | baseline (r4 local[32] min) | this run | ratio |",
         "|---|---|---|---|",
