@@ -21,6 +21,14 @@ published formulas, and keeps a loud NotImplementedError for the rest
   authalic-latitude series eq. 3-18)
 - EPSG:5070  NAD83 Conus Albers (Snyder eq. 14-1..14-21; shares the
   authalic-latitude inverse with LAEA)
+- EPSG:27700 / 4277  OSGB36 British National Grid / geographic
+  (Transverse Mercator on Airy 1830 via the same Krüger series,
+  k0=0.9996012717, false origin 49°N 2°W at (400 km, -100 km)).
+  OSGB36 is the one supported datum whose offset from WGS84 is NOT
+  negligible (~120 m), so these two codes carry a real 7-parameter
+  Helmert shift (the published OS ETRS89→OSGB36 small-Helmert:
+  position-vector convention, ~3-5 m agreement with the OSTN15
+  grid transform, vs ~120 m for the identity convention)
 
 Transverse Mercator uses the Krüger n-series to fourth order
 (coefficients as published in Krüger 1912 / Deakin et al. 2010 /
@@ -47,10 +55,63 @@ import numpy as np
 # ellipsoids: (semi-major a, flattening f)
 _WGS84 = (6378137.0, 1.0 / 298.257223563)
 _GRS80 = (6378137.0, 1.0 / 298.257222101)
+_AIRY = (6377563.396, 1.0 / 299.3249646)  # Airy 1830 (OSGB36)
 
 _K0 = 0.9996  # UTM scale at central meridian
 _E0 = 500000.0  # UTM false easting
 _N0_SOUTH = 10000000.0  # UTM false northing, southern hemisphere
+
+# Published OS small-Helmert ETRS89→OSGB36 (position-vector):
+# (tx m, ty m, tz m, rx ″, ry ″, rz ″, scale ppm). WGS84≡ETRS89 under
+# the module's identity convention; the reverse direction negates all
+# seven (the standard small-parameter inverse, sub-mm at this scale).
+_OSGB36_HELMERT = (
+    -446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894
+)
+
+
+def _geodetic_to_ecef(c: np.ndarray, a: float, f: float):
+    """(N,2) lon/lat degrees on the ellipsoid (h=0) → ECEF metres."""
+    e2 = f * (2.0 - f)
+    lam = np.radians(c[:, 0])
+    phi = np.radians(c[:, 1])
+    sphi = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    cphi = np.cos(phi)
+    return nu * cphi * np.cos(lam), nu * cphi * np.sin(lam), nu * (1.0 - e2) * sphi
+
+
+def _ecef_to_geodetic(x, y, z, a: float, f: float) -> np.ndarray:
+    """ECEF metres → (N,2) lon/lat degrees (height discarded: the
+    engine models surface coordinates). Fixed-point latitude iteration
+    (Bowring-style), 6 rounds ≈ sub-mm for |h| up to a few km."""
+    e2 = f * (2.0 - f)
+    p = np.hypot(x, y)
+    phi = np.arctan2(z, p * (1.0 - e2))
+    for _ in range(6):
+        sphi = np.sin(phi)
+        nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        phi = np.arctan2(z + e2 * nu * sphi, p)
+    return np.column_stack([np.degrees(np.arctan2(y, x)), np.degrees(phi)])
+
+
+def _helmert_apply(x, y, z, p, invert: bool = False):
+    """7-parameter Helmert (position-vector convention, small-angle):
+    X' = T + (1+s)·X + R×X with R in radians. ``invert`` negates all
+    seven parameters — exact to second order in (rotation × shift),
+    sub-mm for the OSGB36 magnitudes."""
+    tx, ty, tz, rx, ry, rz, s_ppm = p
+    if invert:
+        tx, ty, tz, rx, ry, rz, s_ppm = (
+            -tx, -ty, -tz, -rx, -ry, -rz, -s_ppm
+        )
+    rx, ry, rz = (np.radians(v / 3600.0) for v in (rx, ry, rz))
+    m = 1.0 + s_ppm * 1e-6
+    return (
+        tx + m * x - rz * y + ry * z,
+        ty + rz * x + m * y - rx * z,
+        tz - ry * x + rx * y + m * z,
+    )
 
 
 def _kruger_coeffs(f: float):
@@ -264,21 +325,45 @@ def _authalic_phi(qv, qp: float, e: float):
 
 class _Crs:
     """A resolvable CRS: converts its native coordinates to/from
-    geographic degrees on its own datum (datum shifts are identity —
-    module docstring)."""
+    WGS84 geographic degrees. Datum shifts are identity (module
+    docstring) except when ``helmert`` carries the published
+    WGS84→own-datum 7-parameter transform (OSGB36)."""
 
     def __init__(self, kind: str, ellipsoid, lon0: float = 0.0, n0: float = 0.0,
-                 lcc=None, laea=None, aea=None):
+                 k0: float = _K0, e0: float = _E0,
+                 lcc=None, laea=None, aea=None, helmert=None):
         # 'geographic' | 'utm' | 'webmerc' | 'merc' | 'lcc' | 'laea' | 'aea'
         self.kind = kind
         self.a, self.f = ellipsoid
         self.lon0 = lon0
         self.n0 = n0
+        self.k0 = k0
+        self.e0 = e0
         self.lcc = lcc
         self.laea = laea
         self.aea = aea
+        self.helmert = helmert
 
     def to_geographic(self, c: np.ndarray) -> np.ndarray:
+        g = self._own_to_geographic(np.asarray(c, dtype=np.float64))
+        if self.helmert is None:
+            return g
+        # own-datum geodetic → ECEF on the OWN ellipsoid → inverse
+        # Helmert → geodetic on the WGS84 ellipsoid
+        x, y, z = _geodetic_to_ecef(g, self.a, self.f)
+        x, y, z = _helmert_apply(x, y, z, self.helmert, invert=True)
+        return _ecef_to_geodetic(x, y, z, *_WGS84)
+
+    def from_geographic(self, c: np.ndarray) -> np.ndarray:
+        if self.helmert is not None:
+            x, y, z = _geodetic_to_ecef(
+                np.asarray(c, dtype=np.float64), *_WGS84
+            )
+            x, y, z = _helmert_apply(x, y, z, self.helmert)
+            c = _ecef_to_geodetic(x, y, z, self.a, self.f)
+        return self._from_own_geographic(c)
+
+    def _own_to_geographic(self, c: np.ndarray) -> np.ndarray:
         if self.kind == "geographic":
             return c
         out = np.empty_like(c, dtype=np.float64)
@@ -367,11 +452,12 @@ class _Crs:
             out[:, 1] = np.degrees(phi)
             return out
         out[:, 0], out[:, 1] = tm_inverse(
-            c[:, 0], c[:, 1], self.lon0, self.a, self.f, n0=self.n0
+            c[:, 0], c[:, 1], self.lon0, self.a, self.f,
+            k0=self.k0, e0=self.e0, n0=self.n0,
         )
         return out
 
-    def from_geographic(self, c: np.ndarray) -> np.ndarray:
+    def _from_own_geographic(self, c: np.ndarray) -> np.ndarray:
         if self.kind == "geographic":
             return c
         out = np.empty_like(c, dtype=np.float64)
@@ -444,7 +530,8 @@ class _Crs:
             )
             return out
         out[:, 0], out[:, 1] = tm_forward(
-            c[:, 0], c[:, 1], self.lon0, self.a, self.f, n0=self.n0
+            c[:, 0], c[:, 1], self.lon0, self.a, self.f,
+            k0=self.k0, e0=self.e0, n0=self.n0,
         )
         return out
 
@@ -524,6 +611,25 @@ def resolve_crs(code: str) -> _Crs | None:
             "laea", _GRS80, lon0=10.0,
             laea=_laea_setup(*_GRS80, 52.0, 4321000.0, 3210000.0),
         )
+    if epsg == 4277:
+        # OSGB36 geographic (Airy 1830) — the one datum here whose
+        # WGS84 offset (~120 m) gets a real Helmert, not identity
+        return _Crs("geographic", _AIRY, helmert=_OSGB36_HELMERT)
+    if epsg == 27700:
+        # OSGB36 / British National Grid: TM on Airy 1830,
+        # k0=0.9996012717, true origin 49°N 2°W at grid
+        # (400000, -100000). The Krüger northing is measured from the
+        # equator, so shift the false northing by the true origin's
+        # own northing to pin grid(2°W, 49°N) = (FE, FN) exactly.
+        k0 = 0.9996012717
+        n49 = float(tm_forward(
+            np.array([-2.0]), np.array([49.0]), -2.0, *_AIRY,
+            k0=k0, e0=0.0,
+        )[1][0])
+        return _Crs(
+            "utm", _AIRY, lon0=-2.0, k0=k0, e0=400000.0,
+            n0=-100000.0 - n49, helmert=_OSGB36_HELMERT,
+        )
     return None
 
 
@@ -554,5 +660,7 @@ def supported_crs_table() -> str:
         "EPSG:3034 (ETRS89 / LCC Europe), "
         "EPSG:32139 (NAD83 / Texas Central state plane, LCC), "
         "EPSG:3035 (ETRS89 / LAEA Europe), "
-        "EPSG:5070 (NAD83 / Conus Albers, AEA)"
+        "EPSG:5070 (NAD83 / Conus Albers, AEA), "
+        "EPSG:27700 (OSGB36 / British National Grid, TM+Helmert), "
+        "EPSG:4277 (OSGB36 lon/lat, Helmert)"
     )

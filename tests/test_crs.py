@@ -164,12 +164,12 @@ def test_st_transform_udf_utm(spark):
     assert np.allclose(g.coords, want[0], atol=1e-6)
     p = geom_from_wkb(bytes(row.p))
     assert p.type == "Polygon" and row.n is None
-    # EPSG:27700 (OSGB36 British National Grid) stays a loud raise —
-    # r5 added 2154/3034/32139/3035, the registry is still explicit
+    # EPSG:2056 (Swiss LV95, oblique Mercator) stays a loud raise —
+    # the registry is still explicit (27700 graduated to supported, r5)
     with pytest.raises(Exception, match="ST_Transform"):
         spark.sql(
             "SELECT ST_Transform(ST_GeomFromText('POINT (0 0)'),"
-            " 'EPSG:4326', 'EPSG:27700') AS g"
+            " 'EPSG:4326', 'EPSG:2056') AS g"
         ).collect()
 
 
@@ -511,3 +511,70 @@ def test_aea_conus_albers_structural_laws():
     s = np.sin(np.radians(pts[:, 1]))
     want = a * a * (1 - e2) * np.cos(np.radians(pts[:, 1])) / (1 - e2 * s * s) ** 2
     assert np.abs(jac / want - 1.0).max() < 1e-5
+
+
+def test_osgb36_british_national_grid():
+    """EPSG:27700 / 4277 (OSGB36): TM on Airy 1830 through the same
+    Krüger series, pinned by the Ordnance Survey's own worked example
+    ("A guide to coordinate systems in Great Britain", Annex C:
+    OSGB36 φ 52°39′27.2531″N λ 1°43′4.5177″E ↔ grid E 651409.903
+    N 313177.270) at sub-mm, plus the structural laws: exact false
+    origin, k0 on the central meridian vs a numeric meridian arc, and
+    Helmert round-trip closure. OSGB36 is the one datum here carrying
+    a REAL 7-parameter shift (~120 m vs WGS84) — also asserted."""
+    from geomesa_sql_spark.geom.crs import _AIRY
+
+    bng = resolve_crs("EPSG:27700")
+    a, f = _AIRY
+    assert (bng.a, bng.f) == (a, f)
+
+    # OS worked example is OSGB36-geodetic → grid: projection only
+    lat = 52.0 + 39.0 / 60.0 + 27.2531 / 3600.0
+    lon = 1.0 + 43.0 / 60.0 + 4.5177 / 3600.0
+    en = bng._from_own_geographic(np.array([[lon, lat]]))
+    assert abs(en[0, 0] - 651409.903) < 1e-3
+    assert abs(en[0, 1] - 313177.270) < 1e-3
+
+    # false origin: grid(2°W, 49°N) = (400 km, -100 km) exactly
+    fo = bng._from_own_geographic(np.array([[-2.0, 49.0]]))
+    assert np.abs(fo - [400000.0, -100000.0]).max() < 1e-6
+
+    # central-meridian scale: northing − FN = k0·(arc(φ) − arc(49°))
+    for lat_cm in (50.5, 54.0, 58.0):
+        n = bng._from_own_geographic(np.array([[-2.0, lat_cm]]))[0, 1]
+        want = 0.9996012717 * (
+            _meridian_arc_numeric(lat_cm, a, f)
+            - _meridian_arc_numeric(49.0, a, f)
+        )
+        assert abs((n + 100000.0) - want) < 2e-3
+
+    # Helmert is real: identity-datum projection vs the full WGS84
+    # transform differ by the known ~120 m offset over London
+    fwd = transform_fn("EPSG:4326", "EPSG:27700")
+    inv = transform_fn("EPSG:27700", "EPSG:4326")
+    london = np.array([[-0.1276, 51.5072]])
+    shift = np.hypot(
+        *(bng._from_own_geographic(london) - fwd(london))[0]
+    )
+    assert 90.0 < shift < 160.0
+
+    # round-trip closure through the Helmert both ways (negated-
+    # parameter inverse is sub-mm ≈ 1e-8°; allow 1e-7)
+    rng = np.random.default_rng(5)
+    pts = np.column_stack(
+        [rng.uniform(-7.5, 1.8, 500), rng.uniform(49.9, 60.8, 500)]
+    )
+    assert np.abs(inv(fwd(pts.copy())) - pts).max() < 1e-7
+
+    # EPSG:4277 chains: 4277→27700 goes WGS84-out then WGS84-in, so
+    # the two Helmert legs cancel and the composite equals the pure
+    # projection (to the negation approximation)
+    own = transform_fn("EPSG:4277", "EPSG:27700")(
+        np.array([[lon, lat]])
+    )
+    # residual = the second-order negated-parameter inverse error,
+    # rotation × translation ≈ 4e-6 rad × 550 m ≈ 2-3 mm
+    assert np.abs(own - en).max() < 5e-3
+    # and 4326→4277 moves points by the geographic-scale shift
+    d4277 = transform_fn("EPSG:4326", "EPSG:4277")(london) - london
+    assert 1e-4 < np.abs(d4277).max() < 3e-3
