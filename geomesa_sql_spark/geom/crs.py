@@ -21,6 +21,9 @@ published formulas, and keeps a loud NotImplementedError for the rest
   authalic-latitude series eq. 3-18)
 - EPSG:5070  NAD83 Conus Albers (Snyder eq. 14-1..14-21; shares the
   authalic-latitude inverse with LAEA)
+- EPSG:3413 / 3031  WGS84 Polar Stereographic (NSIDC Arctic 70°N/45°W,
+  Antarctic 71°S/0°; Snyder eq. 21-32..21-40 standard-parallel
+  variant, conformal→geodetic via the shared Krüger delta series)
 - EPSG:27700 / 4277  OSGB36 British National Grid / geographic
   (Transverse Mercator on Airy 1830 via the same Krüger series,
   k0=0.9996012717, false origin 49°N 2°W at (400 km, -100 km)).
@@ -286,6 +289,25 @@ def _aea_setup(a: float, f: float, phi1: float, phi2: float,
             "rho0": float(rho0), "qp": float(q(90.0)), "E0": e0, "N0": n0}
 
 
+def _ps_setup(a: float, f: float, lat_ts: float, lon0: float,
+              e0: float, n0: float, south: bool):
+    """Precomputed ellipsoidal Polar Stereographic constants (Snyder
+    1987, eq. 21-32..21-35, standard-parallel variant): the ratio
+    a·m(φts)/t(φts) scaling the isometric-colatitude radius so scale
+    is exactly 1 on the standard parallel. South aspect computes in
+    the mirrored (−φ, −λ) frame."""
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    pts = np.radians(abs(lat_ts))
+    s = np.sin(pts)
+    m_ts = np.cos(pts) / np.sqrt(1.0 - e2 * s * s)
+    t_ts = np.tan(np.pi / 4.0 - pts / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+    return {"e": e, "amt": float(a * m_ts / t_ts), "lon0": lon0,
+            "E0": e0, "N0": n0, "south": south}
+
+
 def _authalic_phi(qv, qp: float, e: float):
     """Authalic q → geodetic latitude (radians): the series of Snyder
     eq. 3-18 followed by two Newton steps of eq. 3-16 to remove the
@@ -331,8 +353,9 @@ class _Crs:
 
     def __init__(self, kind: str, ellipsoid, lon0: float = 0.0, n0: float = 0.0,
                  k0: float = _K0, e0: float = _E0,
-                 lcc=None, laea=None, aea=None, helmert=None):
-        # 'geographic' | 'utm' | 'webmerc' | 'merc' | 'lcc' | 'laea' | 'aea'
+                 lcc=None, laea=None, aea=None, ps=None, helmert=None):
+        # 'geographic' | 'utm' | 'webmerc' | 'merc' | 'lcc' | 'laea'
+        # | 'aea' | 'ps'
         self.kind = kind
         self.a, self.f = ellipsoid
         self.lon0 = lon0
@@ -342,6 +365,7 @@ class _Crs:
         self.lcc = lcc
         self.laea = laea
         self.aea = aea
+        self.ps = ps
         self.helmert = helmert
 
     def to_geographic(self, c: np.ndarray) -> np.ndarray:
@@ -433,6 +457,29 @@ class _Crs:
             out[:, 0] = self.lon0 + np.degrees(lam)
             out[:, 1] = np.degrees(phi)
             return out
+        if self.kind == "ps":
+            # Polar Stereographic inverse (Snyder 1987 eq. 21-39/21-40
+            # via the conformal colatitude): χ from t, then the SAME
+            # Krüger delta series the TM/LCC inverses use
+            p = self.ps
+            x = c[:, 0] - p["E0"]
+            y = c[:, 1] - p["N0"]
+            rho = np.hypot(x, y)
+            t = rho / p["amt"]
+            chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+            _, _, _, delta = _kruger_coeffs(self.f)
+            phi = chi.copy()
+            for j in range(4):
+                phi += delta[j] * np.sin(2.0 * (j + 1) * chi)
+            if p["south"]:
+                theta = np.arctan2(x, y)
+                phi = -phi
+            else:
+                theta = np.arctan2(x, -y)
+            lam = np.where(rho == 0.0, 0.0, theta)
+            out[:, 0] = p["lon0"] + np.degrees(lam)
+            out[:, 1] = np.degrees(phi)
+            return out
         if self.kind == "aea":
             # Albers Equal-Area Conic inverse (Snyder 1987 eq.
             # 14-19..14-21): q from the cone radius, then the shared
@@ -487,6 +534,31 @@ class _Crs:
             theta = n * np.radians(c[:, 0] - self.lon0)
             out[:, 0] = p["E0"] + rho * np.sin(theta)
             out[:, 1] = p["N0"] + rho0 - rho * np.cos(theta)
+            return out
+        if self.kind == "ps":
+            # Polar Stereographic forward (Snyder 1987 eq. 21-33/21-34,
+            # standard-parallel variant): ρ = amt·t(φ). South aspect is
+            # the mirrored-hemisphere t with the +cos northing axis
+            # (EPSG guidance 7-2 variant B).
+            p = self.ps
+            e = p["e"]
+            phi = np.radians(c[:, 1])
+            s = np.sin(phi)
+            theta = np.radians(c[:, 0] - p["lon0"])
+            if p["south"]:
+                t = np.tan(np.pi / 4.0 + phi / 2.0) * (
+                    (1.0 + e * s) / (1.0 - e * s)
+                ) ** (-e / 2.0)
+                rho = p["amt"] * t
+                out[:, 0] = p["E0"] + rho * np.sin(theta)
+                out[:, 1] = p["N0"] + rho * np.cos(theta)
+            else:
+                t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+                    (1.0 - e * s) / (1.0 + e * s)
+                ) ** (e / 2.0)
+                rho = p["amt"] * t
+                out[:, 0] = p["E0"] + rho * np.sin(theta)
+                out[:, 1] = p["N0"] - rho * np.cos(theta)
             return out
         if self.kind == "aea":
             # Albers Equal-Area Conic forward (Snyder 1987 eq.
@@ -611,6 +683,21 @@ def resolve_crs(code: str) -> _Crs | None:
             "laea", _GRS80, lon0=10.0,
             laea=_laea_setup(*_GRS80, 52.0, 4321000.0, 3210000.0),
         )
+    if epsg == 3413:
+        # WGS84 / NSIDC Sea Ice Polar Stereographic North: standard
+        # parallel 70°N, central meridian 45°W — the Arctic
+        # earth-science grid
+        return _Crs(
+            "ps", _WGS84,
+            ps=_ps_setup(*_WGS84, 70.0, -45.0, 0.0, 0.0, south=False),
+        )
+    if epsg == 3031:
+        # WGS84 / Antarctic Polar Stereographic: standard parallel
+        # 71°S, central meridian 0°
+        return _Crs(
+            "ps", _WGS84,
+            ps=_ps_setup(*_WGS84, -71.0, 0.0, 0.0, 0.0, south=True),
+        )
     if epsg == 4277:
         # OSGB36 geographic (Airy 1830) — the one datum here whose
         # WGS84 offset (~120 m) gets a real Helmert, not identity
@@ -662,5 +749,7 @@ def supported_crs_table() -> str:
         "EPSG:3035 (ETRS89 / LAEA Europe), "
         "EPSG:5070 (NAD83 / Conus Albers, AEA), "
         "EPSG:27700 (OSGB36 / British National Grid, TM+Helmert), "
-        "EPSG:4277 (OSGB36 lon/lat, Helmert)"
+        "EPSG:4277 (OSGB36 lon/lat, Helmert), "
+        "EPSG:3413 (NSIDC Polar Stereographic North), "
+        "EPSG:3031 (Antarctic Polar Stereographic)"
     )

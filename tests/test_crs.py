@@ -578,3 +578,75 @@ def test_osgb36_british_national_grid():
     # and 4326→4277 moves points by the geographic-scale shift
     d4277 = transform_fn("EPSG:4326", "EPSG:4277")(london) - london
     assert 1e-4 < np.abs(d4277).max() < 3e-3
+
+
+def test_polar_stereographic_structural_laws():
+    """EPSG:3413 (NSIDC Arctic) / EPSG:3031 (Antarctic): Snyder eq.
+    21-32..21-40 standard-parallel Polar Stereographic. Laws: the pole
+    maps exactly to the grid origin; parallel scale k = 1 exactly ON
+    the standard parallel and < 1 poleward of it (the property that
+    places the plane); the projection is conformal (numeric Jacobian
+    columns orthogonal and isotropic everywhere); round-trips close
+    through the shared Krüger delta series; axis signs follow the
+    stere north/south conventions (x = ρ·sin θ both aspects,
+    y = ∓ρ·cos θ)."""
+    a, f = _WGS84
+    e2 = f * (2.0 - f)
+    for code, lat_ts, lon0, south in (
+        ("EPSG:3413", 70.0, -45.0, False),
+        ("EPSG:3031", -71.0, 0.0, True),
+    ):
+        fwd = transform_fn("EPSG:4326", code)
+        inv = transform_fn(code, "EPSG:4326")
+        pole = -90.0 if south else 90.0
+
+        # pole → origin exactly
+        assert np.abs(fwd(np.array([[lon0, pole]]))).max() < 1e-6
+
+        # scale: unity on the standard parallel, below it poleward
+        h = 1e-6
+        ks = {}
+        for lat in (lat_ts, lat_ts + (-5.0 if south else 5.0)):
+            p = np.array([[lon0 + 30.0, lat]])
+            d = (fwd(p + [h, 0.0]) - fwd(p - [h, 0.0])) / (
+                2.0 * np.radians(h)
+            )
+            s = np.sin(np.radians(lat))
+            m = a * np.cos(np.radians(lat)) / np.sqrt(1.0 - e2 * s * s)
+            ks[lat] = float(np.hypot(d[0, 0], d[0, 1]) / m)
+        assert abs(ks[lat_ts] - 1.0) < 1e-7
+        assert ks[lat_ts + (-5.0 if south else 5.0)] < 0.99
+
+        # conformality + isotropy of the numeric Jacobian
+        rng = np.random.default_rng(9)
+        lats = (
+            rng.uniform(-89.99, -31.0, 256) if south
+            else rng.uniform(31.0, 89.99, 256)
+        )
+        pts = np.column_stack([rng.uniform(-180.0, 180.0, 256), lats])
+        dx = fwd(pts + [h, 0.0]) - fwd(pts - [h, 0.0])
+        dy = fwd(pts + [0.0, h]) - fwd(pts - [0.0, h])
+        nx = np.hypot(dx[:, 0], dx[:, 1])
+        ny = np.hypot(dy[:, 0], dy[:, 1])
+        cosang = np.abs((dx * dy).sum(1) / (nx * ny))
+        assert cosang.max() < 1e-6
+        # isotropy: the λ-direction metric carries cos φ·(1-e²sin²φ)
+        # vs the φ-direction's (1-e²)/(1-e²sin²φ)^{3/2} meridian radius
+        s = np.sin(np.radians(pts[:, 1]))
+        mlam = a * np.cos(np.radians(pts[:, 1])) / np.sqrt(1.0 - e2 * s * s)
+        mphi = a * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+        assert np.abs((nx / mlam) / (ny / mphi) - 1.0).max() < 1e-5
+
+        # round-trip closure (lon compared mod 360 near the pole)
+        rt = inv(fwd(pts.copy()))
+        dlon = np.abs((rt[:, 0] - pts[:, 0] + 180.0) % 360.0 - 180.0)
+        assert dlon.max() < 1e-9
+        assert np.abs(rt[:, 1] - pts[:, 1]).max() < 1e-9
+
+        # axis conventions: 90° east of the central meridian is +x in
+        # BOTH aspects; the central meridian itself is -y north / +y south
+        east = fwd(np.array([[lon0 + 90.0, lat_ts]]))
+        cm = fwd(np.array([[lon0, lat_ts]]))
+        assert east[0, 0] > 0 and abs(east[0, 1]) < 1e-6
+        assert abs(cm[0, 0]) < 1e-6
+        assert (cm[0, 1] > 0) == south
