@@ -24,6 +24,8 @@ published formulas, and keeps a loud NotImplementedError for the rest
 - EPSG:3413 / 3031  WGS84 Polar Stereographic (NSIDC Arctic 70°N/45°W,
   Antarctic 71°S/0°; Snyder eq. 21-32..21-40 standard-parallel
   variant, conformal→geodetic via the shared Krüger delta series)
+- EPSG:32661 / 32761  UPS North/South (the MGRS polar zones:
+  k0=0.994 at the pole, 2000 km false origin)
 - EPSG:27700 / 4277  OSGB36 British National Grid / geographic
   (Transverse Mercator on Airy 1830 via the same Krüger series,
   k0=0.9996012717, false origin 49°N 2°W at (400 km, -100 km)).
@@ -305,6 +307,18 @@ def _ps_setup(a: float, f: float, lat_ts: float, lon0: float,
         (1.0 - e * s) / (1.0 + e * s)
     ) ** (e / 2.0)
     return {"e": e, "amt": float(a * m_ts / t_ts), "lon0": lon0,
+            "E0": e0, "N0": n0, "south": south}
+
+
+def _ps_setup_k0(a: float, f: float, k0: float, lon0: float,
+                 e0: float, n0: float, south: bool):
+    """Polar Stereographic pinned by the scale AT the pole (Snyder
+    eq. 21-33's k0 form, the UPS convention): the t→ρ ratio becomes
+    2·a·k0/√((1+e)^{1+e}·(1−e)^{1−e})."""
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    amt = 2.0 * a * k0 / np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    return {"e": e, "amt": float(amt), "lon0": lon0,
             "E0": e0, "N0": n0, "south": south}
 
 
@@ -698,6 +712,16 @@ def resolve_crs(code: str) -> _Crs | None:
             "ps", _WGS84,
             ps=_ps_setup(*_WGS84, -71.0, 0.0, 0.0, 0.0, south=True),
         )
+    if epsg in (32661, 32761):
+        # WGS84 / UPS North & South (the MGRS polar zones): scale
+        # 0.994 AT the pole, false easting/northing 2000 km
+        return _Crs(
+            "ps", _WGS84,
+            ps=_ps_setup_k0(
+                *_WGS84, 0.994, 0.0, 2000000.0, 2000000.0,
+                south=(epsg == 32761),
+            ),
+        )
     if epsg == 4277:
         # OSGB36 geographic (Airy 1830) — the one datum here whose
         # WGS84 offset (~120 m) gets a real Helmert, not identity
@@ -751,5 +775,6 @@ def supported_crs_table() -> str:
         "EPSG:27700 (OSGB36 / British National Grid, TM+Helmert), "
         "EPSG:4277 (OSGB36 lon/lat, Helmert), "
         "EPSG:3413 (NSIDC Polar Stereographic North), "
-        "EPSG:3031 (Antarctic Polar Stereographic)"
+        "EPSG:3031 (Antarctic Polar Stereographic), "
+        "EPSG:32661/32761 (UPS North/South)"
     )

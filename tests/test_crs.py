@@ -650,3 +650,49 @@ def test_polar_stereographic_structural_laws():
         assert east[0, 0] > 0 and abs(east[0, 1]) < 1e-6
         assert abs(cm[0, 0]) < 1e-6
         assert (cm[0, 1] > 0) == south
+
+
+def test_ups_polar_zones():
+    """EPSG:32661/32761 (UPS, the MGRS polar zones): Polar
+    Stereographic pinned by scale AT the pole (k0 = 0.994, Snyder eq.
+    21-33's k0 form) with 2000 km false origin. External anchor: the
+    published UPS true-scale parallel is 81°06′52.3″ — the numeric
+    parallel-scale curve must cross k = 1 exactly there."""
+    a, f = _WGS84
+    e2 = f * (2.0 - f)
+    for code, south in (("EPSG:32661", False), ("EPSG:32761", True)):
+        fwd = transform_fn("EPSG:4326", code)
+        inv = transform_fn(code, "EPSG:4326")
+        pole = -90.0 if south else 90.0
+        sgn = -1.0 if south else 1.0
+
+        # pole → the 2000 km false origin exactly
+        assert np.abs(
+            fwd(np.array([[0.0, pole]])) - 2000000.0
+        ).max() < 1e-6
+
+        h = 1e-6
+
+        def k(lat):
+            p = np.array([[30.0, lat]])
+            d = (fwd(p + [h, 0.0]) - fwd(p - [h, 0.0])) / (
+                2.0 * np.radians(h)
+            )
+            s = np.sin(np.radians(lat))
+            m = a * np.cos(np.radians(lat)) / np.sqrt(1.0 - e2 * s * s)
+            return float(np.hypot(d[0, 0], d[0, 1]) / m)
+
+        # scale approaches k0 = 0.994 at the pole…
+        assert abs(k(sgn * 89.999) - 0.994) < 1e-4
+        # …and crosses unity exactly on the published true-scale
+        # parallel 81°06′52.3″ (the UPS secant latitude)
+        assert abs(k(sgn * (81.0 + 6.0 / 60.0 + 52.3 / 3600.0)) - 1.0) < 1e-6
+
+        # round-trip closure over the zone
+        rng = np.random.default_rng(4)
+        lats = sgn * rng.uniform(60.0, 89.999, 256)
+        pts = np.column_stack([rng.uniform(-180.0, 180.0, 256), lats])
+        rt = inv(fwd(pts.copy()))
+        dlon = np.abs((rt[:, 0] - pts[:, 0] + 180.0) % 360.0 - 180.0)
+        assert dlon.max() < 1e-9
+        assert np.abs(rt[:, 1] - pts[:, 1]).max() < 1e-9
