@@ -685,7 +685,9 @@ def q_sql_st_xy_dist(spark, sf_dir):
                    ST_X(ST_MakePoint(lon, lat)) AS px,
                    ST_Y(ST_MakePoint(lon, lat)) AS py,
                    ROUND(ST_Distance(ST_MakePoint(lon, lat),
-                                     ST_GeomFromText('POINT (10.005 10.005)')), 6) AS d_r
+                                     ST_GeomFromText('POINT (10.005 10.005)')), 6) AS d_r,
+                   ROUND(ST_DistanceSphere(ST_MakePoint(lon, lat),
+                                     ST_GeomFromText('POINT (10.005 10.005)')), 3) AS d_sph_r
             FROM {v}
             WHERE ST_DWithin(ST_MakePoint(lon, lat),
                              ST_GeomFromText('POINT (10.005 10.005)'), 20.0)"""
@@ -1490,7 +1492,14 @@ def _oracles() -> dict[str, str]:
         "sql_st_xy_dist": f"""
             SELECT o_orderkey, lon AS px, lat AS py,
                    ROUND(sqrt((lon - 10.005) * (lon - 10.005)
-                            + (lat - 10.005) * (lat - 10.005)), 6) AS d_r
+                            + (lat - 10.005) * (lat - 10.005)), 6) AS d_r,
+                   -- haversine replay of geom/geodesic.sphere_distance
+                   -- (same mean radius (2a+b)/3, same operation order)
+                   ROUND(2.0 * 6371008.771415059 * ASIN(SQRT(
+                       SIN(RADIANS(10.005 - lat) / 2.0) * SIN(RADIANS(10.005 - lat) / 2.0)
+                     + COS(RADIANS(lat)) * COS(RADIANS(10.005))
+                       * SIN(RADIANS(10.005 - lon) / 2.0) * SIN(RADIANS(10.005 - lon) / 2.0)
+                   )), 3) AS d_sph_r
             FROM ({opts})
             WHERE (lon - 10.005) * (lon - 10.005) + (lat - 10.005) * (lat - 10.005) <= 400.0
         """,

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from geomesa_sql_spark.cells import lonlat_to_cell
 from geomesa_sql_spark.geom import geom_from_wkb, geom_from_wkt, geom_to_wkt
-from geomesa_sql_spark.geom import kernel
+from geomesa_sql_spark.geom import kernel, model
 from geomesa_sql_spark.geom.model import Geom
 from geomesa_sql_spark.geom.wkb import geom_to_ewkb, geom_to_wkb, wkb_srid
 
@@ -364,6 +364,43 @@ def _st_distance(wa: pd.Series, wb: pd.Series) -> pd.Series:
     )
 
 
+def _geodesic_points(wa: pd.Series, wb: pd.Series):
+    """Decode two WKB series into (lon1, lat1, lon2, lat2) float64
+    arrays with NaN for NULLs — shared by the geography measures.
+    Geodesic distance between extended geometries needs a closest-pair
+    geodesic solver (GeographicLib territory), so non-points raise
+    loudly rather than silently measuring centroids."""
+    n = len(wa)
+    out = np.full((4, n), np.nan)
+    for col, series in ((0, wa), (2, wb)):
+        for i, g in enumerate(_decode_series(series)):
+            if g is None:
+                continue
+            if g.type != model.POINT:
+                raise NotImplementedError(
+                    "geodesic distance is defined for POINT inputs; got "
+                    f"{g.type} (use ST_Centroid/ST_ClosestPoint first, "
+                    "or the planar ST_Distance)"
+                )
+            out[col, i] = g.coords[0]
+            out[col + 1, i] = g.coords[1]
+    return out[0], out[1], out[2], out[3]
+
+
+@F.pandas_udf(T.DoubleType())
+def _st_distance_sphere(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    from geomesa_sql_spark.geom.geodesic import sphere_distance
+
+    return pd.Series(sphere_distance(*_geodesic_points(wa, wb)))
+
+
+@F.pandas_udf(T.DoubleType())
+def _st_distance_spheroid(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    from geomesa_sql_spark.geom.geodesic import spheroid_distance
+
+    return pd.Series(spheroid_distance(*_geodesic_points(wa, wb)))
+
+
 def _envelope_schema() -> T.StructType:
     return T.StructType(
         [
@@ -393,6 +430,11 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_MakePoint", st_point_wkb)
     spark.udf.register("ST_Point", st_point_wkb)
     spark.udf.register("ST_Distance", _st_distance)
+    # geography measures (geom/geodesic.py — PostGIS names; the planar
+    # ST_Distance above keeps the reference's JTS Cartesian contract)
+    spark.udf.register("ST_DistanceSphere", _st_distance_sphere)
+    spark.udf.register("ST_Distance_Sphere", _st_distance_sphere)
+    spark.udf.register("ST_DistanceSpheroid", _st_distance_spheroid)
     spark.udf.register("ST_Envelope", st_envelope_wkb)
     for pred in RELATE_PREDICATES:
 

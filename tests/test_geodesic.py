@@ -1,0 +1,131 @@
+"""Geodesic distance surface (geom/geodesic.py + the ST_DistanceSphere/
+ST_DistanceSpheroid SQL names). Anchored to PUBLISHED values, not
+self-derivation: the Geoscience Australia Vincenty worked example
+(Flinders Peak → Buninyong on GRS80), the WGS84 meridian quadrant, and
+the exact equatorial closed form a·π/2 (an equatorial geodesic is the
+equator itself, so Vincenty must reproduce the arc length of a circle
+of radius a)."""
+
+import numpy as np
+import pytest
+
+from geomesa_sql_spark.geom.geodesic import (
+    GRS80,
+    MEAN_RADIUS,
+    sphere_distance,
+    sphere_distance_cols,
+    spheroid_distance,
+)
+
+# Geoscience Australia (GDA technical manual) Vincenty worked example.
+_FLINDERS = (144 + 25 / 60 + 29.52440 / 3600, -(37 + 57 / 60 + 3.72030 / 3600))
+_BUNINYONG = (143 + 55 / 60 + 35.38390 / 3600, -(37 + 39 / 60 + 10.15610 / 3600))
+
+
+def test_vincenty_published_anchors():
+    d = spheroid_distance(*_FLINDERS, *_BUNINYONG, ellipsoid=GRS80)
+    assert abs(float(d[0]) - 54972.271) < 1e-3  # published to the mm
+    # WGS84 meridian quadrant (equator → pole along a meridian)
+    q = spheroid_distance(0.0, 0.0, 0.0, 90.0)
+    assert abs(float(q[0]) - 10001965.7293) < 1e-3
+    # equatorial quadrant: exactly a·π/2 (sin_alpha=1 branch)
+    e = spheroid_distance(0.0, 0.0, 90.0, 0.0)
+    assert abs(float(e[0]) - 6378137.0 * np.pi / 2.0) < 1e-2
+
+
+def test_vincenty_laws():
+    rng = np.random.default_rng(7)
+    lon1 = rng.uniform(-180, 180, 200)
+    lat1 = rng.uniform(-85, 85, 200)
+    lon2 = rng.uniform(-180, 180, 200)
+    lat2 = rng.uniform(-85, 85, 200)
+    d12 = spheroid_distance(lon1, lat1, lon2, lat2)
+    d21 = spheroid_distance(lon2, lat2, lon1, lat1)
+    assert np.allclose(d12, d21, rtol=0, atol=1e-6)  # symmetry
+    assert np.all(d12 >= 0)
+    assert np.all(spheroid_distance(lon1, lat1, lon1, lat1) == 0.0)
+    # spheroid vs mean-sphere: within the 0.56% flattening bound
+    s = sphere_distance(lon1, lat1, lon2, lat2)
+    far = s > 1000.0  # relative bound is meaningless at ulp distances
+    assert np.all(np.abs(d12[far] - s[far]) <= 0.0056 * s[far] + 1.0)
+
+
+def test_antipodal_fallback_finite():
+    # Vincenty's divergence zone: the documented mean-sphere fallback
+    # must kick in and stay finite/positive, never NaN or an oscillation
+    d = spheroid_distance(
+        np.array([0.0, 10.0]), np.array([0.0, 5.0]),
+        np.array([179.99999, -169.99999]), np.array([0.001, -5.0001]),
+    )
+    assert np.all(np.isfinite(d)) and np.all(d > 1.9e7)
+    # NaN (SQL NULL) coordinates propagate
+    assert np.isnan(spheroid_distance(np.nan, 0.0, 10.0, 10.0)[0])
+    assert np.isnan(sphere_distance(np.nan, 0.0, 10.0, 10.0))
+
+
+def test_sphere_column_matches_numpy(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "lon1": rng.uniform(-180, 180, 500),
+        "lat1": rng.uniform(-89, 89, 500),
+        "lon2": rng.uniform(-180, 180, 500),
+        "lat2": rng.uniform(-89, 89, 500),
+    })
+    df = spark.createDataFrame(pdf)
+    got = np.array(
+        df.select(
+            sphere_distance_cols(
+                F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+            ).alias("d")
+        ).toPandas()["d"]
+    )
+    want = sphere_distance(pdf.lon1, pdf.lat1, pdf.lon2, pdf.lat2)
+    # same formula, JVM libm vs numpy libm: ulp-level agreement
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-6)
+    # NULL propagation through the gated clamp (least() would eat it)
+    row = spark.sql(
+        "SELECT CAST(NULL AS DOUBLE) AS lon1, 1.0D AS lat1, "
+        "2.0D AS lon2, 3.0D AS lat2"
+    ).select(
+        sphere_distance_cols(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("d")
+    ).collect()[0]
+    assert row["d"] is None
+
+
+def test_sql_surface(spark):
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        f"""SELECT ST_DistanceSphere(ST_MakePoint({_FLINDERS[0]}, {_FLINDERS[1]}),
+                                     ST_MakePoint({_BUNINYONG[0]}, {_BUNINYONG[1]})) AS ds,
+                   ST_DistanceSpheroid(ST_MakePoint({_FLINDERS[0]}, {_FLINDERS[1]}),
+                                       ST_MakePoint({_BUNINYONG[0]}, {_BUNINYONG[1]})) AS dv,
+                   ST_DistanceSphere(CAST(NULL AS BINARY),
+                                     ST_MakePoint(0.0D, 0.0D)) AS dn"""
+    ).collect()[0]
+    # WGS84 vs the GRS80 published value: identical at the mm for this
+    # line (the ellipsoids differ in f at the 1e-11 level)
+    assert abs(row["dv"] - 54972.271) < 5e-3
+    # sphere vs spheroid within the flattening bound
+    assert abs(row["ds"] - row["dv"]) <= 0.0056 * row["dv"]
+    assert row["dn"] is None or (
+        isinstance(row["dn"], float) and np.isnan(row["dn"])
+    )
+
+
+def test_sql_surface_non_point_is_loud(spark):
+    from geomesa_sql_spark.functions import register_all
+
+    register_all(spark)
+    with pytest.raises(Exception, match="POINT"):
+        spark.sql(
+            "SELECT ST_DistanceSphere("
+            "ST_GeomFromText('LINESTRING (0 0, 1 1)'), "
+            "ST_MakePoint(0.0D, 0.0D))"
+        ).collect()
