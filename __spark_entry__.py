@@ -416,13 +416,31 @@ def q_image_near_dup(spark, sf_dir):
 
 
 def q_st_dwithin(spark, sf_dir):
-    """ST_DWithin literal-distance filter (planar units, reference parity)."""
+    """ST_DWithin literal-distance filter (planar units, reference
+    parity) UNION'd with the r5 geography leg: a dwithin_sphere
+    spatial JOIN (metres on the mean sphere, geom/geodesic.py) of the
+    full-globe orders points against the 25 nation centers — the
+    oracle brute-forces the haversine relation over the cross product,
+    so the per-row longitude-radius cell cover, antimeridian split
+    covers, and the pure-Column haversine refine are all under the
+    hash gate. Legs distinguished by k (-1 planar, nationkey sphere)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side
     from geomesa_sql_spark.plan import spatial_filter
 
     pts = orders_points(spark, sf_dir)
-    return spatial_filter(
+    planar = spatial_filter(
         pts, "dwithin", "POINT (10.005 10.005)", x="lon", y="lat", distance=20.0
-    ).select("o_orderkey")
+    ).select("o_orderkey", F.lit(-1).cast("long").alias("k"))
+    pois = nation_squares(spark, sf_dir).select("n_nationkey", "cx", "cy")
+    sphere = spatial_join(
+        pts.select("o_orderkey", "lon", "lat"), pois,
+        point_side("lon", "lat"), point_side("cx", "cy"),
+        predicate="dwithin_sphere", distance=1_000_000.0, broadcast=True,
+    ).select("o_orderkey", F.col("n_nationkey").cast("long").alias("k"))
+    return planar.unionByName(sphere)
 
 
 def q_st_filter_wkb_rows(spark, sf_dir):
@@ -1394,8 +1412,19 @@ def _oracles() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 6
         """,
         "st_dwithin": f"""
-            SELECT o_orderkey FROM ({opts})
+            SELECT o_orderkey, CAST(-1 AS BIGINT) AS k FROM ({opts})
             WHERE (lon - 10.005) * (lon - 10.005) + (lat - 10.005) * (lat - 10.005) <= 400.0
+            UNION ALL
+            -- geography leg: brute-force haversine relation (exact
+            -- replay of geom/geodesic.sphere_distance, mean radius
+            -- (2a+b)/3) over the full orders x nation-centers product
+            SELECT p.o_orderkey, CAST(s.n_nationkey AS BIGINT) AS k
+            FROM ({opts}) p, ({nsq}) s
+            WHERE 2.0 * 6371008.771415059 * ASIN(SQRT(
+                      SIN(RADIANS(s.cy - p.lat) / 2.0) * SIN(RADIANS(s.cy - p.lat) / 2.0)
+                    + COS(RADIANS(p.lat)) * COS(RADIANS(s.cy))
+                      * SIN(RADIANS(s.cx - p.lon) / 2.0) * SIN(RADIANS(s.cx - p.lon) / 2.0)
+                  )) <= 1000000.0
         """,
         "st_filter_wkb_rows": f"""
             SELECT n_nationkey FROM ({nsq})

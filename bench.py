@@ -543,6 +543,28 @@ def main() -> None:
             best = min(best, time.time() - t0)
         results["spatial_join_repartition_salted"] = round(best, 3)
 
+        # geography join (r5): metres-radius dwithin_sphere of the same
+        # point cloud against the 25 nation centers — per-row lon-radius
+        # cell cover (pandas) + broadcast cell join + pure-Column
+        # haversine refine. Aggregate consumes the pair columns (real
+        # action per the fake-bench rule, CLAUDE.md).
+        centers = nation_squares(spark, sf_dir).select("n_nationkey", "cx", "cy")
+        best = float("inf")
+        for i in range(4):  # first pass warms the cover UDF workers
+            t0 = time.time()
+            spatial_join(
+                big_pts, centers, point_side("lon", "lat"),
+                point_side("cx", "cy"),
+                predicate="dwithin_sphere", distance=500_000.0,
+                broadcast=True,
+            ).agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.col("n_nationkey").cast("long")).alias("x"),
+            ).collect()
+            if i:
+                best = min(best, time.time() - t0)
+        results["spatial_join_sphere_500km"] = round(best, 3)
+
         # pure-join throughput probe at 10M points (no payload): JVM-only
         # generation, cell encode, broadcast join, PIP refine, tile rollup —
         # the join scale path isolated from decode costs

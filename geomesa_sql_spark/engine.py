@@ -361,8 +361,8 @@ _CHAIN_JOIN_RE = _re.compile(
     r"|\s+LIMIT\s+|\s*$)"
 )
 _GEOM_ARG_RE = _re.compile(
-    r"(?is)^ST_(?P<pred>Within|Intersects|Contains|DWithin|Touches|Crosses"
-    r"|Overlaps|Equals)\s*\(\s*"
+    r"(?is)^ST_(?P<pred>Within|Intersects|Contains|DWithinSphere|DWithin"
+    r"|Touches|Crosses|Overlaps|Equals)\s*\(\s*"
     r"(?P<g1>ST_MakePoint\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*\)|[\w.]+)\s*,\s*"
     r"(?P<g2>ST_MakePoint\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*\)|[\w.]+)\s*"
     r"(?:,\s*(?P<dist>[0-9.eE+-]+)\s*)?\)\s*$"
@@ -699,6 +699,13 @@ class Engine:
         side_a, cols_a, quals_a = _side(g.group("g1"))
         side_b, cols_b, quals_b = _side(g.group("g2"))
         pred = g.group("pred").lower()
+        if pred == "dwithinsphere":
+            pred = "dwithin_sphere"  # spatial_join's spelling
+            if not (side_a.is_point and side_b.is_point):
+                # the optimized path is point x point; the scalar
+                # ST_DWithinSphere UDF still answers via plain spark.sql
+                _bail("ST_DWithinSphere routes point x point only")
+                return None
         dist = float(g.group("dist")) if g.group("dist") else None
 
         # orient: spatial_join evaluates pred(left_df_geom, right_df_geom)
@@ -1149,6 +1156,13 @@ class Engine:
         side_a, cols_a, quals_a = _side(g.group("g1"))
         side_b, cols_b, quals_b = _side(g.group("g2"))
         pred = g.group("pred").lower()
+        if pred == "dwithinsphere":
+            pred = "dwithin_sphere"  # spatial_join's spelling
+            if not (side_a.is_point and side_b.is_point):
+                # the optimized path is point x point; the scalar
+                # ST_DWithinSphere UDF still answers via plain spark.sql
+                _bail("ST_DWithinSphere routes point x point only")
+                return None
         dist = float(g.group("dist")) if g.group("dist") else None
         names1 = {t1, m.group("a1") or t1}
         names2 = {t2, m.group("a2") or t2}

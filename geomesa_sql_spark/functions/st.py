@@ -401,6 +401,23 @@ def _st_distance_spheroid(wa: pd.Series, wb: pd.Series) -> pd.Series:
     return pd.Series(spheroid_distance(*_geodesic_points(wa, wb)))
 
 
+@F.pandas_udf(T.BooleanType())
+def _st_dwithin_sphere(wa: pd.Series, wb: pd.Series,
+                       meters: pd.Series) -> pd.Series:
+    """Scalar ST_DWithinSphere(a, b, metres): the enumerable fallback
+    for SQL shapes the point x point join router bails on. NULL inputs
+    (incl. NaN-delivered distance, per the Arrow NULL-int/double rule)
+    yield SQL NULL, not False."""
+    from geomesa_sql_spark.geom.geodesic import sphere_distance
+
+    d = sphere_distance(*_geodesic_points(wa, wb))
+    m = meters.to_numpy(np.float64)
+    ok = np.isfinite(d) & np.isfinite(m)
+    out = pd.array(d <= m, dtype="boolean")
+    out[~ok] = None
+    return pd.Series(out, dtype="boolean")
+
+
 def _envelope_schema() -> T.StructType:
     return T.StructType(
         [
@@ -435,6 +452,7 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_DistanceSphere", _st_distance_sphere)
     spark.udf.register("ST_Distance_Sphere", _st_distance_sphere)
     spark.udf.register("ST_DistanceSpheroid", _st_distance_spheroid)
+    spark.udf.register("ST_DWithinSphere", _st_dwithin_sphere)
     spark.udf.register("ST_Envelope", st_envelope_wkb)
     for pred in RELATE_PREDICATES:
 

@@ -115,10 +115,90 @@ def _materialize_side(
     return df, side
 
 
+# Geodesic cover bounds (dwithin_sphere). The refine metric is the
+# mean-sphere haversine (geom/geodesic.py), so the cell cover only has
+# to be conservative w.r.t. THAT sphere: the latitude extent of a
+# spherical cap of arc radius m/R is exactly m/R, and its longitude
+# extent obeys sin(Δλ) = sin(m/R)/cos(φ). Using the POLAR radius b
+# (< mean R, so a larger angle) for both, and evaluating cos at the
+# band edge |φ|+Δφ (≤ cos φ), makes every per-row box a superset of
+# the true cap — proven over-cover, refine restores exactness.
+_SPHERE_COVER_R = 6356752.314245  # WGS84 b: minimal earth radius
+
+
+def _sphere_deg_bounds(y: np.ndarray, meters: float):
+    """Per-row conservative (Δlat°, Δlon°) of the m-metre cap at lat y.
+    Rows whose band reaches the pole (or whose sine ratio ≥ 1) get the
+    full 180° longitude span — correct, and the cover cap raises loudly
+    if that makes the row exceed max_cells at the chosen res."""
+    dlat = np.degrees(meters / _SPHERE_COVER_R)
+    band = np.minimum(89.9999, np.abs(y) + dlat)
+    s = np.sin(min(meters / _SPHERE_COVER_R, np.pi / 2.0)) / np.cos(
+        np.radians(band)
+    )
+    dlon = np.where(
+        s >= 1.0, 180.0, np.degrees(np.arcsin(np.minimum(s, 1.0)))
+    )
+    return dlat, dlon
+
+
 def _cells_for_side(
-    df: DataFrame, side: GeomSide, res: int, expand: float, max_cells: int
+    df: DataFrame, side: GeomSide, res: int, expand: float, max_cells: int,
+    sphere_m: float | None = None,
 ) -> DataFrame:
     """Attach exploded cell column (+ envelope min corner for dedup)."""
+    if side.is_point and sphere_m is not None:
+        # dwithin_sphere: per-ROW degree expansion (longitude radius
+        # grows with |lat|), then the same grouped z-order cover. The
+        # min-corner columns are unused here — the point right side is
+        # single-cell, so candidate pairs are already duplicate-free
+        # and refpoint dedup never runs.
+        meters = float(sphere_m)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _cover_sphere(px: pd.Series, py: pd.Series) -> pd.Series:
+            x = px.to_numpy(np.float64)
+            y = py.to_numpy(np.float64)
+            dlat, dlon = _sphere_deg_bounds(y, meters)
+            lo, hi = x - dlon, x + dlon
+            ylo = np.maximum(y - dlat, -90.0)
+            yhi = np.minimum(y + dlat, 90.0)
+            # the haversine metric wraps at the antimeridian but a
+            # planar box doesn't: a box spilling past ±180 contributes
+            # a SECOND segment re-entering from the other side (unless
+            # it already spans everything). Segments are lon-disjoint,
+            # so per-row cell lists stay duplicate-free via np.unique.
+            full = dlon >= 180.0
+            lo_c = np.where(full, -180.0, np.maximum(lo, -180.0))
+            hi_c = np.where(full, 180.0, np.minimum(hi, 180.0))
+            out: list[list[int]] = [[] for _ in range(len(x))]
+            rows, cells = cover_envelopes(
+                lo_c, ylo, hi_c, yhi, res, max_cells_per_row=max_cells
+            )
+            for r, c in zip(rows.tolist(), cells.tolist()):
+                out[r].append(c)
+            spill_w = (lo < -180.0) & ~full
+            spill_e = (hi > 180.0) & ~full
+            spill = spill_w | spill_e
+            if spill.any():
+                idx = np.flatnonzero(spill)
+                s_lo = np.where(spill_w[idx], lo[idx] + 360.0, -180.0)
+                s_hi = np.where(spill_e[idx], hi[idx] - 360.0, 180.0)
+                rows2, cells2 = cover_envelopes(
+                    s_lo, ylo[idx], s_hi, yhi[idx], res,
+                    max_cells_per_row=max_cells,
+                )
+                for r, c in zip(rows2.tolist(), cells2.tolist()):
+                    out[int(idx[r])].append(c)
+            return pd.Series(
+                [np.unique(np.asarray(v, dtype=np.int64)) for v in out]
+            )
+
+        return (
+            df.withColumn("__gsj_minx", F.col(side.x))
+            .withColumn("__gsj_miny", F.col(side.y))
+            .withColumn(_CELL, F.explode(_cover_sphere(side.x, side.y)))
+        )
     if side.is_point and expand == 0.0:
         # JVM-side encode: the point side is the 10^12-row side; a
         # Column expression keeps it in whole-stage codegen (and avoids
@@ -203,6 +283,14 @@ def _refine_predicate(
             dx = F.col(left.x) - F.col(right.x)
             dy = F.col(left.y) - F.col(right.y)
             return dx * dx + dy * dy <= float(distance) ** 2
+        if pred == "dwithin_sphere":
+            # metres on the real earth: pure-Column haversine — the
+            # refine stays in whole-stage codegen, zero Python
+            from geomesa_sql_spark.geom.geodesic import sphere_distance_cols
+
+            return sphere_distance_cols(
+                F.col(left.x), F.col(left.y), F.col(right.x), F.col(right.y)
+            ) <= float(distance)
         if pred in ("equals", "intersects", "contains", "within", "touches"):
             eq = (F.col(left.x) == F.col(right.x)) & (F.col(left.y) == F.col(right.y))
             return eq if pred != "touches" else F.lit(False)
@@ -284,7 +372,31 @@ def spatial_join(
         if distance is None:
             raise ValueError("dwithin needs literal distance "
                              "(EnumerableSpatialJoinRule.scala:117-125)")
-    expand = float(distance) if pred == "dwithin" else 0.0
+    if pred == "dwithin_sphere":
+        # geography DWithin: ``distance`` is METRES on the mean sphere
+        # (geom/geodesic.py), not planar degrees — the join a planetary
+        # dataset actually wants ("images within 50 km of each POI").
+        # v1 contract: point × point (geodesic point-to-polygon needs a
+        # closest-pair geodesic solver; use the planar dwithin there).
+        if distance is None:
+            raise ValueError("dwithin_sphere needs a literal distance in metres")
+        if not (left.is_point and right.is_point):
+            raise NotImplementedError(
+                "dwithin_sphere is point x point (lon/lat sides); got a "
+                "WKB side — use the planar 'dwithin' for extended geometries"
+            )
+    if pred == "dwithin":
+        expand = float(distance)
+    elif pred == "dwithin_sphere":
+        # degree-equivalent radius used ONLY for the res heuristic and
+        # per-row cover caps (the factor 3 keeps rows up to ~|70°| lat
+        # under the cap; per-row covers use their own exact bounds).
+        # Correctness never depends on this nominal: an outlier row
+        # whose cover exceeds max_cells raises with a res hint.
+        expand = 3.0 * float(np.degrees(float(distance) / _SPHERE_COVER_R))
+    else:
+        expand = 0.0
+    sphere_m = float(distance) if pred == "dwithin_sphere" else None
 
     left_df, left = _materialize_side(left_df, left, "l")
     right_df, right = _materialize_side(right_df, right, "r")
@@ -353,7 +465,9 @@ def spatial_join(
             _res_cap(ext_r, right, 0.0, max_cells_per_row),
         )
 
-    lc = _cells_for_side(left_nn, left, res, expand, max_cells_per_row)
+    lc = _cells_for_side(
+        left_nn, left, res, expand, max_cells_per_row, sphere_m=sphere_m
+    )
     rc = _cells_for_side(right_nn, right, res, 0.0, max_cells_per_row)
     rc = (
         rc.withColumnRenamed(_CELL, _CELL + "_r")

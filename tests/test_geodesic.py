@@ -129,3 +129,114 @@ def test_sql_surface_non_point_is_loud(spark):
             "ST_GeomFromText('LINESTRING (0 0, 1 1)'), "
             "ST_MakePoint(0.0D, 0.0D))"
         ).collect()
+
+
+def test_dwithin_sphere_join_vs_bruteforce(spark):
+    """spatial_join(predicate='dwithin_sphere') must equal the all-pairs
+    haversine relation, including near-pole points (full-longitude
+    covers) and pairs straddling the antimeridian (split covers)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side
+
+    n = 4000
+    k = np.arange(n, dtype=np.int64)
+    lon = ((k * 7919) % 36000) / 100.0 - 180.0
+    lat = ((k * 104729) % 17000) / 100.0 - 85.0
+    # force antimeridian + polar coverage
+    lon[:50] = 179.5 + (k[:50] % 10) / 25.0   # right at the seam
+    lon[50:100] = -179.5 - (k[50:100] % 10) / 25.0
+    lat[100:150] = 88.0 + (k[100:150] % 10) / 10.0
+    left = spark.createDataFrame(
+        pd.DataFrame({"pid": k, "lon": lon, "lat": lat})
+    )
+    pois = pd.DataFrame({
+        "poi": np.arange(8),
+        "plon": np.array([0.0, 179.9, -179.9, 10.0, -60.0, 120.0, 0.0, -45.0]),
+        "plat": np.array([0.0, 10.0, 10.2, 89.2, -45.0, 45.0, 88.5, 30.0]),
+    })
+    right = spark.createDataFrame(pois)
+    radius_m = 300_000.0
+
+    got = (
+        spatial_join(
+            left, right, point_side("lon", "lat"), point_side("plon", "plat"),
+            predicate="dwithin_sphere", distance=radius_m, broadcast=True,
+        )
+        .select("pid", "poi")
+        .toPandas()
+    )
+    got_pairs = set(zip(got.pid.astype(int), got.poi.astype(int)))
+
+    want_pairs = set()
+    for _, p in pois.iterrows():
+        d = sphere_distance(lon, lat, p.plon, p.plat)
+        for pid in np.flatnonzero(d <= radius_m):
+            want_pairs.add((int(pid), int(p.poi)))
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 20  # the fixture actually exercises matches
+    # seam + pole pairs specifically present
+    assert any(p for p in want_pairs if p[1] in (1, 2)) and any(
+        p for p in want_pairs if p[1] in (3, 6)
+    )
+
+
+def test_dwithin_sphere_wkb_side_is_loud(spark):
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side, wkb_side
+
+    df = spark.range(1).selectExpr("1.0D AS lon", "2.0D AS lat", "CAST(NULL AS BINARY) AS g")
+    with pytest.raises(NotImplementedError, match="dwithin_sphere"):
+        spatial_join(
+            df, df, point_side("lon", "lat"), wkb_side("g"),
+            predicate="dwithin_sphere", distance=10.0,
+        )
+
+
+def test_dwithin_sphere_sql_router(spark):
+    """SQL-text ST_DWithinSphere: the join router plans the optimized
+    cell join; the scalar UDF answers WHERE-shaped uses directly."""
+    import pandas as pd
+
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark, fid_col="pid")
+    k = np.arange(500, dtype=np.int64)
+    lon = ((k * 7919) % 36000) / 100.0 - 180.0
+    lat = ((k * 104729) % 17000) / 100.0 - 85.0
+    eng.register_view(
+        "gpts", spark.createDataFrame(pd.DataFrame({"pid": k, "lon": lon, "lat": lat}))
+    )
+    eng.register_view(
+        "gpois",
+        spark.createDataFrame(
+            pd.DataFrame({"poi": [0, 1], "plon": [0.0, 100.0], "plat": [0.0, 45.0]})
+        ),
+    )
+    got = eng.sql(
+        """SELECT pid, poi FROM gpts JOIN gpois
+           ON ST_DWithinSphere(ST_MakePoint(lon, lat),
+                               ST_MakePoint(plon, plat), 2000000.0)"""
+    ).toPandas()
+    want = set()
+    for poi, (plon, plat) in enumerate([(0.0, 0.0), (100.0, 45.0)]):
+        d = sphere_distance(lon, lat, plon, plat)
+        want |= {(int(i), poi) for i in np.flatnonzero(d <= 2000000.0)}
+    assert set(zip(got.pid.astype(int), got.poi.astype(int))) == want
+    assert len(want) > 5
+
+    # scalar fallback shape (WHERE over one table, WKB constructors)
+    n = spark.sql(
+        """SELECT count(*) AS n FROM (
+             SELECT ST_DWithinSphere(ST_MakePoint(0.0D, 0.0D),
+                                     ST_MakePoint(1.0D, 1.0D),
+                                     200000.0D) AS ok) WHERE ok"""
+    ).collect()[0]["n"]
+    assert n == 1  # ~157 km < 200 km
+    row = spark.sql(
+        "SELECT ST_DWithinSphere(CAST(NULL AS BINARY), "
+        "ST_MakePoint(0.0D, 0.0D), 1.0D) AS v"
+    ).collect()[0]
+    assert row["v"] is None

@@ -47,22 +47,33 @@ def test_raster_corrupt_and_unsupported_crs_survive(spark):
             g, pixel_scale=(1.0, 1.0), tiepoint_xy=(10.0, 20.0), epsg=4326))),
         ("osgb", bytearray(encode_geotiff(
             g, pixel_scale=(1.0, 1.0), tiepoint_xy=(0.0, 0.0), epsg=27700))),
+        ("swiss", bytearray(encode_geotiff(
+            g, pixel_scale=(1.0, 1.0), tiepoint_xy=(0.0, 0.0), epsg=2056))),
         ("nogeo", bytearray(b"II*\x00garbage")),
         ("null", None),
     ]
     df = spark.createDataFrame(rows, "raster_id string, bytes binary")
     info = raster_info(df).toPandas().set_index("raster_id")
     assert info.loc["ok"].epsg == 4326 and info.loc["ok"].minlon == 10.0
-    # unsupported EPSG: CRS bbox present, lon/lat null — never a guess
+    # r5: EPSG:27700 became a SUPPORTED CRS (geom/crs.py OSGB36 +
+    # Helmert), so grid (0,0) now resolves to the true WGS84 origin of
+    # the British grid, ~7°33'W 49°46'N
     assert info.loc["osgb"].epsg == 27700
-    assert info.loc["osgb"].minx == 0.0 and pd.isna(info.loc["osgb"].minlon)
+    assert info.loc["osgb"].minx == 0.0
+    assert abs(info.loc["osgb"].minlon - -7.5571) < 5e-3
+    assert abs(info.loc["osgb"].minlat - 49.7668) < 5e-3
+    # unsupported EPSG (2056 Swiss LV95, oblique Mercator — not in the
+    # registry): CRS bbox present, lon/lat null — never a guess
+    assert info.loc["swiss"].epsg == 2056
+    assert info.loc["swiss"].minx == 0.0 and pd.isna(info.loc["swiss"].minlon)
     assert pd.isna(info.loc["nogeo"].epsg) and pd.isna(info.loc["null"].rw)
     st = raster_band_stats(df).toPandas().set_index("raster_id")
     assert st.loc["ok"].px_sum == 0.0
     assert pd.isna(st.loc["nogeo"].px_sum) and pd.isna(st.loc["null"].px_sum)
     # null-bbox rows drop out of the fan-out instead of exploding NULLs
+    # (osgb participates now that 27700 resolves to a lon/lat bbox)
     t = raster_tiles(raster_info(df), zoom=4).toPandas()
-    assert set(t.raster_id) == {"ok"}
+    assert set(t.raster_id) == {"ok", "osgb"}
 
 
 def test_raster_tiles_matches_bruteforce(spark):

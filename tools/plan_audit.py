@@ -69,6 +69,30 @@ def main() -> int:
         plan,
     ))
 
+    # 1b. geodesic (dwithin_sphere) join: exactly one Python stage — the
+    # per-row lon-radius cover on the point side; the haversine refine
+    # is a JVM Column (ASIN/SIN/COS visible in the plan), never a UDF
+    centers = nation_squares(spark, sf).select("n_nationkey", "cx", "cy")
+    gj = spatial_join(
+        pts, centers, point_side("lon", "lat"), point_side("cx", "cy"),
+        predicate="dwithin_sphere", distance=500_000.0, broadcast=True,
+    ).select("o_orderkey", "n_nationkey")
+    plan = _fmt(gj)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.split("\n\n")[0].count("ArrowEvalPython") == 1, (
+        "dwithin_sphere must have exactly one Python stage (the cover)")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ASIN" in plan.upper(), (
+        "haversine refine must be a JVM Column expression in the plan")
+    sections.append((
+        "Geodesic DWithin join (metres, point × point)",
+        "The metres-radius join keeps the refine in whole-stage codegen "
+        "(pure-Column haversine, geom/geodesic.py); the only Python "
+        "stage is the per-row longitude-radius cell cover, and the "
+        "25-row POI side broadcasts.",
+        plan,
+    ))
+
     # 2. big-big path: both sides repartition on the cell key; no
     # broadcast exchange of the big side, no distinct after refine
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
