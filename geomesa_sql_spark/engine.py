@@ -172,7 +172,8 @@ def _split_assignments(set_part: str):
 
 
 _SPATIAL_PRED_RE = _re.compile(
-    r"(?is)ST_(Within|Intersects|Contains|DWithin|Touches|Equals)\s*\(\s*"
+    r"(?is)ST_(Within|Intersects|Contains|DWithinSphere|DWithin|Touches"
+    r"|Equals)\s*\(\s*"
     r"ST_MakePoint\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_][\w.]*)\s*\)\s*,\s*"
     r"ST_GeomFromText\s*\(\s*'([^']+)'\s*\)\s*"
     r"(?:,\s*([0-9.eE+-]+)\s*)?\)"
@@ -181,7 +182,8 @@ _SPATIAL_PRED_RE = _re.compile(
 # the flipped argument order — ST_Contains(<literal poly>, pt) is the
 # most common containment spelling (FilterTest.scala uses both orders)
 _SPATIAL_PRED_FLIP_RE = _re.compile(
-    r"(?is)ST_(Within|Intersects|Contains|DWithin|Touches|Equals)\s*\(\s*"
+    r"(?is)ST_(Within|Intersects|Contains|DWithinSphere|DWithin|Touches"
+    r"|Equals)\s*\(\s*"
     r"ST_GeomFromText\s*\(\s*'([^']+)'\s*\)\s*,\s*"
     r"ST_MakePoint\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_][\w.]*)\s*\)\s*"
     r"(?:,\s*([0-9.eE+-]+)\s*)?\)"
@@ -310,9 +312,35 @@ def _rewrite_spatial_predicates(query: str) -> str:
             return whole
         minx, miny, maxx, maxy = g.envelope()
         pad = float(dist) if (dist and p == "dwithin") else 0.0
+        pad_y = pad
+        if p == "dwithinsphere":
+            # metres → conservative degrees (join/spatial's proven
+            # over-cover). A cap that spills past ±180 or clamps at a
+            # pole isn't one box — leave just the exact UDF call there
+            # (plan/filter.spatial_filter handles those shapes fully).
+            if not dist:
+                return whole
+            import numpy as _np
+
+            from geomesa_sql_spark.join.spatial import _sphere_deg_bounds
+
+            band_lat = max(abs(miny), abs(maxy))
+            dlat, dlon = _sphere_deg_bounds(
+                _np.array([band_lat]), float(dist)
+            )
+            pad_y = float(_np.atleast_1d(dlat)[0])
+            pad = float(dlon[0])
+            if (
+                pad >= 180.0
+                or minx - pad < -180.0
+                or maxx + pad > 180.0
+                or miny - pad_y < -90.0
+                or maxy + pad_y > 90.0
+            ):
+                return whole
         bbox = (
             f"{x} >= {minx - pad!r} AND {x} <= {maxx + pad!r} AND "
-            f"{y} >= {miny - pad!r} AND {y} <= {maxy + pad!r}"
+            f"{y} >= {miny - pad_y!r} AND {y} <= {maxy + pad_y!r}"
         )
         return f"({bbox} AND {whole})"
 

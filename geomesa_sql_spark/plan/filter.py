@@ -98,6 +98,8 @@ def spatial_filter(
     """
     g = geom_from_wkt(geom) if isinstance(geom, str) else geom
     pred = predicate.lower()
+    if pred == "dwithin_sphere":
+        return _sphere_filter(df, g, float(distance), x, y, cell_col, data_res)
     pad = float(distance) if pred == "dwithin" else 0.0
     minx, miny, maxx, maxy = g.envelope()
     minx, miny, maxx, maxy = minx - pad, miny - pad, maxx + pad, maxy + pad
@@ -125,3 +127,66 @@ def spatial_filter(
         raise ValueError("need x/y or wkb")
     lit = F.lit(bytearray(geom_to_wkb(g)))
     return out.filter(st_predicate_wkb(pred, F.col(wkb), lit, distance))
+
+
+def _sphere_filter(
+    df: DataFrame,
+    g: Geom,
+    meters: float,
+    x: str | None,
+    y: str | None,
+    cell_col: str | None,
+    data_res: int | None,
+) -> DataFrame:
+    """``ST_DWithinSphere(point_rows, literal point, metres)`` with the
+    same push-down ladder as the planar path: conservative degree bbox
+    (split into two longitude segments when the cap spills past ±180,
+    since the haversine metric wraps) → cell ranges → sargable bbox →
+    pure-Column haversine refine (geom/geodesic.py). The degree bounds
+    are the proven over-cover of join/spatial._sphere_deg_bounds, so
+    pruning never drops a true row."""
+    from geomesa_sql_spark.geom.geodesic import sphere_distance_cols
+    from geomesa_sql_spark.join.spatial import _sphere_deg_bounds
+
+    if x is None or y is None:
+        raise NotImplementedError(
+            "dwithin_sphere filters point rows (x/y lon-lat columns); "
+            "for WKB rows use the scalar ST_DWithinSphere UDF"
+        )
+    from geomesa_sql_spark.geom import model
+
+    if g.type != model.POINT:
+        raise NotImplementedError(
+            "dwithin_sphere needs a POINT literal (geodesic distance to "
+            "an extended geometry is undefined here — buffer+intersects "
+            "or the planar dwithin cover those)"
+        )
+    cx, cy = float(g.coords[0]), float(g.coords[1])
+    dlat_a, dlon_a = _sphere_deg_bounds(np.array([cy]), float(meters))
+    dlat, dlon = float(np.atleast_1d(dlat_a)[0]), float(dlon_a[0])
+    ylo, yhi = max(cy - dlat, -90.0), min(cy + dlat, 90.0)
+    lo, hi = cx - dlon, cx + dlon
+    if dlon >= 180.0:
+        segs = [(-180.0, 180.0)]
+    elif lo < -180.0:
+        segs = [(-180.0, hi), (lo + 360.0, 180.0)]
+    elif hi > 180.0:
+        segs = [(lo, 180.0), (-180.0, hi - 360.0)]
+    else:
+        segs = [(lo, hi)]
+
+    out = df
+    if cell_col is not None and cell_col in df.columns and data_res is not None:
+        ranges: list[tuple[int, int]] = []
+        for slo, shi in segs:
+            ranges.extend(cell_prune_ranges(slo, ylo, shi, yhi, data_res))
+        out = out.filter(_ranges_predicate(cell_col, ranges))
+    box = None
+    for slo, shi in segs:
+        c = (F.col(x) >= slo) & (F.col(x) <= shi)
+        box = c if box is None else (box | c)
+    out = out.filter(box & (F.col(y) >= ylo) & (F.col(y) <= yhi))
+    return out.filter(
+        sphere_distance_cols(F.col(x), F.col(y), F.lit(cx), F.lit(cy))
+        <= float(meters)
+    )

@@ -240,3 +240,83 @@ def test_dwithin_sphere_sql_router(spark):
         "ST_MakePoint(0.0D, 0.0D), 1.0D) AS v"
     ).collect()[0]
     assert row["v"] is None
+
+
+def test_dwithin_sphere_filter_vs_bruteforce(spark):
+    """spatial_filter('dwithin_sphere') — pushdown ladder + haversine
+    refine — equals the brute-force relation, incl. a center whose cap
+    crosses the antimeridian (two bbox segments)."""
+    import pandas as pd
+
+    from geomesa_sql_spark.plan import spatial_filter
+
+    n = 5000
+    k = np.arange(n, dtype=np.int64)
+    lon = ((k * 7919) % 36000) / 100.0 - 180.0
+    lat = ((k * 104729) % 17000) / 100.0 - 85.0
+    df = spark.createDataFrame(pd.DataFrame({"pid": k, "lon": lon, "lat": lat}))
+    for cx, cy, m in [(10.0, 45.0, 800_000.0), (179.8, -20.0, 600_000.0)]:
+        got = (
+            spatial_filter(
+                df, "dwithin_sphere", f"POINT ({cx} {cy})",
+                x="lon", y="lat", distance=m,
+            )
+            .select("pid").toPandas().pid.astype(int)
+        )
+        want = set(np.flatnonzero(sphere_distance(lon, lat, cx, cy) <= m).tolist())
+        assert set(got) == want and len(want) > 0
+
+
+def test_dwithin_sphere_where_rewrite(spark):
+    """Engine.sql WHERE ST_DWithinSphere gains a sargable degree bbox
+    (in-range centers) and stays exact; seam centers skip the bbox but
+    still answer through the scalar UDF."""
+    import pandas as pd
+
+    from geomesa_sql_spark.engine import Engine
+
+    eng = Engine(spark, fid_col="pid")
+    k = np.arange(2000, dtype=np.int64)
+    lon = ((k * 7919) % 36000) / 100.0 - 180.0
+    lat = ((k * 104729) % 17000) / 100.0 - 85.0
+    eng.register_view(
+        "wpts", spark.createDataFrame(pd.DataFrame({"pid": k, "lon": lon, "lat": lat}))
+    )
+    for cx, cy, m in [(10.0, 45.0, 800000.0), (179.9, 0.0, 2500000.0)]:
+        got = eng.sql(
+            f"""SELECT pid FROM wpts
+                WHERE ST_DWithinSphere(ST_MakePoint(lon, lat),
+                                       ST_GeomFromText('POINT ({cx} {cy})'),
+                                       {m})"""
+        ).toPandas().pid.astype(int)
+        want = set(np.flatnonzero(sphere_distance(lon, lat, cx, cy) <= m).tolist())
+        assert set(got) == want and len(want) > 0
+
+
+def test_dwithin_sphere_filter_cell_prune(spark, sf_dir, tmp_path):
+    """Over a write_geo_table layout the geodesic filter's cell ranges
+    and bbox reach the parquet scan (PushedFilters), and the pruned
+    result equals the unpruned (cell_col=None) oracle."""
+    from geomesa_sql_spark.io.fixtures import orders_points
+    from geomesa_sql_spark.io.layout import write_geo_table
+    from geomesa_sql_spark.plan import spatial_filter
+
+    path = str(tmp_path / "geo_sphere")
+    pts = orders_points(spark, sf_dir).select("o_orderkey", "lon", "lat")
+    write_geo_table(pts, path)
+    laid = spark.read.parquet(path)
+    kw = dict(x="lon", y="lat", distance=1_500_000.0)
+    pruned = spatial_filter(
+        laid, "dwithin_sphere", "POINT (10.005 10.005)", **kw
+    )
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters:" in plan and "cell" in plan
+    got = sorted(r.o_orderkey for r in pruned.select("o_orderkey").collect())
+    oracle = spatial_filter(
+        laid, "dwithin_sphere", "POINT (10.005 10.005)",
+        cell_col=None, **kw
+    )
+    want = sorted(r.o_orderkey for r in oracle.select("o_orderkey").collect())
+    assert got == want and len(got) > 0
