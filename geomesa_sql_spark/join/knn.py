@@ -23,9 +23,39 @@ queries. r0 comes from a global density estimate (area·k/n).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# mean-sphere metric constants (geom/geodesic.py): covers use the polar
+# radius b (smaller → larger angle → proven over-cover of the refine
+# sphere), world-coverage tests use the mean radius the refine measures
+_B = 6356752.314245
+_PI_R_MEAN = math.pi * 6371008.771415059  # max possible haversine
+
+
+def _sphere_prune_cond(
+    x: str, y: str, qx: str, qy: str, r_m: float
+) -> Column:
+    """Column predicate: point (x,y) may lie within ``r_m`` metres of
+    query (qx,qy). Latitude band |Δφ| ≤ r/b (triangle inequality on
+    colatitudes) and CIRCULAR longitude difference ≤ the cap's max lon
+    excursion arcsin(sin(r/b)/cos φ_band) — wrap-safe at ±180 without
+    box splitting, full-span when the band reaches the pole. All plain
+    Column arithmetic: whole-stage codegen, no Python."""
+    dlat = math.degrees(r_m / _B)
+    band = F.least(F.lit(89.9999), F.abs(F.col(qy)) + F.lit(dlat))
+    s = F.lit(math.sin(min(r_m / _B, math.pi / 2.0))) / F.cos(
+        F.radians(band)
+    )
+    dlon = F.when(s >= F.lit(1.0), F.lit(180.0)).otherwise(
+        F.degrees(F.asin(s))
+    )
+    dl = F.abs(F.col(x) - F.col(qx))
+    circ = F.least(dl, F.lit(360.0) - dl)
+    return (circ <= dlon) & (F.abs(F.col(y) - F.col(qy)) <= F.lit(dlat))
 
 
 def knn_join(
@@ -38,6 +68,7 @@ def knn_join(
     qx: str = "qx",
     qy: str = "qy",
     prune_radius: float | None = None,
+    metric: str = "planar",
 ) -> DataFrame:
     """For each query point, the k nearest rows of ``points``.
 
@@ -46,6 +77,11 @@ def knn_join(
     deterministic. ``prune_radius``: optional bbox pre-filter radius —
     results are only complete if every query has ≥ k neighbours within
     it (the caller's density guess); None = exact brute force.
+
+    ``metric='sphere'``: distances (and prune_radius) are METRES on the
+    mean sphere (geom/geodesic.py) — ``dist`` comes out in metres, the
+    prune is wrap-safe circular-longitude arithmetic, and nearest means
+    nearest on the real earth, not in degree space.
     """
     spark = points.sparkSession
     if isinstance(queries, DataFrame):
@@ -56,15 +92,28 @@ def knn_join(
         )
     joined = points.crossJoin(F.broadcast(qdf))
     if prune_radius is not None:
-        joined = joined.filter(
-            (F.col(x) >= F.col(qx) - prune_radius)
-            & (F.col(x) <= F.col(qx) + prune_radius)
-            & (F.col(y) >= F.col(qy) - prune_radius)
-            & (F.col(y) <= F.col(qy) + prune_radius)
+        if metric == "sphere":
+            joined = joined.filter(
+                _sphere_prune_cond(x, y, qx, qy, float(prune_radius))
+            )
+        else:
+            joined = joined.filter(
+                (F.col(x) >= F.col(qx) - prune_radius)
+                & (F.col(x) <= F.col(qx) + prune_radius)
+                & (F.col(y) >= F.col(qy) - prune_radius)
+                & (F.col(y) <= F.col(qy) + prune_radius)
+            )
+    if metric == "sphere":
+        from geomesa_sql_spark.geom.geodesic import sphere_distance_cols
+
+        with_dist = joined.withColumn(
+            "dist",
+            sphere_distance_cols(F.col(x), F.col(y), F.col(qx), F.col(qy)),
         )
-    dx = F.col(x) - F.col(qx)
-    dy = F.col(y) - F.col(qy)
-    with_dist = joined.withColumn("dist", F.sqrt(dx * dx + dy * dy))
+    else:
+        dx = F.col(x) - F.col(qx)
+        dy = F.col(y) - F.col(qy)
+        with_dist = joined.withColumn("dist", F.sqrt(dx * dx + dy * dy))
     order = [F.col("dist")] + [F.col(c) for c in points.columns]
     w = Window.partitionBy(query_id).orderBy(*order)
     return (
@@ -87,6 +136,7 @@ def knn_join_adaptive(
     max_rounds: int = 12,
     world: tuple[float, float, float, float] = (-180.0, -90.0, 180.0, 90.0),
     large_query_threshold: int = 1000,
+    metric: str = "planar",
 ) -> DataFrame:
     """Exact kNN via expanding-radius bbox pruning (the 100 TB path).
 
@@ -110,6 +160,13 @@ def knn_join_adaptive(
         from geomesa_sql_spark.join.spatial import _should_broadcast
 
         if not _should_broadcast(queries, large_query_threshold):
+            if metric == "sphere":
+                raise NotImplementedError(
+                    "metric='sphere' with a large query set: the "
+                    "cells path is planar-degree only so far — batch "
+                    "the queries through the driver path, or use the "
+                    "dwithin_sphere spatial join + a rank window"
+                )
             return knn_join_cells(
                 points, queries, k, x, y, query_id, qx, qy, world=world
             )
@@ -123,6 +180,10 @@ def knn_join_adaptive(
         cap = max(large_query_threshold, 1) * 10
         collected = queries.limit(cap + 1).collect()
         if len(collected) > cap:
+            if metric == "sphere":
+                raise NotImplementedError(
+                    "metric='sphere' with a large query set (see above)"
+                )
             return knn_join_cells(
                 points, queries, k, x, y, query_id, qx, qy, world=world
             )
@@ -144,7 +205,10 @@ def knn_join_adaptive(
     if r0 is None:
         # density guess: radius of a square expected to hold ~4k points
         n = max(points.count(), 1)
-        area = (world[2] - world[0]) * (world[3] - world[1])
+        if metric == "sphere":
+            area = 4.0 * math.pi * (_PI_R_MEAN / math.pi) ** 2  # m²
+        else:
+            area = (world[2] - world[0]) * (world[3] - world[1])
         r0 = max((area * 4.0 * k / n) ** 0.5 / 2.0, 1e-9)
 
     # The output is bounded by k·|queries| rows, so each round's top-k is
@@ -161,15 +225,28 @@ def knn_join_adaptive(
         if not active:
             break
         qdf = spark.createDataFrame(active, [query_id, qx, qy])
-        cand = points.crossJoin(F.broadcast(qdf)).filter(
-            (F.col(x) >= F.col(qx) - r)
-            & (F.col(x) <= F.col(qx) + r)
-            & (F.col(y) >= F.col(qy) - r)
-            & (F.col(y) <= F.col(qy) + r)
-        )
-        dx = F.col(x) - F.col(qx)
-        dy = F.col(y) - F.col(qy)
-        with_dist = cand.withColumn("dist", F.sqrt(dx * dx + dy * dy))
+        if metric == "sphere":
+            from geomesa_sql_spark.geom.geodesic import sphere_distance_cols
+
+            cand = points.crossJoin(F.broadcast(qdf)).filter(
+                _sphere_prune_cond(x, y, qx, qy, r)
+            )
+            with_dist = cand.withColumn(
+                "dist",
+                sphere_distance_cols(
+                    F.col(x), F.col(y), F.col(qx), F.col(qy)
+                ),
+            )
+        else:
+            cand = points.crossJoin(F.broadcast(qdf)).filter(
+                (F.col(x) >= F.col(qx) - r)
+                & (F.col(x) <= F.col(qx) + r)
+                & (F.col(y) >= F.col(qy) - r)
+                & (F.col(y) <= F.col(qy) + r)
+            )
+            dx = F.col(x) - F.col(qx)
+            dy = F.col(y) - F.col(qy)
+            with_dist = cand.withColumn("dist", F.sqrt(dx * dx + dy * dy))
         order = [F.col("dist")] + [F.col(c) for c in points.columns]
         w = Window.partitionBy(query_id).orderBy(*order)
         topk = (
@@ -182,9 +259,14 @@ def knn_join_adaptive(
         by_q: dict = {}
         for row in rows:
             by_q.setdefault(row[query_id], []).append(row)
-        world_covered = (
-            r >= (world[2] - world[0]) and r >= (world[3] - world[1])
-        )
+        if metric == "sphere":
+            # r past the half-circumference: every point's haversine
+            # distance ≤ π·R ≤ r, and the prune bands are full-span
+            world_covered = r >= _PI_R_MEAN
+        else:
+            world_covered = (
+                r >= (world[2] - world[0]) and r >= (world[3] - world[1])
+            )
         ok_ids = set()
         for qid, qhits in by_q.items():
             dk = max(h["dist"] for h in qhits)
@@ -198,7 +280,9 @@ def knn_join_adaptive(
         r *= 2.0
     if active:
         # max_rounds exhausted: brute-force the stragglers exactly
-        straggler = knn_join(points, active, k, x, y, query_id, qx, qy)
+        straggler = knn_join(
+            points, active, k, x, y, query_id, qx, qy, metric=metric
+        )
         out_schema = straggler.schema
         done_rows.extend(straggler.collect())
     return spark.createDataFrame(done_rows, out_schema)

@@ -320,3 +320,53 @@ def test_dwithin_sphere_filter_cell_prune(spark, sf_dir, tmp_path):
     )
     want = sorted(r.o_orderkey for r in oracle.select("o_orderkey").collect())
     assert got == want and len(got) > 0
+
+
+def test_knn_sphere_vs_bruteforce(spark):
+    """metric='sphere' kNN (brute and adaptive) equals the numpy
+    haversine top-k, incl. a seam query and a near-pole query whose
+    true neighbours sit across the antimeridian / pole."""
+    import pandas as pd
+
+    from geomesa_sql_spark.join.knn import knn_join, knn_join_adaptive
+
+    n = 3000
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-88, 88, n)
+    lon[:40] = rng.uniform(178.5, 180.0, 40)      # seam east
+    lon[40:80] = rng.uniform(-180.0, -178.5, 40)  # seam west
+    lat[80:120] = rng.uniform(86.0, 88.0, 40)     # near pole, all lons
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(n), "lon": lon, "lat": lat})
+    )
+    queries = [("seam", 179.9, 10.0), ("pole", 0.0, 89.5), ("mid", 5.0, 48.0)]
+    k = 7
+
+    def brute(qlon, qlat):
+        d = sphere_distance(lon, lat, qlon, qlat)
+        order = np.lexsort((np.arange(n), d))[:k]
+        return d[order]
+
+    for fn in (knn_join, knn_join_adaptive):
+        got = fn(pts, queries, k, metric="sphere").toPandas()
+        assert len(got) == k * len(queries)
+        assert got.dist.max() > 1000.0  # metres, not degrees
+        for qid, qlon, qlat in queries:
+            gd = np.sort(got[got.query_id == qid].dist.to_numpy())
+            wd = np.sort(brute(qlon, qlat))
+            assert np.allclose(gd, wd, rtol=1e-9, atol=1e-6), (fn, qid)
+
+
+def test_knn_sphere_large_queryset_is_loud(spark):
+    from geomesa_sql_spark.join.knn import knn_join_adaptive
+
+    pts = spark.range(10).selectExpr(
+        "CAST(id AS DOUBLE) AS lon", "CAST(id AS DOUBLE) AS lat"
+    )
+    big = spark.range(0, 200000).selectExpr(
+        "id AS query_id", "CAST(id % 360 - 180 AS DOUBLE) AS qx",
+        "CAST(id % 170 - 85 AS DOUBLE) AS qy"
+    )
+    with pytest.raises(NotImplementedError, match="sphere"):
+        knn_join_adaptive(pts, big, 3, metric="sphere")
