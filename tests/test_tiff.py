@@ -305,9 +305,15 @@ def test_geotiff_tags_roundtrip_and_lonlat():
     assert info["epsg"] == 32618 and info["model_type"] == 1
     ll = geotiff_bbox_lonlat(info)
     assert ll is not None and -75.1 < ll[0] < -74.9 and 41.9 < ll[1] < 42.1
-    # unsupported EPSG: None, never a guess
+    # r5: 27700 is now a supported CRS — grid (0,0) resolves to the
+    # true British-grid origin ~7°33'W 49°46'N
     blob = encode_geotiff(g, pixel_scale=(1.0, 1.0), tiepoint_xy=(0.0, 0.0),
                           epsg=27700)
+    ll = geotiff_bbox_lonlat(geotiff_info(blob))
+    assert ll is not None and abs(ll[0] - -7.5571) < 5e-3
+    # unsupported EPSG (2056 Swiss LV95): None, never a guess
+    blob = encode_geotiff(g, pixel_scale=(1.0, 1.0), tiepoint_xy=(0.0, 0.0),
+                          epsg=2056)
     assert geotiff_bbox_lonlat(geotiff_info(blob)) is None
     # PixelIsPoint pads the extent half a pixel on every side
     blob = encode_geotiff(g, pixel_scale=(1.0, 1.0), tiepoint_xy=(5.0, 8.0),
