@@ -1415,16 +1415,20 @@ def _oracles() -> dict[str, str]:
             SELECT o_orderkey, CAST(-1 AS BIGINT) AS k FROM ({opts})
             WHERE (lon - 10.005) * (lon - 10.005) + (lat - 10.005) * (lat - 10.005) <= 400.0
             UNION ALL
-            -- geography leg: brute-force haversine relation (exact
-            -- replay of geom/geodesic.sphere_distance, mean radius
-            -- (2a+b)/3) over the full orders x nation-centers product
+            -- geography leg: brute-force haversine relation over the
+            -- full orders x nation-centers product — the EXACT
+            -- operation-order replay of sphere_distance_cols (RADIANS
+            -- per coordinate then subtract; h<=1 clamp) so threshold
+            -- membership can't flip on an ulp (r5 review)
             SELECT p.o_orderkey, CAST(s.n_nationkey AS BIGINT) AS k
             FROM ({opts}) p, ({nsq}) s
-            WHERE 2.0 * 6371008.771415059 * ASIN(SQRT(
-                      SIN(RADIANS(s.cy - p.lat) / 2.0) * SIN(RADIANS(s.cy - p.lat) / 2.0)
+            WHERE 2.0 * 6371008.771415059 * ASIN(SQRT(LEAST(1.0,
+                      SIN((RADIANS(s.cy) - RADIANS(p.lat)) / 2.0)
+                    * SIN((RADIANS(s.cy) - RADIANS(p.lat)) / 2.0)
                     + COS(RADIANS(p.lat)) * COS(RADIANS(s.cy))
-                      * SIN(RADIANS(s.cx - p.lon) / 2.0) * SIN(RADIANS(s.cx - p.lon) / 2.0)
-                  )) <= 1000000.0
+                      * SIN((RADIANS(s.cx) - RADIANS(p.lon)) / 2.0)
+                      * SIN((RADIANS(s.cx) - RADIANS(p.lon)) / 2.0)
+                  ))) <= 1000000.0
         """,
         "st_filter_wkb_rows": f"""
             SELECT n_nationkey FROM ({nsq})
@@ -1522,13 +1526,19 @@ def _oracles() -> dict[str, str]:
             SELECT o_orderkey, lon AS px, lat AS py,
                    ROUND(sqrt((lon - 10.005) * (lon - 10.005)
                             + (lat - 10.005) * (lat - 10.005)), 6) AS d_r,
-                   -- haversine replay of geom/geodesic.sphere_distance
-                   -- (same mean radius (2a+b)/3, same operation order)
-                   ROUND(2.0 * 6371008.771415059 * ASIN(SQRT(
-                       SIN(RADIANS(10.005 - lat) / 2.0) * SIN(RADIANS(10.005 - lat) / 2.0)
+                   -- haversine replay of geom/geodesic.sphere_distance:
+                   -- same mean radius (2a+b)/3 AND the same operation
+                   -- order — RADIANS per coordinate THEN subtract, and
+                   -- the h<=1 clamp — so the float64 result is bitwise
+                   -- comparable (r5 review: RADIANS(a-b) differs at ulp
+                   -- level from RADIANS(a)-RADIANS(b))
+                   ROUND(2.0 * 6371008.771415059 * ASIN(SQRT(LEAST(1.0,
+                       SIN((RADIANS(10.005) - RADIANS(lat)) / 2.0)
+                     * SIN((RADIANS(10.005) - RADIANS(lat)) / 2.0)
                      + COS(RADIANS(lat)) * COS(RADIANS(10.005))
-                       * SIN(RADIANS(10.005 - lon) / 2.0) * SIN(RADIANS(10.005 - lon) / 2.0)
-                   )), 3) AS d_sph_r
+                       * SIN((RADIANS(10.005) - RADIANS(lon)) / 2.0)
+                       * SIN((RADIANS(10.005) - RADIANS(lon)) / 2.0)
+                   ))), 3) AS d_sph_r
             FROM ({opts})
             WHERE (lon - 10.005) * (lon - 10.005) + (lat - 10.005) * (lat - 10.005) <= 400.0
         """,

@@ -41,6 +41,52 @@ GRS80 = (6378137.0, 1.0 / 298.257222101)
 # PostGIS ST_DistanceSphere's radius: the WGS84 mean radius (2a+b)/3.
 MEAN_RADIUS = (2.0 * WGS84[0] + WGS84[0] * (1.0 - WGS84[1])) / 3.0
 
+# Cap-cover radius: the WGS84 POLAR radius b. Smaller than every radius
+# of curvature the haversine sphere uses, so an angular radius computed
+# as m/COVER_RADIUS always over-states the cap — covers built from it
+# are proven supersets of the refine sphere's caps.
+COVER_RADIUS = WGS84[0] * (1.0 - WGS84[1])
+
+# No two points are farther apart than half the mean-sphere
+# circumference — the world-covered test for expanding-radius searches.
+MAX_DISTANCE = np.pi * MEAN_RADIUS
+
+
+def sphere_deg_bounds(y, meters: float):
+    """Per-row conservative (Δlat°, Δlon°) extents of the ``meters``-
+    radius spherical cap centred at latitude ``y`` (degrees, array).
+    Latitude: |Δφ| ≤ c by the colatitude triangle inequality. Longitude:
+    the cap's max excursion obeys sin Δλ = sin c / cos φ, evaluated with
+    c = m/COVER_RADIUS (over-stated) at the band edge |φ|+Δφ (cos no
+    larger) — so the box is a superset of the true cap. Bands reaching
+    a pole (or sine ratio ≥ 1) get the full 180° span."""
+    dlat = np.degrees(meters / COVER_RADIUS)
+    band = np.minimum(89.9999, np.abs(y) + dlat)
+    s = np.sin(min(meters / COVER_RADIUS, np.pi / 2.0)) / np.cos(
+        np.radians(band)
+    )
+    dlon = np.where(
+        s >= 1.0, 180.0, np.degrees(np.arcsin(np.minimum(s, 1.0)))
+    )
+    return dlat, dlon
+
+
+def sphere_deg_bounds_cols(qy: Column, meters: float):
+    """The same cap bounds as (scalar Δlat°, Column Δlon°) — pure Spark
+    Column arithmetic for JVM-side prune predicates. The ≥1 branch is
+    gated with when() (least/greatest skip NULLs, CLAUDE.md)."""
+    import math
+
+    dlat = math.degrees(meters / COVER_RADIUS)
+    band = F.least(F.lit(89.9999), F.abs(qy) + F.lit(dlat))
+    s = F.lit(math.sin(min(meters / COVER_RADIUS, math.pi / 2.0))) / F.cos(
+        F.radians(band)
+    )
+    dlon = F.when(s >= F.lit(1.0), F.lit(180.0)).otherwise(
+        F.degrees(F.asin(s))
+    )
+    return dlat, dlon
+
 
 def sphere_distance(lon1, lat1, lon2, lat2,
                     radius: float = MEAN_RADIUS) -> np.ndarray:
@@ -94,7 +140,11 @@ def spheroid_distance(lon1, lat1, lon2, lat2,
         for v in (lon1, lat1, lon2, lat2)
     )
     lon1, lat1, lon2, lat2 = np.broadcast_arrays(lon1, lat1, lon2, lat2)
-    L = np.radians(lon2 - lon1)
+    # Vincenty is formulated for |L| <= pi: wrap the longitude
+    # difference so antimeridian-crossing pairs solve exactly instead
+    # of tripping the divergence guard into the sphere fallback
+    # (r5 review: (-179,0)-(179,0) lost 249 m to the fallback)
+    L = np.radians((lon2 - lon1 + 180.0) % 360.0 - 180.0)
     u1 = np.arctan((1.0 - f) * np.tan(np.radians(lat1)))
     u2 = np.arctan((1.0 - f) * np.tan(np.radians(lat2)))
     su1, cu1 = np.sin(u1), np.cos(u1)

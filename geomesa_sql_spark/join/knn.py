@@ -29,30 +29,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# mean-sphere metric constants (geom/geodesic.py): covers use the polar
-# radius b (smaller → larger angle → proven over-cover of the refine
-# sphere), world-coverage tests use the mean radius the refine measures
-_B = 6356752.314245
-_PI_R_MEAN = math.pi * 6371008.771415059  # max possible haversine
+from geomesa_sql_spark.geom.geodesic import (
+    MAX_DISTANCE as _PI_R_MEAN,
+)
+from geomesa_sql_spark.geom.geodesic import (
+    sphere_deg_bounds_cols,
+)
 
 
 def _sphere_prune_cond(
     x: str, y: str, qx: str, qy: str, r_m: float
 ) -> Column:
     """Column predicate: point (x,y) may lie within ``r_m`` metres of
-    query (qx,qy). Latitude band |Δφ| ≤ r/b (triangle inequality on
-    colatitudes) and CIRCULAR longitude difference ≤ the cap's max lon
-    excursion arcsin(sin(r/b)/cos φ_band) — wrap-safe at ±180 without
-    box splitting, full-span when the band reaches the pole. All plain
-    Column arithmetic: whole-stage codegen, no Python."""
-    dlat = math.degrees(r_m / _B)
-    band = F.least(F.lit(89.9999), F.abs(F.col(qy)) + F.lit(dlat))
-    s = F.lit(math.sin(min(r_m / _B, math.pi / 2.0))) / F.cos(
-        F.radians(band)
-    )
-    dlon = F.when(s >= F.lit(1.0), F.lit(180.0)).otherwise(
-        F.degrees(F.asin(s))
-    )
+    query (qx,qy) — the shared cap bounds (geodesic.sphere_deg_bounds_
+    cols) with a CIRCULAR longitude difference, wrap-safe at ±180
+    without box splitting. All plain Column arithmetic: whole-stage
+    codegen, no Python."""
+    dlat, dlon = sphere_deg_bounds_cols(F.col(qy), float(r_m))
     dl = F.abs(F.col(x) - F.col(qx))
     circ = F.least(dl, F.lit(360.0) - dl)
     return (circ <= dlon) & (F.abs(F.col(y) - F.col(qy)) <= F.lit(dlat))

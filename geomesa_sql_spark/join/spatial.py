@@ -115,31 +115,16 @@ def _materialize_side(
     return df, side
 
 
-# Geodesic cover bounds (dwithin_sphere). The refine metric is the
-# mean-sphere haversine (geom/geodesic.py), so the cell cover only has
-# to be conservative w.r.t. THAT sphere: the latitude extent of a
-# spherical cap of arc radius m/R is exactly m/R, and its longitude
-# extent obeys sin(Δλ) = sin(m/R)/cos(φ). Using the POLAR radius b
-# (< mean R, so a larger angle) for both, and evaluating cos at the
-# band edge |φ|+Δφ (≤ cos φ), makes every per-row box a superset of
-# the true cap — proven over-cover, refine restores exactness.
-_SPHERE_COVER_R = 6356752.314245  # WGS84 b: minimal earth radius
-
-
-def _sphere_deg_bounds(y: np.ndarray, meters: float):
-    """Per-row conservative (Δlat°, Δlon°) of the m-metre cap at lat y.
-    Rows whose band reaches the pole (or whose sine ratio ≥ 1) get the
-    full 180° longitude span — correct, and the cover cap raises loudly
-    if that makes the row exceed max_cells at the chosen res."""
-    dlat = np.degrees(meters / _SPHERE_COVER_R)
-    band = np.minimum(89.9999, np.abs(y) + dlat)
-    s = np.sin(min(meters / _SPHERE_COVER_R, np.pi / 2.0)) / np.cos(
-        np.radians(band)
-    )
-    dlon = np.where(
-        s >= 1.0, 180.0, np.degrees(np.arcsin(np.minimum(s, 1.0)))
-    )
-    return dlat, dlon
+# Geodesic cover bounds (dwithin_sphere): the single source of truth
+# for the cap-extent math is geom/geodesic.sphere_deg_bounds (r5
+# review de-duplicated three copies). Re-exported under the old name
+# for the engine/plan importers.
+from geomesa_sql_spark.geom.geodesic import (  # noqa: E402
+    COVER_RADIUS as _SPHERE_COVER_R,
+)
+from geomesa_sql_spark.geom.geodesic import (  # noqa: E402
+    sphere_deg_bounds as _sphere_deg_bounds,
+)
 
 
 def _cells_for_side(

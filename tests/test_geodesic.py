@@ -370,3 +370,19 @@ def test_knn_sphere_large_queryset_is_loud(spark):
     )
     with pytest.raises(NotImplementedError, match="sphere"):
         knn_join_adaptive(pts, big, 3, metric="sphere")
+
+
+def test_vincenty_antimeridian_exact():
+    """r5 review: pairs crossing ±180 must solve exactly (wrapped L),
+    not fall back to the sphere. (-179,0)-(179,0) is a 2° equatorial
+    arc = a·radians(2), and the result must equal the identical
+    unwrapped pair (1,0)-(-1,0) bit-for-bit."""
+    d = spheroid_distance(-179.0, 0.0, 179.0, 0.0)
+    assert abs(float(d[0]) - 6378137.0 * np.radians(2.0)) < 1e-2
+    d2 = spheroid_distance(1.0, 0.0, -1.0, 0.0)
+    assert float(d[0]) == float(d2[0])
+    # and a mid-latitude seam pair vs its shifted twin (same geometry
+    # rotated in longitude — geodesic length is rotation-invariant)
+    a = spheroid_distance(179.5, 40.0, -179.5, 41.0)
+    b = spheroid_distance(0.5, 40.0, 1.5, 41.0)
+    assert abs(float(a[0]) - float(b[0])) < 1e-6
