@@ -73,8 +73,11 @@ def sphere_deg_bounds(y, meters: float):
 
 def sphere_deg_bounds_cols(qy: Column, meters: float):
     """The same cap bounds as (scalar Δlat°, Column Δlon°) — pure Spark
-    Column arithmetic for JVM-side prune predicates. The ≥1 branch is
-    gated with when() (least/greatest skip NULLs, CLAUDE.md)."""
+    Column arithmetic for JVM-side prune predicates. NULL latitude →
+    NULL Δlon: both clamps here go through least/when, and least SKIPS
+    nulls (CLAUDE.md) — unguarded, a NULL lat would silently become a
+    FULL-SPAN cover instead of a no-match row, exploding downstream
+    state; the trailing isNotNull gate restores SQL semantics."""
     import math
 
     dlat = math.degrees(meters / COVER_RADIUS)
@@ -85,7 +88,7 @@ def sphere_deg_bounds_cols(qy: Column, meters: float):
     dlon = F.when(s >= F.lit(1.0), F.lit(180.0)).otherwise(
         F.degrees(F.asin(s))
     )
-    return dlat, dlon
+    return dlat, F.when(qy.isNotNull(), dlon)
 
 
 def sphere_distance(lon1, lat1, lon2, lat2,

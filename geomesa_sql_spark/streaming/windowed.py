@@ -255,6 +255,8 @@ def stream_stream_dwithin_join(
     ts2: str = "ts2",
     watermark: str = "2 hours",
     res: int | None = None,
+    metric: str = "planar",
+    max_lon_steps: int = 1024,
 ) -> DataFrame:
     """Stream-STREAM DWithin join: pairs of points from two live streams
     within ``distance`` of each other and within ``time_bound`` of each
@@ -278,18 +280,40 @@ def stream_stream_dwithin_join(
     The reference is strictly batch (SURVEY.md §2.8) — this is the
     engine-extension shape for live geo-correlation (e.g. two image
     streams matched by location+time).
+
+    ``metric='sphere'``: ``distance`` is METRES on the mean sphere
+    (geom/geodesic.py) and pairing means "within m metres on the real
+    earth". Still 100% JVM: the latitude stays a ±1-cell band (cells
+    are sized ≥ the metre radius's worst-case Δφ), but the LONGITUDE
+    reach is per-row data-dependent — each left row explodes
+    ``sequence(-k, k)`` lon steps where k = ceil(Δλ(φ)/cell width) from
+    the shared cap bounds, with pmod wrap at ±180 (the haversine metric
+    wraps; near-pole rows legitimately reach the whole lon row) and
+    ``array_distinct`` so a wrapped cover can't double-match a pair.
+    ``max_lon_steps`` bounds the per-row fan-out: a row needing more
+    (tiny radius at extreme latitude) fails LOUDLY via assert_true
+    folded into the consumed cell expression — coarsen ``res`` or
+    pre-filter polar rows rather than silently exploding state.
     """
     from geomesa_sql_spark.cells.column import zorder_cell_col
 
+    if metric == "sphere":
+        import math
+
+        from geomesa_sql_spark.geom.geodesic import COVER_RADIUS
+
+        eff_dist = math.degrees(float(distance) / COVER_RADIUS)
+    else:
+        eff_dist = float(distance)
     if res is None:
         res = 0
-        while (180.0 / (1 << (res + 1))) >= distance and res < 16:
+        while (180.0 / (1 << (res + 1))) >= eff_dist and res < 16:
             res += 1
     cell_h = 180.0 / (1 << res)
-    if cell_h < distance:
+    if cell_h < eff_dist:
         raise ValueError(
-            f"res={res} gives {cell_h}° cells < distance={distance}; "
-            "adjacent-cell cover would miss pairs"
+            f"res={res} gives {cell_h}° cells < the pair's max latitude "
+            f"extent {eff_dist}°; adjacent-cell cover would miss pairs"
         )
     step_x = 360.0 / (1 << res)
     step_y = cell_h
@@ -313,23 +337,77 @@ def stream_stream_dwithin_join(
     def _clamp(c):
         return F.greatest(F.lit(0), F.least(F.lit(nmax), c))
 
-    neighbors = F.array(
-        *[
-            _spread_bits(_clamp(gx + F.lit(dx))).bitwiseOR(
-                F.shiftleft(_spread_bits(_clamp(gy + F.lit(dy))), 1)
+    if metric == "sphere":
+        from geomesa_sql_spark.geom.geodesic import (
+            sphere_deg_bounds_cols,
+            sphere_distance_cols,
+        )
+
+        _, dlon_c = sphere_deg_bounds_cols(F.col(y1), float(distance))
+        k_raw = F.ceil(dlon_c / F.lit(step_x)).cast("int")
+        # full-wrap bound: half the row reaches everything via pmod.
+        # least() SKIPS nulls (CLAUDE.md), so gate it: a NULL lat must
+        # stay NULL (sequence(NULL) → explode drops the row), not
+        # become a full-row explode
+        k = F.when(
+            k_raw.isNotNull(), F.least(k_raw, F.lit((1 << res) // 2))
+        )
+        # loud cap, folded into the consumed expression so Catalyst
+        # can't prune the check (CLAUDE.md raise_error rule); NULL k
+        # passes the assert (NULL-lat rows drop, they don't crash)
+        k = F.when(
+            F.assert_true(
+                k.isNull() | (k <= F.lit(int(max_lon_steps))),
+                f"dwithin_sphere stream join: a row needs more than "
+                f"max_lon_steps={max_lon_steps} longitude cells at "
+                f"res={res} — coarsen res or pre-filter polar rows",
+            ).isNull(),
+            k,
+        )
+        cells = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.sequence(-k, k),
+                    lambda dx: F.array(
+                        *[
+                            _spread_bits(
+                                F.pmod(gx + dx, F.lit(1 << res))
+                            ).bitwiseOR(
+                                F.shiftleft(
+                                    _spread_bits(_clamp(gy + F.lit(dy))), 1
+                                )
+                            )
+                            for dy in (-1, 0, 1)
+                        ]
+                    ),
+                )
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    lf = lf.withColumn("__ss_cell", F.explode(F.array_distinct(neighbors)))
+        )
+        lf = lf.withColumn("__ss_cell", F.explode(cells))
+    else:
+        neighbors = F.array(
+            *[
+                _spread_bits(_clamp(gx + F.lit(dx))).bitwiseOR(
+                    F.shiftleft(_spread_bits(_clamp(gy + F.lit(dy))), 1)
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        lf = lf.withColumn("__ss_cell", F.explode(F.array_distinct(neighbors)))
     rt = rt.withColumn("__ss_cell_r", zorder_cell_col(F.col(x2), F.col(y2), res))
 
-    ddx = F.col(x1) - F.col(x2)
-    ddy = F.col(y1) - F.col(y2)
+    if metric == "sphere":
+        space = sphere_distance_cols(
+            F.col(x1), F.col(y1), F.col(x2), F.col(y2)
+        ) <= F.lit(float(distance))
+    else:
+        ddx = F.col(x1) - F.col(x2)
+        ddy = F.col(y1) - F.col(y2)
+        space = ddx * ddx + ddy * ddy <= F.lit(float(distance) ** 2)
     cond = (
         (F.col("__ss_cell") == F.col("__ss_cell_r"))
-        & (ddx * ddx + ddy * ddy <= F.lit(float(distance) ** 2))
+        & space
         & (F.col(ts2) >= F.col(ts1) - F.expr(f"INTERVAL {time_bound}"))
         & (F.col(ts2) <= F.col(ts1) + F.expr(f"INTERVAL {time_bound}"))
     )

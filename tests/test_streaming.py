@@ -472,3 +472,111 @@ def test_dbscan_maintainer_replay_is_idempotent(spark):
     )
     m(df2, 1)
     assert m._seen.count() == n_seen + 10
+
+
+def test_stream_stream_dwithin_sphere_matches_batch(spark, tmp_path):
+    """metric='sphere' stream-stream join ≡ the batch haversine theta
+    join, incl. an antimeridian pair (pmod-wrapped lon cover) and a
+    NULL-lat row (dropped, not exploded); plan stays pure JVM."""
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_sql_spark.geom.geodesic import sphere_distance
+    from geomesa_sql_spark.streaming import stream_stream_dwithin_join
+    from geomesa_sql_spark.streaming.windowed import (
+        run_available_now,
+        stream_events,
+    )
+
+    n = 600
+    k = np.arange(n, dtype=np.int64)
+    lon = ((k * 7919) % 36000) / 100.0 - 180.0
+    lat = ((k * 104729) % 16000) / 100.0 - 80.0
+    lon[:20] = 179.8          # seam east, lats spread
+    lat[:20] = (k[:20] % 10) * 2.0
+    lpdf = pd.DataFrame({
+        "lid": k, "lon": lon, "lat": lat,
+        "ts": pd.Timestamp("2024-06-01"),
+    })
+    lpdf.loc[5, "lat"] = None  # NULL-lat row: must drop, not explode
+    m = 300_000.0
+    rl = np.array([-179.9, 10.0, 100.0, 179.9])
+    rt_ = np.array([2.0, 48.0, -30.0, 8.0])
+    rpdf = pd.DataFrame({
+        "rid": np.arange(4), "lon2": rl, "lat2": rt_,
+        "ts2": pd.Timestamp("2024-06-01"),
+    })
+    dl, dr = str(tmp_path / "sl"), str(tmp_path / "sr")
+    spark.createDataFrame(lpdf).repartition(3).write.parquet(dl)
+    spark.createDataFrame(rpdf).write.parquet(dr)
+
+    joined = stream_stream_dwithin_join(
+        stream_events(spark, dl), stream_events(spark, dr),
+        distance=m, time_bound="10 days", watermark="0 seconds",
+        metric="sphere",
+    )
+    got = run_available_now(joined.select("lid", "rid"), mode="append")
+    got_pairs = sorted(map(tuple, got.collect()))
+
+    twin = stream_stream_dwithin_join(
+        spark.read.parquet(dl), spark.read.parquet(dr),
+        distance=m, time_bound="10 days", metric="sphere",
+    )
+    assert "ArrowEvalPython" not in (
+        twin._jdf.queryExecution().executedPlan().toString()
+    )
+
+    want = []
+    for rid, (qlon, qlat) in enumerate(zip(rl, rt_)):
+        d = sphere_distance(lon, lat, qlon, qlat)
+        ok = np.flatnonzero(np.nan_to_num(d, nan=np.inf) <= m)
+        want += [(int(i), rid) for i in ok if i != 5]
+    assert got_pairs == sorted(want)
+    # the seam actually exercised: an east-seam left matched a
+    # west-seam right across ±180
+    assert any(r == 0 and l < 20 for l, r in want)
+    assert len(want) > 3
+
+
+def test_stream_static_dwithin_sphere(spark, tmp_path):
+    """Stream-STATIC geodesic enrichment: spatial_join dwithin_sphere
+    runs on a stream (stateless cover UDF per micro-batch, broadcast
+    static side, no sampling jobs at plan time) ≡ batch twin."""
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_sql_spark.geom.geodesic import sphere_distance
+    from geomesa_sql_spark.join import spatial_join
+    from geomesa_sql_spark.join.spatial import point_side
+    from geomesa_sql_spark.streaming.windowed import (
+        run_available_now,
+        stream_events,
+    )
+
+    n = 400
+    k = np.arange(n, dtype=np.int64)
+    lon = ((k * 7919) % 36000) / 100.0 - 180.0
+    lat = ((k * 104729) % 16000) / 100.0 - 80.0
+    d = str(tmp_path / "spts")
+    spark.createDataFrame(
+        pd.DataFrame({"pid": k, "lon": lon, "lat": lat})
+    ).repartition(2).write.parquet(d)
+    pois = spark.createDataFrame(
+        pd.DataFrame({"poi": [0, 1], "plon": [10.0, -179.9], "plat": [48.0, 5.0]})
+    )
+    m = 900_000.0
+    joined = spatial_join(
+        stream_events(spark, d), pois,
+        point_side("lon", "lat"), point_side("plon", "plat"),
+        predicate="dwithin_sphere", distance=m, broadcast=True,
+    )
+    got = sorted(
+        map(tuple, run_available_now(
+            joined.select("pid", "poi"), mode="append"
+        ).collect())
+    )
+    want = []
+    for poi, (qlon, qlat) in enumerate([(10.0, 48.0), (-179.9, 5.0)]):
+        dd = sphere_distance(lon, lat, qlon, qlat)
+        want += [(int(i), poi) for i in np.flatnonzero(dd <= m)]
+    assert got == sorted(want) and len(want) > 0
