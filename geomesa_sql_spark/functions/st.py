@@ -401,6 +401,37 @@ def _st_distance_spheroid(wa: pd.Series, wb: pd.Series) -> pd.Series:
     return pd.Series(spheroid_distance(*_geodesic_points(wa, wb)))
 
 
+@F.pandas_udf(T.DoubleType())
+def _st_area_sphere(wkb: pd.Series) -> pd.Series:
+    """Geodesic polygon area (m², authalic sphere, great-circle edges
+    — geom/geodesic.sphere_geom_area; exact van Oosterom–Strackee
+    solid angles). Non-areal geometries → 0.0, NULL → NULL."""
+    from geomesa_sql_spark.geom.geodesic import sphere_geom_area
+
+    return pd.Series(
+        [
+            None if g is None else sphere_geom_area(g)
+            for g in _decode_series(wkb)
+        ],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _st_perimeter_sphere(wkb: pd.Series) -> pd.Series:
+    """Geodesic perimeter/length (m, mean-sphere haversine edge sums —
+    geom/geodesic.sphere_geom_perimeter)."""
+    from geomesa_sql_spark.geom.geodesic import sphere_geom_perimeter
+
+    return pd.Series(
+        [
+            None if g is None else sphere_geom_perimeter(g)
+            for g in _decode_series(wkb)
+        ],
+        dtype="float64",
+    )
+
+
 @F.pandas_udf(T.BooleanType())
 def _st_dwithin_sphere(wa: pd.Series, wb: pd.Series,
                        meters: pd.Series) -> pd.Series:
@@ -453,6 +484,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Distance_Sphere", _st_distance_sphere)
     spark.udf.register("ST_DistanceSpheroid", _st_distance_spheroid)
     spark.udf.register("ST_DWithinSphere", _st_dwithin_sphere)
+    spark.udf.register("ST_AreaSphere", _st_area_sphere)
+    spark.udf.register("ST_LengthSphere", _st_perimeter_sphere)
+    spark.udf.register("ST_PerimeterSphere", _st_perimeter_sphere)
     spark.udf.register("ST_Envelope", st_envelope_wkb)
     for pred in RELATE_PREDICATES:
 

@@ -229,3 +229,103 @@ def spheroid_distance(lon1, lat1, lon2, lat2,
         )
     out[~finite] = np.nan  # NULL/NaN coordinates stay NULL
     return out
+
+
+# Authalic radius: the sphere with exactly the WGS84 ellipsoid's
+# surface area — the principled radius for AREA measures (the mean
+# radius above is the one for distances). R_A² = a²/2 + b²/2·atanh(e)/e.
+def _authalic_radius() -> float:
+    a, f = WGS84
+    b = a * (1.0 - f)
+    e = np.sqrt(f * (2.0 - f))
+    return float(np.sqrt(a * a / 2.0 + b * b / 2.0 * np.arctanh(e) / e))
+
+
+AUTHALIC_RADIUS = _authalic_radius()
+
+
+def _unit_vectors(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    lam = np.radians(lon)
+    phi = np.radians(lat)
+    cphi = np.cos(phi)
+    return np.column_stack(
+        [cphi * np.cos(lam), cphi * np.sin(lam), np.sin(phi)]
+    )
+
+
+def sphere_ring_area(lon: np.ndarray, lat: np.ndarray,
+                     radius: float = AUTHALIC_RADIUS) -> float:
+    """UNSIGNED area (m²) of a simple spherical polygon ring whose
+    edges are great-circle arcs — the exact signed solid angle via the
+    van Oosterom–Strackee triangle formula summed over a fan from the
+    first vertex:
+
+        tan(Ω/2) = a·(b×c) / (1 + a·b + b·c + c·a)
+
+    (each fan triangle's SIGNED solid angle in one atan2 — no angle
+    accumulation, no pole special cases). Exact for rings enclosing
+    less than a hemisphere (the PostGIS geography convention: a ring
+    means the smaller side); beyond that the fan sum aliases mod 4π.
+    Closed or open rings accepted (a closing duplicate vertex
+    contributes a zero triangle)."""
+    v = _unit_vectors(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+    if len(v) < 3:
+        return 0.0
+    a = v[0]
+    b = v[1:-1]
+    c = v[2:]
+    triple = np.einsum("ij,ij->i", np.cross(b, c), np.broadcast_to(a, b.shape))
+    denom = (
+        1.0
+        + b @ a
+        + np.einsum("ij,ij->i", b, c)
+        + c @ a
+    )
+    omega = 2.0 * np.arctan2(triple, denom)
+    return abs(float(omega.sum())) * radius * radius
+
+
+def sphere_geom_area(g, radius: float = AUTHALIC_RADIUS) -> float:
+    """Geodesic area of a Polygon/MultiPolygon ``Geom`` (m²): exterior
+    rings minus holes, great-circle edges, authalic-sphere radius.
+    Non-areal types are 0.0 (planar ST_Area parity)."""
+    from geomesa_sql_spark.geom import model
+
+    if g.type == model.POLYGON:
+        rings = g.coords
+        if not rings:
+            return 0.0
+        area = sphere_ring_area(rings[0][:, 0], rings[0][:, 1], radius)
+        for hole in rings[1:]:
+            area -= sphere_ring_area(hole[:, 0], hole[:, 1], radius)
+        return max(area, 0.0)
+    if g.type in (model.MULTIPOLYGON, model.GEOMETRYCOLLECTION):
+        return float(sum(sphere_geom_area(p, radius) for p in g.coords))
+    return 0.0
+
+
+def sphere_geom_perimeter(g, radius: float = MEAN_RADIUS) -> float:
+    """Geodesic perimeter/length (m): the haversine sum over the
+    vertex chain of every LineString / ring (great-circle edge
+    lengths on the mean sphere — the same metric ST_DistanceSphere
+    uses). Points contribute 0."""
+    from geomesa_sql_spark.geom import model
+
+    def ring_len(arr) -> float:
+        if len(arr) < 2:
+            return 0.0
+        return float(
+            sphere_distance(
+                arr[:-1, 0], arr[:-1, 1], arr[1:, 0], arr[1:, 1], radius
+            ).sum()
+        )
+
+    if g.type == model.LINESTRING:
+        return ring_len(g.coords)
+    if g.type == model.POLYGON:
+        return float(sum(ring_len(r) for r in g.coords))
+    if g.type in (model.MULTIPOINT,):
+        return 0.0
+    if isinstance(g.coords, list) and g.coords and hasattr(g.coords[0], "type"):
+        return float(sum(sphere_geom_perimeter(p, radius) for p in g.coords))
+    return 0.0

@@ -386,3 +386,39 @@ def test_vincenty_antimeridian_exact():
     a = spheroid_distance(179.5, 40.0, -179.5, 41.0)
     b = spheroid_distance(0.5, 40.0, 1.5, 41.0)
     assert abs(float(a[0]) - float(b[0])) < 1e-6
+
+
+def test_sphere_area_perimeter_sql(spark):
+    """ST_AreaSphere / ST_PerimeterSphere anchors: the octant polygon
+    is EXACTLY 1/8 of the sphere (πR²/2, van Oosterom–Strackee solid
+    angle is closed-form there); a rectangle with a hole subtracts;
+    the equatorial quadrant line is πR/2 on the mean sphere."""
+    from geomesa_sql_spark.functions import register_all
+    from geomesa_sql_spark.geom.geodesic import AUTHALIC_RADIUS
+
+    register_all(spark)
+    row = spark.sql(
+        """SELECT ST_AreaSphere(ST_GeomFromText(
+                     'POLYGON ((0 0, 90 0, 0 90, 0 0))')) AS octant,
+                  ST_AreaSphere(ST_GeomFromText(
+                     'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0),
+                               (1 1, 2 1, 2 2, 1 2, 1 1))')) AS holed,
+                  ST_AreaSphere(ST_GeomFromText(
+                     'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS full,
+                  ST_AreaSphere(ST_GeomFromText(
+                     'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))')) AS hole_alone,
+                  ST_AreaSphere(ST_GeomFromText('POINT (3 4)')) AS pt,
+                  ST_AreaSphere(CAST(NULL AS BINARY)) AS nul,
+                  ST_PerimeterSphere(ST_GeomFromText(
+                     'LINESTRING (0 0, 90 0)')) AS quad,
+                  ST_PerimeterSphere(ST_GeomFromText(
+                     'LINESTRING (179 0, -179 0)')) AS seam
+           """
+    ).collect()[0]
+    R = AUTHALIC_RADIUS
+    assert abs(row["octant"] - np.pi * R * R / 2.0) < 1.0  # m² on 6e13
+    assert abs(row["holed"] - (row["full"] - row["hole_alone"])) < 1e-3
+    assert row["pt"] == 0.0 and row["nul"] is None
+    assert abs(row["quad"] - np.pi * MEAN_RADIUS / 2.0) < 1e-6
+    # haversine wraps: the 2° seam segment, not the 358° way round
+    assert abs(row["seam"] - MEAN_RADIUS * np.radians(2.0)) < 1e-6
