@@ -28,6 +28,13 @@ import sys
 import time
 from pathlib import Path
 
+# module-level so pandas-UDF type hints resolve: with `from __future__
+# import annotations`, PySpark resolves `_pd.Series` hints against the
+# MODULE globals — a function-local `import pandas as _pd` leaves the
+# name unresolvable and pandas_udf raises UNSUPPORTED_SIGNATURE (this
+# broke the mvt_render_wkb key silently until the next full bench run)
+import pandas as _pd  # noqa: E402
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 IMAGES_CACHE = "/tmp/spark_graft_bench"
@@ -319,7 +326,6 @@ def main() -> None:
         # per-group applyInPandas). Input WKB boxes are materialized
         # BEFORE timing so the key measures envelope-parse + JVM
         # fan-out + carry-walk encode, not input synthesis.
-        import pandas as _pd
         from pyspark.sql import functions as _F
 
         from geomesa_sql_spark.geom.model import box as _box
