@@ -46,10 +46,25 @@ dense spots is quadratic: ~25k points in a 2°×2° blob with eps=0.5 is
 
 Labels are deterministic: a cluster's label is the minimum point id
 among its core members. Noise rows get cluster = -1, role = 'noise'.
+
+**Geodesic mode** (``metric='sphere'``): x/y are lon/lat degrees and
+``eps`` is metres on the same mean-radius sphere as
+``ST_DistanceSphere``. Points embed as 3-D chord coordinates
+R·(cosφcosλ, cosφsinλ, sinφ); great-circle distance d and chord
+distance c = 2R·sin(d/2R) are monotone bijections of each other on
+[0, πR], so Euclidean DBSCAN in the embedding with
+eps_chord = 2R·sin(eps/2R) is EXACTLY geodesic DBSCAN — including
+clusters straddling the antimeridian and sitting on the poles, with
+zero wrap special-casing (the planar-degrees grid would split both).
+The same grid machinery runs in 3-D: fine side eps/√3 (cube diagonal
+= eps keeps the same-cell ⇒ within-eps shortcut), neighbor offsets
+±2 per axis (Σ max(0,|dᵢ|-1)² ≤ 3 bounds the reachable boxes; the
+(2,2,2) corner attains exactly eps, kept by the inclusive predicate).
 """
 
 from __future__ import annotations
 
+import itertools
 import math
 
 import numpy as np
@@ -91,60 +106,98 @@ def _connected_components(
     return lab
 
 
+#: coordinate column → coarse-cell column, in axis order; the slice
+#: actually present in a frame decides the grid dimension (2-D planar
+#: or the 3-D chordal embedding of metric='sphere')
+_CELL_COLS = {"x": "ccx", "y": "ccy", "z": "ccz"}
+
+
+def _dims(cols) -> tuple[str, ...]:
+    return ("x", "y", "z") if "z" in cols else ("x", "y")
+
+
 def _replicate_to_cells(pts: DataFrame, s: float, eps: float) -> DataFrame:
     """Each point → its home coarse cell plus every neighbor coarse
     cell whose region is within eps of it; ``own`` marks the home
-    copy. Covering [x-eps, x+eps] × [y-eps, y+eps] with cell floors is
-    exact: a cell can contain a point within eps of (x, y) only if its
-    index is between floor((x-eps)/S) and floor((x+eps)/S). The
-    eps-term is folded in by the caller passing the padded coords."""
+    copy. Covering [x-eps, x+eps] (per axis) with cell floors is
+    exact: a cell can contain a point within eps of the point only if
+    its index is between floor((x-eps)/S) and floor((x+eps)/S). The
+    eps-term is folded in by the caller passing the padded coords.
+    Runs in 2-D or (when a ``z`` column is present) 3-D."""
+    dims = _dims(pts.columns)
     cands = F.array_distinct(
         F.array(
             *[
                 F.struct(
-                    F.floor((F.col("x") + F.lit(dx)) / F.lit(s))
-                    .cast("long")
-                    .alias("ccx"),
-                    F.floor((F.col("y") + F.lit(dy)) / F.lit(s))
-                    .cast("long")
-                    .alias("ccy"),
+                    *[
+                        F.floor((F.col(d) + F.lit(o)) / F.lit(s))
+                        .cast("long")
+                        .alias(_CELL_COLS[d])
+                        for d, o in zip(dims, offs)
+                    ]
                 )
-                for dx in (-eps, 0.0, eps)
-                for dy in (-eps, 0.0, eps)
+                for offs in itertools.product((-eps, 0.0, eps), repeat=len(dims))
             ]
         )
     )
-    home_cx = F.floor(F.col("x") / F.lit(s)).cast("long")
-    home_cy = F.floor(F.col("y") / F.lit(s)).cast("long")
+    own = None
+    for d in dims:
+        home = F.floor(F.col(d) / F.lit(s)).cast("long")
+        term = F.col(_CELL_COLS[d]) == home
+        own = term if own is None else (own & term)
     return (
         pts.withColumn("__cand", F.explode(cands))
         .select(
             "*",
-            F.col("__cand.ccx").alias("ccx"),
-            F.col("__cand.ccy").alias("ccy"),
+            *[F.col(f"__cand.{_CELL_COLS[d]}").alias(_CELL_COLS[d]) for d in dims],
         )
-        .withColumn("own", (F.col("ccx") == home_cx) & (F.col("ccy") == home_cy))
+        .withColumn("own", own)
         .drop("__cand")
     )
 
 
-def _fine_buckets(xs: np.ndarray, ys: np.ndarray, g: float):
-    """Group local point indices by fine cell; returns (cell→indices
-    dict, per-point (fx, fy))."""
+def _fine_buckets(xs: np.ndarray, ys: np.ndarray, g: float, zs=None):
+    """Group local point indices by fine cell; returns the
+    cell→indices dict keyed by 2- or 3-tuples."""
     fx = np.floor(xs / g).astype(np.int64)
     fy = np.floor(ys / g).astype(np.int64)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i, (a, b) in enumerate(zip(fx, fy)):
-        buckets.setdefault((int(a), int(b)), []).append(i)
-    return {k: np.asarray(v) for k, v in buckets.items()}, fx, fy
+    cols = [fx, fy]
+    if zs is not None:
+        cols.append(np.floor(zs / g).astype(np.int64))
+    buckets: dict[tuple[int, ...], list[int]] = {}
+    for i, k in enumerate(zip(*cols)):
+        buckets.setdefault(tuple(int(v) for v in k), []).append(i)
+    return {k: np.asarray(v) for k, v in buckets.items()}
 
 
 # fine-cell offsets whose box-to-box min distance can be <= eps when
-# the fine side is eps/sqrt(2): |dx|,|dy| <= 2 (corner (2,2) boxes
-# attain exactly eps at touching corners — inclusive predicate keeps
-# them).
+# the fine side is eps/sqrt(dim): per-axis offsets |d| <= 2, because
+# the boxes' min distance is sqrt(sum max(0,|d_i|-1)^2)·g and the
+# reachability bound is sum max(0,|d_i|-1)^2 <= dim (the all-2s corner
+# attains exactly eps at touching corners — inclusive predicate keeps
+# it; any |d_i| = 3 contributes 4 > dim alone).
 _FINE_OFFS = [(dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)]
 _FINE_FWD = [(dx, dy) for (dx, dy) in _FINE_OFFS if (dx, dy) > (0, 0)]
+_FINE_OFFS_3 = [
+    (dx, dy, dz)
+    for dx in range(-2, 3)
+    for dy in range(-2, 3)
+    for dz in range(-2, 3)
+]
+_FINE_FWD_3 = [o for o in _FINE_OFFS_3 if o > (0, 0, 0)]
+
+
+def _fine_grid(eps: float, dim: int):
+    """(fine cell side, all offsets, forward offsets) for a grid whose
+    same-cell diagonal is exactly eps."""
+    g = eps / math.sqrt(float(dim))
+    if dim == 2:
+        return g, _FINE_OFFS, _FINE_FWD
+    return g, _FINE_OFFS_3, _FINE_FWD_3
+
+
+def _key_add(k: tuple, off: tuple) -> tuple:
+    return tuple(a + b for a, b in zip(k, off))
 
 
 
@@ -159,59 +212,64 @@ def _d2_block_rows(n_b: int) -> int:
     return max(1, _DIST_BLOCK // max(n_b, 1))
 
 
-def _count_within(xa, ya, xb, yb, e2) -> np.ndarray:
-    """Per-a count of b-points within sqrt(e2) — row-blocked."""
-    out = np.zeros(len(xa), dtype=np.int64)
-    if not len(xb):
+def _d2_rows(xs, ys, zs, a, b) -> np.ndarray:
+    """Squared distances between index blocks a × b (2-D or 3-D)."""
+    d2 = (xs[a][:, None] - xs[b][None, :]) ** 2 + (
+        ys[a][:, None] - ys[b][None, :]
+    ) ** 2
+    if zs is not None:
+        d2 += (zs[a][:, None] - zs[b][None, :]) ** 2
+    return d2
+
+
+def _count_within(xs, ys, zs, ia, ib, e2) -> np.ndarray:
+    """Per-ia count of ib-points within sqrt(e2) — row-blocked."""
+    out = np.zeros(len(ia), dtype=np.int64)
+    if not len(ib):
         return out
-    step = _d2_block_rows(len(xb))
-    for s0 in range(0, len(xa), step):
-        sl = slice(s0, s0 + step)
-        d2 = (xa[sl][:, None] - xb[None, :]) ** 2 + (
-            ya[sl][:, None] - yb[None, :]
-        ) ** 2
-        out[sl] = (d2 <= e2).sum(axis=1)
+    step = _d2_block_rows(len(ib))
+    for s0 in range(0, len(ia), step):
+        blk = ia[s0 : s0 + step]
+        out[s0 : s0 + step] = (_d2_rows(xs, ys, zs, blk, ib) <= e2).sum(axis=1)
     return out
 
 
-def _any_within(xa, ya, xb, yb, e2) -> bool:
-    """Does ANY (a, b) pair sit within sqrt(e2)? Row-blocked with
+def _any_within(xs, ys, zs, ia, ib, e2) -> bool:
+    """Does ANY (ia, ib) pair sit within sqrt(e2)? Row-blocked with
     early exit — the common dense-adjacent-cell case hits in the
     first block."""
-    if not len(xa) or not len(xb):
+    if not len(ia) or not len(ib):
         return False
-    step = _d2_block_rows(len(xb))
-    for s0 in range(0, len(xa), step):
-        sl = slice(s0, s0 + step)
-        d2 = (xa[sl][:, None] - xb[None, :]) ** 2 + (
-            ya[sl][:, None] - yb[None, :]
-        ) ** 2
-        if (d2 <= e2).any():
+    step = _d2_block_rows(len(ib))
+    for s0 in range(0, len(ia), step):
+        if (_d2_rows(xs, ys, zs, ia[s0 : s0 + step], ib) <= e2).any():
             return True
     return False
 
 
 def _core_flags(
-    xs: np.ndarray, ys: np.ndarray, eps: float, min_pts: int
+    xs: np.ndarray, ys: np.ndarray, eps: float, min_pts: int, zs=None
 ) -> np.ndarray:
     """Exact |N_eps(p)| >= min_pts per local point (self counted).
     Dense fine cells (>= min_pts points) shortcut to all-core."""
-    g = eps / math.sqrt(2.0)
-    buckets, _, _ = _fine_buckets(xs, ys, g)
+    dim = 2 if zs is None else 3
+    g, offs, _ = _fine_grid(eps, dim)
+    buckets = _fine_buckets(xs, ys, g, zs)
     core = np.zeros(len(xs), dtype=bool)
     e2 = eps * eps
-    for (cx, cy), idx in buckets.items():
+    zero = (0,) * dim
+    for k, idx in buckets.items():
         if len(idx) >= min_pts:
             core[idx] = True
             continue
         cnt = np.full(len(idx), len(idx), dtype=np.int64)  # own cell + self
-        for dx, dy in _FINE_OFFS:
-            if dx == 0 and dy == 0:
+        for off in offs:
+            if off == zero:
                 continue
-            nb = buckets.get((cx + dx, cy + dy))
+            nb = buckets.get(_key_add(k, off))
             if nb is None:
                 continue
-            cnt += _count_within(xs[idx], ys[idx], xs[nb], ys[nb], e2)
+            cnt += _count_within(xs, ys, zs, idx, nb, e2)
         core[idx] = cnt >= min_pts
     return core
 
@@ -247,12 +305,13 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
     ids = pdf["id"].to_numpy(dtype=np.int64)
     xs = pdf["x"].to_numpy(dtype=np.float64)
     ys = pdf["y"].to_numpy(dtype=np.float64)
+    zs = pdf["z"].to_numpy(dtype=np.float64) if "z" in pdf.columns else None
     own = pdf["own"].to_numpy(dtype=bool)
     core = pdf["core"].to_numpy(dtype=bool)
     n = len(ids)
     e2 = eps * eps
-    g = eps / math.sqrt(2.0)
-    buckets, _, _ = _fine_buckets(xs, ys, g)
+    g, offs, fwd = _fine_grid(eps, 2 if zs is None else 3)
+    buckets = _fine_buckets(xs, ys, g, zs)
 
     # ---- union-find over core points, per fine cell then cross-cell
     uf = _UF(n)
@@ -263,14 +322,14 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
         a0 = int(idx[0])
         for b in idx[1:]:
             uf.union(a0, int(b))  # same fine cell => pairwise <= eps
-    for (cx, cy), ia in core_buckets.items():
-        for dx, dy in _FINE_FWD:
-            ib = core_buckets.get((cx + dx, cy + dy))
+    for k, ia in core_buckets.items():
+        for off in fwd:
+            ib = core_buckets.get(_key_add(k, off))
             if ib is None:
                 continue
             if uf.find(int(ia[0])) == uf.find(int(ib[0])):
                 continue  # already one component
-            if _any_within(xs[ia], ys[ia], xs[ib], ys[ib], e2):
+            if _any_within(xs, ys, zs, ia, ib, e2):
                 uf.union(int(ia[0]), int(ib[0]))
 
     # component label = min core id in local component
@@ -291,14 +350,14 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
         out_own.append(bool(own[i]))
 
     # ---- own non-core points: border (labels of core neighbors) or noise
-    for (cx, cy), idx in buckets.items():
+    for k, idx in buckets.items():
         nc = idx[~core[idx] & own[idx]]
         if len(nc) == 0:
             continue
         nb_parts = [
-            core_buckets[(cx + dx, cy + dy)]
-            for dx, dy in _FINE_OFFS
-            if (cx + dx, cy + dy) in core_buckets
+            core_buckets[_key_add(k, off)]
+            for off in offs
+            if _key_add(k, off) in core_buckets
         ]
         nb = (
             np.concatenate(nb_parts) if nb_parts else np.empty(0, dtype=np.int64)
@@ -307,10 +366,7 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
         for r0 in range(0, len(nc), step):
             blk = nc[r0 : r0 + step]
             if len(nb):
-                d2 = (xs[blk][:, None] - xs[nb][None, :]) ** 2 + (
-                    ys[blk][:, None] - ys[nb][None, :]
-                ) ** 2
-                hit = d2 <= e2
+                hit = _d2_rows(xs, ys, zs, blk, nb) <= e2
             else:
                 hit = np.zeros((len(blk), 0), dtype=bool)
             for r, i in enumerate(blk):
@@ -361,7 +417,7 @@ _P2_SCHEMA = T.StructType(
 
 
 
-def _validated_pts(df, key, x, y, eps, min_pts, coarse_cell):
+def _validated_pts(df, key, x, y, eps, min_pts, coarse_cell, metric="planar"):
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -390,19 +446,40 @@ def _validated_pts(df, key, x, y, eps, min_pts, coarse_cell):
         raise ValueError("eps must be > 0")
     if int(min_pts) < 1:
         raise ValueError("min_pts must be >= 1")
-    s = float(coarse_cell) if coarse_cell is not None else 8.0 * eps
-    if s < 2.0 * eps:
-        raise ValueError("coarse_cell must be >= 2*eps")
-    pts = (
-        df.select(
-            F.col(key).cast("long").alias("id"),
+    if metric not in ("planar", "sphere"):
+        raise ValueError(f"metric must be 'planar' or 'sphere', got {metric!r}")
+    if metric == "sphere":
+        # chord-space eps: d <-> c = 2R·sin(d/2R) is monotone on
+        # [0, πR], so Euclidean DBSCAN in the 3-D embedding with
+        # eps_chord is exactly geodesic DBSCAN with eps metres.
+        from ..geom.geodesic import MAX_DISTANCE, MEAN_RADIUS
+
+        r = MEAN_RADIUS
+        eps = 2.0 * r * math.sin(min(eps, MAX_DISTANCE) / (2.0 * r))
+        lam = F.radians(F.col(x).cast("double"))
+        phi = F.radians(F.col(y).cast("double"))
+        coords = [
+            (F.lit(r) * F.cos(phi) * F.cos(lam)).alias("x"),
+            (F.lit(r) * F.cos(phi) * F.sin(lam)).alias("y"),
+            (F.lit(r) * F.sin(phi)).alias("z"),
+        ]
+        # a NULL lon or lat propagates into every embedded coordinate
+        nn = F.col("x").isNotNull() & F.col("z").isNotNull()
+    else:
+        coords = [
             F.col(x).cast("double").alias("x"),
             F.col(y).cast("double").alias("y"),
+        ]
+        nn = F.col("x").isNotNull() & F.col("y").isNotNull()
+    s = float(coarse_cell) if coarse_cell is not None else 8.0 * eps
+    if s < 2.0 * eps:
+        raise ValueError(
+            "coarse_cell must be >= 2*eps"
+            + (" (chord metres for metric='sphere')" if metric == "sphere" else "")
         )
-        .filter(
-            F.col("id").isNotNull() & F.col("x").isNotNull() & F.col("y").isNotNull()
-        )
-    )
+    pts = df.select(
+        F.col(key).cast("long").alias("id"), *coords
+    ).filter(F.col("id").isNotNull() & nn)
     return pts, eps, s
 
 
@@ -470,6 +547,12 @@ def _compute_local(
     halo points live in adjacent cells and their flags are needed) —
     pass the precomputed ring as ``p1_cells`` to skip the distributed
     dilation."""
+    cell_cols = [_CELL_COLS[d] for d in _dims(pts.columns)]
+    if p2_cells is not None and len(cell_cols) != 2:
+        raise NotImplementedError(
+            "cell-restricted recompute (incremental maintenance) is "
+            "planar-only"
+        )
     rep = _replicate_to_cells(pts, s, eps)
     if p2_cells is not None:
         if p1_cells is None:
@@ -481,10 +564,11 @@ def _compute_local(
         core = _core_flags(
             pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64),
             eps, int(min_pts),
+            pdf["z"].to_numpy(np.float64) if "z" in pdf.columns else None,
         )
         return pd.DataFrame({"id": pdf["id"][o], "core": core[o]})
 
-    flags = rep.groupBy("ccx", "ccy").applyInPandas(p1, _P1_SCHEMA)
+    flags = rep.groupBy(*cell_cols).applyInPandas(p1, _P1_SCHEMA)
 
     rep2 = _replicate_to_cells(pts.join(flags, "id"), s, eps)
     if p2_cells is not None:
@@ -494,7 +578,7 @@ def _compute_local(
         return _local_cluster(pdf, eps)
 
     return (
-        rep2.groupBy("ccx", "ccy")
+        rep2.groupBy(*cell_cols)
         .applyInPandas(p2, _P2_SCHEMA)
         .localCheckpoint(eager=True)
     )
@@ -636,25 +720,43 @@ def dbscan(
     coarse_cell: float | None = None,
     max_iter: int = 25,
     return_state: bool = False,
+    metric: str = "planar",
 ):
-    """DBSCAN over planar point columns.
+    """DBSCAN over point columns.
 
     Returns (id BIGINT, cluster BIGINT, role STRING) — one row per
     input row with non-null key/x/y; cluster = min core id of the
     component (−1 for noise), role ∈ {core, border, noise}.
 
-    ``coarse_cell`` is the partition granule (default 8·eps): large
-    enough that halo replication (≈ 4·eps/S) is cheap, small enough
-    that one cell's points fit an executor. Shrink it for very dense
-    data.
+    ``metric='planar'`` (default): x/y are Cartesian, eps in the same
+    units. ``metric='sphere'``: x/y are lon/lat DEGREES and eps is
+    METRES of great-circle distance on the same mean-radius sphere as
+    ``ST_DistanceSphere`` — computed exactly via the 3-D chordal
+    embedding (module docstring), so antimeridian- and pole-straddling
+    clusters come out whole. eps ≥ πR means everything is one
+    neighborhood.
+
+    ``coarse_cell`` is the partition granule (default 8·eps; for
+    metric='sphere' it is in CHORD metres): large enough that halo
+    replication (≈ 4·eps/S) is cheap, small enough that one cell's
+    points fit an executor. Shrink it for very dense data.
 
     ``return_state=True`` additionally returns the maintenance state
     for :func:`dbscan_incremental` (append-delta maintenance): a dict
     of {local, eq, resolved, result} DataFrames (per-cell local rows,
     provenance-tagged label-equivalence edges, the non-identity label
-    resolution map, and the per-point output).
+    resolution map, and the per-point output). Planar-only: the dirty
+    cell bookkeeping is 2-D, so ``metric='sphere'`` with
+    ``return_state`` raises.
     """
-    pts, eps, s = _validated_pts(df, key, x, y, eps, min_pts, coarse_cell)
+    if metric == "sphere" and return_state:
+        raise NotImplementedError(
+            "incremental-maintenance state is planar-only; rebuild with "
+            "dbscan(metric='sphere') per batch or cluster in a planar CRS"
+        )
+    pts, eps, s = _validated_pts(
+        df, key, x, y, eps, min_pts, coarse_cell, metric
+    )
     local = _compute_local(pts, s, eps, int(min_pts))
     if not return_state:
         return _assemble(local, max_iter)
