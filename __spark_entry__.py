@@ -275,12 +275,27 @@ def q_dbscan(spark, sf_dir):
     text the DuckDB oracle evaluates). Partition-local clustering with
     eps-halo replication + label-level merge (ops/cluster.py); labels
     are the min core id, border ties break to the MIN core-neighbor
-    label, so the output is fully deterministic and oracle-hashable."""
+    label, so the output is fully deterministic and oracle-hashable.
+
+    Two legs, union-tagged: 'planar' (Cartesian eps=0.5) and 'sphere'
+    (the same x/y read as lon/lat degrees, eps=60 km of great-circle
+    distance via the 3-D chordal embedding — metric='sphere'). The
+    60 km eps was chosen so the nearest pairwise distance to the
+    threshold is 24.7 m at sf0.01 (91 m at sf0.001) — ten orders of
+    magnitude above JVM-vs-DuckDB trig ulp noise, so the hash gate
+    cannot flip on a boundary pair."""
     from geomesa_sql_spark.io.fixtures import cluster_points
     from geomesa_sql_spark.ops.cluster import dbscan
 
     pts = cluster_points(spark, sf_dir)
-    return dbscan(pts, "o_orderkey", "x", "y", eps=0.5, min_pts=5)
+    planar = dbscan(
+        pts, "o_orderkey", "x", "y", eps=0.5, min_pts=5
+    ).withColumn("leg", F.lit("planar"))
+    sphere = dbscan(
+        pts, "o_orderkey", "x", "y", eps=60_000.0, min_pts=5,
+        metric="sphere",
+    ).withColumn("leg", F.lit("sphere"))
+    return planar.unionByName(sphere)
 
 
 def q_set_ops(spark, sf_dir):
@@ -2043,7 +2058,7 @@ def _hilbert_xy2d_sql(zoom: int, opts: str) -> str:
 
 
 def _dbscan_sql(eps: float = 0.5, min_pts: int = 5) -> str:
-    """DuckDB oracle for the dbscan contract query.
+    """DuckDB oracle for the dbscan contract query (two legs).
 
     Replays the engine's SEMANTICS relationally (the engine itself is
     partition-local with halo replication — ops/cluster.py; the oracle
@@ -2053,12 +2068,33 @@ def _dbscan_sql(eps: float = 0.5, min_pts: int = 5) -> str:
     as a recursive CTE (pruned to labels < node id — the component min
     always qualifies, everything else is dead weight), and
     MIN-core-neighbor border assignment. Point fixture =
-    io/fixtures.py CLUSTER_*_SQL verbatim."""
+    io/fixtures.py CLUSTER_*_SQL verbatim.
+
+    The 'sphere' leg replays metric='sphere' with the SAME chordal
+    embedding the engine uses: coordinates via x / 180.0 * PI()
+    (java.lang.Math.toRadians' op order), the chord threshold
+    eps_c² inlined from the identical Python expression, and the
+    squared-distance sum in the engine's (dx²+dy²)+dz² order. The
+    candidate grid is a 0.6° lon/lat 3×3 prefilter — a proven
+    over-cover for 60 km at the fixture's |lat| ≤ 18.5° (Δφ ≤ 0.54°;
+    Δλ ≤ 0.54°/cos(19.1°) = 0.572°) — with the exact chord predicate
+    doing the real work; the fixture sits nowhere near a pole or the
+    antimeridian, so the degree grid is safe HERE (the engine itself
+    needs no such assumption)."""
+    import math as _math
+
+    from geomesa_sql_spark.geom.geodesic import MAX_DISTANCE, MEAN_RADIUS
     from geomesa_sql_spark.io.fixtures import (
         CLUSTER_SUBSET_SQL,
         CLUSTER_X_SQL,
         CLUSTER_Y_SQL,
     )
+
+    eps_m = 60_000.0
+    r = MEAN_RADIUS
+    eps_c = 2.0 * r * _math.sin(min(eps_m, MAX_DISTANCE) / (2.0 * r))
+    e2 = eps_c * eps_c
+    grid = 0.6
 
     return f"""
 WITH RECURSIVE pts AS (
@@ -2091,12 +2127,52 @@ border AS (
   SELECT p.i AS id, MIN(c.lab) AS lab
   FROM pairs p JOIN comp c ON p.j = c.id
   WHERE p.i NOT IN (SELECT id FROM core)
+  GROUP BY p.i),
+spts AS (
+  SELECT id,
+         ({r!r} * COS(y / 180.0 * PI())) * COS(x / 180.0 * PI()) AS px,
+         ({r!r} * COS(y / 180.0 * PI())) * SIN(x / 180.0 * PI()) AS py,
+         {r!r} * SIN(y / 180.0 * PI()) AS pz,
+         CAST(FLOOR(x / {grid}) AS BIGINT) AS cx,
+         CAST(FLOOR(y / {grid}) AS BIGINT) AS cy
+  FROM pts),
+slhs AS (
+  SELECT c.id, c.px, c.py, c.pz, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+  FROM spts c, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
+spairs AS (
+  SELECT a.id AS i, b.id AS j
+  FROM slhs a JOIN spts b ON a.cx = b.cx AND a.cy = b.cy
+  WHERE a.id <> b.id
+    AND ((a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py))
+        + (a.pz-b.pz)*(a.pz-b.pz) <= {e2!r}),
+sdeg AS (SELECT i AS id, COUNT(*) AS nnb FROM spairs GROUP BY i),
+score AS (SELECT p.id FROM pts p LEFT JOIN sdeg d USING(id)
+          WHERE COALESCE(d.nnb, 0) + 1 >= {min_pts}),
+sedges AS (SELECT i, j FROM spairs
+           WHERE i IN (SELECT id FROM score) AND j IN (SELECT id FROM score)),
+sreach(id, lab) AS (
+  SELECT id, id FROM score
+  UNION
+  SELECT e.i, r.lab FROM sedges e JOIN sreach r ON r.id = e.j AND r.lab < e.i),
+scomp AS (SELECT id, MIN(lab) AS lab FROM sreach GROUP BY id),
+sborder AS (
+  SELECT p.i AS id, MIN(c.lab) AS lab
+  FROM spairs p JOIN scomp c ON p.j = c.id
+  WHERE p.i NOT IN (SELECT id FROM score)
   GROUP BY p.i)
 SELECT CAST(p.id AS BIGINT) AS id,
        CAST(COALESCE(c.lab, b.lab, -1) AS BIGINT) AS cluster,
        CASE WHEN c.lab IS NOT NULL THEN 'core'
-            WHEN b.lab IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+            WHEN b.lab IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+       'planar' AS leg
 FROM pts p LEFT JOIN comp c ON p.id = c.id LEFT JOIN border b ON p.id = b.id
+UNION ALL
+SELECT CAST(p.id AS BIGINT) AS id,
+       CAST(COALESCE(c.lab, b.lab, -1) AS BIGINT) AS cluster,
+       CASE WHEN c.lab IS NOT NULL THEN 'core'
+            WHEN b.lab IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+       'sphere' AS leg
+FROM pts p LEFT JOIN scomp c ON p.id = c.id LEFT JOIN sborder b ON p.id = b.id
 """
 
 
