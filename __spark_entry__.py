@@ -268,6 +268,13 @@ def q_join_semi_anti(spark, sf_dir):
     return semi.unionByName(anti)
 
 
+# the dbscan gate's geodesic eps: shared by q_dbscan and _dbscan_sql
+# so the engine and the oracle can never desync. Chosen for threshold
+# margin (nearest pair distance to eps: 24.7 m at sf0.01, 91 m at
+# sf0.001) — retune in ONE place if the fixture ever changes.
+DBSCAN_SPHERE_EPS_M = 60_000.0
+
+
 def q_dbscan(spark, sf_dir):
     """Distributed DBSCAN over the deterministic clustered-points
     fixture (30 dense blobs + uniform scatter derived from orders by
@@ -292,7 +299,7 @@ def q_dbscan(spark, sf_dir):
         pts, "o_orderkey", "x", "y", eps=0.5, min_pts=5
     ).withColumn("leg", F.lit("planar"))
     sphere = dbscan(
-        pts, "o_orderkey", "x", "y", eps=60_000.0, min_pts=5,
+        pts, "o_orderkey", "x", "y", eps=DBSCAN_SPHERE_EPS_M, min_pts=5,
         metric="sphere",
     ).withColumn("leg", F.lit("sphere"))
     return planar.unionByName(sphere)
@@ -2090,7 +2097,7 @@ def _dbscan_sql(eps: float = 0.5, min_pts: int = 5) -> str:
         CLUSTER_Y_SQL,
     )
 
-    eps_m = 60_000.0
+    eps_m = DBSCAN_SPHERE_EPS_M
     r = MEAN_RADIUS
     eps_c = 2.0 * r * _math.sin(min(eps_m, MAX_DISTANCE) / (2.0 * r))
     e2 = eps_c * eps_c

@@ -13,7 +13,9 @@ dense spots is quadratic: ~25k points in a 2°×2° blob with eps=0.5 is
 
 1. **Replicate** every point to its home coarse cell (side ``S``, a
    multiple of eps) plus any neighbor coarse cell within ``eps`` of it
-   (≤ 4 cells when S ≥ 2·eps; replication overhead ≈ 4·eps/S). The
+   (≤ 2 per axis when S ≥ 2·eps — 4 cells in 2-D, 8 in the 3-D
+   geodesic embedding; replication overhead ≈ 4·eps/S in 2-D,
+   6·eps/S in 3-D). The
    only shuffles in the whole operator are these keyed-by-cell
    ``applyInPandas`` groupings — uniformly spread unless the data is
    skewed, in which case shrink ``S`` (more, smaller partitions).

@@ -91,14 +91,18 @@ def _run(spark, lon, lat, eps_m, min_pts, **kw):
 
 
 def _cap_points(rng, lon0, lat0, radius_m, n):
-    """n points within radius_m (surface metres, conservatively) of
-    (lon0, lat0) — lat offset in metres, lon offset scaled by the
-    WORST (smallest) cos(lat) in the band so the cap bound holds."""
+    """n points whose lon/lat-axis offsets from (lon0, lat0) are each
+    ≤ radius_m surface metres (so pairwise ≤ 2√2·radius_m): the lon
+    offset in degrees shrinks by the LARGEST cos(lat) the band can
+    reach (its most equatorward latitude) — dividing by a larger cos
+    gives a smaller degree offset, so the metre bound holds at every
+    latitude in the band. (Dividing by the smallest cos — the first
+    version's bug — INFLATES the offset ~12% at lat 89.)"""
     dlat = rng.uniform(-radius_m, radius_m, n) / _M_PER_DEG
     lat = lat0 + dlat
-    worst = np.cos(np.radians(np.maximum(np.abs(lat), abs(lat0)) + 1e-9))
-    worst = np.maximum(worst, 1e-6)
-    dlon = rng.uniform(-radius_m, radius_m, n) / (_M_PER_DEG * worst)
+    band_min_abs = max(0.0, abs(lat0) - radius_m / _M_PER_DEG)
+    cos_max = max(math.cos(math.radians(band_min_abs)), 1e-6)
+    dlon = rng.uniform(-radius_m, radius_m, n) / (_M_PER_DEG * cos_max)
     return lon0 + dlon, lat
 
 
@@ -107,7 +111,8 @@ def test_sphere_matches_bruteforce_global(spark):
     eps = 50_000.0
     lons, lats = [], []
     # clusters straddling the antimeridian, near a pole, and at
-    # mid-latitudes; intra-cap radius 15 km => pairwise <= ~42 km < eps
+    # mid-latitudes; axis offsets <= 15 km => pairwise <= 2*sqrt(2)*15
+    # = 42.4 km < eps (chord distance is shorter still)
     for lon0, lat0, n in [
         (179.98, 0.2, 12),
         (5.0, 88.9, 10),
