@@ -384,18 +384,17 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
                     out_kind.append("noise")
                     out_lab.append(-1)
                     out_own.append(True)
-    ccx = int(pdf["ccx"].iloc[0]) if len(pdf) else 0
-    ccy = int(pdf["ccy"].iloc[0]) if len(pdf) else 0
-    return pd.DataFrame(
-        {
-            "id": out_id,
-            "kind": out_kind,
-            "lab": out_lab,
-            "own": out_own,
-            "ccx": ccx,
-            "ccy": ccy,
-        }
-    )
+    out = {
+        "id": out_id,
+        "kind": out_kind,
+        "lab": out_lab,
+        "own": out_own,
+        "ccx": int(pdf["ccx"].iloc[0]) if len(pdf) else 0,
+        "ccy": int(pdf["ccy"].iloc[0]) if len(pdf) else 0,
+    }
+    if "ccz" in pdf.columns:
+        out["ccz"] = int(pdf["ccz"].iloc[0]) if len(pdf) else 0
+    return pd.DataFrame(out)
 
 
 # max label-equivalence edges resolved driver-side before falling back
@@ -406,8 +405,11 @@ _DRIVER_MERGE_MAX = 2_000_000
 _P1_SCHEMA = T.StructType(
     [T.StructField("id", T.LongType()), T.StructField("core", T.BooleanType())]
 )
-_P2_SCHEMA = T.StructType(
-    [
+def _p2_schema(dim: int) -> T.StructType:
+    """Pass-2 output schema; the 3-D embedding carries its third cell
+    coordinate so incremental maintenance can slice `local` rows by
+    the full cell key."""
+    fields = [
         T.StructField("id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("lab", T.LongType()),
@@ -415,7 +417,9 @@ _P2_SCHEMA = T.StructType(
         T.StructField("ccx", T.LongType()),
         T.StructField("ccy", T.LongType()),
     ]
-)
+    if dim == 3:
+        fields.append(T.StructField("ccz", T.LongType()))
+    return T.StructType(fields)
 
 
 
@@ -485,16 +489,25 @@ def _validated_pts(df, key, x, y, eps, min_pts, coarse_cell, metric="planar"):
     return pts, eps, s
 
 
+def _cell_cols_of(cols) -> list[str]:
+    """The coarse-cell key columns present, in axis order (2-D planar
+    or the 3-D chordal embedding)."""
+    return [c for c in ("ccx", "ccy", "ccz") if c in cols]
+
+
 def _dilate_cells_np(cells: "pd.DataFrame", r: int) -> "pd.DataFrame":
-    """Driver-side Chebyshev-r dilation of a small (ccx, ccy) frame."""
-    cx = cells["ccx"].to_numpy(np.int64)
-    cy = cells["ccy"].to_numpy(np.int64)
+    """Driver-side Chebyshev-r dilation of a small cell frame (2-D or
+    3-D, decided by the columns present)."""
+    ccols = _cell_cols_of(cells.columns)
+    arrs = [cells[c].to_numpy(np.int64) for c in ccols]
     offs = np.arange(-r, r + 1, dtype=np.int64)
-    dx, dy = np.meshgrid(offs, offs, indexing="ij")
-    ex = (cx[:, None] + dx.ravel()[None, :]).ravel()
-    ey = (cy[:, None] + dy.ravel()[None, :]).ravel()
-    uniq = np.unique(np.stack([ex, ey], axis=1), axis=0)
-    return pd.DataFrame({"ccx": uniq[:, 0], "ccy": uniq[:, 1]})
+    grids = np.meshgrid(*([offs] * len(ccols)), indexing="ij")
+    exp = [
+        (a[:, None] + g.ravel()[None, :]).ravel()
+        for a, g in zip(arrs, grids)
+    ]
+    uniq = np.unique(np.stack(exp, axis=1), axis=0)
+    return pd.DataFrame({c: uniq[:, i] for i, c in enumerate(ccols)})
 
 
 # above this many distinct delta home cells, incremental maintenance
@@ -512,25 +525,29 @@ _AFFECTED_BROADCAST_MAX = 20_000_000
 
 
 def _expand_cells(cells: DataFrame, r: int) -> DataFrame:
-    """Chebyshev-r dilation of a (ccx, ccy) cell set."""
+    """Chebyshev-r dilation of a cell set (2-D or 3-D, decided by the
+    columns present)."""
+    ccols = _cell_cols_of(cells.columns)
     if r == 0:
-        return cells.select("ccx", "ccy").distinct()
-    offs = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
+        return cells.select(*ccols).distinct()
+    offs = list(itertools.product(range(-r, r + 1), repeat=len(ccols)))
     return (
         cells.select(
             F.explode(
                 F.array(
                     *[
                         F.struct(
-                            (F.col("ccx") + F.lit(dx)).alias("ccx"),
-                            (F.col("ccy") + F.lit(dy)).alias("ccy"),
+                            *[
+                                (F.col(c) + F.lit(o)).alias(c)
+                                for c, o in zip(ccols, off)
+                            ]
                         )
-                        for dx, dy in offs
+                        for off in offs
                     ]
                 )
             ).alias("c")
         )
-        .select("c.ccx", "c.ccy")
+        .select(*[f"c.{c}" for c in ccols])
         .distinct()
     )
 
@@ -550,16 +567,11 @@ def _compute_local(
     pass the precomputed ring as ``p1_cells`` to skip the distributed
     dilation."""
     cell_cols = [_CELL_COLS[d] for d in _dims(pts.columns)]
-    if p2_cells is not None and len(cell_cols) != 2:
-        raise NotImplementedError(
-            "cell-restricted recompute (incremental maintenance) is "
-            "planar-only"
-        )
     rep = _replicate_to_cells(pts, s, eps)
     if p2_cells is not None:
         if p1_cells is None:
             p1_cells = _expand_cells(p2_cells, 1)
-        rep = rep.join(F.broadcast(p1_cells), ["ccx", "ccy"], "left_semi")
+        rep = rep.join(F.broadcast(p1_cells), cell_cols, "left_semi")
 
     def p1(pdf: pd.DataFrame) -> pd.DataFrame:
         o = pdf["own"].to_numpy(dtype=bool)
@@ -574,14 +586,14 @@ def _compute_local(
 
     rep2 = _replicate_to_cells(pts.join(flags, "id"), s, eps)
     if p2_cells is not None:
-        rep2 = rep2.join(F.broadcast(p2_cells), ["ccx", "ccy"], "left_semi")
+        rep2 = rep2.join(F.broadcast(p2_cells), cell_cols, "left_semi")
 
     def p2(pdf: pd.DataFrame) -> pd.DataFrame:
         return _local_cluster(pdf, eps)
 
     return (
         rep2.groupBy(*cell_cols)
-        .applyInPandas(p2, _P2_SCHEMA)
+        .applyInPandas(p2, _p2_schema(len(cell_cols)))
         .localCheckpoint(eager=True)
     )
 
@@ -747,15 +759,11 @@ def dbscan(
     for :func:`dbscan_incremental` (append-delta maintenance): a dict
     of {local, eq, resolved, result} DataFrames (per-cell local rows,
     provenance-tagged label-equivalence edges, the non-identity label
-    resolution map, and the per-point output). Planar-only: the dirty
-    cell bookkeeping is 2-D, so ``metric='sphere'`` with
-    ``return_state`` raises.
+    resolution map, and the per-point output). Works for both metrics
+    — sphere-mode state carries 3-D cell keys (ccx, ccy, ccz in the
+    chordal embedding's grid) and must be continued with
+    ``dbscan_incremental(..., metric='sphere')``.
     """
-    if metric == "sphere" and return_state:
-        raise NotImplementedError(
-            "incremental-maintenance state is planar-only; rebuild with "
-            "dbscan(metric='sphere') per batch or cluster in a planar CRS"
-        )
     pts, eps, s = _validated_pts(
         df, key, x, y, eps, min_pts, coarse_cell, metric
     )
@@ -785,11 +793,17 @@ def dbscan_incremental(
     min_pts: int,
     coarse_cell: float | None = None,
     max_iter: int = 25,
+    metric: str = "planar",
 ):
     """Append-delta DBSCAN maintenance: recluster ONLY the coarse
     cells a new batch of points can affect, then re-merge labels
     globally — provably equal to a full rebuild (asserted
     differentially in tests), at delta-proportional cost.
+    ``metric='sphere'`` maintains geodesic clusters: the dirty-cell
+    bookkeeping runs in the 3-D chordal embedding's grid (the
+    Chebyshev-ring argument below is per-axis, so it is
+    dimension-free), and ``metric`` must match the metric the state
+    was built with (checked via the state's cell-key dimension).
 
     ``df_all`` = the full table INCLUDING the delta rows; ``delta`` =
     just the new rows; ``prev_state`` = the state dict from
@@ -831,24 +845,36 @@ def dbscan_incremental(
         }
     prev_local = prev_state["local"]
     pts_all, eps, s = _validated_pts(
-        df_all, key, x, y, eps, min_pts, coarse_cell
+        df_all, key, x, y, eps, min_pts, coarse_cell, metric
     )
-    pts_delta, _, _ = _validated_pts(delta, key, x, y, eps, min_pts, coarse_cell)
+    pts_delta, _, _ = _validated_pts(
+        delta, key, x, y, eps, min_pts, coarse_cell, metric
+    )
+    cell_cols = [_CELL_COLS[d] for d in _dims(pts_all.columns)]
+    state_cols = _cell_cols_of(prev_local.columns)
+    if state_cols != cell_cols:
+        raise ValueError(
+            f"metric {metric!r} implies cell key {cell_cols}, but the "
+            f"previous state carries {state_cols} — the state must be "
+            "continued with the metric it was built with"
+        )
 
     spark = df_all.sparkSession
     home = pts_delta.select(
-        F.floor(F.col("x") / F.lit(s)).cast("long").alias("ccx"),
-        F.floor(F.col("y") / F.lit(s)).cast("long").alias("ccy"),
+        *[
+            F.floor(F.col(d) / F.lit(s)).cast("long").alias(_CELL_COLS[d])
+            for d in _dims(pts_delta.columns)
+        ]
     ).distinct()
     home_pdf = home.toPandas()
     if len(home_pdf) <= _DRIVER_CELLS_MAX:
         # LocalRelation cell sets: every ring is a numpy dilation of the
         # home cells, so the per-batch fixed cost is one tiny toPandas
         # job instead of ~6 distinct-shuffle jobs (ring re-expansions)
+        schema = ", ".join(f"{c} long" for c in cell_cols)
+
         def _cells(r: int) -> DataFrame:
-            return spark.createDataFrame(
-                _dilate_cells_np(home_pdf, r), "ccx long, ccy long"
-            )
+            return spark.createDataFrame(_dilate_cells_np(home_pdf, r), schema)
 
         dirty, ring1, ring2 = _cells(2), _cells(3), _cells(4)
         p1c = ring1
@@ -865,13 +891,13 @@ def dbscan_incremental(
     fresh = _compute_local(
         pts_all, s, eps, int(min_pts), p2_cells=dirty, p1_cells=p1c
     )
-    kept = prev_local.join(bcast(dirty), ["ccx", "ccy"], "left_anti")
+    kept = prev_local.join(bcast(dirty), cell_cols, "left_anti")
     new_local = kept.unionByName(fresh).localCheckpoint(eager=True)
 
     def _own_core_ids(local_rows: DataFrame) -> DataFrame:
         return (
             local_rows.filter((F.col("kind") == "corelab") & F.col("own"))
-            .join(bcast(ring1), ["ccx", "ccy"], "left_semi")
+            .join(bcast(ring1), cell_cols, "left_semi")
             .select("id")
             .distinct()
         )
@@ -888,7 +914,7 @@ def dbscan_incremental(
     # from that slice only
     slice_eq = (
         new_local.filter(F.col("kind") == "corelab")
-        .join(bcast(ring2), ["ccx", "ccy"], "left_semi")
+        .join(bcast(ring2), cell_cols, "left_semi")
         .join(F.broadcast(refresh_ids), "id", "left_semi")
     )
     eq = (
@@ -917,7 +943,7 @@ def dbscan_incremental(
         .select("lab")
     )
     ids_dirty = (
-        prev_local.join(bcast(dirty), ["ccx", "ccy"], "left_semi")
+        prev_local.join(bcast(dirty), cell_cols, "left_semi")
         .select("id")
         .unionByName(fresh.select("id"))
         .distinct()

@@ -47,9 +47,12 @@ class DbscanMaintainer:
         coarse_cell: float | None = None,
         on_update: Callable[[DataFrame], None] | None = None,
         on_delta: Callable[[DataFrame], None] | None = None,
+        metric: str = "planar",
     ):
         self._args = (key, x, y)
-        self._kw = dict(eps=eps, min_pts=min_pts, coarse_cell=coarse_cell)
+        self._kw = dict(
+            eps=eps, min_pts=min_pts, coarse_cell=coarse_cell, metric=metric
+        )
         self._on_update = on_update
         self._on_delta = on_delta
         self._seen: DataFrame | None = None
@@ -105,16 +108,20 @@ def streaming_dbscan(
     coarse_cell: float | None = None,
     on_update: Callable[[DataFrame], None] | None = None,
     on_delta: Callable[[DataFrame], None] | None = None,
+    metric: str = "planar",
 ) -> tuple["DbscanMaintainer", "DataFrame"]:
     """Wire a streaming point source into incremental DBSCAN
     maintenance. Returns (maintainer, writer-ready stream): start it
     with ``maintainer, q = streaming_dbscan(...);
     q.writeStream.foreachBatch(maintainer)...start()`` — split so the
     caller owns trigger/output options. ``on_delta`` receives the
-    per-batch upsert rows (the O(delta) production sink path)."""
+    per-batch upsert rows (the O(delta) production sink path).
+    ``metric='sphere'`` maintains geodesic clusters (x/y = lon/lat
+    degrees, eps in metres)."""
     return (
         DbscanMaintainer(
-            key, x, y, eps, min_pts, coarse_cell, on_update, on_delta
+            key, x, y, eps, min_pts, coarse_cell, on_update, on_delta,
+            metric=metric,
         ),
         stream_points,
     )

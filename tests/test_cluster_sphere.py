@@ -181,16 +181,191 @@ def test_world_covering_eps(spark):
     assert got2 == got
 
 
-def test_sphere_rejects_state_and_bad_metric(spark):
+def test_sphere_rejects_bad_metric_and_state_mismatch(spark):
+    from geomesa_sql_spark.ops.cluster import dbscan_incremental
+
     df = spark.createDataFrame(
         pd.DataFrame({"id": [1], "lon": [0.0], "lat": [0.0]})
     )
-    with pytest.raises(NotImplementedError, match="planar-only"):
-        dbscan(df, "id", "lon", "lat", eps=10.0, min_pts=1,
-               metric="sphere", return_state=True)
     with pytest.raises(ValueError, match="metric"):
         dbscan(df, "id", "lon", "lat", eps=10.0, min_pts=1,
                metric="euclid")
+    # a state's cell-key dimension pins the metric it was built with:
+    # continuing a planar state as sphere (or vice versa) must raise,
+    # not silently mis-slice the dirty cells
+    _, planar_state = dbscan(
+        df, "id", "lon", "lat", eps=10.0, min_pts=1, return_state=True
+    )
+    with pytest.raises(ValueError, match="cell key"):
+        dbscan_incremental(
+            df, df, planar_state, "id", "lon", "lat",
+            eps=10.0, min_pts=1, metric="sphere",
+        )
+    _, sphere_state = dbscan(
+        df, "id", "lon", "lat", eps=10.0, min_pts=1,
+        metric="sphere", return_state=True,
+    )
+    with pytest.raises(ValueError, match="cell key"):
+        dbscan_incremental(
+            df, df, sphere_state, "id", "lon", "lat",
+            eps=10.0, min_pts=1,
+        )
+
+
+def _rows(df):
+    return {
+        (int(r["id"]), int(r["cluster"]), r["role"]) for r in df.collect()
+    }
+
+
+def _sphere_df(spark, ids, lon, lat):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"id": np.asarray(ids, np.int64), "lon": lon, "lat": lat}
+        )
+    )
+
+
+def test_sphere_incremental_equals_full_rebuild(spark):
+    """Geodesic incremental maintenance == full geodesic rebuild,
+    chained over batches that extend an antimeridian-straddling
+    cluster, grow a polar ring, merge two clusters, and add noise —
+    the cases a planar-degrees dirty-cell grid would get wrong."""
+    from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
+
+    rng = np.random.default_rng(20260821)
+    eps, min_pts = 50_000.0, 3
+
+    am_lo, am_la = _cap_points(rng, 179.97, -5.0, 12_000.0, 6)
+    po_lo, po_la = _cap_points(rng, 40.0, 89.2, 12_000.0, 5)
+    a_lo, a_la = _cap_points(rng, 30.0, 10.0, 12_000.0, 5)
+    b_lo, b_la = _cap_points(rng, 31.3, 10.0, 12_000.0, 5)  # ~143 km away
+    base_lon = np.concatenate([am_lo, po_lo, a_lo, b_lo])
+    base_lat = np.concatenate([am_la, po_la, a_la, b_la])
+
+    # batch 1: extend the antimeridian cluster FROM THE OTHER SIDE of
+    # the seam + sparse noise
+    d1_lo, d1_la = _cap_points(rng, -179.96, -5.0, 12_000.0, 4)
+    d1_lon = np.concatenate([d1_lo, np.array([-60.0, 100.0])])
+    d1_lat = np.concatenate([d1_la, np.array([-40.0, 55.0])])
+    # batch 2: a bridge point midway between clusters a and b (merges
+    # them: 31.3° of lon at lat 10 is ~143 km; the midpoint is ~72 km
+    # from each — outside eps; use a 3-point chain) + polar growth
+    br_lo = np.array([30.45, 30.65, 30.85])
+    br_la = np.full(3, 10.0)
+    d2_lo, d2_la = _cap_points(rng, 42.0, 89.25, 12_000.0, 3)
+    d2_lon = np.concatenate([br_lo, d2_lo])
+    d2_lat = np.concatenate([br_la, d2_la])
+
+    n0, n1, n2 = len(base_lon), len(d1_lon), len(d2_lon)
+    ids0 = np.arange(n0)
+    ids1 = np.arange(n0, n0 + n1)
+    ids2 = np.arange(n0 + n1, n0 + n1 + n2)
+
+    base = _sphere_df(spark, ids0, base_lon, base_lat)
+    d1 = _sphere_df(spark, ids1, d1_lon, d1_lat)
+    d2 = _sphere_df(spark, ids2, d2_lon, d2_lat)
+
+    _, state = dbscan(
+        base, "id", "lon", "lat", eps=eps, min_pts=min_pts,
+        metric="sphere", return_state=True,
+    )
+    all1 = base.unionByName(d1)
+    inc1, state = dbscan_incremental(
+        all1, d1, state, "id", "lon", "lat",
+        eps=eps, min_pts=min_pts, metric="sphere",
+    )
+    full1 = dbscan(
+        all1, "id", "lon", "lat", eps=eps, min_pts=min_pts,
+        metric="sphere",
+    )
+    assert _rows(inc1) == _rows(full1)
+
+    all2 = all1.unionByName(d2)
+    inc2, state = dbscan_incremental(
+        all2, d2, state, "id", "lon", "lat",
+        eps=eps, min_pts=min_pts, metric="sphere",
+    )
+    full2 = dbscan(
+        all2, "id", "lon", "lat", eps=eps, min_pts=min_pts,
+        metric="sphere",
+    )
+    got2 = _rows(inc2)
+    assert got2 == _rows(full2)
+    # the bridge really merged a and b: ids of both caps share a label
+    lab_of = {i: c for (i, c, _) in got2}
+    a_ids = range(6 + 5, 6 + 5 + 5)
+    b_ids = range(6 + 5 + 5, 6 + 5 + 5 + 5)
+    labs = {lab_of[i] for i in a_ids} | {lab_of[i] for i in b_ids}
+    assert len(labs) == 1 and -1 not in labs
+    # and the antimeridian cluster is one component including batch-1
+    am_labs = {lab_of[i] for i in range(6)} | {lab_of[int(i)] for i in ids1[:4]}
+    assert len(am_labs) == 1 and -1 not in am_labs
+
+
+def test_sphere_incremental_state_save_load_roundtrip(spark, tmp_path):
+    """3-D (ccz-carrying) state survives the durable parquet
+    snapshot and continues correctly after a reload."""
+    from geomesa_sql_spark.ops.cluster import (
+        dbscan,
+        dbscan_incremental,
+        load_dbscan_state,
+        save_dbscan_state,
+    )
+
+    rng = np.random.default_rng(11)
+    lo, la = _cap_points(rng, 179.98, 0.0, 10_000.0, 5)
+    base = _sphere_df(spark, np.arange(5), lo, la)
+    d_lo, d_la = _cap_points(rng, -179.97, 0.0, 10_000.0, 3)
+    delta = _sphere_df(spark, np.arange(5, 8), d_lo, d_la)
+
+    _, state = dbscan(
+        base, "id", "lon", "lat", eps=40_000.0, min_pts=2,
+        metric="sphere", return_state=True,
+    )
+    save_dbscan_state(state, str(tmp_path), applied=[0])
+    loaded, applied = load_dbscan_state(spark, str(tmp_path))
+    assert applied == [0]
+    assert "ccz" in loaded["local"].columns
+    full = base.unionByName(delta)
+    inc, _ = dbscan_incremental(
+        full, delta, loaded, "id", "lon", "lat",
+        eps=40_000.0, min_pts=2, metric="sphere",
+    )
+    ref = dbscan(
+        full, "id", "lon", "lat", eps=40_000.0, min_pts=2, metric="sphere"
+    )
+    assert _rows(inc) == _rows(ref)
+
+
+def test_sphere_streaming_maintainer_matches_batch(spark):
+    """DbscanMaintainer(metric='sphere') driven directly (the
+    foreachBatch calling convention) equals batch geodesic DBSCAN
+    after every batch, and replays are idempotent."""
+    from geomesa_sql_spark.streaming.cluster import DbscanMaintainer
+
+    rng = np.random.default_rng(3)
+    lo0, la0 = _cap_points(rng, 10.0, 45.0, 10_000.0, 4)
+    lo1, la1 = _cap_points(rng, 10.0, 45.3, 10_000.0, 3)
+    b0 = _sphere_df(spark, np.arange(4), lo0, la0)
+    b1 = _sphere_df(spark, np.arange(4, 7), lo1, la1)
+
+    m = DbscanMaintainer(
+        "id", "lon", "lat", eps=45_000.0, min_pts=2, metric="sphere"
+    )
+    m(b0, 0)
+    assert _rows(m.labels) == _rows(
+        dbscan(b0, "id", "lon", "lat", eps=45_000.0, min_pts=2,
+               metric="sphere")
+    )
+    m(b1, 1)
+    want = _rows(
+        dbscan(b0.unionByName(b1), "id", "lon", "lat",
+               eps=45_000.0, min_pts=2, metric="sphere")
+    )
+    assert _rows(m.labels) == want
+    m(b1, 1)  # replayed batch: state unchanged
+    assert _rows(m.labels) == want
 
 
 def test_sphere_null_coords_dropped(spark):
