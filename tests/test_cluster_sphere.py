@@ -303,6 +303,40 @@ def test_sphere_incremental_equals_full_rebuild(spark):
     assert len(am_labs) == 1 and -1 not in am_labs
 
 
+def test_sphere_incremental_removal_splits_seam_cluster(spark):
+    """Removing the points ON the antimeridian splits a seam-straddling
+    geodesic cluster into an east and a west half — the removal delta
+    path must equal a full rebuild in the 3-D embedding too."""
+    from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
+
+    lon = np.array([179.80, 179.90, 180.00, -179.95, -179.85, -179.75])
+    lat = np.zeros(6)
+    ids = np.arange(6)
+    base = _sphere_df(spark, ids, lon, lat)
+    _, st = dbscan(
+        base, "id", "lon", "lat", eps=13_000.0, min_pts=2,
+        metric="sphere", return_state=True,
+    )
+    # drop the two seam points (ids 2, 3): ~11 km gaps become ~22 km
+    keep = np.array([0, 1, 4, 5])
+    after = _sphere_df(spark, keep, lon[keep], lat[keep])
+    delta = _sphere_df(spark, [2, 3], lon[[2, 3]], lat[[2, 3]])
+    inc, st = dbscan_incremental(
+        after, delta, st, "id", "lon", "lat",
+        eps=13_000.0, min_pts=2, metric="sphere",
+    )
+    got = _rows(inc)
+    ref = dbscan(
+        after, "id", "lon", "lat", eps=13_000.0, min_pts=2, metric="sphere"
+    )
+    assert got == _rows(ref)
+    lab_of = {i: c for (i, c, _) in got}
+    assert set(lab_of) == {0, 1, 4, 5}
+    assert lab_of[0] == lab_of[1] >= 0
+    assert lab_of[4] == lab_of[5] >= 0
+    assert lab_of[0] != lab_of[4], "seam cluster did not split"
+
+
 def test_sphere_incremental_state_save_load_roundtrip(spark, tmp_path):
     """3-D (ccz-carrying) state survives the durable parquet
     snapshot and continues correctly after a reload."""

@@ -823,6 +823,102 @@ def test_dbscan_incremental_equals_full_rebuild(spark):
             assert lab_a and lab_a == lab_b
 
 
+def test_dbscan_incremental_removals_moves_mixed(spark):
+    """Delta maintenance handles REMOVALS and MOVES, not just appends:
+    the dirty-cell argument is symmetric (a removed point's influence
+    is confined to the same ring of cells around its home), so passing
+    the removed/old rows as the delta and the post-change table as
+    df_all equals a full rebuild — chained across a cluster-splitting
+    removal, a moved bridge point, a whole-cluster deletion, and a
+    mixed remove+append batch."""
+    import numpy as np
+
+    from geomesa_sql_spark.ops.cluster import dbscan, dbscan_incremental
+
+    schema = "id long, x double, y double"
+
+    def mk(ids, xs, ys):
+        return spark.createDataFrame(
+            [(int(i), float(a), float(b)) for i, a, b in zip(ids, xs, ys)],
+            schema,
+        )
+
+    def rows(df):
+        return {(r.id, r.cluster, r.role) for r in df.collect()}
+
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 1, (8, 2))
+    b = rng.uniform(0, 1, (8, 2)) + [5.0, 0.0]
+    bridge = np.array(
+        [[1.8, 0.5], [2.5, 0.5], [3.2, 0.5], [3.9, 0.5], [4.6, 0.5]]
+    )
+    pts = np.vstack([a, b, bridge])
+    ids = np.arange(len(pts))
+    _, st = dbscan(
+        mk(ids, pts[:, 0], pts[:, 1]), "id", "x", "y",
+        eps=1.0, min_pts=3, return_state=True,
+    )
+
+    # 1. remove the middle bridge point → the one cluster splits in two
+    keep = np.setdiff1d(ids, [18])
+    after = mk(keep, pts[keep, 0], pts[keep, 1])
+    delta = mk([18], pts[[18], 0], pts[[18], 1])
+    inc, st = dbscan_incremental(
+        after, delta, st, "id", "x", "y", eps=1.0, min_pts=3
+    )
+    got = rows(inc)
+    assert got == rows(dbscan(after, "id", "x", "y", eps=1.0, min_pts=3))
+    assert 18 not in {i for (i, _, _) in got}
+    assert len({c for (_, c, _) in got if c >= 0}) == 2
+
+    # 2. move bridge point 17 far away: delta = its old AND new rows
+    moved = pts.copy()
+    moved[17] = [50.0, 50.0]
+    after2 = mk(keep, moved[keep, 0], moved[keep, 1])
+    delta2 = spark.createDataFrame(
+        [(17, float(pts[17, 0]), float(pts[17, 1])), (17, 50.0, 50.0)],
+        schema,
+    )
+    inc2, st = dbscan_incremental(
+        after2, delta2, st, "id", "x", "y", eps=1.0, min_pts=3
+    )
+    assert rows(inc2) == rows(
+        dbscan(after2, "id", "x", "y", eps=1.0, min_pts=3)
+    )
+
+    # 3. delete blob b entirely
+    keep3 = np.setdiff1d(keep, np.arange(8, 16))
+    after3 = mk(keep3, moved[keep3, 0], moved[keep3, 1])
+    delta3 = mk(np.arange(8, 16), moved[8:16, 0], moved[8:16, 1])
+    inc3, st = dbscan_incremental(
+        after3, delta3, st, "id", "x", "y", eps=1.0, min_pts=3
+    )
+    got3 = rows(inc3)
+    assert got3 == rows(dbscan(after3, "id", "x", "y", eps=1.0, min_pts=3))
+    assert not ({i for (i, _, _) in got3} & set(range(8, 16)))
+
+    # 4. mixed batch: remove two of blob a (demoting cores) + append 3
+    keep4 = np.setdiff1d(keep3, [0, 1])
+    new_ids = [100, 101, 102]
+    new_xy = [(0.5, 0.45), (0.55, 0.5), (10.0, 10.0)]
+    after4 = mk(
+        list(keep4) + new_ids,
+        list(moved[keep4, 0]) + [p[0] for p in new_xy],
+        list(moved[keep4, 1]) + [p[1] for p in new_xy],
+    )
+    delta4 = mk(
+        [0, 1] + new_ids,
+        list(pts[[0, 1], 0]) + [p[0] for p in new_xy],
+        list(pts[[0, 1], 1]) + [p[1] for p in new_xy],
+    )
+    inc4, st = dbscan_incremental(
+        after4, delta4, st, "id", "x", "y", eps=1.0, min_pts=3
+    )
+    assert rows(inc4) == rows(
+        dbscan(after4, "id", "x", "y", eps=1.0, min_pts=3)
+    )
+
+
 def test_near_dup_embeddings_lsh_multiband_recall(spark, sf_dir):
     """Multi-band OR-construction recall on planted noisy duplicates:
     a single 8-bit band misses ~30% of cos≈0.99 pairs; 4 bands get
