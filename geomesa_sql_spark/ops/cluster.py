@@ -513,8 +513,16 @@ def _dilate_cells_np(cells: "pd.DataFrame", r: int) -> "pd.DataFrame":
 # above this many distinct delta home cells, incremental maintenance
 # expands cell rings distributedly instead of on the driver (a spray
 # delta over a huge grid); below it, LocalRelation cell sets avoid
-# ~6 tiny shuffle jobs per batch — the dominant cost of a small delta
+# ~6 tiny shuffle jobs per batch — the dominant cost of a small delta.
+# Calibrated in 2-D for the widest dilation (r=4: 81 offsets → ≤8.1M
+# pre-unique rows, ~130 MB of driver numpy); _driver_cells_cap scales
+# it down in 3-D, where the same r is 729 offsets (9× the rows per
+# home cell), so the driver/broadcast bound stays constant
 _DRIVER_CELLS_MAX = 100_000
+
+
+def _driver_cells_cap(dim: int) -> int:
+    return _DRIVER_CELLS_MAX // (9 ** (dim - 2))
 
 # above this many affected point ids, the incremental assembly stops
 # broadcasting the id set (two int64 columns; 20M ids ≈ 160 MB on the
@@ -756,7 +764,8 @@ def dbscan(
     points fit an executor. Shrink it for very dense data.
 
     ``return_state=True`` additionally returns the maintenance state
-    for :func:`dbscan_incremental` (append-delta maintenance): a dict
+    for :func:`dbscan_incremental` (delta maintenance — appends,
+    removals, and moves; see its docstring): a dict
     of {local, eq, resolved, result} DataFrames (per-cell local rows,
     provenance-tagged label-equivalence edges, the non-identity label
     resolution map, and the per-point output). Works for both metrics
@@ -855,11 +864,15 @@ def dbscan_incremental(
             "result": p_result.localCheckpoint(eager=True),
         }
     prev_local = prev_state["local"]
+    # both calls must see the USER eps: for metric='sphere'
+    # _validated_pts converts metres → chord metres, and feeding the
+    # first call's converted eps back in would convert it twice
+    eps_user = eps
     pts_all, eps, s = _validated_pts(
-        df_all, key, x, y, eps, min_pts, coarse_cell, metric
+        df_all, key, x, y, eps_user, min_pts, coarse_cell, metric
     )
     pts_delta, _, _ = _validated_pts(
-        delta, key, x, y, eps, min_pts, coarse_cell, metric
+        delta, key, x, y, eps_user, min_pts, coarse_cell, metric
     )
     cell_cols = [_CELL_COLS[d] for d in _dims(pts_all.columns)]
     state_cols = _cell_cols_of(prev_local.columns)
@@ -878,7 +891,7 @@ def dbscan_incremental(
         ]
     ).distinct()
     home_pdf = home.toPandas()
-    if len(home_pdf) <= _DRIVER_CELLS_MAX:
+    if len(home_pdf) <= _driver_cells_cap(len(cell_cols)):
         # LocalRelation cell sets: every ring is a numpy dilation of the
         # home cells, so the per-batch fixed cost is one tiny toPandas
         # job instead of ~6 distinct-shuffle jobs (ring re-expansions)

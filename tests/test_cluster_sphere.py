@@ -337,6 +337,43 @@ def test_sphere_incremental_removal_splits_seam_cluster(spark):
     assert lab_of[0] != lab_of[4], "seam cluster did not split"
 
 
+def test_sphere_incremental_driver_cap_and_single_eps_conversion(spark):
+    """Two review regressions: (1) the driver-dilation cell cap scales
+    down with grid dimension (the r=4 ring is 9× more offsets in 3-D,
+    so the same cap would mean 9× the driver rows and broadcast size);
+    (2) both _validated_pts calls in dbscan_incremental receive the
+    USER eps in metres — feeding the first call's chord-converted eps
+    into the second would chord-convert it twice."""
+    import geomesa_sql_spark.ops.cluster as C
+
+    assert C._driver_cells_cap(2) == C._DRIVER_CELLS_MAX
+    assert C._driver_cells_cap(3) == C._DRIVER_CELLS_MAX // 9
+
+    seen = []
+    orig = C._validated_pts
+
+    def spy(df, key, x, y, eps, min_pts, coarse_cell, metric="planar"):
+        seen.append(float(eps))
+        return orig(df, key, x, y, eps, min_pts, coarse_cell, metric)
+
+    rng = np.random.default_rng(2)
+    lo, la = _cap_points(rng, 5.0, 5.0, 10_000.0, 4)
+    base = _sphere_df(spark, np.arange(4), lo, la)
+    d_lo, d_la = _cap_points(rng, 5.1, 5.0, 10_000.0, 2)
+    delta = _sphere_df(spark, [10, 11], d_lo, d_la)
+    _, st = dbscan(base, "id", "lon", "lat", eps=30_000.0, min_pts=2,
+                   metric="sphere", return_state=True)
+    try:
+        C._validated_pts = spy
+        C.dbscan_incremental(
+            base.unionByName(delta), delta, st, "id", "lon", "lat",
+            eps=30_000.0, min_pts=2, metric="sphere",
+        )
+    finally:
+        C._validated_pts = orig
+    assert seen == [30_000.0, 30_000.0]
+
+
 def test_sphere_incremental_state_save_load_roundtrip(spark, tmp_path):
     """3-D (ccz-carrying) state survives the durable parquet
     snapshot and continues correctly after a reload."""
