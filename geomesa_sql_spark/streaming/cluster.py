@@ -13,6 +13,13 @@ accumulated point table grows by each batch. Each batch also exposes
 ``delta`` — the upsert rows a label sink MERGEs on the key to track
 the full labels writing O(delta) rows per batch.
 
+Batches are append-only point rows by default; with ``op`` set the
+maintainer speaks a CHANGELOG (CDC) contract instead — 'D' events
+delete their key, other events upsert — built on the batch operator's
+general-delta form (removals and moves recluster only the dirty
+cells, like appends). Removed keys surface per batch as ``deleted`` /
+``on_deleted`` so a MERGE sink can delete them.
+
 This mirrors how the engine's other incremental structure (the tile
 pyramid) is maintained: batch operator + delta-merge law, driven by
 the stream — rather than a bespoke stateful operator whose
@@ -35,7 +42,18 @@ class DbscanMaintainer:
 
     After each batch, ``labels`` holds (id, cluster, role) for every
     point seen so far; ``on_update`` (if given) receives it (e.g. to
-    write a sink table)."""
+    write a sink table).
+
+    ``op`` (optional) switches the maintainer to a CHANGELOG (CDC)
+    contract: each batch row carries that column, where the value
+    ``'D'`` deletes the row's key and anything else ('I', 'U', ...)
+    upserts the row's coordinates for its key. Old coordinates for
+    deleted/moved keys are looked up from the accumulated state BY
+    KEY, so delete events need only the key (their x/y may be NULL).
+    At most one event per key per micro-batch (standard for compacted
+    changelogs — with several, every event's key is upserted/deleted
+    as a set, not replayed in order). Without ``op``, batches are
+    append-only point rows, as before."""
 
     def __init__(
         self,
@@ -48,21 +66,59 @@ class DbscanMaintainer:
         on_update: Callable[[DataFrame], None] | None = None,
         on_delta: Callable[[DataFrame], None] | None = None,
         metric: str = "planar",
+        op: str | None = None,
+        on_deleted: Callable[[DataFrame], None] | None = None,
     ):
         self._args = (key, x, y)
         self._kw = dict(
             eps=eps, min_pts=min_pts, coarse_cell=coarse_cell, metric=metric
         )
+        self._op = op
         self._on_update = on_update
         self._on_delta = on_delta
+        self._on_deleted = on_deleted
         self._seen: DataFrame | None = None
         self._state: DataFrame | None = None
         self.labels: DataFrame | None = None
         self._last_batch_id: int | None = None
         #: per-batch upsert rows (r3): MERGE these on the key into a
         #: label sink to track ``labels`` writing O(delta), not
-        #: O(state), rows per batch
+        #: O(state), rows per batch — PLUS, in changelog mode, delete
+        #: the keys in ``deleted`` (upserts cannot express removal);
+        #: ``on_deleted`` receives that frame per batch
         self.delta: DataFrame | None = None
+        #: changelog mode only: keys removed by the last batch (they
+        #: existed before and the batch carried a 'D' event for them)
+        self.deleted: DataFrame | None = None
+
+    def _apply_changelog(self, batch: DataFrame):
+        """(new seen, delta rows for dbscan_incremental, deleted keys).
+        Uniform upsert-or-delete semantics keyed by id: every event
+        key's old row (from ``_seen``) joins the delta, non-'D' events
+        contribute their new row, and ``_seen`` swaps old for new."""
+        from pyspark.sql import functions as F
+
+        key, x, y = self._args
+        cols = [key, x, y]
+        keys = batch.select(key).distinct()
+        # a NULL op is an upsert (only the literal 'D' deletes) — a
+        # bare != would return NULL and silently DROP the row from
+        # new_rows while its key is anti-joined out of seen
+        is_delete = F.col(self._op).eqNullSafe(F.lit("D"))
+        new_rows = batch.filter(~is_delete).select(*cols)
+        if self._seen is None:
+            return new_rows, new_rows, batch.select(key).limit(0)
+        old_rows = self._seen.join(keys, key, "left_semi")
+        seen = (
+            self._seen.join(keys, key, "left_anti").unionByName(new_rows)
+        )
+        deleted = (
+            batch.filter(is_delete)
+            .select(key)
+            .join(self._seen, key, "left_semi")
+            .distinct()
+        )
+        return seen, old_rows.unionByName(new_rows), deleted
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         # foreachBatch replays a batch when a sink throws or the query
@@ -74,13 +130,28 @@ class DbscanMaintainer:
         key, x, y = self._args
         cols = [key, x, y]
         if batch_id != self._last_batch_id:
-            batch = batch.select(*cols).localCheckpoint(eager=True)
-            if self._seen is None:
-                seen = batch
+            deleted = None
+            if self._op is not None:
+                batch = batch.select(*cols, self._op).localCheckpoint(
+                    eager=True
+                )
+                seen, delta, deleted = self._apply_changelog(batch)
+                seen = seen.localCheckpoint(eager=True)
+                if self._seen is None:
+                    labels, state = dbscan(
+                        seen, key, x, y, return_state=True, **self._kw
+                    )
+                else:
+                    labels, state = dbscan_incremental(
+                        seen, delta, self._state, key, x, y, **self._kw
+                    )
+            elif self._seen is None:
+                seen = batch.select(*cols).localCheckpoint(eager=True)
                 labels, state = dbscan(
-                    batch, key, x, y, return_state=True, **self._kw
+                    seen, key, x, y, return_state=True, **self._kw
                 )
             else:
+                batch = batch.select(*cols).localCheckpoint(eager=True)
                 seen = self._seen.unionByName(batch).localCheckpoint(
                     eager=True
                 )
@@ -91,11 +162,18 @@ class DbscanMaintainer:
             # so a failure above leaves a replayable maintainer
             self._seen, self.labels, self._state = seen, labels, state
             self.delta = self._state.get("delta")
+            self.deleted = (
+                deleted.localCheckpoint(eager=True)
+                if deleted is not None
+                else None
+            )
             self._last_batch_id = batch_id
         if self._on_update is not None:
             self._on_update(self.labels)
         if self._on_delta is not None and self.delta is not None:
             self._on_delta(self.delta)
+        if self._on_deleted is not None and self.deleted is not None:
+            self._on_deleted(self.deleted)
 
 
 def streaming_dbscan(
@@ -109,6 +187,8 @@ def streaming_dbscan(
     on_update: Callable[[DataFrame], None] | None = None,
     on_delta: Callable[[DataFrame], None] | None = None,
     metric: str = "planar",
+    op: str | None = None,
+    on_deleted: Callable[[DataFrame], None] | None = None,
 ) -> tuple["DbscanMaintainer", "DataFrame"]:
     """Wire a streaming point source into incremental DBSCAN
     maintenance. Returns (maintainer, writer-ready stream): start it
@@ -117,11 +197,15 @@ def streaming_dbscan(
     caller owns trigger/output options. ``on_delta`` receives the
     per-batch upsert rows (the O(delta) production sink path).
     ``metric='sphere'`` maintains geodesic clusters (x/y = lon/lat
-    degrees, eps in metres)."""
+    degrees, eps in metres). ``op`` names a changelog column ('D'
+    deletes the key, anything else upserts — see
+    :class:`DbscanMaintainer`); ``on_deleted`` then receives each
+    batch's removed keys (a MERGE sink deletes them — upsert rows
+    alone cannot express removal)."""
     return (
         DbscanMaintainer(
             key, x, y, eps, min_pts, coarse_cell, on_update, on_delta,
-            metric=metric,
+            metric=metric, op=op, on_deleted=on_deleted,
         ),
         stream_points,
     )

@@ -300,6 +300,92 @@ def test_streaming_dbscan_maintenance_matches_batch(spark, tmp_path):
     assert sink == got
 
 
+def test_streaming_dbscan_changelog_deletes_and_moves(spark):
+    """Changelog (CDC) mode: op='D' deletes a key, other ops upsert —
+    after each batch the maintained labels equal a from-scratch batch
+    dbscan over the LIVE table; the per-batch (delta, deleted) pair
+    MERGE-tracks the labels exactly; replays are idempotent."""
+    from geomesa_sql_spark.ops.cluster import dbscan
+    from geomesa_sql_spark.streaming import DbscanMaintainer
+
+    schema = "id long, x double, y double, op string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def rows_of(df):
+        return {(r.id, r.cluster, r.role) for r in df.collect()}
+
+    def batch_ref(live_rows):
+        df = spark.createDataFrame(
+            [(i, x, y) for (i, x, y) in live_rows], "id long, x double, y double"
+        )
+        return rows_of(dbscan(df, "id", "x", "y", eps=1.0, min_pts=3))
+
+    sink: dict[int, tuple] = {}
+
+    def apply_delta(d):
+        for r in d.collect():
+            sink[r.id] = (r.cluster, r.role)
+
+    def apply_deleted(d):
+        for r in d.collect():
+            sink.pop(r.id, None)
+
+    m = DbscanMaintainer(
+        "id", "x", "y", eps=1.0, min_pts=3, op="op",
+        on_delta=apply_delta, on_deleted=apply_deleted,
+    )
+
+    # batch 0: two blobs joined by a bridge point (one cluster):
+    # blob_a spans x 0.25..1.0, bridge 1.7 (gaps 0.7 / 0.9 ≤ eps),
+    # blob_b spans 2.6..3.35; without the bridge the gap is 1.6 > eps
+    blob_a = [(i, i * 0.25, 0.0) for i in range(1, 5)]
+    blob_b = [(i, 2.6 + (i - 10) * 0.25, 0.0) for i in range(10, 14)]
+    bridge = [(99, 1.7, 0.0)]
+    b0 = blob_a + blob_b + bridge
+    m(mk([(i, x, y, "I") for (i, x, y) in b0]), 0)
+    assert rows_of(m.labels) == batch_ref(b0)
+    assert sink == {i: (c, r) for (i, c, r) in rows_of(m.labels)}
+
+    # batch 1: DELETE the bridge (cluster splits), MOVE one blob-b
+    # point via 'U', INSERT a new far point, plus a 'D' for a key that
+    # never existed and a NULL-op row (must upsert, not delete)
+    m(
+        mk(
+            [
+                (99, None, None, "D"),
+                (13, 7.0, 7.0, "U"),
+                (50, 20.0, 20.0, "I"),
+                (777, None, None, "D"),
+                (51, 20.1, 20.0, None),
+            ]
+        ),
+        1,
+    )
+    live = blob_a + [r for r in blob_b if r[0] != 13] + [
+        (13, 7.0, 7.0), (50, 20.0, 20.0), (51, 20.1, 20.0),
+    ]
+    want = batch_ref(live)
+    assert rows_of(m.labels) == want
+    # two separate clusters now (the bridge is gone)
+    labs = {c for (_, c, _) in want if c >= 0}
+    assert len(labs) == 2
+    # deleted frame: only key 99 (777 never existed)
+    assert {r.id for r in m.deleted.collect()} == {99}
+    assert sink == {i: (c, r) for (i, c, r) in want}
+
+    # replay of batch 1: state unchanged, sinks re-applied harmlessly
+    m(
+        mk([(99, None, None, "D"), (13, 7.0, 7.0, "U"),
+            (50, 20.0, 20.0, "I"), (777, None, None, "D"),
+            (51, 20.1, 20.0, None)]),
+        1,
+    )
+    assert rows_of(m.labels) == want
+    assert sink == {i: (c, r) for (i, c, r) in want}
+
+
 def test_drain_upsert_vs_memory_sink_append(spark, sf_dir, tmp_path):
     """r3: drain_upsert returns ONE final row per key from a
     multi-batch update-mode drain, equal to the batch aggregate; the
