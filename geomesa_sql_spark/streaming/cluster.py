@@ -50,10 +50,13 @@ class DbscanMaintainer:
     upserts the row's coordinates for its key. Old coordinates for
     deleted/moved keys are looked up from the accumulated state BY
     KEY, so delete events need only the key (their x/y may be NULL).
-    At most one event per key per micro-batch (standard for compacted
-    changelogs — with several, every event's key is upserted/deleted
-    as a set, not replayed in order). Without ``op``, batches are
-    append-only point rows, as before."""
+    Events are SET-reduced per key within a batch (not replayed in
+    order — there is no ordering column): any non-'D' event upserts
+    the key (deterministically the lexicographic max (x, y) among
+    them), and a key deletes only when all its events are 'D'.
+    Compacted changelogs (one event per key per micro-batch) are
+    unaffected. Without ``op``, batches are append-only point rows,
+    as before."""
 
     def __init__(
         self,
@@ -93,30 +96,46 @@ class DbscanMaintainer:
 
     def _apply_changelog(self, batch: DataFrame):
         """(new seen, delta rows for dbscan_incremental, deleted keys).
-        Uniform upsert-or-delete semantics keyed by id: every event
-        key's old row (from ``_seen``) joins the delta, non-'D' events
-        contribute their new row, and ``_seen`` swaps old for new."""
+        Uniform upsert-or-delete semantics keyed by id, reduced to ONE
+        event per key first (set semantics even for an uncompacted
+        batch: any non-'D' event upserts the key — deterministically
+        the lexicographic max (x, y) among them — and a key deletes
+        only when ALL its events are 'D'; without the reduction,
+        duplicate upsert rows would BOTH enter ``_seen`` and inflate
+        eps-neighborhood counts for the rest of the stream). Every
+        event key's old row (from ``_seen``) joins the delta, and
+        ``_seen`` swaps old for new."""
         from pyspark.sql import functions as F
 
         key, x, y = self._args
-        cols = [key, x, y]
-        keys = batch.select(key).distinct()
         # a NULL op is an upsert (only the literal 'D' deletes) — a
         # bare != would return NULL and silently DROP the row from
-        # new_rows while its key is anti-joined out of seen
+        # the upsert side while its key is anti-joined out of seen
         is_delete = F.col(self._op).eqNullSafe(F.lit("D"))
-        new_rows = batch.filter(~is_delete).select(*cols)
+        per_key = batch.groupBy(key).agg(
+            F.max(
+                F.when(
+                    ~is_delete,
+                    F.struct(F.col(x).alias("x"), F.col(y).alias("y")),
+                )
+            ).alias("__new")
+        )
+        new_rows = per_key.filter(F.col("__new").isNotNull()).select(
+            key,
+            F.col("__new.x").alias(x),
+            F.col("__new.y").alias(y),
+        )
         if self._seen is None:
-            return new_rows, new_rows, batch.select(key).limit(0)
+            return new_rows, new_rows, new_rows.select(key).limit(0)
+        keys = per_key.select(key)
         old_rows = self._seen.join(keys, key, "left_semi")
         seen = (
             self._seen.join(keys, key, "left_anti").unionByName(new_rows)
         )
         deleted = (
-            batch.filter(is_delete)
+            per_key.filter(F.col("__new").isNull())
             .select(key)
             .join(self._seen, key, "left_semi")
-            .distinct()
         )
         return seen, old_rows.unionByName(new_rows), deleted
 
@@ -137,6 +156,12 @@ class DbscanMaintainer:
                 )
                 seen, delta, deleted = self._apply_changelog(batch)
                 seen = seen.localCheckpoint(eager=True)
+                # materialize ``deleted`` BEFORE any state mutation:
+                # its plan semi-joins the PRE-batch _seen, and a
+                # replay after a later failure would recompute it
+                # against the already-updated _seen (empty — the
+                # on_deleted sink would permanently miss the batch)
+                deleted = deleted.localCheckpoint(eager=True)
                 if self._seen is None:
                     labels, state = dbscan(
                         seen, key, x, y, return_state=True, **self._kw
@@ -162,11 +187,7 @@ class DbscanMaintainer:
             # so a failure above leaves a replayable maintainer
             self._seen, self.labels, self._state = seen, labels, state
             self.delta = self._state.get("delta")
-            self.deleted = (
-                deleted.localCheckpoint(eager=True)
-                if deleted is not None
-                else None
-            )
+            self.deleted = deleted
             self._last_batch_id = batch_id
         if self._on_update is not None:
             self._on_update(self.labels)

@@ -385,6 +385,94 @@ def test_streaming_dbscan_changelog_deletes_and_moves(spark):
     assert rows_of(m.labels) == want
     assert sink == {i: (c, r) for (i, c, r) in want}
 
+    # batch 2: an UNCOMPACTED batch — multiple events per key must
+    # set-reduce, not duplicate: D+I for key 50 (upsert wins, the key
+    # is NOT deleted), two upserts for key 13 (the lexicographic max
+    # (x, y) wins, exactly one row in seen), all-D for key 51
+    m(
+        mk(
+            [
+                (50, None, None, "D"),
+                (50, 21.0, 21.0, "I"),
+                (13, 6.0, 6.0, "U"),
+                (13, 6.5, 6.0, "U"),
+                (51, None, None, "D"),
+                (51, None, None, "D"),
+            ]
+        ),
+        2,
+    )
+    live2 = blob_a + [r for r in blob_b if r[0] != 13] + [
+        (13, 6.5, 6.0), (50, 21.0, 21.0),
+    ]
+    want2 = batch_ref(live2)
+    assert rows_of(m.labels) == want2
+    assert {r.id for r in m.deleted.collect()} == {51}
+    assert sink == {i: (c, r) for (i, c, r) in want2}
+
+
+def test_streaming_dbscan_changelog_real_stream(spark, tmp_path):
+    """Changelog mode through an actual writeStream.foreachBatch
+    query (two micro-batches via maxFilesPerTrigger=1): maintained
+    labels equal batch DBSCAN over the live table, and the
+    delta+deleted MERGE sink tracks labels exactly."""
+    from geomesa_sql_spark.ops.cluster import dbscan
+    from geomesa_sql_spark.streaming import streaming_dbscan
+
+    schema = "id long, x double, y double, op string"
+    src = str(tmp_path / "src")
+    b0 = (
+        [(i, i * 0.25, 0.0, "I") for i in range(1, 5)]
+        + [(i, 2.6 + (i - 10) * 0.25, 0.0, "I") for i in range(10, 14)]
+        + [(99, 1.7, 0.0, "I")]
+    )
+    b1 = [(99, None, None, "D"), (13, 7.0, 7.0, "U"),
+          (50, 20.0, 20.0, "I")]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    sink: dict[int, tuple] = {}
+
+    def upsert(d):
+        for r in d.collect():
+            sink[r.id] = (r.cluster, r.role)
+
+    def dele(d):
+        for r in d.collect():
+            sink.pop(r.id, None)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maint, q = streaming_dbscan(
+        stream, "id", "x", "y", eps=1.0, min_pts=3,
+        op="op", on_delta=upsert, on_deleted=dele,
+    )
+    (
+        q.writeStream.foreachBatch(maint)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+        .awaitTermination()
+    )
+
+    live = (
+        [(i, i * 0.25, 0.0) for i in range(1, 5)]
+        + [(i, 2.6 + (i - 10) * 0.25, 0.0) for i in range(10, 13)]
+        + [(13, 7.0, 7.0), (50, 20.0, 20.0)]
+    )
+    ref = dbscan(
+        spark.createDataFrame(live, "id long, x double, y double"),
+        "id", "x", "y", eps=1.0, min_pts=3,
+    )
+    want = {(r.id, r.cluster, r.role) for r in ref.collect()}
+    assert {(r.id, r.cluster, r.role) for r in maint.labels.collect()} == want
+    assert sink == {i: (c, r) for (i, c, r) in want}
+
 
 def test_drain_upsert_vs_memory_sink_append(spark, sf_dir, tmp_path):
     """r3: drain_upsert returns ONE final row per key from a
