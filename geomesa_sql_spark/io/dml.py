@@ -249,7 +249,30 @@ class SnapshotTable:
                 # planned SET-side subquery: (fid, value) frame — join
                 # on fid; rows outside the frame keep their old value
                 # via the cond/otherwise below
-                vcol = [c for c in v.columns if c != self.fid_col][0]
+                vcols = [c for c in v.columns if c != self.fid_col]
+                if not vcols:
+                    raise ValueError(
+                        f"SET frame for {k!r} must carry a value "
+                        f"column besides {self.fid_col!r}"
+                    )
+                vcol = vcols[0]
+                # ANSI scalar-subquery semantics: a duplicate fid
+                # would silently MULTIPLY the joined table rows in
+                # the rewrite (r5 review) — fail like Spark's own
+                # scalar subqueries do on >1 row
+                dup = (
+                    v.groupBy(self.fid_col)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        f"SET frame for {k!r} has duplicate "
+                        f"{self.fid_col!r} rows — one value per fid "
+                        "(scalar-subquery semantics)"
+                    )
                 current = current.join(
                     v.select(
                         F.col(self.fid_col),

@@ -153,16 +153,18 @@ def knn_join_adaptive(
         from geomesa_sql_spark.join.spatial import _should_broadcast
 
         if not _should_broadcast(queries, large_query_threshold):
-            if metric == "sphere":
-                raise NotImplementedError(
-                    "metric='sphere' with a large query set: the "
-                    "cells path is planar-degree only so far — batch "
-                    "the queries through the driver path, or use the "
-                    "dwithin_sphere spatial join + a rank window"
+            if metric != "sphere":
+                return knn_join_cells(
+                    points, queries, k, x, y, query_id, qx, qy, world=world
                 )
-            return knn_join_cells(
-                points, queries, k, x, y, query_id, qx, qy, world=world
-            )
+            # metric='sphere' has no cells fallback (planar-degree
+            # grid only so far), and _should_broadcast also returns
+            # False when plan STATS are merely unavailable — a tiny
+            # query set must not hard-fail on a stats quirk (r5
+            # review). Fall through to the capped collect below: a
+            # genuinely small set proceeds on the driver path, real
+            # overflow still raises loudly there.
+            pass
         # Belt-and-suspenders row cap (r5 review): sizeInBytes is the
         # COMPRESSED size for a parquet-backed frame, so a highly
         # compressible million-row query table can slip under the
@@ -175,7 +177,10 @@ def knn_join_adaptive(
         if len(collected) > cap:
             if metric == "sphere":
                 raise NotImplementedError(
-                    "metric='sphere' with a large query set (see above)"
+                    "metric='sphere' with a large query set: the "
+                    "cells path is planar-degree only so far — batch "
+                    "the queries through the driver path, or use the "
+                    "dwithin_sphere spatial join + a rank window"
                 )
             return knn_join_cells(
                 points, queries, k, x, y, query_id, qx, qy, world=world

@@ -51,9 +51,12 @@ class DbscanMaintainer:
     deleted/moved keys are looked up from the accumulated state BY
     KEY, so delete events need only the key (their x/y may be NULL).
     Events are SET-reduced per key within a batch (not replayed in
-    order — there is no ordering column): any non-'D' event upserts
-    the key (deterministically the lexicographic max (x, y) among
-    them), and a key deletes only when all its events are 'D'.
+    order — there is no ordering column): any non-'D' event with
+    complete coordinates upserts the key (deterministically the
+    lexicographic max (x, y) among them), and a key deletes when all
+    its events are 'D' or NULL-coordinate (a position-less upsert
+    cannot cluster, so it deletes rather than silently dropping the
+    key from labels while the MERGE sink keeps the stale row).
     Compacted changelogs (one event per key per micro-batch) are
     unaffected. Without ``op``, batches are append-only point rows,
     as before."""
@@ -110,12 +113,19 @@ class DbscanMaintainer:
         key, x, y = self._args
         # a NULL op is an upsert (only the literal 'D' deletes) — a
         # bare != would return NULL and silently DROP the row from
-        # the upsert side while its key is anti-joined out of seen
+        # the upsert side while its key is anti-joined out of seen.
+        # An upsert with a NULL coordinate counts as a DELETE of the
+        # key: the clustering drops NULL-coord rows anyway, so
+        # admitting it would remove the key from labels while
+        # reporting it in neither delta nor deleted — a MERGE sink
+        # would keep the stale label forever (r5 review).
         is_delete = F.col(self._op).eqNullSafe(F.lit("D"))
         per_key = batch.groupBy(key).agg(
             F.max(
                 F.when(
-                    ~is_delete,
+                    ~is_delete
+                    & F.col(x).isNotNull()
+                    & F.col(y).isNotNull(),
                     F.struct(F.col(x).alias("x"), F.col(y).alias("y")),
                 )
             ).alias("__new")

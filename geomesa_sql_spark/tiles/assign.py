@@ -326,7 +326,8 @@ def s2_range_predicate(
     maxlon: float,
     maxlat: float,
     max_cells: int = 64,
-    level: int | None = None,
+    *,
+    level: int,
 ):
     """Sargable bbox predicate over an S2 cell column: OR of BETWEEN
     ranges from the adaptive covering (cells/s2.cover_rect_ranges).
@@ -337,11 +338,13 @@ def s2_range_predicate(
     (two's complement); ranges never straddle the sign flip because a
     cell's children share its face bits, so BETWEEN stays correct.
 
-    Pass ``level`` = the level ``col`` was encoded at (assign_s2_cells'
-    ``level``): without it a bbox smaller than one stored cell covers
-    at a finer level whose ranges exclude the stored id (the id is the
-    midpoint of its own level-``level`` range) and the predicate drops
-    matching rows (advice r4)."""
+    ``level`` (REQUIRED, keyword-only since r5) = the level ``col``
+    was encoded at (assign_s2_cells' ``level``; ``s2.MAX_LEVEL`` for
+    leaf ids): without the floor, a bbox smaller than one stored cell
+    covers at a finer level whose ranges exclude the stored id (the
+    id is the midpoint of its own level-``level`` range) and the
+    predicate silently drops matching rows (advice r4) — which is why
+    the old ``level=None`` default was removed."""
     from geomesa_sql_spark.cells import s2 as _s2
 
     ranges = _s2.cover_rect_ranges(

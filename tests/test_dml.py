@@ -81,6 +81,25 @@ def test_update_fid_forbidden(table):
         table.update({"fid": F.lit(0)})
 
 
+def test_update_set_frame_rejects_dup_fid_and_missing_value(spark, table):
+    """r5 review: a SET-side (fid, value) frame with duplicate fids
+    would silently MULTIPLY whole table rows through the CoW join —
+    fail like ANSI scalar subqueries do on >1 row; a frame with no
+    value column errors with a clear message, not an IndexError."""
+    good = spark.createDataFrame([(1, 5), (2, 6)], "fid long, v int")
+    before = table.read().count()
+    assert table.update({"n_regionkey": good}) == before  # sanity: ok
+    assert table.read().count() == before
+
+    dup = spark.createDataFrame([(1, 5), (1, 6)], "fid long, v int")
+    with pytest.raises(ValueError, match="duplicate"):
+        table.update({"n_regionkey": dup})
+    assert table.read().count() == before  # nothing committed
+
+    with pytest.raises(ValueError, match="value"):
+        table.update({"n_regionkey": spark.createDataFrame([(1,)], "fid long")})
+
+
 def test_delete_with_count_and_null_cond(spark, table):
     table.insert(spark.createDataFrame([(3000,)], "fid long"))  # null n_regionkey
     n_hit = table.read().filter(F.col("n_regionkey") == 0).count()

@@ -372,6 +372,39 @@ def test_knn_sphere_large_queryset_is_loud(spark):
         knn_join_adaptive(pts, big, 3, metric="sphere")
 
 
+def test_knn_sphere_small_queryset_survives_missing_stats(
+    spark, monkeypatch
+):
+    """r5 review: _should_broadcast returns False when plan stats are
+    merely UNAVAILABLE, not only when the set is large — for
+    metric='sphere' (no cells fallback) a tiny query set must proceed
+    through the capped collect instead of hard-failing on a stats
+    quirk."""
+    from geomesa_sql_spark.join import knn as knn_mod
+    from geomesa_sql_spark.join import spatial as spatial_mod
+    from geomesa_sql_spark.join.knn import knn_join, knn_join_adaptive
+
+    pts = spark.range(60).selectExpr(
+        "CAST(id % 12 AS DOUBLE) AS lon", "CAST(id % 7 AS DOUBLE) AS lat"
+    )
+    q = spark.range(3).selectExpr(
+        "id AS query_id", "CAST(id * 3 AS DOUBLE) AS qx",
+        "CAST(id AS DOUBLE) AS qy"
+    )
+    monkeypatch.setattr(spatial_mod, "_should_broadcast",
+                        lambda *a, **k: False)
+    got = knn_join_adaptive(pts, q, 4, metric="sphere")
+    want = knn_join(
+        pts,
+        [(int(r.query_id), float(r.qx), float(r.qy)) for r in q.collect()],
+        4,
+        metric="sphere",
+    )
+    gk = {(r.query_id, round(r.dist, 6)) for r in got.collect()}
+    wk = {(r.query_id, round(r.dist, 6)) for r in want.collect()}
+    assert gk == wk and len(gk) >= 4  # 4 per query, distinct dists vary
+
+
 def test_vincenty_antimeridian_exact():
     """r5 review: pairs crossing ±180 must solve exactly (wrapped L),
     not fall back to the sphere. (-179,0)-(179,0) is a 2° equatorial

@@ -272,7 +272,9 @@ def test_assign_s2_cells_and_range_predicate(spark):
     # and the false-positive ring stays bounded (covering, not filter)
     leaf = assign_s2_cells(df, level=s2.MAX_LEVEL)
     rect = (20.0, 10.0, 60.0, 40.0)
-    pred = s2_range_predicate("s2_cell", *rect, max_cells=128)
+    pred = s2_range_predicate(
+        "s2_cell", *rect, max_cells=128, level=s2.MAX_LEVEL
+    )
     got = leaf.filter(pred).toPandas()
     inside = leaf.filter(
         (F.col("lon") >= rect[0]) & (F.col("lon") <= rect[2])

@@ -410,6 +410,17 @@ def test_streaming_dbscan_changelog_deletes_and_moves(spark):
     assert {r.id for r in m.deleted.collect()} == {51}
     assert sink == {i: (c, r) for (i, c, r) in want2}
 
+    # batch 3: a NULL-coordinate UPSERT for an existing key must act
+    # as a delete — the clustering drops positionless rows, so
+    # admitting it would remove the key from labels while reporting
+    # it in neither delta nor deleted (sink diverges forever)
+    m(mk([(50, None, None, "U")]), 3)
+    live3 = [r for r in live2 if r[0] != 50]
+    want3 = batch_ref(live3)
+    assert rows_of(m.labels) == want3
+    assert {r.id for r in m.deleted.collect()} == {50}
+    assert sink == {i: (c, r) for (i, c, r) in want3}
+
 
 def test_streaming_dbscan_changelog_real_stream(spark, tmp_path):
     """Changelog mode through an actual writeStream.foreachBatch

@@ -58,7 +58,11 @@ for i in $(seq 1 "$MAX_ITER"); do
     # same-session follow-up: the r4 verdict #6 drift confirmation
     # wants the same rare healthy windows this loop was hunting, so
     # run it now instead of competing with the pair burns earlier
-    if [ ! -f "$(dirname "$0")/../BENCH/DRIFT_r5.md" ]; then
+    # the script cd'd to the repo root at the top, so test the
+    # artifact relative to it — resolving via $0 here would point at
+    # the repo's PARENT when invoked from inside tools/ and re-run
+    # drift_check over a committed artifact (r5 review)
+    if [ ! -f BENCH/DRIFT_r5.md ]; then
       echo "$(date +%T) running drift_check" >> "$LOG"
       touch "$BDIR/BURNING"
       python tools/drift_check.py >> "$LOG" 2>&1
