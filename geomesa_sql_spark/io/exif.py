@@ -1,0 +1,259 @@
+"""EXIF metadata: parse and write the APP1/TIFF-IFD structure.
+
+EXIF (CIPA DC-008) embeds a classic TIFF structure — byte-order
+header, IFD0, an Exif sub-IFD, and a GPS sub-IFD — either as a JPEG
+APP1 segment prefixed ``Exif\\0\\0`` or as the TIFF file itself. The
+reader reuses the from-scratch TIFF machinery (`io.tiff._header` /
+`_read_ifd`, which already decodes RATIONALs to floats), so there is
+exactly one IFD walker in the repo; the writer here is the tiny
+inverse used to synthesize geotagged fixtures and to let pipelines
+stamp coordinates back into payloads.
+
+This is the image↔geospatial bridge: ``ops.multimodal.image_exif``
+lifts GPS IFD tags into ``exif_lon``/``exif_lat`` DOUBLE columns that
+feed the engine's spatial surface directly (spatial_join, dbscan
+``metric='sphere'``, tiling). The reference has no EXIF support (it
+is a query adapter, SURVEY.md §2); PostGIS users get the analogous
+bridge from raster importers.
+
+Parsing is defensive: anything not carrying well-formed EXIF —
+no APP1, truncated IFDs, absent GPS tags — yields ``None`` fields,
+never an exception (the per-row contract every multimodal operator
+here follows).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from geomesa_sql_spark.io.tiff import _header, _read_ifd
+
+# IFD0 / Exif-IFD tags
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_ORIENTATION = 0x0112
+_TAG_DATETIME = 0x0132
+_TAG_EXIF_PTR = 0x8769
+_TAG_GPS_PTR = 0x8825
+_TAG_DATETIME_ORIGINAL = 0x9003
+# GPS IFD tags
+_GPS_LAT_REF = 1
+_GPS_LAT = 2
+_GPS_LON_REF = 3
+_GPS_LON = 4
+_GPS_ALT_REF = 5
+_GPS_ALT = 6
+
+_T_BYTE, _T_ASCII, _T_SHORT, _T_LONG, _T_RATIONAL = 1, 2, 3, 4, 5
+_TYPE_SIZE = {_T_BYTE: 1, _T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4,
+              _T_RATIONAL: 8}
+
+
+def _ascii(vals) -> str | None:
+    if not vals:
+        return None
+    raw = vals[0]
+    if not isinstance(raw, bytes):
+        return None
+    s = raw.split(b"\x00", 1)[0].decode("ascii", "replace").strip()
+    return s or None
+
+
+def _dms(vals, ref) -> float | None:
+    """[deg, min, sec] rationals + 'N'/'S'/'E'/'W' ref → signed
+    decimal degrees."""
+    if not vals or len(vals) < 3:
+        return None
+    deg = float(vals[0]) + float(vals[1]) / 60.0 + float(vals[2]) / 3600.0
+    r = ref[0] if ref else None
+    if isinstance(r, bytes) and r[:1] in (b"S", b"W"):
+        deg = -deg
+    return deg
+
+
+def _parse_tiff_exif(t: bytes) -> dict | None:
+    try:
+        bo, big, off = _header(t)
+        ifd0 = _read_ifd(t, bo, off, big)
+        exif_ifd: dict = {}
+        gps: dict = {}
+        if _TAG_EXIF_PTR in ifd0:
+            exif_ifd = _read_ifd(t, bo, int(ifd0[_TAG_EXIF_PTR][0]), big)
+        if _TAG_GPS_PTR in ifd0:
+            gps = _read_ifd(t, bo, int(ifd0[_TAG_GPS_PTR][0]), big)
+    except (ValueError, struct.error):
+        return None
+    alt = None
+    if gps.get(_GPS_ALT):
+        alt = float(gps[_GPS_ALT][0])
+        ref = gps.get(_GPS_ALT_REF)
+        if ref and int(ref[0]) == 1:  # 1 = below sea level
+            alt = -alt
+    ori = ifd0.get(_TAG_ORIENTATION)
+    return {
+        "lon": _dms(gps.get(_GPS_LON), gps.get(_GPS_LON_REF)),
+        "lat": _dms(gps.get(_GPS_LAT), gps.get(_GPS_LAT_REF)),
+        "alt": alt,
+        "orientation": int(ori[0]) if ori else None,
+        "make": _ascii(ifd0.get(_TAG_MAKE)),
+        "model": _ascii(ifd0.get(_TAG_MODEL)),
+        "datetime": _ascii(exif_ifd.get(_TAG_DATETIME_ORIGINAL))
+        or _ascii(ifd0.get(_TAG_DATETIME)),
+    }
+
+
+def parse_exif(data: bytes | None) -> dict | None:
+    """EXIF fields from a JPEG (APP1 walk) or a bare TIFF.
+
+    Returns {lon, lat, alt, orientation, make, model, datetime} with
+    ``None`` for anything absent, or ``None`` when the payload carries
+    no parseable EXIF at all. Never raises on corrupt input."""
+    if not data or len(data) < 4:
+        return None
+    if data[:2] == b"\xff\xd8":  # JPEG: walk segments for APP1
+        i = 2
+        while i + 4 <= len(data) and data[i] == 0xFF:
+            m = data[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m == 0xDA:  # entropy-coded data: no more headers
+                break
+            (ln,) = struct.unpack_from(">H", data, i + 2)
+            if ln < 2 or i + 2 + ln > len(data):
+                break
+            if m == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+                return _parse_tiff_exif(data[i + 10 : i + 2 + ln])
+            i += 2 + ln
+        return None
+    if data[:2] in (b"II", b"MM"):
+        return _parse_tiff_exif(data)
+    return None
+
+
+def _rat(v: float, den: int) -> tuple[int, int]:
+    return int(round(v * den)), den
+
+
+def _deg_to_dms_rats(deg: float) -> list[tuple[int, int]]:
+    """|degrees| → [(d,1), (m,1), (sec·1e6, 1e6)] — sub-microsecond
+    arc precision, every numerator < 2^32."""
+    a = abs(deg)
+    d = int(a)
+    m = int((a - d) * 60.0)
+    s = (a - d) * 3600.0 - m * 60.0
+    return [(d, 1), (m, 1), _rat(s, 1_000_000)]
+
+
+def build_exif_tiff(
+    lon: float | None = None,
+    lat: float | None = None,
+    alt: float | None = None,
+    orientation: int | None = None,
+    make: str | None = None,
+    model: str | None = None,
+    datetime: str | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """Serialize EXIF fields as a classic TIFF block (the APP1 payload
+    after ``Exif\\0\\0``; also a valid input to :func:`parse_exif`).
+    ``byte_order`` 'II' (little) or 'MM' (big)."""
+    bo = "<" if byte_order == "II" else ">"
+
+    def entries_size(n: int) -> int:
+        return 2 + 12 * n + 4
+
+    def ascii_val(s: str) -> bytes:
+        return s.encode("ascii") + b"\x00"
+
+    ifd0: list[tuple[int, int, object]] = []
+    if make is not None:
+        ifd0.append((_TAG_MAKE, _T_ASCII, ascii_val(make)))
+    if model is not None:
+        ifd0.append((_TAG_MODEL, _T_ASCII, ascii_val(model)))
+    if orientation is not None:
+        ifd0.append((_TAG_ORIENTATION, _T_SHORT, [int(orientation)]))
+    exif_ifd: list[tuple[int, int, object]] = []
+    if datetime is not None:
+        exif_ifd.append(
+            (_TAG_DATETIME_ORIGINAL, _T_ASCII, ascii_val(datetime))
+        )
+    gps: list[tuple[int, int, object]] = []
+    if lat is not None:
+        gps.append((_GPS_LAT_REF, _T_ASCII, b"N\x00" if lat >= 0 else b"S\x00"))
+        gps.append((_GPS_LAT, _T_RATIONAL, _deg_to_dms_rats(lat)))
+    if lon is not None:
+        gps.append((_GPS_LON_REF, _T_ASCII, b"E\x00" if lon >= 0 else b"W\x00"))
+        gps.append((_GPS_LON, _T_RATIONAL, _deg_to_dms_rats(lon)))
+    if alt is not None:
+        gps.append((_GPS_ALT_REF, _T_BYTE, [1 if alt < 0 else 0]))
+        gps.append((_GPS_ALT, _T_RATIONAL, [_rat(abs(alt), 1000)]))
+    gps.sort()
+    exif_ifd.sort()
+
+    # pointer tags go into IFD0 once the sub-IFD offsets are known;
+    # sizes are fixed by entry counts, so lay out header → IFD0 →
+    # ExifIFD → GPSIFD → value heap
+    n0 = len(ifd0) + (1 if exif_ifd else 0) + (1 if gps else 0)
+    ifd0_off = 8
+    exif_off = ifd0_off + entries_size(n0)
+    gps_off = exif_off + (entries_size(len(exif_ifd)) if exif_ifd else 0)
+    heap_off = gps_off + (entries_size(len(gps)) if gps else 0)
+
+    heap = bytearray()
+
+    def pack_vals(typ: int, vals) -> bytes:
+        if typ == _T_ASCII:
+            return bytes(vals)
+        if typ == _T_BYTE:
+            return bytes(int(v) for v in vals)
+        if typ == _T_SHORT:
+            return struct.pack(bo + f"{len(vals)}H", *[int(v) for v in vals])
+        if typ == _T_LONG:
+            return struct.pack(bo + f"{len(vals)}I", *[int(v) for v in vals])
+        out = b""
+        for num, den in vals:
+            out += struct.pack(bo + "II", num, den)
+        return out
+
+    def ser_ifd(entries) -> bytes:
+        buf = struct.pack(bo + "H", len(entries))
+        for tag, typ, vals in sorted(entries):
+            # ASCII values arrive as nul-terminated bytes, so len()
+            # is the byte count the spec wants; every other type's
+            # count is its element count
+            count = len(vals)
+            raw = pack_vals(typ, vals)
+            if len(raw) <= 4:
+                vfield = raw + b"\x00" * (4 - len(raw))
+            else:
+                vfield = struct.pack(bo + "I", heap_off + len(heap))
+                heap.extend(raw)
+            buf += struct.pack(bo + "HHI", tag, typ, count) + vfield
+        return buf + struct.pack(bo + "I", 0)  # no next IFD
+
+    full0 = list(ifd0)
+    if exif_ifd:
+        full0.append((_TAG_EXIF_PTR, _T_LONG, [exif_off]))
+    if gps:
+        full0.append((_TAG_GPS_PTR, _T_LONG, [gps_off]))
+
+    header = byte_order.encode("ascii") + struct.pack(bo + "HI", 42, 8)
+    body = ser_ifd(full0)
+    if exif_ifd:
+        body += ser_ifd(exif_ifd)
+    if gps:
+        body += ser_ifd(gps)
+    return header + body + bytes(heap)
+
+
+def inject_exif_jpeg(jpeg: bytes, **fields) -> bytes:
+    """A copy of ``jpeg`` with an EXIF APP1 segment (built from
+    ``fields`` — see :func:`build_exif_tiff`) inserted after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    payload = b"Exif\x00\x00" + build_exif_tiff(**fields)
+    if len(payload) + 2 > 0xFFFF:
+        raise ValueError("EXIF payload exceeds the APP1 segment limit")
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + seg + jpeg[2:]

@@ -112,6 +112,64 @@ def image_stats(
     return df.select(id_col, *carry, "bytes", "fmt", "w", "h").mapInPandas(gen, schema)
 
 
+def image_exif(
+    df: DataFrame, id_col: str = "image_id", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """EXIF metadata lifted into typed columns — the image↔geospatial
+    bridge: (id, *carry, exif_lon, exif_lat, exif_alt,
+    exif_orientation, exif_make, exif_model, exif_datetime).
+
+    Parses JPEG APP1 / bare-TIFF EXIF per row (io.exif.parse_exif —
+    reuses the repo's one TIFF IFD walker); payloads without EXIF,
+    without GPS tags, corrupt, or NULL yield NULL fields, never an
+    error. The lon/lat DOUBLEs feed the spatial surface directly:
+    ``spatial_join``, ``dbscan(metric='sphere')``, tile assignment.
+    Projects only (id, carry, bytes), so Catalyst keeps the payload
+    out of any plan that does not reach this operator."""
+    from geomesa_sql_spark.io.exif import parse_exif
+
+    carry = tuple(c for c in carry if c != id_col)
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + [df.schema[c] for c in carry]
+        + [
+            T.StructField("exif_lon", T.DoubleType()),
+            T.StructField("exif_lat", T.DoubleType()),
+            T.StructField("exif_alt", T.DoubleType()),
+            T.StructField("exif_orientation", T.IntegerType()),
+            T.StructField("exif_make", T.StringType()),
+            T.StructField("exif_model", T.StringType()),
+            T.StructField("exif_datetime", T.StringType()),
+        ]
+    )
+    fields = ("lon", "lat", "alt", "orientation", "make", "model",
+              "datetime")
+
+    def gen(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {f: [] for f in fields}
+            for blob in pdf["bytes"]:
+                # binary series deliver None (not NaN) for NULLs
+                d = parse_exif(blob) if blob is not None else None
+                for f in fields:
+                    cols[f].append(d[f] if d else None)
+            out = {id_col: pdf[id_col]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["exif_lon"] = pd.array(cols["lon"], dtype="float64")
+            out["exif_lat"] = pd.array(cols["lat"], dtype="float64")
+            out["exif_alt"] = pd.array(cols["alt"], dtype="float64")
+            out["exif_orientation"] = pd.array(
+                cols["orientation"], dtype="Int32"
+            )
+            out["exif_make"] = cols["make"]
+            out["exif_model"] = cols["model"]
+            out["exif_datetime"] = cols["datetime"]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *carry, "bytes").mapInPandas(gen, schema)
+
+
 def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """(id, ahash bigint): 64-bit average-hash of the decoded image.
 

@@ -1,0 +1,142 @@
+"""EXIF parse/write round-trips and the image_exif Spark operator —
+the image↔geospatial bridge (io/exif.py reuses io/tiff's IFD walker;
+fixtures are real JPEGs from the repo's own encoder with APP1
+injected by the repo's own writer)."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_sql_spark.io.exif import (
+    build_exif_tiff,
+    inject_exif_jpeg,
+    parse_exif,
+)
+from geomesa_sql_spark.io.jpeg import encode_jpeg
+
+
+def _jpeg(seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    return encode_jpeg(px, 90)
+
+
+GPS_CASES = [
+    # (lon, lat, alt) — all four sign quadrants + below sea level
+    (2.2945, 48.858222, 35.0),        # NE (Eiffel Tower)
+    (-122.4194, 37.7749, 16.0),       # NW (San Francisco)
+    (151.2093, -33.8688, 3.0),        # SE (Sydney)
+    (-70.6693, -33.4489, -25.5),      # SW, below sea level
+    (179.999, -0.0005, 0.0),          # antimeridian + tiny southern lat
+]
+
+
+@pytest.mark.parametrize("lon,lat,alt", GPS_CASES)
+@pytest.mark.parametrize("byte_order", ["II", "MM"])
+def test_exif_gps_roundtrip(lon, lat, alt, byte_order):
+    j = inject_exif_jpeg(
+        _jpeg(), lon=lon, lat=lat, alt=alt, orientation=6,
+        make="ACME", model="Cam 9", datetime="2026:08:20 12:00:00",
+        byte_order=byte_order,
+    )
+    d = parse_exif(j)
+    assert d is not None
+    # DMS seconds carry 1e-6 precision → ≤ ~3e-10 degrees of error
+    assert abs(d["lon"] - lon) < 1e-8
+    assert abs(d["lat"] - lat) < 1e-8
+    assert abs(d["alt"] - alt) < 1e-3
+    assert d["orientation"] == 6
+    assert d["make"] == "ACME" and d["model"] == "Cam 9"
+    assert d["datetime"] == "2026:08:20 12:00:00"
+    # the decoded image is unaffected by the injected segment
+    from geomesa_sql_spark.io.jpeg import decode_jpeg
+
+    assert np.array_equal(decode_jpeg(j), decode_jpeg(_jpeg()))
+
+
+def test_exif_bare_tiff_block_and_partial_fields():
+    # the APP1 payload sans header IS a TIFF: parse it directly
+    t = build_exif_tiff(lat=10.5, lon=None, make="X")
+    d = parse_exif(t)
+    assert d["lat"] == pytest.approx(10.5, abs=1e-8)
+    assert d["lon"] is None and d["alt"] is None
+    assert d["make"] == "X" and d["model"] is None
+    assert d["datetime"] is None and d["orientation"] is None
+
+
+def test_exif_absent_corrupt_and_null_are_none():
+    assert parse_exif(None) is None
+    assert parse_exif(b"") is None
+    assert parse_exif(b"garbage") is None
+    assert parse_exif(_jpeg()) is None  # plain JPEG: no APP1
+    j = inject_exif_jpeg(_jpeg(), lat=1.0, lon=2.0)
+    # truncate inside the APP1 payload: loud-less None, not a crash
+    assert parse_exif(j[:30]) is None
+    # corrupt the TIFF header inside APP1
+    bad = bytearray(j)
+    at = bad.index(b"Exif\x00\x00") + 6
+    bad[at : at + 2] = b"ZZ"
+    assert parse_exif(bytes(bad)) is None
+    # APP1 that is not Exif (e.g. XMP) is skipped, not misparsed
+    xmp = b"\xff\xe1" + struct.pack(">H", 12) + b"http://ns.x"
+    assert parse_exif(b"\xff\xd8" + xmp + _jpeg()[2:]) is None
+
+
+def test_exif_app1_after_app0_is_found():
+    """Real cameras often emit APP0(JFIF) before APP1 — the segment
+    walk must skip over it."""
+    j = _jpeg()
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    with_app0 = j[:2] + app0 + j[2:]
+    tagged = inject_exif_jpeg(with_app0, lat=-5.25, lon=100.125)
+    # move APP1 behind APP0: strip ours and re-inject after APP0
+    seg_len = struct.unpack(">H", tagged[4:6])[0] + 2
+    app1 = tagged[2 : 2 + seg_len]
+    reordered = j[:2] + app0 + app1 + j[2:]
+    d = parse_exif(reordered)
+    assert d["lat"] == pytest.approx(-5.25, abs=1e-8)
+    assert d["lon"] == pytest.approx(100.125, abs=1e-8)
+
+
+def test_image_exif_operator_to_spatial_filter(spark):
+    """The Spark operator end-to-end: mixed rows (geotagged, plain
+    JPEG, NULL payload) → typed columns; the lon/lat columns drive a
+    plain spatial filter like any engine point column."""
+    from geomesa_sql_spark.ops import image_exif
+
+    rows = []
+    for i, (lon, lat, alt) in enumerate(GPS_CASES):
+        rows.append(
+            (f"img{i}", inject_exif_jpeg(_jpeg(i), lon=lon, lat=lat,
+                                         alt=alt, model=f"M{i}"), i)
+        )
+    rows.append(("plain", _jpeg(9), 99))
+    rows.append(("nullp", None, 100))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "tag"])
+    )
+    out = image_exif(df, carry=("tag",)).toPandas().set_index("image_id")
+    assert len(out) == len(rows)
+    for i, (lon, lat, alt) in enumerate(GPS_CASES):
+        r = out.loc[f"img{i}"]
+        assert abs(r.exif_lon - lon) < 1e-8
+        assert abs(r.exif_lat - lat) < 1e-8
+        assert abs(r.exif_alt - alt) < 1e-3
+        assert r.exif_model == f"M{i}" and r.tag == i
+    assert pd.isna(out.loc["plain"].exif_lon)
+    assert pd.isna(out.loc["nullp"].exif_lon)
+    assert out.loc["plain"].tag == 99  # carry survives EXIF-less rows
+
+    # the bridge: EXIF points through a spatial predicate
+    import pyspark.sql.functions as F
+
+    western = (
+        image_exif(df)
+        .filter(F.col("exif_lon") < 0)
+        .select("image_id")
+        .toPandas()["image_id"]
+        .tolist()
+    )
+    assert sorted(western) == ["img1", "img3"]
