@@ -170,6 +170,69 @@ def image_exif(
     return df.select(id_col, *carry, "bytes").mapInPandas(gen, schema)
 
 
+def geotag_images(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "image_id",
+    alt_col: str | None = None,
+) -> DataFrame:
+    """The write direction of the EXIF bridge: stamp per-row
+    coordinates INTO JPEG payloads as an APP1 segment —
+    (id, bytes, tagged BOOLEAN). Rows whose payload is not a JPEG,
+    or whose lon/lat is NULL/NaN, pass through byte-identical with
+    tagged = false (never an error); re-tagging replaces nothing —
+    the new APP1 is inserted at SOI and :func:`image_exif` reads the
+    FIRST Exif APP1, so tag once or strip first. Round-trip law
+    (tested): image_exif(geotag_images(df)) returns the input
+    coordinates to EXIF rational precision (~3e-10°)."""
+    from geomesa_sql_spark.io.exif import inject_exif_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("tagged", T.BooleanType()),
+        ]
+    )
+    cols = [id_col, "bytes", lon_col, lat_col] + (
+        [alt_col] if alt_col else []
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out_b, out_t = [], []
+            alts = pdf[alt_col] if alt_col else None
+            for i, blob in enumerate(pdf["bytes"]):
+                lon = pdf[lon_col].iloc[i]
+                lat = pdf[lat_col].iloc[i]
+                # numeric Arrow columns deliver NULL as NaN — guard
+                # with pd.isna, never `is None` (CLAUDE.md)
+                if (
+                    blob is None
+                    or pd.isna(lon)
+                    or pd.isna(lat)
+                    or blob[:2] != b"\xff\xd8"
+                ):
+                    out_b.append(blob)
+                    out_t.append(False)
+                    continue
+                alt = None
+                if alts is not None and not pd.isna(alts.iloc[i]):
+                    alt = float(alts.iloc[i])
+                out_b.append(
+                    inject_exif_jpeg(
+                        blob, lon=float(lon), lat=float(lat), alt=alt
+                    )
+                )
+                out_t.append(True)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bytes": out_b, "tagged": out_t}
+            )
+
+    return df.select(*cols).mapInPandas(gen, schema)
+
+
 def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """(id, ahash bigint): 64-bit average-hash of the decoded image.
 

@@ -100,6 +100,48 @@ def test_exif_app1_after_app0_is_found():
     assert d["lon"] == pytest.approx(100.125, abs=1e-8)
 
 
+def test_geotag_images_roundtrip_and_passthrough(spark):
+    """Write direction: geotag_images stamps coordinates into JPEG
+    payloads; image_exif reads them back to rational precision.
+    Non-JPEG, NULL-payload, and NULL-coordinate rows pass through
+    byte-identical with tagged=false."""
+    import pyspark.sql.functions as F
+
+    from geomesa_sql_spark.ops import geotag_images, image_exif
+
+    rows = [
+        ("a", _jpeg(0), -122.25, 37.125, 10.0),
+        ("b", _jpeg(1), 151.5, -33.75, None),   # NULL alt: still tags
+        ("c", b"not a jpeg", 1.0, 2.0, 3.0),    # passthrough
+        ("d", None, 1.0, 2.0, 3.0),             # NULL payload
+        ("e", _jpeg(2), None, 5.0, 6.0),        # NULL lon: no tag
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "lon", "lat", "alt"])
+    )
+    tagged = geotag_images(df, alt_col="alt")
+    got = tagged.toPandas().set_index("image_id")
+    assert bool(got.loc["a"].tagged) and bool(got.loc["b"].tagged)
+    assert not got.loc["c"].tagged and not got.loc["e"].tagged
+    assert got.loc["c"].bytes == b"not a jpeg"
+    assert got.loc["d"].bytes is None
+    assert got.loc["e"].bytes == _jpeg(2)
+
+    back = (
+        image_exif(tagged)
+        .filter(F.col("exif_lon").isNotNull())
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert sorted(back.index) == ["a", "b"]
+    assert abs(back.loc["a"].exif_lon + 122.25) < 1e-8
+    assert abs(back.loc["a"].exif_lat - 37.125) < 1e-8
+    assert abs(back.loc["a"].exif_alt - 10.0) < 1e-3
+    assert abs(back.loc["b"].exif_lon - 151.5) < 1e-8
+    assert abs(back.loc["b"].exif_lat + 33.75) < 1e-8
+    assert pd.isna(back.loc["b"].exif_alt)
+
+
 def test_image_exif_operator_to_spatial_filter(spark):
     """The Spark operator end-to-end: mixed rows (geotagged, plain
     JPEG, NULL payload) → typed columns; the lon/lat columns drive a
