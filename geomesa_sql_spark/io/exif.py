@@ -45,8 +45,23 @@ _GPS_ALT_REF = 5
 _GPS_ALT = 6
 
 _T_BYTE, _T_ASCII, _T_SHORT, _T_LONG, _T_RATIONAL = 1, 2, 3, 4, 5
-_TYPE_SIZE = {_T_BYTE: 1, _T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4,
-              _T_RATIONAL: 8}
+
+
+def _int1(vals) -> int | None:
+    """First value as int, or None — a type-confused tag (SHORT
+    declared as ASCII etc.) delivers bytes, and int(b'..') raising
+    out of one field must not void the whole parse."""
+    try:
+        return int(vals[0])
+    except (TypeError, ValueError, IndexError):
+        return None
+
+
+def _float1(vals) -> float | None:
+    try:
+        return float(vals[0])
+    except (TypeError, ValueError, IndexError):
+        return None
 
 
 def _ascii(vals) -> str | None:
@@ -61,10 +76,15 @@ def _ascii(vals) -> str | None:
 
 def _dms(vals, ref) -> float | None:
     """[deg, min, sec] rationals + 'N'/'S'/'E'/'W' ref → signed
-    decimal degrees."""
+    decimal degrees; None on type-confused values."""
     if not vals or len(vals) < 3:
         return None
-    deg = float(vals[0]) + float(vals[1]) / 60.0 + float(vals[2]) / 3600.0
+    try:
+        deg = (
+            float(vals[0]) + float(vals[1]) / 60.0 + float(vals[2]) / 3600.0
+        )
+    except (TypeError, ValueError):
+        return None
     r = ref[0] if ref else None
     if isinstance(r, bytes) and r[:1] in (b"S", b"W"):
         deg = -deg
@@ -83,18 +103,14 @@ def _parse_tiff_exif(t: bytes) -> dict | None:
             gps = _read_ifd(t, bo, int(ifd0[_TAG_GPS_PTR][0]), big)
     except (ValueError, struct.error):
         return None
-    alt = None
-    if gps.get(_GPS_ALT):
-        alt = float(gps[_GPS_ALT][0])
-        ref = gps.get(_GPS_ALT_REF)
-        if ref and int(ref[0]) == 1:  # 1 = below sea level
-            alt = -alt
-    ori = ifd0.get(_TAG_ORIENTATION)
+    alt = _float1(gps.get(_GPS_ALT)) if gps.get(_GPS_ALT) else None
+    if alt is not None and _int1(gps.get(_GPS_ALT_REF) or []) == 1:
+        alt = -alt  # 1 = below sea level
     return {
         "lon": _dms(gps.get(_GPS_LON), gps.get(_GPS_LON_REF)),
         "lat": _dms(gps.get(_GPS_LAT), gps.get(_GPS_LAT_REF)),
         "alt": alt,
-        "orientation": int(ori[0]) if ori else None,
+        "orientation": _int1(ifd0.get(_TAG_ORIENTATION) or []),
         "make": _ascii(ifd0.get(_TAG_MAKE)),
         "model": _ascii(ifd0.get(_TAG_MODEL)),
         "datetime": _ascii(exif_ifd.get(_TAG_DATETIME_ORIGINAL))
@@ -114,10 +130,13 @@ def parse_exif(data: bytes | None) -> dict | None:
         i = 2
         while i + 4 <= len(data) and data[i] == 0xFF:
             m = data[i + 1]
+            if m == 0xFF:  # fill byte (B.1.1.2): marker starts later
+                i += 1
+                continue
             if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
                 i += 2
                 continue
-            if m == 0xDA:  # entropy-coded data: no more headers
+            if m in (0xDA, 0xD9):  # entropy data / EOI: no headers left
                 break
             (ln,) = struct.unpack_from(">H", data, i + 2)
             if ln < 2 or i + 2 + ln > len(data):

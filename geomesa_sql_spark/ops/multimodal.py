@@ -179,9 +179,10 @@ def geotag_images(
 ) -> DataFrame:
     """The write direction of the EXIF bridge: stamp per-row
     coordinates INTO JPEG payloads as an APP1 segment —
-    (id, bytes, tagged BOOLEAN). Rows whose payload is not a JPEG,
-    or whose lon/lat is NULL/NaN, pass through byte-identical with
-    tagged = false (never an error); re-tagging replaces nothing —
+    (id, bytes, tagged BOOLEAN). Rows whose payload is not a JPEG, or
+    whose lon/lat is NULL/NaN/non-finite/outside ±180/±90 (altitude
+    beyond ±4,000 km is dropped, position still tags), pass through
+    byte-identical with tagged = false (never an error); re-tagging replaces nothing —
     the new APP1 is inserted at SOI and :func:`image_exif` reads the
     FIRST Exif APP1, so tag once or strip first. Round-trip law
     (tested): image_exif(geotag_images(df)) returns the input
@@ -200,25 +201,36 @@ def geotag_images(
     )
 
     def gen(batches):
+        import math
+
+        def coord_ok(v, bound):
+            # numeric Arrow columns deliver NULL as NaN — guard with
+            # pd.isna, never `is None` (CLAUDE.md); inf or impossible
+            # magnitudes would overflow the DMS rational encoding, so
+            # they pass through untagged like NULLs (r5 review)
+            return (
+                not pd.isna(v)
+                and math.isfinite(float(v))
+                and abs(float(v)) <= bound
+            )
+
         for pdf in batches:
             out_b, out_t = [], []
             alts = pdf[alt_col] if alt_col else None
             for i, blob in enumerate(pdf["bytes"]):
                 lon = pdf[lon_col].iloc[i]
                 lat = pdf[lat_col].iloc[i]
-                # numeric Arrow columns deliver NULL as NaN — guard
-                # with pd.isna, never `is None` (CLAUDE.md)
                 if (
                     blob is None
-                    or pd.isna(lon)
-                    or pd.isna(lat)
+                    or not coord_ok(lon, 180.0)
+                    or not coord_ok(lat, 90.0)
                     or blob[:2] != b"\xff\xd8"
                 ):
                     out_b.append(blob)
                     out_t.append(False)
                     continue
                 alt = None
-                if alts is not None and not pd.isna(alts.iloc[i]):
+                if alts is not None and coord_ok(alts.iloc[i], 4.0e6):
                     alt = float(alts.iloc[i])
                 out_b.append(
                     inject_exif_jpeg(

@@ -84,6 +84,64 @@ def test_exif_absent_corrupt_and_null_are_none():
     assert parse_exif(b"\xff\xd8" + xmp + _jpeg()[2:]) is None
 
 
+def test_exif_type_confused_tags_yield_none_not_raise():
+    """r5 review: a tag whose declared TYPE is wrong (orientation as
+    ASCII → _read_ifd returns bytes) must NULL that field, not raise
+    out of the parse and kill an Arrow batch."""
+    t = bytearray(build_exif_tiff(lat=1.5, lon=2.5, orientation=6))
+    # IFD0 entries start at offset 10 (header 8 + count 2); find the
+    # orientation entry and flip its type field SHORT→ASCII
+    n = struct.unpack_from("<H", t, 8)[0]
+    for k in range(n):
+        at = 10 + 12 * k
+        tag, typ = struct.unpack_from("<HH", t, at)
+        if tag == 0x0112:
+            struct.pack_into("<H", t, at + 2, 2)  # ASCII
+    d = parse_exif(bytes(t))
+    assert d is not None
+    assert d["orientation"] is None  # confused field nulled
+    assert d["lat"] == pytest.approx(1.5, abs=1e-8)  # rest survives
+
+
+def test_exif_fill_bytes_and_eoi_in_walk():
+    """r5 review: legal 0xFF fill bytes before a marker (B.1.1.2) and
+    a standalone EOI must not derail the APP1 walk — io/jpeg's decoder
+    accepts such files, so the EXIF walk must too."""
+    j = inject_exif_jpeg(_jpeg(), lat=3.25, lon=-4.5)
+    seg_len = struct.unpack(">H", j[4:6])[0] + 2
+    app1 = j[2 : 2 + seg_len]
+    rest = j[2 + seg_len :]
+    padded = b"\xff\xd8" + b"\xff" + app1 + rest  # fill byte first
+    d = parse_exif(padded)
+    assert d and d["lat"] == pytest.approx(3.25, abs=1e-8)
+    # EOI before any APP1: clean None (no garbage length read)
+    assert parse_exif(b"\xff\xd8\xff\xd9" + app1) is None
+
+
+def test_geotag_nonfinite_and_out_of_range_pass_through(spark):
+    """r5 review: inf / huge coordinates would overflow the DMS
+    rational encoding — they must pass through untagged, not crash
+    the stage; an absurd altitude drops but position still tags."""
+    from geomesa_sql_spark.ops import geotag_images
+
+    rows = [
+        ("inf", _jpeg(0), float("inf"), 1.0, 2.0),
+        ("huge", _jpeg(1), 1.0e12, 1.0, 2.0),
+        ("oob", _jpeg(2), 181.0, 1.0, 2.0),
+        ("balt", _jpeg(3), 10.0, 20.0, 1.0e12),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "lon", "lat", "alt"])
+    )
+    got = geotag_images(df, alt_col="alt").toPandas().set_index("image_id")
+    assert not got.loc["inf"].tagged and got.loc["inf"].bytes == _jpeg(0)
+    assert not got.loc["huge"].tagged and not got.loc["oob"].tagged
+    assert bool(got.loc["balt"].tagged)  # position tags, altitude drops
+    d = parse_exif(bytes(got.loc["balt"].bytes))
+    assert d["lon"] == pytest.approx(10.0, abs=1e-8)
+    assert d["alt"] is None
+
+
 def test_exif_app1_after_app0_is_found():
     """Real cameras often emit APP0(JFIF) before APP1 — the segment
     walk must skip over it."""
