@@ -521,6 +521,25 @@ def main() -> None:
         results["image_dedup_clusters"] = round(best, 3)
 
 
+        # EXIF bridge both directions: stamp each stored image's
+        # lon/lat into the JPEG payload as APP1, parse it back, and
+        # reduce over the lifted column (the SUM consumes exif_lon so
+        # neither mapInPandas stage can be pruned) — two chained
+        # narrow Python stages, zero shuffles
+        from geomesa_sql_spark.ops import geotag_images, image_exif
+
+        def exif_roundtrip():
+            tagged = geotag_images(spark.read.parquet(img_path))
+            return image_exif(tagged).agg(F.sum("exif_lon")).collect()
+
+        exif_roundtrip()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            exif_roundtrip()
+            best = min(best, time.time() - t0)
+        results["exif_roundtrip"] = round(best, 3)
+
         # storage-level spatial pruning: the same ST_Within over a
         # cell-clustered layout (row-group pruning) vs the scannable twin
         from geomesa_sql_spark.io.layout import write_geo_table

@@ -118,13 +118,31 @@ def _parse_tiff_exif(t: bytes) -> dict | None:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def parse_exif(data: bytes | None) -> dict | None:
-    """EXIF fields from a JPEG (APP1 walk) or a bare TIFF.
+    """EXIF fields from a JPEG (APP1 walk), a PNG (the standardized
+    ``eXIf`` chunk, PNG extension 1.5.0 / core since the 2022 spec),
+    or a bare TIFF.
 
     Returns {lon, lat, alt, orientation, make, model, datetime} with
     ``None`` for anything absent, or ``None`` when the payload carries
     no parseable EXIF at all. Never raises on corrupt input."""
     if not data or len(data) < 4:
+        return None
+    if data[:8] == _PNG_SIG:  # PNG: chunk walk for eXIf
+        i = 8
+        while i + 8 <= len(data):
+            (ln,) = struct.unpack_from(">I", data, i)
+            typ = data[i + 4 : i + 8]
+            if ln > len(data) - i - 8:
+                break
+            if typ == b"eXIf":
+                return _parse_tiff_exif(data[i + 8 : i + 8 + ln])
+            if typ == b"IEND":
+                break
+            i += 12 + ln  # len + type + data + crc
         return None
     if data[:2] == b"\xff\xd8":  # JPEG: walk segments for APP1
         i = 2
@@ -264,6 +282,29 @@ def build_exif_tiff(
     if gps:
         body += ser_ifd(gps)
     return header + body + bytes(heap)
+
+
+def inject_exif_png(png: bytes, **fields) -> bytes:
+    """A copy of ``png`` with an ``eXIf`` chunk (built from ``fields``
+    — see :func:`build_exif_tiff`) inserted after IHDR. Ancillary and
+    lowercase-first, so spec-conforming decoders that predate eXIf
+    skip it."""
+    import zlib
+
+    if png[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    if len(png) < 16:
+        raise ValueError("truncated PNG")
+    block = build_exif_tiff(**fields)
+    body = b"eXIf" + block
+    chunk = (
+        struct.pack(">I", len(block))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+    (ihdr_len,) = struct.unpack_from(">I", png, 8)
+    end = 8 + 12 + ihdr_len  # IHDR is always the first chunk
+    return png[:end] + chunk + png[end:]
 
 
 def inject_exif_jpeg(jpeg: bytes, **fields) -> bytes:

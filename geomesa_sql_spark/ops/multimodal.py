@@ -119,7 +119,7 @@ def image_exif(
     bridge: (id, *carry, exif_lon, exif_lat, exif_alt,
     exif_orientation, exif_make, exif_model, exif_datetime).
 
-    Parses JPEG APP1 / bare-TIFF EXIF per row (io.exif.parse_exif —
+    Parses JPEG APP1 / PNG eXIf / bare-TIFF EXIF per row (io.exif.parse_exif —
     reuses the repo's one TIFF IFD walker); payloads without EXIF,
     without GPS tags, corrupt, or NULL yield NULL fields, never an
     error. The lon/lat DOUBLEs feed the spatial surface directly:
@@ -178,16 +178,22 @@ def geotag_images(
     alt_col: str | None = None,
 ) -> DataFrame:
     """The write direction of the EXIF bridge: stamp per-row
-    coordinates INTO JPEG payloads as an APP1 segment —
-    (id, bytes, tagged BOOLEAN). Rows whose payload is not a JPEG, or
+    coordinates INTO image payloads — a JPEG APP1 segment or a PNG
+    ``eXIf`` chunk, dispatched on the payload signature —
+    (id, bytes, tagged BOOLEAN). Rows whose payload is neither, or
     whose lon/lat is NULL/NaN/non-finite/outside ±180/±90 (altitude
     beyond ±4,000 km is dropped, position still tags), pass through
-    byte-identical with tagged = false (never an error); re-tagging replaces nothing —
-    the new APP1 is inserted at SOI and :func:`image_exif` reads the
-    FIRST Exif APP1, so tag once or strip first. Round-trip law
-    (tested): image_exif(geotag_images(df)) returns the input
-    coordinates to EXIF rational precision (~3e-10°)."""
-    from geomesa_sql_spark.io.exif import inject_exif_jpeg
+    byte-identical with tagged = false (never an error); re-tagging
+    replaces nothing — the new segment/chunk is inserted first and
+    :func:`image_exif` reads the FIRST one, so tag once or strip
+    first. Round-trip law (tested): image_exif(geotag_images(df))
+    returns the input coordinates to EXIF rational precision
+    (~3e-10°)."""
+    from geomesa_sql_spark.io.exif import (
+        _PNG_SIG,
+        inject_exif_jpeg,
+        inject_exif_png,
+    )
 
     schema = T.StructType(
         [
@@ -220,11 +226,16 @@ def geotag_images(
             for i, blob in enumerate(pdf["bytes"]):
                 lon = pdf[lon_col].iloc[i]
                 lat = pdf[lat_col].iloc[i]
+                inject = None
+                if blob is not None:
+                    if blob[:2] == b"\xff\xd8":
+                        inject = inject_exif_jpeg
+                    elif blob[:8] == _PNG_SIG:
+                        inject = inject_exif_png
                 if (
-                    blob is None
+                    inject is None
                     or not coord_ok(lon, 180.0)
                     or not coord_ok(lat, 90.0)
-                    or blob[:2] != b"\xff\xd8"
                 ):
                     out_b.append(blob)
                     out_t.append(False)
@@ -233,9 +244,7 @@ def geotag_images(
                 if alts is not None and coord_ok(alts.iloc[i], 4.0e6):
                     alt = float(alts.iloc[i])
                 out_b.append(
-                    inject_exif_jpeg(
-                        blob, lon=float(lon), lat=float(lat), alt=alt
-                    )
+                    inject(blob, lon=float(lon), lat=float(lat), alt=alt)
                 )
                 out_t.append(True)
             yield pd.DataFrame(

@@ -118,6 +118,55 @@ def test_exif_fill_bytes_and_eoi_in_walk():
     assert parse_exif(b"\xff\xd8\xff\xd9" + app1) is None
 
 
+def test_exif_png_exif_chunk_roundtrip():
+    """PNG eXIf chunk: inject after IHDR, parse back; the PNG still
+    decodes identically (ancillary chunk skipped by the decoder)."""
+    from geomesa_sql_spark.io.exif import inject_exif_png
+    from geomesa_sql_spark.io.images import decode_image, encode_png
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    png = encode_png(px)
+    tagged = inject_exif_png(png, lon=-73.9857, lat=40.7484, alt=381.0)
+    d = parse_exif(tagged)
+    assert d["lon"] == pytest.approx(-73.9857, abs=1e-8)
+    assert d["lat"] == pytest.approx(40.7484, abs=1e-8)
+    assert d["alt"] == pytest.approx(381.0, abs=1e-3)
+    assert np.array_equal(decode_image(tagged, "png", 9, 9), px)
+    assert parse_exif(png) is None  # untagged PNG: clean None
+    # truncated chunk table: clean None
+    assert parse_exif(tagged[:20]) is None
+    with pytest.raises(ValueError):
+        inject_exif_png(b"\x89PNG\r\n\x1a\n", lat=1.0)  # truncated
+
+
+def test_geotag_png_payloads(spark):
+    """geotag_images dispatches on the payload signature: PNG rows
+    get an eXIf chunk and round-trip through image_exif like JPEGs."""
+    from geomesa_sql_spark.io.images import encode_png
+    from geomesa_sql_spark.ops import geotag_images, image_exif
+
+    rng = np.random.default_rng(5)
+    png = encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    rows = [
+        ("p0", png, 12.5, -8.25),
+        ("j0", _jpeg(1), -100.0, 45.0),
+        ("r0", b"\x00raw", 1.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "lon", "lat"])
+    )
+    tagged = geotag_images(df)
+    got = tagged.toPandas().set_index("image_id")
+    assert bool(got.loc["p0"].tagged) and bool(got.loc["j0"].tagged)
+    assert not got.loc["r0"].tagged
+    back = image_exif(tagged).toPandas().set_index("image_id")
+    assert back.loc["p0"].exif_lon == pytest.approx(12.5, abs=1e-8)
+    assert back.loc["p0"].exif_lat == pytest.approx(-8.25, abs=1e-8)
+    assert back.loc["j0"].exif_lon == pytest.approx(-100.0, abs=1e-8)
+    assert pd.isna(back.loc["r0"].exif_lon)
+
+
 def test_geotag_nonfinite_and_out_of_range_pass_through(spark):
     """r5 review: inf / huge coordinates would overflow the DMS
     rational encoding — they must pass through untagged, not crash
