@@ -365,6 +365,37 @@ def main() -> int:
         plan,
     ))
 
+    # 12. EXIF bridge round-trip: stamp + parse are two chained NARROW
+    # Arrow stages — the only exchange in the plan is the final scalar
+    # aggregate; no per-group dispatch, and the binary payload never
+    # rides a shuffle (the agg exchanges one partial sum row, not rows)
+    from geomesa_sql_spark.io.fixtures import images_table
+    from geomesa_sql_spark.ops import geotag_images, image_exif
+
+    img_path = "/tmp/spark_graft_bench/plan_audit_exif"
+    if not os.path.exists(f"{img_path}/_SUCCESS"):
+        images_table(spark, 200, size=8, fmt="mixed", partitions=4).write.mode(
+            "overwrite"
+        ).parquet(img_path)
+    imgs = spark.read.parquet(img_path)  # stored table, like production
+    rt = image_exif(geotag_images(imgs)).agg(
+        F.sum("exif_lon").alias("s")
+    )
+    plan = _fmt(rt)
+    body = plan.split("\n\n")[0]
+    assert body.count("MapInPandas") == 2, plan
+    assert body.count("Exchange") == 1, plan  # scalar-agg exchange only
+    assert "FlatMapGroupsInPandas" not in body, plan
+    sections.append((
+        "EXIF bridge round-trip (geotag_images → image_exif)",
+        "Both directions of the image↔geospatial bridge chain as two "
+        "narrow Arrow mapInPandas stages with no shuffle between them; "
+        "the single exchange is the final scalar aggregate's one-row "
+        "partial-sum exchange, so image payload bytes never ride a "
+        "shuffle (CLAUDE.md payload discipline).",
+        plan,
+    ))
+
     out = REPO / "BENCH" / "PLANS.md"
     lines = [
         "# Plan audit — explain('formatted') of the plans that matter at 100 TB",
