@@ -522,7 +522,9 @@ def main() -> None:
 
 
         # EXIF bridge both directions: stamp each stored image's
-        # lon/lat into the JPEG payload as APP1, parse it back, and
+        # lon/lat into its payload (the fixture is png/raw, so the png
+        # half gets an eXIf chunk and raw rows pass through untagged),
+        # parse it back, and
         # reduce over the lifted column (the SUM consumes exif_lon so
         # neither mapInPandas stage can be pruned) — two chained
         # narrow Python stages, zero shuffles

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import struct
 
+from geomesa_sql_spark.io.images import PNG_SIG as _PNG_SIG
 from geomesa_sql_spark.io.tiff import _header, _read_ifd
 
 # IFD0 / Exif-IFD tags
@@ -117,8 +118,6 @@ def _parse_tiff_exif(t: bytes) -> dict | None:
         or _ascii(ifd0.get(_TAG_DATETIME)),
     }
 
-
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def parse_exif(data: bytes | None) -> dict | None:
@@ -293,8 +292,15 @@ def inject_exif_png(png: bytes, **fields) -> bytes:
 
     if png[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    if len(png) < 16:
-        raise ValueError("truncated PNG")
+    if len(png) < 16 or png[12:16] != b"IHDR":
+        raise ValueError("truncated PNG (no IHDR)")
+    (ihdr_len,) = struct.unpack_from(">I", png, 8)
+    end = 8 + 12 + ihdr_len  # IHDR is always the first chunk
+    # a hostile/corrupt length would place the chunk at a garbage
+    # offset (and the subsequent parse would read NULLs) — refuse
+    # instead, so callers fall back to untagged pass-through
+    if ihdr_len != 13 or end > len(png):
+        raise ValueError("implausible PNG IHDR")
     block = build_exif_tiff(**fields)
     body = b"eXIf" + block
     chunk = (
@@ -302,8 +308,6 @@ def inject_exif_png(png: bytes, **fields) -> bytes:
         + body
         + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
     )
-    (ihdr_len,) = struct.unpack_from(">I", png, 8)
-    end = 8 + 12 + ihdr_len  # IHDR is always the first chunk
     return png[:end] + chunk + png[end:]
 
 

@@ -40,7 +40,8 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
 
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_SIG = PNG_SIG  # back-compat alias for in-module history
 
 
 def encode_png(pixels: np.ndarray) -> bytes:

@@ -189,11 +189,8 @@ def geotag_images(
     first. Round-trip law (tested): image_exif(geotag_images(df))
     returns the input coordinates to EXIF rational precision
     (~3e-10°)."""
-    from geomesa_sql_spark.io.exif import (
-        _PNG_SIG,
-        inject_exif_jpeg,
-        inject_exif_png,
-    )
+    from geomesa_sql_spark.io.exif import inject_exif_jpeg, inject_exif_png
+    from geomesa_sql_spark.io.images import PNG_SIG
 
     schema = T.StructType(
         [
@@ -230,7 +227,7 @@ def geotag_images(
                 if blob is not None:
                     if blob[:2] == b"\xff\xd8":
                         inject = inject_exif_jpeg
-                    elif blob[:8] == _PNG_SIG:
+                    elif blob[:8] == PNG_SIG:
                         inject = inject_exif_png
                 if (
                     inject is None
@@ -243,10 +240,18 @@ def geotag_images(
                 alt = None
                 if alts is not None and coord_ok(alts.iloc[i], 4.0e6):
                     alt = float(alts.iloc[i])
-                out_b.append(
-                    inject(blob, lon=float(lon), lat=float(lat), alt=alt)
-                )
-                out_t.append(True)
+                try:
+                    out_b.append(
+                        inject(blob, lon=float(lon), lat=float(lat), alt=alt)
+                    )
+                    out_t.append(True)
+                except ValueError:
+                    # signature matched but the container is truncated
+                    # or implausible (e.g. 8-byte PNG prefix, hostile
+                    # IHDR length): byte-identical pass-through, never
+                    # a failed stage (r5 review)
+                    out_b.append(blob)
+                    out_t.append(False)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "bytes": out_b, "tagged": out_t}
             )

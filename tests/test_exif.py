@@ -167,6 +167,37 @@ def test_geotag_png_payloads(spark):
     assert pd.isna(back.loc["r0"].exif_lon)
 
 
+def test_geotag_truncated_and_hostile_png_pass_through(spark):
+    """r5 review: a blob that LOOKS like a PNG (signature matches) but
+    is truncated or carries a hostile IHDR length must pass through
+    byte-identical with tagged=false — not crash the task (8-byte
+    prefix) or mutate the payload while tagging=true (garbage insert
+    offset)."""
+    from geomesa_sql_spark.io.exif import inject_exif_png
+    from geomesa_sql_spark.ops import geotag_images
+
+    sig_only = b"\x89PNG\r\n\x1a\n"
+    hostile = sig_only + b"\xff\xff\xff\x00IHDR"  # absurd ihdr_len
+    short_ihdr = sig_only + struct.pack(">I", 13) + b"IHDR"  # truncated
+    rows = [
+        ("sig", sig_only, 1.0, 2.0),
+        ("host", hostile, 1.0, 2.0),
+        ("shrt", short_ihdr, 1.0, 2.0),
+        ("ok", _jpeg(0), 3.0, 4.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "lon", "lat"])
+    )
+    got = geotag_images(df).toPandas().set_index("image_id")
+    for k, blob in (("sig", sig_only), ("host", hostile), ("shrt", short_ihdr)):
+        assert not got.loc[k].tagged
+        assert bytes(got.loc[k].bytes) == blob  # byte-identical
+    assert bool(got.loc["ok"].tagged)
+    for bad in (sig_only, hostile, short_ihdr):
+        with pytest.raises(ValueError):
+            inject_exif_png(bad, lat=1.0)
+
+
 def test_geotag_nonfinite_and_out_of_range_pass_through(spark):
     """r5 review: inf / huge coordinates would overflow the DMS
     rational encoding — they must pass through untagged, not crash
