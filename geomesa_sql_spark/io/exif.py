@@ -167,6 +167,64 @@ def parse_exif(data: bytes | None) -> dict | None:
     return None
 
 
+def strip_exif(data: bytes | None) -> tuple[bytes | None, bool]:
+    """(payload without EXIF, changed?) — the privacy scrub: removes
+    every Exif APP1 segment from a JPEG and every ``eXIf`` chunk from
+    a PNG, leaving all other bytes (JFIF/XMP APP1s, entropy data,
+    ancillary chunks) untouched. Non-container or corrupt payloads
+    return unchanged with ``False`` — never an exception. Inverse law
+    (tested): strip_exif(inject_exif_*(x)) == (x, True)."""
+    if not data or len(data) < 4:
+        return data, False
+    if data[:8] == _PNG_SIG:
+        out = bytearray(data[:8])
+        i = 8
+        changed = False
+        while i + 8 <= len(data):
+            (ln,) = struct.unpack_from(">I", data, i)
+            typ = data[i + 4 : i + 8]
+            if ln > len(data) - i - 8:
+                break
+            end = i + 12 + ln
+            if typ == b"eXIf":
+                changed = True
+            else:
+                out += data[i:end]
+            if typ == b"IEND":
+                i = end
+                break
+            i = end
+        out += data[i:]  # anything after IEND / a truncated tail
+        return (bytes(out), True) if changed else (data, False)
+    if data[:2] == b"\xff\xd8":
+        out = bytearray(data[:2])
+        i = 2
+        changed = False
+        while i + 4 <= len(data) and data[i] == 0xFF:
+            m = data[i + 1]
+            if m == 0xFF:  # fill byte
+                out.append(data[i])
+                i += 1
+                continue
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                out += data[i : i + 2]
+                i += 2
+                continue
+            if m in (0xDA, 0xD9):
+                break
+            (ln,) = struct.unpack_from(">H", data, i + 2)
+            if ln < 2 or i + 2 + ln > len(data):
+                break
+            if m == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+                changed = True  # drop this segment
+            else:
+                out += data[i : i + 2 + ln]
+            i += 2 + ln
+        out += data[i:]  # entropy-coded data onward, verbatim
+        return (bytes(out), True) if changed else (data, False)
+    return data, False
+
+
 def _rat(v: float, den: int) -> tuple[int, int]:
     return int(round(v * den)), den
 

@@ -38,6 +38,7 @@ from geomesa_sql_spark.ops.multimodal import (  # noqa: F401
     near_dup_images,
     phash_images,
     resize_images,
+    scrub_exif_images,
     transcode_images,
 )
 from geomesa_sql_spark.ops.raster import (  # noqa: F401

@@ -259,6 +259,40 @@ def geotag_images(
     return df.select(*cols).mapInPandas(gen, schema)
 
 
+def scrub_exif_images(
+    df: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """Privacy scrub — (id, bytes, scrubbed BOOLEAN): every Exif APP1
+    segment (JPEG) / ``eXIf`` chunk (PNG) removed from the payload,
+    all other bytes untouched; payloads without EXIF (or non-container
+    /NULL rows) pass through byte-identical with scrubbed = false.
+    The inverse of :func:`geotag_images` on tagged payloads (law
+    tested: scrub ∘ geotag restores the original bytes), and the
+    standard PII step before publishing a crawled image corpus."""
+    from geomesa_sql_spark.io.exif import strip_exif
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("scrubbed", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out_b, out_s = [], []
+            for blob in pdf["bytes"]:
+                b, changed = strip_exif(blob)
+                out_b.append(b)
+                out_s.append(changed)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bytes": out_b, "scrubbed": out_s}
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(gen, schema)
+
+
 def phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """(id, ahash bigint): 64-bit average-hash of the decoded image.
 

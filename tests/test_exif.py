@@ -167,6 +167,58 @@ def test_geotag_png_payloads(spark):
     assert pd.isna(back.loc["r0"].exif_lon)
 
 
+def test_strip_exif_inverse_law_and_selectivity():
+    """strip_exif(inject_exif_*(x)) == (x, True) byte-for-byte; other
+    APP1s (XMP) and ancillary PNG chunks survive; EXIF-less payloads
+    return unchanged with False."""
+    from geomesa_sql_spark.io.exif import inject_exif_png, strip_exif
+    from geomesa_sql_spark.io.images import encode_png
+
+    j = _jpeg(0)
+    tagged = inject_exif_jpeg(j, lat=1.5, lon=2.5, alt=3.0)
+    assert parse_exif(tagged)["lat"] == pytest.approx(1.5, abs=1e-8)
+    out, changed = strip_exif(tagged)
+    assert changed and out == j  # exact inverse
+    assert parse_exif(out) is None
+    assert strip_exif(j) == (j, False)  # untouched without EXIF
+
+    # an XMP APP1 (not Exif) must survive the scrub
+    xmp = b"\xff\xe1" + struct.pack(">H", 13) + b"http://ns.x"
+    mixed = j[:2] + xmp + tagged[2:]
+    out2, changed2 = strip_exif(mixed)
+    assert changed2 and out2 == j[:2] + xmp + j[2:]
+
+    rng = np.random.default_rng(7)
+    png = encode_png(rng.integers(0, 256, (7, 7, 3), dtype=np.uint8))
+    ptag = inject_exif_png(png, lat=-9.75, lon=44.5)
+    pout, pch = strip_exif(ptag)
+    assert pch and pout == png
+    assert strip_exif(png) == (png, False)
+    assert strip_exif(None) == (None, False)
+    assert strip_exif(b"raw") == (b"raw", False)
+
+
+def test_scrub_exif_images_operator(spark):
+    """Spark scrub op: tagged rows come back byte-identical to their
+    pre-tag payloads with scrubbed=true; untagged rows pass through."""
+    from geomesa_sql_spark.ops import geotag_images, scrub_exif_images
+
+    rows = [
+        ("a", _jpeg(0), 10.0, 20.0),
+        ("b", b"not an image", 1.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "lon", "lat"])
+    )
+    scrubbed = scrub_exif_images(geotag_images(df)).toPandas().set_index(
+        "image_id"
+    )
+    assert bool(scrubbed.loc["a"].scrubbed)
+    assert bytes(scrubbed.loc["a"].bytes) == _jpeg(0)
+    assert not scrubbed.loc["b"].scrubbed
+    assert bytes(scrubbed.loc["b"].bytes) == b"not an image"
+
+
 def test_geotag_truncated_and_hostile_png_pass_through(spark):
     """r5 review: a blob that LOOKS like a PNG (signature matches) but
     is truncated or carries a hostile IHDR length must pass through
