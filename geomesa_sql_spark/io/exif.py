@@ -120,6 +120,55 @@ def _parse_tiff_exif(t: bytes) -> dict | None:
 
 
 
+def _png_chunks(data: bytes):
+    """([(start, end, type)], stop) — every well-formed chunk from
+    offset 8, INCLUDING chunk-shaped bytes after IEND (a favorite
+    hiding spot for trailer metadata); stops at the first malformed
+    length. One walker shared by parse and scrub so their container
+    bounds can never diverge."""
+    out = []
+    i = 8
+    while i + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, i)
+        typ = data[i + 4 : i + 8]
+        if ln > len(data) - i - 8:
+            break
+        end = i + 12 + ln  # len + type + data + crc
+        out.append((i, end, typ))
+        i = end
+    return out, i
+
+
+def _jpeg_segments(data: bytes):
+    """([(start, end, marker)], stop) — the header segments from
+    offset 2: fill bytes (B.1.1.2) skipped, standalone markers kept,
+    stops before entropy data (SOS) / EOI / the first malformed
+    length. Shared by parse and scrub."""
+    out = []
+    i = 2
+    while i + 4 <= len(data) and data[i] == 0xFF:
+        m = data[i + 1]
+        if m == 0xFF:  # fill byte: the marker starts one byte later
+            i += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            out.append((i, i + 2, m))
+            i += 2
+            continue
+        if m in (0xDA, 0xD9):  # entropy data / EOI: no headers left
+            break
+        (ln,) = struct.unpack_from(">H", data, i + 2)
+        if ln < 2 or i + 2 + ln > len(data):
+            break
+        out.append((i, i + 2 + ln, m))
+        i += 2 + ln
+    return out, i
+
+
+def _is_exif_app1(data: bytes, s: int, m: int) -> bool:
+    return m == 0xE1 and data[s + 4 : s + 10] == b"Exif\x00\x00"
+
+
 def parse_exif(data: bytes | None) -> dict | None:
     """EXIF fields from a JPEG (APP1 walk), a PNG (the standardized
     ``eXIf`` chunk, PNG extension 1.5.0 / core since the 2022 spec),
@@ -130,99 +179,104 @@ def parse_exif(data: bytes | None) -> dict | None:
     no parseable EXIF at all. Never raises on corrupt input."""
     if not data or len(data) < 4:
         return None
-    if data[:8] == _PNG_SIG:  # PNG: chunk walk for eXIf
-        i = 8
-        while i + 8 <= len(data):
-            (ln,) = struct.unpack_from(">I", data, i)
-            typ = data[i + 4 : i + 8]
-            if ln > len(data) - i - 8:
-                break
+    if data[:8] == _PNG_SIG:
+        for s, e, typ in _png_chunks(data)[0]:
             if typ == b"eXIf":
-                return _parse_tiff_exif(data[i + 8 : i + 8 + ln])
-            if typ == b"IEND":
-                break
-            i += 12 + ln  # len + type + data + crc
+                return _parse_tiff_exif(data[s + 8 : e - 4])
         return None
-    if data[:2] == b"\xff\xd8":  # JPEG: walk segments for APP1
-        i = 2
-        while i + 4 <= len(data) and data[i] == 0xFF:
-            m = data[i + 1]
-            if m == 0xFF:  # fill byte (B.1.1.2): marker starts later
-                i += 1
-                continue
-            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
-                i += 2
-                continue
-            if m in (0xDA, 0xD9):  # entropy data / EOI: no headers left
-                break
-            (ln,) = struct.unpack_from(">H", data, i + 2)
-            if ln < 2 or i + 2 + ln > len(data):
-                break
-            if m == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
-                return _parse_tiff_exif(data[i + 10 : i + 2 + ln])
-            i += 2 + ln
+    if data[:2] == b"\xff\xd8":
+        for s, e, m in _jpeg_segments(data)[0]:
+            if _is_exif_app1(data, s, m):
+                return _parse_tiff_exif(data[s + 10 : e])
         return None
     if data[:2] in (b"II", b"MM"):
         return _parse_tiff_exif(data)
     return None
 
 
+def _strip_tiff_gps(data: bytes) -> tuple[bytes, bool]:
+    """Bare TIFF/EXIF block: zero the GPS IFD IN PLACE — the pointer
+    entry in IFD0, the GPS entry table, and every out-of-line GPS
+    value — so no offset shifts and no reader (including this repo's
+    parse_exif) can reach the coordinates. Non-GPS fields (camera
+    make, timestamps) survive: the scrub targets location PII."""
+    from geomesa_sql_spark.io.tiff import _ifd_spans
+
+    try:
+        bo, big, off = _header(data)
+        ifd0 = _read_ifd(data, bo, off, big)
+        if _TAG_GPS_PTR not in ifd0:
+            return data, False
+        _, spans0 = _ifd_spans(data, bo, off, big)
+        gps_off = int(ifd0[_TAG_GPS_PTR][0])
+        gps_block, gps_spans = _ifd_spans(data, bo, gps_off, big)
+    except (ValueError, struct.error):
+        return data, False
+    buf = bytearray(data)
+    ent_sz = 20 if big else 12
+    for tag, entry_at, _vat, _tot in spans0:
+        if tag == _TAG_GPS_PTR:
+            buf[entry_at : entry_at + ent_sz] = b"\x00" * ent_sz
+    buf[gps_block[0] : gps_block[1]] = b"\x00" * (
+        gps_block[1] - gps_block[0]
+    )
+    for _tag, _entry_at, vat, total in gps_spans:
+        buf[vat : vat + total] = b"\x00" * total
+    return bytes(buf), True
+
+
 def strip_exif(data: bytes | None) -> tuple[bytes | None, bool]:
-    """(payload without EXIF, changed?) — the privacy scrub: removes
-    every Exif APP1 segment from a JPEG and every ``eXIf`` chunk from
-    a PNG, leaving all other bytes (JFIF/XMP APP1s, entropy data,
-    ancillary chunks) untouched. Non-container or corrupt payloads
-    return unchanged with ``False`` — never an exception. Inverse law
-    (tested): strip_exif(inject_exif_*(x)) == (x, True)."""
+    """(payload without EXIF location data, changed?) — the privacy
+    scrub: removes every Exif APP1 segment from a JPEG and every
+    ``eXIf`` chunk from a PNG (including chunk-shaped trailers after
+    IEND), zeroes the GPS IFD of a bare TIFF in place, and recurses
+    into concatenated-container trailers (a second JPEG/PNG/TIFF after
+    the first image's EOI/IEND — the classic hiding spot file carvers
+    scan). All other bytes — JFIF/XMP APP1s, entropy data, ancillary
+    chunks — are untouched, and the no-EXIF path returns the input
+    object itself (zero copies). Arbitrary unstructured trailer bytes
+    cannot be parsed and pass through. Never raises on corrupt input.
+    Inverse law (tested): strip_exif(inject_exif_*(x)) == (x, True)."""
     if not data or len(data) < 4:
         return data, False
     if data[:8] == _PNG_SIG:
-        out = bytearray(data[:8])
-        i = 8
-        changed = False
-        while i + 8 <= len(data):
-            (ln,) = struct.unpack_from(">I", data, i)
-            typ = data[i + 4 : i + 8]
-            if ln > len(data) - i - 8:
-                break
-            end = i + 12 + ln
-            if typ == b"eXIf":
-                changed = True
-            else:
-                out += data[i:end]
-            if typ == b"IEND":
-                i = end
-                break
-            i = end
-        out += data[i:]  # anything after IEND / a truncated tail
-        return (bytes(out), True) if changed else (data, False)
-    if data[:2] == b"\xff\xd8":
-        out = bytearray(data[:2])
-        i = 2
-        changed = False
-        while i + 4 <= len(data) and data[i] == 0xFF:
-            m = data[i + 1]
-            if m == 0xFF:  # fill byte
-                out.append(data[i])
-                i += 1
-                continue
-            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
-                out += data[i : i + 2]
-                i += 2
-                continue
-            if m in (0xDA, 0xD9):
-                break
-            (ln,) = struct.unpack_from(">H", data, i + 2)
-            if ln < 2 or i + 2 + ln > len(data):
-                break
-            if m == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
-                changed = True  # drop this segment
-            else:
-                out += data[i : i + 2 + ln]
-            i += 2 + ln
-        out += data[i:]  # entropy-coded data onward, verbatim
-        return (bytes(out), True) if changed else (data, False)
-    return data, False
+        chunks, stop = _png_chunks(data)
+        spans = [(s, e) for s, e, t in chunks if t == b"eXIf"]
+        tail_at = stop
+    elif data[:2] == b"\xff\xd8":
+        segs, stop = _jpeg_segments(data)
+        spans = [
+            (s, e) for s, e, m in segs if _is_exif_app1(data, s, m)
+        ]
+        # inside entropy-coded data every 0xFF is byte-stuffed (FF00)
+        # or a RST marker, so the first FF D9 at/after the headers is
+        # the true EOI — the trailer starts right after it
+        eoi = data.find(b"\xff\xd9", stop)
+        tail_at = eoi + 2 if eoi != -1 else None
+    elif data[:2] in (b"II", b"MM"):
+        return _strip_tiff_gps(data)
+    else:
+        return data, False
+    tail, tail_changed = None, False
+    if tail_at is not None and tail_at < len(data):
+        t = data[tail_at:]
+        if (
+            t[:8] == _PNG_SIG
+            or t[:2] == b"\xff\xd8"
+            or t[:2] in (b"II", b"MM")
+        ):
+            tail, tail_changed = strip_exif(t)
+    if not spans and not tail_changed:
+        return data, False
+    out = bytearray()
+    pos = 0
+    for s, e in spans:
+        out += data[pos:s]
+        pos = e
+    out += data[pos : tail_at if tail_changed else len(data)]
+    if tail_changed:
+        out += tail
+    return bytes(out), True
 
 
 def _rat(v: float, den: int) -> tuple[int, int]:

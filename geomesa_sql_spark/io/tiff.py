@@ -176,6 +176,52 @@ def _read_ifd(data: bytes, bo: str, off: int | None = None,
     return tags
 
 
+def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
+    """Byte extents of the IFD at ``off``: ((block_start, block_end),
+    [(tag, entry_at, val_at, total)]) where ``block`` spans the count
+    field through the next-IFD pointer, ``entry_at`` is each 12/20-byte
+    entry slot, and (val_at, total) the value bytes — equal to the
+    inline value field when the value fits. Mirrors _read_ifd's bounds
+    checks (ValueError on malformed); unknown types report total 0.
+    Used by the EXIF privacy scrub to zero GPS data IN PLACE without
+    shifting any offsets."""
+    cnt_sz, ent_sz = (8, 20) if big else (2, 12)
+    inline = 8 if big else 4
+    if off + cnt_sz > len(data):
+        raise ValueError("TIFF IFD offset runs off the end of the file")
+    (n,) = struct.unpack_from(bo + ("Q" if big else "H"), data, off)
+    if n > 4096:
+        raise ValueError("implausible TIFF IFD entry count")
+    spans = []
+    for i in range(int(n)):
+        at = off + cnt_sz + ent_sz * i
+        if at + ent_sz > len(data):
+            raise ValueError("TIFF IFD runs off the end of the file")
+        if big:
+            tag, typ, count = struct.unpack_from(bo + "HHQ", data, at)
+            vfield_at = at + 12
+        else:
+            tag, typ, count = struct.unpack_from(bo + "HHI", data, at)
+            vfield_at = at + 8
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            spans.append((tag, at, vfield_at, 0))
+            continue
+        if count > (1 << 26):
+            raise ValueError("implausible TIFF tag count")
+        total = size * count
+        vat = vfield_at
+        if total > inline:
+            (vat,) = struct.unpack_from(
+                bo + ("Q" if big else "I"), data, vfield_at
+            )
+        if vat + total > len(data):
+            raise ValueError("TIFF tag value runs off the end of the file")
+        spans.append((tag, at, vat, total))
+    block_end = off + cnt_sz + ent_sz * int(n) + (8 if big else 4)
+    return (off, min(block_end, len(data))), spans
+
+
 def _packbits_decode(src: bytes, expect: int) -> bytes:
     out = bytearray()
     i = 0

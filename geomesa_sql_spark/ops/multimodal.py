@@ -263,12 +263,15 @@ def scrub_exif_images(
     df: DataFrame, id_col: str = "image_id"
 ) -> DataFrame:
     """Privacy scrub — (id, bytes, scrubbed BOOLEAN): every Exif APP1
-    segment (JPEG) / ``eXIf`` chunk (PNG) removed from the payload,
-    all other bytes untouched; payloads without EXIF (or non-container
-    /NULL rows) pass through byte-identical with scrubbed = false.
-    The inverse of :func:`geotag_images` on tagged payloads (law
-    tested: scrub ∘ geotag restores the original bytes), and the
-    standard PII step before publishing a crawled image corpus."""
+    segment (JPEG) / ``eXIf`` chunk (PNG, trailers included) removed,
+    a bare TIFF's GPS IFD zeroed in place, and concatenated-container
+    trailers (a second image hidden after EOI/IEND) scrubbed
+    recursively; all other bytes untouched. Payloads without EXIF (or
+    non-container/NULL rows) pass through byte-identical with
+    scrubbed = false. The inverse of :func:`geotag_images` on tagged
+    payloads (law tested: scrub ∘ geotag restores the original
+    bytes), and the standard PII step before publishing a crawled
+    image corpus."""
     from geomesa_sql_spark.io.exif import strip_exif
 
     schema = T.StructType(

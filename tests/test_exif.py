@@ -198,6 +198,59 @@ def test_strip_exif_inverse_law_and_selectivity():
     assert strip_exif(b"raw") == (b"raw", False)
 
 
+def test_strip_exif_covers_tiff_and_trailers():
+    """r5 review: the scrub must also cover (a) bare TIFF payloads —
+    parse_exif reads their GPS, so the scrub zeroes the GPS IFD in
+    place; (b) a second image concatenated after EOI/IEND; (c) a
+    chunk-shaped eXIf after IEND. And the no-EXIF path returns the
+    SAME object (zero copies)."""
+    from geomesa_sql_spark.io.exif import (
+        build_exif_tiff,
+        inject_exif_png,
+        strip_exif,
+    )
+    from geomesa_sql_spark.io.images import encode_png
+
+    # (a) bare TIFF: GPS gone, non-GPS fields survive, length equal
+    t = build_exif_tiff(lat=48.85, lon=2.29, alt=35.0, make="ACME",
+                        datetime="2026:01:01 00:00:00")
+    out, changed = strip_exif(t)
+    assert changed and len(out) == len(t)
+    d = parse_exif(out)
+    assert d["lat"] is None and d["lon"] is None and d["alt"] is None
+    assert d["make"] == "ACME" and d["datetime"] == "2026:01:01 00:00:00"
+    assert strip_exif(out) == (out, False)  # idempotent
+    # big-endian variant too
+    tm = build_exif_tiff(lat=-3.5, lon=7.25, byte_order="MM")
+    om, chm = strip_exif(tm)
+    assert chm and parse_exif(om)["lat"] is None
+
+    # (b) concatenated second JPEG carrying the EXIF
+    j = _jpeg(0)
+    tagged = inject_exif_jpeg(_jpeg(1), lat=1.5, lon=2.5)
+    cat = j + tagged
+    out2, ch2 = strip_exif(cat)
+    assert ch2 and out2 == j + _jpeg(1)
+    assert b"Exif\x00\x00" not in out2
+
+    # (c) chunk-shaped eXIf appended after IEND
+    rng = np.random.default_rng(9)
+    png = encode_png(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8))
+    ptag = inject_exif_png(png, lat=5.5, lon=6.5)
+    seg_len = struct.unpack(">I", ptag[33:37])[0] + 12  # eXIf chunk
+    exif_chunk = ptag[33 : 33 + seg_len]
+    smug = png + exif_chunk
+    out3, ch3 = strip_exif(smug)
+    assert ch3 and out3 == png
+    # and a whole PNG concatenated after a JPEG
+    out4, ch4 = strip_exif(j + ptag)
+    assert ch4 and out4 == j + png
+
+    # zero-copy pass-through: same object back
+    out5, ch5 = strip_exif(j)
+    assert not ch5 and out5 is j
+
+
 def test_scrub_exif_images_operator(spark):
     """Spark scrub op: tagged rows come back byte-identical to their
     pre-tag payloads with scrubbed=true; untagged rows pass through."""
