@@ -2,11 +2,12 @@
 
 The graft table carries images as ``bytes`` + typed metadata
 (image_id, w, h, fmt — BASELINE.json input_hint). Operators run as
-``mapInPandas`` over Arrow batches; decode uses the stdlib codecs in
-``io.images`` (raw + real PNG). JPEG/WebP/audio/video decode would
-need PIL/cv2/ffmpeg (absent in this container) — those branches raise
-NotImplementedError behind the same batch plumbing, which is real and
-tested.
+``mapInPandas`` over Arrow batches; decode uses the repo's from-scratch
+codecs — raw + full PNG (``io.images``), baseline+progressive JPEG
+(``io.jpeg``), WebP-lossless (``io.webp``), TIFF (``io.tiff``), and
+the container/audio codecs for frame_sample/audio_features. Format
+variants without a real decoder here (mp3, Vorbis/Opus, H.264+) raise
+NotImplementedError loudly behind the same batch plumbing.
 
 Payload discipline at scale: each operator projects only the columns
 it needs, so Catalyst prunes ``bytes`` out of any plan that doesn't
