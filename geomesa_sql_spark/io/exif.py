@@ -120,14 +120,15 @@ def _parse_tiff_exif(t: bytes) -> dict | None:
 
 
 
-def _png_chunks(data: bytes):
-    """([(start, end, type)], stop) — every well-formed chunk from
-    offset 8, INCLUDING chunk-shaped bytes after IEND (a favorite
-    hiding spot for trailer metadata); stops at the first malformed
-    length. One walker shared by parse and scrub so their container
-    bounds can never diverge."""
+def _png_chunks(data: bytes, base: int = 0):
+    """([(start, end, type)], stop) — every well-formed chunk of the
+    PNG whose signature sits at ``base``, INCLUDING chunk-shaped bytes
+    after IEND (a favorite hiding spot for trailer metadata); stops at
+    the first malformed length. Absolute offsets, so multi-container
+    scans never slice. One walker shared by parse and scrub so their
+    container bounds can never diverge."""
     out = []
-    i = 8
+    i = base + 8
     while i + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, i)
         typ = data[i + 4 : i + 8]
@@ -139,13 +140,14 @@ def _png_chunks(data: bytes):
     return out, i
 
 
-def _jpeg_segments(data: bytes):
-    """([(start, end, marker)], stop) — the header segments from
-    offset 2: fill bytes (B.1.1.2) skipped, standalone markers kept,
-    stops before entropy data (SOS) / EOI / the first malformed
-    length. Shared by parse and scrub."""
+def _jpeg_segments(data: bytes, base: int = 0):
+    """([(start, end, marker)], stop) — the header segments of the
+    JPEG whose SOI sits at ``base``: fill bytes (B.1.1.2) skipped,
+    standalone markers kept, stops before entropy data (SOS) / EOI /
+    the first malformed length. Absolute offsets; shared by parse and
+    scrub."""
     out = []
-    i = 2
+    i = base + 2
     while i + 4 <= len(data) and data[i] == 0xFF:
         m = data[i + 1]
         if m == 0xFF:  # fill byte: the marker starts one byte later
@@ -194,88 +196,104 @@ def parse_exif(data: bytes | None) -> dict | None:
     return None
 
 
-def _strip_tiff_gps(data: bytes) -> tuple[bytes, bool]:
-    """Bare TIFF/EXIF block: zero the GPS IFD IN PLACE — the pointer
-    entry in IFD0, the GPS entry table, and every out-of-line GPS
-    value — so no offset shifts and no reader (including this repo's
-    parse_exif) can reach the coordinates. Non-GPS fields (camera
-    make, timestamps) survive: the scrub targets location PII."""
-    from geomesa_sql_spark.io.tiff import _ifd_spans
+def _tiff_gps_patches(data: bytes, base: int) -> list[tuple[int, bytes]]:
+    """Zero-patches (absolute offset, zero bytes) removing every GPS
+    IFD reachable from the TIFF at ``base``: for EACH IFD in the
+    next-IFD chain (GPS hidden in IFD1 is as readable as in IFD0 —
+    r5 review), the GPS pointer entry, the GPS entry table, and every
+    out-of-line GPS value. In-place zeroing shifts no offsets, so the
+    rest of the TIFF stays valid; non-GPS fields (camera make,
+    timestamps) survive: the scrub targets location PII. Returns []
+    when there is nothing to scrub or the structure is malformed."""
+    from geomesa_sql_spark.io.tiff import _ifd_offsets, _ifd_spans
 
+    t = data if base == 0 else bytes(data[base:])
     try:
-        bo, big, off = _header(data)
-        ifd0 = _read_ifd(data, bo, off, big)
-        if _TAG_GPS_PTR not in ifd0:
-            return data, False
-        _, spans0 = _ifd_spans(data, bo, off, big)
-        gps_off = int(ifd0[_TAG_GPS_PTR][0])
-        gps_block, gps_spans = _ifd_spans(data, bo, gps_off, big)
+        bo, big, off = _header(t)
+        chain = _ifd_offsets(t, bo, big, off)
     except (ValueError, struct.error):
-        return data, False
-    buf = bytearray(data)
+        return []
+    patches: list[tuple[int, bytes]] = []
     ent_sz = 20 if big else 12
-    for tag, entry_at, _vat, _tot in spans0:
-        if tag == _TAG_GPS_PTR:
-            buf[entry_at : entry_at + ent_sz] = b"\x00" * ent_sz
-    buf[gps_block[0] : gps_block[1]] = b"\x00" * (
-        gps_block[1] - gps_block[0]
-    )
-    for _tag, _entry_at, vat, total in gps_spans:
-        buf[vat : vat + total] = b"\x00" * total
-    return bytes(buf), True
+    for ifd_off in chain:
+        try:
+            ifd = _read_ifd(t, bo, ifd_off, big)
+            if _TAG_GPS_PTR not in ifd:
+                continue
+            _, spans0 = _ifd_spans(t, bo, ifd_off, big)
+            gps_off = int(ifd[_TAG_GPS_PTR][0])
+            gps_block, gps_spans = _ifd_spans(t, bo, gps_off, big)
+        except (ValueError, struct.error):
+            continue
+        for tag, _typ, _cnt, entry_at, _vat, _tot in spans0:
+            if tag == _TAG_GPS_PTR:
+                patches.append((base + entry_at, b"\x00" * ent_sz))
+        patches.append(
+            (base + gps_block[0], b"\x00" * (gps_block[1] - gps_block[0]))
+        )
+        for _tag, _typ, _cnt, _at, vat, total in gps_spans:
+            patches.append((base + vat, b"\x00" * total))
+    return patches
 
 
 def strip_exif(data: bytes | None) -> tuple[bytes | None, bool]:
     """(payload without EXIF location data, changed?) — the privacy
-    scrub: removes every Exif APP1 segment from a JPEG and every
-    ``eXIf`` chunk from a PNG (including chunk-shaped trailers after
-    IEND), zeroes the GPS IFD of a bare TIFF in place, and recurses
-    into concatenated-container trailers (a second JPEG/PNG/TIFF after
-    the first image's EOI/IEND — the classic hiding spot file carvers
-    scan). All other bytes — JFIF/XMP APP1s, entropy data, ancillary
-    chunks — are untouched, and the no-EXIF path returns the input
-    object itself (zero copies). Arbitrary unstructured trailer bytes
-    cannot be parsed and pass through. Never raises on corrupt input.
-    Inverse law (tested): strip_exif(inject_exif_*(x)) == (x, True)."""
+    scrub: walks the payload as a SEQUENCE of containers (a second
+    JPEG/PNG after the first image's EOI/IEND — the classic hiding
+    spot file carvers scan — is scrubbed too, iteratively, so a
+    degenerate thousand-member chain costs O(n) and cannot overflow
+    the stack). Per member: every Exif APP1 segment of a JPEG and
+    every ``eXIf`` chunk of a PNG (chunk-shaped trailers after IEND
+    included) is removed; a bare TIFF gets every GPS IFD reachable
+    from its next-IFD chain zeroed in place — and, because a TIFF is
+    not self-delimiting (its extent cannot be known without trusting
+    arbitrary internal offsets), a TIFF member ends the structural
+    scan: bytes after it pass through unexamined. All other bytes —
+    JFIF/XMP APP1s, entropy data, ancillary chunks, unstructured
+    trailers — are untouched, and the nothing-to-scrub path returns
+    the input object itself (zero copies). Never raises on corrupt
+    input. Inverse law (tested):
+    strip_exif(inject_exif_*(x)) == (x, True)."""
     if not data or len(data) < 4:
         return data, False
-    if data[:8] == _PNG_SIG:
-        chunks, stop = _png_chunks(data)
-        spans = [(s, e) for s, e, t in chunks if t == b"eXIf"]
-        tail_at = stop
-    elif data[:2] == b"\xff\xd8":
-        segs, stop = _jpeg_segments(data)
-        spans = [
-            (s, e) for s, e, m in segs if _is_exif_app1(data, s, m)
-        ]
-        # inside entropy-coded data every 0xFF is byte-stuffed (FF00)
-        # or a RST marker, so the first FF D9 at/after the headers is
-        # the true EOI — the trailer starts right after it
-        eoi = data.find(b"\xff\xd9", stop)
-        tail_at = eoi + 2 if eoi != -1 else None
-    elif data[:2] in (b"II", b"MM"):
-        return _strip_tiff_gps(data)
-    else:
-        return data, False
-    tail, tail_changed = None, False
-    if tail_at is not None and tail_at < len(data):
-        t = data[tail_at:]
-        if (
-            t[:8] == _PNG_SIG
-            or t[:2] == b"\xff\xd8"
-            or t[:2] in (b"II", b"MM")
-        ):
-            tail, tail_changed = strip_exif(t)
-    if not spans and not tail_changed:
-        return data, False
-    out = bytearray()
+    spans: list[tuple[int, int]] = []
+    patches: list[tuple[int, bytes]] = []
     pos = 0
-    for s, e in spans:
-        out += data[pos:s]
-        pos = e
-    out += data[pos : tail_at if tail_changed else len(data)]
-    if tail_changed:
-        out += tail
+    while pos is not None and len(data) - pos >= 4:
+        nxt = None
+        if data[pos : pos + 8] == _PNG_SIG:
+            chunks, stop = _png_chunks(data, pos)
+            spans += [(s, e) for s, e, t in chunks if t == b"eXIf"]
+            nxt = stop
+        elif data[pos : pos + 2] == b"\xff\xd8":
+            segs, stop = _jpeg_segments(data, pos)
+            spans += [
+                (s, e) for s, e, m in segs if _is_exif_app1(data, s, m)
+            ]
+            # inside entropy-coded data every 0xFF is byte-stuffed
+            # (FF00) or a RST marker, so the first FF D9 at/after the
+            # headers is the true EOI — the next member starts there
+            eoi = data.find(b"\xff\xd9", stop)
+            nxt = eoi + 2 if eoi != -1 else None
+        elif data[pos : pos + 2] in (b"II", b"MM"):
+            patches += _tiff_gps_patches(data, pos)
+            nxt = None  # extent unknowable: scan ends (docstring)
+        else:
+            break  # unstructured trailer bytes pass through
+        if nxt is None or nxt <= pos:
+            break
+        pos = nxt
+    if not spans and not patches:
+        return data, False
+    buf = bytearray(data)
+    for at, zeros in patches:
+        buf[at : at + len(zeros)] = zeros
+    out = bytearray()
+    prev = 0
+    for s, e in sorted(spans):
+        out += buf[prev:s]
+        prev = e
+    out += buf[prev:]
     return bytes(out), True
 
 

@@ -126,65 +126,42 @@ def _read_ifd(data: bytes, bo: str, off: int | None = None,
     Integer and float types decode to Python numbers, rationals to
     floats, ASCII (2) and UNDEFINED (7) to a single raw ``bytes``
     value — the GeoTIFF/JPEGTables tags need the latter three.
-    BigTIFF IFDs use 8-byte counts/offsets and 20-byte entries."""
+    BigTIFF IFDs use 8-byte counts/offsets and 20-byte entries.
+    Entry walking and every bounds check live in :func:`_ifd_spans`
+    (one walker shared with the EXIF privacy scrub — r5 review)."""
     if off is None:
         bo, big, off = _header(data)
-    cnt_sz, ent_sz = (8, 20) if big else (2, 12)
-    inline = 8 if big else 4
-    if off + cnt_sz > len(data):
-        raise ValueError("TIFF IFD offset runs off the end of the file")
-    (n,) = struct.unpack_from(bo + ("Q" if big else "H"), data, off)
-    if n > 4096:
-        raise ValueError("implausible TIFF IFD entry count")
+    _, spans = _ifd_spans(data, bo, off, big)
     tags: dict[int, list] = {}
-    for i in range(int(n)):
-        at = off + cnt_sz + ent_sz * i
-        if at + ent_sz > len(data):
-            raise ValueError("TIFF IFD runs off the end of the file")
-        if big:
-            tag, typ, count = struct.unpack_from(bo + "HHQ", data, at)
-            vfield_at = at + 12
-        else:
-            tag, typ, count = struct.unpack_from(bo + "HHI", data, at)
-            vfield_at = at + 8
-        size = _TYPE_SIZE.get(typ)
-        if size is None:
-            continue
-        if count > (1 << 26):
-            raise ValueError("implausible TIFF tag count")
-        total = size * count
-        vat = vfield_at
-        if total > inline:
-            (vat,) = struct.unpack_from(bo + ("Q" if big else "I"), data,
-                                        vfield_at)
-        if vat + total > len(data):
-            raise ValueError("TIFF tag value runs off the end of the file")
+    for tag, typ, count, _at, vat, _total in spans:
         fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
                11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}.get(typ)
         if fmt:
             tags[tag] = list(
-                struct.unpack_from(bo + str(int(count)) + fmt, data, vat))
+                struct.unpack_from(bo + str(count) + fmt, data, vat))
         elif typ in (2, 7):  # ASCII / UNDEFINED: keep the raw bytes
-            tags[tag] = [data[vat : vat + int(count)]]
+            tags[tag] = [data[vat : vat + count]]
         elif typ == 5 or typ == 10:  # rationals → floats
             vals = struct.unpack_from(
-                bo + str(2 * int(count)) + "Ii"[typ == 10], data, vat)
+                bo + str(2 * count) + "Ii"[typ == 10], data, vat)
             tags[tag] = [
                 (vals[2 * k] / vals[2 * k + 1]) if vals[2 * k + 1] else 0.0
-                for k in range(int(count))
+                for k in range(count)
             ]
     return tags
 
 
 def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
     """Byte extents of the IFD at ``off``: ((block_start, block_end),
-    [(tag, entry_at, val_at, total)]) where ``block`` spans the count
-    field through the next-IFD pointer, ``entry_at`` is each 12/20-byte
-    entry slot, and (val_at, total) the value bytes — equal to the
-    inline value field when the value fits. Mirrors _read_ifd's bounds
-    checks (ValueError on malformed); unknown types report total 0.
-    Used by the EXIF privacy scrub to zero GPS data IN PLACE without
-    shifting any offsets."""
+    [(tag, typ, count, entry_at, val_at, total)]) where ``block``
+    spans the count field through the next-IFD pointer, ``entry_at``
+    is each 12/20-byte entry slot, and (val_at, total) the value
+    bytes — equal to the inline value field when the value fits
+    (ValueError on malformed; unknown types report total 0). This is
+    the ONE entry walker: :func:`_read_ifd` decodes values from these
+    spans, and the EXIF privacy scrub zeroes GPS data through them IN
+    PLACE without shifting any offsets — a bounds rule fixed here
+    fixes both consumers."""
     cnt_sz, ent_sz = (8, 20) if big else (2, 12)
     inline = 8 if big else 4
     if off + cnt_sz > len(data):
@@ -205,7 +182,7 @@ def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
             vfield_at = at + 8
         size = _TYPE_SIZE.get(typ)
         if size is None:
-            spans.append((tag, at, vfield_at, 0))
+            spans.append((tag, typ, int(count), at, vfield_at, 0))
             continue
         if count > (1 << 26):
             raise ValueError("implausible TIFF tag count")
@@ -217,7 +194,7 @@ def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
             )
         if vat + total > len(data):
             raise ValueError("TIFF tag value runs off the end of the file")
-        spans.append((tag, at, vat, total))
+        spans.append((tag, typ, int(count), at, vat, total))
     block_end = off + cnt_sz + ent_sz * int(n) + (8 if big else 4)
     return (off, min(block_end, len(data))), spans
 

@@ -265,9 +265,11 @@ def scrub_exif_images(
 ) -> DataFrame:
     """Privacy scrub — (id, bytes, scrubbed BOOLEAN): every Exif APP1
     segment (JPEG) / ``eXIf`` chunk (PNG, trailers included) removed,
-    a bare TIFF's GPS IFD zeroed in place, and concatenated-container
-    trailers (a second image hidden after EOI/IEND) scrubbed
-    recursively; all other bytes untouched. Payloads without EXIF (or
+    a bare TIFF's GPS IFDs (whole next-IFD chain) zeroed in place, and
+    concatenated-container trailers (a second image hidden after
+    EOI/IEND) scrubbed iteratively — though a TIFF member ends the
+    structural scan, as its extent is not self-delimiting; all other
+    bytes untouched. Payloads without EXIF (or
     non-container/NULL rows) pass through byte-identical with
     scrubbed = false. The inverse of :func:`geotag_images` on tagged
     payloads (law tested: scrub ∘ geotag restores the original

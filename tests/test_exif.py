@@ -251,6 +251,70 @@ def test_strip_exif_covers_tiff_and_trailers():
     assert not ch5 and out5 is j
 
 
+def test_strip_exif_degenerate_chain_and_chained_ifd():
+    """r5 review round 2: (a) a degenerate chain of thousands of
+    minimal SOI/EOI pairs must scrub in O(n) with no RecursionError;
+    (b) GPS hidden in a CHAINED IFD (IFD1 via the next-IFD pointer)
+    is zeroed like IFD0's; (c) a mid-chain TIFF ends the structural
+    scan (documented: its extent is not self-delimiting) but its own
+    GPS is still zeroed."""
+    from geomesa_sql_spark.io.exif import (
+        build_exif_tiff,
+        inject_exif_jpeg,
+        strip_exif,
+    )
+
+    # (a) 3000 back-to-back minimal JPEGs, one tagged in the middle
+    j = _jpeg(0)
+    tiny = b"\xff\xd8\xff\xd9"
+    chain = tiny * 1500 + inject_exif_jpeg(j, lat=1.5, lon=2.5) + tiny * 1500
+    out, changed = strip_exif(chain)
+    assert changed and out == tiny * 1500 + j + tiny * 1500
+    no_exif, ch2 = strip_exif(tiny * 3000)
+    assert not ch2 and no_exif is not None
+
+    # (b) GPS pointer hidden in a chained IFD1, hand-assembled:
+    # header → empty IFD0 (next → 14) → IFD1 at 14 carrying the GPS
+    # pointer → GPS IFD at 32 (LatRef inline + 3 Lat rationals in the
+    # heap at 62)
+    import struct as _s
+
+    hidden = b"II" + _s.pack("<HI", 42, 8)
+    hidden += _s.pack("<HI", 0, 14)  # IFD0: 0 entries, next = 14
+    hidden += _s.pack("<H", 1)  # IFD1: 1 entry
+    hidden += _s.pack("<HHII", 0x8825, 4, 1, 32)  # GPS pointer → 32
+    hidden += _s.pack("<I", 0)  # IFD1 next = 0
+    hidden += _s.pack("<H", 2)  # GPS IFD: 2 entries
+    hidden += _s.pack("<HHI", 1, 2, 2) + b"N\x00\x00\x00"  # LatRef
+    hidden += _s.pack("<HHII", 2, 5, 3, 62)  # Lat: 3 RATIONALs @62
+    hidden += _s.pack("<I", 0)  # GPS next = 0
+    hidden += _s.pack("<6I", 9, 1, 30, 1, 0, 1)  # 9° 30' 0"
+    assert len(hidden) == 86
+    d0 = parse_exif(hidden)
+    assert d0 is not None and d0["lat"] is None  # IFD0 carries nothing
+    # but a CHAIN-walking reader finds the GPS in IFD1 — prove the
+    # data is really there by parsing from the chained IFD directly
+    from geomesa_sql_spark.io.tiff import _read_ifd
+
+    ifd1 = _read_ifd(hidden, "<", 14, False)
+    assert 0x8825 in ifd1
+    gps_ifd = _read_ifd(hidden, "<", 32, False)
+    assert gps_ifd[2] == [9.0, 30.0, 0.0]  # 9.5° readable pre-scrub
+    out_h, ch_h = strip_exif(hidden)
+    assert ch_h and len(out_h) == len(hidden)
+    assert 0x8825 not in _read_ifd(out_h, "<", 14, False)
+    assert out_h[32:62] == b"\x00" * 30  # GPS IFD block zeroed
+    assert out_h[62:86] == b"\x00" * 24  # rationals zeroed
+    assert strip_exif(out_h) == (out_h, False)  # idempotent
+
+    # (c) TIFF mid-chain: its GPS zeroed, scan ends there
+    mid = j + build_exif_tiff(lat=3.5, lon=4.5) + b"trailing-bytes"
+    out_m, ch_m = strip_exif(mid)
+    assert ch_m and len(out_m) == len(mid)
+    assert out_m.endswith(b"trailing-bytes")
+    assert parse_exif(out_m[len(j) : len(mid) - 14])["lat"] is None
+
+
 def test_scrub_exif_images_operator(spark):
     """Spark scrub op: tagged rows come back byte-identical to their
     pre-tag payloads with scrubbed=true; untagged rows pass through."""
