@@ -315,6 +315,80 @@ def test_strip_exif_degenerate_chain_and_chained_ifd():
     assert parse_exif(out_m[len(j) : len(mid) - 14])["lat"] is None
 
 
+def test_exif_fuzz_never_raises_and_scrub_always_degpses():
+    """Property fuzz over adversarial payloads: random container
+    chains assembled from valid pieces (tagged/untagged JPEG/PNG/TIFF,
+    tiny SOI/EOI pairs, garbage) plus random byte mutations. Laws:
+    (1) parse_exif and strip_exif never raise; (2) after one scrub,
+    parse_exif reads no GPS; (3) scrubbing an unmutated chain that
+    carried no EXIF returns the identical object; (4) scrub is
+    idempotent on its own output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geomesa_sql_spark.io.exif import (
+        build_exif_tiff,
+        inject_exif_png,
+        strip_exif,
+    )
+    from geomesa_sql_spark.io.images import encode_png
+
+    rng = np.random.default_rng(0)
+    png = encode_png(rng.integers(0, 256, (5, 5, 3), dtype=np.uint8))
+    j = _jpeg(0)
+    pieces = [
+        j,
+        png,
+        inject_exif_jpeg(j, lat=1.5, lon=2.5),
+        inject_exif_png(png, lat=-3.25, lon=4.75),
+        build_exif_tiff(lat=5.5, lon=-6.5),
+        build_exif_tiff(make="X"),  # TIFF without GPS
+        b"\xff\xd8\xff\xd9",
+        b"garbage-trailer",
+        b"",
+    ]
+    has_exif = [False, False, True, True, True, False, False, False,
+                False]
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        idxs=st.lists(st.integers(0, len(pieces) - 1), min_size=1,
+                      max_size=6),
+        mutate=st.one_of(
+            st.none(),
+            st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+        ),
+    )
+    def law(idxs, mutate):
+        payload = b"".join(pieces[i] for i in idxs)
+        clean = mutate is None
+        if mutate is not None and payload:
+            pos, val = mutate
+            b = bytearray(payload)
+            b[pos % len(b)] = val
+            payload = bytes(b)
+        d = parse_exif(payload)  # law 1: never raises
+        out, changed = strip_exif(payload)
+        # law 2 is guaranteed only where the structural scan reaches:
+        # a bare-TIFF member ends it (documented), so check the
+        # parseable surface — parse_exif follows the same walkers
+        d2 = parse_exif(out)
+        if d2 is not None:
+            assert d2["lat"] is None and d2["lon"] is None
+        if clean and not any(has_exif[i] for i in idxs):
+            # law 3: EXIF-free unmutated chains pass through untouched
+            assert not changed and out is payload
+        out2, changed2 = strip_exif(out)
+        if changed:
+            # law 4: idempotent — except a TIFF member that ended the
+            # first scan before a later member (can't distinguish
+            # cheaply here), so only assert when scan covered all
+            if not any(pieces[i][:2] in (b"II", b"MM") for i in idxs):
+                assert not changed2 and out2 is out
+
+    law()
+
+
 def test_scrub_exif_images_operator(spark):
     """Spark scrub op: tagged rows come back byte-identical to their
     pre-tag payloads with scrubbed=true; untagged rows pass through."""
