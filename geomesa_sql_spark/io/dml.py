@@ -259,29 +259,25 @@ class SnapshotTable:
                 # ANSI scalar-subquery semantics: a duplicate fid
                 # would silently MULTIPLY the joined table rows in
                 # the rewrite (r5 review) — fail like Spark's own
-                # scalar subqueries do on >1 row
-                dup = (
-                    v.groupBy(self.fid_col)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .limit(1)
-                    .count()
+                # scalar subqueries do on >1 row. The cardinality
+                # check folds into the CONSUMED value expression
+                # (raise_error gating a consumed column, per the
+                # CLAUDE.md rule) over ONE aggregation of the frame:
+                # no extra eager job, no double evaluation of an
+                # expensive SET subquery.
+                agg = v.groupBy(self.fid_col).agg(
+                    F.first(vcol).alias(f"__set_{k}"),
+                    F.count(F.lit(1)).alias(f"__setn_{k}"),
                 )
-                if dup:
-                    raise ValueError(
-                        f"SET frame for {k!r} has duplicate "
-                        f"{self.fid_col!r} rows — one value per fid "
+                current = current.join(agg, self.fid_col, "left")
+                exprs[k] = F.when(
+                    F.col(f"__setn_{k}") > 1,
+                    F.raise_error(
+                        f"SET frame for '{k}' has duplicate "
+                        f"'{self.fid_col}' rows - one value per fid "
                         "(scalar-subquery semantics)"
-                    )
-                current = current.join(
-                    v.select(
-                        F.col(self.fid_col),
-                        F.col(vcol).alias(f"__set_{k}"),
                     ),
-                    self.fid_col,
-                    "left",
-                )
-                exprs[k] = F.col(f"__set_{k}")
+                ).otherwise(F.col(f"__set_{k}"))
             elif isinstance(v, str):
                 exprs[k] = F.expr(v)
             else:

@@ -210,29 +210,48 @@ def _tiff_gps_patches(data: bytes, base: int) -> list[tuple[int, bytes]]:
     t = data if base == 0 else bytes(data[base:])
     try:
         bo, big, off = _header(t)
-        chain = _ifd_offsets(t, bo, big, off)
     except (ValueError, struct.error):
         return []
+    # lenient walks throughout (r5 review): a hostile next-IFD link,
+    # inflated entry count, or out-of-bounds value must not void the
+    # zeroing of everything VALID around it — the pointer entry is
+    # always killed first, then whatever GPS bytes are addressable
+    try:
+        chain = _ifd_offsets(t, bo, big, off, strict=False)
+    except (ValueError, struct.error):
+        chain = [off]
     patches: list[tuple[int, bytes]] = []
     ent_sz = 20 if big else 12
     for ifd_off in chain:
         try:
-            ifd = _read_ifd(t, bo, ifd_off, big)
-            if _TAG_GPS_PTR not in ifd:
-                continue
-            _, spans0 = _ifd_spans(t, bo, ifd_off, big)
-            gps_off = int(ifd[_TAG_GPS_PTR][0])
-            gps_block, gps_spans = _ifd_spans(t, bo, gps_off, big)
+            _, spans0 = _ifd_spans(t, bo, ifd_off, big, strict=False)
         except (ValueError, struct.error):
             continue
-        for tag, _typ, _cnt, entry_at, _vat, _tot in spans0:
-            if tag == _TAG_GPS_PTR:
-                patches.append((base + entry_at, b"\x00" * ent_sz))
+        gps_off = None
+        for tag, typ, _cnt, entry_at, vat, total in spans0:
+            if tag != _TAG_GPS_PTR:
+                continue
+            patches.append((base + entry_at, b"\x00" * ent_sz))
+            if gps_off is None and total:
+                try:
+                    fmt = {3: "H", 4: "I", 16: "Q"}.get(typ, "I")
+                    (gps_off,) = struct.unpack_from(bo + fmt, t, vat)
+                except struct.error:
+                    gps_off = None
+        if gps_off is None:
+            continue
+        try:
+            gps_block, gps_spans = _ifd_spans(
+                t, bo, int(gps_off), big, strict=False
+            )
+        except (ValueError, struct.error):
+            continue
         patches.append(
             (base + gps_block[0], b"\x00" * (gps_block[1] - gps_block[0]))
         )
         for _tag, _typ, _cnt, _at, vat, total in gps_spans:
-            patches.append((base + vat, b"\x00" * total))
+            if total:
+                patches.append((base + vat, b"\x00" * total))
     return patches
 
 

@@ -96,17 +96,25 @@ def _header(data: bytes):
     raise ValueError("not a TIFF (no II*/MM* header)")
 
 
-def _ifd_offsets(data: bytes, bo: str, big: bool, first: int) -> list[int]:
+def _ifd_offsets(data: bytes, bo: str, big: bool, first: int,
+                 strict: bool = True) -> list[int]:
     """Offsets of every IFD in the file's next-IFD chain (multi-page
     TIFF: GeoTIFF overview pyramids ship reduced-resolution pages this
-    way). Cycles and implausible chains terminate the walk."""
+    way). Cycles and implausible chains terminate the walk. With
+    ``strict=False`` a chain link pointing past EOF ends the walk
+    instead of raising — the EXIF privacy scrub must still zero the
+    VALID prefix of a chain whose tail link is hostile/truncated
+    (r5 review), while decode paths keep the loud error."""
     off = first
     cnt_sz, ent_sz, ptr_fmt = (8, 20, "Q") if big else (2, 12, "I")
     offs: list[int] = []
     seen: set[int] = set()
     while off and off not in seen and len(offs) < 64:
         if off + cnt_sz > len(data):
-            raise ValueError("TIFF IFD offset runs off the end of the file")
+            if strict:
+                raise ValueError(
+                    "TIFF IFD offset runs off the end of the file")
+            break
         seen.add(off)
         offs.append(off)
         (n,) = struct.unpack_from(bo + ("Q" if big else "H"), data, off)
@@ -114,7 +122,7 @@ def _ifd_offsets(data: bytes, bo: str, big: bool, first: int) -> list[int]:
         if nxt_at + struct.calcsize(ptr_fmt) > len(data):
             break  # no next-IFD pointer: chain ends here
         (off,) = struct.unpack_from(bo + ptr_fmt, data, nxt_at)
-    if not offs:
+    if not offs and strict:
         raise ValueError("TIFF with no IFD")
     return offs
 
@@ -151,7 +159,8 @@ def _read_ifd(data: bytes, bo: str, off: int | None = None,
     return tags
 
 
-def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
+def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False,
+               strict: bool = True):
     """Byte extents of the IFD at ``off``: ((block_start, block_end),
     [(tag, typ, count, entry_at, val_at, total)]) where ``block``
     spans the count field through the next-IFD pointer, ``entry_at``
@@ -161,7 +170,12 @@ def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
     the ONE entry walker: :func:`_read_ifd` decodes values from these
     spans, and the EXIF privacy scrub zeroes GPS data through them IN
     PLACE without shifting any offsets — a bounds rule fixed here
-    fixes both consumers."""
+    fixes both consumers. ``strict=False`` (the scrub) keeps whatever
+    is addressable instead of raising: a truncated entry table stops
+    the walk and caps the block at the slots actually walked; an
+    out-of-bounds value keeps the entry slot with total 0 — a
+    one-byte count inflation must not void the zeroing of the valid
+    entries around it (r5 review)."""
     cnt_sz, ent_sz = (8, 20) if big else (2, 12)
     inline = 8 if big else 4
     if off + cnt_sz > len(data):
@@ -170,10 +184,16 @@ def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
     if n > 4096:
         raise ValueError("implausible TIFF IFD entry count")
     spans = []
+    walked = 0
+    truncated = False
     for i in range(int(n)):
         at = off + cnt_sz + ent_sz * i
         if at + ent_sz > len(data):
-            raise ValueError("TIFF IFD runs off the end of the file")
+            if strict:
+                raise ValueError("TIFF IFD runs off the end of the file")
+            truncated = True
+            break
+        walked = i + 1
         if big:
             tag, typ, count = struct.unpack_from(bo + "HHQ", data, at)
             vfield_at = at + 12
@@ -185,7 +205,10 @@ def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
             spans.append((tag, typ, int(count), at, vfield_at, 0))
             continue
         if count > (1 << 26):
-            raise ValueError("implausible TIFF tag count")
+            if strict:
+                raise ValueError("implausible TIFF tag count")
+            spans.append((tag, typ, 0, at, vfield_at, 0))
+            continue
         total = size * count
         vat = vfield_at
         if total > inline:
@@ -193,9 +216,16 @@ def _ifd_spans(data: bytes, bo: str, off: int, big: bool = False):
                 bo + ("Q" if big else "I"), data, vfield_at
             )
         if vat + total > len(data):
-            raise ValueError("TIFF tag value runs off the end of the file")
+            if strict:
+                raise ValueError(
+                    "TIFF tag value runs off the end of the file")
+            spans.append((tag, typ, 0, at, vfield_at, 0))
+            continue
         spans.append((tag, typ, int(count), at, vat, total))
-    block_end = off + cnt_sz + ent_sz * int(n) + (8 if big else 4)
+    if truncated:
+        block_end = off + cnt_sz + ent_sz * walked
+    else:
+        block_end = off + cnt_sz + ent_sz * int(n) + (8 if big else 4)
     return (off, min(block_end, len(data))), spans
 
 

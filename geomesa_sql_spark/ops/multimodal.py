@@ -160,8 +160,16 @@ def image_exif(
             out["exif_lon"] = pd.array(cols["lon"], dtype="float64")
             out["exif_lat"] = pd.array(cols["lat"], dtype="float64")
             out["exif_alt"] = pd.array(cols["alt"], dtype="float64")
+            # a hostile tag can declare orientation as LONG 2^32-1;
+            # pd.array(Int32) raises on unsafe casts, which would kill
+            # the batch — out-of-range values are meaningless EXIF
+            # orientations anyway, so they NULL (r5 review)
             out["exif_orientation"] = pd.array(
-                cols["orientation"], dtype="Int32"
+                [
+                    o if o is not None and -(2**31) <= o < 2**31 else None
+                    for o in cols["orientation"]
+                ],
+                dtype="Int32",
             )
             out["exif_make"] = cols["make"]
             out["exif_model"] = cols["model"]

@@ -84,17 +84,21 @@ def test_update_fid_forbidden(table):
 def test_update_set_frame_rejects_dup_fid_and_missing_value(spark, table):
     """r5 review: a SET-side (fid, value) frame with duplicate fids
     would silently MULTIPLY whole table rows through the CoW join —
-    fail like ANSI scalar subqueries do on >1 row; a frame with no
-    value column errors with a clear message, not an IndexError."""
+    fail like ANSI scalar subqueries do on >1 row (the check is a
+    raise_error folded into the consumed value over ONE aggregation:
+    no extra job, no double evaluation of the frame; it fires at
+    commit time, BEFORE _CURRENT flips, so the table is untouched);
+    a frame with no value column errors clearly, not an IndexError."""
     good = spark.createDataFrame([(1, 5), (2, 6)], "fid long, v int")
     before = table.read().count()
     assert table.update({"n_regionkey": good}) == before  # sanity: ok
     assert table.read().count() == before
 
     dup = spark.createDataFrame([(1, 5), (1, 6)], "fid long, v int")
-    with pytest.raises(ValueError, match="duplicate"):
+    with pytest.raises(Exception, match="duplicate"):
         table.update({"n_regionkey": dup})
-    assert table.read().count() == before  # nothing committed
+    # nothing committed: same row count AND the live version readable
+    assert table.read().count() == before
 
     with pytest.raises(ValueError, match="value"):
         table.update({"n_regionkey": spark.createDataFrame([(1,)], "fid long")})

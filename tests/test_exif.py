@@ -315,6 +315,80 @@ def test_strip_exif_degenerate_chain_and_chained_ifd():
     assert parse_exif(out_m[len(j) : len(mid) - 14])["lat"] is None
 
 
+def test_image_exif_survives_out_of_range_orientation(spark):
+    """r5 review round 3: a hostile tag declaring orientation as LONG
+    2^32-1 must NULL the field, not make pd.array(Int32) raise and
+    kill the whole Arrow batch."""
+    import struct as _s
+
+    from geomesa_sql_spark.io.exif import build_exif_tiff
+    from geomesa_sql_spark.ops import image_exif
+
+    t = bytearray(build_exif_tiff(lat=1.5, lon=2.5, orientation=6))
+    (n0,) = _s.unpack_from("<H", t, 8)
+    for k in range(n0):
+        at = 10 + 12 * k
+        tag, typ = _s.unpack_from("<HH", t, at)
+        if tag == 0x0112:
+            _s.pack_into("<HHII", t, at, 0x0112, 4, 1, 0xFFFFFFFF)
+    hostile = bytes(t)
+    assert parse_exif(hostile)["orientation"] == 0xFFFFFFFF
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("h", hostile), ("ok", build_exif_tiff(lat=3.0, lon=4.0,
+                                                    orientation=3))],
+            columns=["image_id", "bytes"],
+        )
+    )
+    got = image_exif(df).toPandas().set_index("image_id")
+    assert pd.isna(got.loc["h"].exif_orientation)
+    assert got.loc["h"].exif_lat == pytest.approx(1.5, abs=1e-8)
+    assert got.loc["ok"].exif_orientation == 3
+
+
+def test_strip_exif_lenient_on_broken_chain_and_gps_ifd():
+    """r5 review round 3: one hostile byte must not void the scrub.
+    (a) IFD0's next-IFD pointer set past EOF: the GPS that IFD0
+    itself carries is STILL zeroed; (b) the GPS sub-IFD's entry count
+    inflated past EOF: the pointer entry and every addressable GPS
+    value are still zeroed."""
+    import struct as _s
+
+    from geomesa_sql_spark.io.exif import build_exif_tiff, strip_exif
+    from geomesa_sql_spark.io.tiff import _ifd_spans
+
+    # (a) break the next-IFD chain link
+    t = bytearray(build_exif_tiff(lat=10.5, lon=20.25))
+    (n0,) = _s.unpack_from("<H", t, 8)
+    next_at = 8 + 2 + 12 * n0
+    _s.pack_into("<I", t, next_at, 0xFFFFFF00)  # hostile chain link
+    broken = bytes(t)
+    assert parse_exif(broken)["lat"] == pytest.approx(10.5, abs=1e-8)
+    out, changed = strip_exif(broken)
+    assert changed
+    assert parse_exif(out)["lat"] is None and parse_exif(out)["lon"] is None
+
+    # (b) inflate the GPS IFD's entry count so its table runs off EOF
+    t2 = bytearray(build_exif_tiff(lat=-7.5, lon=3.25))
+    _, spans0 = _ifd_spans(bytes(t2), "<", 8, False)
+    (gps_entry,) = [sp for sp in spans0 if sp[0] == 0x8825]
+    (gps_off,) = _s.unpack_from("<I", t2, gps_entry[3] + 8)
+    _s.pack_into("<H", t2, gps_off, 4000)  # absurd entry count
+    hostile = bytes(t2)
+    out2, ch2 = strip_exif(hostile)
+    assert ch2
+    # the GPS pointer entry in IFD0 is zeroed: no reader can FOLLOW
+    # to the GPS IFD any more, and the valid leading entries' value
+    # bytes (the lat/lon rationals) are zeroed too
+    d2 = parse_exif(out2)
+    assert d2["lat"] is None and d2["lon"] is None
+    # every original GPS rational byte region is now zeros
+    _, gspans = _ifd_spans(hostile, "<", gps_off, False, strict=False)
+    for _tag, _typ, _cnt, _at, vat, total in gspans:
+        if total:
+            assert out2[vat : vat + total] == b"\x00" * total
+
+
 def test_exif_fuzz_never_raises_and_scrub_always_degpses():
     """Property fuzz over adversarial payloads: random container
     chains assembled from valid pieces (tagged/untagged JPEG/PNG/TIFF,
