@@ -13,6 +13,7 @@ from geomesa_sql_spark.ops.dedup import (  # noqa: F401
 from geomesa_sql_spark.ops.text import (  # noqa: F401
     lang_id,
     quality_score,
+    redact_pii,
     token_count,
 )
 from geomesa_sql_spark.ops.ann import (  # noqa: F401

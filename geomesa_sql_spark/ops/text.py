@@ -97,6 +97,70 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+# PII patterns (Java regex, evaluated JVM-side — RE2-incompatible
+# constructs like lookbehind deliberately avoided so the expressions
+# stay portable): ordering matters — emails before bare domains would
+# if we had one; credit-card before phone so a 16-digit run is not
+# half-eaten by the phone pattern.
+_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    # 13-19 digit runs with optional space/dash groupings, first and
+    # last char a digit (card-shaped; no Luhn check — a redactor
+    # prefers false positives to leaks)
+    ("card", r"\b\d(?:[ \-]?\d){12,18}\b", "[CARD]"),
+    # octets 0-255 with optional leading zeros ("192.168.001.1");
+    # value-constrained so version strings like 1.2.3.400 survive
+    ("ipv4", r"\b(?:(?:25[0-5]|2[0-4]\d|[01]\d\d|\d\d?)\.){3}"
+             r"(?:25[0-5]|2[0-4]\d|[01]\d\d|\d\d?)\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    # phone shapes that are unambiguous enough to redact: +CC intl,
+    # (area) local, or the full xxx-xxx-xxxx triple — a bare
+    # "123 4567" is NOT matched (ordinary numeric text)
+    ("phone", r"\+\d{1,3}[ \-]?\d{1,4}(?:[ \-]\d{2,4}){1,4}"
+              r"|\(\d{2,4}\)[ \-]?\d{3,4}[ \-]?\d{2,4}"
+              r"|\b\d{3}[ \-]\d{3}[ \-]\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Redact common PII shapes from a text column — the text twin of
+    the image side's ``scrub_exif_images`` and the other standard
+    pre-publication step for a crawled corpus. Emails, card-shaped
+    digit runs, IPv4 addresses, SSN-shaped triples, and phone-shaped
+    numbers are replaced by ``[EMAIL]``/``[CARD]``/``[IP]``/``[SSN]``/
+    ``[PHONE]`` markers via chained JVM ``regexp_replace`` — pure
+    whole-stage-codegen Columns, no Python in the hot path, NULL text
+    passes through NULL. Also adds ``pii_redacted`` (BOOLEAN: did
+    anything change). ``kinds`` restricts to a subset of pattern
+    names, in the canonical order (card before phone, so a 16-digit
+    run is not half-eaten by the phone pattern).
+
+    Shape-based by design: no Luhn/validity checks (a redactor
+    prefers false positives over leaks) and no names/addresses (those
+    need NER, which would be a model dependency, not an expression).
+    """
+    out_col = out_col or text_col
+    want = [
+        p for p in _PII_PATTERNS if kinds is None or p[0] in kinds
+    ]
+    if kinds is not None:
+        unknown = set(kinds) - {name for name, _, _ in _PII_PATTERNS}
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    col = F.col(text_col)
+    for _name, pat, repl in want:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn("pii_redacted", ~col.eqNullSafe(F.col(text_col))).withColumn(
+        out_col, col
+    )
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-style token count (JVM regexp, no Python): letter runs,
     digit runs and punctuation as separate tokens — the cheap stand-in

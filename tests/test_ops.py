@@ -82,6 +82,53 @@ def test_token_count_and_quality(spark, sf_dir):
         assert 0.0 <= row.quality <= 1.0
 
 
+def test_redact_pii(spark, sf_dir):
+    """Planted PII shapes are all replaced by markers; clean text and
+    NULLs pass through untouched (pii_redacted=false); ordinary
+    numeric text (years, short number pairs) is NOT redacted; kinds=
+    restricts patterns; plans stay pure JVM (no Python stage)."""
+    from geomesa_sql_spark.ops import redact_pii
+
+    rows = [
+        (1, "mail me at bob.smith+x@example.co.uk today"),
+        (2, "card 4111 1111 1111 1111 expires soon"),
+        (3, "server at 192.168.001.1 and 8.8.8.8"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "call +44 20 7946 0958 or (020) 7946-0958 or 555-123-4567"),
+        (6, "in 1995 2000 people saw 42 things; pi is 3.14159"),
+        (7, None),
+        (8, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = redact_pii(df).orderBy("id").collect()
+    got = {r.id: (r.text, r.pii_redacted) for r in out}
+    assert got[1][0] == "mail me at [EMAIL] today" and got[1][1]
+    assert got[2][0] == "card [CARD] expires soon" and got[2][1]
+    assert got[3][0] == "server at [IP] and [IP]" and got[3][1]
+    assert got[4][0] == "ssn [SSN] leaked" and got[4][1]
+    assert got[5][0] == "call [PHONE] or [PHONE] or [PHONE]" and got[5][1]
+    assert got[6] == ("in 1995 2000 people saw 42 things; pi is 3.14159",
+                      False)
+    assert got[7] == (None, False)
+    assert got[8] == ("clean text with no pii at all", False)
+
+    # kinds restriction: only emails touched
+    out2 = redact_pii(df, kinds=("email",)).orderBy("id").collect()
+    g2 = {r.id: r.text for r in out2}
+    assert g2[1] == "mail me at [EMAIL] today"
+    assert g2[4] == "ssn 123-45-6789 leaked"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown"):
+        redact_pii(df, kinds=("email", "dna"))
+
+    # out_col form + scale shape: pure JVM expressions, no Python
+    plan = redact_pii(
+        docs(spark, sf_dir), out_col="clean"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_lang_id_runs(spark, sf_dir):
     out = lang_id(docs(spark, sf_dir).limit(50))
     assert out.filter(F.col("lang_pred").isNull()).count() == 0
