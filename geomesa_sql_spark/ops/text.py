@@ -97,29 +97,40 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-# PII patterns (Java regex, evaluated JVM-side — RE2-incompatible
-# constructs like lookbehind deliberately avoided so the expressions
-# stay portable): ordering matters — emails before bare domains would
-# if we had one; credit-card before phone so a 16-digit run is not
-# half-eaten by the phone pattern.
+# PII patterns (Java regex, evaluated JVM-side; lookaround and
+# backreferences are used where needed -- these patterns are never
+# replayed in an RE2 oracle): ordering matters -- card before phone
+# so a 16-digit run is not half-eaten by the phone pattern.
 _PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
      "[EMAIL]"),
-    # 13-19 digit runs with optional space/dash groupings, first and
-    # last char a digit (card-shaped; no Luhn check — a redactor
-    # prefers false positives to leaks)
-    ("card", r"\b\d(?:[ \-]?\d){12,18}\b", "[CARD]"),
+    # card-LIKE groupings only (no Luhn -- a redactor prefers false
+    # positives to leaks): 13-19 contiguous digits, 4-4-4-4(+1-4)
+    # with a CONSISTENT separator (backref), or Amex 4-6-5. The known
+    # false positive: four uniformly spaced 4-digit groups -- e.g. the
+    # year list "2024 2025 2026 2027" -- is indistinguishable from a
+    # spaced card by shape; pass kinds= without 'card' for corpora
+    # where that matters. Mixed groupings ("10-20 30-40 50-60 70-80")
+    # do NOT match.
+    ("card", r"\b(?:\d{13,19}"
+             r"|\d{4}([ \-])\d{4}\1\d{4}\1\d{4}(?:\1\d{1,4})?"
+             r"|\d{4}([ \-])\d{6}\2\d{5})\b(?![ \-]?\d)", "[CARD]"),
     # octets 0-255 with optional leading zeros ("192.168.001.1");
-    # value-constrained so version strings like 1.2.3.400 survive
-    ("ipv4", r"\b(?:(?:25[0-5]|2[0-4]\d|[01]\d\d|\d\d?)\.){3}"
-             r"(?:25[0-5]|2[0-4]\d|[01]\d\d|\d\d?)\b", "[IP]"),
+    # value-constrained so version strings like 1.2.3.400 survive,
+    # and guarded both sides so 5-component sequences (1.2.3.4.5 --
+    # build/version quads) are not half-eaten
+    ("ipv4", r"(?<![.\d])(?:(?:25[0-5]|2[0-4]\d|[01]\d\d|\d\d?)\.){3}"
+             r"(?:25[0-5]|2[0-4]\d|[01]\d\d|\d\d?)(?![.\d])", "[IP]"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
-    # phone shapes that are unambiguous enough to redact: +CC intl,
-    # (area) local, or the full xxx-xxx-xxxx triple — a bare
-    # "123 4567" is NOT matched (ordinary numeric text)
-    ("phone", r"\+\d{1,3}[ \-]?\d{1,4}(?:[ \-]\d{2,4}){1,4}"
-              r"|\(\d{2,4}\)[ \-]?\d{3,4}[ \-]?\d{2,4}"
-              r"|\b\d{3}[ \-]\d{3}[ \-]\d{4}\b", "[PHONE]"),
+    # phone shapes unambiguous enough to redact: +CC intl, (area)
+    # local, or the full xxx-xxx-xxxx triple -- each anchored on BOTH
+    # sides so a longer digit run is left whole rather than half-eaten
+    # with trailing digits glued to the marker; a bare "123 4567" is
+    # NOT matched (ordinary numeric text)
+    ("phone",
+     r"(?<!\d)\+\d{1,3}[ \-]?\d{1,4}(?:[ \-]\d{2,4}){1,4}(?![ \-]?\d)"
+     r"|\(\d{2,4}\)[ \-]?\d{3,4}[ \-]?\d{2,4}(?![ \-]?\d)"
+     r"|\b\d{3}[ \-]\d{3}[ \-]\d{4}(?![ \-]?\d)", "[PHONE]"),
 )
 
 
@@ -146,19 +157,37 @@ def redact_pii(
     need NER, which would be a model dependency, not an expression).
     """
     out_col = out_col or text_col
-    want = [
-        p for p in _PII_PATTERNS if kinds is None or p[0] in kinds
-    ]
     if kinds is not None:
+        # a bare string would pass the `in` test per-character and
+        # kinds=() would silently disable a PRIVACY function — both
+        # fail loudly (r5 review)
+        if isinstance(kinds, str):
+            raise TypeError(
+                "kinds must be a sequence of pattern names, not a "
+                f"string — did you mean kinds=({kinds!r},)?"
+            )
         unknown = set(kinds) - {name for name, _, _ in _PII_PATTERNS}
         if unknown:
             raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+        if not kinds:
+            raise ValueError("kinds must name at least one pattern")
+    want = [
+        p for p in _PII_PATTERNS if kinds is None or p[0] in kinds
+    ]
     col = F.col(text_col)
     for _name, pat, repl in want:
         col = F.regexp_replace(col, pat, repl)
-    return df.withColumn("pii_redacted", ~col.eqNullSafe(F.col(text_col))).withColumn(
-        out_col, col
-    )
+    # the change flag is per-pattern RLIKE over the RAW text, not a
+    # second reference to the 5-deep replace chain: Catalyst re-inlines
+    # shared Column subtrees (CLAUDE.md), so a downstream filter on
+    # pii_redacted would otherwise evaluate every replace twice
+    hit = None
+    for _name, pat, _repl in want:
+        h = F.col(text_col).rlike(pat)
+        hit = h if hit is None else (hit | h)
+    return df.withColumn(
+        "pii_redacted", F.coalesce(hit, F.lit(False))
+    ).withColumn(out_col, col)
 
 
 def bpe_ish_token_count(text: Column) -> Column:

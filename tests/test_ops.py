@@ -112,6 +112,34 @@ def test_redact_pii(spark, sf_dir):
     assert got[7] == (None, False)
     assert got[8] == ("clean text with no pii at all", False)
 
+    # r5 review: ordinary numeric prose must survive — mixed dash
+    # ranges, 5-component version quads, digit runs longer than any
+    # phone shape (left WHOLE, not half-eaten with a glued marker),
+    # and '+' directly after a digit
+    hard = [
+        (10, "ranges 10-20 30-40 50-60 70-80 done"),
+        (11, "version 1.2.3.4.5 released"),
+        (12, "call +44 20 79468 now"),
+        (13, "see (020) 794612345 x"),
+        (14, "price 2+33 44 55 total"),
+    ]
+    hdf = spark.createDataFrame(hard, "id long, text string")
+    hout = {r.id: (r.text, r.pii_redacted)
+            for r in redact_pii(hdf).collect()}
+    for i, txt in hard:
+        assert hout[i] == (txt, False), (i, hout[i])
+    # the DOCUMENTED card false positive: four uniformly separated
+    # 4-digit groups (year lists) are card-shaped — kinds= without
+    # 'card' is the escape hatch
+    ydf = spark.createDataFrame(
+        [(20, "totals 2024 2025 2026 2027 rows")], "id long, text string"
+    )
+    assert redact_pii(ydf).first().text == "totals [CARD] rows"
+    assert (
+        redact_pii(ydf, kinds=("email", "ipv4", "ssn", "phone")).first().text
+        == "totals 2024 2025 2026 2027 rows"
+    )
+
     # kinds restriction: only emails touched
     out2 = redact_pii(df, kinds=("email",)).orderBy("id").collect()
     g2 = {r.id: r.text for r in out2}
@@ -121,6 +149,10 @@ def test_redact_pii(spark, sf_dir):
 
     with _pt.raises(ValueError, match="unknown"):
         redact_pii(df, kinds=("email", "dna"))
+    with _pt.raises(TypeError, match="string"):
+        redact_pii(df, kinds="email")
+    with _pt.raises(ValueError, match="at least one"):
+        redact_pii(df, kinds=())
 
     # out_col form + scale shape: pure JVM expressions, no Python
     plan = redact_pii(
