@@ -127,6 +127,54 @@ from geomesa_sql_spark.geom.geodesic import (  # noqa: E402
 )
 
 
+def _snap_grid_col(v: Column, off: float, span: float, res: int) -> Column:
+    """Grid-snap a coordinate Column (same clamp as
+    cells/column.grid_xy_cols)."""
+    n = 1 << res
+    g = F.floor((v + F.lit(off)) / F.lit(span) * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), g)).cast("long")
+
+
+def _explode_grid_cells(
+    df: DataFrame, gx0: str, gx1: str, gy0: str, gy1: str, max_cells: int
+) -> DataFrame:
+    """Attach ``_CELL`` by exploding the [gx0..gx1]×[gy0..gy1] index
+    rectangle (already-snapped int columns) into z-order cells. Two
+    plain ``explode(sequence(...))`` generators over simple column
+    refs — the bounds are computed ONCE per input row in the parent
+    projection, never re-evaluated per generated element (the fused
+    nested-``transform`` shape re-ran the whole bound subtree per
+    cell and benchmarked 4× slower than the pandas cover it replaced).
+    Covers above ``max_cells`` RAISE (never silently truncate); the
+    raise is folded into a consumed sequence bound per the raise_error
+    rule."""
+    from geomesa_sql_spark.cells.column import _spread_bits
+
+    over = (F.col(gx1) - F.col(gx0) + 1) * (
+        F.col(gy1) - F.col(gy0) + 1
+    ) > F.lit(int(max_cells))
+    capped = F.when(
+        over,
+        F.raise_error(
+            F.lit(
+                f"envelope cover exceeds cap {max_cells}; choose a "
+                "coarser res for this join (res_for_extent)"
+            )
+        ).cast("long"),
+    ).otherwise(F.col(gx1))
+    return (
+        df.withColumn("__gsj_cx", F.explode(F.sequence(F.col(gx0), capped)))
+        .withColumn("__gsj_cy", F.explode(F.sequence(F.col(gy0), F.col(gy1))))
+        .withColumn(
+            _CELL,
+            _spread_bits(F.col("__gsj_cx")).bitwiseOR(
+                F.shiftleft(_spread_bits(F.col("__gsj_cy")), 1)
+            ),
+        )
+        .drop("__gsj_cx", "__gsj_cy", gx0, gx1, gy0, gy1)
+    )
+
+
 def _cells_for_side(
     df: DataFrame, side: GeomSide, res: int, expand: float, max_cells: int,
     sphere_m: float | None = None,
@@ -134,55 +182,76 @@ def _cells_for_side(
     """Attach exploded cell column (+ envelope min corner for dedup)."""
     if side.is_point and sphere_m is not None:
         # dwithin_sphere: per-ROW degree expansion (longitude radius
-        # grows with |lat|), then the same grouped z-order cover. The
-        # min-corner columns are unused here — the point right side is
-        # single-cell, so candidate pairs are already duplicate-free
-        # and refpoint dedup never runs.
+        # grows with |lat|), as pure Column expressions — the sphere
+        # side is the 10^12-row side of a geography join, so the cover
+        # must not ride an ArrowEvalPython stage (r6; the same rule
+        # that keeps the planar point encode in cells/column.py). The
+        # cap bounds reuse sphere_deg_bounds_cols (same formulas as
+        # the numpy twin; the cover is conservative by construction —
+        # COVER_RADIUS under-states every radius by ~0.3%, so libm-ulp
+        # drift cannot un-cover a true candidate, and the haversine
+        # refine decides membership). The min-corner columns are
+        # unused here — the point right side is single-cell, so
+        # candidate pairs are already duplicate-free and refpoint
+        # dedup never runs.
+        from geomesa_sql_spark.cells.column import _spread_bits
+        from geomesa_sql_spark.geom.geodesic import sphere_deg_bounds_cols
+
         meters = float(sphere_m)
-
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def _cover_sphere(px: pd.Series, py: pd.Series) -> pd.Series:
-            x = px.to_numpy(np.float64)
-            y = py.to_numpy(np.float64)
-            dlat, dlon = _sphere_deg_bounds(y, meters)
-            lo, hi = x - dlon, x + dlon
-            ylo = np.maximum(y - dlat, -90.0)
-            yhi = np.minimum(y + dlat, 90.0)
-            # the haversine metric wraps at the antimeridian but a
-            # planar box doesn't: a box spilling past ±180 contributes
-            # a SECOND segment re-entering from the other side (unless
-            # it already spans everything). Segments are lon-disjoint,
-            # so per-row cell lists stay duplicate-free via np.unique.
-            full = dlon >= 180.0
-            lo_c = np.where(full, -180.0, np.maximum(lo, -180.0))
-            hi_c = np.where(full, 180.0, np.minimum(hi, 180.0))
-            out: list[list[int]] = [[] for _ in range(len(x))]
-            rows, cells = cover_envelopes(
-                lo_c, ylo, hi_c, yhi, res, max_cells_per_row=max_cells
+        x, y = F.col(side.x), F.col(side.y)
+        dlat, dlon = sphere_deg_bounds_cols(y, meters)
+        lo, hi = x - dlon, x + dlon
+        # nulls were filtered by the caller (left_nn), so the
+        # least/greatest null-skip trap cannot fire here
+        ylo = F.greatest(y - F.lit(dlat), F.lit(-90.0))
+        yhi = F.least(y + F.lit(dlat), F.lit(90.0))
+        # the haversine metric wraps at the antimeridian but a planar
+        # box doesn't: a box spilling past ±180 contributes a SECOND
+        # lon-disjoint segment re-entering from the other side (unless
+        # it already spans everything) — so per-row cells stay
+        # duplicate-free without a distinct. Segments ride ONE small
+        # explode; the heavy cap-bound trig is evaluated once per
+        # input row in this projection.
+        full = dlon >= F.lit(180.0)
+        ax0 = F.when(full, F.lit(-180.0)).otherwise(
+            F.greatest(lo, F.lit(-180.0))
+        )
+        ax1 = F.when(full, F.lit(180.0)).otherwise(F.least(hi, F.lit(180.0)))
+        spill_w = (lo < F.lit(-180.0)) & ~full
+        spill_e = (hi > F.lit(180.0)) & ~full
+        seg_b = F.when(
+            spill_w,
+            F.struct((lo + F.lit(360.0)).alias("lo"), F.lit(180.0).alias("hi")),
+        ).when(
+            spill_e,
+            F.struct(F.lit(-180.0).alias("lo"), (hi - F.lit(360.0)).alias("hi")),
+        )  # NULL = no second segment
+        segs = F.filter(
+            F.array(F.struct(ax0.alias("lo"), ax1.alias("hi")), seg_b),
+            lambda s: s.isNotNull(),
+        )
+        env = (
+            df.withColumn("__gsj_minx", x)
+            .withColumn("__gsj_miny", y)
+            .withColumn("__gsj_ylo", ylo)
+            .withColumn("__gsj_yhi", yhi)
+            .withColumn("__gsj_seg", F.explode(segs))
+            .withColumn(
+                "__gsj_gx0", _snap_grid_col(F.col("__gsj_seg.lo"), 180.0, 360.0, res)
             )
-            for r, c in zip(rows.tolist(), cells.tolist()):
-                out[r].append(c)
-            spill_w = (lo < -180.0) & ~full
-            spill_e = (hi > 180.0) & ~full
-            spill = spill_w | spill_e
-            if spill.any():
-                idx = np.flatnonzero(spill)
-                s_lo = np.where(spill_w[idx], lo[idx] + 360.0, -180.0)
-                s_hi = np.where(spill_e[idx], hi[idx] - 360.0, 180.0)
-                rows2, cells2 = cover_envelopes(
-                    s_lo, ylo[idx], s_hi, yhi[idx], res,
-                    max_cells_per_row=max_cells,
-                )
-                for r, c in zip(rows2.tolist(), cells2.tolist()):
-                    out[int(idx[r])].append(c)
-            return pd.Series(
-                [np.unique(np.asarray(v, dtype=np.int64)) for v in out]
+            .withColumn(
+                "__gsj_gx1", _snap_grid_col(F.col("__gsj_seg.hi"), 180.0, 360.0, res)
             )
-
-        return (
-            df.withColumn("__gsj_minx", F.col(side.x))
-            .withColumn("__gsj_miny", F.col(side.y))
-            .withColumn(_CELL, F.explode(_cover_sphere(side.x, side.y)))
+            .withColumn(
+                "__gsj_gy0", _snap_grid_col(F.col("__gsj_ylo"), 90.0, 180.0, res)
+            )
+            .withColumn(
+                "__gsj_gy1", _snap_grid_col(F.col("__gsj_yhi"), 90.0, 180.0, res)
+            )
+            .drop("__gsj_seg", "__gsj_ylo", "__gsj_yhi")
+        )
+        return _explode_grid_cells(
+            env, "__gsj_gx0", "__gsj_gx1", "__gsj_gy0", "__gsj_gy1", max_cells
         )
     if side.is_point and expand == 0.0:
         # JVM-side encode: the point side is the 10^12-row side; a
@@ -207,17 +276,21 @@ def _cells_for_side(
         return out
 
     if side.is_point:
-        env = df.withColumn("__gsj_minx", F.col(side.x) - expand).withColumn(
-            "__gsj_miny", F.col(side.y) - expand
+        # DWithin expansion of the point side: JVM Column cover (r6) —
+        # this is the 10^12-row side of a dwithin join, the same
+        # no-Python rule as the zero-expand z-order encode below
+        x, y = F.col(side.x), F.col(side.y)
+        env = (
+            df.withColumn("__gsj_minx", x - expand)
+            .withColumn("__gsj_miny", y - expand)
+            .withColumn("__gsj_gx0", _snap_grid_col(x - expand, 180.0, 360.0, res))
+            .withColumn("__gsj_gx1", _snap_grid_col(x + expand, 180.0, 360.0, res))
+            .withColumn("__gsj_gy0", _snap_grid_col(y - expand, 90.0, 180.0, res))
+            .withColumn("__gsj_gy1", _snap_grid_col(y + expand, 90.0, 180.0, res))
         )
-
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def _cover_pts(px: pd.Series, py: pd.Series) -> pd.Series:
-            x = px.to_numpy(np.float64)
-            y = py.to_numpy(np.float64)
-            return pd.Series(_group_covers(x - expand, y - expand, x + expand, y + expand))
-
-        return env.withColumn(_CELL, F.explode(_cover_pts(side.x, side.y)))
+        return _explode_grid_cells(
+            env, "__gsj_gx0", "__gsj_gx1", "__gsj_gy0", "__gsj_gy1", max_cells
+        )
 
     # WKB side: ONE fused pandas UDF (decode → envelope → cover) instead
     # of chained envelope/cover UDFs — each ArrowEvalPython stage costs a

@@ -12,28 +12,29 @@ dense spots is quadratic: ~25k points in a 2°×2° blob with eps=0.5 is
 ~400M pair rows for one blob. This design never materializes pairs:
 
 1. **Replicate** every point to its home coarse cell (side ``S``, a
-   multiple of eps) plus any neighbor coarse cell within ``eps`` of it
-   (≤ 2 per axis when S ≥ 2·eps — 4 cells in 2-D, 8 in the 3-D
-   geodesic embedding; replication overhead ≈ 4·eps/S in 2-D,
-   6·eps/S in 3-D). The
-   only shuffles in the whole operator are these keyed-by-cell
-   ``applyInPandas`` groupings — uniformly spread unless the data is
-   skewed, in which case shrink ``S`` (more, smaller partitions).
-2. **Pass 1 (core flags)** — per coarse cell, each partition holds the
-   full eps-ball of its OWN points, so core status (|N_eps| ≥ min_pts,
-   counting the point itself) is exact and local. Inside a partition a
-   fine grid of side eps/√2 makes every same-fine-cell pair ≤ eps, so
-   any fine cell with ≥ min_pts points is all-core with zero distance
-   computations (the dense-blob fast path); only points in sparse fine
-   cells compare against their ≤ 25 neighbor fine cells.
-3. **Pass 2 (local components)** — core flags joined back (by id),
-   same replication. Every true core-core edge (dist ≤ eps) has both
-   endpoints inside at least one partition (each endpoint is in the
-   other's halo), so per-partition union-find over fine cells —
+   multiple of eps) plus any neighbor coarse cell within ``2·eps`` of
+   it (replication overhead ≈ 8·eps/S in 2-D, 12·eps/S in 3-D). This
+   is the ONLY shuffle in the whole operator — uniformly spread unless
+   the data is skewed, in which case shrink ``S`` (more, smaller
+   partitions).
+2. **Fused local pass** — per coarse cell, ONE ``applyInPandas`` call
+   computes core flags AND local components. The 2·eps halo means
+   every point within eps of the cell has its full eps-ball present,
+   so core status (|N_eps| ≥ min_pts, counting the point itself) is
+   exact for exactly the points the clustering consumes. Inside a
+   partition a fine grid of side eps/√dim makes every same-fine-cell
+   pair ≤ eps, so any fine cell with ≥ min_pts points is all-core with
+   zero distance computations (the dense-blob fast path); only points
+   in sparse fine cells compare against their ≤ 5^dim neighbor fine
+   cells. Then union-find over the eps-membership core points —
    same-cell cores unioned for free, nearby fine-cell pairs probed
-   with chunked numpy distance blocks — sees every edge somewhere.
+   with chunked numpy distance blocks. Every true core-core edge
+   (dist ≤ eps) has both endpoints inside at least one partition (each
+   endpoint is in the other's halo), so it is seen somewhere.
    Partitions emit (core id, local component label = min local core
    id); a core point replicated into k partitions emits k labels.
+   (r6: formerly two passes — a core-flag shuffle, an id-join to ship
+   flags back, and a second clustering shuffle; fused per guide §2.4.)
 4. **Global merge** — labels of the same physical point are
    equivalent; the label-equivalence graph has one node per LOCAL
    COMPONENT (≈ clusters × partitions touched — tiny, independent of
@@ -118,30 +119,60 @@ def _dims(cols) -> tuple[str, ...]:
     return ("x", "y", "z") if "z" in cols else ("x", "y")
 
 
-def _replicate_to_cells(pts: DataFrame, s: float, eps: float) -> DataFrame:
+def _replicate_to_cells(
+    pts: DataFrame, s: float, eps: float, halo: int = 1
+) -> DataFrame:
     """Each point → its home coarse cell plus every neighbor coarse
-    cell whose region is within eps of it; ``own`` marks the home
-    copy. Covering [x-eps, x+eps] (per axis) with cell floors is
-    exact: a cell can contain a point within eps of the point only if
-    its index is between floor((x-eps)/S) and floor((x+eps)/S). The
-    eps-term is folded in by the caller passing the padded coords.
-    Runs in 2-D or (when a ``z`` column is present) 3-D."""
+    cell whose region is within ``halo·eps`` of it; ``own`` marks the
+    home copy. Covering [x-halo·eps, x+halo·eps] (per axis) with cell
+    floors is exact: a cell can contain a point within the halo of the
+    point only if its index is between floor((x-halo·eps)/S) and
+    floor((x+halo·eps)/S), and stepping the offset by eps hits every
+    integer in that range because S >= 2·eps >= eps. Runs in 2-D or
+    (when a ``z`` column is present) 3-D.
+
+    The candidate product is built per axis (distinct floors, then a
+    nested-``transform`` cross product) so codegen pays O(offsets·dim)
+    floor evaluations per row, not O(offsets^dim·dim)."""
     dims = _dims(pts.columns)
-    cands = F.array_distinct(
-        F.array(
-            *[
-                F.struct(
-                    *[
-                        F.floor((F.col(d) + F.lit(o)) / F.lit(s))
-                        .cast("long")
-                        .alias(_CELL_COLS[d])
-                        for d, o in zip(dims, offs)
-                    ]
-                )
-                for offs in itertools.product((-eps, 0.0, eps), repeat=len(dims))
-            ]
+    offs = [i * eps for i in range(-halo, halo + 1)]
+    ax = {
+        d: F.array_distinct(
+            F.array(
+                *[
+                    F.floor((F.col(d) + F.lit(o)) / F.lit(s)).cast("long")
+                    for o in offs
+                ]
+            )
         )
-    )
+        for d in dims
+    }
+    if len(dims) == 2:
+        cands = F.flatten(
+            F.transform(
+                ax["x"],
+                lambda a: F.transform(
+                    ax["y"], lambda b: F.struct(a.alias("ccx"), b.alias("ccy"))
+                ),
+            )
+        )
+    else:
+        cands = F.flatten(
+            F.flatten(
+                F.transform(
+                    ax["x"],
+                    lambda a: F.transform(
+                        ax["y"],
+                        lambda b: F.transform(
+                            ax["z"],
+                            lambda c: F.struct(
+                                a.alias("ccx"), b.alias("ccy"), c.alias("ccz")
+                            ),
+                        ),
+                    ),
+                )
+            )
+        )
     own = None
     for d in dims:
         home = F.floor(F.col(d) / F.lit(s)).cast("long")
@@ -160,16 +191,26 @@ def _replicate_to_cells(pts: DataFrame, s: float, eps: float) -> DataFrame:
 
 def _fine_buckets(xs: np.ndarray, ys: np.ndarray, g: float, zs=None):
     """Group local point indices by fine cell; returns the
-    cell→indices dict keyed by 2- or 3-tuples."""
+    cell→indices dict keyed by 2- or 3-tuples. Lexsort + boundary
+    split: O(n log n) numpy and O(#buckets) Python, instead of the
+    former O(n) Python append loop."""
     fx = np.floor(xs / g).astype(np.int64)
     fy = np.floor(ys / g).astype(np.int64)
     cols = [fx, fy]
     if zs is not None:
         cols.append(np.floor(zs / g).astype(np.int64))
-    buckets: dict[tuple[int, ...], list[int]] = {}
-    for i, k in enumerate(zip(*cols)):
-        buckets.setdefault(tuple(int(v) for v in k), []).append(i)
-    return {k: np.asarray(v) for k, v in buckets.items()}
+    n = len(xs)
+    if n == 0:
+        return {}
+    order = np.lexsort(cols[::-1])
+    stacked = np.stack([c[order] for c in cols], axis=1)
+    change = np.any(stacked[1:] != stacked[:-1], axis=1)
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    return {
+        tuple(int(v) for v in stacked[s]): order[s:e]
+        for s, e in zip(starts, ends)
+    }
 
 
 # fine-cell offsets whose box-to-box min distance can be <= eps when
@@ -250,10 +291,14 @@ def _any_within(xs, ys, zs, ia, ib, e2) -> bool:
 
 
 def _core_flags(
-    xs: np.ndarray, ys: np.ndarray, eps: float, min_pts: int, zs=None
+    xs: np.ndarray, ys: np.ndarray, eps: float, min_pts: int, zs=None,
+    only: np.ndarray | None = None,
 ) -> np.ndarray:
     """Exact |N_eps(p)| >= min_pts per local point (self counted).
-    Dense fine cells (>= min_pts points) shortcut to all-core."""
+    Dense fine cells (>= min_pts points) shortcut to all-core.
+    ``only``: optional bool mask — flags are only needed (and only
+    guaranteed exact) for masked points; unmasked points still count
+    as neighbors but may skip their own distance probes."""
     dim = 2 if zs is None else 3
     g, offs, _ = _fine_grid(eps, dim)
     buckets = _fine_buckets(xs, ys, g, zs)
@@ -264,15 +309,18 @@ def _core_flags(
         if len(idx) >= min_pts:
             core[idx] = True
             continue
-        cnt = np.full(len(idx), len(idx), dtype=np.int64)  # own cell + self
+        want = idx if only is None else idx[only[idx]]
+        if not len(want):
+            continue
+        cnt = np.full(len(want), len(idx), dtype=np.int64)  # own cell + self
         for off in offs:
             if off == zero:
                 continue
             nb = buckets.get(_key_add(k, off))
             if nb is None:
                 continue
-            cnt += _count_within(xs, ys, zs, idx, nb, e2)
-        core[idx] = cnt >= min_pts
+            cnt += _count_within(xs, ys, zs, want, nb, e2)
+        core[want] = cnt >= min_pts
     return core
 
 
@@ -296,10 +344,21 @@ class _UF:
             self.p[max(ra, rb)] = min(ra, rb)
 
 
-def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
-    """Pass-2 kernel: one coarse cell's own+halo points with exact
-    core flags. Emits
-      kind='corelab': (id, lab, own) for every local core point;
+def _local_cluster(
+    pdf: pd.DataFrame, eps: float, s: float, min_pts: int
+) -> pd.DataFrame:
+    """FUSED kernel: one coarse cell's own + 2·eps-halo points.
+
+    Core flags are computed IN this pass — under the 2·eps replication
+    halo, every point within eps of the cell region has its entire
+    eps-ball present, so |N_eps| is exact for exactly the points the
+    clustering logic consumes (the eps-membership "inner" set, the same
+    membership the former two-pass shape shuffled twice to assemble).
+    The former pass 1 (separate core-flag shuffle + applyInPandas) and
+    the pts⋈flags id-join are gone: one shuffle, one Python stage.
+
+    Emits (unchanged contract)
+      kind='corelab': (id, lab, own) for every inner core point;
       kind='border' : (id, lab) per distinct core-neighbor label of an
                       OWN non-core point;
       kind='noise'  : (id, -1) for own points with no core neighbor.
@@ -309,8 +368,23 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
     ys = pdf["y"].to_numpy(dtype=np.float64)
     zs = pdf["z"].to_numpy(dtype=np.float64) if "z" in pdf.columns else None
     own = pdf["own"].to_numpy(dtype=bool)
-    core = pdf["core"].to_numpy(dtype=bool)
     n = len(ids)
+    if n == 0:
+        return pd.DataFrame(
+            {c: [] for c in ("id", "kind", "lab", "own", "ccx", "ccy")}
+            | ({"ccz": []} if zs is not None else {})
+        )
+    # eps-membership ("inner"): the exact floor-range test the former
+    # eps-halo replication used as its cell cover — same IEEE ops, so
+    # the clustered point set per cell is bit-identical to the old
+    # two-pass shape's pass-2 membership
+    inner = np.ones(n, dtype=bool)
+    axes = [(xs, "ccx"), (ys, "ccy")] + ([(zs, "ccz")] if zs is not None else [])
+    for v, cc in axes:
+        c = int(pdf[cc].iloc[0])
+        inner &= (np.floor((v - eps) / s) <= c) & (c <= np.floor((v + eps) / s))
+    core = _core_flags(xs, ys, eps, int(min_pts), zs, only=inner)
+    core &= inner  # outer-band flags are unused (and not exact)
     e2 = eps * eps
     g, offs, fwd = _fine_grid(eps, 2 if zs is None else 3)
     buckets = _fine_buckets(xs, ys, g, zs)
@@ -402,9 +476,6 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
 # bounds the collect at ~32 MB)
 _DRIVER_MERGE_MAX = 2_000_000
 
-_P1_SCHEMA = T.StructType(
-    [T.StructField("id", T.LongType()), T.StructField("core", T.BooleanType())]
-)
 def _p2_schema(dim: int) -> T.StructType:
     """Pass-2 output schema; the 3-D embedding carries its third cell
     coordinate so incremental maintenance can slice `local` rows by
@@ -566,42 +637,30 @@ def _compute_local(
     eps: float,
     min_pts: int,
     p2_cells: DataFrame | None = None,
-    p1_cells: DataFrame | None = None,
 ) -> DataFrame:
-    """Pass 1 (exact core flags) + pass 2 (local components) → the
-    per-cell `local` rows. With ``p2_cells`` set, pass 2 runs only for
-    those coarse cells; pass 1 runs for their 1-ring (a dirty cell's
-    halo points live in adjacent cells and their flags are needed) —
-    pass the precomputed ring as ``p1_cells`` to skip the distributed
-    dilation."""
+    """ONE fused pass (2·eps-halo replication → per-cell core flags +
+    local components in the same applyInPandas) → the per-cell `local`
+    rows. The former two-pass shape shuffled the table three times
+    (eps-halo replication for flags, a pts⋈flags id-join, eps-halo
+    replication again for clustering); the fused pass shuffles once
+    with a 2·eps halo — strictly fewer bytes and two fewer stages,
+    with byte-identical `local` output (guide §2.4).
+
+    With ``p2_cells`` set (already broadcast-wrapped by the caller if
+    small), only those coarse cells are recomputed; their 2·eps-halo
+    support rides the same replication, so no extra ring pass is
+    needed."""
     cell_cols = [_CELL_COLS[d] for d in _dims(pts.columns)]
-    rep = _replicate_to_cells(pts, s, eps)
+    rep = _replicate_to_cells(pts, s, eps, halo=2)
     if p2_cells is not None:
-        if p1_cells is None:
-            p1_cells = _expand_cells(p2_cells, 1)
-        rep = rep.join(F.broadcast(p1_cells), cell_cols, "left_semi")
+        rep = rep.join(p2_cells, cell_cols, "left_semi")
 
-    def p1(pdf: pd.DataFrame) -> pd.DataFrame:
-        o = pdf["own"].to_numpy(dtype=bool)
-        core = _core_flags(
-            pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64),
-            eps, int(min_pts),
-            pdf["z"].to_numpy(np.float64) if "z" in pdf.columns else None,
-        )
-        return pd.DataFrame({"id": pdf["id"][o], "core": core[o]})
-
-    flags = rep.groupBy(*cell_cols).applyInPandas(p1, _P1_SCHEMA)
-
-    rep2 = _replicate_to_cells(pts.join(flags, "id"), s, eps)
-    if p2_cells is not None:
-        rep2 = rep2.join(F.broadcast(p2_cells), cell_cols, "left_semi")
-
-    def p2(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _local_cluster(pdf, eps)
+    def pf(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _local_cluster(pdf, eps, s, int(min_pts))
 
     return (
-        rep2.groupBy(*cell_cols)
-        .applyInPandas(p2, _p2_schema(len(cell_cols)))
+        rep.groupBy(*cell_cols)
+        .applyInPandas(pf, _p2_schema(len(cell_cols)))
         .localCheckpoint(eager=True)
     )
 
@@ -689,31 +748,34 @@ def _assemble_rows(local: DataFrame, resolved: DataFrame) -> DataFrame:
     """Per-point output from `local` rows given a (lab, cluster)
     resolution map. Restrictable: called with a slice of `local`
     containing ALL rows of each id present, it yields exactly that
-    subset of the full output."""
-    corelab = local.filter(F.col("kind") == "corelab")
+    subset of the full output.
 
-    def _resolve(labelled: DataFrame) -> DataFrame:
-        # (id, lab) -> (id, min resolved cluster); labels outside the
-        # merge map are already global (cluster = the label itself)
-        return (
-            labelled.join(resolved, "lab", "left")
-            .withColumn("cluster", F.coalesce("cluster", "lab"))
-            .groupBy("id")
-            .agg(F.min("cluster").alias("cluster"))
-        )
-
-    core_rows = _resolve(
-        corelab.filter("own").select("id", "lab").distinct()
-    ).withColumn("role", F.lit("core"))
-    border_rows = _resolve(
-        local.filter(F.col("kind") == "border").select("id", "lab")
-    ).withColumn("role", F.lit("border"))
-    noise_rows = (
-        local.filter(F.col("kind") == "noise")
-        .select("id", F.lit(-1).cast("long").alias("cluster"))
-        .withColumn("role", F.lit("noise"))
+    ONE join + ONE groupBy (the former three per-role aggregate
+    branches + two unions cost three shuffles and five stages for the
+    same answer — guide §2.4): an id's rows are all of one kind
+    (corelab for cores, border for own non-cores with core neighbors,
+    noise otherwise), every lab of a core id resolves to the same
+    cluster, a border takes the MIN resolved neighbor label, and a
+    noise row's lab is already -1 with no resolution entry."""
+    rows = local.filter((F.col("kind") != "corelab") | F.col("own")).select(
+        "id", "kind", "lab"
     )
-    return core_rows.unionByName(border_rows).unionByName(noise_rows)
+    return (
+        rows.join(resolved, "lab", "left")
+        .groupBy("id")
+        .agg(
+            F.min(F.coalesce("cluster", "lab")).alias("cluster"),
+            F.min("kind").alias("__kind"),
+        )
+        .select(
+            "id",
+            "cluster",
+            F.when(F.col("__kind") == "corelab", "core")
+            .when(F.col("__kind") == "border", "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+    )
 
 
 def _assemble_full(local: DataFrame, max_iter: int):
@@ -901,7 +963,6 @@ def dbscan_incremental(
             return spark.createDataFrame(_dilate_cells_np(home_pdf, r), schema)
 
         dirty, ring1, ring2 = _cells(2), _cells(3), _cells(4)
-        p1c = ring1
         bcast = F.broadcast
     else:  # spray delta over a huge grid: expand distributedly and do
         # NOT force-broadcast multi-million-cell frames (review r3) —
@@ -909,12 +970,9 @@ def dbscan_incremental(
         dirty = _expand_cells(home, 2).localCheckpoint(eager=True)
         ring1 = _expand_cells(dirty, 1)
         ring2 = _expand_cells(dirty, 2)
-        p1c = None
         bcast = lambda df_: df_  # noqa: E731
 
-    fresh = _compute_local(
-        pts_all, s, eps, int(min_pts), p2_cells=dirty, p1_cells=p1c
-    )
+    fresh = _compute_local(pts_all, s, eps, int(min_pts), p2_cells=bcast(dirty))
     kept = prev_local.join(bcast(dirty), cell_cols, "left_anti")
     new_local = kept.unionByName(fresh).localCheckpoint(eager=True)
 

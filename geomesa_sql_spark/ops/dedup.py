@@ -206,6 +206,60 @@ def _shingles(text: str, k: int) -> np.ndarray:
     return _splitmix64(combined.view(np.int64))
 
 
+def _ranges(runs: np.ndarray) -> np.ndarray:
+    """[0..r0), [0..r1), ... concatenated (within-run arange)."""
+    total = int(runs.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    starts = np.cumsum(runs)[:-1]
+    out[starts] = 1 - runs[:-1]
+    return np.cumsum(out)
+
+
+def _shingles_batch(
+    texts, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(flat shingle hashes, per-doc offsets) for a whole batch —
+    bit-identical to calling :func:`_shingles` per doc, but the token
+    hashing AND the window combine run as single numpy passes over the
+    concatenated batch (the per-doc small-array dispatch was the
+    signature stage's throughput ceiling — guide §4.2)."""
+    from geomesa_sql_spark.io.fixtures import _splitmix64
+
+    docs = [(t or "").split() for t in texts]
+    nd = len(docs)
+    counts = np.fromiter((len(d) for d in docs), count=nd, dtype=np.int64)
+    h = _token_hashes([tok for d in docs for tok in d])
+    tok_off = np.concatenate([[0], np.cumsum(counts)])
+    n_sh = np.where(counts == 0, 1, np.maximum(counts - k + 1, 1))
+    offs = np.concatenate([[0], np.cumsum(n_sh)])
+    out = np.empty(int(offs[-1]), dtype=np.uint64)
+    # empty docs: the FNV offset sentinel, no finalizer (as _shingles)
+    out[offs[:-1][counts == 0]] = np.uint64(0xCBF29CE484222325)
+    # full-k windows across the flat token-hash array, gathered at
+    # in-doc positions only (windows straddling doc boundaries exist
+    # in the flat view but are never selected)
+    mA = counts >= k
+    if mA.any() and len(h) >= k:
+        win = np.lib.stride_tricks.sliding_window_view(h, k)
+        powers = _SHINGLE_P ** np.arange(k, dtype=np.uint64)[::-1]
+        combined = (win * powers).sum(axis=1)  # uint64 wraps
+        runs = counts[mA] - k + 1
+        pos = np.repeat(tok_off[:-1][mA], runs) + _ranges(runs)
+        dst = np.repeat(offs[:-1][mA], runs) + _ranges(runs)
+        out[dst] = _splitmix64(combined[pos].view(np.int64))
+    # short non-empty docs (< k tokens): one whole-sequence shingle
+    for i in np.flatnonzero((counts > 0) & ~mA):
+        hh = h[tok_off[i] : tok_off[i + 1]]
+        powers = _SHINGLE_P ** np.arange(len(hh), dtype=np.uint64)[::-1]
+        out[offs[i]] = _splitmix64(
+            np.asarray([(hh * powers).sum()], dtype=np.uint64).view(np.int64)
+        )[0]
+    return out, offs
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -224,17 +278,25 @@ def minhash_signatures(
     )
 
     def gen(batches):
+        m = np.uint64(_MERSENNE)
         for pdf in batches:
             ids = pdf[id_col].to_list()
-            sigs = []
-            for text in pdf[text_col]:
-                sh = _shingles(text or "", shingle_k)
-                # (num_hashes, n_shingles) linear hashes mod mersenne
-                v = (
-                    a[:, None] * (sh[None, :] % np.uint64(_MERSENNE)) + b[:, None]
-                ) % np.uint64(_MERSENNE)
-                sigs.append(v.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
+            if not ids:
+                continue
+            # one flat shingle pass for the whole batch, then each of
+            # the num_hashes linear hashes is one vectorized pass over
+            # the flat array with a per-doc segmented min (reduceat) —
+            # elementwise arithmetic identical to the per-doc shape
+            # (uint64 wrap then % mersenne), so signatures and band
+            # buckets are bit-identical
+            sh, offs = _shingles_batch(pdf[text_col], shingle_k)
+            shm = sh % m
+            mins = np.empty((len(ids), len(a)), dtype=np.int64)
+            seg = offs[:-1]
+            for j in range(len(a)):
+                v = (a[j] * shm + b[j]) % m
+                mins[:, j] = np.minimum.reduceat(v, seg).astype(np.int64)
+            yield pd.DataFrame({id_col: ids, "sig": list(mins)})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
@@ -283,21 +345,30 @@ def lsh_near_dup_pairs(
     on uniformly-distributed keys; no O(n²) stage anywhere.
     """
     rows_per_band = num_hashes // bands
-    # materialize the signature stage ONCE: the band self-join would
-    # otherwise re-run the Python MinHash mapInPandas on BOTH sides
-    # (measured ~40% of pipeline wall at sf0.1)
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sigs.select(
         id_col, band_key_expr(bands, rows_per_band)
     ).select(id_col, "e.band", "e.bh")
-    left = banded.withColumnRenamed(id_col, "id_a")
-    right = banded.withColumnRenamed(id_col, "id_b")
+    # ONE bucket shuffle instead of a two-sided self-equi-join (r6,
+    # guide §2.4): group ids per (band, hash) bucket and expand i<j
+    # pairs with a JVM higher-order expression. Same candidate set;
+    # the signature stage now feeds a single plan path, so the eager
+    # localCheckpoint that guarded against double Python evaluation
+    # (and its materialization job) is gone too.
     cand = (
-        left.join(right, on=["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (a, i) -> "
+                    "transform(filter(__ids, b -> b > a), b -> "
+                    "struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
     texts = df.select(
@@ -310,21 +381,24 @@ def lsh_near_dup_pairs(
 
     @F.pandas_udf(T.DoubleType())
     def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        # a doc appears in many candidate pairs → memoize its shingle
-        # set per batch (keyed by the text itself)
-        cache: dict[str, set] = {}
+        # a doc appears in many candidate pairs → memoize its DISTINCT
+        # shingle array per batch (keyed by the text itself); the
+        # per-pair intersection is a C-speed sorted-array merge
+        # (intersect1d on unique arrays) instead of Python set algebra
+        cache: dict[str, np.ndarray] = {}
 
-        def sh(t: str) -> set:
+        def sh(t: str) -> np.ndarray:
             s = cache.get(t)
             if s is None:
-                s = cache[t] = set(_shingles(t, shingle_k).tolist())
+                s = cache[t] = np.unique(_shingles(t, shingle_k))
             return s
 
         out = []
         for x, y in zip(ta, tb):
             sa, sb = sh(x or ""), sh(y or "")
-            u = len(sa | sb)
-            out.append(len(sa & sb) / u if u else 1.0)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            u = sa.size + sb.size - inter
+            out.append(inter / u if u else 1.0)
         return pd.Series(out)
 
     return (
