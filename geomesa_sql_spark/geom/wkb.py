@@ -88,6 +88,141 @@ def geom_from_wkb(buf: bytes) -> Geom:
     return g
 
 
+def wkb_envelopes(blobs, strict: bool = True) -> np.ndarray:
+    """(n, 4) float64 [minx, miny, maxx, maxy] per WKB buffer; NaN rows
+    for NULL or empty geometries.
+
+    Vectorized (r6, guide §4.2): buffers are grouped by byte length,
+    each group stacked into one uint8 matrix, and groups whose rows all
+    carry one of the uniform little-endian layouts — Point, LineString,
+    single-ring Polygon (layout pinned by the length equation AND the
+    header/count fields, so a row either matches exactly or falls back)
+    — reduce with axis min/max over a single float64 view: zero
+    per-row Python beyond ``len``. Everything else (multi-part,
+    multi-ring, big-endian, EWKB, trailing bytes) takes the exact
+    per-row reader. Results are bit-identical to
+    ``geom_from_wkb(b).envelope()`` either way (min/max over the same
+    float64 values; NaN coords propagate identically).
+
+    ``strict=False`` maps per-row parse errors to NaN rows instead of
+    raising (the render_mvt_wkb drop-malformed contract)."""
+    n = len(blobs)
+    out = np.full((n, 4), np.nan, dtype=np.float64)
+    lens = np.empty(n, dtype=np.int64)
+    for i, b in enumerate(blobs):
+        lens[i] = -1 if b is None else len(b)
+
+    def fallback(rows) -> None:
+        for i in rows:
+            try:
+                out[i] = geom_from_wkb(bytes(blobs[i])).envelope()
+            except Exception:
+                if strict:
+                    raise
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(slens[1:] != slens[:-1]) + 1]
+    ) if n else np.zeros(0, dtype=np.int64)
+    for s in starts:
+        e = s + np.searchsorted(slens[s:], slens[s], side="right")
+        L = int(slens[s])
+        idx = order[s:e]
+        if L < 0:
+            continue  # NULL rows stay NaN
+        if L == 21:
+            gtype, off = 1, 5
+        elif L >= 25 and (L - 9) % 16 == 0:
+            gtype, off = 2, 9
+        elif L >= 29 and (L - 13) % 16 == 0:
+            gtype, off = 3, 13
+        else:
+            fallback(idx)
+            continue
+        npts = (L - off) // 16
+        m = np.frombuffer(
+            b"".join(bytes(blobs[i]) for i in idx), dtype=np.uint8
+        ).reshape(len(idx), L)
+        ok = (m[:, 0] == 1) & (m[:, 1] == gtype) & (m[:, 2:5] == 0).all(axis=1)
+        if gtype >= 2:  # declared count(s) must match the length equation
+            cnt = m[:, off - 4 : off].copy().view("<u4")[:, 0]
+            ok &= cnt == npts
+            if gtype == 3:
+                nr = m[:, 5:9].copy().view("<u4")[:, 0]
+                ok &= nr == 1
+        good = idx[ok]
+        if len(good):
+            coords = (
+                np.ascontiguousarray(m[ok, off:])
+                .view("<f8")
+                .reshape(len(good), npts, 2)
+            )
+            out[good, 0] = coords[:, :, 0].min(axis=1)
+            out[good, 1] = coords[:, :, 1].min(axis=1)
+            out[good, 2] = coords[:, :, 0].max(axis=1)
+            out[good, 3] = coords[:, :, 1].max(axis=1)
+        if not ok.all():
+            fallback(idx[~ok])
+    return out
+
+
+def wkb_single_ring_polygons(blobs):
+    """Vectorized ring extraction for uniform little-endian single-ring
+    Polygons (the bulk shape of ingested footprint/box tables).
+
+    Returns ``(groups, rest)``: ``groups`` is a list of
+    ``(row_idx int64 array, rings float64 (g, m, 2))`` — one entry per
+    distinct ring length, rows grouped by the same length-equation +
+    header checks as :func:`wkb_envelopes` (a row either matches the
+    layout exactly or lands in ``rest``); ``rest`` is the int64 array
+    of non-NULL row indices needing the general reader (other
+    geometry types, multi-ring, big-endian, EWKB, rings of < 3 points,
+    trailing bytes). NULL rows appear in neither. Ring coords are
+    bit-identical to ``geom_from_wkb(b).coords[0]``."""
+    n = len(blobs)
+    lens = np.empty(n, dtype=np.int64)
+    for i, b in enumerate(blobs):
+        lens[i] = -1 if b is None else len(b)
+    groups: list[tuple[np.ndarray, np.ndarray]] = []
+    rest: list[np.ndarray] = []
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(slens[1:] != slens[:-1]) + 1]
+    ) if n else np.zeros(0, dtype=np.int64)
+    for s in starts:
+        e = s + np.searchsorted(slens[s:], slens[s], side="right")
+        L = int(slens[s])
+        idx = order[s:e]
+        if L < 0:
+            continue  # NULL rows: neither group nor rest
+        if L < 13 + 3 * 16 or (L - 13) % 16 != 0:
+            rest.append(idx)
+            continue
+        npts = (L - 13) // 16
+        m = np.frombuffer(
+            b"".join(bytes(blobs[i]) for i in idx), dtype=np.uint8
+        ).reshape(len(idx), L)
+        ok = (m[:, 0] == 1) & (m[:, 1] == 3) & (m[:, 2:5] == 0).all(axis=1)
+        ok &= m[:, 5:9].copy().view("<u4")[:, 0] == 1
+        ok &= m[:, 9:13].copy().view("<u4")[:, 0] == npts
+        good = idx[ok]
+        if len(good):
+            rings = (
+                np.ascontiguousarray(m[ok, 13:])
+                .view("<f8")
+                .reshape(len(good), npts, 2)
+                .astype(np.float64)
+            )
+            groups.append((good, rings))
+        if not ok.all():
+            rest.append(idx[~ok])
+    rest_idx = (
+        np.concatenate(rest) if rest else np.zeros(0, dtype=np.int64)
+    )
+    return groups, rest_idx
+
+
 def _read(mv: memoryview, off: int) -> tuple[Geom, int]:
     little = mv[off] == 1
     fmt = "<" if little else ">"

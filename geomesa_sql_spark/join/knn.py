@@ -328,6 +328,19 @@ def knn_join_cells(
         if checkpoint
         else (lambda df: df)
     )  # checkpoint=False keeps round plans inspectable (plan tests)
+    # accepted-side checkpoints are LAZY (r6, guide §1.2/§2.4): they
+    # persist + truncate lineage like before, but materialize INSIDE
+    # the round's eager `active` checkpoint job (accepted → done_ids →
+    # anti-join → active is one lineage) instead of as their own
+    # barrier jobs — the 10k-query key is barrier-dominated, not
+    # compute-dominated. `active` itself stays EAGER: the round-top
+    # isEmpty probe on a lazy frame would materialize the whole round
+    # via take(1)'s escalating partial scans (measured slower).
+    ck_lazy = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if checkpoint
+        else (lambda df: df)
+    )
     if cell is None:
         # a (2m+1)-cell block should hold ≳ 9k points in round 1
         n = max(points.count(), 1)
@@ -384,17 +397,29 @@ def knn_join_cells(
         cand = rep.join(pts, ["__pcx", "__pcy"])
         dx_ = F.col(x) - F.col(qx)
         dy_ = F.col(y) - F.col(qy)
-        with_dist = cand.withColumn("dist", F.sqrt(dx_ * dx_ + dy_ * dy_))
-        order = [F.col("dist")] + [F.col(c) for c in points.columns]
-        w = Window.partitionBy(query_id).orderBy(*order)
-        wq = Window.partitionBy(query_id)
-        # covered radius: distance from q to the edge of its ring block
+        # covered radius: distance from q to the edge of its ring
+        # block — a per-query CONSTANT, so compute it on the map side
+        # and drop (qx, qy, __qcx, __qcy) BEFORE the window exchange:
+        # the window shuffle carries (id, dist, __rg, points cols)
+        # instead of four extra doubles/longs per candidate row
+        # (guide §2.3, project before the exchange)
         rguar = F.least(
             F.col(qx) - (F.col("__qcx") - m) * F.lit(cell),
             (F.col("__qcx") + m + 1) * F.lit(cell) - F.col(qx),
             F.col(qy) - (F.col("__qcy") - m) * F.lit(cell),
             (F.col("__qcy") + m + 1) * F.lit(cell) - F.col(qy),
         )
+        # column order preserved vs the pre-r6 shape: after the __rg/
+        # flag drops the output is (query_id, *points cols, dist, rank)
+        with_dist = cand.select(
+            query_id,
+            rguar.alias("__rg"),
+            *[F.col(c) for c in points.columns],
+            F.sqrt(dx_ * dx_ + dy_ * dy_).alias("dist"),
+        )
+        order = [F.col("dist")] + [F.col(c) for c in points.columns]
+        w = Window.partitionBy(query_id).orderBy(*order)
+        wq = Window.partitionBy(query_id)
         topk = (
             with_dist.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -403,16 +428,12 @@ def knn_join_cells(
             # STRICT <: a point exactly on the ring-block edge sits in
             # an ungathered cell at distance == rguar and could win the
             # deterministic tie-break (review r3)
-            .withColumn("__ok", (F.col("__nq") >= k) & (F.col("__dk") < rguar))
+            .withColumn("__ok", (F.col("__nq") >= k) & (F.col("__dk") < F.col("__rg")))
         )
         if world_covered:
             topk = topk.withColumn("__ok", F.lit(True))
-        accepted = (
-            topk.filter("__ok")
-            .drop(qx, qy, "__qcx", "__qcy", "__pcx", "__pcy",
-                  "__nq", "__dk", "__ok")
-        )
-        accepted = ck(accepted)
+        accepted = topk.filter("__ok").drop("__rg", "__nq", "__dk", "__ok")
+        accepted = ck_lazy(accepted)
         out_parts.append(accepted)
         if world_covered:
             active = ck(active.limit(0))

@@ -305,17 +305,10 @@ def _cells_for_side(
         )
     )
     def _env_cover(wkb: pd.Series) -> pd.DataFrame:
-        from geomesa_sql_spark.geom.wkb import geom_from_wkb
+        from geomesa_sql_spark.geom.wkb import wkb_envelopes
 
-        n = len(wkb)
-        minx = np.full(n, np.nan)
-        miny = np.full(n, np.nan)
-        maxx = np.full(n, np.nan)
-        maxy = np.full(n, np.nan)
-        for i, b in enumerate(wkb):
-            if b is None:
-                continue
-            minx[i], miny[i], maxx[i], maxy[i] = geom_from_wkb(bytes(b)).envelope()
+        env = wkb_envelopes(wkb.to_numpy())  # strict, batched (r6)
+        minx, miny, maxx, maxy = env[:, 0], env[:, 1], env[:, 2], env[:, 3]
         covers = _group_covers(minx - expand, miny - expand, maxx + expand, maxy + expand)
         return pd.DataFrame({"cells": covers, "minx": minx - expand, "miny": miny - expand})
 

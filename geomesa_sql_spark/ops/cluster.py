@@ -658,10 +658,14 @@ def _compute_local(
     def pf(pdf: pd.DataFrame) -> pd.DataFrame:
         return _local_cluster(pdf, eps, s, int(min_pts))
 
+    # lazy checkpoint: materializes inside the first consuming action
+    # (the label-merge toPandas) instead of as its own barrier job, and
+    # still truncates lineage for every later scan (guide §1.2: fewer
+    # stages/barriers is the win at this operator's row counts)
     return (
         rep.groupBy(*cell_cols)
         .applyInPandas(pf, _p2_schema(len(cell_cols)))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -974,7 +978,7 @@ def dbscan_incremental(
 
     fresh = _compute_local(pts_all, s, eps, int(min_pts), p2_cells=bcast(dirty))
     kept = prev_local.join(bcast(dirty), cell_cols, "left_anti")
-    new_local = kept.unionByName(fresh).localCheckpoint(eager=True)
+    new_local = kept.unionByName(fresh).localCheckpoint(eager=False)
 
     def _own_core_ids(local_rows: DataFrame) -> DataFrame:
         return (
@@ -990,7 +994,7 @@ def dbscan_incremental(
         _own_core_ids(prev_local)
         .unionByName(_own_core_ids(new_local))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # their replicas all live within ring2(dirty) — re-derive edges
     # from that slice only
@@ -1007,11 +1011,11 @@ def dbscan_incremental(
             "left_anti",
         )
         .unionByName(_eq_edges(slice_eq))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     resolved = _resolve_labels(eq, max_iter)
     resolved_nt = resolved.filter(F.col("lab") != F.col("cluster")).localCheckpoint(
-        eager=True
+        eager=False
     )
     # labels whose resolution changed (identity entries are omitted on
     # both sides, so appearing/disappearing from the map IS a change)
@@ -1040,7 +1044,7 @@ def dbscan_incremental(
         .distinct()
     )
     affected = (
-        ids_dirty.unionByName(ids_relabel).distinct().localCheckpoint(eager=True)
+        ids_dirty.unionByName(ids_relabel).distinct().localCheckpoint(eager=False)
     )
     # pathological batches (a spray delta merging giant clusters) can
     # make the affected-id set a large fraction of the table; past the
@@ -1048,7 +1052,7 @@ def dbscan_incremental(
     # driver and cheaper than shipping the id set to every task
     if affected.count() > _AFFECTED_BROADCAST_MAX:
         new_rows = _assemble_rows(new_local, resolved)
-        result = new_rows.localCheckpoint(eager=True)
+        result = new_rows.localCheckpoint(eager=False)
         new_rows_delta = result
     else:
         slice_pts = new_local.join(F.broadcast(affected), "id", "left_semi")
@@ -1057,7 +1061,7 @@ def dbscan_incremental(
             prev_state["result"]
             .join(F.broadcast(affected), "id", "left_anti")
             .unionByName(new_rows)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_rows_delta = new_rows
     new_state = {
