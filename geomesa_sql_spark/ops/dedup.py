@@ -538,13 +538,17 @@ def hamming_clusters(
     # expensive stage (e.g. phash_images decodes every payload) and it
     # is read here twice — for the per-signature collapse and for the
     # final label join-back (16 bytes/row, same tradeoff as the
-    # minhash signature checkpoint)
+    # minhash signature checkpoint). LAZY (r6): both frames persist +
+    # truncate lineage exactly as before, but materialize inside the
+    # first consuming action (min_label_components' toPandas walks
+    # pairs ← per_sig ← rows in one job) instead of as two extra
+    # barrier jobs before it.
     rows = df.select(
         F.col(id_col).cast("long").alias("__hid"), F.col(sig_col).alias("__hsig")
-    ).filter(F.col("__hsig").isNotNull()).localCheckpoint(eager=True)
+    ).filter(F.col("__hsig").isNotNull()).localCheckpoint(eager=False)
     per_sig = (
         rows.groupBy("__hsig").agg(F.min("__hid").alias("rep"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pairs = hamming_near_dup_pairs(per_sig, "__hsig", "rep", max_hamming, chunks)
     edges = pairs.select(F.col("id_a").alias("i"), F.col("id_b").alias("j"))

@@ -42,6 +42,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow shuffled-hash joins when the planner's/AQE's size
+        # conditions fit (guide §3.1/§9): SHJ skips both sort passes of
+        # a sort-merge join. Both knobs are size-threshold-based, not
+        # cluster-size-based, so they transfer to real clusters; the
+        # AQE rewrite fires only when every post-shuffle partition is
+        # under 64 MB (per-partition build side fits in task memory).
+        # Interleaved A/B on the 2M dwithin self-join: 1.2-1.5 s SHJ
+        # vs 1.5-2.2 s SMJ at local[32].
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "67108864",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 8k-row Arrow batches: a Python stage streams many small
