@@ -432,6 +432,62 @@ def build_exif_tiff(
     return header + body + bytes(heap)
 
 
+def build_gps_tiff_batch(lon, lat, alt=None):
+    """(g, L) uint8 matrix of EXIF TIFF blocks — the vectorized twin of
+    ``build_exif_tiff(lon=…, lat=…[, alt=…])`` for the geotag hot path
+    (guide §4.2: the per-row builder's dozens of struct.pack calls were
+    ~90% of the inject cost). Rows are byte-identical to the scalar
+    builder (pinned by tests/test_exif_batch.py): the fixed layout is
+    taken from ONE scalar template call, and only the hemisphere refs
+    and DMS rationals are patched per row with the same truncate/round
+    arithmetic. ``alt`` present means every row carries an altitude —
+    the caller splits mixed batches."""
+    import numpy as np
+
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    g = len(lon)
+    tmpl = np.frombuffer(
+        build_exif_tiff(
+            lon=0.0, lat=0.0, alt=0.0 if alt is not None else None
+        ),
+        dtype=np.uint8,
+    )
+    out = np.tile(tmpl, (g, 1))
+    # layout: header 8B → IFD0 (1 entry: GPS pointer) 18B → GPS IFD at
+    # 26 with entries sorted by tag (latref, lat, lonref, lon[, altref,
+    # alt]) → value heap (lat rats 24B, lon rats 24B[, alt rat 8B])
+    gps = 26
+    nent = 6 if alt is not None else 4
+    heap = gps + 2 + 12 * nent + 4
+    ref_off = gps + 2 + 8  # value field of entry 0 (latref)
+    out[:, ref_off] = np.where(lat >= 0, ord("N"), ord("S"))
+    out[:, ref_off + 2 * 12] = np.where(lon >= 0, ord("E"), ord("W"))
+
+    def dms_rats(v):
+        # same ops as _deg_to_dms_rats: int() truncation ≡ floor for
+        # the non-negative |deg|, round() ≡ np.round (half-even)
+        a = np.abs(v)
+        d = np.floor(a)
+        m = np.floor((a - d) * 60.0)
+        s6 = np.round(((a - d) * 3600.0 - m * 60.0) * 1_000_000.0)
+        one = np.ones(g)
+        return np.stack(
+            [d, one, m, one, s6, np.full(g, 1_000_000.0)], axis=1
+        ).astype("<u4")
+
+    out[:, heap : heap + 24] = dms_rats(lat).view(np.uint8)
+    out[:, heap + 24 : heap + 48] = dms_rats(lon).view(np.uint8)
+    if alt is not None:
+        alt = np.asarray(alt, dtype=np.float64)
+        out[:, ref_off + 4 * 12] = (alt < 0).astype(np.uint8)
+        rat = np.stack(
+            [np.round(np.abs(alt) * 1000.0), np.full(g, 1000.0)], axis=1
+        ).astype("<u4")
+        out[:, heap + 48 : heap + 56] = rat.view(np.uint8)
+    return out
+
+
 def inject_exif_png(png: bytes, **fields) -> bytes:
     """A copy of ``png`` with an ``eXIf`` chunk (built from ``fields``
     — see :func:`build_exif_tiff`) inserted after IHDR. Ancillary and

@@ -198,7 +198,6 @@ def geotag_images(
     first. Round-trip law (tested): image_exif(geotag_images(df))
     returns the input coordinates to EXIF rational precision
     (~3e-10°)."""
-    from geomesa_sql_spark.io.exif import inject_exif_jpeg, inject_exif_png
     from geomesa_sql_spark.io.images import PNG_SIG
 
     schema = T.StructType(
@@ -213,54 +212,88 @@ def geotag_images(
     )
 
     def gen(batches):
-        import math
+        import struct
+        import zlib
 
-        def coord_ok(v, bound):
-            # numeric Arrow columns deliver NULL as NaN — guard with
-            # pd.isna, never `is None` (CLAUDE.md); inf or impossible
-            # magnitudes would overflow the DMS rational encoding, so
-            # they pass through untagged like NULLs (r5 review)
-            return (
-                not pd.isna(v)
-                and math.isfinite(float(v))
-                and abs(float(v)) <= bound
-            )
+        from geomesa_sql_spark.io.exif import build_gps_tiff_batch
 
         for pdf in batches:
-            out_b, out_t = [], []
-            alts = pdf[alt_col] if alt_col else None
-            for i, blob in enumerate(pdf["bytes"]):
-                lon = pdf[lon_col].iloc[i]
-                lat = pdf[lat_col].iloc[i]
-                inject = None
-                if blob is not None:
-                    if blob[:2] == b"\xff\xd8":
-                        inject = inject_exif_jpeg
-                    elif blob[:8] == PNG_SIG:
-                        inject = inject_exif_png
-                if (
-                    inject is None
-                    or not coord_ok(lon, 180.0)
-                    or not coord_ok(lat, 90.0)
-                ):
-                    out_b.append(blob)
-                    out_t.append(False)
+            n = len(pdf)
+            blobs = pdf["bytes"].to_numpy()
+            # numeric Arrow columns deliver NULL as NaN — NaN fails the
+            # isfinite gate exactly like the former per-row pd.isna +
+            # math.isfinite check; inf or impossible magnitudes would
+            # overflow the DMS rational encoding, so they pass through
+            # untagged like NULLs (r5 review)
+            lon = np.asarray(pdf[lon_col].astype("float64"))
+            lat = np.asarray(pdf[lat_col].astype("float64"))
+            ok = (
+                np.isfinite(lon)
+                & (np.abs(lon) <= 180.0)
+                & np.isfinite(lat)
+                & (np.abs(lat) <= 90.0)
+            )
+            if alt_col:
+                alts = np.asarray(pdf[alt_col].astype("float64"))
+                has_alt = np.isfinite(alts) & (np.abs(alts) <= 4.0e6)
+            else:
+                has_alt = np.zeros(n, dtype=bool)
+            # EXIF blocks for all taggable-coordinate rows, one numpy
+            # pass per (alt-present) sub-batch (r6, guide §4.2 — the
+            # per-row struct.pack builder was ~90% of the inject cost);
+            # container checks and splicing stay per row
+            blocks: list = [None] * n
+            for mask in (ok & ~has_alt, ok & has_alt):
+                idx = np.flatnonzero(mask)
+                if not len(idx):
                     continue
-                alt = None
-                if alts is not None and coord_ok(alts.iloc[i], 4.0e6):
-                    alt = float(alts.iloc[i])
-                try:
-                    out_b.append(
-                        inject(blob, lon=float(lon), lat=float(lat), alt=alt)
-                    )
-                    out_t.append(True)
-                except ValueError:
-                    # signature matched but the container is truncated
-                    # or implausible (e.g. 8-byte PNG prefix, hostile
-                    # IHDR length): byte-identical pass-through, never
-                    # a failed stage (r5 review)
-                    out_b.append(blob)
-                    out_t.append(False)
+                blk = build_gps_tiff_batch(
+                    lon[idx],
+                    lat[idx],
+                    alts[idx] if has_alt[int(idx[0])] else None,
+                )
+                for j, i in enumerate(idx):
+                    blocks[i] = blk[j]
+            out_b, out_t = [], []
+            for i, blob in enumerate(blobs):
+                block = blocks[i]
+                tagged = False
+                tb = blob
+                if block is not None and blob is not None:
+                    block = block.tobytes()
+                    if blob[:2] == b"\xff\xd8":
+                        payload = b"Exif\x00\x00" + block
+                        if len(payload) + 2 <= 0xFFFF:
+                            tb = (
+                                blob[:2]
+                                + b"\xff\xe1"
+                                + struct.pack(">H", len(payload) + 2)
+                                + payload
+                                + blob[2:]
+                            )
+                            tagged = True
+                    elif (
+                        blob[:8] == PNG_SIG
+                        and len(blob) >= 16
+                        and blob[12:16] == b"IHDR"
+                    ):
+                        # same container checks as inject_exif_png: a
+                        # hostile IHDR length passes through untagged
+                        (ihdr_len,) = struct.unpack_from(">I", blob, 8)
+                        end = 8 + 12 + ihdr_len
+                        if ihdr_len == 13 and end <= len(blob):
+                            body = b"eXIf" + block
+                            chunk = (
+                                struct.pack(">I", len(block))
+                                + body
+                                + struct.pack(
+                                    ">I", zlib.crc32(body) & 0xFFFFFFFF
+                                )
+                            )
+                            tb = blob[:end] + chunk + blob[end:]
+                            tagged = True
+                out_b.append(tb)
+                out_t.append(tagged)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "bytes": out_b, "tagged": out_t}
             )
