@@ -401,8 +401,15 @@ def lsh_near_dup_pairs(
             out.append(inter / u if u else 1.0)
         return pd.Series(out)
 
+    # nondeterministic mark (guide §4.4): the >= threshold filter on the
+    # UDF column otherwise gets pushed below the projection and Catalyst
+    # evaluates the shingle/intersect UDF TWICE per pair (two stacked
+    # ArrowEvalPython nodes in the r6 before-plan); marking it
+    # non-reorderable yields a single evaluation, same rows
     return (
-        pairs.withColumn("jaccard", _jaccard("text_a", "text_b"))
+        pairs.withColumn(
+            "jaccard", _jaccard.asNondeterministic()("text_a", "text_b")
+        )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -597,8 +604,9 @@ def ngram_jaccard_pairs(
             out.append(len(sa & sb) / u if u else 1.0)
         return pd.Series(out)
 
+    # same §4.4 single-evaluation mark as lsh_near_dup_pairs
     return (
-        pairs.withColumn("jaccard", _jac("text_a", "text_b"))
+        pairs.withColumn("jaccard", _jac.asNondeterministic()("text_a", "text_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -47,8 +47,13 @@ def main() -> None:
     from geomesa_sql_spark.ops.cluster import dbscan
 
     q = entry.queries()
+    only = os.environ.get("SPARK_GRAFT_PLAN_ONLY")
+    only = set(only.split(",")) if only else None
 
-    def cap(name, df):
+    def cap(name, df_thunk):
+        if only is not None and name not in only:
+            return
+        df = df_thunk() if callable(df_thunk) else df_thunk
         p = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(p, "w") as f, redirect_stdout(f):
             df.explain("formatted")
@@ -127,6 +132,68 @@ def main() -> None:
         ).alias("geom"),
     )
     cap("mvt_render_wkb", render_mvt_wkb(wkb_src, zoom=6, id_col="gid"))
+
+    # ---- keys added to the r06 surface mid-round ----
+    from geomesa_sql_spark.join.knn import knn_join_cells
+    from geomesa_sql_spark.ops import (
+        geotag_images,
+        hamming_clusters,
+        phash_images,
+    )
+    from geomesa_sql_spark.tiles import assign_tiles
+
+    knn_q = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0).alias("qx"),
+        ((F.col("id") * 104729 % 1700) / 10.0 - 85.0).alias("qy"),
+    )
+    # checkpoint=False keeps the round plans symbolic (the loop's
+    # per-round driver probes still run)
+    cap(
+        "knn_10k_queries",
+        lambda: knn_join_cells(pts, knn_q, k=10, checkpoint=False),
+    )
+
+    img_path = os.environ.get(
+        "SPARK_GRAFT_IMG", "/tmp/spark_graft_bench/images_n600000_s8_p64"
+    )
+    if os.path.exists(f"{img_path}/_SUCCESS"):
+        imgs = spark.read.parquet(img_path)
+        sigs = (
+            phash_images(imgs)
+            .filter(F.col("ahash").isNotNull())
+            .withColumn("iid", F.substring("image_id", 2, 12).cast("long"))
+        )
+        cap(
+            "image_dedup_clusters",
+            lambda: hamming_clusters(sigs, "ahash", "iid", max_hamming=2),
+        )
+        cap("exif_geotag", lambda: geotag_images(imgs))
+        polys = nation_squares(spark, sf_dir).select("n_nationkey", "poly")
+        from geomesa_sql_spark.join.spatial import wkb_side
+
+        def _headline():
+            hp = imgs.select("image_id", "lon", "lat")
+            joined = spatial_join(
+                hp, polys, point_side("lon", "lat"), wkb_side("poly"),
+                predicate="intersects", res=6, broadcast=True,
+            )
+            return (
+                assign_tiles(joined, zoom=8)
+                .groupBy("n_nationkey", "tile_x", "tile_y")
+                .count()
+            )
+
+        cap("headline_spatial_join_tiles", _headline)
+        cap(
+            "spatial_join_repartition_salted",
+            lambda: spatial_join(
+                imgs.select("image_id", "lon", "lat"), polys,
+                point_side("lon", "lat"), wkb_side("poly"),
+                predicate="intersects", res=6, broadcast=False, salt=8,
+                hot_cell_threshold=50_000,
+            ),
+        )
 
 
 if __name__ == "__main__":
