@@ -312,12 +312,22 @@ def _cells_for_side(
         covers = _group_covers(minx - expand, miny - expand, maxx + expand, maxy + expand)
         return pd.DataFrame({"cells": covers, "minx": minx - expand, "miny": miny - expand})
 
-    env = df.withColumn("__gsj_ec", _env_cover(side.wkb))
-    return (
-        env.withColumn("__gsj_minx", F.col("__gsj_ec.minx"))
-        .withColumn("__gsj_miny", F.col("__gsj_ec.miny"))
-        .withColumn(_CELL, F.explode(F.col("__gsj_ec.cells")))
-        .drop("__gsj_ec")
+    # ONE select consuming the struct (guide §4.4, r6): the former
+    # withColumn/withColumn/explode/drop chain referenced the struct
+    # column three times, and after projection collapse each reference
+    # inlined the UDF call — Catalyst evaluated the decode→cover UDF
+    # (and any UDF feeding it) TWICE per geometry, caught as two
+    # stacked ArrowEvalPython nodes in the r06 headline before-plan.
+    # The nondeterministic mark keeps the Generate's inferred
+    # size/null filter from re-deriving the call a third time. Same
+    # rows; on the repartition path this halves the Python work of a
+    # large WKB side.
+    env = df.withColumn("__gsj_ec", _env_cover.asNondeterministic()(side.wkb))
+    return env.select(
+        *df.columns,
+        F.col("__gsj_ec.minx").alias("__gsj_minx"),
+        F.col("__gsj_ec.miny").alias("__gsj_miny"),
+        F.explode(F.col("__gsj_ec.cells")).alias(_CELL),
     )
 
 
