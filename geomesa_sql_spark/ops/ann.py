@@ -117,9 +117,15 @@ def lsh_bucket_ann(
         weights = (1 << np.arange(bits, dtype=np.int64))
         return pd.Series(signs @ weights)
 
-    data_b = df.withColumn("__bucket", _bucket(vec_col))
+    # nondeterministic marks (guide §4.4, r6): joining on a pandas-UDF
+    # column lets Catalyst's inferred not-null key constraint re-derive
+    # the UDF below the filter — the bucket/assign matrix product ran
+    # TWICE over the full corpus side (two stacked ArrowEvalPython
+    # nodes; the CLAUDE.md join-key rule). The mark is an optimizer
+    # hint only: outputs are unchanged.
+    data_b = df.withColumn("__bucket", _bucket.asNondeterministic()(vec_col))
     probes = [0] + [1 << i for i in range(multiprobe)]
-    qb = query_df.withColumn("__b0", _bucket(q_vec_col))
+    qb = query_df.withColumn("__b0", _bucket.asNondeterministic()(q_vec_col))
     qb = qb.withColumn(
         "__bucket", F.explode(F.array(*[F.col("__b0").bitwiseXOR(F.lit(p)) for p in probes]))
     ).drop("__b0")
@@ -177,8 +183,10 @@ def near_dup_embeddings(
                 )
             return pd.Series(out)
 
-        a = a.withColumn("__bucket", F.explode(_buckets("va")))
-        b = b.withColumn("__bucket", F.explode(_buckets("vb")))
+        # nondet mark: join-key UDF single evaluation (see lsh_bucket_ann)
+        nd = _buckets.asNondeterministic()
+        a = a.withColumn("__bucket", F.explode(nd("va")))
+        b = b.withColumn("__bucket", F.explode(nd("vb")))
         pairs = (
             a.join(b, on="__bucket")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -334,8 +342,11 @@ def ivf_topk(
         order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
-    data_l = df.withColumn("__list", _assign(vec_col))
-    q_l = query_df.withColumn("__list", F.explode(_probes(q_vec_col)))
+    # nondet mark: join-key UDF single evaluation (see lsh_bucket_ann)
+    data_l = df.withColumn("__list", _assign.asNondeterministic()(vec_col))
+    q_l = query_df.withColumn(
+        "__list", F.explode(_probes.asNondeterministic()(q_vec_col))
+    )
     joined = data_l.join(F.broadcast(q_l), on="__list")
     sim = cosine_similarity_col(F.col(vec_col), F.col(q_vec_col))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.col(id_col))
