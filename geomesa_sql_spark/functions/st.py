@@ -462,10 +462,20 @@ def _envelope_schema() -> T.StructType:
 
 @F.pandas_udf(_envelope_schema())
 def st_envelope_wkb(wkb: pd.Series) -> pd.DataFrame:
-    envs = []
-    for g in _decode_series(wkb):
-        envs.append((np.nan,) * 4 if g is None else g.envelope())
-    return pd.DataFrame(envs, columns=["minx", "miny", "maxx", "maxy"])
+    # batched (r6): uniform-layout WKB reduces in one numpy pass per
+    # length group, per-row reader fallback otherwise — bit-identical
+    # values, strict on malformed like the former decode
+    from geomesa_sql_spark.geom.wkb import wkb_envelopes
+
+    env = wkb_envelopes(wkb.to_numpy(), strict=True)
+    return pd.DataFrame(
+        {
+            "minx": env[:, 0],
+            "miny": env[:, 1],
+            "maxx": env[:, 2],
+            "maxy": env[:, 3],
+        }
+    )
 
 
 def register_all(spark: SparkSession) -> None:
