@@ -976,6 +976,29 @@ def dbscan_incremental(
         ring2 = _expand_cells(dirty, 2)
         bcast = lambda df_: df_  # noqa: E731
 
+    # degenerate-delta short-circuit (r6, guide §1.2): when the dirty
+    # set covers EVERY occupied coarse cell, the incremental machinery
+    # provably reduces to a full rebuild — kept is empty, every prev eq
+    # edge is refreshed, and the affected set is every id — so diffing
+    # a fully-dirty state pays ~10 join/distinct stages for the same
+    # answer a rebuild gets directly. One bounded probe (anti-join
+    # isEmpty, full-parallelism map side): its ~0.1 s costs far less
+    # than the machinery it can skip, so it runs for any delta wide
+    # enough to plausibly qualify — only the localized/streaming shape
+    # (a handful of home cells) skips it outright.
+    if len(home_pdf) >= 16:
+        occ = pts_all.select(
+            *[
+                F.floor(F.col(d) / F.lit(s)).cast("long").alias(_CELL_COLS[d])
+                for d in _dims(pts_all.columns)
+            ]
+        ).distinct()
+        if occ.join(bcast(dirty), cell_cols, "left_anti").isEmpty():
+            return dbscan(
+                df_all, key, x, y, eps_user, int(min_pts), coarse_cell,
+                max_iter, return_state=True, metric=metric,
+            )
+
     fresh = _compute_local(pts_all, s, eps, int(min_pts), p2_cells=bcast(dirty))
     kept = prev_local.join(bcast(dirty), cell_cols, "left_anti")
     new_local = kept.unionByName(fresh).localCheckpoint(eager=False)
