@@ -846,11 +846,22 @@ def dbscan(
     if not return_state:
         return _assemble(local, max_iter)
     result, eq, resolved = _assemble_full(local, max_iter)
-    result = result.localCheckpoint(eager=True)
+    # lazy checkpoints (guide §1.2), consistent with the state frames
+    # dbscan_incremental itself returns: they persist + truncate
+    # lineage but materialize inside the first consuming action (the
+    # caller's count / sink write / the next apply's joins) instead of
+    # as three barrier jobs here. Safe for the limit-probe hazard: the
+    # next apply consumes `eq` under _resolve_labels' bounded toPandas,
+    # but that probe sits ABOVE distinct's shuffle, so the upstream
+    # still runs at full parallelism (same exposure the incremental
+    # path's lazy `eq` already carries). Streaming inputs are pinned
+    # eager by the maintainer before this is called, so a lazy frame
+    # first consumed next batch recomputes from pinned data.
+    result = result.localCheckpoint(eager=False)
     state = {
         "local": local,
-        "eq": eq.localCheckpoint(eager=True),
-        "resolved": resolved.localCheckpoint(eager=True),
+        "eq": eq.localCheckpoint(eager=False),
+        "resolved": resolved.localCheckpoint(eager=False),
         "result": result,
         "delta": result,  # initial build: everything is new
     }
