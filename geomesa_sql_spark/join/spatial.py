@@ -110,7 +110,21 @@ def _materialize_side(
         return df, side
     if isinstance(side.wkb, Column):
         wn = f"__gsj_{prefix}ewkb"
-        df = df.withColumn(wn, side.wkb)
+        # Nondeterministic identity barrier (guide §4.4): the hidden
+        # column is consumed by BOTH the cell-cover stage and the
+        # post-join refine, and projection collapse re-inlines the
+        # defining expression into every consumer — for a UDF operand
+        # (ST_MakeEnvelope/ST_Buffer/...) that evaluated the geometry
+        # expression 2-3x per probe row (two stacked ArrowEvalPython
+        # nodes in the buffered-join plan). shuffle() is
+        # nondeterministic, so the optimizer may not duplicate or
+        # collapse this projection; on a 1-element array it is the
+        # identity (NULL-preserving), and it stays pure JVM. Name
+        # operands skip the barrier: a plain column reference cannot
+        # be duplicated-evaluated.
+        df = df.withColumn(
+            wn, F.element_at(F.shuffle(F.array(side.wkb)), 1)
+        )
         side = GeomSide(wkb=wn)
     return df, side
 
