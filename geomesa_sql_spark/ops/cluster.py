@@ -967,8 +967,16 @@ def dbscan_incremental(
             for d in _dims(pts_delta.columns)
         ]
     ).distinct()
-    home_pdf = home.toPandas()
-    if len(home_pdf) <= _driver_cells_cap(len(cell_cols)):
+    # bounded branch probe (the min_label_components pattern, ADVICE
+    # r2): collect at most cap+1 home cells to pick the branch — under
+    # the cap, limit() returns the complete set (the dilations below
+    # need every home cell); over it, the distributed branch reads the
+    # full `home` frame and the driver never holds a planet-wide spray
+    # delta's cell set. The short-circuit's len >= 16 check below is
+    # unaffected (cap+1 >> 16).
+    _cells_cap = _driver_cells_cap(len(cell_cols))
+    home_pdf = home.limit(_cells_cap + 1).toPandas()
+    if len(home_pdf) <= _cells_cap:
         # LocalRelation cell sets: every ring is a numpy dilation of the
         # home cells, so the per-batch fixed cost is one tiny toPandas
         # job instead of ~6 distinct-shuffle jobs (ring re-expansions)
